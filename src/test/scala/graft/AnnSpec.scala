@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val corpus = (1 to 200).map { i =>
+    (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)))
+  }.toDF("id", "v").cache()
+  private lazy val qs = (1 to 5).map { i =>
+    (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)))
+  }.toDF("qid", "qv")
+
+  test("bruteForceTopK: self is rank 1 under cosine; k rows per query") {
+    val out = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "cosine")
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    (1 to 5).foreach { q =>
+      val mine = out.filter(_._1 == q)
+      assert(mine.length == 10)
+      assert(mine.find(_._3 == 1).get._2 == q.toLong) // exact self-match first
+    }
+  }
+
+  test("l2 and ip metrics run and rank deterministically") {
+    val ip = Ann.bruteForceTopK(corpus, qs, k = 3, metric = "ip").count()
+    val l2 = Ann.bruteForceTopK(corpus, qs, k = 3, metric = "l2").count()
+    assert(ip == 15 && l2 == 15)
+  }
+
+  test("lshTopK: recall@10 vs exact is reasonable on clustered data") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(corpus, qs, k = 10, dim = dim, planes = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+    assert(lsh.subsetOf(lsh ++ exact))
+  }
+
+  test("ivfTopK: self-match survives coarse quantization probes") {
+    val out = Ann.ivfTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    val r1 = out.filter(_._3 == 1)
+    assert(r1.forall(r => r._1 == r._2)) // each query finds itself
+  }
+}

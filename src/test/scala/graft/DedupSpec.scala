@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),                                // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),      // near dup of 1
+    (4L, "completely different content about stock markets and finance today " * 4),
+    (5L, "yet another unrelated document mentioning sports and weather news " * 4)
+  ).toDF("doc_id", "text")
+
+  test("exact: identical normalized docs collapse to one fingerprint") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val dup = out.filter(_._3 == 2)
+    assert(dup.length == 1 && dup.head._2 == 1L) // keeps min id
+    assert(out.map(_._3).sum == 5)
+  }
+
+  test("ngramJaccard: finds planted near-dup pair, skips unrelated") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLsh: candidates verified — subset of exact jaccard result") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", w = 8,
+        numHashes = 12, bands = 4, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L))) // identical docs always collide
+  }
+
+  test("simhashPairs: identical docs at hamming 0; banding finds them") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 3)
+      .as[(Long, Long, Long)].collect()
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && p12.get._3 == 0L)
+  }
+
+  test("embeddingCosine(+Lsh): lsh pairs are a subset of exact pairs") {
+    val vecs = (1 to 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("id", "v")
+    val exact = Dedup.embeddingCosine(vecs, "id", "v", tau = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val lsh = Dedup.embeddingCosineLsh(vecs, "id", "v", tau = 0.8, dim = 8, planes = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("shingleSet maxDf cap drops hot shingles") {
+    val hot = Seq((1L, "aaaa common"), (2L, "bbbb common"), (3L, "cccc common"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.shingleSet(hot, "doc_id", "text", w = 6, maxDf = Some(2))
+    val kept = capped.select("sh").distinct().as[String].collect()
+    assert(!kept.contains("common")) // appears in 3 docs > cap 2
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Tag}
+
+class MultimodalTagSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = (1 to 10).map { i =>
+    (i.toLong, s"payload-$i".getBytes("UTF-8"), if (i % 2 == 0) "image" else "video")
+  }.toDF("media_id", "payload", "kind")
+
+  test("withMetadata: typed struct with checksum/len from the payload") {
+    val out = Multimodal.withMetadata(media, "payload", "kind")
+    val m = out.select("media_meta.byte_len", "media_meta.checksum", "media_meta.kind")
+      .as[(Long, String, String)].collect()
+    assert(m.forall(_._1 > 0))
+    assert(m.map(_._2).distinct.length == 10) // distinct payload → distinct checksum
+  }
+
+  test("decodeFeatures: batched per-partition decode, deterministic") {
+    val f1 = Multimodal.decodeFeatures(media, "media_id", "payload", dim = 6, batchSize = 3)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val f2 = Multimodal.decodeFeatures(media, "media_id", "payload", dim = 6, batchSize = 7)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(f1.length == 10 && f1.forall(_._2.size == 6))
+    assert(f1.toSeq == f2.toSeq) // batch shape must not change results
+  }
+
+  test("sampleFrames: one frame per everyMs of stub duration") {
+    val withMeta = Multimodal.withMetadata(media, "payload", "kind")
+    val frames = Multimodal.sampleFrames(withMeta, "media_id", everyMs = 60000L)
+    val byId = frames.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    val durs = withMeta.select("media_id", "media_meta.duration_ms")
+      .as[(Long, Long)].collect().toMap
+    byId.foreach { case (id, n) => assert(n == durs(id) / 60000L + 1) }
+  }
+
+  test("Tag.tag: batched seam, deterministic labels from the stub model") {
+    val docs = (1 to 50).map(i => (i.toLong, s"document number $i")).toDF("id", "text")
+    val a = Tag.tag(docs, "id", "text", batchSize = 8).as[(Long, String)].collect().sortBy(_._1)
+    val b = Tag.tag(docs, "id", "text", batchSize = 17).as[(Long, String)].collect().sortBy(_._1)
+    assert(a.length == 50)
+    assert(a.forall(r => Tag.labels.contains(r._2)))
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, HashFunctions => H, VectorFunctions => V}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column): A =
+    Seq(Tuple1("x")).toDF("t").select(c).collect()(0).get(0).asInstanceOf[A]
+
+  test("cleanTitle: strips, truncates to 50, untitled fallback") {
+    val df = Seq("  Hello, 世界! 123  ", "!!!", "a" * 80).toDF("t")
+      .select(T.cleanTitle(col("t")).as("c")).as[String].collect()
+    assert(df(0) == "Hello世界123")
+    assert(df(1) == "untitled")
+    assert(df(2) == "a" * 50)
+  }
+
+  test("reformatDoc: [标题]/[时间]/[来源] assembly with null fallbacks") {
+    val df = Seq((Option("T"), Option("2025"), Option("s"), Option("body")),
+                 (None, None, None, None))
+      .toDF("a", "b", "c", "d")
+      .select(T.reformatDoc(col("a"), col("b"), col("c"), col("d")).as("r"))
+      .as[String].collect()
+    assert(df(0) == "[标题]:T\n[时间]:2025\n[来源]:s\n\nbody")
+    assert(df(1) == "[标题]:无标题\n[时间]:无时间\n[来源]:无来源\n\n无内容")
+  }
+
+  test("langId: picks dominant stopword language; und on no signal") {
+    val df = Seq(
+      "the cat and the dog sat in the garden",
+      "el perro y la casa de los niños",
+      "这是一个中文句子",
+      "zzz qqq").toDF("t")
+      .select(T.langId(col("t")).as("l")).as[String].collect()
+    assert(df.toSeq == Seq("en", "es", "zh", "und"))
+  }
+
+  test("qualityScore: integer milli-score, bounded [0, 10000]") {
+    val scores = Seq("", "the quick brown fox and the lazy dog in the sun",
+        ".,;:!? .,;:!?", ("word " * 200).trim).toDF("t")
+      .select(T.qualityScore(col("t")).as("q")).as[Long].collect()
+    assert(scores.forall(s => s >= 0 && s <= 10000))
+    assert(scores(0) == 3000) // no tokens: len 0, stop 0, punct 0 → 0+0+3000
+    assert(scores(3) >= 4000) // 200 tokens → full length score
+  }
+
+  test("hash32/hash60 positive and stable; shingles cover text") {
+    val h = Seq(Tuple1("abc")).toDF("t")
+      .select(H.hash32(1, col("t")).as("a"), H.hash60(1, col("t")).as("b"))
+      .as[(Long, Long)].collect()(0)
+    assert(h._1 >= 0 && h._1 < (1L << 32))
+    assert(h._2 >= 0 && h._2 < (1L << 60))
+    val sh = Seq(Tuple1("abcde")).toDF("t")
+      .select(H.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()(0)
+    assert(sh == Seq("abc", "bcd", "cde"))
+    val short = Seq(Tuple1("ab")).toDF("t")
+      .select(H.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()(0)
+    assert(short == Seq("ab"))
+  }
+
+  test("vector math: dot/cosine/l2 against hand values") {
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 0.0, 1.0))).toDF("a", "b")
+    val (dt, cs, l2) = df.select(
+        V.dot(col("a"), col("b")), V.cosine(col("a"), col("a")), V.l2(col("a"), col("b")))
+      .as[(Double, Double, Double)].collect()(0)
+    assert(dt == 4.0)
+    assert(math.abs(cs - 1.0) < 1e-12)
+    assert(math.abs(l2 - math.sqrt(1 + 4 + 1)) < 1e-12)
+  }
+
+  test("fakeDenseEmbed: deterministic, in [-1,1], dimension-exact") {
+    val e = Seq(Tuple1("text")).toDF("t")
+      .select(V.fakeDenseEmbed(col("t"), 8).as("e")).as[Seq[Double]].collect()(0)
+    assert(e.size == 8)
+    assert(e.forall(v => v >= -1.0 && v <= 1.0))
+    val e2 = Seq(Tuple1("text")).toDF("t")
+      .select(V.fakeDenseEmbed(col("t"), 8).as("e")).as[Seq[Double]].collect()(0)
+    assert(e == e2)
+  }
+}
