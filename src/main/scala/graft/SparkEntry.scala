@@ -175,12 +175,16 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
 
+  // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
+  // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
+  // dedup signal but produce >99% of the inverted-index join's pairs.
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", w = 8, tau = 0.5)
+    Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", w = 8, tau = 0.5,
+      maxDf = Some(100))
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-      w = 8, numHashes = 12, bands = 4, tau = 0.5)
+      w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3)
@@ -265,6 +269,11 @@ object SparkEntry {
   private val shingle8 =
     s"""SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
        |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc))""".stripMargin
+  // Hot-shingle cap (mirrors Dedup maxDf=100): drop shingles present in
+  // more than 100 docs before any pair math.
+  private val shingle8Capped =
+    s"""SELECT s.doc_id, s.sh FROM ($shingle8) s
+       |JOIN (SELECT sh FROM ($shingle8) GROUP BY sh HAVING count(*) <= 100) k ON s.sh = k.sh""".stripMargin
   private val reformatSql =
     "'[标题]:' || substr(text, 1, 40) || chr(10) || '[时间]:2025-08-12' || chr(10) || '[来源]:' || source || chr(10) || chr(10) || text"
   private val cleanTitleSql =
@@ -401,7 +410,7 @@ object SparkEntry {
          |FROM ($normDoc) GROUP BY fp""".stripMargin,
 
     "q_dedup_ngram" ->
-      s"""WITH sh AS ($shingle8),
+      s"""WITH sh AS ($shingle8Capped),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
          |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -410,9 +419,10 @@ object SparkEntry {
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shingle8),
-         |mh AS (SELECT doc_id, seed, min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || sh), 1, 8))::BIGINT) AS mh
-         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+      s"""WITH sh AS ($shingle8Capped),
+         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+         |       FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+         |            (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
          |sig AS (SELECT doc_id, CAST(seed / 3 AS INT) AS band,
          |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -16,20 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  import org.apache.spark.sql.graft.VectorExpressions
+
   private def d(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ — strict left-to-right fold in double, so the DuckDB
-    * oracle (sequential list functions) reproduces it exactly. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ — strict left-to-right primitive loop in double (codegen'd
+    * DotProduct expression), bit-identical to the sequential DuckDB
+    * list functions used as the oracle. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
-  def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, v) => acc + v))
+  def l2(a: Column, b: Column): Column = VectorExpressions.l2Distance(a, b)
 
   def l2Normalize(a: Column): Column = transform(a, x => d(x) / norm2(a))
 

@@ -14,10 +14,19 @@ import graft.functions.{VectorFunctions => V}
   */
 object Ann {
 
-  private def score(metric: String, a: Column, b: Column): Column = metric match {
-    case "cosine" => V.cosine(a, b)
-    case "ip"     => V.dot(a, b)
-    case "l2"     => -V.l2(a, b) // negated so "higher is better" uniformly
+  /** Normalize the vector column to array<double> and pre-compute its
+    * norm once — per-pair scoring then needs only a single codegen'd
+    * dot product (cos = dot/(nrmQ·nrmC), same expression tree the
+    * DuckDB oracle evaluates). */
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+      .withColumn(s"${vecCol}_nrm", V.norm2(col(vecCol)))
+
+  private def pairScore(metric: String, q: Column, c: Column,
+      qn: Column, cn: Column): Column = metric match {
+    case "cosine" => V.dot(q, c) / (qn * cn)
+    case "ip"     => V.dot(q, c)
+    case "l2"     => -V.l2(q, c) // negated so "higher is better" uniformly
     case m        => throw new IllegalArgumentException(s"unknown metric $m")
   }
 
@@ -29,9 +38,12 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.as("c").join(broadcast(queries.as("q")))
+    val c = Dedup.spread(withNorm(corpus, "v"))
+    val q = withNorm(queries, "qv")
+    val scored = c.as("c").join(broadcast(q.as("q")))
       .select(col("q.qid"), col("c.id"),
-        round(score(metric, col("q.qv"), col("c.v")), 4).as("score"))
+        round(pairScore(metric, col("q.qv"), col("c.v"),
+          col("q.qv_nrm"), col("c.v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -43,11 +55,14 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 8, metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = corpus.withColumn("sig", V.hyperplaneSig(col("v"), dim, planes))
-    val qb = queries.withColumn("sig", V.hyperplaneSig(col("qv"), dim, planes))
+    val cb = Dedup.spread(withNorm(corpus, "v"))
+      .withColumn("sig", V.hyperplaneSig(col("v"), dim, planes))
+    val qb = withNorm(queries, "qv")
+      .withColumn("sig", V.hyperplaneSig(col("qv"), dim, planes))
     val scored = cb.as("c").join(broadcast(qb.as("q")), col("c.sig") === col("q.sig"))
       .select(col("q.qid"), col("c.id"),
-        round(score(metric, col("q.qv"), col("c.v")), 4).as("score"))
+        round(pairScore(metric, col("q.qv"), col("c.v"),
+          col("q.qv_nrm"), col("c.v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -62,7 +77,8 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val centroids = corpus.orderBy("id").limit(nlist)
       .select(col("id").as("cell"), col("v").as("cv"))
-    val assign = corpus.as("c").join(broadcast(centroids))
+    val spreadCorpus = Dedup.spread(corpus)
+    val assign = spreadCorpus.as("c").join(broadcast(centroids))
       .select(col("c.id"), col("c.v"), col("cell"), V.cosine(col("c.v"), col("cv")).as("cs"))
     val wAssign = Window.partitionBy("id").orderBy(col("cs").desc, col("cell").asc)
     val cells = assign.withColumn("r", row_number().over(wAssign))
@@ -72,9 +88,11 @@ object Ann {
     val wProbe = Window.partitionBy("qid").orderBy(col("cs").desc, col("cell").asc)
     val probes = qprobe.withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nprobe).select("qid", "qv", "cell")
-    val scored = cells.as("c").join(broadcast(probes.as("p")), "cell")
+    val scored = withNorm(cells, "v").as("c")
+      .join(broadcast(withNorm(probes, "qv").as("p")), "cell")
       .select(col("p.qid"), col("c.id"),
-        round(score(metric, col("p.qv"), col("c.v")), 4).as("score"))
+        round(pairScore(metric, col("p.qv"), col("c.v"),
+          col("p.qv_nrm"), col("c.v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

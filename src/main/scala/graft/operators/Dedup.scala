@@ -15,6 +15,15 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
   */
 object Dedup {
 
+  /** Ensure at least default parallelism for operators whose first
+    * stage is compute-heavy: a small local parquet scan arrives as one
+    * partition; on a real cluster the input is already wide and this is
+    * a no-op (no shuffle added). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** Exact dedup: group by md5 of normalized text; keep the minimum id
     * as the canonical representative. One shuffle on a 128-bit key. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -24,10 +33,12 @@ object Dedup {
 
   /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops
     * shingles occurring in more than maxDf docs (stopword-shingles add
-    * candidates without discriminating — the classic LSH hot-key cap). */
+    * candidates without discriminating — the classic LSH hot-key cap,
+    * and the thing that bounds the inverted-index join's worst case:
+    * pair fan-out per shingle is ≤ maxDf², not corpus²). */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, w: Int,
       maxDf: Option[Int] = None): DataFrame = {
-    val s = df.select(col(idCol).as("id"),
+    val s = spread(df).select(col(idCol).as("id"),
         explode(H.shingles(T.normText(col(textCol)), w)).as("sh"))
       .distinct()
     maxDf match {
@@ -41,15 +52,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
     * via shingle inverted index: join docs only where they share a
-    * shingle, count the intersection, derive the union from set sizes. */
+    * shingle, count the intersection, derive the union from set sizes.
+    * Shingles ride as xxhash64 longs (not strings) through the join —
+    * compact shuffle, primitive comparisons; per-doc set sizes are a
+    * tiny dim broadcast at the end. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, w, maxDf)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is per-doc (not broadcastable at corpus scale) — plain joins;
+    // AQE auto-broadcasts when it is in fact small.
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -59,17 +76,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature rows: (id, seed, mh) with mh = min over shingles
-    * of hash32(seed, shingle). Single pass: seeds exploded inline, then
-    * partial-aggregated per (id, seed) — map-side combine keeps the
-    * shuffle at |docs|·numHashes rows regardless of shingle count. */
+  /** Universal-hash family prime (largest prime < 2^32): affine rehash
+    * (a·h + b) mod P stays exactly representable in int64 on every
+    * engine, so the oracle reproduces signatures bit-for-bit. */
+  val MinhashPrime = 4294967291L
+
+  /** MinHash signature rows: (id, seed, mh). ONE md5 per (doc, shingle)
+    * gives the 32-bit base hash; the `numHashes` permutations are affine
+    * rehashes (2s+3)·h + (7s+1) mod P — arithmetic, not repeated
+    * digests, so signature cost is O(shingles), not O(shingles·hashes).
+    * Seeds explode inline and partial-aggregate per (id, seed): the
+    * shuffle carries |docs|·numHashes rows regardless of shingle count. */
   def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), col("sh"),
+    sh.select(col("id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("id"), col("seed"),
-        conv(substring(md5(concat(col("seed").cast("string"), lit("#"), col("sh"))), 1, 8), 16, 10)
-          .cast("long").as("h"))
-      .groupBy("id", "seed").agg(min("h").as("mh"))
+      .groupBy("id", "seed")
+      .agg(min((col("h") * (col("seed") * 2 + 3) + (col("seed") * 7 + 1)) % MinhashPrime)
+        .as("mh"))
 
   /** MinHash + LSH banding: candidates share one full band signature
     * (b bands × r rows = numHashes); candidates are then verified with
@@ -148,28 +173,36 @@ object Dedup {
       .filter(col("hamming") <= maxHam)
   }
 
-  /** Embedding-cosine near-dup pairs (exact): all colliding pairs with
-    * round(cos,4) >= tau. Exact variant self-joins (verify-scale only);
-    * at corpus scale use [[embeddingCosineLsh]]. */
+  /** Embedding-cosine near-dup pairs (exact): all pairs with
+    * round(cos,4) >= tau. Norms are computed ONCE per vector before the
+    * pair join (cos = dot/(nrm_a·nrm_b) — same expression tree as the
+    * oracle), cutting per-pair work to a single codegen'd dot product.
+    * Exact variant self-joins (verify-scale only); at corpus scale use
+    * [[embeddingCosineLsh]]. */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", V.norm2(col("v")))
+    spread(v).as("a").join(broadcast(v.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(V.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= tau)
   }
 
   /** Scale path: bucket by random-hyperplane signature first, compare
-    * only within buckets (recall < 1, tunable via `planes`). */
+    * only within buckets (recall < 1, tunable via `planes`). The join
+    * shuffles on the signature, so each bucket's pairs stay local. */
   def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, dim: Int, planes: Int = 12): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.hyperplaneSig(col(vecCol), dim, planes).as("sig"))
-    v.as("a").join(v.as("b"),
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        V.hyperplaneSig(col(vecCol), dim, planes).as("sig"))
+      .withColumn("nrm", V.norm2(col("v")))
+    spread(v).as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(V.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= tau)
   }
 }
