@@ -13,6 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: operators may cache() internally; leaked cache
+      // blocks from earlier queries would otherwise squeeze execution
+      // memory for later ones and skew their timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
