@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured on this box: 8g beats 32g/48g by 2-3× end-to-end (bigger
+  // heaps pay on-demand page-zeroing + G1 full-region costs that dwarf
+  // the spill savings at these data sizes). Keep 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

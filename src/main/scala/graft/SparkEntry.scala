@@ -274,6 +274,15 @@ object SparkEntry {
   private val shingle8Capped =
     s"""SELECT s.doc_id, s.sh FROM ($shingle8) s
        |JOIN (SELECT sh FROM ($shingle8) GROUP BY sh HAVING count(*) <= 100) k ON s.sh = k.sh""".stripMargin
+  // Shingle sets in the 32-bit md5 hash space (mirrors Dedup.shingleHashSet:
+  // distinct/cap/size/intersect all on h, so both engines agree bit-for-bit)
+  private val shingleHash8 =
+    s"""SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+       |FROM (SELECT doc_id, substr(t, i, 8) AS sh
+       |      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc)))""".stripMargin
+  private val shingleHash8Capped =
+    s"""SELECT s.doc_id, s.h FROM ($shingleHash8) s
+       |JOIN (SELECT h FROM ($shingleHash8) GROUP BY h HAVING count(*) <= 100) k ON s.h = k.h""".stripMargin
   private val reformatSql =
     "'[标题]:' || substr(text, 1, 40) || chr(10) || '[时间]:2025-08-12' || chr(10) || '[来源]:' || source || chr(10) || chr(10) || text"
   private val cleanTitleSql =
@@ -419,17 +428,16 @@ object SparkEntry {
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shingle8Capped),
+      s"""WITH sh AS ($shingleHash8Capped),
          |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
-         |       FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
-         |            (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
          |sig AS (SELECT doc_id, CAST(seed / 3 AS INT) AS band,
          |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.sh = b.sh
+         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
          |          GROUP BY 1, 2)
          |SELECT c.id_a, c.id_b, round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
          |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b

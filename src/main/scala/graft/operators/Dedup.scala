@@ -44,9 +44,35 @@ object Dedup {
     maxDf match {
       case None => s
       case Some(m) =>
-        // count docs per shingle (partial agg), keep the informative ones
-        val keep = s.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= m)
-        s.join(keep.select("sh"), "sh")
+        // Hot shingles number at most |rows|/m by definition, so the
+        // drop-list broadcasts; the anti-join adds no shuffle to `s`.
+        val cached = s.cache()
+        val hot = cached.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("sh")
+        cached.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Distinct (id, shingle-hash) pairs: shingles collapse to xxhash64
+    * longs BEFORE the distinct, so every downstream shuffle (distinct,
+    * maxDf groupBy, inverted-index self-join) moves 8-byte primitives
+    * instead of strings. Same maxDf hot-key cap as [[shingleSet]]. */
+  def shingleSetHashed(df: DataFrame, idCol: String, textCol: String, w: Int,
+      maxDf: Option[Int]): DataFrame = {
+    val s = spread(df)
+      .select(col(idCol).as("id"),
+        explode(H.shingles(T.normText(col(textCol)), w)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
+      .distinct()
+    maxDf match {
+      case None => s
+      case Some(m) =>
+        // Hot shingles number at most |rows|/m by definition, so the
+        // drop-list broadcasts; the anti-join adds no shuffle to `s`.
+        val cached = s.cache()
+        val hot = cached.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("sh")
+        cached.join(broadcast(hot), Seq("sh"), "left_anti")
     }
   }
 
@@ -54,12 +80,12 @@ object Dedup {
     * via shingle inverted index: join docs only where they share a
     * shingle, count the intersection, derive the union from set sizes.
     * Shingles ride as xxhash64 longs (not strings) through the join —
-    * compact shuffle, primitive comparisons; per-doc set sizes are a
-    * tiny dim broadcast at the end. */
+    * compact shuffle, primitive comparisons. The capped shingle set is
+    * cached: it feeds the per-doc sizes, both self-join sides, and the
+    * two size joins — uncached it would be recomputed for each. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, w, maxDf)
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
+    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -81,16 +107,38 @@ object Dedup {
     * engine, so the oracle reproduces signatures bit-for-bit. */
   val MinhashPrime = 4294967291L
 
-  /** MinHash signature rows: (id, seed, mh). ONE md5 per (doc, shingle)
-    * gives the 32-bit base hash; the `numHashes` permutations are affine
-    * rehashes (2s+3)·h + (7s+1) mod P — arithmetic, not repeated
-    * digests, so signature cost is O(shingles), not O(shingles·hashes).
-    * Seeds explode inline and partial-aggregate per (id, seed): the
-    * shuffle carries |docs|·numHashes rows regardless of shingle count. */
+  /** Distinct (id, h) pairs where h is the 32-bit md5-derived base hash
+    * of each shingle — the same value the minhash permutations rehash.
+    * Mapping to the hash space BEFORE the distinct keeps every shuffle
+    * (distinct, df-count, verify join) on 8-byte primitives; the oracle
+    * mirrors the identical hash space, so set semantics (sizes, Jaccard)
+    * agree bit-for-bit on both engines even under hash collisions. */
+  def shingleHashSet(df: DataFrame, idCol: String, textCol: String, w: Int,
+      maxDf: Option[Int]): DataFrame = {
+    val s = spread(df)
+      .select(col(idCol).as("id"),
+        explode(H.shingles(T.normText(col(textCol)), w)).as("shs"))
+      .select(col("id"),
+        conv(substring(md5(col("shs")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    maxDf match {
+      case None => s
+      case Some(m) =>
+        val cached = s.cache()
+        val hot = cached.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("h")
+        cached.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+  }
+
+  /** MinHash signature rows (id, seed, mh) from (id, h) shingle hashes.
+    * The `numHashes` permutations are affine rehashes (2s+3)·h + (7s+1)
+    * mod P — arithmetic, not repeated digests, so signature cost is
+    * O(shingles), not O(shingles·hashes). Seeds explode inline and
+    * partial-aggregate per (id, seed): the shuffle carries
+    * |docs|·numHashes rows regardless of shingle count. */
   def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"),
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h"))
-      .select(col("id"), col("h"),
+    sh.select(col("id"), col("h"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
       .groupBy("id", "seed")
       .agg(min((col("h") * (col("seed") * 2 + 3) + (col("seed") * 7 + 1)) % MinhashPrime)
@@ -98,14 +146,15 @@ object Dedup {
 
   /** MinHash + LSH banding: candidates share one full band signature
     * (b bands × r rows = numHashes); candidates are then verified with
-    * exact Jaccard, so the output is exactly {pairs sharing ≥1 band AND
-    * jaccard ≥ tau}. Shuffles on band signatures, not on documents². */
+    * exact Jaccard over the shingle-hash sets, so the output is exactly
+    * {pairs sharing ≥1 band AND jaccard ≥ tau}. Shuffles on band
+    * signatures, not on documents². */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, numHashes: Int = 12, bands: Int = 4, tau: Double = 0.5,
       maxDf: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingleSet(df, idCol, textCol, w, maxDf).cache()
+    val sh = shingleHashSet(df, idCol, textCol, w, maxDf).cache()
     val mh = minhashes(sh, numHashes)
     val sig = mh.withColumn("band", (col("seed") / r).cast("int"))
       .groupBy("id", "band")
@@ -116,10 +165,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates with exact jaccard from the shingle sets
+    // verify candidates with exact jaccard from the shingle-hash sets
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val interCnt = cand.join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.h") === col("sb.h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     cand.join(interCnt, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("inter"))
