@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RecursiveSplit
 import graft.functions.VectorFunctions
 
 /** Text chunking — the reference's splitter family re-expressed as
@@ -16,8 +17,7 @@ import graft.functions.VectorFunctions
 object Chunker {
 
   /** Separator hierarchy from lang_chain_splitter.py:17. */
-  val defaultSeparators: Seq[String] =
-    Seq("<row>", "</row>", "<Cell>", "</Cell>", "\n", "。", "，", "；", "！", "？", " ")
+  val defaultSeparators: Seq[String] = RecursiveSplit.defaultSeparators
 
   /** Fixed-width chunks with overlap, as a pure Catalyst expression:
     * offsets 0, stride, 2·stride … (stride = size − overlap), each chunk
@@ -42,44 +42,18 @@ object Chunker {
     * the first separator present, greedily merge pieces up to `size`
     * re-joined with that separator, recurse into oversize pieces with the
     * remaining separators, and carry `overlap` characters of context
-    * between adjacent chunks. Imperative per-row logic → Scala function
-    * behind a UDF (per-row, no shuffle; upgrade path: custom Expression). */
+    * between adjacent chunks. Implemented as the native Catalyst
+    * expression [[org.apache.spark.sql.graft.RecursiveSplit]] (no UDF
+    * encoder round-trip; also SQL-callable via [[graft.GraftExtensions]]). */
   def recursiveSplit(text: String, size: Int, overlap: Int,
-      separators: Seq[String] = defaultSeparators): Seq[String] = {
-    def splitOn(t: String, seps: Seq[String]): Seq[String] = {
-      if (t.length <= size) return if (t.isEmpty) Nil else Seq(t)
-      val sepIdx = seps.indexWhere(s => t.contains(s))
-      if (sepIdx < 0) {
-        // no separator applies: hard-wrap with overlap
-        val stride = size - overlap
-        (0 until t.length by stride).map(i => t.substring(i, math.min(i + size, t.length)))
-      } else {
-        val sep = seps(sepIdx)
-        val rest = seps.drop(sepIdx + 1)
-        val pieces = t.split(java.util.regex.Pattern.quote(sep)).toSeq.filter(_.nonEmpty)
-        // greedy merge, recursing into pieces that alone exceed size
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var cur = new StringBuilder
-        def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur = new StringBuilder }
-        pieces.foreach { p =>
-          if (p.length > size) { flush(); out ++= splitOn(p, rest) }
-          else if (cur.isEmpty) cur ++= p
-          else if (cur.length + sep.length + p.length <= size) { cur ++= sep; cur ++= p }
-          else { flush(); cur ++= p }
-        }
-        flush()
-        out.toSeq
-      }
-    }
-    splitOn(text, separators)
-  }
+      separators: Seq[String] = defaultSeparators): Seq[String] =
+    RecursiveSplit.split(text, size, overlap, separators)
 
-  def recursiveChunks(df: DataFrame, textCol: String, size: Int, overlap: Int): DataFrame = {
-    val f = udf((t: String) =>
-      if (t == null) Seq.empty[String] else recursiveSplit(t, size, overlap))
-    df.select(col("*"), posexplode(f(col(textCol))).as(Seq("block_id", "content")))
+  def recursiveChunks(df: DataFrame, textCol: String, size: Int, overlap: Int): DataFrame =
+    df.select(col("*"),
+        posexplode(RecursiveSplit.column(col(textCol), size, overlap))
+          .as(Seq("block_id", "content")))
       .drop(textCol)
-  }
 
   /** Semantic chunking (splite_text/semantic_splitter.py:18-55): split
     * into sentences, embed each (stub embedder), compute cosine distance
