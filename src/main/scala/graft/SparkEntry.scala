@@ -144,19 +144,20 @@ object SparkEntry {
   private def qIdLookup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val dim = docs.groupBy(col("source")).agg(min(col("doc_id")).as("source_id"))
-    docs.join(broadcast(dim), "source").select(col("doc_id"), col("source_id"))
+    Ingest.idLookup(docs, dim, "source").select(col("doc_id"), col("source_id"))
   }
 
   private def qIngestExists(s: SparkSession, dir: String): DataFrame = {
     val existing = t(s, dir, "embeddings").filter(col("label") < 3)
-    t(s, dir, "documents").as("d")
-      .join(existing.as("e"), col("d.doc_id") === col("e.vec_id"), "left_anti")
+    val docs = t(s, dir, "documents").as("d")
+    Ingest.existsCheck(docs, existing.as("e"),
+        col("d.doc_id"), col("e.vec_id"))
       .select(col("doc_id"), col("source"))
   }
 
   private def qDeleteExpr(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .filter(!(col("source") === "src0" && col("lang") === "en"))
+    Ingest.deleteWhere(t(s, dir, "documents"),
+        col("source") === "src0" && col("lang") === "en")
       .select(col("doc_id"), col("source"))
 
   private def qPipelineBlocks(s: SparkSession, dir: String): DataFrame = {

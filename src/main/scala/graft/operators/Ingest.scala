@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T, VectorFunctions => V, HashFunctions => H}
 
@@ -20,6 +20,24 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V, HashFunctions 
   * repartition for segment sizing, so 100 TB ingest scales linearly.
   */
 object Ingest {
+
+  /** file_name/key → id against an external dimension table
+    * (vector_database/mysql_connector.py:40-56). The MySQL pool becomes
+    * a broadcast hash join: no connection churn, no per-row RPC. */
+  def idLookup(docs: DataFrame, dim: DataFrame, key: String): DataFrame =
+    docs.join(broadcast(dim), key)
+
+  /** Skip documents already in the collection
+    * (milvus_connector.py:163-173, the check_exists early-continue):
+    * a left-anti join pushed BEFORE the expensive chunk/embed stages. */
+  def existsCheck(docs: DataFrame, existing: DataFrame,
+      docKey: Column, existKey: Column): DataFrame =
+    docs.join(existing, docKey === existKey, "left_anti")
+
+  /** Predicate delete (milvus_connector.py:190-198 delete-by-expr):
+    * keep the complement. */
+  def deleteWhere(df: DataFrame, predicate: Column): DataFrame =
+    df.filter(!predicate)
 
   /** Sparse (SPLADE-ish) embedding as exploded rows: hashed-token term
     * frequencies. (tokenize → 32-bit hash bucket → tf weight). */
