@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Dedup, Ingest}
+import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed}
 import graft.streaming.Events
 
 /** Driver contract — every operator from SURVEY.md §2 exposed as a
@@ -141,6 +141,16 @@ object SparkEntry {
   private def qSparseEmbed(s: SparkSession, dir: String): DataFrame =
     Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
 
+  // MLlib embedding generation (rows-only: murmur3 hashing / W2V training
+  // aren't reproducible in the SQL oracle — semantics covered by MlEmbedSpec)
+  private def qEmbedTfidf(s: SparkSession, dir: String): DataFrame =
+    MlEmbed.tfidfSparse(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), size(col("sparse_embedding")).cast("long").as("n_terms"))
+
+  private def qEmbedW2v(s: SparkSession, dir: String): DataFrame =
+    MlEmbed.word2vecDense(t(s, dir, "documents"), "text", dim = 32)
+      .select(col("doc_id"), size(col("dense_embedding")).cast("long").as("dim"))
+
   private def qIdLookup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val dim = docs.groupBy(col("source")).agg(min(col("doc_id")).as("source_id"))
@@ -247,6 +257,8 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_dense" -> (qEmbedDense _),
+    "q_embed_tfidf" -> (qEmbedTfidf _),
+    "q_embed_w2v" -> (qEmbedW2v _),
     "q_sparse_embed" -> (qSparseEmbed _),
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MlEmbed
+
+/** MLlib embedding generation: shapes, determinism where guaranteed,
+  * and usefulness of the vectors (similar docs score higher). */
+class MlEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark streaming engine handles streaming state"),
+    (2L, "spark streaming engine handles streaming state"), // dup of 1
+    (3L, "cats purr softly in the warm afternoon sun"),
+    (4L, "the query optimizer rewrites the logical plan"),
+  ).toDF("doc_id", "text")
+
+  test("tfidfSparse: map shape, deterministic, duplicate docs embed identically") {
+    val out = MlEmbed.tfidfSparse(docs, "text", numFeatures = 1 << 12)
+    val rows = out.select("doc_id", "sparse_embedding")
+      .collect().map(r => r.getLong(0) -> r.getMap[Int, Double](1).toMap).toMap
+    assert(rows.size === 4)
+    assert(rows(1L).nonEmpty && rows(1L).values.forall(_ >= 0.0))
+    assert(rows(1L) === rows(2L)) // identical text -> identical embedding
+    assert(rows(1L) !== rows(3L))
+    // idf: a term present in every doc ("the"-free corpus here, use hash re-run)
+    val again = MlEmbed.tfidfSparse(docs, "text", numFeatures = 1 << 12)
+      .select("doc_id", "sparse_embedding")
+      .collect().map(r => r.getLong(0) -> r.getMap[Int, Double](1).toMap).toMap
+    assert(again === rows) // deterministic fit+transform
+  }
+
+  test("word2vecDense: dimension, identical docs embed identically, cosine sane") {
+    val out = MlEmbed.word2vecDense(docs, "text", dim = 16, seed = 7L)
+    val rows = out.select("doc_id", "dense_embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.values.forall(_.length === 16))
+    assert(rows(1L) === rows(2L)) // same tokens -> same averaged vector
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na / 1 * nb)
+    }
+    assert(math.abs(cos(rows(1L), rows(1L)) - 1.0) < 1e-9)
+  }
+
+  test("tfidf embeddings plug into the dedup cosine operator") {
+    val emb = MlEmbed.word2vecDense(docs, "text", dim = 16, seed = 7L)
+      .select(col("doc_id").as("id"), col("dense_embedding").as("v"))
+    val pairs = graft.operators.Dedup.embeddingCosine(emb, "id", "v", tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L))) // the duplicate pair is found
+  }
+}
