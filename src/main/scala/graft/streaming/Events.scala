@@ -1,8 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Input row for the stateful sessionizer (event time as a real
+  * timestamp so watermarks apply). */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state carried between triggers. */
+case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+/** A closed session — emitted when the gap passes or event-time
+  * timeout fires. */
+case class ClosedSession(user_id: Long, session_start_ms: Long,
+    session_end_ms: Long, n_events: Long, total_value: Double)
 
 /** Event-stream operators: gap sessionization and tumbling windows, in
   * both batch (window-function) and Structured Streaming forms. Times
@@ -57,11 +70,55 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
   /** Streaming gap sessionization via session_window (Spark's native
-    * state-store sessionizer — the flatMapGroupsWithState shape without
-    * hand-rolled state). */
+    * state-store sessionizer — the declarative form; see
+    * [[sessionizeWithState]] for the custom-state form). */
   def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Streaming gap sessionization with hand-rolled state via
+    * flatMapGroupsWithState: the open session per user lives in the
+    * state store; a session closes (and is emitted) when a later event
+    * arrives past the gap, or when the event-time watermark passes
+    * last + gap. Input must already carry a watermark on `ts`. This is
+    * the form to extend when a session needs custom state beyond
+    * aggregates (e.g. carrying the first/last event payloads). */
+  def sessionizeWithState(events: Dataset[SessionEvent],
+      gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start, s.last, s.n, s.total))
+          } else {
+            // events within a trigger arrive unordered — sort before folding
+            val evs = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += ClosedSession(user, s.start, s.last, s.n, s.total)
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.start, t, s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.Events
+import graft.streaming.{Events, SessionEvent, StreamIngest}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -69,5 +69,53 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().filter(_._1 == 1L).toSet
     q.stop()
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0)))
+  }
+
+  test("sessionizeWithState: custom flatMapGroupsWithState matches batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+    val q = Events.sessionizeWithState(events)
+      .writeStream.format("memory").queryName("fmgws")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0), (2L, ts(0), 4.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts(60), 3.0)) // gap > 30min: closes user 1's first session
+    q.processAllAvailable()
+    mem.addData((9L, ts(5000), 0.0)) // watermark push → timeouts close the rest
+    q.processAllAvailable()
+    mem.addData((9L, ts(9999), 0.0)) // one more trigger to process fired timeouts
+    q.processAllAvailable()
+    val got = spark.table("fmgws")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(got.contains((1L, 2L, 3.0))) // t0+t5 session closed by the t60 event
+    assert(got.contains((1L, 1L, 3.0))) // t60 session closed by timeout
+    assert(got.contains((2L, 1L, 4.0))) // user 2 closed by timeout
+  }
+
+  test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "text", "source")
+    val existing = Seq((2L, "x")).toDF("file_id", "x") // doc 2 already ingested
+    val q = StreamIngest.pipeline(docsStream, existing, dim = 8,
+        chunkSize = 50, overlap = 10)
+      .writeStream.format("memory").queryName("singest")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "spark streaming ingest pipeline " * 5, "srcA"),
+      (2L, "already ingested doc, must be skipped", "srcB"))
+    q.processAllAvailable()
+    val out = spark.table("singest")
+    val rows = out.collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSeq == graft.sources.VectorSchema.schema.fieldNames.toSeq)
+    assert(rows.forall(_.getAs[Long]("file_id") == 1L)) // exists-check skipped doc 2
+    assert(rows.map(_.getAs[Long]("block_id")).distinct.length == rows.length)
   }
 }
