@@ -55,14 +55,32 @@ object Chunker {
           .as(Seq("block_id", "content")))
       .drop(textCol)
 
-  /** Semantic chunking (splite_text/semantic_splitter.py:18-55): split
-    * into sentences, embed each (stub embedder), compute cosine distance
-    * between neighbours, break where distance exceeds the per-document
-    * `pct` percentile, then re-assemble groups. Window functions over
-    * (doc, sentence#) — one shuffle on the doc id. */
+  /** Semantic chunking (splite_text/semantic_splitter.py:11-50, which
+    * wraps langchain's SemanticChunker): split into sentences, embed
+    * each (stub embedder), compute cosine distance between neighbours,
+    * break where the per-document breakpoint threshold is exceeded,
+    * then re-assemble groups. Window functions over (doc, sentence#) —
+    * one shuffle on the doc id.
+    *
+    * `breakpoint` mirrors the reference's four threshold types
+    * (semantic_splitter.py:22-33):
+    *  - "percentile"         — `amount` quantile of distances (default .80)
+    *  - "standard_deviation" — mean + amount·stddev (default 3.0)
+    *  - "interquartile"      — mean + amount·IQR (default 1.5)
+    *  - "gradient"           — `amount` quantile of the distance gradient,
+    *                           applied to the gradient series (default .80)
+    */
   def semanticChunks(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 16, pct: Double = 0.80): DataFrame = {
+      dim: Int = 16, breakpoint: String = "percentile",
+      amount: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val amt = amount.getOrElse(breakpoint match {
+      case "percentile" | "gradient" => 0.80
+      case "standard_deviation"      => 3.0
+      case "interquartile"           => 1.5
+      case other =>
+        throw new IllegalArgumentException(s"unknown breakpoint type $other")
+    })
     val sentencePattern = "[^。.!?！？；]+[。.!?！？；]?"
     val sents = df.select(col(idCol),
         posexplode(graft.functions.TextFunctions.allMatches(col(textCol), sentencePattern))
@@ -70,14 +88,25 @@ object Chunker {
       .filter(length(trim(col("sentence"))) > 0)
       .withColumn("emb", VectorFunctions.fakeDenseEmbed(col("sentence"), dim))
     val w = Window.partitionBy(col(idCol)).orderBy(col("sent_id"))
-    val withDist = sents
-      .withColumn("dist",
-        when(lag(col("emb"), 1).over(w).isNull, lit(0.0))
-          .otherwise(lit(1.0) - VectorFunctions.cosine(col("emb"), lag(col("emb"), 1).over(w))))
-    val thresholds = withDist.groupBy(col(idCol))
-      .agg(expr(s"percentile(dist, $pct)").as("thr"))
+    val dist =
+      when(lag(col("emb"), 1).over(w).isNull, lit(0.0))
+        .otherwise(lit(1.0) - VectorFunctions.cosine(col("emb"), lag(col("emb"), 1).over(w)))
+    // the thresholded series: raw distances, or their gradient
+    val withDist = sents.withColumn("dist", dist)
+      .withColumn("sig", breakpoint match {
+        case "gradient" => col("dist") - coalesce(lag(col("dist"), 1).over(w), lit(0.0))
+        case _          => col("dist")
+      })
+    val thrExpr = breakpoint match {
+      case "percentile" | "gradient" => expr(s"percentile(sig, $amt)")
+      case "standard_deviation" => avg(col("sig")) + lit(amt) * stddev_pop(col("sig"))
+      case "interquartile" =>
+        avg(col("sig")) +
+          lit(amt) * (expr("percentile(sig, 0.75)") - expr("percentile(sig, 0.25)"))
+    }
+    val thresholds = withDist.groupBy(col(idCol)).agg(thrExpr.as("thr"))
     withDist.join(thresholds, idCol)
-      .withColumn("brk", when(col("dist") > col("thr"), 1).otherwise(0))
+      .withColumn("brk", when(col("sig") > col("thr"), 1).otherwise(0))
       .withColumn("grp", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("grp"))
       .agg(

@@ -40,4 +40,19 @@ class ChunkerSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._3).sum == 4) // all 4 sentences kept
     assert(out.filter(_._1 == 2L).map(_._3).sum == 1)
   }
+
+  test("semanticChunks: every breakpoint type partitions all sentences") {
+    val df = Seq(
+      (1L, "the cat sat. the cat ran. stocks fell hard. markets dropped low. rain fell. wind blew.")
+    ).toDF("doc_id", "text")
+    for (bp <- Seq("percentile", "standard_deviation", "interquartile", "gradient")) {
+      val out = Chunker.semanticChunks(df, "doc_id", "text", breakpoint = bp)
+        .select("n_sentences").as[Long].collect()
+      assert(out.sum == 6, s"breakpoint=$bp lost sentences: ${out.toSeq}")
+      assert(out.forall(_ > 0), s"breakpoint=$bp produced empty chunk")
+    }
+    intercept[IllegalArgumentException] {
+      Chunker.semanticChunks(df, "doc_id", "text", breakpoint = "nope").count()
+    }
+  }
 }
