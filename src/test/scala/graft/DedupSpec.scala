@@ -59,6 +59,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("minhashLsh jaccard values match the exact string-space jaccard") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", w = 8,
+        numHashes = 12, bands = 4, tau = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    lsh.foreach { case (pair, j) =>
+      // 32-bit-hash-space jaccard == string-space jaccard absent collisions
+      assert(math.abs(exact(pair) - j) < 1e-9, s"pair $pair: ${exact(pair)} vs $j")
+    }
+  }
+
+  test("shingleHashSet: per-doc set sizes match the string-space sets") {
+    val str = Dedup.shingleSet(docs, "doc_id", "text", w = 8, maxDf = None)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    val hashed = Dedup.shingleHashSet(docs, "doc_id", "text", w = 8, maxDf = None)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(hashed == str)
+  }
+
   test("shingleSet maxDf cap drops hot shingles") {
     val hot = Seq((1L, "aaaa common"), (2L, "bbbb common"), (3L, "cccc common"))
       .toDF("doc_id", "text")
