@@ -235,7 +235,12 @@ object Dedup {
       .withColumn("nrm", V.norm2(col("v")))
     spread(v).as("a").join(broadcast(v.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        (V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("raw"))
+      // conservative prune on the raw double first: round() is a BigDecimal
+      // op, ~1µs/pair — run it on survivors, not on all n² pairs. The final
+      // filter on the rounded value keeps the semantics exact.
+      .filter(col("raw") >= tau - 1e-4)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -251,7 +256,9 @@ object Dedup {
     spread(v).as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        (V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("raw"))
+      .filter(col("raw") >= tau - 1e-4) // prune before the BigDecimal round
+      .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
       .filter(col("cos") >= tau)
   }
 }
