@@ -131,18 +131,18 @@ object Dedup {
     }
   }
 
-  /** MinHash signature rows (id, seed, mh) from (id, h) shingle hashes.
-    * The `numHashes` permutations are affine rehashes (2s+3)·h + (7s+1)
-    * mod P — arithmetic, not repeated digests, so signature cost is
-    * O(shingles), not O(shingles·hashes). Seeds explode inline and
-    * partial-aggregate per (id, seed): the shuffle carries
-    * |docs|·numHashes rows regardless of shingle count. */
-  def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy("id", "seed")
-      .agg(min((col("h") * (col("seed") * 2 + 3) + (col("seed") * 7 + 1)) % MinhashPrime)
-        .as("mh"))
+  /** MinHash signatures as ONE wide row per doc (id, mh0..mhN-1) from
+    * (id, h) shingle hashes. The `numHashes` permutations are affine
+    * rehashes (2s+3)·h + (7s+1) mod P — arithmetic, not repeated
+    * digests — evaluated as N parallel `min` aggregates in a single
+    * groupBy: no seed explosion, full map-side combine, and the shuffle
+    * carries |docs| rows of N longs regardless of shingle count. */
+  def minhashes(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { s =>
+      min((col("h") * (2 * s + 3) + (7 * s + 1)) % MinhashPrime).as(s"mh$s")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH banding: candidates share one full band signature
     * (b bands × r rows = numHashes); candidates are then verified with
@@ -156,10 +156,14 @@ object Dedup {
     val r = numHashes / bands
     val sh = shingleHashSet(df, idCol, textCol, w, maxDf).cache()
     val mh = minhashes(sh, numHashes)
-    val sig = mh.withColumn("band", (col("seed") / r).cast("int"))
-      .groupBy("id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",").as("sig"))
+    // band signature = the band's r minhashes joined in seed order —
+    // same strings as the oracle's string_agg(... ORDER BY seed)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
+    }
+    val sig = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
