@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: one scan per table so parquet footer reads and reader JIT
+    // don't bill the first timed query
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // isolate queries: operators may cache() internally; leaked cache
       // blocks from earlier queries would otherwise squeeze execution
