@@ -69,10 +69,14 @@ object Chunker {
     *  - "interquartile"      — mean + amount·IQR (default 1.5)
     *  - "gradient"           — `amount` quantile of the distance gradient,
     *                           applied to the gradient series (default .80)
+    * `numberOfChunks` (semantic_splitter.py:34-36) overrides the
+    * threshold entirely: break at the k−1 largest distances per doc,
+    * yielding exactly k chunks for docs with ≥ k sentences.
     */
   def semanticChunks(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 16, breakpoint: String = "percentile",
-      amount: Option[Double] = None): DataFrame = {
+      amount: Option[Double] = None,
+      numberOfChunks: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val amt = amount.getOrElse(breakpoint match {
       case "percentile" | "gradient" => 0.80
@@ -97,16 +101,29 @@ object Chunker {
         case "gradient" => col("dist") - coalesce(lag(col("dist"), 1).over(w), lit(0.0))
         case _          => col("dist")
       })
-    val thrExpr = breakpoint match {
-      case "percentile" | "gradient" => expr(s"percentile(sig, $amt)")
-      case "standard_deviation" => avg(col("sig")) + lit(amt) * stddev_pop(col("sig"))
-      case "interquartile" =>
-        avg(col("sig")) +
-          lit(amt) * (expr("percentile(sig, 0.75)") - expr("percentile(sig, 0.25)"))
+    val broken = numberOfChunks match {
+      case Some(k) =>
+        // break at the k-1 largest inter-sentence distances (never at the
+        // first sentence, whose distance is the 0.0 placeholder)
+        val byDist = Window.partitionBy(col(idCol))
+          .orderBy(col("dist").desc, col("sent_id").asc)
+        withDist
+          .withColumn("brk",
+            when(row_number().over(byDist) <= k - 1 && col("sent_id") > 0, 1)
+              .otherwise(0))
+      case None =>
+        val thrExpr = breakpoint match {
+          case "percentile" | "gradient" => expr(s"percentile(sig, $amt)")
+          case "standard_deviation" => avg(col("sig")) + lit(amt) * stddev_pop(col("sig"))
+          case "interquartile" =>
+            avg(col("sig")) +
+              lit(amt) * (expr("percentile(sig, 0.75)") - expr("percentile(sig, 0.25)"))
+        }
+        val thresholds = withDist.groupBy(col(idCol)).agg(thrExpr.as("thr"))
+        withDist.join(thresholds, idCol)
+          .withColumn("brk", when(col("sig") > col("thr"), 1).otherwise(0))
     }
-    val thresholds = withDist.groupBy(col(idCol)).agg(thrExpr.as("thr"))
-    withDist.join(thresholds, idCol)
-      .withColumn("brk", when(col("sig") > col("thr"), 1).otherwise(0))
+    broken
       .withColumn("grp", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("grp"))
       .agg(

@@ -55,4 +55,16 @@ class ChunkerSpec extends SparkSpec {
       Chunker.semanticChunks(df, "doc_id", "text", breakpoint = "nope").count()
     }
   }
+
+  test("semanticChunks: numberOfChunks yields exactly k chunks") {
+    val df = Seq(
+      (1L, "the cat sat. the cat ran. stocks fell hard. markets dropped low. rain fell. wind blew.")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 4)) {
+      val out = Chunker.semanticChunks(df, "doc_id", "text", numberOfChunks = Some(k))
+        .select("n_sentences").as[Long].collect()
+      assert(out.length == k, s"k=$k got ${out.length} chunks")
+      assert(out.sum == 6, s"k=$k lost sentences")
+    }
+  }
 }
