@@ -96,8 +96,10 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .withColumn("raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("raw") >= tau - 1e-4) // prune before the BigDecimal round
+      .withColumn("jaccard", round(col("raw"), 4))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
@@ -178,8 +180,10 @@ object Dedup {
       .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .withColumn("raw",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("raw") >= tau - 1e-4) // prune before the BigDecimal round
+      .withColumn("jaccard", round(col("raw"), 4))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
