@@ -28,6 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // Measured on this box: 8g beats 32g/48g by 2-3× end-to-end (bigger
   // heaps pay on-demand page-zeroing + G1 full-region costs that dwarf
-  // the spill savings at these data sizes). Keep 8g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the spill savings at these data sizes). Fixed at 8g — an env
+  // override (SPARK_DRIVER_MEM) used to be honored here and benched
+  // 3× slower under a ~90 GiB heap, so it is intentionally ignored.
+  "-Xmx8g",
 )

@@ -170,6 +170,27 @@ object SparkEntry {
         col("source") === "src0" && col("lang") === "en")
       .select(col("doc_id"), col("source"))
 
+  /** The flagship pipeline's ACTUAL deliverable — the full Milvus row
+    * (embed_to_milvus.py:110-122 layout) — flattened for the oracle:
+    * dense_embedding exploded to (dim, val) rows, sparse_embedding
+    * checked via its size and key-sum (the map itself isn't
+    * SQL-comparable, but both are exact functions of its contents). */
+  private def qPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = t(s, dir, "embeddings").filter(col("label") < 3)
+      .select(col("vec_id").as("file_id"))
+    Ingest.pipeline(docs, existing, dim = 16)
+      .select(col("file_id"), col("block_id"), col("file_name"), col("content"),
+        col("source"), col("qa_id"), col("question"), col("answer"), col("flag"),
+        size(col("sparse_embedding")).cast("long").as("n_sparse"),
+        aggregate(map_keys(col("sparse_embedding")), lit(0L), (a, k) => a + k)
+          .as("sparse_keysum"),
+        col("dense_embedding"))
+      .select(col("*"), posexplode(col("dense_embedding")).as(Seq("dim", "val")))
+      .drop("dense_embedding")
+      .withColumn("dim", col("dim").cast("long"))
+  }
+
   private def qPipelineBlocks(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(
       col("doc_id").as("file_id"),
@@ -204,6 +225,12 @@ object SparkEntry {
   private def qDedupCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)
 
+  // The 100 TB path: hyperplane-bucketed candidate generation instead of
+  // the all-pairs cross join (which stays as the verify-scale baseline).
+  private def qDedupCosineLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.4, dim = 64, planes = 4)
+
   // ---- similarity search -------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -228,6 +255,26 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // Milvus search surface with output_fields (milvus_connector.py:167-178)
+  private def qAnnFields(s: SparkSession, dir: String): DataFrame =
+    Ann.searchWithFields(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("v"), col("label")),
+        queriesSet(s, dir), k = 10, outputFields = Seq("label"))
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"),
+        col("label").cast("long"))
+
+  // MySQL get_files_by_knowledge analog (mysql_connector.py:58-86):
+  // "knowledge base" = source, "file id" = doc_id on the testdata tables
+  private def qFilesByKnowledge(s: SparkSession, dir: String): DataFrame =
+    Ingest.filesByKnowledge(t(s, dir, "documents"), "source", lit("src1"), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+
+  // Milvus query-by-expr reverse lookup (milvus_connector.py:160-166)
+  private def qQueryExpr(s: SparkSession, dir: String): DataFrame =
+    Ingest.queryByExpr(t(s, dir, "documents"),
+      "doc_id % 7 = 0 AND lang = 'en'", Seq("doc_id", "source", "n_chars"))
 
   // ---- events ------------------------------------------------------------
 
@@ -263,16 +310,21 @@ object SparkEntry {
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),
     "q_delete_expr" -> (qDeleteExpr _),
+    "q_files_by_knowledge" -> (qFilesByKnowledge _),
+    "q_query_expr" -> (qQueryExpr _),
     "q_pipeline_blocks" -> (qPipelineBlocks _),
+    "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
+    "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_fields" -> (qAnnFields _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _))
 
@@ -417,6 +469,45 @@ object SparkEntry {
     "q_delete_expr" ->
       "SELECT doc_id, source FROM documents WHERE NOT (source = 'src0' AND lang = 'en')",
 
+    "q_files_by_knowledge" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE source = 'src1' ORDER BY doc_id ASC""".stripMargin,
+
+    "q_query_expr" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 = 0 AND lang = 'en'",
+
+    "q_pipeline_full" ->
+      s"""WITH docs AS (
+         | SELECT doc_id AS file_id, source,
+         |  $cleanTitleSql || '_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_name,
+         |  $reformatSql AS doc
+         | FROM documents d
+         | WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id AND e.label < 3)),
+         |chunks AS (
+         | SELECT file_id, file_name, source, CAST(i AS BIGINT) AS block_id,
+         |  substr(doc, i*160 + 1, 200) AS content
+         | FROM (SELECT file_id, file_name, source, doc,
+         |       unnest(generate_series(0, CAST(floor((length(doc)-1)/160) AS BIGINT))) AS i
+         |       FROM docs WHERE length(doc) > 0)),
+         |sparse AS (
+         | SELECT file_id, block_id, CAST(count(*) AS BIGINT) AS n_sparse,
+         |  CAST(sum(b) AS BIGINT) AS sparse_keysum
+         | FROM (SELECT DISTINCT file_id, block_id,
+         |       ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS b
+         |       FROM (SELECT file_id, block_id,
+         |             unnest(regexp_extract_all(trim(regexp_replace(lower(content), '\\s+', ' ', 'g')), '[A-Za-z0-9]+')) AS tok
+         |             FROM chunks))
+         | GROUP BY file_id, block_id)
+         |SELECT c.file_id, c.block_id, c.file_name, c.content, c.source,
+         | CAST(0 AS BIGINT) AS qa_id, '' AS question, '' AS answer, '0' AS flag,
+         | coalesce(s.n_sparse, CAST(0 AS BIGINT)) AS n_sparse,
+         | coalesce(s.sparse_keysum, CAST(0 AS BIGINT)) AS sparse_keysum,
+         | CAST(j AS BIGINT) AS dim,
+         | (('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || c.content), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS val
+         |FROM chunks c
+         |LEFT JOIN sparse s ON s.file_id = c.file_id AND s.block_id = c.block_id
+         |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""".stripMargin,
+
     "q_pipeline_blocks" ->
       s"""WITH docs AS (SELECT doc_id AS file_id,
          | $cleanTitleSql || '_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_name,
@@ -476,6 +567,32 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""".stripMargin,
+
+    "q_dedup_cosine_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT p, list(comp ORDER BY j) AS pv FROM (
+        |  SELECT pp.p AS p, jj.j AS j,
+        |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#plane-' || CAST(pp.p AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS comp
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) jj)
+        | GROUP BY p),
+        |sig AS (SELECT vec_id,
+        |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM e, pl GROUP BY vec_id)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+        |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |JOIN e ea ON ea.vec_id = a.vec_id
+        |JOIN e eb ON eb.vec_id = b.vec_id
+        |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
+
+    "q_ann_fields" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score, label FROM q, e)
+        |SELECT qid, id, score, rank, CAST(label AS BIGINT) AS label FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -49,6 +49,20 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Top-k search returning caller-selected payload columns with every
+    * hit — the reference search surface's output_fields
+    * (milvus_connector.py:167-178: output_fields=["file_id",
+    * "file_name"]). The hit set is q×k rows, so the payload join
+    * broadcasts the hits against the corpus attributes rather than
+    * shuffling the corpus. */
+  def searchWithFields(corpus: DataFrame, queries: DataFrame, k: Int,
+      outputFields: Seq[String], metric: String = "cosine"): DataFrame = {
+    val hits = bruteForceTopK(corpus.select(col("id"), col("v")), queries, k, metric)
+    corpus.drop("v").join(broadcast(hits), "id")
+      .select(Seq(col("qid"), col("id"), col("score"), col("rank")) ++
+        outputFields.map(col): _*)
+  }
+
   /** LSH-bucketed ANN: corpus and queries hashed to hyperplane-sign
     * buckets; each query scans only its bucket. Recall traded via
     * `planes` (fewer planes → bigger buckets → higher recall). */
@@ -67,22 +81,35 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: deterministic coarse centroids (the first `nlist`
-    * corpus vectors by id — a stand-in "trained" codebook), every vector
-    * assigned to its nearest centroid (one broadcast pass), queries probe
-    * the `nprobe` nearest cells. Bucketing persists as a partitioning, so
-    * repeated queries only scan nprobe/nlist of the corpus. */
+  /** IVF ANN with a TRAINED codebook: seeded MLlib KMeans (cosine
+    * distance) learns `nlist` coarse centroids; `KMeansModel.transform`
+    * assigns every corpus vector to its cell in one narrow broadcast
+    * pass (no per-id window sort); queries probe the `nprobe` nearest
+    * cells. Bucketing persists as a partitioning, so repeated queries
+    * only scan ~nprobe/nlist of the corpus. Mirrors Milvus's IVF index
+    * + nprobe search param (vector_database/milvus_connector.py:176-188). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine"): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine",
+      seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus.orderBy("id").limit(nlist)
-      .select(col("id").as("cell"), col("v").as("cv"))
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val spreadCorpus = Dedup.spread(corpus)
-    val assign = spreadCorpus.as("c").join(broadcast(centroids))
-      .select(col("c.id"), col("c.v"), col("cell"), V.cosine(col("c.v"), col("cv")).as("cs"))
-    val wAssign = Window.partitionBy("id").orderBy(col("cs").desc, col("cell").asc)
-    val cells = assign.withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1).select("id", "v", "cell")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("__f", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setDistanceMeasure("cosine").setMaxIter(20)
+      .setFeaturesCol("__f").setPredictionCol("cell")
+      .fit(spreadCorpus)
+    val cells = model.transform(spreadCorpus).select("id", "v", "cell")
+    // centroid table is nlist rows — driver-side, broadcast to probe
+    val centroids = {
+      val s = corpus.sparkSession
+      import s.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "cv")
+    }
     val qprobe = queries.as("q").join(broadcast(centroids))
       .select(col("q.qid"), col("q.qv"), col("cell"), V.cosine(col("q.qv"), col("cv")).as("cs"))
     val wProbe = Window.partitionBy("qid").orderBy(col("cs").desc, col("cell").asc)

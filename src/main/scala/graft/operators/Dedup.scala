@@ -76,24 +76,25 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau)
-    * via shingle inverted index: join docs only where they share a
-    * shingle, count the intersection, derive the union from set sizes.
-    * Shingles ride as xxhash64 longs (not strings) through the join —
-    * compact shuffle, primitive comparisons. The capped shingle set is
-    * cached: it feeds the per-doc sizes, both self-join sides, and the
-    * two size joins — uncached it would be recomputed for each. */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    // sizes is per-doc (not broadcastable at corpus scale) — plain joins;
-    // AQE auto-broadcasts when it is in fact small.
-    inter
+  /** Exact-Jaccard verification of candidate pairs against the (capped)
+    * shingle sets. The shingle table is first semi-joined down to docs
+    * that appear in some candidate pair — at corpus scale the candidate
+    * id set is tiny relative to the corpus, so this collapses the
+    * intersection join's input from |corpus| docs to |candidates| docs.
+    * Exact: intersection counted by equi-join on the shingle hash, union
+    * derived from per-doc set sizes, filter on round(j, 4) >= tau. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, hCol: String,
+      tau: Double): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(broadcast(candIds), Seq("id"), "left_semi").cache()
+    val sizes = shc.groupBy("id").agg(count(lit(1)).as("sz"))
+    val interCnt = cand.join(shc.as("sa"), col("id_a") === col("sa.id"))
+      .join(shc.as("sb"),
+        col("id_b") === col("sb.id") && col(s"sa.$hCol") === col(s"sb.$hCol"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    cand.join(interCnt, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("raw",
@@ -102,6 +103,41 @@ object Dedup {
       .withColumn("jaccard", round(col("raw"), 4))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau),
+    * PPJoin-style. Candidate generation uses prefix filtering: rank each
+    * doc's shingles by global document frequency (rarest first, hash as
+    * tiebreak — a total order independent of the doc). A pair with
+    * jaccard >= tau must share >= ceil(tau·|A|) shingles, so by
+    * pigeonhole it shares at least one inside each doc's first
+    * |A| − ceil(tau·|A|) + 1 shingles in that order. Only those prefixes
+    * are indexed and self-joined: hot shingles sort into suffixes and
+    * generate NO candidate pairs, which removes the ~df² pair fan-out
+    * per shingle that makes the naive inverted-index join quadratic. A
+    * length filter (tau·|A| ≤ |B| ≤ |A|/tau, provable from j ≥ tau)
+    * prunes further. The exact verify keeps the output identical to the
+    * all-pairs definition over the same (capped) shingle sets, so the
+    * SQL oracle is unchanged. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id")
+    val ranked = sh.join(dfs, "sh")
+      .select(col("id"), col("sh"),
+        row_number().over(wDoc.orderBy(col("df").asc, col("sh").asc)).as("pos"),
+        count(lit(1)).over(wDoc).as("sz"))
+    val prefix = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("id", "sh", "sz")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") * tau <= col("b.sz") && col("b.sz") * tau <= col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, "sh", tau)
   }
 
   /** Universal-hash family prime (largest prime < 2^32): affine rehash
@@ -171,21 +207,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates with exact jaccard from the shingle-hash sets
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val interCnt = cand.join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.h") === col("sb.h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(interCnt, Seq("id_a", "id_b"), "left")
-      .na.fill(0, Seq("inter"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("raw",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("raw") >= tau - 1e-4) // prune before the BigDecimal round
-      .withColumn("jaccard", round(col("raw"), 4))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+    // verify candidates with exact jaccard from the shingle-hash sets,
+    // restricted to candidate docs first (broadcast semi-join)
+    verifyJaccard(cand, sh, "h", tau)
   }
 
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·

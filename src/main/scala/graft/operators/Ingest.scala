@@ -39,6 +39,25 @@ object Ingest {
   def deleteWhere(df: DataFrame, predicate: Column): DataFrame =
     df.filter(!predicate)
 
+  /** All files under a knowledge-base id, ordered by file id
+    * (mysql_connector.py:58-86 get_files_by_knowledge): the per-request
+    * SELECT becomes a filter the optimizer pushes to the scan. The sort
+    * is part of the reference contract (ORDER BY id ASC) — dim tables
+    * are small, so the global sort is one tiny shuffle. */
+  def filesByKnowledge(dim: DataFrame, knowledgeCol: String,
+      knowledgeId: Column, orderCol: String): DataFrame =
+    dim.filter(col(knowledgeCol) === knowledgeId).orderBy(col(orderCol).asc)
+
+  /** Milvus-style query-by-expr with output-field selection
+    * (milvus_connector.py:160-166: `collection.query(expr,
+    * output_fields=…)`, the reverse-lookup surface behind
+    * check_exists/get_name_by_id). The expr string goes through Spark
+    * SQL's parser, so the predicate pushes down to the scan and the
+    * field list prunes columns — both visible in the physical plan. */
+  def queryByExpr(df: DataFrame, predicate: String,
+      outputFields: Seq[String]): DataFrame =
+    df.filter(expr(predicate)).select(outputFields.map(col): _*)
+
   /** Sparse (SPLADE-ish) embedding as exploded rows: hashed-token term
     * frequencies. (tokenize → 32-bit hash bucket → tf weight). */
   def sparseTerms(df: DataFrame, idCols: Seq[String], textCol: String,
@@ -63,10 +82,16 @@ object Ingest {
     val chunks = Chunker.fixedChunks(reformatted, "doc", chunkSize, overlap)
     val embedded = chunks
       .withColumn("dense_embedding", V.fakeDenseEmbed(col("content"), dim))
+      // distinct AFTER hashing: two distinct tokens can collide into one
+      // bucket, and map_from_entries throws on duplicate keys under the
+      // default spark.sql.mapKeyDedupPolicy=EXCEPTION — at corpus scale a
+      // collision per ~1k chunks is a certainty, so dedupe the buckets.
       .withColumn("sparse_embedding",
         map_from_entries(transform(
-          array_distinct(T.wsTokens(T.normText(col("content")))),
-          t => struct(pmod(H.hash32(11, t), lit(1 << 18)).cast("int"), lit(1.0)))))
+          array_distinct(transform(
+            T.wsTokens(T.normText(col("content"))),
+            t => pmod(H.hash32(11, t), lit(1 << 18)).cast("int"))),
+          b => struct(b, lit(1.0)))))
     embedded.select(
       lit(0L).as("qa_id"), lit("").as("question"), lit("").as("answer"),
       col("file_id"), col("block_id").cast("long"), col("file_name"),

@@ -21,7 +21,10 @@ object MlEmbed {
 
   private def tokenizer(textCol: String) = new RegexTokenizer()
     .setInputCol(textCol).setOutputCol("__toks")
-    .setPattern("\\s+") // whitespace-split + lowercase, mirroring TextFunctions.wsTokens
+    // gaps=false + the token pattern itself, so "dog." tokenizes to
+    // "dog" — the SAME tokens TextFunctions.wsTokens extracts (plus
+    // RegexTokenizer's lowercasing = normText's lower())
+    .setPattern("[A-Za-z0-9]+").setGaps(false)
 
   /** TF-IDF sparse document embeddings as map<int,double> — the
     * vector_schema sparse_embedding column, but IDF-weighted instead of
@@ -52,9 +55,9 @@ object MlEmbed {
     val model = new Word2Vec().setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
       .fit(toks)
-    val toArr = udf((v: MlVector) => v.toArray)
     model.transform(toks)
-      .withColumn(outCol, toArr(col("__vec")))
+      .withColumn(outCol,
+        org.apache.spark.ml.functions.vector_to_array(col("__vec")))
       .drop("__toks", "__vec")
   }
 }

@@ -1,6 +1,12 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One written segment, as a downstream bulk-insert consumer needs it. */
+case class SegmentInfo(path: String, rows: Long, bytes: Long)
 
 /** Rotating parquet segment writer — the Spark form of the reference's
   * ParquetFileManager / MilvusBulkWriterManager (load_data/
@@ -17,13 +23,59 @@ object SegmentWriter {
 
   /** Estimate rows-per-byte from a sample-free schema heuristic is
     * wrong at 100 TB; instead let the caller pass expected avg row bytes
-    * (the pipeline knows: content chars + dim·8). */
+    * (the pipeline knows: content chars + dim·8). Returns the segment
+    * manifest (also persisted as `_MANIFEST.json` under `path`). */
   def write(df: DataFrame, path: String, maxRecordsPerFile: Long = 10000,
-      segmentSizeMb: Long = 512, avgRowBytes: Long = 16 * 1024): Unit = {
+      segmentSizeMb: Long = 512, avgRowBytes: Long = 16 * 1024): Seq[SegmentInfo] = {
     val rowsBySize = math.max(1L, segmentSizeMb * 1024L * 1024L / avgRowBytes)
     val rowsPerFile = math.min(maxRecordsPerFile, rowsBySize)
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerFile)
       .parquet(path)
+    writeManifest(df.sparkSession, path)
+  }
+
+  /** Segment manifest — the MilvusBulkWriterManager metadata/log role
+    * (load_data/milvus_bulk_writer.py `metadata_file`/`log_file`,
+    * consumed by the uploader at embed_to_milvus.py:258-268): one
+    * (path, rows, bytes) entry per segment, persisted as
+    * `_MANIFEST.json` alongside the data. Row counts come from the
+    * parquet footers — metadata-only reads, no data scan, so this stays
+    * cheap even when the segments hold terabytes. Segment counts are
+    * O(corpus/maxRecordsPerFile); if that ever outgrows the driver,
+    * distribute the footer reads over the file list. */
+  def writeManifest(spark: SparkSession, dir: String): Seq[SegmentInfo] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val infos = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        val rows = try reader.getRecordCount finally reader.close()
+        SegmentInfo(f.getPath.toString, rows, f.getLen)
+      }.toSeq
+    val json = infos.map(i =>
+      s"""{"path":"${i.path}","rows":${i.rows},"bytes":${i.bytes}}""").mkString("\n")
+    val out = fs.create(new Path(p, "_MANIFEST.json"), true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    infos
+  }
+
+  /** Read a manifest back (the consumer side of the contract). Goes
+    * through the filesystem, not spark.read — Spark's file listing
+    * skips `_`-prefixed files, which is exactly why the manifest name
+    * can't collide with a data scan of the directory. */
+  def readManifest(spark: SparkSession, dir: String): Seq[SegmentInfo] = {
+    val p = new Path(dir, "_MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Line = """\{"path":"(.*)","rows":(\d+),"bytes":(\d+)\}""".r
+    txt.linesIterator.collect {
+      case Line(path, rows, bytes) => SegmentInfo(path, rows.toLong, bytes.toLong)
+    }.toSeq.sortBy(_.path)
   }
 }

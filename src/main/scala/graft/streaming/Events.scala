@@ -27,11 +27,16 @@ object Events {
   /** Normalize `ts` to epoch-ms. The testdata parquet stores
     * TIMESTAMP(NANOS), which Spark only reads as LONG nanos (via
     * `spark.sql.legacy.parquet.nanosAsLong=true`); epoch nanos exceed
-    * 2^53, so use integer `div` — double division would lose ms. */
+    * 2^53, so use integer division — double division would lose ms.
+    * `div` truncates toward zero while the oracle's epoch_ms floors, so
+    * pre-epoch (negative) timestamps are floor-adjusted to keep the
+    * cross-engine contract bit-for-bit. */
   def withMs(events: DataFrame): DataFrame = {
+    def floorDiv(e: String, d: Long) =
+      expr(s"$e div $d - (CASE WHEN $e % $d < 0 THEN 1 ELSE 0 END)")
     val msCol = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => expr("unix_micros(ts) div 1000")
+      case org.apache.spark.sql.types.LongType => floorDiv("ts", 1000000L)
+      case _ => floorDiv("unix_micros(ts)", 1000L)
     }
     events.withColumn("ts_ms", msCol)
   }

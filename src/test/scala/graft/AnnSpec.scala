@@ -46,4 +46,23 @@ class AnnSpec extends SparkSpec {
     val r1 = out.filter(_._3 == 1)
     assert(r1.forall(r => r._1 == r._2)) // each query finds itself
   }
+
+  test("searchWithFields: hits carry the requested payload columns") {
+    val corpusF = corpus.withColumn("label", (col("id") % 3).cast("int"))
+    val out = Ann.searchWithFields(corpusF, qs, k = 5, outputFields = Seq("label"))
+    assert(out.columns.toSeq == Seq("qid", "id", "score", "rank", "label"))
+    assert(out.count() == 25)
+    val self = out.filter(col("rank") === 1)
+      .select("qid", "id", "label").as[(Long, Long, Int)].collect()
+    assert(self.forall(r => r._2 == r._1 && r._3 == (r._1 % 3).toInt))
+  }
+
+  test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
 }

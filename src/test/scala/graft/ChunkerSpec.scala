@@ -67,4 +67,56 @@ class ChunkerSpec extends SparkSpec {
       assert(out.sum == 6, s"k=$k lost sentences")
     }
   }
+
+  test("semanticChunks: percentile amount uses the reference 0-100 convention") {
+    val df = Seq((1L, "a b. c d. e f.")).toDF("doc_id", "text")
+    // a reference-style amount (95) is accepted…
+    assert(Chunker.semanticChunks(df, "doc_id", "text", amount = Some(95.0)).count() >= 1)
+    // …and an out-of-range one is rejected rather than silently misused
+    intercept[IllegalArgumentException] {
+      Chunker.semanticChunks(df, "doc_id", "text", amount = Some(150.0)).count()
+    }
+  }
+
+  test("semanticChunks: numberOfChunks survives distance ties with the placeholder") {
+    // identical adjacent sentences → real distances tie at/near the first
+    // row's 0.0 placeholder; the placeholder must rank last, so the doc
+    // still yields exactly k chunks
+    val df = Seq((1L, "same text here. same text here. same text here."))
+      .toDF("doc_id", "text")
+    val out = Chunker.semanticChunks(df, "doc_id", "text",
+        numberOfChunks = Some(3), bufferSize = 0)
+      .select("n_sentences").as[Long].collect()
+    assert(out.length == 3, s"expected 3 chunks, got ${out.toSeq}")
+  }
+
+  test("semanticChunks: bufferSize smooths by embedding neighbour windows") {
+    val df = Seq(
+      (1L, "the cat sat. the cat ran. stocks fell hard. markets dropped low.")
+    ).toDF("doc_id", "text")
+    for (b <- Seq(0, 1, 2)) {
+      val out = Chunker.semanticChunks(df, "doc_id", "text", bufferSize = b)
+        .select("n_sentences").as[Long].collect()
+      assert(out.sum == 4, s"bufferSize=$b lost sentences: ${out.toSeq}")
+    }
+  }
+
+  test("semanticChunks: minChunkSize merges small chunks into the next") {
+    val df = Seq(
+      (1L, "aa. bb. a much longer sentence about stocks and markets moving. cc.")
+    ).toDF("doc_id", "text")
+    val noMin = Chunker.semanticChunks(df, "doc_id", "text",
+        numberOfChunks = Some(4), bufferSize = 0)
+      .select("content", "n_sentences").as[(String, Long)].collect()
+    assert(noMin.length == 4)
+    val merged = Chunker.semanticChunks(df, "doc_id", "text",
+        numberOfChunks = Some(4), bufferSize = 0, minChunkSize = Some(15))
+      .sort("block_id")
+      .select("content", "n_sentences").as[(String, Long)].collect()
+    assert(merged.length < 4, s"nothing merged: ${merged.toSeq}")
+    assert(merged.map(_._2).sum == 4, "sentences lost in merge")
+    // every chunk except the (unconditionally emitted) trailing one
+    // honored the minimum size
+    assert(merged.dropRight(1).forall(_._1.length >= 15), s"small chunk kept: ${merged.toSeq}")
+  }
 }

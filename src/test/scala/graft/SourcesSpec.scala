@@ -31,6 +31,42 @@ class SourcesSpec extends SparkSpec {
     assert(counts.sum == 100)
   }
 
+  test("SegmentWriter: manifest matches the written segment files") {
+    val dir = Files.createTempDirectory("segm").toString + "/out"
+    val df = (1 to 100).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+    val manifest = SegmentWriter.write(df, dir, maxRecordsPerFile = 10, avgRowBytes = 64)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    assert(manifest.map(_.path.stripPrefix("file:")).toSet == files)
+    assert(manifest.map(_.rows).sum == 100)
+    manifest.foreach { m =>
+      assert(m.rows > 0 && m.rows <= 10, s"bad rows in $m")
+      assert(m.bytes > 0, s"bad bytes in $m")
+    }
+    // round-trips through the persisted _MANIFEST.json
+    assert(SegmentWriter.readManifest(spark, dir) == manifest.sortBy(_.path))
+  }
+
+  test("Ingest.pipeline: sparse map survives token-bucket collisions") {
+    // find two distinct tokens whose 2^18 buckets collide — the same
+    // md5-derived hash H.hash32(11, tok) % 2^18 the pipeline uses; a
+    // duplicate map key threw under mapKeyDedupPolicy=EXCEPTION before
+    // the bucket-level distinct
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"11#$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % (1 << 18)
+    }
+    val collide = (0 until 3000).map(i => s"tok$i")
+      .groupBy(bucket).values.find(_.size >= 2).get
+    val docs = Seq((1L, collide.mkString(" "), "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = Ingest.pipeline(docs, Seq.empty[Long].toDF("file_id"), dim = 4).collect()
+    assert(out.nonEmpty)
+    val sparse = out(0).getAs[Map[Int, Double]]("sparse_embedding")
+    assert(sparse.contains(bucket(collide.head).toInt))
+  }
+
   test("Ingest.pipeline conforms to the Milvus bulk schema layout") {
     val docs = Seq((1L, "hello world document text", "src0", "en"))
       .toDF("doc_id", "text", "source", "lang")
@@ -41,6 +77,19 @@ class SourcesSpec extends SparkSpec {
     assert(row.getAs[collection.Seq[Double]]("dense_embedding").size == 8)
     assert(row.getAs[Map[Int, Double]]("sparse_embedding").nonEmpty)
     assert(row.getAs[String]("file_name").endsWith("_1.pdf"))
+  }
+
+  test("Ingest.filesByKnowledge + queryByExpr: dim-table lookup surfaces") {
+    val dim = Seq((1L, 10L, "a.pdf"), (3L, 10L, "c.pdf"), (2L, 20L, "b.pdf"))
+      .toDF("id", "knowledge_base_id", "name")
+    // get_files_by_knowledge: filter + ORDER BY id ASC
+    val got = Ingest.filesByKnowledge(dim, "knowledge_base_id", lit(10L), "id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a.pdf"), (3L, "c.pdf")))
+    // collection.query(expr, output_fields): parsed predicate + pruning
+    val q = Ingest.queryByExpr(dim, "name = 'b.pdf'", Seq("id"))
+      .as[Long].collect().toSeq
+    assert(q == Seq(2L))
   }
 
   test("Ingest.pipeline: existence check skips already-ingested docs") {
