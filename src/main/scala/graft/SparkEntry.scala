@@ -128,6 +128,24 @@ object SparkEntry {
   private def qQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
 
+  // PII scrubbing over a synthesized payload (the corpus itself carries
+  // no PII, so email/IP/phone fragments are appended deterministically —
+  // both engines build the identical string, then redact it)
+  private def qRedactPii(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.redactPii(concat(substring(col("text"), 1, 80),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(" phone +1 555 123 4567 end"))).as("redacted"))
+
+  // Gopher-style repetition/quality signals (dup segments, word shape)
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      T.meanWordLen(col("text")).as("mean_word_len"),
+      T.dupSegmentFrac(col("text"), "\\. ").as("dup_sent_frac"),
+      T.numericWordFrac(col("text")).as("numeric_word_frac"))
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       T.fingerprintMd5(col("text")).as("fp"),
@@ -302,6 +320,8 @@ object SparkEntry {
     "q_tokens" -> (qTokens _),
     "q_langid" -> (qLangid _),
     "q_quality" -> (qQuality _),
+    "q_redact_pii" -> (qRedactPii _),
+    "q_repetition" -> (qRepetition _),
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_dense" -> (qEmbedDense _),
     "q_embed_tfidf" -> (qEmbedTfidf _),
@@ -437,6 +457,26 @@ object SparkEntry {
         | + least(CAST(floor(stops * 10000 / (toks + 1)) AS BIGINT), 1000) * 3
         | + (1000 - least(CAST(floor(punct * 5000 / (toks + 1)) AS BIGINT), 1000)) * 3 AS quality
         |FROM f""".stripMargin,
+
+    "q_redact_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  substr(text, 1, 80) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |   || ' phone +1 555 123 4567 end',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id,
+        | round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 4) AS mean_word_len,
+        | round((len(str_split_regex(text, '\. ')) - len(list_distinct(str_split_regex(text, '\. '))))
+        |  / greatest(CAST(len(str_split_regex(text, '\. ')) AS DOUBLE), 1.0), 4) AS dup_sent_frac,
+        | round(len(regexp_extract_all(text, '\b[0-9]+\b'))
+        |  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0), 4) AS numeric_word_frac
+        |FROM documents""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT n.doc_id, md5(n.t) AS fp, m.min_sh

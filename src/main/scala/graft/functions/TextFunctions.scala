@@ -97,4 +97,45 @@ object TextFunctions {
 
   /** md5 content fingerprint over the normalized text. */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
+
+  // ---- training-corpus scrubbing & repetition signals -------------------
+
+  /** Regexes shared verbatim with the DuckDB oracle (RE2-safe: no
+    * backreferences/lookaround, so Java and RE2 agree). Order matters:
+    * emails before IPs (both contain dots), IPs before phones (an IPv4
+    * is digits-and-dots, which the phone pattern would otherwise eat). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * phone-like digit runs become typed placeholder tags. A pure
+    * codegen'd regexp_replace chain — runs inside the scan projection,
+    * no UDF, no shuffle. */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** Mean alphanumeric word length, 4 dp (a Gopher-rule quality signal:
+    * outlier values flag boilerplate/garbage docs). */
+  def meanWordLen(c: Column): Column = {
+    val chars = length(regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+    round(chars / greatest(tokenCount(c).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Fraction of `sep`-separated segments that are duplicates of an
+    * earlier segment (Gopher duplicate-line/paragraph fraction). */
+  def dupSegmentFrac(c: Column, sepRegex: String): Column = {
+    val segs = split(c, sepRegex)
+    round((size(segs) - size(array_distinct(segs))).cast("double") /
+      greatest(size(segs).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Fraction of words that are bare digit runs (Gopher numeric-heavy
+    * filter signal). */
+  def numericWordFrac(c: Column): Column =
+    round(countMatches(c, "\\b[0-9]+\\b").cast("double") /
+      greatest(tokenCount(c).cast("double"), lit(1.0)), 4)
 }

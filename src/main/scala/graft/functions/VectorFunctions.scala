@@ -44,12 +44,27 @@ object VectorFunctions {
       (h % 2000001L - lit(1000000L)).cast("double") / lit(1000000.0)
     })
 
+  /** The plane vectors [[hyperplaneSig]] projects onto, computed ONCE on
+    * the driver — bit-identical to fakeDenseEmbed(lit(s"plane-$p"), dim)
+    * (same md5("j#plane-p") hex slice, modulus, and scaling), but handed
+    * to the plan as an array literal so the per-row cost is `planes` dot
+    * products instead of planes·dim md5 digests. */
+  private[graft] def planeConst(tag: String, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val hex = md.digest(s"$j#$tag".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 2000001L - 1000000L).toDouble / 1000000.0
+    }
+  }
+
   /** Random-hyperplane LSH signature: `planes` sign bits of dot products
     * against deterministic stub hyperplanes, packed into a long. Buckets
     * cosine-similar vectors together (charikar 2002 SimHash-for-angles). */
   def hyperplaneSig(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = fakeDenseEmbed(lit(s"plane-$p"), dim)
+      val plane = typedlit(planeConst(s"plane-$p", dim))
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -83,8 +83,11 @@ object Dedup {
     * intersection join's input from |corpus| docs to |candidates| docs.
     * Exact: intersection counted by equi-join on the shingle hash, union
     * derived from per-doc set sizes, filter on round(j, 4) >= tau. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, hCol: String,
+  private def verifyJaccard(candRaw: DataFrame, sh: DataFrame, hCol: String,
       tau: Double): DataFrame = {
+    // cand feeds the id-set, the intersection join, and the final pair
+    // join — uncached, the (expensive) candidate self-join would run 3×
+    val cand = candRaw.cache()
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val shc = sh.join(broadcast(candIds), Seq("id"), "left_semi").cache()
@@ -129,9 +132,12 @@ object Dedup {
       .select(col("id"), col("sh"),
         row_number().over(wDoc.orderBy(col("df").asc, col("sh").asc)).as("pos"),
         count(lit(1)).over(wDoc).as("sz"))
+    // cached: the candidate join reads the prefix twice (both self-join
+    // sides), and recomputing it means re-running the df join + windows
     val prefix = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select("id", "sh", "sz")
+      .cache()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           col("a.sz") * tau <= col("b.sz") && col("b.sz") * tau <= col("a.sz"))
@@ -200,8 +206,12 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
     }
+    // cached: one row per (doc, band) — tiny — but derived from the wide
+    // minhash groupBy over every shingle, which the self-join would
+    // otherwise execute twice
     val sig = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .cache()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))

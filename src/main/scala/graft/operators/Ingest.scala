@@ -48,6 +48,28 @@ object Ingest {
       knowledgeId: Column, orderCol: String): DataFrame =
     dim.filter(col(knowledgeCol) === knowledgeId).orderBy(col(orderCol).asc)
 
+  /** Batch resume bookkeeping. The reference persists reader offsets and
+    * writer metadata so a restarted run skips work already done
+    * (load_data/json_batch_reader.py start/end slices +
+    * parquet_manager's metadata files). The Spark-native form derives
+    * the done-set from the OUTPUT itself — the file_ids already present
+    * in the segment directory — and anti-joins the input, so a rerun
+    * after a crash re-chunks/re-embeds only the missing documents. No
+    * offset ledger to keep consistent: the output is the ledger, which
+    * stays correct under task retries and speculative execution, and
+    * the scan of it reads only the file_id column (column pruning). */
+  def resumeFrom(docs: DataFrame, segmentDir: String,
+      docKey: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(segmentDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) docs
+    else {
+      val done = spark.read.parquet(segmentDir).select(col("file_id")).distinct()
+      docs.join(done, docs(docKey) === done("file_id"), "left_anti")
+    }
+  }
+
   /** Milvus-style query-by-expr with output-field selection
     * (milvus_connector.py:160-166: `collection.query(expr,
     * output_fields=…)`, the reverse-lookup surface behind

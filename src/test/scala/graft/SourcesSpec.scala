@@ -92,6 +92,20 @@ class SourcesSpec extends SparkSpec {
     assert(q == Seq(2L))
   }
 
+  test("Ingest.resumeFrom: reruns skip docs already in the segment output") {
+    val dir = Files.createTempDirectory("resume").toString + "/segs"
+    val docs = Seq((1L, "aaa bbb", "s", "en"), (2L, "ccc ddd", "s", "en"),
+      (3L, "eee fff", "s", "en")).toDF("doc_id", "text", "source", "lang")
+    // nothing written yet → everything pending
+    assert(Ingest.resumeFrom(docs, dir).count() == 3)
+    val firstRun = Ingest.pipeline(docs.filter(col("doc_id") <= 2),
+      Seq.empty[Long].toDF("file_id"), dim = 4)
+    SegmentWriter.write(firstRun, dir, maxRecordsPerFile = 10, avgRowBytes = 64)
+    // the output is the ledger: only the unwritten doc remains
+    val pending = Ingest.resumeFrom(docs, dir).select("doc_id").as[Long].collect().toSeq
+    assert(pending == Seq(3L))
+  }
+
   test("Ingest.pipeline: existence check skips already-ingested docs") {
     val docs = Seq((1L, "aaa bbb", "s", "en"), (2L, "ccc ddd", "s", "en"))
       .toDF("doc_id", "text", "source", "lang")

@@ -79,4 +79,35 @@ class TextFunctionsSpec extends SparkSpec {
       .select(V.fakeDenseEmbed(col("t"), 8).as("e")).as[Seq[Double]].collect()(0)
     assert(e == e2)
   }
+
+  test("redactPii: emails, IPs, then phones become typed tags") {
+    val out = Seq(Tuple1("mail a.b@x.co from 10.1.2.3 call +1 (555) 123-4567 ok"))
+      .toDF("t").select(T.redactPii(col("t"))).as[String].collect()(0)
+    assert(out == "mail <EMAIL> from <IP> call <PHONE> ok")
+    // no PII → unchanged
+    val clean = Seq(Tuple1("just words here")).toDF("t")
+      .select(T.redactPii(col("t"))).as[String].collect()(0)
+    assert(clean == "just words here")
+  }
+
+  test("repetition signals: hand values") {
+    val df = Seq(Tuple1("ab abcd")).toDF("t")
+    assert(df.select(T.meanWordLen(col("t"))).as[Double].collect()(0) == 3.0)
+    val dup = Seq(Tuple1("aa x. bb. aa x. cc")).toDF("t")
+    // segments [aa x, bb, aa x, cc] → 1 duplicate of 4
+    assert(dup.select(T.dupSegmentFrac(col("t"), "\\. ")).as[Double].collect()(0) == 0.25)
+    val num = Seq(Tuple1("a 12 b 3")).toDF("t")
+    assert(num.select(T.numericWordFrac(col("t"))).as[Double].collect()(0) == 0.5)
+  }
+
+  test("planeConst is bit-identical to fakeDenseEmbed of the same tag") {
+    // hyperplaneSig hands the planes to the plan as driver-computed
+    // literals; the DuckDB oracle reproduces the expression form, so the
+    // two derivations must agree exactly
+    for (tag <- Seq("plane-0", "plane-3", "plane-11")) {
+      val expr = Seq(Tuple1(tag)).toDF("t")
+        .select(V.fakeDenseEmbed(col("t"), 16).as("e")).as[Seq[Double]].collect()(0)
+      assert(expr == V.planeConst(tag, 16), s"mismatch for $tag")
+    }
+  }
 }
