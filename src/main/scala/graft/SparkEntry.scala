@@ -267,7 +267,8 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
-    Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64, planes = 6)
+    Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64,
+        planes = 6, tables = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =

@@ -61,10 +61,13 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH signature: `planes` sign bits of dot products
     * against deterministic stub hyperplanes, packed into a long. Buckets
-    * cosine-similar vectors together (charikar 2002 SimHash-for-angles). */
-  def hyperplaneSig(vec: Column, dim: Int, planes: Int): Column = {
+    * cosine-similar vectors together (charikar 2002 SimHash-for-angles).
+    * `tag` selects an independent plane family (multi-table LSH); the
+    * default family matches the oracle's "plane-p" derivation. */
+  def hyperplaneSig(vec: Column, dim: Int, planes: Int,
+      tag: String = "plane"): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = typedlit(planeConst(s"plane-$p", dim))
+      val plane = typedlit(planeConst(s"$tag-$p", dim))
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

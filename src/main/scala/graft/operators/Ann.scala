@@ -65,18 +65,34 @@ object Ann {
 
   /** LSH-bucketed ANN: corpus and queries hashed to hyperplane-sign
     * buckets; each query scans only its bucket. Recall traded via
-    * `planes` (fewer planes → bigger buckets → higher recall). */
+    * `planes` (fewer planes → bigger buckets → higher recall) and
+    * `tables` (OR-construction over independent plane sets — the
+    * standard multi-table LSH: a candidate matches if it shares a
+    * signature in ANY table, so recall compounds as 1−(1−pᵖ)ᵗ while
+    * each table's bucket stays selective — the FAISS/Milvus LSH index
+    * shape). Table 0 uses the same planes as the single-table form. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 8, metric: String = "cosine"): DataFrame = {
+      planes: Int = 8, metric: String = "cosine", tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    def tag(t: Int) = if (t == 0) "plane" else s"plane-t$t"
+    def sigs(v: Column) = array((0 until tables).map { t =>
+      V.hyperplaneSig(v, dim, planes, tag(t))
+    }: _*)
     val cb = Dedup.spread(withNorm(corpus, "v"))
-      .withColumn("sig", V.hyperplaneSig(col("v"), dim, planes))
+      .select(col("id"), col("v"), col("v_nrm"),
+        posexplode(sigs(col("v"))).as(Seq("tbl", "sig")))
     val qb = withNorm(queries, "qv")
-      .withColumn("sig", V.hyperplaneSig(col("qv"), dim, planes))
-    val scored = cb.as("c").join(broadcast(qb.as("q")), col("c.sig") === col("q.sig"))
+      .select(col("qid"), col("qv"), col("qv_nrm"),
+        posexplode(sigs(col("qv"))).as(Seq("tbl", "sig")))
+    val scored = cb.as("c").join(broadcast(qb.as("q")),
+        col("c.tbl") === col("q.tbl") && col("c.sig") === col("q.sig"))
       .select(col("q.qid"), col("c.id"),
         round(pairScore(metric, col("q.qv"), col("c.v"),
           col("q.qv_nrm"), col("c.v_nrm")), 4).as("score"))
+      // a pair matching in several tables scores identically each time —
+      // collapse before ranking
+      .groupBy("qid", "id").agg(max(col("score")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -90,17 +106,27 @@ object Ann {
     * + nprobe search param (vector_database/milvus_connector.py:176-188). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, trainCap: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spreadCorpus = Dedup.spread(corpus)
       .withColumn("v", col("v").cast("array<double>"))
       .withColumn("__f", array_to_vector(col("v")))
+      .cache()
+    // At corpus scale the codebook is NEVER fit on every vector — that's
+    // an O(iterations · corpus) clustering job for centroids a sample
+    // estimates just as well (faiss trains IVF on ~(30-256)·nlist
+    // points). Deterministic hash-sample down to ~trainCap vectors; the
+    // full corpus still gets assigned via the model transform.
+    val n = spreadCorpus.count()
+    val train = if (n <= trainCap) spreadCorpus
+      else spreadCorpus.filter(
+        pmod(xxhash64(col("id")), lit(1000000L)) < lit(trainCap * 1000000L / n))
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setDistanceMeasure("cosine").setMaxIter(20)
+      .setDistanceMeasure("cosine").setMaxIter(10)
       .setFeaturesCol("__f").setPredictionCol("cell")
-      .fit(spreadCorpus)
+      .fit(train)
     val cells = model.transform(spreadCorpus).select("id", "v", "cell")
     // centroid table is nlist rows — driver-side, broadcast to probe
     val centroids = {

@@ -23,6 +23,22 @@ object StreamIngest {
       chunkSize: Int = 200, overlap: Int = 40): DataFrame =
     Ingest.pipeline(docsStream, existing, dim, chunkSize, overlap)
 
+  /** Streaming exact dedup: drop any document whose normalized-text
+    * fingerprint was already seen, with the dedup state bounded by the
+    * event-time watermark (Spark's dropDuplicates state store keeps one
+    * row per key; the watermark lets it expire keys older than the
+    * horizon — without it, 100 TB of stream history would live in the
+    * state store forever). The batch analog is [[graft.operators.Dedup
+    * .exact]]; this is its unbounded form for stream_ingest front-ends. */
+  def dedupStream(docsStream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docsStream
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprintMd5(
+        org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

@@ -40,6 +40,19 @@ class AnnSpec extends SparkSpec {
     assert(lsh.subsetOf(lsh ++ exact))
   }
 
+  test("lshTopK: multi-table OR-construction lifts recall@10 to >= 0.8") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val single = Ann.lshTopK(corpus, qs, k = 10, dim = dim, planes = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val multi = Ann.lshTopK(corpus, qs, k = 10, dim = dim, planes = 4, tables = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val rSingle = (exact intersect single).size.toDouble / exact.size
+    val rMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(rMulti >= 0.8, s"multi-table recall $rMulti below 0.8")
+    assert(rMulti >= rSingle, s"multi $rMulti worse than single $rSingle")
+  }
+
   test("ivfTopK: self-match survives coarse quantization probes") {
     val out = Ann.ivfTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()

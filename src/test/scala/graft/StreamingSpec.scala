@@ -97,6 +97,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 1L, 4.0))) // user 2 closed by timeout
   }
 
+  test("dedupStream: duplicate fingerprints within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docsStream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamIngest.dedupStream(docsStream, "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "unique doc one", ts(0)),
+      (2L, "Unique  doc ONE", ts(1)), // same normalized fingerprint → dropped
+      (3L, "another doc", ts(2)))
+    q.processAllAvailable()
+    val got = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 3L), s"got $got")
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
