@@ -35,6 +35,24 @@ object SegmentWriter {
     writeManifest(df.sparkSession, path)
   }
 
+  /** Bucketed segment layout for downstream co-located joins: segments
+    * written bucketed + sorted by `keyCol` through the table catalog
+    * (bucket metadata lives in the catalog, hence the table name). A
+    * downstream join/groupBy on the key — the exists-check against
+    * yesterday's segments, the id_lookup backfill — then reads both
+    * sides pre-partitioned and shuffles NOTHING, which at 100 TB is the
+    * difference between a metadata operation and re-moving the corpus. */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+      keyCol: String, numBuckets: Int = 32,
+      maxRecordsPerFile: Long = 10000): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Segment manifest — the MilvusBulkWriterManager metadata/log role
     * (load_data/milvus_bulk_writer.py `metadata_file`/`log_file`,
     * consumed by the uploader at embed_to_milvus.py:258-268): one

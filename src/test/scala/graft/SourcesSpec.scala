@@ -92,6 +92,25 @@ class SourcesSpec extends SparkSpec {
     assert(q == Seq(2L))
   }
 
+  test("SegmentWriter.writeBucketed: co-located self-join plans no shuffle") {
+    val dir = Files.createTempDirectory("buck").toString + "/tbl"
+    val df = (1 to 100).map(i => (i.toLong, s"p$i")).toDF("file_id", "payload")
+    SegmentWriter.writeBucketed(df, dir, "seg_bucketed", "file_id", numBuckets = 4)
+    // force a sort-merge join so the assertion sees bucketing, not a
+    // small-table broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("seg_bucketed")
+      val joined = t.as("a").join(t.as("b"), "file_id")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in bucketed join plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS seg_bucketed")
+    }
+  }
+
   test("Ingest.resumeFrom: reruns skip docs already in the segment output") {
     val dir = Files.createTempDirectory("resume").toString + "/segs"
     val docs = Seq((1L, "aaa bbb", "s", "en"), (2L, "ccc ddd", "s", "en"),
