@@ -295,6 +295,14 @@ object SparkEntry {
     Ingest.queryByExpr(t(s, dir, "documents"),
       "doc_id % 7 = 0 AND lang = 'en'", Seq("doc_id", "source", "n_chars"))
 
+  // delete-by-key + insert, the reference's re-ingest (upsert) flow
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
+    val updates = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("updated").as("source"), col("lang"))
+    Ingest.upsert(base, updates, "doc_id")
+  }
+
   // ---- events ------------------------------------------------------------
 
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +341,7 @@ object SparkEntry {
     "q_delete_expr" -> (qDeleteExpr _),
     "q_files_by_knowledge" -> (qFilesByKnowledge _),
     "q_query_expr" -> (qQueryExpr _),
+    "q_upsert" -> (qUpsert _),
     "q_pipeline_blocks" -> (qPipelineBlocks _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -516,6 +525,11 @@ object SparkEntry {
 
     "q_query_expr" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 = 0 AND lang = 'en'",
+
+    "q_upsert" ->
+      """SELECT doc_id, source, lang FROM documents WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id, 'updated' AS source, lang FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q_pipeline_full" ->
       s"""WITH docs AS (

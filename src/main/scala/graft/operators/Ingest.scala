@@ -48,6 +48,15 @@ object Ingest {
       knowledgeId: Column, orderCol: String): DataFrame =
     dim.filter(col(knowledgeCol) === knowledgeId).orderBy(col(orderCol).asc)
 
+  /** Milvus-style upsert — the reference's re-ingest flow is delete-by-
+    * key then insert (milvus_connector.py:190-198): rows of `updates`
+    * replace base rows sharing the key. The anti-join moves only the
+    * key column of updates (broadcast when small; co-located when the
+    * base is bucketed by the key). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** Batch resume bookkeeping. The reference persists reader offsets and
     * writer metadata so a restarted run skips work already done
     * (load_data/json_batch_reader.py start/end slices +

@@ -15,6 +15,10 @@ class ChunkerSpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).map(_._3).toSeq == Seq("abcd", "defg", "ghij", "j"))
     // empty text yields no chunks
     assert(!rows.exists(_._1 == 2L))
+    // null text yields no chunks either (null offsets → explode drops)
+    val nulls = Chunker.fixedChunks(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text", 4, 1)
+    assert(nulls.count() == 0)
     // text shorter than size → single whole-text chunk
     assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("xyz"))
   }

@@ -67,6 +67,24 @@ class SourcesSpec extends SparkSpec {
     assert(sparse.contains(bucket(collide.head).toInt))
   }
 
+  test("Ingest.upsert: update rows replace base rows sharing the key") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val updates = Seq((2L, "B2"), (4L, "D")).toDF("doc_id", "v")
+    val out = Ingest.upsert(base, updates, "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D")))
+  }
+
+  test("Ingest.pipeline: null text doesn't break the plan") {
+    val docs = Seq((1L, null.asInstanceOf[String], "s", "en"),
+      (2L, "real text here", "s", "en")).toDF("doc_id", "text", "source", "lang")
+    val out = Ingest.pipeline(docs, Seq.empty[Long].toDF("file_id"), dim = 4)
+    // the null-text doc still flows (reformat coalesces to 无标题/无内容);
+    // no exception, and the real doc's rows are intact
+    val byDoc = out.select("file_id").as[Long].collect().toSet
+    assert(byDoc.contains(2L))
+  }
+
   test("Ingest.pipeline conforms to the Milvus bulk schema layout") {
     val docs = Seq((1L, "hello world document text", "src0", "en"))
       .toDF("doc_id", "text", "source", "lang")
