@@ -17,7 +17,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val clear = args.contains("-clear")
     names.foreach { name =>
+      if (clear) spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)
       if (explain) df.explain("formatted")

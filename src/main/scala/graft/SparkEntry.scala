@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed}
+import graft.sources.JsonlSource
 import graft.streaming.Events
 
 /** Driver contract — every operator from SURVEY.md §2 exposed as a
@@ -188,6 +189,35 @@ object SparkEntry {
         col("source") === "src0" && col("lang") === "en")
       .select(col("doc_id"), col("source"))
 
+  /** jsonl_source end-to-end: a deterministic JSONL file is materialized
+    * from the documents table (line i = doc_id i−1, so the oracle needs
+    * no file access — it derives the expected output from the table),
+    * then read back through the row-range slice + file_name synthesis.
+    * Checks line numbering, [start,end] semantics, JSON round-trip, and
+    * clean_title — the pieces json_batch_reader.py:16-86 specifies. */
+  private def qJsonlSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Paths.get("/tmp/graft_jsonl_probe.jsonl")
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val lines = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"), col("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(r => s"""{"title":"${esc(r.getString(1))}","nc":${r.getLong(2)}}""")
+    java.nio.file.Files.write(path, String.join("\n", lines: _*).getBytes("UTF-8"))
+    JsonlSource.read(s, path.toString, start = 10, end = Some(99),
+        schema = Some(StructType(Seq(
+          StructField("title", StringType), StructField("nc", LongType)))))
+      .select(col("row_num"), col("file_name"), col("nc"))
+  }
+
   /** The flagship pipeline's ACTUAL deliverable — the full Milvus row
     * (embed_to_milvus.py:110-122 layout) — flattened for the oracle:
     * dense_embedding exploded to (dim, val) rows, sparse_embedding
@@ -339,6 +369,7 @@ object SparkEntry {
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),
     "q_delete_expr" -> (qDeleteExpr _),
+    "q_jsonl_source" -> (qJsonlSource _),
     "q_files_by_knowledge" -> (qFilesByKnowledge _),
     "q_query_expr" -> (qQueryExpr _),
     "q_upsert" -> (qUpsert _),
@@ -518,6 +549,12 @@ object SparkEntry {
 
     "q_delete_expr" ->
       "SELECT doc_id, source FROM documents WHERE NOT (source = 'src0' AND lang = 'en')",
+
+    "q_jsonl_source" ->
+      s"""SELECT doc_id + 1 AS row_num,
+         | ${cleanTitleSql} || '_' || CAST(doc_id + 1 AS VARCHAR) || '.pdf' AS file_name,
+         | n_chars AS nc
+         |FROM documents WHERE doc_id + 1 BETWEEN 10 AND 99""".stripMargin,
 
     "q_files_by_knowledge" ->
       """SELECT doc_id, source, lang, n_chars FROM documents

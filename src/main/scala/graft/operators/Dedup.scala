@@ -136,11 +136,20 @@ object Dedup {
     // sides), and recomputing it means re-running the df join + windows
     val prefix = ranked
       .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("id", "sh", "sz")
+      .select("id", "sh", "pos", "sz")
       .cache()
+    // PPJoin positional filter: jaccard >= tau needs overlap
+    // α = ceil(tau/(1+tau)·(|A|+|B|)), and the FIRST shared shingle e₀
+    // (provably inside both prefixes) bounds the overlap by
+    // 1 + min(|A|−pos_A(e₀), |B|−pos_B(e₀)) — every other shared
+    // shingle sorts after e₀ in both docs. Requiring the bound ≥ α per
+    // matched shingle keeps e₀'s row for every true pair while pruning
+    // deep-position-only collisions before they become candidates.
+    val alpha = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") * tau <= col("b.sz") && col("b.sz") * tau <= col("a.sz"))
+          col("a.sz") * tau <= col("b.sz") && col("b.sz") * tau <= col("a.sz") &&
+          lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cand, sh, "sh", tau)
