@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed}
+import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Stats}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -146,6 +146,14 @@ object SparkEntry {
       T.meanWordLen(col("text")).as("mean_word_len"),
       T.dupSegmentFrac(col("text"), "\\. ").as("dup_sent_frac"),
       T.numericWordFrac(col("text")).as("numeric_word_frac"))
+
+  // sketch-based corpus profile (rows-only: HLL/quantile-summary
+  // internals aren't reproducible in DuckDB; semantics pinned by
+  // StatsSpec against exact counts)
+  private def qCorpusProfile(s: SparkSession, dir: String): DataFrame =
+    Stats.corpusProfile(t(s, dir, "documents"), "source", "text")
+      .select(col("source"), col("n_docs"), col("approx_vocab"),
+        col("p50_tokens"), col("p95_tokens"), col("mean_tokens"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -361,6 +369,7 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_redact_pii" -> (qRedactPii _),
     "q_repetition" -> (qRepetition _),
+    "q_corpus_profile" -> (qCorpusProfile _),
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_dense" -> (qEmbedDense _),
     "q_embed_tfidf" -> (qEmbedTfidf _),

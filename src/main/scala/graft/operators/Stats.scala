@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Sketch-based corpus profiling — the scan a training-data pipeline
+  * runs BEFORE configuring dedup/filter thresholds (how big is the
+  * vocabulary? where do token counts sit?). Exact distinct counts over
+  * 100 TB of tokens would shuffle the token stream; the sketches keep
+  * everything mergeable and map-side:
+  *
+  *  - approx_count_distinct = HyperLogLog++ (fixed ~KB of state per
+  *    group, mergeable across partitions, ~2% default error)
+  *  - percentile_approx    = a mergeable quantile summary over the
+  *    per-doc token counts
+  *
+  * Both are Spark-native partial aggregates, so each profile column is
+  * computed with map-side combine — the shuffle moves sketches, not
+  * tokens.
+  */
+object Stats {
+
+  /** Per-group corpus profile: doc count, approx distinct vocabulary,
+    * token-count quantiles (p50/p95), mean doc length. */
+  def corpusProfile(df: DataFrame, groupCol: String, textCol: String,
+      rsd: Double = 0.02): DataFrame = {
+    val perDoc = df.select(col(groupCol),
+      T.tokenCount(col(textCol)).cast("double").as("ntok"),
+      T.wsTokens(T.normText(col(textCol))).as("toks"))
+    val vocab = perDoc
+      .select(col(groupCol), explode_outer(col("toks")).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_vocab"))
+    perDoc.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("ntok"), lit(0.5), lit(10000)).as("p50_tokens"),
+        percentile_approx(col("ntok"), lit(0.95), lit(10000)).as("p95_tokens"),
+        round(avg(col("ntok")), 4).as("mean_tokens"))
+      .join(vocab, groupCol)
+  }
+}
