@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Stats}
+import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -146,6 +146,32 @@ object SparkEntry {
       T.meanWordLen(col("text")).as("mean_word_len"),
       T.dupSegmentFrac(col("text"), "\\. ").as("dup_sent_frac"),
       T.numericWordFrac(col("text")).as("numeric_word_frac"))
+
+  // llm_tag through the batched model seam — the stub model is an exact
+  // function of md5(text), so the oracle reproduces it bit-for-bit
+  private def qLlmTag(s: SparkSession, dir: String): DataFrame =
+    Tag.tag(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
+  // multimodal metadata pass over synthesized binary payloads (the text
+  // bytes stand in for image bytes; the checksum-derived stub dims are
+  // exact functions both engines compute)
+  private def mediaTable(s: SparkSession, dir: String, kind: String): DataFrame =
+    Multimodal.withMetadata(
+      t(s, dir, "documents").select(col("doc_id"),
+        col("text").cast("binary").as("payload"), lit(kind).as("kind")),
+      "payload", "kind")
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir, "image").select(col("doc_id"),
+      col("media_meta.byte_len").as("byte_len"),
+      col("media_meta.checksum").as("checksum"),
+      col("media_meta.width").cast("long").as("width"),
+      col("media_meta.height").cast("long").as("height"),
+      col("media_meta.duration_ms").as("duration_ms"))
+
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(mediaTable(s, dir, "video"), "doc_id", everyMs = 60000L)
 
   // sketch-based corpus profile (rows-only: HLL/quantile-summary
   // internals aren't reproducible in DuckDB; semantics pinned by
@@ -370,6 +396,9 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_repetition" -> (qRepetition _),
     "q_corpus_profile" -> (qCorpusProfile _),
+    "q_llm_tag" -> (qLlmTag _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_dense" -> (qEmbedDense _),
     "q_embed_tfidf" -> (qEmbedTfidf _),
@@ -507,6 +536,31 @@ object SparkEntry {
         | + least(CAST(floor(stops * 10000 / (toks + 1)) AS BIGINT), 1000) * 3
         | + (1000 - least(CAST(floor(punct * 5000 / (toks + 1)) AS BIGINT), 1000)) * 3 AS quality
         |FROM f""".stripMargin,
+
+    "q_llm_tag" ->
+      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 2))::INT AS ub FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN ub > 127 THEN ub - 256 ELSE ub END AS sb FROM b)
+        |SELECT doc_id, CASE ((sb % 5) + 5) % 5
+        | WHEN 0 THEN 'news' WHEN 1 THEN 'tech' WHEN 2 THEN 'finance'
+        | WHEN 3 THEN 'sports' ELSE 'other' END AS label
+        |FROM s""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS checksum,
+        | CAST(('0x' || substr(md5(text), 1, 4))::INT % 1920 + 1 AS BIGINT) AS width,
+        | CAST(('0x' || substr(md5(text), 5, 4))::INT % 1080 + 1 AS BIGINT) AS height,
+        | ('0x' || substr(md5(text), 9, 6))::BIGINT % 600000 AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  ('0x' || substr(md5(text), 9, 6))::BIGINT % 600000 AS dur FROM documents)
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 60000 AS BIGINT) AS ts_ms
+        |FROM (SELECT media_id,
+        |      unnest(generate_series(0, CAST(greatest(floor(dur / 60000), 0) AS BIGINT))) AS f
+        |      FROM m)""".stripMargin,
 
     "q_redact_pii" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
