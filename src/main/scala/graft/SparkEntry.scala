@@ -339,6 +339,19 @@ object SparkEntry {
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  // Hybrid dense+sparse search: dense vectors from the embeddings table,
+  // sparse postings from the documents' hashed-token terms (the two
+  // embedding columns of the reference's Hybrid collection), fused RRF
+  private def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    Ann.hybridTopK(corpus(s, dir), queriesSet(s, dir), postings, qpost, k = 10)
+      .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -424,6 +437,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_fields" -> (qAnnFields _),
+    "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _))
 
@@ -748,6 +762,28 @@ object SparkEntry {
         |SELECT qid, id, score, rank, CAST(label AS BIGINT) AS label FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_hybrid_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |ds AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
+         |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_d FROM ds),
+         |dtop AS (SELECT * FROM dr WHERE rank_d <= 10),
+         |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |         FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |         GROUP BY doc_id, term),
+         |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
+         |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
+         |       FROM post JOIN qpost ON post.term = qpost.term GROUP BY 1, 2),
+         |sr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_s FROM ss),
+         |stop AS (SELECT * FROM sr WHERE rank_s <= 10),
+         |f AS (SELECT qid, id,
+         |      round(coalesce(1.0/(60+rank_d), 0) + coalesce(1.0/(60+rank_s), 0), 6) AS rrf
+         |      FROM dtop FULL JOIN stop USING (qid, id))
+         |SELECT qid, id, rrf, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

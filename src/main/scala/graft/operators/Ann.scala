@@ -49,6 +49,48 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Sparse top-k retrieval over exploded postings — the Milvus
+    * sparse_embedding search half. `postings` (id, term, w) is the
+    * inverted index the sparse map explodes into; `queryTerms`
+    * (qid, term, qw) broadcasts, so scoring touches only postings whose
+    * term appears in some query: score = Σ_common w·qw. At 100 TB the
+    * postings shuffle once on term and the per-query work is the
+    * posting lists of its terms, not the corpus. */
+  def sparseTopK(postings: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Dedup.spread(postings)
+      .join(broadcast(queryTerms), "term")
+      .groupBy("qid", "id")
+      .agg(round(sum(col("w") * col("qw")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Hybrid dense+sparse search with reciprocal-rank fusion — the
+    * "Hybrid" in the reference's Knowledge1024Hybrid collection
+    * (embed_to_milvus.py:233-247 carries BOTH embedding columns for
+    * exactly this). Each modality retrieves its own top-k; a hit's
+    * fused score is Σ 1/(rrfK + rank_modality) over the lists it
+    * appears in (Cormack et al. 2009, Milvus RRFRanker default
+    * rrfK=60). Deterministic: 4-dp modality scores, 6-dp fused score,
+    * id-ascending tiebreaks. */
+  def hybridTopK(corpus: DataFrame, queries: DataFrame,
+      postings: DataFrame, queryTerms: DataFrame, k: Int,
+      metric: String = "cosine", rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = bruteForceTopK(corpus, queries, k, metric)
+      .select(col("qid"), col("id"), col("rank").as("rank_d"))
+    val sparse = sparseTopK(postings, queryTerms, k)
+      .select(col("qid"), col("id"), col("rank").as("rank_s"))
+    val fused = dense.join(sparse, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_d")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_s")), lit(0.0)), 6).as("rrf"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k search returning caller-selected payload columns with every
     * hit — the reference search surface's output_fields
     * (milvus_connector.py:167-178: output_fields=["file_id",

@@ -60,6 +60,20 @@ class AnnSpec extends SparkSpec {
     assert(r1.forall(r => r._1 == r._2)) // each query finds itself
   }
 
+  test("sparseTopK + hybridTopK: self-retrieval ranks first") {
+    val postings = (1 to 50).flatMap(i => Seq((i.toLong, i, 2.0), (i.toLong, i + 1, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1, 2.0), (1L, 2, 1.0), (2L, 2, 2.0), (2L, 3, 1.0))
+      .toDF("qid", "term", "qw")
+    val sp = Ann.sparseTopK(postings, qterms, k = 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(sp.filter(_._3 == 1).forall(r => r._1 == r._2), s"sparse self-match lost: ${sp.toSeq}")
+    val hy = Ann.hybridTopK(corpus, qs.filter(col("qid") <= 2), postings, qterms, k = 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(hy.filter(_._3 == 1).forall(r => r._1 == r._2), s"hybrid self-match lost: ${hy.toSeq}")
+    assert(hy.count(_._1 == 1L) == 5)
+  }
+
   test("searchWithFields: hits carry the requested payload columns") {
     val corpusF = corpus.withColumn("label", (col("id") % 3).cast("int"))
     val out = Ann.searchWithFields(corpusF, qs, k = 5, outputFields = Seq("label"))
