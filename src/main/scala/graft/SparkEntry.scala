@@ -231,7 +231,11 @@ object SparkEntry {
     * clean_title — the pieces json_batch_reader.py:16-86 specifies. */
   private def qJsonlSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val path = java.nio.file.Paths.get("/tmp/graft_jsonl_probe.jsonl")
+    // path keyed by the sf dir: concurrent runs over DIFFERENT corpora
+    // must not overwrite each other's file before the lazy read executes
+    // (same-corpus concurrent writers produce identical bytes — benign)
+    val path = java.nio.file.Paths.get(
+      s"/tmp/graft_jsonl_probe_${Integer.toHexString(dir.hashCode)}.jsonl")
     def esc(x: String): String = x.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -152,8 +152,12 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // zero-norm vectors (failed/padded embeds — a reality at corpus
+    // scale) are undefined under cosine and would abort MLlib's
+    // CosineDistanceMeasure; they can't rank anyway, so drop them here
     val spreadCorpus = Dedup.spread(corpus)
       .withColumn("v", col("v").cast("array<double>"))
+      .filter(V.norm2(col("v")) > 0)
       .withColumn("__f", array_to_vector(col("v")))
       .cache()
     // At corpus scale the codebook is NEVER fit on every vector — that's

@@ -12,6 +12,13 @@ import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions 
   * (map-side combine), and caps pathological hot keys. Exactness is
   * preserved where the banding math guarantees it (simhash pigeonhole,
   * minhash verify step).
+  *
+  * Caching contract: operators cache() sub-plans that feed multiple
+  * branches of their own plan (shingle sets, prefix indexes, candidate
+  * pairs). The results are lazy, so the operator cannot release those
+  * blocks itself — long-lived sessions composing many dedup calls
+  * should `spark.catalog.clearCache()` between logical queries (as
+  * Bench/Verify/Probe do) or unpersist after consuming the result.
   */
 object Dedup {
 
@@ -133,9 +140,12 @@ object Dedup {
         row_number().over(wDoc.orderBy(col("df").asc, col("sh").asc)).as("pos"),
         count(lit(1)).over(wDoc).as("sz"))
     // cached: the candidate join reads the prefix twice (both self-join
-    // sides), and recomputing it means re-running the df join + windows
+    // sides), and recomputing it means re-running the df join + windows.
+    // ceil() runs on tau·sz − ε: double rounding can land tau·sz a hair
+    // ABOVE the exact product (0.07·100 = 7.000…001 → ceil 8), which
+    // would shorten the prefix below the provable bound and drop pairs.
     val prefix = ranked
-      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
       .select("id", "sh", "pos", "sz")
       .cache()
     // PPJoin positional filter: jaccard >= tau needs overlap
@@ -145,10 +155,14 @@ object Dedup {
     // shingle sorts after e₀ in both docs. Requiring the bound ≥ α per
     // matched shingle keeps e₀'s row for every true pair while pruning
     // deep-position-only collisions before they become candidates.
-    val alpha = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
+    // all bound comparisons carry the same −ε slack as the verify's
+    // raw-double prune: keeping a boundary pair only costs one exact
+    // verification, dropping one silently breaks the all-pairs contract
+    val alpha = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") * tau <= col("b.sz") && col("b.sz") * tau <= col("a.sz") &&
+          col("a.sz") * tau <= col("b.sz") + lit(1e-6) &&
+          col("b.sz") * tau <= col("a.sz") + lit(1e-6) &&
           lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

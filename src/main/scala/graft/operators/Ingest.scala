@@ -72,7 +72,11 @@ object Ingest {
     val spark = docs.sparkSession
     val p = new org.apache.hadoop.fs.Path(segmentDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) docs
+    // a dir holding no data files (killed mid-write: only _temporary/ or
+    // _MANIFEST.json) means nothing was durably written — same as absent
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!hasData) docs
     else {
       val done = spark.read.parquet(segmentDir).select(col("file_id")).distinct()
       docs.join(done, docs(docKey) === done("file_id"), "left_anti")

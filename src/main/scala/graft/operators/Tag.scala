@@ -17,12 +17,16 @@ object Tag {
 
   /** STUB model call — one batch in, one label per text out.
     * Deterministic (md5 of the text picks the label) so specs are exact;
-    * a real client swaps in an HTTP POST here and nothing else changes. */
+    * a real client swaps in an HTTP POST here and nothing else changes.
+    * Null text labels as "other" — the same row SQL NULL semantics
+    * produce (md5(NULL) → NULL → CASE falls through), not a crash. */
   def stubModelCall(batch: Seq[String]): Seq[String] =
-    batch.map { t =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
-      labels(math.floorMod(d(0).toInt, labels.size))
+    batch.map {
+      case null => labels.last
+      case t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        labels(math.floorMod(d(0).toInt, labels.size))
     }
 
   /** Tag each row's `textCol` with a label via the batched model seam. */

@@ -84,6 +84,14 @@ class AnnSpec extends SparkSpec {
     assert(self.forall(r => r._2 == r._1 && r._3 == (r._1 % 3).toInt))
   }
 
+  test("ivfTopK: zero-norm corpus vectors are dropped, not fatal") {
+    val withZero = corpus.union(
+      Seq((999L, Seq.fill(dim)(0.0))).toDF("id", "v"))
+    val out = Ann.ivfTopK(withZero, qs, k = 10, nlist = 8, nprobe = 4)
+      .select("id").as[Long].collect()
+    assert(out.nonEmpty && !out.contains(999L))
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet

@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccard: boundary tau survives float rounding in the filters") {
+    // B's shingle set is exactly A's first 7 of 100 → jaccard 7/100 = 0.07;
+    // with tau = 0.07 the pair must be kept even though 100·0.07 rounds to
+    // 7.000000000000001 in double (the length/prefix filters carry −ε)
+    val rng = new scala.util.Random(7)
+    val big = (1 to 107).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val small = big.take(14) // 7 shingles at w=8, all shared with big
+    val df = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", w = 8, tau = 0.07)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out(0)._3 == 0.07, s"boundary pair lost: ${out.toSeq}")
+  }
+
   test("minhashLsh: candidates verified — subset of exact jaccard result") {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet

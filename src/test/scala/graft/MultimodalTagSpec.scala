@@ -36,6 +36,15 @@ class MultimodalTagSpec extends SparkSpec {
     byId.foreach { case (id, n) => assert(n == durs(id) / 60000L + 1) }
   }
 
+  test("Tag.tag: null text labels 'other' (SQL NULL semantics), no NPE") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real text"))
+      .toDF("id", "text")
+    val out = Tag.tag(docs, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "other")
+    assert(Tag.labels.contains(out(2L)))
+  }
+
   test("Tag.tag: batched seam, deterministic labels from the stub model") {
     val docs = (1 to 50).map(i => (i.toLong, s"document number $i")).toDF("id", "text")
     val a = Tag.tag(docs, "id", "text", batchSize = 8).as[(Long, String)].collect().sortBy(_._1)

@@ -135,6 +135,11 @@ class SourcesSpec extends SparkSpec {
       (3L, "eee fff", "s", "en")).toDF("doc_id", "text", "source", "lang")
     // nothing written yet → everything pending
     assert(Ingest.resumeFrom(docs, dir).count() == 3)
+    // a dir with no data files (killed mid-write) must behave the same,
+    // not crash schema inference
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "_MANIFEST.json"), "")
+    assert(Ingest.resumeFrom(docs, dir).count() == 3)
     val firstRun = Ingest.pipeline(docs.filter(col("doc_id") <= 2),
       Seq.empty[Long].toDF("file_id"), dim = 4)
     SegmentWriter.write(firstRun, dir, maxRecordsPerFile = 10, avgRowBytes = 64)
