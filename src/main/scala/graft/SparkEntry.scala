@@ -394,6 +394,20 @@ object SparkEntry {
   private def qEventWindow(s: SparkSession, dir: String): DataFrame =
     Events.windowAggBatch(t(s, dir, "events"))
 
+  // as-of join: every event picks up the latest prior "profile update"
+  // (every 10th event) of its user — DuckDB's native ASOF JOIN is the oracle
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Events.withMs(t(s, dir, "events"))
+    val updates = e.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max(round(col("value"), 2)).as("upd_value"))
+      .withColumnRenamed("ts_ms", "rts")
+    Events.asofJoin(
+        e.select(col("user_id"), col("event_id"), col("ts_ms")),
+        updates, "user_id", "ts_ms", "rts", Seq("upd_value"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("upd_value"))
+  }
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -443,7 +457,8 @@ object SparkEntry {
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),
-    "q_event_window" -> (qEventWindow _))
+    "q_event_window" -> (qEventWindow _),
+    "q_asof_join" -> (qAsofJoin _))
 
   // Shared SQL fragments for the DuckDB oracles.
   private val normDoc =
@@ -818,5 +833,12 @@ object SparkEntry {
     "q_event_window" ->
       """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY bucket, event_type""".stripMargin)
+        |FROM events GROUP BY bucket, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |r AS (SELECT user_id, ts_ms AS rts, max(round(value, 2)) AS upd_value
+        |      FROM e WHERE event_id % 10 = 0 GROUP BY user_id, ts_ms)
+        |SELECT e.user_id, e.event_id, e.ts_ms, r.upd_value
+        |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts_ms >= r.rts""".stripMargin)
 }

@@ -66,6 +66,41 @@ object Events {
       .groupBy(floor(col("ts_ms") / widthMs).cast("long").as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Backward as-of join: for every left row, attach `valueCols` from
+    * the LATEST right row of the same `key` with right ts <= left ts
+    * (inclusive) — the point-in-time lookup (as of this event, what was
+    * the user's last profile update?) that Spark has no native operator
+    * for. Implemented as union + running `last(ignoreNulls)` window:
+    * ONE shuffle on the key, rows merge-sorted once — a range-condition
+    * join would enumerate O(left×right) pairs per key and die at scale.
+    *
+    * Contract: `rightTs` must be union-compatible with `leftTs`;
+    * `valueCols` must not collide with left column names; right rows
+    * should be unique per (key, ts) — equal-ts duplicates make the
+    * winner order-dependent (pre-aggregate the right side, as the
+    * reference query does). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val rSchema = right.schema
+    val lSide = valueCols.foldLeft(
+        left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(rSchema(c).dataType))
+    }
+    val rBase = right.select(Seq(col(key), col(rightTs).as("__ts"),
+      lit(0).as("__side")) ++ valueCols.map(col): _*)
+    val rSide = left.columns.filterNot(_ == key).foldLeft(rBase) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // right sorts before left at equal ts (side 0 < 1) → inclusive match
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(
+        lSide.unionByName(rSide.select(lSide.columns.map(col): _*))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
   /** Streaming tumbling window with watermark — same aggregation as
     * [[windowAggBatch]] expressed on an unbounded stream. */
   def windowAggStream(events: DataFrame, width: String = "5 minutes",

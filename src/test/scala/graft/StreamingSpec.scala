@@ -97,6 +97,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 1L, 4.0))) // user 2 closed by timeout
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 150L, "d")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 250L, 20.0), (3L, 1L, 99.0))
+      .toDF("user_id", "rts", "v")
+    val out = Events.asofJoin(left, right, "user_id", "ts", "rts", Seq("v"))
+      .select("user_id", "ts", "tag", "v")
+      .as[(Long, Long, String, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 100L, "a", Some(10.0)),  // equal ts → inclusive
+      (1L, 200L, "b", Some(10.0)),  // 250 is in the future
+      (1L, 300L, "c", Some(20.0)),
+      (2L, 150L, "d", None)))       // no right rows for user 2
+  }
+
   test("dedupStream: duplicate fingerprints within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
