@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graft.RecursiveSplit
+import graft.functions.VectorFunctions
+import graft.operators.{Multimodal, Tag}
+
+/** Property tests over the pure (non-Spark) kernels — no Spark jobs per
+  * sample, so hundreds of generated cases run in milliseconds. Uses raw
+  * ScalaCheck generators with a fixed seed (the scalatest bridge
+  * artifact isn't in the offline cache; deterministic seeds make
+  * failures reproducible anyway). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forSamples[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private val seps = RecursiveSplit.defaultSeparators
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '。', '，', '\n', '！'))).map(_.mkString)
+
+  private def stripSeps(s: String): String =
+    seps.foldLeft(s)((acc, sep) => acc.replace(sep, ""))
+
+  test("RecursiveSplit: chunks bounded by size; no character invented or lost") {
+    forSamples(Gen.zip(textGen, Gen.choose(2, 40))) { case (text, size) =>
+      val out = RecursiveSplit.split(text, size, overlap = 0, seps)
+      assert(out.forall(_.length <= size), s"oversize chunk for size=$size in $out")
+      // overlap=0 conservation: separator-free content is preserved
+      // exactly (separators may be dropped at chunk boundaries)
+      assert(stripSeps(out.mkString) == stripSeps(text),
+        s"content changed for '$text' -> $out")
+      assert(out.forall(_.nonEmpty), s"empty chunk in $out")
+    }
+  }
+
+  test("RecursiveSplit: overlap duplicates context, never drops content") {
+    forSamples(Gen.zip(textGen, Gen.choose(4, 30))) { case (text, size) =>
+      val out = RecursiveSplit.split(text, size, overlap = 2, seps)
+      val bag = out.mkString
+      stripSeps(text).foreach(c =>
+        assert(bag.contains(c), s"char $c lost for '$text' -> $out"))
+    }
+  }
+
+  test("stubDecode: deterministic, dimension-exact, bounded") {
+    forSamples(Gen.zip(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+        Gen.choose(1, 64))) { case (bytes, dim) =>
+      val a = Multimodal.stubDecode(bytes.toArray, dim)
+      val b = Multimodal.stubDecode(bytes.toArray, dim)
+      assert(a.toSeq == b.toSeq)
+      assert(a.length == dim)
+      assert(a.forall(v => v >= -1.0 && v <= 1.0))
+    }
+  }
+
+  test("Tag.stubModelCall: total over arbitrary strings incl. null") {
+    forSamples(Gen.listOf(Gen.oneOf(textGen, Gen.const(null: String)))) { batch =>
+      val out = Tag.stubModelCall(batch)
+      assert(out.length == batch.length)
+      assert(out.forall(Tag.labels.contains))
+    }
+  }
+
+  test("planeConst: stable values in [-1, 1], distinct across plane families") {
+    forSamples(Gen.zip(Gen.choose(0, 63), Gen.choose(1, 128)), n = 100) {
+      case (p, dim) =>
+        val v = VectorFunctions.planeConst(s"plane-$p", dim)
+        assert(v.length == dim)
+        assert(v.forall(x => x >= -1.0 && x <= 1.0))
+        assert(v == VectorFunctions.planeConst(s"plane-$p", dim))
+    }
+    // independent families differ (multi-table LSH relies on this)
+    assert(VectorFunctions.planeConst("plane-0", 16) !=
+      VectorFunctions.planeConst("plane-t1-0", 16))
+  }
+}
