@@ -166,6 +166,10 @@ object Ann {
     // points). Deterministic hash-sample down to ~trainCap vectors; the
     // full corpus still gets assigned via the model transform.
     val n = spreadCorpus.count()
+    // a corpus no bigger than the cell count gains nothing from IVF (and
+    // KMeans can't fit on it) — scan it exactly; also covers empty input
+    if (n <= nlist) return bruteForceTopK(
+      spreadCorpus.select("id", "v"), queries, k, metric)
     val train = if (n <= trainCap) spreadCorpus
       else spreadCorpus.filter(
         pmod(xxhash64(col("id")), lit(1000000L)) < lit(trainCap * 1000000L / n))

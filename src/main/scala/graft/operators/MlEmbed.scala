@@ -32,6 +32,8 @@ object MlEmbed {
     * `numFeatures` buckets (HashingTF), IDF is log((N+1)/(df+1)). */
   def tfidfSparse(df: DataFrame, textCol: String,
       numFeatures: Int = 1 << 18, outCol: String = "sparse_embedding"): DataFrame = {
+    // IDF.fit throws on zero documents; an empty corpus embeds to nothing
+    if (df.isEmpty) return df.withColumn(outCol, typedlit(Map.empty[Int, Double]))
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("__tf")
       .setNumFeatures(numFeatures)
     val withTf = tf.transform(tokenizer(textCol).transform(df))
@@ -51,6 +53,8 @@ object MlEmbed {
   def word2vecDense(df: DataFrame, textCol: String, dim: Int = 64,
       seed: Long = 42L, minCount: Int = 1,
       outCol: String = "dense_embedding"): DataFrame = {
+    // Word2Vec.fit requires a non-empty vocabulary
+    if (df.isEmpty) return df.withColumn(outCol, typedlit(Seq.empty[Double]))
     val toks = tokenizer(textCol).transform(df)
     val model = new Word2Vec().setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize(dim).setSeed(seed).setMinCount(minCount)

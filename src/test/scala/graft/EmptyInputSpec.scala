@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Stats}
+
+/** Empty inputs must yield empty outputs — never a crash. A 100 TB run
+  * routinely produces empty partitions/filters (a source with no new
+  * docs, a knowledge base with nothing pending); operators that throw
+  * on emptiness kill whole jobs. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "source", "lang")
+  private lazy val noVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+  private lazy val someQs = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qv")
+
+  test("dedup family over an empty corpus") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccard(noDocs, "doc_id", "text", tau = 0.5).count() == 0)
+    assert(Dedup.minhashLsh(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.embeddingCosine(noVecs, "id", "v", tau = 0.5).count() == 0)
+  }
+
+  test("ann family over an empty corpus (incl. IVF's KMeans guard)") {
+    assert(Ann.bruteForceTopK(noVecs, someQs, k = 5).count() == 0)
+    assert(Ann.lshTopK(noVecs, someQs, k = 5, dim = 2).count() == 0)
+    assert(Ann.ivfTopK(noVecs, someQs, k = 5, nlist = 4).count() == 0)
+  }
+
+  test("ivfTopK: corpus smaller than nlist falls back to exact scan") {
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val out = Ann.ivfTopK(tiny, someQs, k = 5, nlist = 16)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(out.length == 2 && out.find(_._3 == 1).get._2 == 1L)
+  }
+
+  test("chunkers, pipeline, profile over an empty corpus") {
+    assert(Chunker.fixedChunks(noDocs.select("doc_id", "text"), "text", 100, 10).count() == 0)
+    assert(Chunker.recursiveChunks(noDocs.select("doc_id", "text"), "text", 100, 10).count() == 0)
+    assert(Chunker.semanticChunks(noDocs, "doc_id", "text").count() == 0)
+    assert(Ingest.pipeline(noDocs, Seq.empty[Long].toDF("file_id")).count() == 0)
+    assert(Stats.corpusProfile(noDocs, "source", "text").count() == 0)
+    assert(MlEmbed.tfidfSparse(noDocs, "text").count() == 0)
+    assert(MlEmbed.word2vecDense(noDocs, "text", dim = 8).count() == 0)
+  }
+}
