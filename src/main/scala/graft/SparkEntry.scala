@@ -394,6 +394,20 @@ object SparkEntry {
   private def qEventWindow(s: SparkSession, dir: String): DataFrame =
     Events.windowAggBatch(t(s, dir, "events"))
 
+  // range join: every event lands back in exactly its own session's
+  // [start, end] range — a self-consistency check with a BETWEEN oracle
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Events.withMs(t(s, dir, "events"))
+    val sessions = Events.sessionizeBatch(t(s, dir, "events"))
+      .select(col("user_id"), col("session_seq").cast("long"),
+        col("session_start_ms"), col("session_end_ms"))
+    Events.rangeJoin(
+        e.select(col("user_id"), col("event_id"), col("ts_ms")),
+        sessions, "user_id", "ts_ms", "session_start_ms", "session_end_ms",
+        bucketMs = 3600000L)
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+  }
+
   // as-of join: every event picks up the latest prior "profile update"
   // (every 10th event) of its user — DuckDB's native ASOF JOIN is the oracle
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -458,7 +472,8 @@ object SparkEntry {
     "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _),
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   // Shared SQL fragments for the DuckDB oracles.
   private val normDoc =
@@ -834,6 +849,18 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY bucket, event_type""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |c AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM s),
+        |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |         min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+        |         FROM c GROUP BY user_id, session_seq)
+        |SELECT e.user_id, e.event_id, sess.session_seq
+        |FROM e JOIN sess ON e.user_id = sess.user_id
+        | AND e.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),

@@ -101,6 +101,26 @@ object Events {
     filled.filter(col("__side") === 1).drop("__ts", "__side")
   }
 
+  /** Range join: attach to each point row the range row(s) of the same
+    * `key` containing its timestamp (start <= ts <= end). Spark plans a
+    * raw range predicate as broadcast-nested-loop — O(points·ranges)
+    * per key. Instead both sides bucketize to `bucketMs` cells (ranges
+    * explode to every cell they overlap), the join becomes an equi-join
+    * on (key, cell), and the exact BETWEEN filter runs only within
+    * cells. A point matches a multi-cell range exactly once — the point
+    * lives in one cell. Choose bucketMs near the typical range length:
+    * the explode factor is ~rangeLen/bucketMs. */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketMs: Long = 3600000L): DataFrame = {
+    val p = points.withColumn("__cell", floor(col(tsCol) / bucketMs))
+    val r = ranges.withColumn("__cell",
+      explode(sequence(floor(col(startCol) / bucketMs), floor(col(endCol) / bucketMs))))
+    p.join(r, Seq(key, "__cell"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__cell")
+  }
+
   /** Streaming tumbling window with watermark — same aggregation as
     * [[windowAggBatch]] expressed on an unbounded stream. */
   def windowAggStream(events: DataFrame, width: String = "5 minutes",

@@ -112,6 +112,19 @@ class StreamingSpec extends SparkSpec {
       (2L, 150L, "d", None)))       // no right rows for user 2
   }
 
+  test("rangeJoin: points match containing ranges exactly once") {
+    val points = Seq((1L, 100L, 5L), (1L, 250L, 6L), (2L, 100L, 7L))
+      .toDF("user_id", "ts", "pid")
+    val ranges = Seq((1L, 50L, 150L, "r1"), (1L, 200L, 300L, "r2"),
+      (2L, 500L, 600L, "r3")).toDF("user_id", "rs", "re", "rname")
+    val out = Events.rangeJoin(points, ranges, "user_id", "ts", "rs", "re",
+        bucketMs = 100L)
+      .select("pid", "rname").as[(Long, String)].collect().sortBy(_._1)
+    // r1 spans two cells but its contained point matches once; pid 7 is
+    // outside every range of its key
+    assert(out.toSeq == Seq((5L, "r1"), (6L, "r2")))
+  }
+
   test("dedupStream: duplicate fingerprints within the watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
