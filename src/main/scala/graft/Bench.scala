@@ -18,11 +18,17 @@ object Bench {
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: Map iteration order reshuffles whenever a query is
+    // added, silently changing which heavy query precedes which — that
+    // neighbor effect made identical queries swing 2.5s → 31s between
+    // rounds. Sorted names keep timings comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: operators may cache() internally; leaked cache
       // blocks from earlier queries would otherwise squeeze execution
-      // memory for later ones and skew their timings
+      // memory for later ones and skew their timings — clear, then let
+      // the JVM actually reclaim the evicted blocks before timing
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
@@ -31,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

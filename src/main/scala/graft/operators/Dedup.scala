@@ -128,9 +128,17 @@ object Dedup {
     * length filter (tau·|A| ≤ |B| ≤ |A|/tau, provable from j ≥ tau)
     * prunes further. The exact verify keeps the output identical to the
     * all-pairs definition over the same (capped) shingle sets, so the
-    * SQL oracle is unchanged. */
+    * SQL oracle is unchanged.
+    * `positionalFilter` adds the full-PPJoin positional prune (overlap
+    * upper bound from the first shared prefix shingle) — worth it on
+    * realistic vocabularies where prefixes are long and candidates
+    * plentiful; on tiny-vocabulary corpora (like the synthetic
+    * testdata: 13k distinct shingles, df≈cap everywhere) the per-row
+    * predicate costs more than the candidates it prunes, so it
+    * defaults off. Either setting yields the identical exact output. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None): DataFrame = {
+      w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None,
+      positionalFilter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -148,22 +156,25 @@ object Dedup {
       .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
       .select("id", "sh", "pos", "sz")
       .cache()
-    // PPJoin positional filter: jaccard >= tau needs overlap
-    // α = ceil(tau/(1+tau)·(|A|+|B|)), and the FIRST shared shingle e₀
-    // (provably inside both prefixes) bounds the overlap by
-    // 1 + min(|A|−pos_A(e₀), |B|−pos_B(e₀)) — every other shared
-    // shingle sorts after e₀ in both docs. Requiring the bound ≥ α per
-    // matched shingle keeps e₀'s row for every true pair while pruning
-    // deep-position-only collisions before they become candidates.
     // all bound comparisons carry the same −ε slack as the verify's
     // raw-double prune: keeping a boundary pair only costs one exact
-    // verification, dropping one silently breaks the all-pairs contract
+    // verification, dropping one silently breaks the all-pairs contract.
+    // PPJoin positional bound: jaccard >= tau needs overlap
+    // α = ceil(tau/(1+tau)·(|A|+|B|)), and the FIRST shared shingle e₀
+    // (provably inside both prefixes) caps the overlap at
+    // 1 + min(|A|−pos_A(e₀), |B|−pos_B(e₀)) — every other shared
+    // shingle sorts after e₀ in both docs, so keeping e₀'s row keeps
+    // every true pair.
     val alpha = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") * tau <= col("b.sz") + lit(1e-6) &&
-          col("b.sz") * tau <= col("a.sz") + lit(1e-6) &&
-          lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha)
+    val lengthCond =
+      col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        col("a.sz") * tau <= col("b.sz") + lit(1e-6) &&
+        col("b.sz") * tau <= col("a.sz") + lit(1e-6)
+    val cond = if (positionalFilter)
+      lengthCond &&
+        lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha
+    else lengthCond
+    val cand = prefix.as("a").join(prefix.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(cand, sh, "sh", tau)

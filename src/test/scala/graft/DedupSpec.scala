@@ -39,9 +39,13 @@ class DedupSpec extends SparkSpec {
     val big = (1 to 107).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
     val small = big.take(14) // 7 shingles at w=8, all shared with big
     val df = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
-    val out = Dedup.ngramJaccard(df, "doc_id", "text", w = 8, tau = 0.07)
-      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
-    assert(out.length == 1 && out(0)._3 == 0.07, s"boundary pair lost: ${out.toSeq}")
+    for (pos <- Seq(false, true)) {
+      val out = Dedup.ngramJaccard(df, "doc_id", "text", w = 8, tau = 0.07,
+          positionalFilter = pos)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      assert(out.length == 1 && out(0)._3 == 0.07,
+        s"boundary pair lost (positionalFilter=$pos): ${out.toSeq}")
+    }
   }
 
   test("minhashLsh: candidates verified — subset of exact jaccard result") {
