@@ -835,6 +835,35 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
 
+    // multi-table hyperplane LSH: same md5-derived plane constants as
+    // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag
+    // "plane-t{t}-{p}"), signatures bucket-joined per table, candidate
+    // scores collapsed with max before the final rank — mirrors
+    // Ann.lshTopK(tables=4, planes=6, dim=64, k=10) step for step
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
+        |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
+        |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' ||
+        |      CASE WHEN tt.t = 0 THEN 'plane-' ELSE 'plane-t' || CAST(tt.t AS VARCHAR) || '-' END
+        |      || CAST(pp.p AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS comp
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+        |       (SELECT unnest(generate_series(0, 5)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) jj)
+        | GROUP BY t, p),
+        |sig AS (SELECT vec_id, t,
+        |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM e, pl GROUP BY vec_id, t),
+        |cand AS (SELECT s.vec_id AS qid, c.vec_id AS id,
+        |  max(round(list_cosine_similarity(qe.v, ce.v), 4)) AS score
+        | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig
+        | JOIN e ce ON ce.vec_id = c.vec_id
+        | JOIN e qe ON qe.vec_id = s.vec_id
+        | WHERE s.vec_id < 5 GROUP BY 1, 2)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
+        |WHERE rank <= 10""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
