@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
+import graft.operators.{Ann, Chunker, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -317,6 +317,26 @@ object SparkEntry {
     Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.4, dim = 64, planes = 4)
 
+  // ---- training-data curation ---------------------------------------------
+
+  // Benchmark decontamination: docs 0-24 stand in for the held-out eval
+  // suite; every other doc sharing a 13-char shingle with them is flagged.
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.contamination(docs.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text", w = 13)
+  }
+
+  // Mixture re-weighting: deterministic per-language keep fractions.
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curate.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25, "es" -> 0.1), default = 0.0)
+      .select("doc_id", "lang")
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
+      budget = 1024, shards = 32)
+
   // ---- similarity search -------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -464,6 +484,9 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -834,6 +857,32 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // 13-char shingles over the same normalized text as the Spark side;
+    // hit counts are hash-free in SQL (distinct raw shingles) — they
+    // agree with the xxhash64 space unless 64-bit hashes collide
+    "q_decontaminate" ->
+      s"""WITH s AS (SELECT DISTINCT doc_id, substr(t, i, 13) AS sh
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM ($normDoc))),
+         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 25)
+         |SELECT s.doc_id AS id, count(*) AS hits
+         |FROM s JOIN b USING (sh) WHERE s.doc_id >= 25 GROUP BY 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END * 1000000.0""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH tk AS (SELECT doc_id AS id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+        |  ('0x' || substr(md5('29#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard
+        | FROM documents),
+        |c AS (SELECT id, shard, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+        | FROM tk)
+        |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
 
     // multi-table hyperplane LSH: same md5-derived plane constants as
     // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag

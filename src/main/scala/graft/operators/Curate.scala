@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Training-data curation operators: the corpus-level steps a pipeline
+  * runs between raw ingest and training-example emission — benchmark
+  * decontamination, deterministic mixture sampling, and sequence
+  * packing. The reference stops at loading embeddings into the vector
+  * store; these cover what the same corpus needs on its way into a
+  * training run, built on the dedup layer's shingle machinery.
+  *
+  * Shared determinism contract: every sampling / assignment decision
+  * derives from the md5 hex-slice hash space (HashFunctions), never an
+  * RNG, so results are reproducible across runs, partitionings, and
+  * engines (the DuckDB oracles mirror the same arithmetic).
+  */
+object Curate {
+
+  /** Benchmark contamination report: corpus docs sharing at least
+    * `minHits` distinct `w`-char shingles with ANY benchmark doc
+    * (the GPT-3/PaLM n-gram decontamination rule, on character
+    * shingles). Returns (id, hits) with hits = number of distinct
+    * shingle hashes the doc shares with the benchmark union.
+    *
+    * Scale shape: benchmark suites are tiny relative to a training
+    * corpus, so the benchmark's distinct-shingle set broadcasts; the
+    * corpus side is one narrow shingle explode + semi-join + groupBy —
+    * no corpus self-join, no shuffle of the text itself (shingles
+    * collapse to xxhash64 longs before moving). */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, w: Int = 13, minHits: Int = 1): DataFrame = {
+    val cs = Dedup.shingleSetHashed(corpus, idCol, textCol, w, None)
+    val bs = Dedup.shingleSetHashed(bench, idCol, textCol, w, None)
+      .select("sh").distinct()
+    cs.join(broadcast(bs), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** The clean side: corpus minus contaminated docs. Left as a plain
+    * anti-join (no broadcast hint) — AQE picks broadcast when the
+    * contaminated set is small, which it usually is. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, w: Int = 13, minHits: Int = 1): DataFrame =
+    corpus.join(
+      contamination(corpus, bench, idCol, textCol, w, minHits)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Deterministic stratified sampling for mixture weighting: keep a row
+    * iff hash(seed, id) mod 1e6 falls under its stratum's fraction.
+    * `fractions` maps stratum value → keep fraction in [0,1]; strata
+    * absent from the map get `default`. No RNG, no shuffle, no state:
+    * the decision is a pure per-row predicate, so the sample is stable
+    * under re-runs and repartitioning, and the filter pushes all the
+    * way into the scan. This is how a 100 TB corpus gets re-weighted
+    * into a training mixture (up/down-sample per language / source /
+    * quality band) in a single narrow pass. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      seed: Int = 13): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1) &&
+      default >= 0 && default <= 1, "fractions must be in [0,1]")
+    val frac = coalesce(
+      element_at(typedlit(fractions), col(stratumCol).cast("string")),
+      lit(default))
+    df.filter(
+      H.hash32(seed, col(idCol).cast("string")) % 1000000 < frac * 1000000.0)
+  }
+
+  /** Sequence packing (concat-and-chop): assign docs to fixed-token-
+    * budget training sequences. Docs are sharded deterministically by
+    * id hash, ordered by id within the shard, and laid end-to-end; a
+    * doc's sequence is the one its first token lands in
+    * (seq_id = floor(start_tok / budget)). Returns
+    * (id, shard, n_tok, start_tok, seq_id).
+    *
+    * Scale shape: the only wide operation is one running-sum window
+    * per shard — `shards` bounds the packing parallelism, so size it
+    * to the cluster (each shard's window is a single sort of its
+    * slice, never a global single-partition sort). Token counts are
+    * the whitespace tokenizer's (TextFunctions.tokenCount), codegen'd. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 32, seed: Int = 29): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"),
+        T.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        pmod(H.hash32(seed, col(idCol).cast("string")), lit(shards)).as("shard"))
+      .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+      .withColumn("seq_id", floor(col("start_tok") / budget))
+  }
+}

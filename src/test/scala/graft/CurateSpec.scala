@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curate
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: flags docs sharing a shingle with the benchmark, counts hits") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "this doc leaks the secret benchmark answer is forty two exactly verbatim"),
+      (2L, "an entirely unrelated document about gardening and weather patterns"),
+      (3L, "partial leak: benchmark answer is forty two appears here")
+    ).toDF("id", "text")
+    val out = Curate.contamination(corpus, bench, "id", "text", w = 13)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L) && out.contains(3L) && !out.contains(2L), s"got $out")
+    // doc 1 contains the full benchmark text, so it hits every one of its
+    // 13-char shingles; doc 3 only the suffix ones
+    assert(out(1L) > out(3L))
+  }
+
+  test("decontaminate: clean side = corpus minus contaminated") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "this doc leaks the secret benchmark answer is forty two exactly verbatim"),
+      (2L, "an entirely unrelated document about gardening and weather patterns")
+    ).toDF("id", "text")
+    val clean = Curate.decontaminate(corpus, bench, "id", "text", w = 13)
+      .select("id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("stratifiedSample: deterministic, respects per-stratum fractions, default drops") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "other"))
+      .toDF("id", "lang")
+    val kept = Curate.stratifiedSample(df, "id", "lang", Map("en" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en")) // default 0.0 drops "other"
+    // 1000 'en' rows at 0.5: binomial(1000, .5) stays within ±5 sigma
+    assert(math.abs(kept.length - 500) < 80, s"kept ${kept.length}")
+    val again = Curate.stratifiedSample(df, "id", "lang", Map("en" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq) // stable re-run
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert(Curate.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0, "other" -> 1.0)).count() == 2000)
+    assert(Curate.stratifiedSample(df, "id", "lang", Map.empty, default = 0.0)
+      .count() == 0)
+  }
+
+  test("packSequences: offsets are a per-shard running sum; seq = start/budget") {
+    val df = (0L until 50L).map(i => (i, Seq.fill(10)("tok").mkString(" ")))
+      .toDF("id", "text") // every doc = exactly 10 tokens
+    val out = Curate.packSequences(df, "id", "text", budget = 25, shards = 4)
+      .select("id", "shard", "n_tok", "start_tok", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 50 && out.forall(_._3 == 10))
+    // within each shard, ordered by id, offsets step by exactly n_tok
+    out.groupBy(_._2).values.foreach { g =>
+      val sorted = g.sortBy(_._1)
+      sorted.zipWithIndex.foreach { case ((_, _, _, start, seq), i) =>
+        assert(start == 10L * i, s"offset gap in $sorted")
+        assert(seq == start / 25, "seq_id must be floor(start/budget)")
+      }
+    }
+    // determinism: same shard assignment on re-run
+    val again = Curate.packSequences(df, "id", "text", budget = 25, shards = 4)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(out.forall(r => again(r._1) == r._2))
+  }
+}
