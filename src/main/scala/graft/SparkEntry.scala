@@ -317,6 +317,21 @@ object SparkEntry {
     Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.4, dim = 64, planes = 4)
 
+  // Duplicate clusters: verified minhash pairs -> connected components.
+  // The pair list is quadratic inside a duplicate cluster; the cluster
+  // map is linear — this is the form a 100 TB dedup actually keeps.
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
+      .select("id_a", "id_b"))
+
+  // The unverified star-edge variant (linear everywhere, banding-curve
+  // precision) — same components as clustering the full bucket graph.
+  private def qDedupClusterBand(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandClusters(t(s, dir, "documents"), "doc_id", "text",
+      w = 8, numHashes = 12, bands = 4, maxDf = Some(100))
+
   // ---- training-data curation ---------------------------------------------
 
   // Benchmark decontamination: docs 0-24 stand in for the held-out eval
@@ -484,6 +499,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
+    "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_cluster_band" -> (qDedupClusterBand _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -761,7 +778,7 @@ object SparkEntry {
       s"""WITH sh AS ($shingleHash8Capped),
          |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
          |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, CAST(seed / 3 AS INT) AS band,
+         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
          |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -857,6 +874,47 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // verified minhash pairs (same CTE chain as q_dedup_minhash) fed
+    // into reachability: cluster_id = min id reachable in the pair graph
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE sh AS ($shingleHash8Capped),
+         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
+         |          GROUP BY 1, 2),
+         |vp AS (SELECT c.id_a, c.id_b
+         |       FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |        JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         |       WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+         |reach AS (SELECT a AS id, a AS r FROM e
+         |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+         |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
+         |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin,
+
+    // star edges per band bucket (hub = bucket min) instead of verified
+    // pairs; components identical to the full bucket graph's
+    "q_dedup_cluster_band" ->
+      s"""WITH RECURSIVE sh AS ($shingleHash8Capped),
+         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
+         |hub AS (SELECT band, sig, min(doc_id) AS hub FROM sig GROUP BY band, sig),
+         |e0 AS (SELECT DISTINCT h.hub AS a, s.doc_id AS b
+         |       FROM sig s JOIN hub h ON s.band = h.band AND s.sig = h.sig WHERE h.hub <> s.doc_id),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |reach AS (SELECT a AS id, a AS r FROM e
+         |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+         |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
+         |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin,
 
     // 13-char shingles over the same normalized text as the Spark side;
     // hit counts are hash-free in SQL (distinct raw shingles) — they

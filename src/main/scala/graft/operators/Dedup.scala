@@ -337,4 +337,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Connected components over near-dup pairs: every doc maps to the
+    * minimum id reachable through the pair graph (its cluster id), plus
+    * the cluster size. This is THE scale answer to giant duplicate
+    * clusters: a boilerplate page copied n times is n² pairs but only n
+    * (id, cluster_id) rows — pipelines keep `id == cluster_id` and drop
+    * the rest.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels, converging in O(component
+    * diameter) rounds — near-dup components are dense (diameter ~2-3),
+    * so the loop is short. Each round is one shuffle join on the edge
+    * list; labels are localCheckpointed per round to truncate lineage
+    * (an iterative plan otherwise re-executes from the scan each
+    * round and grows the optimizer's input without bound). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"),
+      count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
+  }
+
+  /** Unverified band-bucket clustering — the linear-everywhere 100 TB
+    * dedup shape (the SlimPajama/RefinedWeb recipe): docs sharing any
+    * minhash band signature are declared duplicates WITHOUT the exact
+    * Jaccard verify, and each (band, sig) bucket contributes only star
+    * edges (bucket-min → member) instead of member² pairs. Connectivity
+    * is identical to the all-pairs bucket graph — every member connects
+    * through the hub — so the components match what [[minhashLsh]]-
+    * without-verify would produce, at O(bucket size) cost per bucket.
+    * Precision is the banding curve's, not exact; use [[minhashLsh]] +
+    * [[dupClusters]] when the verify pass is affordable. */
+  def bandClusters(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, numHashes: Int = 12, bands: Int = 4,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingleHashSet(df, idCol, textCol, w, maxDf)
+    val mh = minhashes(sh, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
+    }
+    val sig = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val hub = min(col("id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
+    val starEdges = sig.select(col("id").as("id_b"), hub.as("id_a"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    dupClusters(starEdges)
+  }
 }

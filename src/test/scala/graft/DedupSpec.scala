@@ -103,4 +103,24 @@ class DedupSpec extends SparkSpec {
     val kept = capped.select("sh").distinct().as[String].collect()
     assert(!kept.contains("common")) // appears in 3 docs > cap 2
   }
+
+  test("dupClusters: transitive closure to min-id labels with sizes") {
+    // components: {1,2,3,4} (chain), {7,9}, singleton 5 has no edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      7L -> (7L, 2L), 9L -> (7L, 2L)), s"got $out")
+  }
+
+  test("bandClusters: exact dups cluster together; unrelated docs do not") {
+    val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
+        numHashes = 12, bands = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // docs 1 and 2 are byte-identical -> identical signatures everywhere
+    assert(out.get(1L).contains(1L) && out.get(2L).contains(1L), s"got $out")
+    // 4 and 5 are unrelated to 1: if present at all, not in 1's cluster
+    assert(!out.get(4L).contains(1L) && !out.get(5L).contains(1L))
+  }
 }
