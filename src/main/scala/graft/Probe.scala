@@ -21,10 +21,11 @@ object Probe {
     names.foreach { name =>
       if (clear) spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
-      val df = fn(spark, sfDir)
-      if (explain) df.explain("formatted")
+      if (explain) fn(spark, sfDir).explain("formatted")
+      // build INSIDE the timing: iterative operators (dupClusters) run
+      // actions during construction, same contract as Bench
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = fn(spark, sfDir).count()
       println(f"PROBE $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()
