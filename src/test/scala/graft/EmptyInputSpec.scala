@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Chunker, Dedup, Ingest, MlEmbed, Stats}
+import graft.operators.{Ann, Chunker, Curate, Dedup, Ingest, MlEmbed, Stats}
 
 /** Empty inputs must yield empty outputs — never a crash. A 100 TB run
   * routinely produces empty partitions/filters (a source with no new
@@ -34,6 +34,19 @@ class EmptyInputSpec extends SparkSpec {
     val out = Ann.ivfTopK(tiny, someQs, k = 5, nlist = 16)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
     assert(out.length == 2 && out.find(_._3 == 1).get._2 == 1L)
+  }
+
+  test("curation and clustering over an empty corpus") {
+    val doc = Seq((1L, "some benchmark text here")).toDF("doc_id", "text")
+    assert(Curate.contamination(noDocs, doc, "doc_id", "text").count() == 0)
+    // empty benchmark: nothing can be contaminated, corpus passes whole
+    assert(Curate.decontaminate(doc, noDocs, "doc_id", "text").count() == 1)
+    assert(Curate.stratifiedSample(noDocs, "doc_id", "lang",
+      Map("en" -> 1.0)).count() == 0)
+    assert(Curate.packSequences(noDocs, "doc_id", "text", budget = 128).count() == 0)
+    assert(Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(Dedup.bandClusters(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("chunkers, pipeline, profile over an empty corpus") {
