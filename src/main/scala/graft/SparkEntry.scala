@@ -352,6 +352,15 @@ object SparkEntry {
     Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
       budget = 1024, shards = 32)
 
+  // Split on source (the group key) so near-dups within a source can't
+  // straddle train/test.
+  private def qHoldoutSplit(s: SparkSession, dir: String): DataFrame =
+    Curate.holdoutSplit(t(s, dir, "documents"), "source", testFrac = 0.2)
+      .select("doc_id", "source", "split")
+
+  private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
+
   // ---- similarity search -------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -504,6 +513,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_holdout_split" -> (qHoldoutSplit _),
+    "q_corpus_stats" -> (qCorpusStats _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -930,6 +941,28 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END * 1000000.0""".stripMargin,
+
+    "q_holdout_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x' || substr(md5('17#' || source), 1, 8))::BIGINT % 1000000 < 0.2 * 1000000.0
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
+    // normalized lowercase text (the dedup-side tokenizer) — mirrors
+    // Stats.corpusStatsExact exactly
+    "q_corpus_stats" ->
+      s"""WITH tk AS (SELECT lang, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS ntok FROM documents),
+         |v AS (SELECT d.lang, count(DISTINCT tok) AS vocab
+         |      FROM (SELECT doc_id, lang FROM documents) d
+         |      JOIN (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)) u
+         |        ON u.doc_id = d.doc_id
+         |      GROUP BY d.lang)
+         |SELECT tk.lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  round(avg(ntok), 4) AS mean_tokens, min(ntok) AS min_tokens, max(ntok) AS max_tokens,
+         |  CAST(coalesce(any_value(v.vocab), 0) AS BIGINT) AS vocab
+         |FROM tk LEFT JOIN v ON tk.lang = v.lang
+         |GROUP BY tk.lang""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tk AS (SELECT doc_id AS id,

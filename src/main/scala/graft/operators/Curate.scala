@@ -70,6 +70,21 @@ object Curate {
       H.hash32(seed, col(idCol).cast("string")) % 1000000 < frac * 1000000.0)
   }
 
+  /** Deterministic train/holdout split: rows hash below `testFrac` land
+    * in "test", the rest in "train" — total and disjoint by
+    * construction, stable under re-runs and repartitioning (same
+    * hash-predicate mechanics as [[stratifiedSample]], different seed
+    * so the two decisions are independent). Splitting on a GROUP key
+    * (e.g. domain or source id) instead of the row id prevents
+    * near-dup leakage across the split — pass that column as `idCol`. */
+  def holdoutSplit(df: DataFrame, idCol: String, testFrac: Double,
+      seed: Int = 17): DataFrame = {
+    require(testFrac >= 0 && testFrac <= 1, "testFrac must be in [0,1]")
+    df.withColumn("split",
+      when(H.hash32(seed, col(idCol).cast("string")) % 1000000
+        < testFrac * 1000000.0, lit("test")).otherwise(lit("train")))
+  }
+
   /** Sequence packing (concat-and-chop): assign docs to fixed-token-
     * budget training sequences. Docs are sharded deterministically by
     * id hash, ordered by id within the shard, and laid end-to-end; a

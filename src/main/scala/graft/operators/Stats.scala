@@ -21,6 +21,31 @@ import graft.functions.{TextFunctions => T}
   */
 object Stats {
 
+  /** Exact per-group corpus stats — the verify-scale companion to
+    * [[corpusProfile]]: doc/token counts, exact vocabulary size, token
+    * length extremes. Unlike the sketch profile, the exact distinct
+    * shuffles the token stream — run it at audit scale or on samples;
+    * at 100 TB the sketch is the right tool and this is its ground
+    * truth. Groups whose docs are all empty report vocab 0. */
+  def corpusStatsExact(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val perDoc = df.select(col(groupCol),
+      T.tokenCount(col(textCol)).cast("long").as("ntok"),
+      T.wsTokens(T.normText(col(textCol))).as("toks"))
+    val vocab = perDoc
+      .select(col(groupCol), explode_outer(col("toks")).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(count_distinct(col("tok")).as("vocab"))
+    perDoc.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        round(avg(col("ntok")), 4).as("mean_tokens"),
+        min(col("ntok")).as("min_tokens"),
+        max(col("ntok")).as("max_tokens"))
+      .join(vocab, Seq(groupCol), "left")
+      .na.fill(0, Seq("vocab"))
+  }
+
   /** Per-group corpus profile: doc count, approx distinct vocabulary,
     * token-count quantiles (p50/p95), mean doc length. */
   def corpusProfile(df: DataFrame, groupCol: String, textCol: String,

@@ -50,6 +50,21 @@ class CurateSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("holdoutSplit: total, disjoint, deterministic, group-consistent") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 50}")).toDF("id", "src")
+    val out = Curate.holdoutSplit(df, "src", testFrac = 0.2)
+      .select("id", "src", "split").as[(Long, String, String)].collect()
+    assert(out.length == 1000 && out.forall(r => r._3 == "train" || r._3 == "test"))
+    // same group key -> same side, always (no near-dup leakage)
+    out.groupBy(_._2).values.foreach(g => assert(g.map(_._3).distinct.length == 1))
+    // ~10 of 50 sources in test; binomial(50, .2) within ±5 sigma
+    val testSrcs = out.filter(_._3 == "test").map(_._2).distinct.length
+    assert(math.abs(testSrcs - 10) <= 15, s"$testSrcs test sources")
+    val again = Curate.holdoutSplit(df, "src", testFrac = 0.2)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall(r => again(r._1) == r._3))
+  }
+
   test("packSequences: offsets are a per-shard running sum; seq = start/budget") {
     val df = (0L until 50L).map(i => (i, Seq.fill(10)("tok").mkString(" ")))
       .toDF("id", "text") // every doc = exactly 10 tokens

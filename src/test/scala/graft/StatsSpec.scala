@@ -28,4 +28,20 @@ class StatsSpec extends SparkSpec {
     assert(a.getAs[Double]("p95_tokens") >= p50)
     assert(a.getAs[Double]("mean_tokens") > 0)
   }
+
+  test("corpusStatsExact: hand-checkable counts, exact vocab, empty-group vocab 0") {
+    val tiny = Seq(
+      (1L, "a", "alpha beta alpha"),
+      (2L, "a", "beta gamma"),
+      (3L, "b", "")).toDF("doc_id", "grp", "text")
+    val out = Stats.corpusStatsExact(tiny, "grp", "text").collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_tokens") == 5)
+    assert(a.getAs[Long]("vocab") == 3) // alpha beta gamma
+    assert(a.getAs[Long]("min_tokens") == 2 && a.getAs[Long]("max_tokens") == 3)
+    assert(a.getAs[Double]("mean_tokens") == 2.5)
+    val b = out("b")
+    assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Long]("vocab") == 0)
+  }
 }
