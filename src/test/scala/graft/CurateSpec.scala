@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.Curate
 
 class CurateSpec extends SparkSpec {
@@ -48,6 +50,28 @@ class CurateSpec extends SparkSpec {
       Map("en" -> 1.0, "other" -> 1.0)).count() == 2000)
     assert(Curate.stratifiedSample(df, "id", "lang", Map.empty, default = 0.0)
       .count() == 0)
+  }
+
+  test("stratifiedSample and holdoutSplit run unchanged on a stream (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("id", "lang")
+    val q = Curate.holdoutSplit(
+        Curate.stratifiedSample(sdf, "id", "lang", Map("en" -> 1.0)),
+        "id", testFrac = 0.5)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "en"), (2L, "other"), (3L, "en"))
+    q.processAllAvailable()
+    val got = spark.table("curate_stream")
+      .select("id", "lang", "split").as[(Long, String, String)].collect()
+    q.stop()
+    assert(got.map(_._1).toSet == Set(1L, 3L)) // "other" dropped mid-stream
+    // same hash decision as the batch form
+    val batch = Curate.holdoutSplit(
+        Seq((1L, "en"), (3L, "en")).toDF("id", "lang"), "id", testFrac = 0.5)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.forall(r => batch(r._1) == r._3))
   }
 
   test("holdoutSplit: total, disjoint, deterministic, group-consistent") {
