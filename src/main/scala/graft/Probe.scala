@@ -21,11 +21,15 @@ object Probe {
     names.foreach { name =>
       if (clear) spark.catalog.clearCache()
       val fn = SparkEntry.queries(name)
-      if (explain) fn(spark, sfDir).explain("formatted")
       // build INSIDE the timing: iterative operators (dupClusters) run
-      // actions during construction, same contract as Bench
+      // actions during construction, same contract as Bench. With
+      // -explain the query is built (and for iterative operators,
+      // executed) once for the plan dump — timings in that mode measure
+      // a second run and are only indicative.
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      if (explain) df.explain("formatted")
+      val n = df.count()
       println(f"PROBE $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()

@@ -546,6 +546,32 @@ object SparkEntry {
   private val shingleHash8Capped =
     s"""SELECT s.doc_id, s.h FROM ($shingleHash8) s
        |JOIN (SELECT h FROM ($shingleHash8) GROUP BY h HAVING count(*) <= 100) k ON s.h = k.h""".stripMargin
+  // MinHash signature chain shared by q_dedup_minhash and both cluster
+  // oracles — ONE definition, because the signature layout and the
+  // seed//3 band id are cross-engine contracts (a stale copy of this
+  // chain is exactly how the CAST-rounds band bug hid in r2).
+  private val minhashSigCtes =
+    s"""sh AS ($shingleHash8Capped),
+       |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+       |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+       |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band)""".stripMargin
+  // ... plus banded candidates and their exact-Jaccard ingredients.
+  private val minhashCandCtes =
+    s"""$minhashSigCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
+       |          GROUP BY 1, 2)""".stripMargin
+  // Connected components: min id reachable in the symmetric edge graph
+  // `e`, with cluster sizes — shared tail of both cluster oracles.
+  private val reachClusterSql =
+    """reach AS (SELECT a AS id, a AS r FROM e
+      |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+      |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
+      |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
   private val reformatSql =
     "'[标题]:' || substr(text, 1, 40) || chr(10) || '[时间]:2025-08-12' || chr(10) || '[来源]:' || source || chr(10) || chr(10) || text"
   private val cleanTitleSql =
@@ -786,17 +812,7 @@ object SparkEntry {
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS ($shingleHash8Capped),
-         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
-         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
-         |          GROUP BY 1, 2)
+      s"""WITH $minhashCandCtes
          |SELECT c.id_a, c.id_b, round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
          |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          | JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
@@ -889,43 +905,23 @@ object SparkEntry {
     // verified minhash pairs (same CTE chain as q_dedup_minhash) fed
     // into reachability: cluster_id = min id reachable in the pair graph
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE sh AS ($shingleHash8Capped),
-         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
-         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
-         |          GROUP BY 1, 2),
+      s"""WITH RECURSIVE $minhashCandCtes,
          |vp AS (SELECT c.id_a, c.id_b
          |       FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          |        JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
          |       WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
          |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
-         |reach AS (SELECT a AS id, a AS r FROM e
-         |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
-         |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
-         |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin,
+         |$reachClusterSql""".stripMargin,
 
     // star edges per band bucket (hub = bucket min) instead of verified
     // pairs; components identical to the full bucket graph's
     "q_dedup_cluster_band" ->
-      s"""WITH RECURSIVE sh AS ($shingleHash8Capped),
-         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
-         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band),
+      s"""WITH RECURSIVE $minhashSigCtes,
          |hub AS (SELECT band, sig, min(doc_id) AS hub FROM sig GROUP BY band, sig),
          |e0 AS (SELECT DISTINCT h.hub AS a, s.doc_id AS b
          |       FROM sig s JOIN hub h ON s.band = h.band AND s.sig = h.sig WHERE h.hub <> s.doc_id),
          |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-         |reach AS (SELECT a AS id, a AS r FROM e
-         |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
-         |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
-         |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin,
+         |$reachClusterSql""".stripMargin,
 
     // 13-char shingles over the same normalized text as the Spark side;
     // hit counts are hash-free in SQL (distinct raw shingles) — they

@@ -222,6 +222,20 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** (id, band, sig) rows: each band's signature is its r minhashes
+    * joined in seed order — the exact string the oracle's
+    * string_agg(... ORDER BY seed) produces. One definition shared by
+    * the verified pair path and the star-edge cluster path, because the
+    * signature layout is a cross-engine contract. */
+  private[operators] def bandSignatures(mh: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
+    }
+    mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
   /** MinHash + LSH banding: candidates share one full band signature
     * (b bands × r rows = numHashes); candidates are then verified with
     * exact Jaccard over the shingle-hash sets, so the output is exactly
@@ -234,18 +248,10 @@ object Dedup {
     val r = numHashes / bands
     val sh = shingleHashSet(df, idCol, textCol, w, maxDf).cache()
     val mh = minhashes(sh, numHashes)
-    // band signature = the band's r minhashes joined in seed order —
-    // same strings as the oracle's string_agg(... ORDER BY seed)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
-    }
     // cached: one row per (doc, band) — tiny — but derived from the wide
     // minhash groupBy over every shingle, which the self-join would
     // otherwise execute twice
-    val sig = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .cache()
+    val sig = bandSignatures(mh, bands, r).cache()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -352,27 +358,67 @@ object Dedup {
     * list; labels are localCheckpointed per round to truncate lineage
     * (an iterative plan otherwise re-executes from the scan each
     * round and grows the optimizer's input without bound). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sc = pairs.sparkSession.sparkContext
+    def persisted = sc.getPersistentRDDs.keySet.toSet
+    // superseded checkpoint rounds must be freed EXPLICITLY: the
+    // ContextCleaner only reclaims them after a driver GC, and
+    // catalog.clearCache() never sees RDD-level checkpoint blocks. The
+    // checkpointed RDD isn't reachable through the Dataset API, so each
+    // round's block ids are captured by diffing the persistent-RDD set
+    // around the (eager) localCheckpoint call.
+    def freeIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // symmetric closure PLUS self-loops: a node's own label then arrives
+    // through the same neighbor join as everyone else's, so the loop
+    // body is pure join+groupBy — no per-round union (whose constraint
+    // rewrite chokes when the plan is later self-joined)
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .union(pairs.select(col("id_a").as("a"), col("id_a").as("b")))
+      .union(pairs.select(col("id_b").as("a"), col("id_b").as("b")))
       .distinct().cache()
+    var pre = persisted
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
+    var labelIds = persisted -- pre
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges.join(labels, edges("b") === labels("id"))
+      pre = persisted
+      // checkpointed BEFORE the self-join below: computes the round's
+      // propagation once and gives the pointer jump a flat plan
+      val hop = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
+      val hopIds = persisted -- pre
+      // pointer jumping: follow each label to ITS label, halving the
+      // remaining distance to the component min every round — O(log
+      // diameter) rounds instead of O(diameter), so long chains (the
+      // worst case for plain propagation) converge too
+      pre = persisted
+      val next = hop.as("l")
+        .join(hop.select(col("id").as("lid"), col("lbl").as("lroot")),
+          col("l.lbl") === col("lid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("lroot"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val nextIds = persisted -- pre
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).isEmpty
+      freeIds(hopIds)
+      freeIds(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
     edges.unpersist()
+    // a silently truncated propagation would return a FRAGMENTED cluster
+    // map (several labels inside one real component) — fail instead
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
   }
@@ -394,12 +440,7 @@ object Dedup {
     val r = numHashes / bands
     val sh = shingleHashSet(df, idCol, textCol, w, maxDf)
     val mh = minhashes(sh, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * r until (b + 1) * r).map(s => col(s"mh$s")): _*).as("sig"))
-    }
-    val sig = mh.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val sig = bandSignatures(mh, bands, r)
     val hub = min(col("id")).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
     val starEdges = sig.select(col("id").as("id_b"), hub.as("id_a"))

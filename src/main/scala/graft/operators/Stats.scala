@@ -28,9 +28,13 @@ object Stats {
     * at 100 TB the sketch is the right tool and this is its ground
     * truth. Groups whose docs are all empty report vocab 0. */
   def corpusStatsExact(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // feeds both the vocab branch and the stats branch — cached so the
+    // scan + double tokenization run once (session clears per the
+    // Dedup caching contract)
     val perDoc = df.select(col(groupCol),
       T.tokenCount(col(textCol)).cast("long").as("ntok"),
       T.wsTokens(T.normText(col(textCol))).as("toks"))
+      .cache()
     val vocab = perDoc
       .select(col(groupCol), explode_outer(col("toks")).as("tok"))
       .groupBy(col(groupCol))

@@ -114,6 +114,16 @@ class DedupSpec extends SparkSpec {
       7L -> (7L, 2L), 9L -> (7L, 2L)), s"got $out")
   }
 
+  test("dupClusters: long chain converges via pointer jumping") {
+    // a 60-node path graph: plain min-propagation needs 59 rounds;
+    // pointer jumping must finish well within maxIter
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(chain)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 60 && out.forall(r => r._2 == 1L && r._3 == 60L),
+      s"fragmented: ${out.filter(_._2 != 1L).toSeq.take(5)}")
+  }
+
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
     val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
         numHashes = 12, bands = 4)
