@@ -923,15 +923,15 @@ object SparkEntry {
          |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
          |$reachClusterSql""".stripMargin,
 
-    // 13-char shingles over the same normalized text as the Spark side;
-    // hit counts are hash-free in SQL (distinct raw shingles) — they
-    // agree with the xxhash64 space unless 64-bit hashes collide
+    // 13-char shingles in the md5-slice 32-bit hash space on BOTH
+    // engines — hit counts agree bit-for-bit even under collisions
     "q_decontaminate" ->
-      s"""WITH s AS (SELECT DISTINCT doc_id, substr(t, i, 13) AS sh
-         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM ($normDoc))),
-         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id < 25)
+      s"""WITH s AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, substr(t, i, 13) AS sh
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM ($normDoc)))),
+         |b AS (SELECT DISTINCT h FROM s WHERE doc_id < 25)
          |SELECT s.doc_id AS id, count(*) AS hits
-         |FROM s JOIN b USING (sh) WHERE s.doc_id >= 25 GROUP BY 1""".stripMargin,
+         |FROM s JOIN b USING (h) WHERE s.doc_id >= 25 GROUP BY 1""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

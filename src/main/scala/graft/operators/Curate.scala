@@ -27,14 +27,16 @@ object Curate {
     * Scale shape: benchmark suites are tiny relative to a training
     * corpus, so the benchmark's distinct-shingle set broadcasts; the
     * corpus side is one narrow shingle explode + semi-join + groupBy —
-    * no corpus self-join, no shuffle of the text itself (shingles
-    * collapse to xxhash64 longs before moving). */
+    * no corpus self-join, no shuffle of the text itself. Shingles
+    * collapse to the md5-slice 32-bit hash space (the engine-portable
+    * space all dedup set math uses) before moving, so the DuckDB
+    * oracle agrees bit-for-bit even when hashes collide. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, w: Int = 13, minHits: Int = 1): DataFrame = {
-    val cs = Dedup.shingleSetHashed(corpus, idCol, textCol, w, None)
-    val bs = Dedup.shingleSetHashed(bench, idCol, textCol, w, None)
-      .select("sh").distinct()
-    cs.join(broadcast(bs), Seq("sh"), "left_semi")
+    val cs = Dedup.shingleHashSet(corpus, idCol, textCol, w, None)
+    val bs = Dedup.shingleHashSet(bench, idCol, textCol, w, None)
+      .select("h").distinct()
+    cs.join(broadcast(bs), Seq("h"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
   }
