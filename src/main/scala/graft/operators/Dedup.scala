@@ -370,16 +370,22 @@ object Dedup {
     // around the (eager) localCheckpoint call.
     def freeIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // the pair plan can be arbitrarily expensive (a whole minhash +
+    // verify pipeline) and the union below reads it four times —
+    // materialize it ONCE before fanning out
+    var pre = persisted
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val pIds = persisted -- pre
     // symmetric closure PLUS self-loops: a node's own label then arrives
     // through the same neighbor join as everyone else's, so the loop
     // body is pure join+groupBy — no per-round union (whose constraint
     // rewrite chokes when the plan is later self-joined)
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .union(pairs.select(col("id_a").as("a"), col("id_a").as("b")))
-      .union(pairs.select(col("id_b").as("a"), col("id_b").as("b")))
+    val edges = p.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(p.select(col("id_b").as("a"), col("id_a").as("b")))
+      .union(p.select(col("id_a").as("a"), col("id_a").as("b")))
+      .union(p.select(col("id_b").as("a"), col("id_b").as("b")))
       .distinct().cache()
-    var pre = persisted
+    pre = persisted
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var labelIds = persisted -- pre
@@ -415,6 +421,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    freeIds(pIds) // safe: the final labels are materialized, nothing re-reads p
     // a silently truncated propagation would return a FRAGMENTED cluster
     // map (several labels inside one real component) — fail instead
     if (!converged) throw new IllegalStateException(
