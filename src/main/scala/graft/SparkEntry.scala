@@ -361,6 +361,9 @@ object SparkEntry {
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
 
+  private def qTopTokens(s: SparkSession, dir: String): DataFrame =
+    Stats.topTokens(t(s, dir, "documents"), "lang", "text", k = 20)
+
   // ---- similarity search -------------------------------------------------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -515,6 +518,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
+    "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -959,6 +963,16 @@ object SparkEntry {
          |  CAST(coalesce(any_value(v.vocab), 0) AS BIGINT) AS vocab
          |FROM tk LEFT JOIN v ON tk.lang = v.lang
          |GROUP BY tk.lang""".stripMargin,
+
+    "q_top_tokens" ->
+      s"""WITH tf AS (SELECT d.lang, u.tok, count(*) AS tf
+         |  FROM documents d
+         |  JOIN (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)) u
+         |    ON u.doc_id = d.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT lang, tok, CAST(tf AS BIGINT) AS tf, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, tok ASC) AS BIGINT) AS rank FROM tf)
+         |WHERE rank <= 20""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tk AS (SELECT doc_id AS id,

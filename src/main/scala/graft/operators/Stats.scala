@@ -50,6 +50,23 @@ object Stats {
       .na.fill(0, Seq("vocab"))
   }
 
+  /** Top-k most frequent tokens per group — the heavy-hitters scan that
+    * surfaces boilerplate and stopwords before tuning dedup's hot-key
+    * caps. Exact counts: the token groupBy is bounded by vocabulary
+    * (not corpus size) with full map-side combine, and the rank prunes
+    * to k per partition before the final sort (WindowGroupLimit).
+    * Deterministic ties: (tf desc, token asc). */
+  def topTokens(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol),
+        explode(T.wsTokens(T.normText(col(textCol)))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(groupCol).orderBy(col("tf").desc, col("tok").asc)
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-group corpus profile: doc count, approx distinct vocabulary,
     * token-count quantiles (p50/p95), mean doc length. */
   def corpusProfile(df: DataFrame, groupCol: String, textCol: String,

@@ -44,4 +44,17 @@ class StatsSpec extends SparkSpec {
     val b = out("b")
     assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Long]("vocab") == 0)
   }
+
+  test("topTokens: exact counts, rank caps at k, ties break token-asc") {
+    val tiny = Seq(
+      (1L, "a", "x x x y y z"),
+      (2L, "a", "y w"),
+      (3L, "b", "q q")).toDF("doc_id", "grp", "text")
+    val out = Stats.topTokens(tiny, "grp", "text", k = 2)
+      .select("grp", "tok", "tf", "rank")
+      .as[(String, String, Long, Long)].collect().toSet
+    // grp a: x=3, y=3 -> tie broken by token order (x before y); w,z cut by k
+    assert(out == Set(("a", "x", 3L, 1L), ("a", "y", 3L, 2L), ("b", "q", 2L, 1L)),
+      s"got $out")
+  }
 }
