@@ -533,6 +533,11 @@ object SparkEntry {
   // Shared SQL fragments for the DuckDB oracles.
   private val normDoc =
     "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents"
+  // (doc_id, tok) exploded whitespace tokens over normalized text — the
+  // cross-engine tokenizer contract (mirrors TextFunctions.wsTokens over
+  // normText); ONE definition for every oracle that tokenizes.
+  private val tokDoc =
+    s"SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)"
   private val shingle8 =
     s"""SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
        |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc))""".stripMargin
@@ -727,7 +732,7 @@ object SparkEntry {
     "q_sparse_embed" ->
       s"""SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
          | CAST(count(*) AS DOUBLE) AS weight
-         |FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |FROM ($tokDoc)
          |GROUP BY doc_id, term""".stripMargin,
 
     "q_id_lookup" ->
@@ -824,7 +829,7 @@ object SparkEntry {
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |  FROM ($tokDoc)
          |  GROUP BY doc_id, tok),
          |h AS (SELECT doc_id, ('0x' || substr(md5('7#' || tok), 1, 15))::BIGINT AS h, tf FROM tok),
          |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS sgn
@@ -876,7 +881,7 @@ object SparkEntry {
          |dtop AS (SELECT * FROM dr WHERE rank_d <= 10),
          |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
          |         CAST(count(*) AS DOUBLE) AS w
-         |         FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc))
+         |         FROM ($tokDoc)
          |         GROUP BY doc_id, term),
          |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
          |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
@@ -955,7 +960,7 @@ object SparkEntry {
       s"""WITH tk AS (SELECT lang, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS ntok FROM documents),
          |v AS (SELECT d.lang, count(DISTINCT tok) AS vocab
          |      FROM (SELECT doc_id, lang FROM documents) d
-         |      JOIN (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)) u
+         |      JOIN ($tokDoc) u
          |        ON u.doc_id = d.doc_id
          |      GROUP BY d.lang)
          |SELECT tk.lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
@@ -967,7 +972,7 @@ object SparkEntry {
     "q_top_tokens" ->
       s"""WITH tf AS (SELECT d.lang, u.tok, count(*) AS tf
          |  FROM documents d
-         |  JOIN (SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)) u
+         |  JOIN ($tokDoc) u
          |    ON u.doc_id = d.doc_id
          |  GROUP BY 1, 2)
          |SELECT lang, tok, CAST(tf AS BIGINT) AS tf, rank FROM (

@@ -372,10 +372,11 @@ object Dedup {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // the pair plan can be arbitrarily expensive (a whole minhash +
     // verify pipeline) and the union below reads it four times —
-    // materialize it ONCE before fanning out
-    var pre = persisted
+    // materialize it ONCE before fanning out. Its checkpoint blocks are
+    // NOT freed here: the materialization also registers any caches the
+    // caller's pair plan creates internally, and the persistent-RDD
+    // diff cannot tell those (caller-owned) blocks from p's own.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val pIds = persisted -- pre
     // symmetric closure PLUS self-loops: a node's own label then arrives
     // through the same neighbor join as everyone else's, so the loop
     // body is pure join+groupBy — no per-round union (whose constraint
@@ -385,47 +386,58 @@ object Dedup {
       .union(p.select(col("id_a").as("a"), col("id_a").as("b")))
       .union(p.select(col("id_b").as("a"), col("id_b").as("b")))
       .distinct().cache()
-    pre = persisted
+    // materialize the cache NOW, so the labels diff below cannot pick up
+    // the edges cache RDD (freeing it with round 1's labels would kill
+    // the cache for every later round)
+    edges.count()
+    var pre = persisted
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var labelIds = persisted -- pre
     var converged = false
+    var succeeded = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      pre = persisted
-      // checkpointed BEFORE the self-join below: computes the round's
-      // propagation once and gives the pointer jump a flat plan
-      val hop = edges.join(labels, edges("b") === labels("id"))
-        .select(col("a").as("id"), col("lbl"))
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val hopIds = persisted -- pre
-      // pointer jumping: follow each label to ITS label, halving the
-      // remaining distance to the component min every round — O(log
-      // diameter) rounds instead of O(diameter), so long chains (the
-      // worst case for plain propagation) converge too
-      pre = persisted
-      val next = hop.as("l")
-        .join(hop.select(col("id").as("lid"), col("lbl").as("lroot")),
-          col("l.lbl") === col("lid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("lroot"), col("l.lbl"))).as("lbl"))
-        .localCheckpoint()
-      val nextIds = persisted -- pre
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      freeIds(hopIds)
-      freeIds(labelIds)
-      labels = next
-      labelIds = nextIds
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        pre = persisted
+        // checkpointed BEFORE the self-join below: computes the round's
+        // propagation once and gives the pointer jump a flat plan
+        val hop = edges.join(labels, edges("b") === labels("id"))
+          .select(col("a").as("id"), col("lbl"))
+          .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val hopIds = persisted -- pre
+        // pointer jumping: follow each label to ITS label, halving the
+        // remaining distance to the component min every round — O(log
+        // diameter) rounds instead of O(diameter), so long chains (the
+        // worst case for plain propagation) converge too
+        pre = persisted
+        val next = hop.as("l")
+          .join(hop.select(col("id").as("lid"), col("lbl").as("lroot")),
+            col("l.lbl") === col("lid"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.lbl"), coalesce(col("lroot"), col("l.lbl"))).as("lbl"))
+          .localCheckpoint()
+        val nextIds = persisted -- pre
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        freeIds(hopIds)
+        freeIds(labelIds)
+        labels = next
+        labelIds = nextIds
+        iter += 1
+      }
+      // a silently truncated propagation would return a FRAGMENTED
+      // cluster map (several labels inside one real component) — fail
+      if (!converged) throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds")
+      succeeded = true
+    } finally {
+      edges.unpersist()
+      // on failure the result is never consumed — the final round's
+      // blocks are dead too. On success they back the returned plan.
+      if (!succeeded) freeIds(labelIds)
     }
-    edges.unpersist()
-    freeIds(pIds) // safe: the final labels are materialized, nothing re-reads p
-    // a silently truncated propagation would return a FRAGMENTED cluster
-    // map (several labels inside one real component) — fail instead
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxIter rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"),
       count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
   }
