@@ -139,17 +139,12 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF ANN with a TRAINED codebook: seeded MLlib KMeans (cosine
-    * distance) learns `nlist` coarse centroids; `KMeansModel.transform`
-    * assigns every corpus vector to its cell in one narrow broadcast
-    * pass (no per-id window sort); queries probe the `nprobe` nearest
-    * cells. Bucketing persists as a partitioning, so repeated queries
-    * only scan ~nprobe/nlist of the corpus. Mirrors Milvus's IVF index
-    * + nprobe search param (vector_database/milvus_connector.py:176-188). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine",
-      seed: Long = 42L, trainCap: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Train the IVF structure: (cells, centroids) — the corpus with its
+    * cell assignment, and the nlist-row codebook. None when the corpus
+    * is no bigger than the cell count (IVF gains nothing; KMeans can't
+    * fit) — callers fall back to the exact scan. */
+  private def ivfFit(corpus: DataFrame, nlist: Int, seed: Long,
+      trainCap: Long): Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors (failed/padded embeds — a reality at corpus
@@ -166,10 +161,7 @@ object Ann {
     // points). Deterministic hash-sample down to ~trainCap vectors; the
     // full corpus still gets assigned via the model transform.
     val n = spreadCorpus.count()
-    // a corpus no bigger than the cell count gains nothing from IVF (and
-    // KMeans can't fit on it) — scan it exactly; also covers empty input
-    if (n <= nlist) return bruteForceTopK(
-      spreadCorpus.select("id", "v"), queries, k, metric)
+    if (n <= nlist) { spreadCorpus.unpersist(); return None }
     val train = if (n <= trainCap) spreadCorpus
       else spreadCorpus.filter(
         pmod(xxhash64(col("id")), lit(1000000L)) < lit(trainCap * 1000000L / n))
@@ -186,6 +178,14 @@ object Ann {
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
         .toDF("cell", "cv")
     }
+    Some((cells, centroids))
+  }
+
+  /** Probe the nprobe nearest centroids per query, then rank only the
+    * probed cells' vectors. */
+  private def probeAndRank(cells: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, metric: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qprobe = queries.as("q").join(broadcast(centroids))
       .select(col("q.qid"), col("q.qv"), col("cell"), V.cosine(col("q.qv"), col("cv")).as("cs"))
     val wProbe = Window.partitionBy("qid").orderBy(col("cs").desc, col("cell").asc)
@@ -198,5 +198,51 @@ object Ann {
           col("p.qv_nrm"), col("c.v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF ANN with a TRAINED codebook: seeded MLlib KMeans (cosine
+    * distance) learns `nlist` coarse centroids; `KMeansModel.transform`
+    * assigns every corpus vector to its cell in one narrow broadcast
+    * pass (no per-id window sort); queries probe the `nprobe` nearest
+    * cells. Bucketing persists as a partitioning, so repeated queries
+    * only scan ~nprobe/nlist of the corpus. Mirrors Milvus's IVF index
+    * + nprobe search param (vector_database/milvus_connector.py:176-188). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine",
+      seed: Long = 42L, trainCap: Long = 100000L): DataFrame =
+    ivfFit(corpus, nlist, seed, trainCap) match {
+      // corpus no bigger than the cell count — scan it exactly (also
+      // covers empty input)
+      case None =>
+        bruteForceTopK(corpus.withColumn("v", col("v").cast("array<double>"))
+          .filter(V.norm2(col("v")) > 0).select("id", "v"), queries, k, metric)
+      case Some((cells, centroids)) =>
+        probeAndRank(cells, centroids, queries, k, nprobe, metric)
+    }
+
+  /** Persist a trained IVF index — the Milvus create_index + load
+    * lifecycle (vector_database/milvus_connector.py:118-160): build
+    * once, search many times without re-training or re-assigning.
+    * Layout: `dir/cells` holds (id, v) parquet PARTITIONED BY cell, so
+    * a search's cell filter prunes to the probed ~nprobe/nlist of the
+    * files at the scan (no full-corpus read); `dir/centroids` holds the
+    * nlist-row codebook. */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+      seed: Long = 42L, trainCap: Long = 100000L): Unit = {
+    val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus must exceed nlist=$nlist vectors to index"))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
+    * build's parameters; only the probed cells' partitions are read. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      metric: String = "cosine"): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    probeAndRank(cells, centroids, queries, k, nprobe, metric)
   }
 }

@@ -92,6 +92,22 @@ class AnnSpec extends SparkSpec {
     assert(out.nonEmpty && !out.contains(999L))
   }
 
+  test("buildIvfIndex + searchIvfIndex: persisted search matches direct ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 8)
+    val persisted = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.ivfTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(persisted == direct, "index round-trip changed results")
+    // layout: one subdirectory per cell, so a probe's filter prunes files
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
