@@ -113,20 +113,19 @@ object Ann {
     * signature in ANY table, so recall compounds as 1−(1−pᵖ)ᵗ while
     * each table's bucket stays selective — the FAISS/Milvus LSH index
     * shape). Table 0 uses the same planes as the single-table form. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 8, metric: String = "cosine", tables: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(tables >= 1, s"tables must be >= 1, got $tables")
+  /** The multi-table signature array shared by build and search. */
+  private def lshSigs(v: Column, dim: Int, planes: Int, tables: Int): Column = {
     def tag(t: Int) = if (t == 0) "plane" else s"plane-t$t"
-    def sigs(v: Column) = array((0 until tables).map { t =>
-      V.hyperplaneSig(v, dim, planes, tag(t))
-    }: _*)
-    val cb = Dedup.spread(withNorm(corpus, "v"))
-      .select(col("id"), col("v"), col("v_nrm"),
-        posexplode(sigs(col("v"))).as(Seq("tbl", "sig")))
+    array((0 until tables).map(t => V.hyperplaneSig(v, dim, planes, tag(t))): _*)
+  }
+
+  /** Bucket-join query signatures against corpus signatures and rank. */
+  private def lshRank(cb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int, tables: Int, metric: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qb = withNorm(queries, "qv")
       .select(col("qid"), col("qv"), col("qv_nrm"),
-        posexplode(sigs(col("qv"))).as(Seq("tbl", "sig")))
+        posexplode(lshSigs(col("qv"), dim, planes, tables)).as(Seq("tbl", "sig")))
     val scored = cb.as("c").join(broadcast(qb.as("q")),
         col("c.tbl") === col("q.tbl") && col("c.sig") === col("q.sig"))
       .select(col("q.qid"), col("c.id"),
@@ -137,6 +136,48 @@ object Ann {
       .groupBy("qid", "id").agg(max(col("score")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, metric: String = "cosine", tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val cb = Dedup.spread(withNorm(corpus, "v"))
+      .select(col("id"), col("v"), col("v_nrm"),
+        posexplode(lshSigs(col("v"), dim, planes, tables)).as(Seq("tbl", "sig")))
+    lshRank(cb, queries, k, dim, planes, tables, metric)
+  }
+
+  /** Persist the LSH buckets — build once, search many (the same index
+    * lifecycle as [[buildIvfIndex]]). `dir/buckets` holds
+    * (id, v, v_nrm) parquet PARTITIONED BY (tbl, sig): a search touches
+    * only its queries' bucket partitions via dynamic partition pruning.
+    * Partition count is tables · 2^planes worst case — keep planes
+    * ≤ ~12 per table so the directory fan-out stays in the thousands.
+    * `dir/meta` records (dim, planes, tables), so search is
+    * self-describing. */
+  def buildLshIndex(corpus: DataFrame, dir: String, dim: Int,
+      planes: Int = 8, tables: Int = 1): Unit = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val s = corpus.sparkSession
+    import s.implicits._
+    Dedup.spread(withNorm(corpus, "v"))
+      .select(col("id"), col("v"), col("v_nrm"),
+        posexplode(lshSigs(col("v"), dim, planes, tables)).as(Seq("tbl", "sig")))
+      .write.mode("overwrite").partitionBy("tbl", "sig")
+      .parquet(s"$dir/buckets")
+    Seq((dim, planes, tables)).toDF("dim", "planes", "tables")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Search a persisted LSH index; same results as [[lshTopK]] with the
+    * build's parameters (read from the index's own metadata). */
+  def searchLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, metric: String = "cosine"): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, planes, tables) =
+      (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
+    val cb = spark.read.parquet(s"$dir/buckets")
+    lshRank(cb, queries, k, dim, planes, tables, metric)
   }
 
   /** Train the IVF structure: (cells, centroids) — the corpus with its

@@ -92,6 +92,22 @@ class AnnSpec extends SparkSpec {
     assert(out.nonEmpty && !out.contains(999L))
   }
 
+  test("buildLshIndex + searchLshIndex: persisted search matches direct lshTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh").toString + "/idx"
+    Ann.buildLshIndex(corpus, dir, dim = dim, planes = 4, tables = 2)
+    val persisted = Ann.searchLshIndex(spark, dir, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.lshTopK(corpus, qs, k = 10, dim = dim, planes = 4, tables = 2)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(persisted == direct && persisted.nonEmpty, "index round-trip changed results")
+    // layout: tbl=<t>/sig=<s> partition directories
+    val tbls = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.getName.startsWith("tbl=")).map(_.getName).sorted
+    assert(tbls.toSeq == Seq("tbl=0", "tbl=1"), s"got ${tbls.toSeq}")
+  }
+
   test("buildIvfIndex + searchIvfIndex: persisted search matches direct ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
     Ann.buildIvfIndex(corpus, dir, nlist = 8)
