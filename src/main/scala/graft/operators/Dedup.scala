@@ -442,6 +442,57 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
   }
 
+  /** Persist a minhash dedup index: band signatures + shingle-hash sets
+    * for an ingested corpus, so the NEXT batch dedups against history
+    * without recomputing it — the production daily-ingest shape (new
+    * docs vs stored index, no corpus self-join). `dir/sigs` holds
+    * (id, band, sig), `dir/shingles` holds (id, h) for the exact
+    * verify, `dir/meta` records (w, numHashes, bands, maxDf) so
+    * [[dedupAgainstIndex]] is self-describing. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 8, numHashes: Int = 12, bands: Int = 4,
+      maxDf: Option[Int] = None): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val s = df.sparkSession
+    import s.implicits._
+    val sh = shingleHashSet(df, idCol, textCol, w, maxDf).cache()
+    bandSignatures(minhashes(sh, numHashes), bands, numHashes / bands)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    sh.unpersist()
+    Seq((w, numHashes, bands, maxDf.getOrElse(-1)))
+      .toDF("w", "num_hashes", "bands", "max_df")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Near-dup pairs between a NEW batch and a persisted index: exactly
+    * [[minhashLsh]]'s candidates-then-verify, but the join is new-batch
+    * signatures against STORED signatures — per daily batch the work is
+    * O(batch), never O(corpus). Returns (id_new, id_old, jaccard) with
+    * jaccard computed over the same (capped) shingle-hash sets the
+    * index stored. The batch side is NOT deduped against itself — run
+    * [[minhashLsh]] on it separately if needed. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDf: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.5): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (w, numHashes, bands) =
+      (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
+    val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
+    val newSig = bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
+    val oldSig = spark.read.parquet(s"$dir/sigs")
+    val cand = newSig.as("n").join(oldSig.as("o"),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(col("n.id").as("id_a"), col("o.id").as("id_b"))
+      .distinct()
+    // verify against the union of both shingle stores: id_a resolves in
+    // the new batch, id_b in the index (ids must not collide across them)
+    val oldSh = spark.read.parquet(s"$dir/shingles")
+    verifyJaccard(cand, newSh.union(oldSh), "h", tau)
+      .withColumnRenamed("id_a", "id_new").withColumnRenamed("id_b", "id_old")
+  }
+
   /** Unverified band-bucket clustering — the linear-everywhere 100 TB
     * dedup shape (the SlimPajama/RefinedWeb recipe): docs sharing any
     * minhash band signature are declared duplicates WITHOUT the exact

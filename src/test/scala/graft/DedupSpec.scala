@@ -124,6 +124,24 @@ class DedupSpec extends SparkSpec {
       s"fragmented: ${out.filter(_._2 != 1L).toSeq.take(5)}")
   }
 
+  test("buildMinhashIndex + dedupAgainstIndex: batch-vs-history equals full-run cross pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+    val batch = Seq(
+      (10L, base.replace("quick", "rapid")),                 // near-dup of 1/2
+      (11L, "fresh unrelated prose about deep sea biology " * 4)
+    ).toDF("doc_id", "text")
+    val incr = Dedup.dedupAgainstIndex(spark, dir, batch, "doc_id", "text", tau = 0.5)
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._2, r._1, r._3)).toSet // (old, new, j) for comparison
+    val full = Dedup.minhashLsh(docs.union(batch), "doc_id", "text", tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 <= 5 && p._2 >= 10).toSet // cross pairs only
+    assert(incr == full && incr.nonEmpty, s"incr $incr vs full $full")
+    assert(!incr.exists(_._2 == 11L)) // unrelated doc untouched
+  }
+
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
     val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
         numHashes = 12, bands = 4)
