@@ -105,19 +105,19 @@ object Ann {
         outputFields.map(col): _*)
   }
 
-  /** LSH-bucketed ANN: corpus and queries hashed to hyperplane-sign
-    * buckets; each query scans only its bucket. Recall traded via
-    * `planes` (fewer planes → bigger buckets → higher recall) and
-    * `tables` (OR-construction over independent plane sets — the
-    * standard multi-table LSH: a candidate matches if it shares a
-    * signature in ANY table, so recall compounds as 1−(1−pᵖ)ᵗ while
-    * each table's bucket stays selective — the FAISS/Milvus LSH index
-    * shape). Table 0 uses the same planes as the single-table form. */
   /** The multi-table signature array shared by build and search. */
   private def lshSigs(v: Column, dim: Int, planes: Int, tables: Int): Column = {
     def tag(t: Int) = if (t == 0) "plane" else s"plane-t$t"
     array((0 until tables).map(t => V.hyperplaneSig(v, dim, planes, tag(t))): _*)
   }
+
+  /** (id, v, v_nrm, tbl, sig) corpus buckets — the one definition the
+    * in-memory search and the persisted index both build from. */
+  private def lshBuckets(corpus: DataFrame, dim: Int, planes: Int,
+      tables: Int): DataFrame =
+    Dedup.spread(withNorm(corpus, "v"))
+      .select(col("id"), col("v"), col("v_nrm"),
+        posexplode(lshSigs(col("v"), dim, planes, tables)).as(Seq("tbl", "sig")))
 
   /** Bucket-join query signatures against corpus signatures and rank. */
   private def lshRank(cb: DataFrame, queries: DataFrame, k: Int, dim: Int,
@@ -138,19 +138,26 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** LSH-bucketed ANN: corpus and queries hashed to hyperplane-sign
+    * buckets; each query scans only its bucket. Recall traded via
+    * `planes` (fewer planes → bigger buckets → higher recall) and
+    * `tables` (OR-construction over independent plane sets — the
+    * standard multi-table LSH: a candidate matches if it shares a
+    * signature in ANY table, so recall compounds as 1−(1−pᵖ)ᵗ while
+    * each table's bucket stays selective — the FAISS/Milvus LSH index
+    * shape). Table 0 uses the same planes as the single-table form. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 8, metric: String = "cosine", tables: Int = 1): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val cb = Dedup.spread(withNorm(corpus, "v"))
-      .select(col("id"), col("v"), col("v_nrm"),
-        posexplode(lshSigs(col("v"), dim, planes, tables)).as(Seq("tbl", "sig")))
-    lshRank(cb, queries, k, dim, planes, tables, metric)
+    lshRank(lshBuckets(corpus, dim, planes, tables),
+      queries, k, dim, planes, tables, metric)
   }
 
   /** Persist the LSH buckets — build once, search many (the same index
     * lifecycle as [[buildIvfIndex]]). `dir/buckets` holds
     * (id, v, v_nrm) parquet PARTITIONED BY (tbl, sig): a search touches
-    * only its queries' bucket partitions via dynamic partition pruning.
+    * only its queries' bucket partitions (literal filters → static
+    * partition pruning at the file index).
     * Partition count is tables · 2^planes worst case — keep planes
     * ≤ ~12 per table so the directory fan-out stays in the thousands.
     * `dir/meta` records (dim, planes, tables), so search is
@@ -160,9 +167,7 @@ object Ann {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val s = corpus.sparkSession
     import s.implicits._
-    Dedup.spread(withNorm(corpus, "v"))
-      .select(col("id"), col("v"), col("v_nrm"),
-        posexplode(lshSigs(col("v"), dim, planes, tables)).as(Seq("tbl", "sig")))
+    lshBuckets(corpus, dim, planes, tables)
       .write.mode("overwrite").partitionBy("tbl", "sig")
       .parquet(s"$dir/buckets")
     Seq((dim, planes, tables)).toDF("dim", "planes", "tables")
@@ -170,22 +175,37 @@ object Ann {
   }
 
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
-    * build's parameters (read from the index's own metadata). */
+    * build's parameters (read from the index's own metadata). The
+    * queries' (tbl, sig) pairs are collected driver-side (queries are
+    * small by premise — tables·|queries| values) and applied as literal
+    * partition filters, so the scan statically prunes to the queried
+    * buckets. A plain bucket JOIN would not prune: Spark's dynamic
+    * partition pruning requires a selective filter on the build side,
+    * which a bare query set doesn't have. */
   def searchLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, metric: String = "cosine"): DataFrame = {
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, planes, tables) =
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
-    val cb = spark.read.parquet(s"$dir/buckets")
+    val wanted = queries
+      .select(posexplode(lshSigs(col("qv").cast("array<double>"), dim, planes, tables))
+        .as(Seq("tbl", "sig")))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bySig = wanted.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val cond = bySig.map { case (t, sigs) =>
+      col("tbl") === t && col("sig").isin(sigs: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cb = spark.read.parquet(s"$dir/buckets").filter(cond)
     lshRank(cb, queries, k, dim, planes, tables, metric)
   }
 
-  /** Train the IVF structure: (cells, centroids) — the corpus with its
-    * cell assignment, and the nlist-row codebook. None when the corpus
-    * is no bigger than the cell count (IVF gains nothing; KMeans can't
-    * fit) — callers fall back to the exact scan. */
+  /** Train the IVF structure: Right((cells, centroids)) — the corpus
+    * with its cell assignment, and the nlist-row codebook. Left(the
+    * cast + zero-norm-filtered corpus) when it is no bigger than the
+    * cell count (IVF gains nothing; KMeans can't fit) — callers scan
+    * that exactly instead of re-deriving the filter. */
   private def ivfFit(corpus: DataFrame, nlist: Int, seed: Long,
-      trainCap: Long): Option[(DataFrame, DataFrame)] = {
+      trainCap: Long): Either[DataFrame, (DataFrame, DataFrame)] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors (failed/padded embeds — a reality at corpus
@@ -202,7 +222,7 @@ object Ann {
     // points). Deterministic hash-sample down to ~trainCap vectors; the
     // full corpus still gets assigned via the model transform.
     val n = spreadCorpus.count()
-    if (n <= nlist) { spreadCorpus.unpersist(); return None }
+    if (n <= nlist) return Left(spreadCorpus.select("id", "v"))
     val train = if (n <= trainCap) spreadCorpus
       else spreadCorpus.filter(
         pmod(xxhash64(col("id")), lit(1000000L)) < lit(trainCap * 1000000L / n))
@@ -219,7 +239,7 @@ object Ann {
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
         .toDF("cell", "cv")
     }
-    Some((cells, centroids))
+    Right((cells, centroids))
   }
 
   /** Probe the nprobe nearest centroids per query, then rank only the
@@ -254,10 +274,8 @@ object Ann {
     ivfFit(corpus, nlist, seed, trainCap) match {
       // corpus no bigger than the cell count — scan it exactly (also
       // covers empty input)
-      case None =>
-        bruteForceTopK(corpus.withColumn("v", col("v").cast("array<double>"))
-          .filter(V.norm2(col("v")) > 0).select("id", "v"), queries, k, metric)
-      case Some((cells, centroids)) =>
+      case Left(filtered) => bruteForceTopK(filtered, queries, k, metric)
+      case Right((cells, centroids)) =>
         probeAndRank(cells, centroids, queries, k, nprobe, metric)
     }
 

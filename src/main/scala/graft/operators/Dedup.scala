@@ -465,13 +465,23 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Near-dup pairs between a NEW batch and a persisted index: exactly
-    * [[minhashLsh]]'s candidates-then-verify, but the join is new-batch
-    * signatures against STORED signatures — per daily batch the work is
-    * O(batch), never O(corpus). Returns (id_new, id_old, jaccard) with
-    * jaccard computed over the same (capped) shingle-hash sets the
-    * index stored. The batch side is NOT deduped against itself — run
-    * [[minhashLsh]] on it separately if needed. */
+  /** Near-dup pairs between a NEW batch and a persisted index:
+    * [[minhashLsh]]'s candidates-then-verify with the join flipped to
+    * new-batch signatures against STORED signatures. The batch side
+    * BROADCASTS (it is small by the feature's premise), so the stored
+    * signature table is scanned in place — never shuffled: per daily
+    * batch the work is O(batch + corpus scan), with no O(corpus)
+    * shuffle. Returns (id_new, id_old, jaccard).
+    *
+    * Semantics vs a from-scratch [[minhashLsh]] over old ∪ new: exact
+    * when the index was built with maxDf = None. With a cap, each
+    * side's sets were capped against its OWN document frequencies (the
+    * index's at build time, the batch's within the batch), so shingles
+    * near the cap can differ from what a union-wide cap would drop —
+    * the price of not revisiting history. The batch is NOT deduped
+    * against itself — run [[minhashLsh]] on it separately. Batch ids
+    * must be disjoint from stored ids (checked — a replayed id would
+    * silently double-count its shingles in the verify). */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDf: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.5): DataFrame = {
@@ -480,15 +490,20 @@ object Dedup {
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
+    val oldSh = spark.read.parquet(s"$dir/shingles")
+    val replayed = newSh.select("id").distinct()
+      .join(oldSh.select("id").distinct(), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would corrupt the Jaccard verify")
     val newSig = bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
     val oldSig = spark.read.parquet(s"$dir/sigs")
-    val cand = newSig.as("n").join(oldSig.as("o"),
+    val cand = oldSig.as("o").join(broadcast(newSig.as("n")),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(col("n.id").as("id_a"), col("o.id").as("id_b"))
       .distinct()
     // verify against the union of both shingle stores: id_a resolves in
-    // the new batch, id_b in the index (ids must not collide across them)
-    val oldSh = spark.read.parquet(s"$dir/shingles")
+    // the new batch, id_b in the index
     verifyJaccard(cand, newSh.union(oldSh), "h", tau)
       .withColumnRenamed("id_a", "id_new").withColumnRenamed("id_b", "id_old")
   }

@@ -140,6 +140,12 @@ class DedupSpec extends SparkSpec {
       .filter(p => p._1 <= 5 && p._2 >= 10).toSet // cross pairs only
     assert(incr == full && incr.nonEmpty, s"incr $incr vs full $full")
     assert(!incr.exists(_._2 == 11L)) // unrelated doc untouched
+    // replaying an id already in the index must fail fast, not corrupt
+    val replay = Seq((1L, "any text at all here")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(spark, dir, replay, "doc_id", "text").count()
+    }
+    assert(err.getMessage.contains("already exists"))
   }
 
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
