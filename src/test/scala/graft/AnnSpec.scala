@@ -106,6 +106,9 @@ class AnnSpec extends SparkSpec {
     val tbls = new java.io.File(s"$dir/buckets").listFiles()
       .filter(_.getName.startsWith("tbl=")).map(_.getName).sorted
     assert(tbls.toSeq == Seq("tbl=0", "tbl=1"), s"got ${tbls.toSeq}")
+    // empty query set -> empty result, not a failure
+    val noQs = Seq.empty[(Long, Seq[Double])].toDF("qid", "qv")
+    assert(Ann.searchLshIndex(spark, dir, noQs, k = 5).count() == 0)
   }
 
   test("buildIvfIndex + searchIvfIndex: persisted search matches direct ivfTopK") {
