@@ -127,6 +127,30 @@ class AnnSpec extends SparkSpec {
     assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
   }
 
+  test("quantizeSq8/dotSq8: small relative error, bounded codes, zero-vector safe") {
+    import graft.functions.{VectorFunctions => V}
+    val rows = corpus.limit(40)
+      .select(col("id"), col("v"), V.quantizeSq8(col("v")).as("qz"))
+    val pairs = rows.as("a").join(rows.as("b"), col("a.id") < col("b.id"))
+      .select(
+        V.dot(col("a.v"), col("b.v")).as("exact"),
+        V.dotSq8(col("a.qz"), col("b.qz")).as("approx"),
+        V.norm2(col("a.v")).as("na"), V.norm2(col("b.v")).as("nb"))
+      .as[(Double, Double, Double, Double)].collect()
+    pairs.foreach { case (exact, approx, na, nb) =>
+      // per-component error <= scale/2 = max|x|/254 -> dot error bound
+      assert(math.abs(exact - approx) <= na * nb * 0.02 + 1e-9,
+        s"exact $exact vs sq8 $approx")
+    }
+    val codes = rows.select(col("qz.q")).as[Seq[Byte]].collect()
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)))
+    val zero = Seq((1L, Seq.fill(8)(0.0))).toDF("id", "v")
+      .select(V.quantizeSq8(col("v")).as("qz"))
+    val z = zero.select(col("qz.scale")).as[Double].head()
+    assert(z == 0.0)
+    assert(zero.select(V.dotSq8(col("qz"), col("qz"))).as[Double].head() == 0.0)
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
