@@ -390,6 +390,11 @@ object SparkEntry {
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
+    Ann.sq8TopK(corpus(s, dir).select(col("id"), col("v")),
+        queriesSet(s, dir), k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
   // Hybrid dense+sparse search: dense vectors from the embeddings table,
   // sparse postings from the documents' hashed-token terms (the two
   // embedding columns of the reference's Hybrid collection), fused RRF
@@ -523,6 +528,7 @@ object SparkEntry {
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),
@@ -989,6 +995,23 @@ object SparkEntry {
         | FROM tk)
         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
         | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
+
+    // SQ8 on both engines: scale = max|x|/127, codes = round-half-up of
+    // x/scale (integers — exact in double), score = scale product times
+    // the integer dot
+    "q_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |z AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale FROM e),
+        |qz AS (SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS DOUBLE)) END AS q FROM z),
+        |qs AS (SELECT vec_id AS qid, scale AS qscale, q AS qq FROM qz WHERE vec_id < 5),
+        |s AS (SELECT qs.qid, c.vec_id AS id,
+        |      round(qs.qscale * c.scale * list_inner_product(qs.qq, c.q), 4) AS score
+        |      FROM qs, qz c)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
 
     // multi-table hyperplane LSH: same md5-derived plane constants as
     // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag

@@ -153,6 +153,25 @@ object Ann {
       queries, k, dim, planes, tables, metric)
   }
 
+  /** SQ8-compressed top-k by dequantized inner product: both sides
+    * quantized (VectorFunctions.quantizeSq8), scored as
+    * scale_q·scale_c·Σ qᵢ·cᵢ — the memory-bound scan shape at 100 TB,
+    * where vectors dominate bytes and SQ8 cuts the scan 4-8×. Exact
+    * over the QUANTIZED values (deterministic round-half-up on both
+    * engines), so the oracle reproduces it bit-for-bit. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Dedup.spread(corpus).select(col("id"),
+      V.quantizeSq8(col("v").cast("array<double>")).as("cz"))
+    val q = queries.select(col("qid"),
+      V.quantizeSq8(col("qv").cast("array<double>")).as("qz"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("id"),
+        round(V.dotSq8(col("qz"), col("cz")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Persist the LSH buckets — build once, search many (the same index
     * lifecycle as [[buildIvfIndex]]). `dir/buckets` holds
     * (id, v, v_nrm) parquet PARTITIONED BY (tbl, sig): a search touches
