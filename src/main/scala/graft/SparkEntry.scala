@@ -391,8 +391,7 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
-    Ann.sq8TopK(corpus(s, dir).select(col("id"), col("v")),
-        queriesSet(s, dir), k = 10)
+    Ann.sq8TopK(corpus(s, dir), queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
   // Hybrid dense+sparse search: dense vectors from the embeddings table,
@@ -1001,7 +1000,7 @@ object SparkEntry {
     // the integer dot
     "q_ann_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |z AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale FROM e),
+        |z AS (SELECT vec_id, v, coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) / 127.0 AS scale FROM e),
         |qz AS (SELECT vec_id, scale,
         |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
         |       ELSE list_transform(v, x -> CAST(round(x / scale) AS DOUBLE)) END AS q FROM z),

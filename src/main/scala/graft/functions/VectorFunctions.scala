@@ -64,27 +64,34 @@ object VectorFunctions {
     * float32 (8× vs the double arrays Spark works in) — at 100 TB the
     * corpus' vectors are usually the dominant bytes, and SQ8 is the
     * standard first compression step (the Milvus/faiss SQ8 index
-    * type). Pure Catalyst: transform + aggregate, codegen'd. Zero
-    * vectors quantize to scale 0 with all-zero codes. */
+    * type). Pure Catalyst higher-order functions, no UDF. The scale is
+    * zipped alongside the elements via array_repeat so the max-abs
+    * aggregate evaluates ONCE per row — referencing it inside the
+    * transform lambda would re-run the O(dim) scan per element
+    * (Catalyst does no loop-invariant motion inside HOF lambdas).
+    * Zero vectors quantize to scale 0 with all-zero codes. */
   def quantizeSq8(v: Column): Column = {
-    val mx = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+    val dv = v.cast("array<double>")
+    val mx = aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x)))
     val scale = mx / lit(127.0)
     struct(
       scale.as("scale"),
-      when(scale === 0, transform(v, _ => lit(0).cast("byte")))
-        .otherwise(transform(v, x => round(d(x) / scale).cast("byte")))
+      zip_with(dv, array_repeat(scale, size(dv)),
+        (x, s) => when(s === 0, lit(0.0)).otherwise(round(x / s)).cast("byte"))
         .as("q"))
   }
 
   /** Dequantized dot product of two [[quantizeSq8]] structs:
     * scale_a · scale_b · Σ qaᵢ·qbᵢ. The integer dot runs over bytes —
     * the arithmetic a SIMD-friendly engine would vectorize — and the
-    * error vs the exact dot is bounded by the two quantization steps. */
+    * error vs the exact dot is bounded by the two quantization steps.
+    * The accumulator is long: per-element products fit int, but the
+    * sum crosses 2³¹ past ~133k dimensions. */
   def dotSq8(a: Column, b: Column): Column = {
     val prods = zip_with(a.getField("q"), b.getField("q"),
       (x, y) => x.cast("int") * y.cast("int"))
     a.getField("scale") * b.getField("scale") *
-      aggregate(prods, lit(0), (acc, x) => acc + x).cast("double")
+      aggregate(prods, lit(0L), (acc, x) => acc + x).cast("double")
   }
 
   /** Random-hyperplane LSH signature: `planes` sign bits of dot products
