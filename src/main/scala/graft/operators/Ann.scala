@@ -211,10 +211,20 @@ object Ann {
         .as(Seq("tbl", "sig")))
       .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
     val bySig = wanted.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // `sig` is a PARTITION column on read, and Spark's partition-type
+    // inference narrows it to INT when every directory value fits — an
+    // isin against Long literals would then compare through a cast on
+    // the attribute and defeat the static pruning this method exists
+    // for. Type the literals to the inferred type, prune, THEN cast
+    // back to the long the bucket join expects.
+    val raw = spark.read.parquet(s"$dir/buckets")
+    val sigIsInt =
+      raw.schema("sig").dataType == org.apache.spark.sql.types.IntegerType
     val cond = bySig.map { case (t, sigs) =>
-      col("tbl") === t && col("sig").isin(sigs: _*)
+      val typed: Seq[Any] = if (sigIsInt) sigs.map(_.toInt) else sigs
+      col("tbl") === t && col("sig").isin(typed: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val cb = spark.read.parquet(s"$dir/buckets").filter(cond)
+    val cb = raw.filter(cond).withColumn("sig", col("sig").cast("long"))
     lshRank(cb, queries, k, dim, planes, tables, metric)
   }
 
@@ -242,9 +252,13 @@ object Ann {
     // full corpus still gets assigned via the model transform.
     val n = spreadCorpus.count()
     if (n <= nlist) return Left(spreadCorpus.select("id", "v"))
+    // threshold in floating point: the integer form trainCap*1e6/n
+    // truncates to 0 once n > trainCap·1e6 (exactly the 100 TB regime),
+    // which would filter the training set to empty and abort KMeans
     val train = if (n <= trainCap) spreadCorpus
       else spreadCorpus.filter(
-        pmod(xxhash64(col("id")), lit(1000000L)) < lit(trainCap * 1000000L / n))
+        pmod(xxhash64(col("id")), lit(1000000L)) <
+          lit(math.max(1L, (trainCap.toDouble * 1000000.0 / n).toLong)))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setDistanceMeasure("cosine").setMaxIter(10)
       .setFeaturesCol("__f").setPredictionCol("cell")

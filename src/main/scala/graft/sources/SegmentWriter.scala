@@ -75,7 +75,7 @@ object SegmentWriter {
         SegmentInfo(f.getPath.toString, rows, f.getLen)
       }.toSeq
     val json = infos.map(i =>
-      s"""{"path":"${i.path}","rows":${i.rows},"bytes":${i.bytes}}""").mkString("\n")
+      s"""{"path":"${escJson(i.path)}","rows":${i.rows},"bytes":${i.bytes}}""").mkString("\n")
     val out = fs.create(new Path(p, "_MANIFEST.json"), true)
     try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
     infos
@@ -91,9 +91,37 @@ object SegmentWriter {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val Line = """\{"path":"(.*)","rows":(\d+),"bytes":(\d+)\}""".r
-    txt.linesIterator.collect {
-      case Line(path, rows, bytes) => SegmentInfo(path, rows.toLong, bytes.toLong)
+    val Line = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)\}""".r
+    txt.linesIterator.filter(_.nonEmpty).map {
+      case Line(path, rows, bytes) =>
+        SegmentInfo(unescJson(path), rows.toLong, bytes.toLong)
+      case bad =>
+        // a manifest the consumer can't trust is worse than no manifest —
+        // fail loudly instead of silently dropping the line
+        throw new IllegalStateException(s"corrupt manifest line in $p: $bad")
     }.toSeq.sortBy(_.path)
+  }
+
+  /** Minimal JSON string escape for the manifest's path field (quotes,
+    * backslashes, control chars) — paths are filesystem strings and may
+    * legally contain any of them. */
+  private def escJson(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case c if c < ' '  => "\\u%04x".format(c.toInt)
+    case c             => c.toString
+  }
+
+  private def unescJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' =>
+          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case c => sb += c; i += 2
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
   }
 }

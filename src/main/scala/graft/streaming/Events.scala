@@ -82,12 +82,21 @@ object Events {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val rSchema = right.schema
+    // value columns travel wrapped in a single-field struct: a right
+    // row whose value is legitimately NULL still carries a NON-null
+    // struct, so last(ignoreNulls) picks the latest matched right row
+    // (true as-of semantics) instead of skipping to an older one
+    def wrapType(c: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", rSchema(c).dataType)))
     val lSide = valueCols.foldLeft(
         left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(rSchema(c).dataType))
+      (df, c) => df.withColumn(c, lit(null).cast(wrapType(c)))
     }
-    val rBase = right.select(Seq(col(key), col(rightTs).as("__ts"),
-      lit(0).as("__side")) ++ valueCols.map(col): _*)
+    val rBase = valueCols.foldLeft(
+        right.select(Seq(col(key), col(rightTs).as("__ts"),
+          lit(0).as("__side")) ++ valueCols.map(col): _*)) {
+      (df, c) => df.withColumn(c, struct(col(c).as("v")))
+    }
     val rSide = left.columns.filterNot(_ == key).foldLeft(rBase) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
@@ -98,7 +107,9 @@ object Events {
         lSide.unionByName(rSide.select(lSide.columns.map(col): _*))) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    valueCols.foldLeft(filled.filter(col("__side") === 1)) {
+      (df, c) => df.withColumn(c, col(c).getField("v"))
+    }.drop("__ts", "__side")
   }
 
   /** Range join: attach to each point row the range row(s) of the same

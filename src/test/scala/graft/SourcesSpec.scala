@@ -47,6 +47,18 @@ class SourcesSpec extends SparkSpec {
     assert(SegmentWriter.readManifest(spark, dir) == manifest.sortBy(_.path))
   }
 
+  test("SegmentWriter: manifest round-trips paths with quotes and backslashes") {
+    // a directory name with `"` and `\` is legal on the filesystem and
+    // must survive the JSON manifest round-trip un-corrupted
+    val base = Files.createTempDirectory("segq").toString
+    val dir = base + """/we"ird\dir"""
+    val df = (1 to 20).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+    val manifest = SegmentWriter.write(df, dir, maxRecordsPerFile = 10, avgRowBytes = 64)
+    assert(manifest.nonEmpty)
+    assert(manifest.forall(_.path.contains("""we"ird\dir""")))
+    assert(SegmentWriter.readManifest(spark, dir) == manifest.sortBy(_.path))
+  }
+
   test("Ingest.pipeline: sparse map survives token-bucket collisions") {
     // find two distinct tokens whose 2^18 buckets collide — the same
     // md5-derived hash H.hash32(11, tok) % 2^18 the pipeline uses; a

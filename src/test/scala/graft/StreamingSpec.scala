@@ -112,6 +112,18 @@ class StreamingSpec extends SparkSpec {
       (2L, 150L, "d", None)))       // no right rows for user 2
   }
 
+  test("asofJoin: a matched right row with a NULL value wins over older rows") {
+    val left = Seq((1L, 200L, "a"), (1L, 300L, "b")).toDF("user_id", "ts", "tag")
+    // latest right row at ts=250 carries a legitimately NULL v — true
+    // as-of returns that NULL, not the older 10.0
+    val right = Seq((1L, 100L, Some(10.0)), (1L, 250L, None))
+      .toDF("user_id", "rts", "v")
+    val out = Events.asofJoin(left, right, "user_id", "ts", "rts", Seq("v"))
+      .select("user_id", "ts", "v")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 200L, Some(10.0)), (1L, 300L, None)))
+  }
+
   test("rangeJoin: points match containing ranges exactly once") {
     val points = Seq((1L, 100L, 5L), (1L, 250L, 6L), (2L, 100L, 7L))
       .toDF("user_id", "ts", "pid")
