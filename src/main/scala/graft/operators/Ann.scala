@@ -233,44 +233,111 @@ object Ann {
     * cast + zero-norm-filtered corpus) when it is no bigger than the
     * cell count (IVF gains nothing; KMeans can't fit) — callers scan
     * that exactly instead of re-deriving the filter. */
+  /** `trainCap <= 0` means auto: 256·nlist training vectors — the faiss
+    * guideline (30-256 points per centroid). Estimating 16 centroids
+    * from 4k points costs milliseconds where a full-corpus fit costs a
+    * clustering job; the codebook quality is statistically identical. */
+  private def effectiveCap(trainCap: Long, nlist: Int): Long =
+    if (trainCap > 0) trainCap else 256L * nlist
+
+  /** Seeded spherical k-means (Lloyd's, cosine distance) over an
+    * in-memory sample — the codebook trainer. The sample is bounded by
+    * design (≤ effectiveCap vectors, faiss's 256/centroid guideline),
+    * so training driver-side costs milliseconds and ZERO Spark jobs,
+    * where an MLlib fit pays a scheduler round per init pass and per
+    * iteration. Deterministic: k-means++ seeding from a seeded RNG over
+    * an id-ordered sample; ties and empty clusters resolve to the
+    * incumbent centroid. Returns unit-normalized centroids. */
+  private[operators] def sphericalKMeans(sample: Array[Array[Double]],
+      nlist: Int, seed: Long, maxIter: Int = 20): Array[Array[Double]] = {
+    val dim = sample.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(unit)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      1.0 - s // cosine distance of unit vectors
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
+    while (centers.length < nlist) {
+      val w = pts.map(p => centers.map(c => d2(p, c)).min)
+      val total = w.sum
+      centers += (if (total <= 0) pts(rnd.nextInt(pts.length)) else {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0; var i = 0
+        while (i < pts.length - 1 && acc + w(i) < r) { acc += w(i); i += 1 }
+        pts(i)
+      })
+    }
+    var cs = centers.toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val assign = pts.map(p => cs.indices.minBy(i => (d2(p, cs(i)), i)))
+      val next = cs.indices.toArray.map { i =>
+        val mine = pts.indices.filter(assign(_) == i)
+        if (mine.isEmpty) cs(i)
+        else unit(mine.foldLeft(new Array[Double](dim)) { (acc, j) =>
+          var k = 0; while (k < dim) { acc(k) += pts(j)(k); k += 1 }; acc
+        })
+      }
+      moved = cs.zip(next).exists { case (a, b) => d2(a, b) > 1e-9 }
+      cs = next
+      iter += 1
+    }
+    cs
+  }
+
+  /** Codegen'd argmax-of-cosine cell assignment against centroid
+    * LITERALS: nlist dot products per row, one narrow pass, no model
+    * broadcast, no MLlib on the scoring path. Centroids are unit
+    * vectors, so argmax cos(v, cᵢ) = argmax dot(v, ĉᵢ) — |v| is
+    * constant across i. Struct max breaks score ties on the LARGER
+    * cell id (documented; both the build and the search assign through
+    * this same expression, so the index is self-consistent). */
+  private def cellOf(v: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.dot(v, typedlit(c.toSeq)).as("cs"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+
   private def ivfFit(corpus: DataFrame, nlist: Int, seed: Long,
       trainCap: Long): Either[DataFrame, (DataFrame, DataFrame)] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // zero-norm vectors (failed/padded embeds — a reality at corpus
-    // scale) are undefined under cosine and would abort MLlib's
-    // CosineDistanceMeasure; they can't rank anyway, so drop them here
+    // scale) are undefined under cosine and can't rank anyway — drop
     val spreadCorpus = Dedup.spread(corpus)
       .withColumn("v", col("v").cast("array<double>"))
       .filter(V.norm2(col("v")) > 0)
-      .withColumn("__f", array_to_vector(col("v")))
-      .cache()
     // At corpus scale the codebook is NEVER fit on every vector — that's
     // an O(iterations · corpus) clustering job for centroids a sample
     // estimates just as well (faiss trains IVF on ~(30-256)·nlist
-    // points). Deterministic hash-sample down to ~trainCap vectors; the
-    // full corpus still gets assigned via the model transform.
-    val n = spreadCorpus.count()
-    if (n <= nlist) return Left(spreadCorpus.select("id", "v"))
-    // threshold in floating point: the integer form trainCap*1e6/n
-    // truncates to 0 once n > trainCap·1e6 (exactly the 100 TB regime),
-    // which would filter the training set to empty and abort KMeans
-    val train = if (n <= trainCap) spreadCorpus
-      else spreadCorpus.filter(
-        pmod(xxhash64(col("id")), lit(1000000L)) <
-          lit(math.max(1L, (trainCap.toDouble * 1000000.0 / n).toLong)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setDistanceMeasure("cosine").setMaxIter(10)
-      .setFeaturesCol("__f").setPredictionCol("cell")
-      .fit(train)
-    val cells = model.transform(spreadCorpus).select("id", "v", "cell")
+    // points). Deterministic hash-ordered top-cap sample: a per-partition
+    // heap + single driver merge (TakeOrderedAndProject), one scan, no
+    // shuffle, no separate count() pass — then train locally.
+    val cap = effectiveCap(trainCap, nlist)
+    require(cap <= 10000000L, s"trainCap $cap would collect too much to the driver")
+    val sample = spreadCorpus
+      .select(col("id"), col("v"))
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(cap.toInt)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // sample size = min(n, cap) and cap > nlist, so a sample this small
+    // means the corpus itself is no bigger than the cell count — scan it
+    // exactly (also covers empty input; IVF gains nothing, k-means can't fit)
+    if (sample.length <= nlist) return Left(spreadCorpus.select("id", "v"))
+    val cb = sphericalKMeans(sample, nlist, seed)
+    val cells = spreadCorpus
+      .select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
     // centroid table is nlist rows — driver-side, broadcast to probe
     val centroids = {
       val s = corpus.sparkSession
       import s.implicits._
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-        .toDF("cell", "cv")
+      cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
     }
     Right((cells, centroids))
   }
@@ -303,7 +370,7 @@ object Ann {
     * + nprobe search param (vector_database/milvus_connector.py:176-188). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, metric: String = "cosine",
-      seed: Long = 42L, trainCap: Long = 100000L): DataFrame =
+      seed: Long = 42L, trainCap: Long = -1L): DataFrame =
     ivfFit(corpus, nlist, seed, trainCap) match {
       // corpus no bigger than the cell count — scan it exactly (also
       // covers empty input)
@@ -320,7 +387,7 @@ object Ann {
     * files at the scan (no full-corpus read); `dir/centroids` holds the
     * nlist-row codebook. */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
-      seed: Long = 42L, trainCap: Long = 100000L): Unit = {
+      seed: Long = 42L, trainCap: Long = -1L): Unit = {
     val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
