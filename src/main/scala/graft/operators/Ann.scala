@@ -231,14 +231,21 @@ object Ann {
   /** Train the IVF structure: Right((cells, centroids)) — the corpus
     * with its cell assignment, and the nlist-row codebook. Left(the
     * cast + zero-norm-filtered corpus) when it is no bigger than the
-    * cell count (IVF gains nothing; KMeans can't fit) — callers scan
-    * that exactly instead of re-deriving the filter. */
+    * cell count (IVF gains nothing; k-means can't seed nlist distinct
+    * centers) — callers scan that exactly instead of re-deriving the
+    * filter. */
   /** `trainCap <= 0` means auto: 256·nlist training vectors — the faiss
     * guideline (30-256 points per centroid). Estimating 16 centroids
     * from 4k points costs milliseconds where a full-corpus fit costs a
     * clustering job; the codebook quality is statistically identical. */
   private def effectiveCap(trainCap: Long, nlist: Int): Long =
     if (trainCap > 0) trainCap else 256L * nlist
+
+  /** Driver-memory budget for the IVF training sample: 2 GiB of raw
+    * doubles (cap·dim·8). The auto cap (256·nlist) stays far under this
+    * at any real dimension; an explicit oversized trainCap fails fast
+    * instead of OOMing the driver mid-collect. */
+  private[graft] val TrainSampleByteBudget: Long = 2L << 30
 
   /** Seeded spherical k-means (Lloyd's, cosine distance) over an
     * in-memory sample — the codebook trainer. The sample is bounded by
@@ -319,7 +326,16 @@ object Ann {
     // heap + single driver merge (TakeOrderedAndProject), one scan, no
     // shuffle, no separate count() pass — then train locally.
     val cap = effectiveCap(trainCap, nlist)
-    require(cap <= 10000000L, s"trainCap $cap would collect too much to the driver")
+    // Guard the driver in BYTES, not rows: a 10M-row cap that is harmless
+    // at 16-d is ~80 GiB at 1024-d. Probing one row for the dimension is a
+    // limit(1) scan — milliseconds against the collect it protects.
+    val firstRow = spreadCorpus.select(col("id"), col("v")).take(1)
+    if (firstRow.isEmpty) return Left(spreadCorpus.select("id", "v"))
+    val dim = firstRow.head.getSeq[Double](1).length
+    val sampleBytes = cap * dim.toLong * 8L
+    require(sampleBytes <= TrainSampleByteBudget,
+      s"trainCap $cap at dim $dim would collect $sampleBytes bytes to the " +
+        s"driver (budget $TrainSampleByteBudget) — lower trainCap")
     val sample = spreadCorpus
       .select(col("id"), col("v"))
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
@@ -342,16 +358,25 @@ object Ann {
     Right((cells, centroids))
   }
 
+  /** (qid, qv, cell): each query paired with its `nprobe` nearest
+    * centroids — the one definition the in-memory search and the
+    * persisted-index search both probe through. */
+  private def probeCells(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qprobe = queries.as("q").join(broadcast(centroids))
+      .select(col("q.qid"), col("q.qv"), col("cell"), V.cosine(col("q.qv"), col("cv")).as("cs"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cs").desc, col("cell").asc)
+    qprobe.withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe).select("qid", "qv", "cell")
+  }
+
   /** Probe the nprobe nearest centroids per query, then rank only the
     * probed cells' vectors. */
   private def probeAndRank(cells: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, metric: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qprobe = queries.as("q").join(broadcast(centroids))
-      .select(col("q.qid"), col("q.qv"), col("cell"), V.cosine(col("q.qv"), col("cv")).as("cs"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("cs").desc, col("cell").asc)
-    val probes = qprobe.withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nprobe).select("qid", "qv", "cell")
+    val probes = probeCells(centroids, queries, nprobe)
     val scored = withNorm(cells, "v").as("c")
       .join(broadcast(withNorm(probes, "qv").as("p")), "cell")
       .select(col("p.qid"), col("c.id"),
@@ -361,10 +386,11 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF ANN with a TRAINED codebook: seeded MLlib KMeans (cosine
-    * distance) learns `nlist` coarse centroids; `KMeansModel.transform`
-    * assigns every corpus vector to its cell in one narrow broadcast
-    * pass (no per-id window sort); queries probe the `nprobe` nearest
+  /** IVF ANN with a TRAINED codebook: a driver-side seeded spherical
+    * k-means over a bounded hash-sample ([[sphericalKMeans]]) learns
+    * `nlist` coarse centroids; [[cellOf]] assigns every corpus vector
+    * to its cell in one narrow codegen'd pass against centroid literals
+    * (no model broadcast, no MLlib); queries probe the `nprobe` nearest
     * cells. Bucketing persists as a partitioning, so repeated queries
     * only scan ~nprobe/nlist of the corpus. Mirrors Milvus's IVF index
     * + nprobe search param (vector_database/milvus_connector.py:176-188). */
@@ -396,12 +422,33 @@ object Ann {
   }
 
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
-    * build's parameters; only the probed cells' partitions are read. */
+    * build's parameters; only the probed cells' partitions are read.
+    * Like [[searchLshIndex]], the probed cell ids are collected
+    * driver-side (nprobe·|queries| ints by construction) and applied as
+    * typed literal partition filters — STATIC pruning at the file
+    * index, not a hope that dynamic partition pruning fires on the
+    * probe join. A bare broadcast join would scan every cell whenever
+    * DPP declines (it needs a selective build-side filter), which at
+    * 100 TB is the difference between reading nprobe/nlist and reading
+    * everything. */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
       metric: String = "cosine"): DataFrame = {
-    val cells = spark.read.parquet(s"$dir/cells")
     val centroids = spark.read.parquet(s"$dir/centroids")
+    val probed = probeCells(centroids, queries, nprobe)
+      .select("cell").distinct().collect().map(_.getInt(0))
+    // `cell` is a partition column on read; inference yields INT for
+    // these directory values, but type the literals off the actual
+    // schema (the searchLshIndex lesson: a literal/attribute type
+    // mismatch inserts a cast that silently defeats the pruning).
+    val raw = spark.read.parquet(s"$dir/cells")
+    val cellIsInt =
+      raw.schema("cell").dataType == org.apache.spark.sql.types.IntegerType
+    val typed: Seq[Any] =
+      if (cellIsInt) probed.toSeq else probed.toSeq.map(_.toLong)
+    val cells = (if (probed.isEmpty) raw.filter(lit(false))
+                 else raw.filter(col("cell").isin(typed: _*)))
+      .withColumn("cell", col("cell").cast("int"))
     probeAndRank(cells, centroids, queries, k, nprobe, metric)
   }
 }

@@ -151,6 +151,42 @@ class AnnSpec extends SparkSpec {
     assert(zero.select(V.dotSq8(col("qz"), col("qz"))).as[Double].head() == 0.0)
   }
 
+  test("ivfTopK: oversized trainCap fails fast on the byte budget, not mid-collect") {
+    // 16-d corpus: budget/ (16·8) is the row ceiling; one row past it must throw
+    val cap = graft.operators.Ann.TrainSampleByteBudget / (dim * 8L) + 1
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfTopK(corpus, qs, k = 3, nlist = 8, trainCap = cap)
+    }
+    assert(e.getMessage.contains("bytes to the driver"), e.getMessage)
+    // ...and a cap inside the budget still runs
+    assert(Ann.ivfTopK(corpus, qs, k = 3, nlist = 8, trainCap = 100).count() == 15)
+  }
+
+  test("searchIvfIndex: scan statically prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 8)
+    val oneQ = qs.filter(col("qid") === 1L)
+    val out = Ann.searchIvfIndex(spark, dir, oneQ, k = 5, nprobe = 2)
+    out.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps executed stages as leaf nodes — descend into them
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "v")) // the cells scan, not centroids
+    assert(scans.nonEmpty, "cells FileSourceScan not found in executed plan")
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
+      "no static partition filter on cell in the cells scan")
+    val partsRead = scans.map(_.metrics("numPartitions").value).max
+    assert(partsRead <= 2, s"cells scan read $partsRead partitions, expected <= nprobe=2")
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
