@@ -381,6 +381,12 @@ object SparkEntry {
     Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10, metric = "ip")
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  // l2 scores are NEGATED distances (uniform "higher is better" rank
+  // order); the oracle mirrors with -list_distance
+  private def qAnnL2(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10, metric = "l2")
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64,
         planes = 6, tables = 4)
@@ -525,6 +531,7 @@ object SparkEntry {
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_ip" -> (qAnnIp _),
+    "q_ann_l2" -> (qAnnL2 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_sq8" -> (qAnnSq8 _),
@@ -912,6 +919,14 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT qid, vec_id AS id, round(list_inner_product(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_l2" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(-list_distance(qv, v), 4) + 0.0 AS score FROM q, e)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
