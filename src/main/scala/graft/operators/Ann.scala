@@ -193,6 +193,29 @@ object Ann {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append a new batch to a persisted LSH index: the batch is hashed
+    * through the plane families recorded in the index's own meta, so
+    * the new buckets land beside the old ones in the same (tbl, sig)
+    * partition directories. Signatures are DETERMINISTIC in
+    * (dim, planes, tables) — append-then-search is bit-equal to
+    * rebuild-then-search on the union corpus — which makes this the
+    * daily-ingest shape the reference actually runs (segments
+    * accumulate across runs, load_data/parquet_manager.py:320;
+    * embed_to_milvus.py:147-183): per batch the work is O(batch),
+    * history is never rehashed or rewritten. A replayed id with the
+    * same vector is harmless (lshRank collapses per-(qid,id) before
+    * ranking), so no index scan is spent guarding ids here. The append
+    * is not atomic under job failure — at production scale write
+    * through a staging dir (or a table format) and move on success. */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, planes, tables) =
+      (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
+    lshBuckets(batch, dim, planes, tables)
+      .write.mode("append").partitionBy("tbl", "sig").parquet(s"$dir/buckets")
+  }
+
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
     * build's parameters (read from the index's own metadata). The
     * queries' (tbl, sig) pairs are collected driver-side (queries are
@@ -419,6 +442,42 @@ object Ann {
         s"corpus must exceed nlist=$nlist vectors to index"))
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Append a new batch to a persisted IVF index WITHOUT re-training:
+    * the batch is assigned through the STORED codebook — the same
+    * [[cellOf]] centroid-literal expression the build used — and its
+    * files land in the existing cell partition directories. This is
+    * the reference's operating mode (batches keep arriving,
+    * embed_to_milvus.py:147-183; segments rotate-append,
+    * load_data/parquet_manager.py:320): a daily pipeline must not
+    * re-cluster history to add a day. Searching the appended index is
+    * bit-equal to searching an index whose cells are (stored ∪ batch)
+    * assigned through the same codebook; at nprobe = nlist that equals
+    * exact brute force over the union. The codebook itself drifts from
+    * what a fresh union-train would learn — re-train on schedule and
+    * append between re-trains (the faiss/Milvus lifecycle).
+    *
+    * Batch ids must be disjoint from stored ids (checked —
+    * probeAndRank has no per-id collapse, so a replayed id would
+    * surface twice in any ranking it reaches). The guard costs one
+    * column-pruned scan of the stored ids against the broadcast batch.
+    * Not atomic under job failure — stage-and-move at production scale. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF index")
+    val b = Dedup.spread(batch)
+      .withColumn("v", col("v").cast("array<double>"))
+      .filter(V.norm2(col("v")) > 0)
+    val replayed = spark.read.parquet(s"$dir/cells").select("id")
+      .join(broadcast(b.select("id").distinct()), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would duplicate search hits")
+    b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the

@@ -465,6 +465,39 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append an ingested batch to a persisted minhash index: the batch's
+    * band signatures and shingle sets extend `dir/sigs` and
+    * `dir/shingles`, computed through the parameters stored in the
+    * index's own meta. Signatures are deterministic in
+    * (w, numHashes, bands), so with maxDf = None a later
+    * [[dedupAgainstIndex]] over the appended index is bit-equal to the
+    * same call against an index rebuilt on the union corpus. With a df
+    * cap the batch caps against its OWN document frequencies — the
+    * same caveat (and the same price of not revisiting history) as
+    * [[dedupAgainstIndex]]. Per batch the work is O(batch); stored
+    * signatures are never read back, re-shuffled, or rewritten.
+    * Batch ids must be disjoint from stored ids (checked — a replayed
+    * id would double-count its shingles in the Jaccard verify). The
+    * append is not atomic under job failure — stage-and-move at
+    * production scale. */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, textCol: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (w, numHashes, bands) =
+      (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
+    val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
+    val replayed = spark.read.parquet(s"$dir/shingles").select("id")
+      .join(broadcast(newSh.select("id").distinct()), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would corrupt the Jaccard verify")
+    bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
+      .write.mode("append").parquet(s"$dir/sigs")
+    newSh.write.mode("append").parquet(s"$dir/shingles")
+    newSh.unpersist()
+  }
+
   /** Near-dup pairs between a NEW batch and a persisted index:
     * [[minhashLsh]]'s candidates-then-verify with the join flipped to
     * new-batch signatures against STORED signatures. The batch side
