@@ -127,6 +127,65 @@ class AnnSpec extends SparkSpec {
     assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
   }
 
+  test("appendToLshIndex: append-then-search is bit-equal to rebuild-then-search") {
+    val dirApp = java.nio.file.Files.createTempDirectory("lshapp").toString + "/idx"
+    val dirFull = java.nio.file.Files.createTempDirectory("lshfull").toString + "/idx"
+    Ann.buildLshIndex(corpus.filter(col("id") <= 100), dirApp,
+      dim = dim, planes = 4, tables = 2)
+    Ann.appendToLshIndex(spark, dirApp, corpus.filter(col("id") > 100))
+    Ann.buildLshIndex(corpus, dirFull, dim = dim, planes = 4, tables = 2)
+    def res(d: String) = Ann.searchLshIndex(spark, d, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val appended = res(dirApp)
+    assert(appended == res(dirFull) && appended.nonEmpty,
+      "appended index diverged from an index rebuilt on the union corpus")
+    // the appended half is actually reachable in search results
+    assert(appended.exists(_._2 > 100), "no hit from the appended batch")
+    // empty batch is a no-op, not a failure
+    Ann.appendToLshIndex(spark, dirApp, corpus.filter(lit(false)))
+    assert(res(dirApp) == appended)
+  }
+
+  test("appendToIvfIndex: batch assigned through the STORED codebook; full-probe search exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    Ann.buildIvfIndex(corpus.filter(col("id") <= 100), dir, nlist = 8)
+    Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") > 100))
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == 200 && cells.select("id").distinct().count() == 200)
+    // every appended row sits in the argmax-cosine cell of the STORED
+    // codebook — the docstring's "assigned through the stored codebook"
+    val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    val appended = cells.filter(col("id") > 100)
+      .select(col("id"), col("v"), col("cell")).collect()
+    assert(appended.length == 100)
+    appended.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      def dot(c: Array[Double]) = c.zip(v).map { case (a, b) => a * b }.sum
+      val best = cb.map(dot).max
+      assert(dot(cb(r.getAs[Int]("cell"))) >= best - 1e-9,
+        s"id ${r.get(0)} not in its nearest stored cell")
+    }
+    // at nprobe = nlist every cell is probed, so searching the appended
+    // index must equal exact brute force over the union corpus
+    val full = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val searched = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(searched == full, "appended index at nprobe=nlist diverged from brute force")
+    // a replayed id fails fast instead of duplicating future hits
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") === 5L))
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+    // empty batch is a no-op
+    Ann.appendToIvfIndex(spark, dir, corpus.filter(lit(false)))
+    assert(spark.read.parquet(s"$dir/cells").count() == 200)
+  }
+
   test("quantizeSq8/dotSq8: small relative error, bounded codes, zero-vector safe") {
     import graft.functions.{VectorFunctions => V}
     val rows = corpus.limit(40)

@@ -148,6 +148,39 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("already exists"))
   }
 
+  test("appendToMinhashIndex: appended index equals union-rebuilt index; replay fails fast") {
+    val dirApp = java.nio.file.Files.createTempDirectory("mhapp").toString + "/idx"
+    val dirFull = java.nio.file.Files.createTempDirectory("mhfull").toString + "/idx"
+    val extra = Seq(
+      (20L, base.replace("quick", "rapid")), // near-dup of 1/2
+      (21L, "entirely new prose about volcano geology and ash plumes " * 4)
+    ).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", dirApp)
+    Dedup.appendToMinhashIndex(spark, dirApp, extra, "doc_id", "text")
+    Dedup.buildMinhashIndex(docs.union(extra), "doc_id", "text", dirFull)
+    // with maxDf = None the append docstring promises dedupAgainstIndex
+    // over the appended index is bit-equal to the union-rebuilt index
+    val probe = Seq(
+      (30L, base.replace("quick", "rapid")), // exact dup of 20, near-dup of 1/2
+      (31L, "unrelated archaeology field notes from the desert dig " * 4)
+    ).toDF("doc_id", "text")
+    def pairs(d: String) =
+      Dedup.dedupAgainstIndex(spark, d, probe, "doc_id", "text", tau = 0.5)
+        .select("id_new", "id_old", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val appendedPairs = pairs(dirApp)
+    assert(appendedPairs == pairs(dirFull) && appendedPairs.nonEmpty,
+      "appended index diverged from an index rebuilt on the union corpus")
+    assert(appendedPairs.exists(_._2 == 20L), "no match against the APPENDED half")
+    assert(!appendedPairs.exists(_._1 == 31L)) // unrelated probe untouched
+    // replaying an already-indexed id must fail fast, not corrupt the index
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(spark, dirApp,
+        Seq((3L, "whatever text")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+  }
+
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
     val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
         numHashes = 12, bands = 4)
