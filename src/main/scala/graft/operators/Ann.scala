@@ -394,12 +394,12 @@ object Ann {
       .filter(col("r") <= nprobe).select("qid", "qv", "cell")
   }
 
-  /** Probe the nprobe nearest centroids per query, then rank only the
-    * probed cells' vectors. */
-  private def probeAndRank(cells: DataFrame, centroids: DataFrame,
-      queries: DataFrame, k: Int, nprobe: Int, metric: String): DataFrame = {
+  /** Rank the probed cells' vectors against pre-computed (qid, qv, cell)
+    * probes — [[probeCells]] output, or a local relation of it when the
+    * caller already collected the probes for pruning literals. */
+  private def probeAndRank(cells: DataFrame, probes: DataFrame,
+      k: Int, metric: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probes = probeCells(centroids, queries, nprobe)
     val scored = withNorm(cells, "v").as("c")
       .join(broadcast(withNorm(probes, "qv").as("p")), "cell")
       .select(col("p.qid"), col("c.id"),
@@ -425,7 +425,7 @@ object Ann {
       // covers empty input)
       case Left(filtered) => bruteForceTopK(filtered, queries, k, metric)
       case Right((cells, centroids)) =>
-        probeAndRank(cells, centroids, queries, k, nprobe, metric)
+        probeAndRank(cells, probeCells(centroids, queries, nprobe), k, metric)
     }
 
   /** Persist a trained IVF index — the Milvus create_index + load
@@ -442,6 +442,10 @@ object Ann {
         s"corpus must exceed nlist=$nlist vectors to index"))
     cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // compact id sidecar for the append-time replayed-id guard: read the
+    // ids back off the just-written cells (column-pruned, no re-assignment)
+    val spark = corpus.sparkSession
+    IndexFiles.writeIds(spark.read.parquet(s"$dir/cells").select("id"), dir)
   }
 
   /** Append a new batch to a persisted IVF index WITHOUT re-training:
@@ -460,8 +464,10 @@ object Ann {
     *
     * Batch ids must be disjoint from stored ids (checked —
     * probeAndRank has no per-id collapse, so a replayed id would
-    * surface twice in any ranking it reaches). The guard costs one
-    * column-pruned scan of the stored ids against the broadcast batch.
+    * surface twice in any ranking it reaches). The guard reads the
+    * compact `dir/ids` sidecar ([[IndexFiles]]) against the broadcast
+    * batch — O(stored docs) of bare ids, independent of the cell
+    * table's width; pre-sidecar indexes are backfilled on first append.
     * Not atomic under job failure — stage-and-move at production scale. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame): Unit = {
@@ -471,13 +477,16 @@ object Ann {
     val b = Dedup.spread(batch)
       .withColumn("v", col("v").cast("array<double>"))
       .filter(V.norm2(col("v")) > 0)
-    val replayed = spark.read.parquet(s"$dir/cells").select("id")
-      .join(broadcast(b.select("id").distinct()), "id").limit(1).collect()
+    val batchIds = b.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir, spark.read.parquet(s"$dir/cells").select("id"))
+      .join(broadcast(batchIds), "id").limit(1).collect()
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would duplicate search hits")
     b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    IndexFiles.appendIds(batchIds, dir)
   }
 
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
@@ -494,8 +503,16 @@ object Ann {
       queries: DataFrame, k: Int, nprobe: Int = 4,
       metric: String = "cosine"): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val probed = probeCells(centroids, queries, nprobe)
-      .select("cell").distinct().collect().map(_.getInt(0))
+    // Compute the probes ONCE: collect the (qid, qv, cell) rows —
+    // nprobe·|queries| by construction — and derive BOTH the pruning
+    // literals and the rank join's probe side from that one result (as
+    // a local relation), instead of running the probe plan a second
+    // time inside the rank.
+    val pc = probeCells(centroids, queries, nprobe)
+    val probeRows = pc.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), pc.schema)
+    val probed = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
     // `cell` is a partition column on read; inference yields INT for
     // these directory values, but type the literals off the actual
     // schema (the searchLshIndex lesson: a literal/attribute type
@@ -503,11 +520,10 @@ object Ann {
     val raw = spark.read.parquet(s"$dir/cells")
     val cellIsInt =
       raw.schema("cell").dataType == org.apache.spark.sql.types.IntegerType
-    val typed: Seq[Any] =
-      if (cellIsInt) probed.toSeq else probed.toSeq.map(_.toLong)
+    val typed: Seq[Any] = if (cellIsInt) probed else probed.map(_.toLong)
     val cells = (if (probed.isEmpty) raw.filter(lit(false))
                  else raw.filter(col("cell").isin(typed: _*)))
       .withColumn("cell", col("cell").cast("int"))
-    probeAndRank(cells, centroids, queries, k, nprobe, metric)
+    probeAndRank(cells, probes, k, metric)
   }
 }

@@ -27,8 +27,18 @@ object Dedup {
     * partition; on a real cluster the input is already wide and this is
     * a no-op (no shuffle added). */
   private[operators] def spread(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    // Estimate the scan's width from optimizer stats with the same
+    // byte math FilePartition packing uses, instead of df.rdd — which
+    // would compile a second physical plan per operator call just to
+    // read a partition count.
+    val conf = spark.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(conf.filesMaxPartitionBytes)
+      .min(BigInt(conf.filesOpenCostInBytes).max(bytes / n))
+    val est = if (maxSplit <= 0) BigInt(1) else (bytes + maxSplit - 1) / maxSplit
+    if (est < n) df.repartition(n) else df
   }
 
   /** Exact dedup: group by md5 of normalized text; keep the minimum id
@@ -459,6 +469,9 @@ object Dedup {
     bandSignatures(minhashes(sh, numHashes), bands, numHashes / bands)
       .write.mode("overwrite").parquet(s"$dir/sigs")
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    // compact id sidecar: the append-time replayed-id guard reads this
+    // (O(docs) rows) instead of the doc-shingle table (many× docs rows)
+    IndexFiles.writeIds(sh.select("id").distinct(), dir)
     sh.unpersist()
     Seq((w, numHashes, bands, maxDf.getOrElse(-1)))
       .toDF("w", "num_hashes", "bands", "max_df")
@@ -478,6 +491,9 @@ object Dedup {
     * signatures are never read back, re-shuffled, or rewritten.
     * Batch ids must be disjoint from stored ids (checked — a replayed
     * id would double-count its shingles in the Jaccard verify). The
+    * guard reads the compact `dir/ids` sidecar ([[IndexFiles]]) —
+    * O(stored docs) bare ids, NOT the doc-shingle table's many× docs
+    * rows; pre-sidecar indexes are backfilled on first append. The
     * append is not atomic under job failure — stage-and-move at
     * production scale. */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -487,14 +503,18 @@ object Dedup {
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
-    val replayed = spark.read.parquet(s"$dir/shingles").select("id")
-      .join(broadcast(newSh.select("id").distinct()), "id").limit(1).collect()
+    val batchIds = newSh.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir,
+        spark.read.parquet(s"$dir/shingles").select("id").distinct())
+      .join(broadcast(batchIds), "id").limit(1).collect()
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would corrupt the Jaccard verify")
     bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
       .write.mode("append").parquet(s"$dir/sigs")
     newSh.write.mode("append").parquet(s"$dir/shingles")
+    IndexFiles.appendIds(batchIds, dir)
     newSh.unpersist()
   }
 
@@ -525,7 +545,8 @@ object Dedup {
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
     val oldSh = spark.read.parquet(s"$dir/shingles")
     val replayed = newSh.select("id").distinct()
-      .join(oldSh.select("id").distinct(), "id").limit(1).collect()
+      .join(IndexFiles.storedIds(spark, dir, oldSh.select("id").distinct()),
+        "id").limit(1).collect()
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would corrupt the Jaccard verify")
