@@ -234,23 +234,30 @@ object SparkEntry {
     // path keyed by the sf dir: concurrent runs over DIFFERENT corpora
     // must not overwrite each other's file before the lazy read executes
     // (same-corpus concurrent writers produce identical bytes — benign)
-    val path = java.nio.file.Paths.get(
-      s"/tmp/graft_jsonl_probe_${Integer.toHexString(dir.hashCode)}.jsonl")
-    def esc(x: String): String = x.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val lines = t(s, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"), col("n_chars"))
-      .orderBy("doc_id").collect()
-      .map(r => s"""{"title":"${esc(r.getString(1))}","nc":${r.getLong(2)}}""")
-    java.nio.file.Files.write(path, String.join("\n", lines: _*).getBytes("UTF-8"))
-    JsonlSource.read(s, path.toString, start = 10, end = Some(99),
+    val key = Integer.toHexString(dir.hashCode)
+    val path = s"/tmp/graft_jsonl_probe_$key.jsonl"
+    val stage = s"/tmp/graft_jsonl_probe_${key}_stage"
+    // The probe file is synthesized WITHOUT collecting the corpus to the
+    // driver: one sorted single-partition text write (line order = the
+    // oracle's doc_id order), to_json for exact JSON escaping, then a
+    // filesystem rename of the part file to the stable probe path.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        to_json(struct(substring(col("text"), 1, 40).as("title"),
+          col("n_chars").as("nc"))).as("value"))
+      .repartition(1).sortWithinPartitions("doc_id")
+      .select("value")
+      .write.mode("overwrite").text(s"file://$stage")
+    val fs = new org.apache.hadoop.fs.Path(s"file://$stage")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"file://$stage"))
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+    val dest = new org.apache.hadoop.fs.Path(s"file://$path")
+    fs.delete(dest, false)
+    fs.rename(part.head, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(s"file://$stage"), true)
+    JsonlSource.read(s, path, start = 10, end = Some(99),
         schema = Some(StructType(Seq(
           StructField("title", StringType), StructField("nc", LongType)))))
       .select(col("row_num"), col("file_name"), col("nc"))

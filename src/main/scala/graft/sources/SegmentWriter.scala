@@ -58,22 +58,38 @@ object SegmentWriter {
     * consumed by the uploader at embed_to_milvus.py:258-268): one
     * (path, rows, bytes) entry per segment, persisted as
     * `_MANIFEST.json` alongside the data. Row counts come from the
-    * parquet footers — metadata-only reads, no data scan, so this stays
-    * cheap even when the segments hold terabytes. Segment counts are
-    * O(corpus/maxRecordsPerFile); if that ever outgrows the driver,
-    * distribute the footer reads over the file list. */
+    * parquet footers — metadata-only reads, no data scan — and the
+    * footer reads run as a small Spark job over the file list, so the
+    * driver's work is the listing plus one tiny JSON write no matter
+    * how many segments exist (at 100 TB / 512 MB that's ~200k footers —
+    * a driver loop of 200k storage round trips, but seconds for a
+    * cluster). */
   def writeManifest(spark: SparkSession, dir: String): Seq[SegmentInfo] = {
+    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    val infos = fs.listStatus(p)
+    val files = fs.listStatus(p)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .map { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
-        val rows = try reader.getRecordCount finally reader.close()
-        SegmentInfo(f.getPath.toString, rows, f.getLen)
-      }.toSeq
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy(_._1).toSeq
+    // Hadoop Configuration is not serializable — ship its entries and
+    // rebuild executor-side (loadDefaults=false: the driver's iterator
+    // already includes the defaults)
+    val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism))
+    val infos =
+      if (files.isEmpty) Seq.empty[SegmentInfo]
+      else spark.sparkContext.parallelize(files, slices).map {
+        case (path, bytes) =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          val reader =
+            ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), c))
+          val rows = try reader.getRecordCount finally reader.close()
+          SegmentInfo(path, rows, bytes)
+      }.collect().toSeq.sortBy(_.path)
     val json = infos.map(i =>
       s"""{"path":"${escJson(i.path)}","rows":${i.rows},"bytes":${i.bytes}}""").mkString("\n")
     val out = fs.create(new Path(p, "_MANIFEST.json"), true)

@@ -154,6 +154,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L), s"got $got")
   }
 
+  test("packSequencesStream: drained stream equals batch packSequences on the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsSeq = (0L until 20L).map(i =>
+      (i, ("tok " * (1 + (i % 5)).toInt).trim))
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamCurate
+      .packSequencesStream(sdf, "doc_id", "text", budget = 6, shards = 3)
+      .writeStream.format("memory").queryName("spack")
+      .outputMode(OutputMode.Append()).start()
+    // two triggers, ids globally ascending across them (the replay case)
+    mem.addData(docsSeq.take(12): _*)
+    q.processAllAvailable()
+    mem.addData(docsSeq.drop(12): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("spack")
+      .select("id", "shard", "n_tok", "start_tok", "seq_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = graft.operators.Curate
+      .packSequences(docsSeq.toDF("doc_id", "text"), "doc_id", "text",
+        budget = 6, shards = 3)
+      .select(col("id"), col("shard").cast("int"), col("n_tok"),
+        col("start_tok"), col("seq_id"))
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 20,
+      s"streamed ${streamed.toSeq.sortBy(_._1)} vs batch ${batch.toSeq.sortBy(_._1)}")
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
