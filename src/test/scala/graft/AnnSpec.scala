@@ -246,6 +246,43 @@ class AnnSpec extends SparkSpec {
     assert(partsRead <= 2, s"cells scan read $partsRead partitions, expected <= nprobe=2")
   }
 
+  test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "ip")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val pq = Ann.pqTopK(corpus, qs, k = 10, m = 4, ksub = 16, metric = "ip")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+    val again = Ann.pqTopK(corpus, qs, k = 10, m = 4, ksub = 16, metric = "ip")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(again == pq, "same seed produced different rankings")
+  }
+
+  test("pqTopK: l2 ADC keeps self-retrieval near the top; tiny corpus falls back to exact") {
+    val out = Ann.pqTopK(corpus, qs, k = 10, m = 4, ksub = 16, metric = "l2")
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    (1 to 5).foreach { qid =>
+      val selfRank = out.find(r => r._1 == qid && r._2 == qid).map(_._3)
+      assert(selfRank.exists(_ <= 3), s"query $qid reconstructed self-rank $selfRank")
+    }
+    // corpus no bigger than one codebook: exact brute-force fallback
+    val tiny = corpus.filter(col("id") <= 10)
+    val fb = Ann.pqTopK(tiny, qs, k = 5, m = 4, ksub = 16, metric = "l2")
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(fb.length == 25)
+    assert(fb.filter(_._3 == 1).forall(r => r._1 == r._2)) // exact self-match first
+  }
+
+  test("kmeansL2/trainPq: k=1 centroid is the mean; codebook shape is m x ksub x dsub") {
+    val pts = Array(Array(0.0, 0.0), Array(2.0, 4.0), Array(4.0, 2.0))
+    val c1 = Ann.kmeansL2(pts, 1, seed = 1)
+    assert(c1.length == 1 && c1(0).toSeq == Seq(2.0, 2.0))
+    val sample = (1 to 50).map(i => Array.tabulate(8)(j => math.sin(i * 7 + j))).toArray
+    val cbs = Ann.trainPq(sample, m = 4, ksub = 4, seed = 1)
+    assert(cbs.length == 4 && cbs.forall(_.length == 4) &&
+      cbs.forall(_.forall(_.length == 2)))
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
