@@ -413,6 +413,55 @@ object SparkEntry {
     Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 16)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  // Milvus range search: radius < score <= range_filter, capped at limit
+  private def qAnnRange(s: SparkSession, dir: String): DataFrame =
+    Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
+        rangeFilter = 0.999, limit = 20)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // Milvus grouping search: top-3 label groups per query, 2 hits each
+  private def qAnnGrouped(s: SparkSession, dir: String): DataFrame =
+    Ann.groupedTopK(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("v"), col("label")),
+        queriesSet(s, dir), k = 3, groupCol = "label", groupSize = 2)
+      .select(col("qid"), col("id"), col("label").cast("long"), col("score"),
+        col("grp_rank").cast("long"), col("grp_order").cast("long"))
+
+  // Milvus search pagination: offset 10, limit 10 -> ranks 11..20
+  private def qAnnPage(s: SparkSession, dir: String): DataFrame =
+    Ann.pagedTopK(corpus(s, dir), queriesSet(s, dir), k = 10, offset = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // Milvus filtered search (search expr): scalar predicate ahead of scoring
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame =
+    Ann.filteredTopK(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("v"), col("label")),
+        queriesSet(s, dir), k = 10, predicate = "label = 1")
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // Binary-quantized Hamming top-k (BIN_FLAT): sign bits, XOR+popcount
+  private def qAnnBinary(s: SparkSession, dir: String): DataFrame =
+    Ann.binaryTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64)
+      .select(col("qid"), col("id"), col("hamming"), col("rank").cast("long"))
+
+  // Two-stage refine: SQ8 coarse top-30 -> exact cosine rescore top-10
+  private def qAnnRefine(s: SparkSession, dir: String): DataFrame =
+    Ann.refineTopK(corpus(s, dir), queriesSet(s, dir), k = 10, factor = 3)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  // BM25 retrieval over the documents' hashed-token postings — the
+  // Milvus sparse BM25 function surface
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val postings = Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("tf"))
+    val qterms = postings.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("term")).distinct()
+    Ann.bm25TopK(postings, qterms, k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Hybrid dense+sparse search: dense vectors from the embeddings table,
   // sparse postings from the documents' hashed-token terms (the two
   // embedding columns of the reference's Hybrid collection), fused RRF
@@ -549,6 +598,13 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_range" -> (qAnnRange _),
+    "q_ann_grouped" -> (qAnnGrouped _),
+    "q_ann_page" -> (qAnnPage _),
+    "q_ann_filtered" -> (qAnnFiltered _),
+    "q_ann_binary" -> (qAnnBinary _),
+    "q_ann_refine" -> (qAnnRefine _),
+    "q_bm25" -> (qBm25 _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_sessionize" -> (qSessionize _),
@@ -1040,6 +1096,109 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // range search: band predicate BEFORE the rank, mirroring
+    // Ann.rangeSearch(radius=0.1, rangeFilter=0.999, limit=20)
+    "q_ann_range" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+        | FROM s WHERE score > 0.1 AND score <= 0.999)
+        |WHERE rank <= 20""".stripMargin,
+
+    // grouping search: within-(qid,label) rank to group_size=2, then
+    // groups ordered by (best hit desc, label asc), top k=3 groups —
+    // mirrors Ann.groupedTopK step for step
+    "q_ann_grouped" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, label, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
+        |wg AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, id ASC) AS BIGINT) AS grp_rank FROM s),
+        |kept AS (SELECT * FROM wg WHERE grp_rank <= 2),
+        |b AS (SELECT *, max(score) OVER (PARTITION BY qid, label) AS best FROM kept),
+        |o AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY qid ORDER BY best DESC, label ASC) AS BIGINT) AS grp_order FROM b)
+        |SELECT qid, id, CAST(label AS BIGINT) AS label, score, grp_rank, grp_order
+        |FROM o WHERE grp_order <= 3""".stripMargin,
+
+    // pagination: ranks (10, 20] of the same deterministic full ranking
+    "q_ann_page" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank > 10 AND rank <= 20""".stripMargin,
+
+    // filtered search: the predicate excludes corpus rows BEFORE scoring
+    // (queries still drawn from the unfiltered table)
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+        |      FROM q, e WHERE e.label = 1)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // binary quantization: hamming = sign-mismatch count per component —
+    // the packed-bit XOR+popcount the Spark side computes, without
+    // reproducing the packing (embeddings are 64-d, one word)
+    "q_ann_binary" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id,
+        |      CAST(sum(CASE WHEN (qv[j] > 0) <> (v[j] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |      FROM q, e, (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY qid, vec_id)
+        |SELECT qid, id, hamming, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // two-stage refine: the q_ann_sq8 chain keeps top-30 candidates,
+    // exact cosine re-scores only those, re-ranked to 10
+    "q_ann_refine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |z AS (SELECT vec_id, v, coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) / 127.0 AS scale FROM e),
+        |qz AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS DOUBLE)) END AS q FROM z),
+        |qs AS (SELECT vec_id AS qid, v AS qv, scale AS qscale, q AS qq FROM qz WHERE vec_id < 5),
+        |coarse AS (SELECT qs.qid, c.vec_id AS id,
+        |      round(qs.qscale * c.scale * list_inner_product(qs.qq, c.q), 4) AS cscore
+        |      FROM qs, qz c),
+        |cand AS (SELECT qid, id FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, id ASC) AS crank FROM coarse)
+        | WHERE crank <= 30),
+        |s AS (SELECT cand.qid, cand.id,
+        |      round(list_cosine_similarity(qs.qv, c.v), 4) AS score
+        |      FROM cand JOIN qs ON qs.qid = cand.qid JOIN e c ON c.vec_id = cand.id)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
+    // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines
+    "q_bm25" ->
+      s"""WITH post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS tf
+         |         FROM ($tokDoc)
+         |         GROUP BY doc_id, term),
+         |qt AS (SELECT DISTINCT doc_id AS qid, term FROM post WHERE doc_id < 5),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |s AS (SELECT qt.qid, post.doc_id AS id,
+         |      round(sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+         |                (post.tf * 2.2) /
+         |                (post.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+         |      FROM post JOIN qt USING (term) JOIN dft USING (term)
+         |      JOIN dl ON dl.doc_id = post.doc_id, st
+         |      GROUP BY 1, 2)
+         |SELECT qid, id, score, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+         |WHERE rank <= 10""".stripMargin,
 
     // multi-table hyperplane LSH: same md5-derived plane constants as
     // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag

@@ -94,6 +94,29 @@ object VectorFunctions {
       aggregate(prods, lit(0L), (acc, x) => acc + x).cast("double")
   }
 
+  /** Sign-bit binary quantization: bit j of word w is set iff
+    * v[64w+j] > 0, packed into array<long> of ⌈dim/64⌉ words — the
+    * Milvus/faiss binary-vector storage shape (BIN_FLAT with the
+    * HAMMING metric). 32× smaller than float32 at the same dimension:
+    * at 100 TB the quantized corpus scan reads 1/32 of the bytes, and
+    * pair scoring is XOR + popcount instead of a float dot product.
+    * Pure Catalyst (bit ops fold into whole-stage codegen), no UDF. */
+  def binarizeSign(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val dv = v.cast("array<double>")
+    array((0 until (dim + 63) / 64).map { w =>
+      (0 until math.min(64, dim - w * 64)).map { j =>
+        when(element_at(dv, w * 64 + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two equal-length packed-bit arrays:
+    * Σ popcount(aᵢ xor bᵢ). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** Random-hyperplane LSH signature: `planes` sign bits of dot products
     * against deterministic stub hyperplanes, packed into a long. Buckets
     * cosine-similar vectors together (charikar 2002 SimHash-for-angles).

@@ -30,24 +30,106 @@ object Ann {
     case m        => throw new IllegalArgumentException(s"unknown metric $m")
   }
 
-  /** Exact top-k: broadcast the (small) query set against the corpus,
-    * score every pair, rank per query. The corpus is scanned once with
-    * no shuffle of the vectors themselves — only (query, score) pairs
-    * move, pruned to k per partition before the final rank via the
-    * window's partial top-k. Deterministic ties: (score desc, id asc). */
+  /** Every (query, corpus) pair scored: broadcast the (small) query set
+    * against the corpus — the corpus is scanned once with no shuffle of
+    * the vectors themselves, only (query, score) pairs move downstream.
+    * `carry` names extra corpus columns to keep beside (qid, id, score)
+    * (e.g. the group column of [[groupedTopK]]). */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+      metric: String, carry: Seq[String] = Nil): DataFrame = {
+    val c = Dedup.spread(withNorm(corpus, "v"))
+    val q = withNorm(queries, "qv")
+    c.as("c").join(broadcast(q.as("q")))
+      .select(Seq(col("q.qid"), col("c.id")) ++ carry.map(n => col(s"c.$n")) :+
+        round(pairScore(metric, col("q.qv"), col("c.v"),
+          col("q.qv_nrm"), col("c.v_nrm")), 4).as("score"): _*)
+  }
+
+  /** Exact top-k: score every pair ([[scoredPairs]]), rank per query.
+    * (query, score) pairs are pruned to k per partition before the final
+    * rank via the window's partial top-k. Deterministic ties:
+    * (score desc, id asc). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = Dedup.spread(withNorm(corpus, "v"))
-    val q = withNorm(queries, "qv")
-    val scored = c.as("c").join(broadcast(q.as("q")))
-      .select(col("q.qid"), col("c.id"),
-        round(pairScore(metric, col("q.qv"), col("c.v"),
-          col("q.qv_nrm"), col("c.v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scoredPairs(corpus, queries, metric)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Range search — the Milvus search variant with `radius` /
+    * `range_filter` params (milvus_connector.py search carries
+    * search_params straight through; Milvus semantics for
+    * higher-is-better metrics: radius < score <= range_filter). Returns
+    * every in-range hit up to `limit` per query, rank-ordered like
+    * [[bruteForceTopK]]. The band predicate filters BEFORE the per-query
+    * rank, so only in-range pairs reach the window's shuffle — at 100 TB
+    * a selective radius cuts the ranked set from |corpus| to the match
+    * set per query. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, radius: Double,
+      rangeFilter: Double = Double.PositiveInfinity,
+      limit: Int = Int.MaxValue, metric: String = "cosine"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scoredPairs(corpus, queries, metric)
+      .filter(col("score") > radius && col("score") <= rangeFilter)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Grouping search — Milvus `group_by_field` / `group_size`: the top k
+    * GROUPS per query (a group's score is its best hit, ties broken by
+    * group value), each contributing its `groupSize` best hits. The
+    * dedup-by-entity retrieval shape (one hit per document when chunks
+    * were indexed). Two stacked windows: within-(qid,group) rank prunes
+    * to groupSize rows per group — the heavy cut, it runs on the scored
+    * pairs before anything reshuffles — then a dense_rank over
+    * (best desc, group asc) orders the surviving groups. Output columns:
+    * (qid, id, <group>, score, grp_rank, grp_order). */
+  def groupedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      groupCol: String, groupSize: Int = 1,
+      metric: String = "cosine"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col("qid"), col(groupCol))
+      .orderBy(col("score").desc, col("id").asc)
+    val within = scoredPairs(corpus, queries, metric, carry = Seq(groupCol))
+      .withColumn("grp_rank", row_number().over(wg))
+      .filter(col("grp_rank") <= groupSize)
+    val best = max(col("score")).over(Window.partitionBy(col("qid"), col(groupCol)))
+    val wq = Window.partitionBy("qid").orderBy(col("best").desc, col(groupCol).asc)
+    within.withColumn("best", best)
+      .withColumn("grp_order", dense_rank().over(wq))
+      .filter(col("grp_order") <= k)
+      .drop("best")
+  }
+
+  /** Paged top-k — the Milvus search `offset` + `limit` pagination
+    * surface (and the search-iterator's page shape): ranks
+    * (offset, offset+k]. Computed as one top-(offset+k) rank, NOT a
+    * re-execution per page — deterministic ranking makes pages
+    * consistent across calls by construction. */
+  def pagedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      offset: Int, metric: String = "cosine"): DataFrame = {
+    require(offset >= 0, s"offset must be >= 0, got $offset")
+    bruteForceTopK(corpus, queries, offset + k, metric)
+      .filter(col("rank") > offset)
+  }
+
+  /** Filtered search — the Milvus search `expr` parameter (scalar
+    * predicate evaluated BEFORE vector scoring, milvus_connector.py
+    * search filters on file_id/source in exactly this position). The
+    * predicate is parsed by Spark SQL and applied to the corpus ahead of
+    * [[bruteForceTopK]], so it pushes down into the parquet scan
+    * (PushedFilters) and the distance math never touches excluded rows —
+    * at 100 TB a selective filter turns a full-corpus scan into a
+    * pruned one for free. Extra corpus columns referenced only by the
+    * predicate are pruned after the filter. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      predicate: String, metric: String = "cosine"): DataFrame =
+    bruteForceTopK(
+      corpus.filter(expr(predicate)).select(col("id"), col("v")),
+      queries, k, metric)
 
   /** Sparse top-k retrieval over exploded postings — the Milvus
     * sparse_embedding search half. `postings` (id, term, w) is the
@@ -63,6 +145,65 @@ object Ann {
       .groupBy("qid", "id")
       .agg(round(sum(col("w") * col("qw")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** BM25-scored sparse retrieval — the term-weighting Milvus ships for
+    * its sparse vectors (the BM25 built-in function over
+    * SPARSE_FLOAT_VECTOR; the reference's sparse_embedding column,
+    * milvus_connector.py:65-73, is exactly that index family).
+    * Robertson k1/b with the Lucene positive idf:
+    * score(q,d) = Σ_t ln(1+(N−df+0.5)/(df+0.5)) ·
+    *              tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    * `postings` (id, term, tf) is the inverted corpus; `queryTerms`
+    * (qid, term) is the query bag (duplicate (qid,term) rows would
+    * double-count — pass distinct terms). Corpus statistics are two
+    * aggregates: doc lengths (reused via join) and df restricted to the
+    * broadcast query-term set, so at 100 TB nothing scans twice and the
+    * per-query work is the posting lists of its terms. */
+  def bm25TopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Dedup.spread(postings)
+    val dl = p.groupBy("id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val dfByTerm = p
+      .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+      .groupBy("term").agg(countDistinct(col("id")).cast("double").as("df"))
+    val scored = p
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(dfByTerm), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "id")
+      .agg(round(sum(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1)), 4)
+        .as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Binary-quantized top-k by Hamming distance — the Milvus/faiss
+    * BIN_FLAT index family (binary vectors + HAMMING metric). Both sides
+    * sign-binarized ([[graft.functions.VectorFunctions.binarizeSign]]):
+    * the corpus scan reads 1/32 of the float bytes and pair scoring is
+    * XOR+popcount, the cheapest recall stage before an exact refine
+    * ([[refineTopK]]). Smaller distance is better; deterministic ties
+    * (hamming asc, id asc). Exact over the quantized bits, so the
+    * DuckDB oracle reproduces it bit-for-bit as sign-mismatch counts. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Dedup.spread(corpus)
+      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
+    val q = queries.select(col("qid"), V.binarizeSign(col("qv"), dim).as("qb"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("id"),
+        V.hammingDist(col("qb"), col("cb")).as("hamming"))
+    val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -170,6 +311,33 @@ object Ann {
         round(V.dotSq8(col("qz"), col("cz")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Two-stage refine search — quantized recall, exact rescore (the
+    * Milvus `refine` / faiss rescoring pattern behind SQ/PQ/RaBitQ
+    * indexes): stage 1 ranks the whole corpus with [[sq8TopK]]'s
+    * 4×-compressed scan and keeps k·`factor` candidates per query;
+    * stage 2 re-scores ONLY those q×k·factor survivors with the exact
+    * metric and re-ranks to k. At 100 TB the exact math touches a
+    * candidate set instead of the corpus — the rescore pass is a
+    * broadcast semi-join on id (q×k·factor rows), so the full-precision
+    * vectors of non-candidates are never deserialized past the scan.
+    * Deterministic end to end (both stages round to 4 dp with id-asc
+    * ties), so the DuckDB oracle reproduces it bit-for-bit. */
+  def refineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      factor: Int = 3, metric: String = "cosine"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cand = sq8TopK(corpus, queries, k * factor)
+      .select(col("qid"), col("id"))
+    val c = withNorm(corpus, "v")
+    val q = withNorm(queries, "qv")
+    val rescored = c.join(broadcast(cand), "id").join(broadcast(q), "qid")
+      .select(col("qid"), col("id"),
+        round(pairScore(metric, col("qv"), col("v"),
+          col("qv_nrm"), col("v_nrm")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Persist the LSH buckets — build once, search many (the same index

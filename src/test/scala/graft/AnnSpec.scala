@@ -283,6 +283,133 @@ class AnnSpec extends SparkSpec {
       cbs.forall(_.forall(_.length == 2)))
   }
 
+  test("rangeSearch: exactly the brute-force hits inside (radius, rangeFilter]") {
+    val all = Ann.bruteForceTopK(corpus, qs, k = 200)
+      .select("qid", "id", "score").as[(Long, Long, Double)].collect()
+    val banded = Ann.rangeSearch(corpus, qs, radius = 0.3, rangeFilter = 0.99)
+      .select("qid", "id", "score").as[(Long, Long, Double)].collect()
+    val expected = all.filter(r => r._3 > 0.3 && r._3 <= 0.99).toSet
+    assert(banded.toSet == expected && banded.nonEmpty)
+    // self-matches (score 1.0) are excluded by the upper bound
+    assert(!banded.exists(r => r._1 == r._2))
+    // limit caps per-query rows in rank order
+    val capped = Ann.rangeSearch(corpus, qs, radius = 0.3, limit = 3)
+      .select("qid", "score").as[(Long, Double)].collect()
+    assert(capped.count(_._1 == 1L) == 3)
+    val bestInBand = all.filter(r => r._1 == 1L && r._3 > 0.3).map(_._3).max
+    assert(capped.filter(_._1 == 1L).map(_._2).max == bestInBand)
+  }
+
+  test("groupedTopK: k groups per query, groupSize hits per group, best group first") {
+    val corpusG = corpus.withColumn("label", (col("id") % 3).cast("int"))
+    val out = Ann.groupedTopK(corpusG, qs, k = 2, groupCol = "label", groupSize = 2)
+      .select("qid", "id", "label", "score", "grp_rank", "grp_order")
+      .as[(Long, Long, Int, Double, Int, Int)].collect()
+    (1 to 5).foreach { q =>
+      val mine = out.filter(_._1 == q)
+      assert(mine.map(_._3).distinct.length <= 2, s"query $q returned > k groups")
+      mine.groupBy(_._3).foreach { case (_, rows) =>
+        assert(rows.length <= 2, s"query $q group exceeded groupSize")
+      }
+      // the top-ordered group's best equals the query's global best score
+      // (another group can TIE it — e.g. a near-identical vector rounding
+      // to the same 4-dp score — and win on the label-asc tiebreak, so
+      // assert on the score, not on which group carries it)
+      val globalBest = mine.map(_._4).max
+      assert(mine.filter(_._6 == 1).map(_._4).max == globalBest,
+        s"query $q top group best != global best")
+      // self leads its own group
+      assert(mine.exists(r => r._2 == q && r._5 == 1), s"query $q self not leading its group")
+    }
+    // group order follows each group's best score
+    val q1 = out.filter(_._1 == 1L)
+    val bestByOrder = q1.groupBy(_._6).view.mapValues(_.map(_._4).max).toMap
+    assert(bestByOrder(1) >= bestByOrder(2))
+  }
+
+  test("pagedTopK: page two is exactly ranks 6..10 of the full ranking") {
+    val full = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    val page = Ann.pagedTopK(corpus, qs, k = 5, offset = 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(page.toSet == full.filter(_._3 > 5).toSet && page.length == 25)
+  }
+
+  test("filteredTopK: predicate excludes rows before scoring") {
+    val corpusF = corpus.withColumn("label", (col("id") % 2).cast("int"))
+    val out = Ann.filteredTopK(corpusF, qs, k = 10, predicate = "label = 0")
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(out.length == 50 && out.forall(_._2 % 2 == 0))
+    val direct = Ann.bruteForceTopK(corpus.filter(col("id") % 2 === 0), qs, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(out.toSet == direct.toSet)
+  }
+
+  test("binarizeSign/hammingDist: hand-checked packing, multi-word dims, popcount") {
+    import graft.functions.{VectorFunctions => V}
+    val df = Seq((Seq(1.0, -2.0, 0.5, -0.1, -9.0), Seq(-1.0, -2.0, 0.5, 0.2, 3.0)))
+      .toDF("a", "b")
+    val (wa, wb, h) = df.select(
+        V.binarizeSign(col("a"), 5).as("wa"), V.binarizeSign(col("b"), 5).as("wb"),
+        V.hammingDist(V.binarizeSign(col("a"), 5), V.binarizeSign(col("b"), 5)).as("h"))
+      .as[(Seq[Long], Seq[Long], Long)].head()
+    assert(wa == Seq(5L))  // bits 0,2 -> 0b00101
+    assert(wb == Seq(28L)) // bits 2,3,4 -> 0b11100
+    assert(h == 3)         // xor = 0b11001
+    // dim 70 packs into two words; bit 69 lands in word 1 bit 5
+    val wide = Seq(Tuple1(Seq.tabulate(70)(j => if (j == 0 || j == 69) 1.0 else -1.0)))
+      .toDF("v").select(V.binarizeSign(col("v"), 70).as("w")).as[Seq[Long]].head()
+    assert(wide == Seq(1L, 1L << 5))
+  }
+
+  test("binaryTopK: self at hamming 0 rank 1; distances equal sign-mismatch counts") {
+    val out = Ann.binaryTopK(corpus, qs, k = 10, dim = dim)
+      .select("qid", "id", "hamming", "rank").as[(Long, Long, Long, Int)].collect()
+    assert(out.length == 50)
+    assert(out.filter(_._4 == 1).forall(r => r._1 == r._2 && r._3 == 0L))
+    // cross-check every returned distance against a Scala-side count
+    val vecs = corpus.as[(Long, Seq[Double])].collect().toMap
+    out.foreach { case (qid, id, ham, _) =>
+      val expected = vecs(qid).zip(vecs(id)).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(ham == expected, s"($qid,$id) hamming $ham != $expected")
+    }
+  }
+
+  test("bm25TopK: scores match the Robertson/Lucene formula on a hand corpus") {
+    val postings = Seq((1L, 10, 2.0), (1L, 11, 1.0), (2L, 10, 1.0), (2L, 12, 1.0),
+      (3L, 11, 2.0)).toDF("id", "term", "tf")
+    val qterms = Seq((1L, 10), (1L, 11)).toDF("qid", "term")
+    val out = Ann.bm25TopK(postings, qterms, k = 3)
+      .select("qid", "id", "score", "rank").as[(Long, Long, Double, Int)].collect()
+    def idf(df: Double, n: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double, avgdl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val avgdl = (3.0 + 2.0 + 2.0) / 3
+    val exp1 = BigDecimal(idf(2, 3) * w(2, 3, avgdl) + idf(2, 3) * w(1, 3, avgdl))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got1 = out.find(r => r._1 == 1L && r._2 == 1L).get._3
+    assert(got1 == exp1, s"doc1 bm25 $got1 != $exp1")
+    // doc1 matches both terms and is the longest; it still outranks the
+    // single-term docs because it carries both idf contributions
+    assert(out.find(_._4 == 1).get._2 == 1L)
+    assert(out.length == 3)
+  }
+
+  test("refineTopK: factor covering the corpus reproduces exact brute force") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id", "score", "rank").as[(Long, Long, Double, Int)].collect().toSet
+    val full = Ann.refineTopK(corpus, qs, k = 10, factor = 20) // 200 cands = |corpus|
+      .select("qid", "id", "score", "rank").as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == exact, "refine over the whole corpus diverged from brute force")
+    // a thin candidate set still keeps self first and high overlap
+    val thin = Ann.refineTopK(corpus, qs, k = 10, factor = 3)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(thin.filter(_._3 == 1).forall(r => r._1 == r._2))
+    val overlap = thin.map(r => (r._1, r._2)).toSet
+      .intersect(exact.map(r => (r._1, r._2))).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"refine@factor=3 overlap $overlap below 0.9")
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
