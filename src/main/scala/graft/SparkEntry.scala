@@ -403,6 +403,20 @@ object SparkEntry {
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** IVF probing EVERY cell: the partition loses nothing, so the result
+    * is hash-exact against the brute-force oracle — the cross-engine
+    * proof that cell assignment + probe ranking is sound. */
+  private def qAnnIvfFull(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  /** IVF-PQ residual ADC (rows-only: quantization error has no SQL
+    * oracle; recall and determinism are pinned in AnnSpec). */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Ann.ivfPqTopK(corpus(s, dir), queriesSet(s, dir), k = 10,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
     Ann.sq8TopK(corpus(s, dir), queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
@@ -596,6 +610,8 @@ object SparkEntry {
     "q_ann_l2" -> (qAnnL2 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_full" -> (qAnnIvfFull _),
+    "q_ann_ivf_pq" -> (qAnnIvfPq _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_range" -> (qAnnRange _),
@@ -1138,6 +1154,16 @@ object SparkEntry {
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
         |      FROM q, e WHERE e.label = 1)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // full-probe IVF == exact brute force (same score expression, every
+    // cell probed) — the q_ann_topk oracle verifies the partition
+    "q_ann_ivf_full" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,

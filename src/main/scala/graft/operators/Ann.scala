@@ -852,4 +852,63 @@ object Ann {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-PQ: the coarse quantizer of [[ivfTopK]] over the residual
+    * encoding of [[pqTopK]] — the full Milvus/faiss IVF_PQ index
+    * (IVFADC in Jégou, Douze, Schmid 2011). Corpus vectors are assigned
+    * to nlist cells, their RESIDUALS v − centroid(cell) are PQ-encoded
+    * (residuals are smaller and better centered than raw vectors, so
+    * the same ksub spends its codes where the mass is), and a query
+    * probes its nprobe nearest cells with a PER-CELL lookup table over
+    * its own residual q − centroid. Scoring is −‖qres − r̂‖² per
+    * subspace — L2 ADC, the classic IVFADC metric. At 100 TB this
+    * composes both cuts: the probe touches ~nprobe/nlist of the corpus
+    * and the touched bytes are m codes per vector, not dim floats.
+    * Both codebooks train driver-side on byte-bounded hash samples;
+    * the per-(query, cell) LUTs are q×nprobe rows, broadcast like the
+    * probes themselves. Approximate (coarse + quantization error) —
+    * graded by recall specs; rows-only query. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, trainCap: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    ivfFit(corpus, nlist, seed, trainCap) match {
+      // corpus no bigger than the cell count — scan it exactly
+      case Left(filtered) => bruteForceTopK(filtered, queries, k, "l2")
+      case Right((cells, centroids)) =>
+        val dim = centroids.head().getSeq[Double](1).length
+        require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+        val res = cells.join(broadcast(centroids), "cell")
+          .select(col("id"), col("cell"),
+            zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
+        val cap = effectiveCap(trainCap, ksub)
+        val sampleBytes = cap * dim.toLong * 8L
+        require(sampleBytes <= TrainSampleByteBudget,
+          s"trainCap $cap at dim $dim would collect $sampleBytes bytes to " +
+            s"the driver (budget $TrainSampleByteBudget) — lower trainCap")
+        val sample = res
+          .orderBy(xxhash64(col("id").cast("string")), col("id"))
+          .limit(cap.toInt).select("res").collect()
+          .map(_.getSeq[Double](0).toArray)
+        if (sample.length <= ksub)
+          return bruteForceTopK(cells.select("id", "v"), queries, k, "l2")
+        val cbs = trainPq(sample, m, ksub, seed)
+        val codes = res.select(col("id"), col("cell"),
+          pqCodes(col("res"), cbs).as("codes"))
+        // per-(query, probed cell) residual LUT: q×nprobe rows, broadcast
+        val luts = probeCells(centroids, queries, nprobe)
+          .join(broadcast(centroids), "cell")
+          .select(col("qid"), col("cell"),
+            pqLut(zip_with(col("qv").cast("array<double>"), col("cv"),
+              (a, b) => a - b), cbs, "l2").as("lut"))
+        val scored = codes.join(broadcast(luts), "cell")
+          .select(col("qid"), col("id"),
+            round(aggregate(
+              zip_with(col("codes"), col("lut"), (cd, row) => element_at(row, cd + 1)),
+              lit(0.0), (a, x) => a + x), 4).as("score"))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
 }

@@ -97,6 +97,52 @@ object SegmentWriter {
     infos
   }
 
+  /** Compact undersized segments in place — the maintenance half of the
+    * rotate-append lifecycle. Repeated appends (parquet_manager.py:320's
+    * rotate-on-size, [[write]] called per batch, the index appends)
+    * accumulate files far below the segment budget, and at 100 TB the
+    * small-file tax is real: every scan pays a task + a footer read per
+    * file, so 1M 5 MB files cost 200× the scheduling of 10k 512 MB ones.
+    * Segments below `minBytes` (default: half the target) are read back
+    * — ONLY those; right-sized segments are never rewritten — coalesced
+    * (narrow, no shuffle) into ⌈total/targetBytes⌉ files, staged under a
+    * `_`-prefixed temp dir (invisible to concurrent scans), moved in,
+    * and the originals deleted; the manifest is rewritten last. Not
+    * atomic under job failure between the move and the deletes — a
+    * crash there leaves duplicate rows visible, same stage-and-move
+    * caveat as the index appends; a table format buys the missing
+    * transaction at production scale. Returns the refreshed manifest. */
+  def compactSegments(spark: SparkSession, dir: String,
+      targetBytes: Long = 512L * 1024 * 1024,
+      minBytes: Long = -1L): Seq[SegmentInfo] = {
+    val threshold = if (minBytes > 0) minBytes else targetBytes / 2
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(_.getLen < threshold)
+    // one undersized file can't merge with anything — leave it be
+    if (small.length >= 2) {
+      val total = small.map(_.getLen).sum
+      val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      val staging = new Path(p, "_compact_tmp")
+      spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.listStatus(staging)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          // part file names carry a fresh UUID — no collision with data
+          // files from earlier writes or compactions
+          require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
+            s"rename ${f.getPath} into $dir failed")
+        }
+      small.foreach(f => fs.delete(f.getPath, false))
+      fs.delete(staging, true)
+    }
+    writeManifest(spark, dir)
+  }
+
   /** Read a manifest back (the consumer side of the contract). Goes
     * through the filesystem, not spark.read — Spark's file listing
     * skips `_`-prefixed files, which is exactly why the manifest name

@@ -39,6 +39,38 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming near-dup dedup against a persisted minhash index — the
+    * daily-ingest lifecycle ([[graft.operators.Dedup.buildMinhashIndex]]
+    * / dedupAgainstIndex / appendToMinhashIndex) driven by a stream:
+    * each micro-batch (1) emits its near-dup pairs vs the stored
+    * corpus to `pairsDir`, then (2) appends itself to the index, so
+    * batch N+1 dedups against history INCLUDING batch N — exactly the
+    * accumulate-as-you-ingest semantics of the reference's repeated
+    * upload runs (embed_to_milvus.py:147-183). State lives in the
+    * index directory, not the state store: per micro-batch the work is
+    * O(batch) plus one stored-signature scan, and a restart resumes
+    * from the checkpoint without replaying appended batches (replayed
+    * ids would throw — the at-least-once window between emit and
+    * append is the documented non-atomicity of the append itself). */
+  def dedupIngestStream(docsStream: DataFrame, indexDir: String,
+      idCol: String, textCol: String, pairsDir: String,
+      checkpointDir: String, tau: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.operators.Dedup
+            .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+            .write.mode("append").parquet(pairsDir)
+          graft.operators.Dedup
+            .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

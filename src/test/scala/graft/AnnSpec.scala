@@ -410,6 +410,29 @@ class AnnSpec extends SparkSpec {
     assert(overlap >= 0.9, s"refine@factor=3 overlap $overlap below 0.9")
   }
 
+  test("ivfPqTopK: full-probe ADC recall@10 >= 0.8 vs exact l2; deterministic; exact fallback") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "l2")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val full = Ann.ivfPqTopK(corpus, qs, k = 10, nlist = 8, nprobe = 8, m = 4, ksub = 16)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect full).size.toDouble / exact.size
+    assert(recall >= 0.8, s"full-probe recall $recall below 0.8")
+    // partial probe: residual reconstruction keeps self near the top
+    val part = Ann.ivfPqTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4, m = 4, ksub = 16)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    (1 to 5).foreach { qid =>
+      val selfRank = part.find(r => r._1 == qid && r._2 == qid).map(_._3)
+      assert(selfRank.exists(_ <= 3), s"query $qid self-rank $selfRank")
+    }
+    val again = Ann.ivfPqTopK(corpus, qs, k = 10, nlist = 8, nprobe = 8, m = 4, ksub = 16)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(again == full, "same seed produced different rankings")
+    // corpus no bigger than the cell count: exact brute-force fallback
+    val fb = Ann.ivfPqTopK(corpus.filter(col("id") <= 8), qs, k = 5, nlist = 8, m = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(fb.length == 25 && fb.filter(_._3 == 1).forall(r => r._1 == r._2))
+  }
+
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet

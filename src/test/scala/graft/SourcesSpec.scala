@@ -59,6 +59,31 @@ class SourcesSpec extends SparkSpec {
     assert(SegmentWriter.readManifest(spark, dir) == manifest.sortBy(_.path))
   }
 
+  test("SegmentWriter.compactSegments: small files merge, data and manifest stay exact") {
+    val dir = Files.createTempDirectory("segc").toString + "/out"
+    val df = (1 to 100).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+    // <= 10 rows per file per task -> many undersized segments
+    SegmentWriter.write(df, dir, maxRecordsPerFile = 10, avgRowBytes = 64)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles().length > 1)
+    val manifest = SegmentWriter.compactSegments(spark, dir,
+      targetBytes = 64L * 1024 * 1024)
+    // every undersized segment merged into one; nothing lost or doubled
+    assert(parquetFiles().length == 1, s"got ${parquetFiles().length} files")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+    assert(back.toSeq == (1 to 100).map(i => (i.toLong, s"row $i")))
+    // the returned manifest matches the compacted layout and round-trips
+    assert(manifest.length == 1 && manifest.head.rows == 100)
+    assert(SegmentWriter.readManifest(spark, dir) == manifest)
+    // a single undersized file has nothing to merge with — no-op
+    val again = SegmentWriter.compactSegments(spark, dir,
+      targetBytes = 64L * 1024 * 1024)
+    assert(again == manifest && parquetFiles().length == 1)
+    // no staging leftovers
+    assert(!new java.io.File(dir, "_compact_tmp").exists())
+  }
+
   test("Ingest.pipeline: sparse map survives token-bucket collisions") {
     // find two distinct tokens whose 2^18 buckets collide — the same
     // md5-derived hash H.hash32(11, tok) % 2^18 the pipeline uses; a

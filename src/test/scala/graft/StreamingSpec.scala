@@ -183,6 +183,49 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.toSeq.sortBy(_._1)} vs batch ${batch.toSeq.sortBy(_._1)}")
   }
 
+  test("dedupIngestStream: micro-batches dedup against the GROWING index; pairs equal sequential batch calls") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val history = Seq((1L, base),
+      (2L, "unrelated finance news content entirely " * 4)).toDF("doc_id", "text")
+    val b1 = Seq((10L, base.replace("quick", "rapid")),
+      (11L, "fresh volcano geology prose and ash plumes " * 4))
+    val b2 = Seq((20L, base.replace("quick", "rapid"))) // near-dup of 1 AND of 10
+    val sDir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val bDir = java.nio.file.Files.createTempDirectory("bdedup").toString
+    Dedup.buildMinhashIndex(history, "doc_id", "text", s"$sDir/idx")
+    Dedup.buildMinhashIndex(history, "doc_id", "text", s"$bDir/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.dedupIngestStream(mem.toDF().toDF("doc_id", "text"),
+      s"$sDir/idx", "doc_id", "text", s"$sDir/pairs", s"$sDir/ckpt",
+      tau = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$sDir/pairs")
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // the sequential batch lifecycle over the same two batches
+    def run(batch: Seq[(Long, String)]) = {
+      val df = batch.toDF("doc_id", "text")
+      val pairs = Dedup.dedupAgainstIndex(spark, s"$bDir/idx", df, "doc_id", "text")
+        .select("id_new", "id_old", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      Dedup.appendToMinhashIndex(spark, s"$bDir/idx", df, "doc_id", "text")
+      pairs
+    }
+    val expected = run(b1) ++ run(b2)
+    assert(streamed == expected && streamed.nonEmpty,
+      s"streamed $streamed != sequential $expected")
+    // batch 2's near-dup matched batch 1's doc 10 — proof the index GREW
+    // between micro-batches, not just the pre-built history
+    assert(streamed.exists(p => p._1 == 20L && p._2 == 10L),
+      "no match against the batch appended by the previous trigger")
+    assert(streamed.exists(p => p._1 == 20L && p._2 == 1L))
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
