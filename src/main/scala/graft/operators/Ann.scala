@@ -157,10 +157,13 @@ object Ann {
     *              tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
     * `postings` (id, term, tf) is the inverted corpus; `queryTerms`
     * (qid, term) is the query bag (duplicate (qid,term) rows would
-    * double-count — pass distinct terms). Corpus statistics are two
-    * aggregates: doc lengths (reused via join) and df restricted to the
-    * broadcast query-term set, so at 100 TB nothing scans twice and the
-    * per-query work is the posting lists of its terms. */
+    * double-count — pass distinct terms). The postings plan evaluates
+    * three times (doc lengths, df, scoring) — deliberately uncached: at
+    * corpus scale re-running a narrow tokenize+hash pass is cheaper
+    * than spilling corpus-sized postings to disk, and each pass
+    * aggregates down before anything joins. df is computed only for
+    * the broadcast query-term set, so the per-query work is the
+    * posting lists of its terms. */
   def bm25TopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -871,7 +874,6 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L, trainCap: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
     ivfFit(corpus, nlist, seed, trainCap) match {
       // corpus no bigger than the cell count — scan it exactly
@@ -879,36 +881,169 @@ object Ann {
       case Right((cells, centroids)) =>
         val dim = centroids.head().getSeq[Double](1).length
         require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-        val res = cells.join(broadcast(centroids), "cell")
-          .select(col("id"), col("cell"),
-            zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
-        val cap = effectiveCap(trainCap, ksub)
-        val sampleBytes = cap * dim.toLong * 8L
-        require(sampleBytes <= TrainSampleByteBudget,
-          s"trainCap $cap at dim $dim would collect $sampleBytes bytes to " +
-            s"the driver (budget $TrainSampleByteBudget) — lower trainCap")
-        val sample = res
-          .orderBy(xxhash64(col("id").cast("string")), col("id"))
-          .limit(cap.toInt).select("res").collect()
-          .map(_.getSeq[Double](0).toArray)
-        if (sample.length <= ksub)
-          return bruteForceTopK(cells.select("id", "v"), queries, k, "l2")
-        val cbs = trainPq(sample, m, ksub, seed)
-        val codes = res.select(col("id"), col("cell"),
-          pqCodes(col("res"), cbs).as("codes"))
-        // per-(query, probed cell) residual LUT: q×nprobe rows, broadcast
-        val luts = probeCells(centroids, queries, nprobe)
-          .join(broadcast(centroids), "cell")
-          .select(col("qid"), col("cell"),
-            pqLut(zip_with(col("qv").cast("array<double>"), col("cv"),
-              (a, b) => a - b), cbs, "l2").as("lut"))
-        val scored = codes.join(broadcast(luts), "cell")
-          .select(col("qid"), col("id"),
-            round(aggregate(
-              zip_with(col("codes"), col("lut"), (cd, row) => element_at(row, cd + 1)),
-              lit(0.0), (a, x) => a + x), 4).as("score"))
-        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        val res = pqResiduals(cells, centroids)
+        trainPqResidual(res, dim, m, ksub, seed, trainCap) match {
+          // corpus no bigger than one codebook — PQ gains nothing
+          case None => bruteForceTopK(cells.select("id", "v"), queries, k, "l2")
+          case Some(cbs) =>
+            val codes = res.select(col("id"), col("cell"),
+              pqCodes(col("res"), cbs).as("codes"))
+            adcRank(codes,
+              ivfPqLuts(probeCells(centroids, queries, nprobe), centroids, cbs), k)
+        }
     }
+  }
+
+  /** (id, cell, res): cells with their residual v − centroid(cell). */
+  private def pqResiduals(cells: DataFrame, centroids: DataFrame): DataFrame =
+    cells.join(broadcast(centroids), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
+
+  /** Byte-bounded hash-ordered residual sample → [[trainPq]] codebooks;
+    * None when the corpus is no bigger than one codebook. */
+  private def trainPqResidual(res: DataFrame, dim: Int, m: Int, ksub: Int,
+      seed: Long, trainCap: Long): Option[Array[Array[Array[Double]]]] = {
+    val cap = effectiveCap(trainCap, ksub)
+    val sampleBytes = cap * dim.toLong * 8L
+    require(sampleBytes <= TrainSampleByteBudget,
+      s"trainCap $cap at dim $dim would collect $sampleBytes bytes to " +
+        s"the driver (budget $TrainSampleByteBudget) — lower trainCap")
+    val sample = res
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(cap.toInt).select("res").collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sample.length <= ksub) None else Some(trainPq(sample, m, ksub, seed))
+  }
+
+  /** Per-(query, probed cell) residual LUTs — q×nprobe rows, broadcast
+    * like the probes themselves. */
+  private def ivfPqLuts(probes: DataFrame, centroids: DataFrame,
+      cbs: Array[Array[Array[Double]]]): DataFrame =
+    probes.join(broadcast(centroids), "cell")
+      .select(col("qid"), col("cell"),
+        pqLut(zip_with(col("qv").cast("array<double>"), col("cv"),
+          (a, b) => a - b), cbs, "l2").as("lut"))
+
+  /** ADC scoring + per-query rank over (id, cell, codes) rows. */
+  private def adcRank(codes: DataFrame, luts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = codes.join(broadcast(luts), "cell")
+      .select(col("qid"), col("id"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (cd, row) => element_at(row, cd + 1)),
+          lit(0.0), (a, x) => a + x), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Persist a trained IVF-PQ index — [[buildIvfIndex]]'s lifecycle at
+    * the IVF_PQ compression point: `dir/codes` holds (id, codes)
+    * PARTITIONED BY cell (m small ints per vector instead of dim
+    * doubles — the scan a search pays is ~nprobe/nlist of the corpus
+    * at 1/32-1/128 the bytes of the raw vectors), `dir/centroids` the
+    * coarse codebook, `dir/pq` the m×ksub subspace codebooks, `dir/ids`
+    * the replayed-id sidecar. Search is self-describing from the
+    * persisted artifacts alone; the raw corpus is not needed again. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      trainCap: Long = -1L): Unit = {
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus must exceed nlist=$nlist vectors to index"))
+    val dim = centroids.head().getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val res = pqResiduals(cells, centroids)
+    val cbs = trainPqResidual(res, dim, m, ksub, seed, trainCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus must exceed ksub=$ksub vectors to index"))
+    res.select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val s = corpus.sparkSession
+    import s.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "vec")
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    IndexFiles.writeIds(s.read.parquet(s"$dir/codes").select("id"), dir)
+  }
+
+  /** The m×ksub subspace codebooks back off `dir/pq` — m·ksub rows,
+    * driver-side by construction. */
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/pq")
+      .select(col("sub"), col("code"), col("vec")).collect()
+    require(rows.nonEmpty, s"$dir/pq is empty — not a built IVF-PQ index")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val cbs = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    cbs
+  }
+
+  /** Search a persisted IVF-PQ index. Bit-equal to [[ivfPqTopK]] with
+    * the build's parameters (same codebooks, same codes, same LUTs);
+    * like [[searchIvfIndex]], the probes are computed ONCE and the
+    * probed cell ids become typed literal partition filters — static
+    * pruning at the file index, reading ~nprobe/nlist of the code
+    * files and none of the raw vectors. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cbs = readPqCodebooks(spark, dir)
+    val pc = probeCells(centroids, queries, nprobe)
+    val probeRows = pc.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), pc.schema)
+    val probed = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // type the literals off the read schema (the searchLshIndex lesson:
+    // a literal/attribute type mismatch casts away the static pruning)
+    val raw = spark.read.parquet(s"$dir/codes")
+    val cellIsInt =
+      raw.schema("cell").dataType == org.apache.spark.sql.types.IntegerType
+    val typed: Seq[Any] = if (cellIsInt) probed else probed.map(_.toLong)
+    val codes = (if (probed.isEmpty) raw.filter(lit(false))
+                 else raw.filter(col("cell").isin(typed: _*)))
+      .withColumn("cell", col("cell").cast("int"))
+    adcRank(codes, ivfPqLuts(probes, centroids, cbs), k)
+  }
+
+  /** Append a batch to a persisted IVF-PQ index WITHOUT re-training:
+    * cell assignment through the STORED coarse codebook, residual
+    * encoding through the STORED subspace codebooks — both
+    * deterministic functions of the persisted artifacts, so appended
+    * codes are exactly what the build would have written for the same
+    * rows. Same daily-ingest rationale and caveats as
+    * [[appendToIvfIndex]]: O(batch) work, codebooks drift from a fresh
+    * union-train (re-train on schedule), replayed ids throw via the
+    * compact `dir/ids` sidecar, the append is not atomic under job
+    * failure. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val cb = centroids.orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF-PQ index")
+    val cbs = readPqCodebooks(spark, dir)
+    val b = Dedup.spread(batch)
+      .withColumn("v", col("v").cast("array<double>"))
+      .filter(V.norm2(col("v")) > 0)
+    val batchIds = b.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir, spark.read.parquet(s"$dir/codes").select("id"))
+      .join(broadcast(batchIds), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would duplicate search hits")
+    val cells = b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
+    pqResiduals(cells, centroids)
+      .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    IndexFiles.appendIds(batchIds, dir)
   }
 }

@@ -221,29 +221,49 @@ class AnnSpec extends SparkSpec {
     assert(Ann.ivfTopK(corpus, qs, k = 3, nlist = 8, trainCap = 100).count() == 15)
   }
 
-  test("searchIvfIndex: scan statically prunes to the probed cells") {
-    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString + "/idx"
-    Ann.buildIvfIndex(corpus, dir, nlist = 8)
-    val oneQ = qs.filter(col("qid") === 1L)
-    val out = Ann.searchIvfIndex(spark, dir, oneQ, k = 5, nprobe = 2)
-    out.collect()
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  // AQE wraps executed stages as leaf nodes — descend into them
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // AQE wraps executed stages as leaf nodes — descend into them
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    p match {
       case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
       case q: QueryStageExec => allScans(q.plan)
       case s: FileSourceScanExec => Seq(s)
       case other =>
         other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
     }
+  }
+
+  /** Assert the executed plan's scan of `dataCol` carries a static
+    * `cell` partition filter and read at most `maxParts` partitions. */
+  private def assertCellPruned(out: org.apache.spark.sql.DataFrame,
+      dataCol: String, maxParts: Int): Unit = {
+    out.collect()
     val scans = allScans(out.queryExecution.executedPlan)
-      .filter(_.output.exists(_.name == "v")) // the cells scan, not centroids
-    assert(scans.nonEmpty, "cells FileSourceScan not found in executed plan")
+      .filter(_.output.exists(_.name == dataCol)) // the data scan, not centroids
+    assert(scans.nonEmpty, "data FileSourceScan not found in executed plan")
     assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
-      "no static partition filter on cell in the cells scan")
+      "no static partition filter on cell in the data scan")
     val partsRead = scans.map(_.metrics("numPartitions").value).max
-    assert(partsRead <= 2, s"cells scan read $partsRead partitions, expected <= nprobe=2")
+    assert(partsRead <= maxParts,
+      s"scan read $partsRead partitions, expected <= $maxParts")
+  }
+
+  test("searchIvfIndex: scan statically prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 8)
+    val oneQ = qs.filter(col("qid") === 1L)
+    assertCellPruned(Ann.searchIvfIndex(spark, dir, oneQ, k = 5, nprobe = 2),
+      dataCol = "v", maxParts = 2)
+  }
+
+  test("searchIvfPqIndex: code scan statically prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqprune").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 8, m = 4, ksub = 16)
+    val oneQ = qs.filter(col("qid") === 1L)
+    assertCellPruned(Ann.searchIvfPqIndex(spark, dir, oneQ, k = 5, nprobe = 2),
+      dataCol = "codes", maxParts = 2)
   }
 
   test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {
@@ -431,6 +451,79 @@ class AnnSpec extends SparkSpec {
     val fb = Ann.ivfPqTopK(corpus.filter(col("id") <= 8), qs, k = 5, nlist = 8, m = 4)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
     assert(fb.length == 25 && fb.filter(_._3 == 1).forall(r => r._1 == r._2))
+  }
+
+  test("buildIvfPqIndex + searchIvfPqIndex: persisted search matches direct ivfPqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 8, m = 4, ksub = 16)
+    val persisted = Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.ivfPqTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4, m = 4, ksub = 16)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(persisted == direct && persisted.nonEmpty, "round trip changed results")
+    // cell-partitioned code layout, raw vectors nowhere in the index
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
+    assert(!spark.read.parquet(s"$dir/codes").columns.contains("v"))
+    // empty query set -> empty result, not a failure
+    val noQs = Seq.empty[(Long, Seq[Double])].toDF("qid", "qv")
+    assert(Ann.searchIvfPqIndex(spark, dir, noQs, k = 5).count() == 0)
+  }
+
+  test("appendToIvfPqIndex: codes assigned through STORED codebooks; replay fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus.filter(col("id") <= 100), dir, nlist = 8, m = 4, ksub = 16)
+    Ann.appendToIvfPqIndex(spark, dir, corpus.filter(col("id") > 100))
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 200 && codes.select("id").distinct().count() == 200)
+    // recompute a few appended rows' cells and codes through the STORED
+    // artifacts — the append docstring's determinism claim
+    val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    val pqRows = spark.read.parquet(s"$dir/pq")
+      .select("sub", "code", "vec").collect()
+    val m = pqRows.map(_.getInt(0)).max + 1
+    val cbs = Array.ofDim[Array[Double]](m, pqRows.map(_.getInt(1)).max + 1)
+    pqRows.foreach(r => cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    val vecs = corpus.as[(Long, Seq[Double])].collect().toMap
+    val appended = codes.filter(col("id") > 100)
+      .select("id", "cell", "codes").as[(Long, Int, Seq[Int])].collect()
+    assert(appended.length == 100)
+    appended.take(20).foreach { case (id, cell, stored) =>
+      val v = vecs(id).toArray
+      def dot(c: Array[Double]) = c.zip(v).map { case (a, b) => a * b }.sum
+      assert(dot(cb(cell)) >= cb.map(dot).max - 1e-9, s"id $id not in nearest cell")
+      val res = v.zip(cb(cell)).map { case (a, b) => a - b }
+      val dsub = res.length / m
+      val expect = (0 until m).map { j =>
+        val sub = res.slice(j * dsub, (j + 1) * dsub)
+        cbs(j).zipWithIndex.minBy { case (c, ci) =>
+          (c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum, ci)
+        }._2
+      }
+      assert(stored == expect, s"id $id codes $stored != recomputed $expect")
+    }
+    // an appended vector is findable: querying with id 150's own vector
+    // ranks it at the top at full probe
+    val q150 = corpus.filter(col("id") === 150L)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    // codebooks were trained on the FIRST half only, so the appended
+    // half carries extra quantization error — top-5 of 200 is the
+    // searchability bar, not top-1
+    val hit = Ann.searchIvfPqIndex(spark, dir, q150, k = 5, nprobe = 8)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(hit.exists(r => r._2 == 150L && r._3 <= 5),
+      s"appended self-retrieval missed: ${hit.toSeq}")
+    // replayed id fails fast; empty batch is a no-op
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToIvfPqIndex(spark, dir, corpus.filter(col("id") === 5L))
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+    Ann.appendToIvfPqIndex(spark, dir, corpus.filter(lit(false)))
+    assert(spark.read.parquet(s"$dir/codes").count() == 200)
   }
 
   test("ivfTopK: trained codebook recall@10 >= 0.8 vs brute force at nprobe=4") {
