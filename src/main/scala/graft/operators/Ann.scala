@@ -189,6 +189,76 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Persist a sparse inverted index — the reference's OWN sparse index
+    * type (milvus_connector.py:65-73 creates SPARSE_INVERTED_INDEX over
+    * sparse_embedding), as the same build-once/search-many lifecycle as
+    * the dense indexes. `dir/postings` holds (id, term, w) PARTITIONED
+    * BY tbucket = term mod `buckets`: a search's query terms select
+    * their buckets as typed literal partition filters (static pruning
+    * at the file index), so the scan reads ~|query-term buckets|/buckets
+    * of the postings instead of everything — at 100 TB the difference
+    * between touching a few posting shards and the whole corpus.
+    * `buckets` bounds the directory fan-out (256 default) while keeping
+    * each bucket a thin slice of the term space. */
+  def buildSparseIndex(postings: DataFrame, dir: String,
+      buckets: Int = 256): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val s = postings.sparkSession
+    import s.implicits._
+    Dedup.spread(postings)
+      .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
+    Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$dir/meta")
+    IndexFiles.writeIds(
+      s.read.parquet(s"$dir/postings").select("id").distinct(), dir)
+  }
+
+  /** Append a batch's postings to a persisted sparse index: bucketed
+    * through the stored `buckets` parameter, O(batch) per append,
+    * history never rewritten. Batch ids must be disjoint from stored
+    * ids (checked via the compact `dir/ids` sidecar) — a replayed id's
+    * terms would double-count in the score sum. Not atomic under job
+    * failure — stage-and-move at production scale. */
+  def appendToSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val batchIds = batch.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir,
+        spark.read.parquet(s"$dir/postings").select("id").distinct())
+      .join(broadcast(batchIds), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would double-count in scores")
+    Dedup.spread(batch)
+      .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
+      .write.mode("append").partitionBy("tbucket").parquet(s"$dir/postings")
+    IndexFiles.appendIds(batchIds, dir)
+  }
+
+  /** Search a persisted sparse index; same results as [[sparseTopK]]
+    * over the full postings (scores only involve terms both sides
+    * share, and every query term's posting rows live in its bucket —
+    * pruning drops only rows that could never score). The query terms'
+    * buckets are collected driver-side (≤ |query terms| ints) and
+    * applied as typed literal partition filters — static pruning, same
+    * rationale as [[searchIvfIndex]]. */
+  def searchSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: DataFrame, k: Int): DataFrame = {
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val wanted = queryTerms
+      .select(pmod(col("term"), lit(buckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val raw = spark.read.parquet(s"$dir/postings")
+    val bIsInt =
+      raw.schema("tbucket").dataType == org.apache.spark.sql.types.IntegerType
+    val typed: Seq[Any] = if (bIsInt) wanted else wanted.map(_.toLong)
+    val pruned = (if (wanted.isEmpty) raw.filter(lit(false))
+                  else raw.filter(col("tbucket").isin(typed: _*)))
+      .drop("tbucket")
+    sparseTopK(pruned, queryTerms, k)
+  }
+
   /** Binary-quantized top-k by Hamming distance — the Milvus/faiss
     * BIN_FLAT index family (binary vectors + HAMMING metric). Both sides
     * sign-binarized ([[graft.functions.VectorFunctions.binarizeSign]]):

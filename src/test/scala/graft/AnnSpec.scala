@@ -236,15 +236,15 @@ class AnnSpec extends SparkSpec {
   }
 
   /** Assert the executed plan's scan of `dataCol` carries a static
-    * `cell` partition filter and read at most `maxParts` partitions. */
-  private def assertCellPruned(out: org.apache.spark.sql.DataFrame,
-      dataCol: String, maxParts: Int): Unit = {
+    * `partCol` partition filter and read at most `maxParts` partitions. */
+  private def assertPruned(out: org.apache.spark.sql.DataFrame,
+      dataCol: String, partCol: String, maxParts: Int): Unit = {
     out.collect()
     val scans = allScans(out.queryExecution.executedPlan)
-      .filter(_.output.exists(_.name == dataCol)) // the data scan, not centroids
+      .filter(_.output.exists(_.name == dataCol)) // the data scan, not metadata
     assert(scans.nonEmpty, "data FileSourceScan not found in executed plan")
-    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
-      "no static partition filter on cell in the data scan")
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == partCol))),
+      s"no static partition filter on $partCol in the data scan")
     val partsRead = scans.map(_.metrics("numPartitions").value).max
     assert(partsRead <= maxParts,
       s"scan read $partsRead partitions, expected <= $maxParts")
@@ -254,16 +254,49 @@ class AnnSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivfprune").toString + "/idx"
     Ann.buildIvfIndex(corpus, dir, nlist = 8)
     val oneQ = qs.filter(col("qid") === 1L)
-    assertCellPruned(Ann.searchIvfIndex(spark, dir, oneQ, k = 5, nprobe = 2),
-      dataCol = "v", maxParts = 2)
+    assertPruned(Ann.searchIvfIndex(spark, dir, oneQ, k = 5, nprobe = 2),
+      dataCol = "v", partCol = "cell", maxParts = 2)
   }
 
   test("searchIvfPqIndex: code scan statically prunes to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpqprune").toString + "/idx"
     Ann.buildIvfPqIndex(corpus, dir, nlist = 8, m = 4, ksub = 16)
     val oneQ = qs.filter(col("qid") === 1L)
-    assertCellPruned(Ann.searchIvfPqIndex(spark, dir, oneQ, k = 5, nprobe = 2),
-      dataCol = "codes", maxParts = 2)
+    assertPruned(Ann.searchIvfPqIndex(spark, dir, oneQ, k = 5, nprobe = 2),
+      dataCol = "codes", partCol = "cell", maxParts = 2)
+  }
+
+  test("sparse index lifecycle: pruned search equals direct; append equals rebuild; replay throws") {
+    val postings = (1 to 50).flatMap(i =>
+      Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0), (2L, 3L, 1.0))
+      .toDF("qid", "term", "qw")
+    val dir = java.nio.file.Files.createTempDirectory("spidx").toString + "/idx"
+    Ann.buildSparseIndex(postings, dir, buckets = 8)
+    def res(d: String) = Ann.searchSparseIndex(spark, d, qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.sparseTopK(postings, qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val persisted = res(dir)
+    assert(persisted == direct && persisted.nonEmpty, "round trip changed results")
+    // query terms 1,2,3 land in buckets 1,2,3 of 8 — only those read
+    assertPruned(Ann.searchSparseIndex(spark, dir, qterms, k = 3),
+      dataCol = "w", partCol = "tbucket", maxParts = 3)
+    // append-then-search equals an index rebuilt on the union postings
+    val dirApp = java.nio.file.Files.createTempDirectory("spapp").toString + "/idx"
+    Ann.buildSparseIndex(postings.filter(col("id") <= 25), dirApp, buckets = 8)
+    Ann.appendToSparseIndex(spark, dirApp, postings.filter(col("id") > 25))
+    assert(res(dirApp) == persisted, "appended index diverged from rebuild")
+    // replayed id fails fast; empty query set is empty, not fatal
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToSparseIndex(spark, dirApp, postings.filter(col("id") === 1L))
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+    assert(Ann.searchSparseIndex(spark, dir,
+      qterms.filter(org.apache.spark.sql.functions.lit(false)), k = 3).count() == 0)
   }
 
   test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {
