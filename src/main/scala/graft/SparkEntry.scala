@@ -489,6 +489,19 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
   }
 
+  // Weighted-fusion hybrid (Milvus WeightedRanker): same branches as
+  // q_hybrid_search, scores normalized and weight-summed instead of RRF
+  private def qHybridWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    Ann.hybridTopKWeighted(corpus(s, dir), queriesSet(s, dir), postings, qpost,
+        k = 10, wDense = 0.7, wSparse = 0.3)
+      .select(col("qid"), col("id"), col("wscore"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -623,6 +636,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
+    "q_hybrid_weighted" -> (qHybridWeighted _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _),
     "q_asof_join" -> (qAsofJoin _),
@@ -991,6 +1005,32 @@ object SparkEntry {
          |      FROM dtop FULL JOIN stop USING (qid, id))
          |SELECT qid, id, rrf, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
+
+    // WeightedRanker fusion: dense (1+cos)/2, sparse s/(1+s), 0.7/0.3
+    // weights — same branch CTEs as q_hybrid_search
+    "q_hybrid_weighted" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |ds AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
+         |dr AS (SELECT qid, id, (1.0 + score) / 2 AS nd,
+         |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank_d FROM ds),
+         |dtop AS (SELECT qid, id, nd FROM dr WHERE rank_d <= 10),
+         |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |         FROM ($tokDoc)
+         |         GROUP BY doc_id, term),
+         |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
+         |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
+         |       FROM post JOIN qpost ON post.term = qpost.term GROUP BY 1, 2),
+         |sr AS (SELECT qid, id, score / (1.0 + score) AS ns,
+         |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank_s FROM ss),
+         |stop AS (SELECT qid, id, ns FROM sr WHERE rank_s <= 10),
+         |f AS (SELECT qid, id,
+         |      round(coalesce(nd, 0) * 0.7 + coalesce(ns, 0) * 0.3, 6) AS wscore
+         |      FROM dtop FULL JOIN stop USING (qid, id))
+         |SELECT qid, id, wscore, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY wscore DESC, id ASC) AS BIGINT) AS rank FROM f)
          |WHERE rank <= 10""".stripMargin,
 
     "q_ann_topk" ->

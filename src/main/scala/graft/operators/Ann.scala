@@ -305,6 +305,38 @@ object Ann {
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hybrid dense+sparse search with WEIGHTED score fusion — the Milvus
+    * WeightedRanker alternative to [[hybridTopK]]'s RRF: each branch's
+    * score is normalized to [0,1] and the fused score is their weighted
+    * sum (a hit missing from a branch contributes 0 there). Dense cosine
+    * normalizes as (1+s)/2 — Milvus's own cosine normalization. For the
+    * unbounded sparse dot, Milvus uses arctan; here it is the algebraic
+    * sigmoid s/(1+s) instead — the same monotone (0,1) shape, but built
+    * from correctly-rounded IEEE ops only, so the DuckDB oracle
+    * reproduces the fusion bit-for-bit (a transcendental could differ in
+    * the last ulp across libm implementations and flip a rounded rank).
+    * Per-branch rankings are unchanged by the swap (both maps are
+    * monotone); only the cross-branch weighting differs numerically
+    * from Milvus. Deterministic: 4-dp branch scores, 6-dp fused score,
+    * id-asc ties. */
+  def hybridTopKWeighted(corpus: DataFrame, queries: DataFrame,
+      postings: DataFrame, queryTerms: DataFrame, k: Int,
+      wDense: Double = 0.5, wSparse: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = bruteForceTopK(corpus, queries, k, "cosine")
+      .select(col("qid"), col("id"),
+        ((lit(1.0) + col("score")) / 2).as("nd"))
+    val sparse = sparseTopK(postings, queryTerms, k)
+      .select(col("qid"), col("id"),
+        (col("score") / (lit(1.0) + col("score"))).as("ns"))
+    val fused = dense.join(sparse, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        round(coalesce(col("nd"), lit(0.0)) * wDense +
+          coalesce(col("ns"), lit(0.0)) * wSparse, 6).as("wscore"))
+    val w = Window.partitionBy("qid").orderBy(col("wscore").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k search returning caller-selected payload columns with every
     * hit — the reference search surface's output_fields
     * (milvus_connector.py:167-178: output_fields=["file_id",

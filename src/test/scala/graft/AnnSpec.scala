@@ -74,6 +74,24 @@ class AnnSpec extends SparkSpec {
     assert(hy.count(_._1 == 1L) == 5)
   }
 
+  test("hybridTopKWeighted: fused score matches the hand formula; self first") {
+    val postings = (1 to 50).flatMap(i => Seq((i.toLong, i, 2.0), (i.toLong, i + 1, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1, 2.0), (1L, 2, 1.0), (2L, 2, 2.0), (2L, 3, 1.0))
+      .toDF("qid", "term", "qw")
+    val out = Ann.hybridTopKWeighted(corpus.filter(col("id") <= 50),
+        qs.filter(col("qid") <= 2), postings, qterms, k = 5)
+      .select("qid", "id", "wscore", "rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.filter(_._4 == 1).forall(r => r._1 == r._2), s"self lost: ${out.toSeq}")
+    // (1,1): dense cos = 1.0 -> nd = 1.0; sparse s = 2*2 + 1*1 = 5 -> ns = 5/6
+    val expect = BigDecimal(0.5 * 1.0 + 0.5 * (5.0 / (1.0 + 5.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(r => r._1 == 1L && r._2 == 1L).get._3
+    assert(got == expect, s"fused $got != $expect")
+    // a dense-only hit still scores through the dense weight alone
+    assert(out.exists(r => r._1 == 1L && r._2 != 1L))
+  }
+
   test("searchWithFields: hits carry the requested payload columns") {
     val corpusF = corpus.withColumn("label", (col("id") % 3).cast("int"))
     val out = Ann.searchWithFields(corpusF, qs, k = 5, outputFields = Seq("label"))
