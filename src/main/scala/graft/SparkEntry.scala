@@ -153,6 +153,17 @@ object SparkEntry {
     Tag.tag(t(s, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
 
+  // the chat surface end-to-end: default system + one history pair
+  // (source, lang) + the document as the final user message; the stub
+  // labels the canonical serialization of the WHOLE assembled request,
+  // so the oracle checks assembly, not just the text
+  private def qLlmChat(s: SparkSession, dir: String): DataFrame = {
+    val withHist = t(s, dir, "documents").withColumn("hist",
+      array(struct(col("source").as("q"), col("lang").as("a"))))
+    Tag.chatTag(withHist, "doc_id", "text", historyCol = Some("hist"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // multimodal metadata pass over synthesized binary payloads (the text
   // bytes stand in for image bytes; the checksum-derived stub dims are
   // exact functions both engines compute)
@@ -588,6 +599,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_corpus_profile" -> (qCorpusProfile _),
     "q_llm_tag" -> (qLlmTag _),
+    "q_llm_chat" -> (qLlmChat _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _),
     "q_fingerprint" -> (qFingerprint _),
@@ -782,6 +794,23 @@ object SparkEntry {
         | + least(CAST(floor(stops * 10000 / (toks + 1)) AS BIGINT), 1000) * 3
         | + (1000 - least(CAST(floor(punct * 5000 / (toks + 1)) AS BIGINT), 1000)) * 3 AS quality
         |FROM f""".stripMargin,
+
+    // chat assembly serialized with chr(31)/chr(30) separators exactly as
+    // Tag.chatDigestInput, then the same signed-byte label rule as
+    // q_llm_tag — the whole request (system default, history pair, query)
+    // is inside the digest
+    "q_llm_chat" ->
+      """WITH m AS (SELECT doc_id,
+        |  'system' || chr(31) || '你是一个数据处理打标专家。' || chr(30) ||
+        |  'user' || chr(31) || source || chr(30) ||
+        |  'assistant' || chr(31) || lang || chr(30) ||
+        |  'user' || chr(31) || text || chr(30) AS prompt
+        |  FROM documents),
+        |b AS (SELECT doc_id, ('0x' || substr(md5(prompt), 1, 2))::INT AS ub FROM m),
+        |s AS (SELECT doc_id, CASE WHEN ub > 127 THEN ub - 256 ELSE ub END AS sb FROM b)
+        |SELECT doc_id, CASE ((sb % 5) + 5) % 5
+        | WHEN 0 THEN 'news' WHEN 1 THEN 'tech' WHEN 2 THEN 'finance'
+        | WHEN 3 THEN 'sports' ELSE 'other' END AS label FROM s""".stripMargin,
 
     "q_llm_tag" ->
       """WITH b AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 2))::INT AS ub FROM documents),

@@ -45,6 +45,47 @@ class MultimodalTagSpec extends SparkSpec {
     assert(Tag.labels.contains(out(2L)))
   }
 
+  test("Tag.chatMessages: assembly follows the reference's rules") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = Seq(
+      // (query, system, history)
+      ("what is spark", null.asInstanceOf[String],
+        Seq(("earlier q", "earlier a"), ("what is spark", "self answer"))),
+      ("hello", "custom system", Seq.empty[(String, String)])
+    ).toDF("q", "sys", "hist")
+    val out = rows.select(Tag.chatMessages(col("q"), col("sys"),
+        col("hist").cast("array<struct<q:string,a:string>>")).as("m"))
+      .as[Seq[(String, String)]].collect()
+    // default system; self-pair skipped; history expands in order; query last
+    assert(out(0) == Seq(
+      ("system", Tag.DefaultSystem),
+      ("user", "earlier q"), ("assistant", "earlier a"),
+      ("user", "what is spark")))
+    // explicit system wins; empty history contributes nothing
+    assert(out(1) == Seq(("system", "custom system"), ("user", "hello")))
+    // null history behaves like empty
+    val noHist = Seq(Tuple1("solo")).toDF("q")
+      .select(Tag.chatMessages(col("q"), lit(null).cast("string"),
+        lit(null).cast("array<struct<q:string,a:string>>")).as("m"))
+      .as[Seq[(String, String)]].head()
+    assert(noHist == Seq(("system", Tag.DefaultSystem), ("user", "solo")))
+  }
+
+  test("Tag.chatTag: label is the stub digest of the FULL assembled request") {
+    val docs = Seq((1L, "doc text one", "src1", "en"),
+      (2L, "doc text two", "src2", "zh")).toDF("id", "text", "source", "lang")
+    import org.apache.spark.sql.functions.{array, col, struct}
+    val withHist = docs.withColumn("hist",
+      array(struct(col("source").as("q"), col("lang").as("a"))))
+    val out = Tag.chatTag(withHist, "id", "text", historyCol = Some("hist"))
+      .as[(Long, String)].collect().toMap
+    def serial(text: String, src: String, lang: String) =
+      s"system\u001f${Tag.DefaultSystem}\u001euser\u001f$src\u001e" +
+        s"assistant\u001f$lang\u001euser\u001f$text\u001e"
+    assert(out(1L) == Tag.stubModelCall(Seq(serial("doc text one", "src1", "en"))).head)
+    assert(out(2L) == Tag.stubModelCall(Seq(serial("doc text two", "src2", "zh"))).head)
+  }
+
   test("Tag.tag: batched seam, deterministic labels from the stub model") {
     val docs = (1 to 50).map(i => (i.toLong, s"document number $i")).toDF("id", "text")
     val a = Tag.tag(docs, "id", "text", batchSize = 8).as[(Long, String)].collect().sortBy(_._1)
