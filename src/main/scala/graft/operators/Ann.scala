@@ -762,6 +762,59 @@ object Ann {
     IndexFiles.appendIds(batchIds, dir)
   }
 
+  /** Delete ids from a persisted IVF index by TOMBSTONE — the Milvus
+    * delete model (milvus_connector.py:190-198 delete-by-expr; Milvus
+    * itself materializes deletes as tombstones merged at compaction):
+    * the ids land in `dir/deleted`, [[searchIvfIndex]] anti-joins them
+    * out, and [[compactIvfIndex]] purges them physically. O(delete
+    * batch) per call — no cell file is rewritten. A tombstoned id
+    * cannot be re-appended until compaction (the tombstone is by id,
+    * so a re-inserted row would be invisible to search; Milvus
+    * distinguishes rows by PK+timestamp, out of scope here). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    ids.select(col("id")).distinct()
+      .write.mode("append").parquet(s"$dir/deleted")
+
+  /** The tombstone set, empty when none were ever written. */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(s"$dir/deleted"))
+    else None
+  }
+
+  /** Physically purge tombstoned rows: rewrite `dir/cells` without
+    * them (staged under a temp dir, then swapped — a crash mid-compact
+    * leaves the old cells intact), shrink the `dir/ids` sidecar, drop
+    * `dir/deleted`. After compaction the purged ids are appendable
+    * again. Search results are bit-equal before and after (the search
+    * filter and the rewrite drop exactly the same rows); the codebook
+    * is untouched — re-train on schedule if the surviving distribution
+    * drifts. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = tombstones(spark, dir).foreach { dead =>
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = spark.read.parquet(s"$dir/cells")
+      .join(broadcast(dead), Seq("id"), "left_anti")
+    kept.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells_tmp")
+    val keptIds = IndexFiles
+      .ensureIds(spark, dir, spark.read.parquet(s"$dir/cells").select("id"))
+      .join(broadcast(dead), Seq("id"), "left_anti")
+    // materialize the shrunken sidecar BEFORE the swap deletes its source
+    IndexFiles.writeIds(keptIds, s"$dir/ids_tmp")
+    require(fs.delete(new Path(s"$dir/cells"), true), s"delete $dir/cells failed")
+    require(fs.rename(new Path(s"$dir/cells_tmp"), new Path(s"$dir/cells")),
+      s"swap $dir/cells_tmp into place failed")
+    require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
+    require(fs.rename(new Path(s"$dir/ids_tmp/ids"), new Path(s"$dir/ids")),
+      s"swap $dir/ids_tmp into place failed")
+    fs.delete(new Path(s"$dir/ids_tmp"), true)
+    fs.delete(new Path(s"$dir/deleted"), true)
+  }
+
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
     * build's parameters; only the probed cells' partitions are read.
     * Like [[searchLshIndex]], the probed cell ids are collected
@@ -794,9 +847,14 @@ object Ann {
     val cellIsInt =
       raw.schema("cell").dataType == org.apache.spark.sql.types.IntegerType
     val typed: Seq[Any] = if (cellIsInt) probed else probed.map(_.toLong)
-    val cells = (if (probed.isEmpty) raw.filter(lit(false))
-                 else raw.filter(col("cell").isin(typed: _*)))
+    val pruned = (if (probed.isEmpty) raw.filter(lit(false))
+                  else raw.filter(col("cell").isin(typed: _*)))
       .withColumn("cell", col("cell").cast("int"))
+    // tombstoned ids ([[deleteFromIvfIndex]]) never reach the ranking —
+    // bit-equal to searching the physically compacted index
+    val cells = tombstones(spark, dir)
+      .map(d => pruned.join(broadcast(d), Seq("id"), "left_anti"))
+      .getOrElse(pruned)
     probeAndRank(cells, probes, k, metric)
   }
 

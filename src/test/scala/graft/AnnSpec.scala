@@ -204,6 +204,43 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cells").count() == 200)
   }
 
+  test("deleteFromIvfIndex + compactIvfIndex: tombstones hide rows; compaction purges and re-opens ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 8)
+    val before = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // delete the top-1 hits (the self-matches 1..5) — searches must
+    // re-rank without them, bit-equal to ranking the surviving rows
+    Ann.deleteFromIvfIndex(spark, dir, (1L to 5L).toDF("id"))
+    val tombstoned = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(!tombstoned.exists(r => r._2 <= 5L), "deleted id surfaced in search")
+    val expected = Ann.bruteForceTopK(corpus.filter(col("id") > 5), qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(tombstoned == expected, "tombstoned ranking != ranking of survivors")
+    // a tombstoned id cannot be re-appended before compaction
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") === 3L))
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+    // compaction: physically purged, search bit-equal, id re-appendable
+    Ann.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    assert(spark.read.parquet(s"$dir/cells").count() == 195)
+    val compacted = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(compacted == tombstoned, "compaction changed search results")
+    Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") === 3L))
+    assert(spark.read.parquet(s"$dir/cells").count() == 196)
+    // compacting with no tombstones is a no-op
+    Ann.compactIvfIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() == 196)
+  }
+
   test("quantizeSq8/dotSq8: small relative error, bounded codes, zero-vector safe") {
     import graft.functions.{VectorFunctions => V}
     val rows = corpus.limit(40)
