@@ -256,7 +256,7 @@ object Ann {
     val pruned = (if (wanted.isEmpty) raw.filter(lit(false))
                   else raw.filter(col("tbucket").isin(typed: _*)))
       .drop("tbucket")
-    sparseTopK(pruned, queryTerms, k)
+    sparseTopK(IndexFiles.dropTombstones(spark, dir, pruned), queryTerms, k)
   }
 
   /** Binary-quantized top-k by Hamming distance — the Milvus/faiss
@@ -487,6 +487,7 @@ object Ann {
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
     lshBuckets(batch, dim, planes, tables)
       .write.mode("append").partitionBy("tbl", "sig").parquet(s"$dir/buckets")
+    IndexFiles.refresh(spark, dir)
   }
 
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
@@ -773,47 +774,38 @@ object Ann {
     * distinguishes rows by PK+timestamp, out of scope here). */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, ids: DataFrame): Unit =
-    ids.select(col("id")).distinct()
-      .write.mode("append").parquet(s"$dir/deleted")
+    IndexFiles.writeTombstones(ids, dir)
 
-  /** The tombstone set, empty when none were ever written. */
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Some(spark.read.parquet(s"$dir/deleted"))
-    else None
-  }
-
-  /** Physically purge tombstoned rows: rewrite `dir/cells` without
-    * them (staged under a temp dir, then swapped — a crash mid-compact
-    * leaves the old cells intact), shrink the `dir/ids` sidecar, drop
-    * `dir/deleted`. After compaction the purged ids are appendable
-    * again. Search results are bit-equal before and after (the search
-    * filter and the rewrite drop exactly the same rows); the codebook
-    * is untouched — re-train on schedule if the surviving distribution
-    * drifts. */
+  /** Physically purge tombstoned rows ([[IndexFiles.compact]] over the
+    * cells table): search results are bit-equal before and after (the
+    * search filter and the rewrite drop exactly the same rows), purged
+    * ids become appendable again, and the codebook is untouched —
+    * re-train on schedule if the surviving distribution drifts. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = tombstones(spark, dir).foreach { dead =>
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val kept = spark.read.parquet(s"$dir/cells")
-      .join(broadcast(dead), Seq("id"), "left_anti")
-    kept.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells_tmp")
-    val keptIds = IndexFiles
-      .ensureIds(spark, dir, spark.read.parquet(s"$dir/cells").select("id"))
-      .join(broadcast(dead), Seq("id"), "left_anti")
-    // materialize the shrunken sidecar BEFORE the swap deletes its source
-    IndexFiles.writeIds(keptIds, s"$dir/ids_tmp")
-    require(fs.delete(new Path(s"$dir/cells"), true), s"delete $dir/cells failed")
-    require(fs.rename(new Path(s"$dir/cells_tmp"), new Path(s"$dir/cells")),
-      s"swap $dir/cells_tmp into place failed")
-    require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
-    require(fs.rename(new Path(s"$dir/ids_tmp/ids"), new Path(s"$dir/ids")),
-      s"swap $dir/ids_tmp into place failed")
-    fs.delete(new Path(s"$dir/ids_tmp"), true)
-    fs.delete(new Path(s"$dir/deleted"), true)
-  }
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("cells" -> Some("cell")))
+
+  /** Tombstone / purge for the IVF-PQ index — same model as
+    * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the codes
+    * table; both codebooks are untouched. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("codes" -> Some("cell")))
+
+  /** Tombstone / purge for the sparse inverted index — a deleted doc's
+    * postings stop scoring immediately and are rewritten away at
+    * compaction. */
+  def deleteFromSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("postings" -> Some("tbucket")))
 
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
     * build's parameters; only the probed cells' partitions are read.
@@ -852,10 +844,8 @@ object Ann {
       .withColumn("cell", col("cell").cast("int"))
     // tombstoned ids ([[deleteFromIvfIndex]]) never reach the ranking —
     // bit-equal to searching the physically compacted index
-    val cells = tombstones(spark, dir)
-      .map(d => pruned.join(broadcast(d), Seq("id"), "left_anti"))
-      .getOrElse(pruned)
-    probeAndRank(cells, probes, k, metric)
+    probeAndRank(IndexFiles.dropTombstones(spark, dir, pruned),
+      probes, k, metric)
   }
 
   /** Plain L2 Lloyd's k-means (k-means++ seeding, MEAN centroids, no
@@ -1170,7 +1160,8 @@ object Ann {
     val codes = (if (probed.isEmpty) raw.filter(lit(false))
                  else raw.filter(col("cell").isin(typed: _*)))
       .withColumn("cell", col("cell").cast("int"))
-    adcRank(codes, ivfPqLuts(probes, centroids, cbs), k)
+    adcRank(IndexFiles.dropTombstones(spark, dir, codes),
+      ivfPqLuts(probes, centroids, cbs), k)
   }
 
   /** Append a batch to a persisted IVF-PQ index WITHOUT re-training:

@@ -518,6 +518,20 @@ object Dedup {
     newSh.unpersist()
   }
 
+  /** Tombstone docs out of a persisted minhash index — the shared
+    * delete model ([[IndexFiles.writeTombstones]]): O(batch), no
+    * rewrite; [[dedupAgainstIndex]] stops matching them immediately;
+    * [[compactMinhashIndex]] purges them from both payload tables and
+    * re-opens the ids for append (blocked before compaction). */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir,
+      Map("sigs" -> None, "shingles" -> None))
+
   /** Near-dup pairs between a NEW batch and a persisted index:
     * [[minhashLsh]]'s candidates-then-verify with the join flipped to
     * new-batch signatures against STORED signatures. The batch side
@@ -543,7 +557,8 @@ object Dedup {
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
-    val oldSh = spark.read.parquet(s"$dir/shingles")
+    val oldSh = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/shingles"))
     val replayed = newSh.select("id").distinct()
       .join(IndexFiles.storedIds(spark, dir, oldSh.select("id").distinct()),
         "id").limit(1).collect()
@@ -551,7 +566,10 @@ object Dedup {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would corrupt the Jaccard verify")
     val newSig = bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
-    val oldSig = spark.read.parquet(s"$dir/sigs")
+    // tombstoned docs ([[deleteFromMinhashIndex]]) neither candidate
+    // nor verify — bit-equal to the physically compacted index
+    val oldSig = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/sigs"))
     val cand = oldSig.as("o").join(broadcast(newSig.as("n")),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(col("n.id").as("id_a"), col("o.id").as("id_b"))

@@ -28,9 +28,13 @@ private[operators] object IndexFiles {
   def writeIds(ids: DataFrame, dir: String): Unit =
     ids.write.mode("overwrite").parquet(s"$dir/ids")
 
-  /** Extend the sidecar with an appended batch's ids. */
-  def appendIds(ids: DataFrame, dir: String): Unit =
+  /** Extend the sidecar with an appended batch's ids. Runs LAST in
+    * every guarded append, so the refresh also covers the payload
+    * files the append just wrote. */
+  def appendIds(ids: DataFrame, dir: String): Unit = {
     ids.write.mode("append").parquet(s"$dir/ids")
+    refresh(ids.sparkSession, dir)
+  }
 
   /** The stored id set, reading the sidecar when present and falling
     * back to `fallback` (the index's own id column, already distinct)
@@ -49,4 +53,74 @@ private[operators] object IndexFiles {
     if (!exists(spark, dir)) writeIds(fallback, dir)
     spark.read.parquet(s"$dir/ids")
   }
+
+  /** Invalidate (and rebuild) any cached plan reading under `dir`.
+    * Every mutation of a persisted index MUST call this: Spark's
+    * CacheManager matches by logical plan, so a search fragment cached
+    * before a compaction/append/delete (operators legitimately cache
+    * branching sub-plans) would otherwise keep serving the OLD file
+    * set forever — the same reason Spark's own INSERT paths call
+    * refreshByPath after writing. */
+  def refresh(spark: SparkSession, dir: String): Unit =
+    spark.catalog.refreshByPath(dir)
+
+  /** Tombstone ids into `dir/deleted` — the shared delete model of
+    * every persisted index (Milvus materializes deletes the same way:
+    * tombstones merged away at compaction): O(batch) per call, no
+    * payload rewrite; searches anti-join the set out; each index's
+    * compact() purges physically and re-opens the ids. */
+  def writeTombstones(ids: DataFrame, dir: String): Unit = {
+    ids.select(org.apache.spark.sql.functions.col("id")).distinct()
+      .write.mode("append").parquet(s"$dir/deleted")
+    refresh(ids.sparkSession, dir)
+  }
+
+  /** The tombstone set, None when none were ever written. */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(s"$dir/deleted")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(s"$dir/deleted"))
+    else None
+  }
+
+  /** Drop tombstoned rows from a search-side payload scan. */
+  def dropTombstones(spark: SparkSession, dir: String,
+      payload: DataFrame): DataFrame =
+    tombstones(spark, dir).map(d =>
+      payload.join(org.apache.spark.sql.functions.broadcast(d),
+        Seq("id"), "left_anti")).getOrElse(payload)
+
+  /** Physically purge tombstones: rewrite each payload table under
+    * `dir` without the dead ids (staged then swapped — a crash
+    * mid-compact leaves the old table intact), shrink the ids sidecar,
+    * drop `dir/deleted`. `payloads` maps table name → optional
+    * partition column. No-op when nothing was deleted. */
+  def compact(spark: SparkSession, dir: String,
+      payloads: Map[String, Option[String]]): Unit =
+    tombstones(spark, dir).foreach { dead =>
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      payloads.foreach { case (name, partCol) =>
+        val kept = spark.read.parquet(s"$dir/$name")
+          .join(org.apache.spark.sql.functions.broadcast(dead),
+            Seq("id"), "left_anti")
+        val w = kept.write.mode("overwrite")
+        partCol.fold(w)(c => w.partitionBy(c)).parquet(s"$dir/${name}_tmp")
+        require(fs.delete(new Path(s"$dir/$name"), true),
+          s"delete $dir/$name failed")
+        require(fs.rename(new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name")),
+          s"swap $dir/${name}_tmp into place failed")
+      }
+      val keptIds = ensureIds(spark, dir,
+          spark.read.parquet(s"$dir/${payloads.head._1}").select("id").distinct())
+        .join(org.apache.spark.sql.functions.broadcast(dead),
+          Seq("id"), "left_anti")
+      writeIds(keptIds, s"$dir/ids_staging")
+      require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
+      require(fs.rename(new Path(s"$dir/ids_staging/ids"), new Path(s"$dir/ids")),
+        s"swap $dir/ids_staging into place failed")
+      fs.delete(new Path(s"$dir/ids_staging"), true)
+      fs.delete(new Path(s"$dir/deleted"), true)
+      refresh(spark, dir)
+    }
 }

@@ -139,6 +139,9 @@ object SegmentWriter {
         }
       small.foreach(f => fs.delete(f.getPath, false))
       fs.delete(staging, true)
+      // a cached plan over this directory would keep referencing the
+      // deleted originals — same invalidation Spark's INSERT paths do
+      spark.catalog.refreshByPath(dir)
     }
     writeManifest(spark, dir)
   }

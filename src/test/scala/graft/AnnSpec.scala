@@ -241,6 +241,46 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/cells").count() == 196)
   }
 
+  test("IVF-PQ and sparse index deletes: tombstones hide, compaction purges, searches bit-equal") {
+    // IVF-PQ
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdel").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 8, m = 4, ksub = 16)
+    Ann.deleteFromIvfPqIndex(spark, dir, Seq(1L, 2L).toDF("id"))
+    def pq() = Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val tombstoned = pq()
+    assert(!tombstoned.exists(r => r._2 <= 2L) && tombstoned.nonEmpty)
+    Ann.compactIvfPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == 198)
+    assert(pq() == tombstoned, "IVF-PQ compaction changed search results")
+    // sparse
+    val postings = (1 to 50).flatMap(i =>
+      Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0), (2L, 3L, 1.0))
+      .toDF("qid", "term", "qw")
+    val sdir = java.nio.file.Files.createTempDirectory("spdel").toString + "/idx"
+    Ann.buildSparseIndex(postings, sdir, buckets = 8)
+    Ann.deleteFromSparseIndex(spark, sdir, Seq(1L).toDF("id"))
+    def sp() = Ann.searchSparseIndex(spark, sdir, qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val without = Ann.sparseTopK(postings.filter(col("id") =!= 1L), qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(sp() == without, "tombstoned sparse ranking != ranking of survivors")
+    // a tombstoned id cannot re-append before compaction; can after
+    intercept[IllegalArgumentException] {
+      Ann.appendToSparseIndex(spark, sdir, postings.filter(col("id") === 1L))
+    }
+    Ann.compactSparseIndex(spark, sdir)
+    assert(sp() == without, "sparse compaction changed search results")
+    Ann.appendToSparseIndex(spark, sdir, postings.filter(col("id") === 1L))
+    val restored = sp()
+    assert(restored.exists(r => r._2 == 1L), "re-appended doc not searchable")
+  }
+
   test("quantizeSq8/dotSq8: small relative error, bounded codes, zero-vector safe") {
     import graft.functions.{VectorFunctions => V}
     val rows = corpus.limit(40)

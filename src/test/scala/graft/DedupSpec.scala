@@ -181,6 +181,33 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("already exists"), err.getMessage)
   }
 
+  test("deleteFromMinhashIndex + compactMinhashIndex: deleted docs stop matching; ids re-open after purge") {
+    val dir = java.nio.file.Files.createTempDirectory("mhdel").toString + "/idx"
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", dir)
+    val probe = Seq((30L, base)).toDF("doc_id", "text") // near-dup of 1, 2, 3
+    def pairs() = Dedup.dedupAgainstIndex(spark, dir, probe, "doc_id", "text", tau = 0.5)
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val before = pairs()
+    assert(before.exists(_._2 == 1L) && before.exists(_._2 == 2L))
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(2L).toDF("id"))
+    val tombstoned = pairs()
+    assert(!tombstoned.exists(_._2 == 2L), "deleted doc still matches")
+    assert(tombstoned == before.filterNot(_._2 == 2L),
+      "delete changed pairs beyond removing the deleted doc")
+    // still replay-guarded before compaction; re-openable after
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(spark, dir,
+        Seq((2L, "whatever")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(pairs() == tombstoned, "compaction changed dedup pairs")
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    Dedup.appendToMinhashIndex(spark, dir,
+      docs.filter(col("doc_id") === 2L), "doc_id", "text")
+    assert(pairs() == before, "re-appended doc did not restore its pairs")
+  }
+
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
     val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
         numHashes = 12, bands = 4)
