@@ -521,9 +521,24 @@ object Ann {
       val typed: Seq[Any] = if (sigIsInt) sigs.map(_.toInt) else sigs
       col("tbl") === t && col("sig").isin(typed: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val cb = raw.filter(cond).withColumn("sig", col("sig").cast("long"))
+    val cb = IndexFiles.dropTombstones(spark, dir,
+      raw.filter(cond).withColumn("sig", col("sig").cast("long")))
     lshRank(cb, queries, k, dim, planes, tables, metric)
   }
+
+  /** Tombstone / purge for the LSH index — same model as
+    * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the buckets
+    * table. LSH keeps no ids sidecar (appends are unguarded — lshRank
+    * collapses per-(qid,id)), so a tombstoned id CAN be re-appended
+    * before compaction: the tombstone then hides both rows, exactly
+    * the by-id semantics documented on the other indexes. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("buckets" -> Seq("tbl", "sig")))
 
   /** Train the IVF structure: Right((cells, centroids)) — the corpus
     * with its cell assignment, and the nlist-row codebook. Left(the
@@ -783,7 +798,7 @@ object Ann {
     * re-train on schedule if the surviving distribution drifts. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("cells" -> Some("cell")))
+    IndexFiles.compact(spark, dir, Map("cells" -> Seq("cell")))
 
   /** Tombstone / purge for the IVF-PQ index — same model as
     * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the codes
@@ -794,7 +809,7 @@ object Ann {
 
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("codes" -> Some("cell")))
+    IndexFiles.compact(spark, dir, Map("codes" -> Seq("cell")))
 
   /** Tombstone / purge for the sparse inverted index — a deleted doc's
     * postings stop scoring immediately and are rewritten away at
@@ -805,7 +820,7 @@ object Ann {
 
   def compactSparseIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("postings" -> Some("tbucket")))
+    IndexFiles.compact(spark, dir, Map("postings" -> Seq("tbucket")))
 
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
     * build's parameters; only the probed cells' partitions are read.

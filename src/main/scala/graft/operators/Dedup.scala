@@ -530,7 +530,7 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     IndexFiles.compact(spark, dir,
-      Map("sigs" -> None, "shingles" -> None))
+      Map("sigs" -> Seq.empty[String], "shingles" -> Seq.empty[String]))
 
   /** Near-dup pairs between a NEW batch and a persisted index:
     * [[minhashLsh]]'s candidates-then-verify with the join flipped to

@@ -92,34 +92,39 @@ private[operators] object IndexFiles {
 
   /** Physically purge tombstones: rewrite each payload table under
     * `dir` without the dead ids (staged then swapped — a crash
-    * mid-compact leaves the old table intact), shrink the ids sidecar,
-    * drop `dir/deleted`. `payloads` maps table name → optional
-    * partition column. No-op when nothing was deleted. */
+    * mid-compact leaves the old table intact), shrink the ids sidecar
+    * when the index keeps one, drop `dir/deleted`. `payloads` maps
+    * table name → partition columns (empty for unpartitioned). No-op
+    * when nothing was deleted. */
   def compact(spark: SparkSession, dir: String,
-      payloads: Map[String, Option[String]]): Unit =
+      payloads: Map[String, Seq[String]]): Unit =
     tombstones(spark, dir).foreach { dead =>
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      payloads.foreach { case (name, partCol) =>
+      payloads.foreach { case (name, partCols) =>
         val kept = spark.read.parquet(s"$dir/$name")
           .join(org.apache.spark.sql.functions.broadcast(dead),
             Seq("id"), "left_anti")
         val w = kept.write.mode("overwrite")
-        partCol.fold(w)(c => w.partitionBy(c)).parquet(s"$dir/${name}_tmp")
+        (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+          .parquet(s"$dir/${name}_tmp")
         require(fs.delete(new Path(s"$dir/$name"), true),
           s"delete $dir/$name failed")
         require(fs.rename(new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name")),
           s"swap $dir/${name}_tmp into place failed")
       }
-      val keptIds = ensureIds(spark, dir,
-          spark.read.parquet(s"$dir/${payloads.head._1}").select("id").distinct())
-        .join(org.apache.spark.sql.functions.broadcast(dead),
-          Seq("id"), "left_anti")
-      writeIds(keptIds, s"$dir/ids_staging")
-      require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
-      require(fs.rename(new Path(s"$dir/ids_staging/ids"), new Path(s"$dir/ids")),
-        s"swap $dir/ids_staging into place failed")
-      fs.delete(new Path(s"$dir/ids_staging"), true)
+      // indexes without an append guard (LSH) keep no sidecar — don't
+      // invent one here that later appends would silently let go stale
+      if (exists(spark, dir)) {
+        val keptIds = spark.read.parquet(s"$dir/ids")
+          .join(org.apache.spark.sql.functions.broadcast(dead),
+            Seq("id"), "left_anti")
+        writeIds(keptIds, s"$dir/ids_staging")
+        require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
+        require(fs.rename(new Path(s"$dir/ids_staging/ids"), new Path(s"$dir/ids")),
+          s"swap $dir/ids_staging into place failed")
+        fs.delete(new Path(s"$dir/ids_staging"), true)
+      }
       fs.delete(new Path(s"$dir/deleted"), true)
       refresh(spark, dir)
     }

@@ -281,6 +281,28 @@ class AnnSpec extends SparkSpec {
     assert(restored.exists(r => r._2 == 1L), "re-appended doc not searchable")
   }
 
+  test("LSH index delete: tombstoned rankings equal survivors; compaction purges buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("lshdel").toString + "/idx"
+    Ann.buildLshIndex(corpus, dir, dim = dim, planes = 4, tables = 2)
+    Ann.deleteFromLshIndex(spark, dir, (1L to 5L).toDF("id"))
+    def res() = Ann.searchLshIndex(spark, dir, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val tombstoned = res()
+    assert(!tombstoned.exists(r => r._2 <= 5L) && tombstoned.nonEmpty)
+    val survivors = Ann.lshTopK(corpus.filter(col("id") > 5), qs, k = 10,
+        dim = dim, planes = 4, tables = 2)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(tombstoned == survivors, "tombstoned LSH ranking != ranking of survivors")
+    Ann.compactLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/buckets").select("id").distinct().count() == 195)
+    assert(res() == tombstoned, "LSH compaction changed search results")
+    assert(!new java.io.File(s"$dir/deleted").exists())
+    // no sidecar invented for the guardless index
+    assert(!new java.io.File(s"$dir/ids").exists())
+  }
+
   test("quantizeSq8/dotSq8: small relative error, bounded codes, zero-vector safe") {
     import graft.functions.{VectorFunctions => V}
     val rows = corpus.limit(40)
