@@ -242,12 +242,16 @@ object SparkEntry {
     * clean_title — the pieces json_batch_reader.py:16-86 specifies. */
   private def qJsonlSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    // path keyed by the sf dir: concurrent runs over DIFFERENT corpora
-    // must not overwrite each other's file before the lazy read executes
-    // (same-corpus concurrent writers produce identical bytes — benign)
+    // probe path keyed by the sf dir: concurrent runs over DIFFERENT
+    // corpora must not overwrite each other's file before the lazy read
+    // executes. The STAGING dir is additionally unique per call — two
+    // same-corpus runs sharing one staging dir would race overwrite /
+    // listStatus / rename (the final rename over identical bytes stays
+    // benign; the staging steps are not).
     val key = Integer.toHexString(dir.hashCode)
     val path = s"/tmp/graft_jsonl_probe_$key.jsonl"
-    val stage = s"/tmp/graft_jsonl_probe_${key}_stage"
+    val stage = s"/tmp/graft_jsonl_probe_${key}_stage_" +
+      java.util.UUID.randomUUID.toString
     // The probe file is synthesized WITHOUT collecting the corpus to the
     // driver: one sorted single-partition text write (line order = the
     // oracle's doc_id order), to_json for exact JSON escaping, then a
@@ -266,7 +270,8 @@ object SparkEntry {
     require(part.length == 1, s"expected one part file, got ${part.toSeq}")
     val dest = new org.apache.hadoop.fs.Path(s"file://$path")
     fs.delete(dest, false)
-    fs.rename(part.head, dest)
+    require(fs.rename(part.head, dest),
+      s"rename ${part.head} -> $dest failed (concurrent probe writer?)")
     fs.delete(new org.apache.hadoop.fs.Path(s"file://$stage"), true)
     JsonlSource.read(s, path, start = 10, end = Some(99),
         schema = Some(StructType(Seq(
@@ -1052,7 +1057,7 @@ object SparkEntry {
          |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
          |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
          |       FROM post JOIN qpost ON post.term = qpost.term GROUP BY 1, 2),
-         |sr AS (SELECT qid, id, score / (1.0 + score) AS ns,
+         |sr AS (SELECT qid, id, greatest(score, 0) / (1.0 + greatest(score, 0)) AS ns,
          |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank_s FROM ss),
          |stop AS (SELECT qid, id, ns FROM sr WHERE rank_s <= 10),
          |f AS (SELECT qid, id,
@@ -1273,7 +1278,13 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
-    // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines
+    // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines.
+    // KNOWN RESIDUAL RISK: ln() is transcendental — JVM Math.log and
+    // DuckDB's libm agree to within an ulp but are not guaranteed
+    // bit-identical, so a score landing exactly on a 4-dp rounding
+    // boundary could flip. Accepted: the ln IS the BM25 semantics
+    // (substituting a rational function would change the operator), and
+    // a collision would fail the hash compare loudly, not corrupt data.
     "q_bm25" ->
       s"""WITH post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
          |         CAST(count(*) AS DOUBLE) AS tf

@@ -315,6 +315,10 @@ object Ann {
     * from correctly-rounded IEEE ops only, so the DuckDB oracle
     * reproduces the fusion bit-for-bit (a transcendental could differ in
     * the last ulp across libm implementations and flip a rounded rank).
+    * Negative sparse scores (possible with signed weights — SPLADE
+    * weights are non-negative, arbitrary inputs aren't) clamp to 0
+    * before normalizing: s/(1+s) is only monotone-into-[0,1) for
+    * s ≥ 0, and a negative-match hit should not outrank absence.
     * Per-branch rankings are unchanged by the swap (both maps are
     * monotone); only the cross-branch weighting differs numerically
     * from Milvus. Deterministic: 4-dp branch scores, 6-dp fused score,
@@ -328,7 +332,8 @@ object Ann {
         ((lit(1.0) + col("score")) / 2).as("nd"))
     val sparse = sparseTopK(postings, queryTerms, k)
       .select(col("qid"), col("id"),
-        (col("score") / (lit(1.0) + col("score"))).as("ns"))
+        (greatest(col("score"), lit(0.0)) /
+          (lit(1.0) + greatest(col("score"), lit(0.0)))).as("ns"))
     val fused = dense.join(sparse, Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         round(coalesce(col("nd"), lit(0.0)) * wDense +
@@ -485,6 +490,7 @@ object Ann {
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, planes, tables) =
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
+    requireBatchDim(batch, "v", dim)
     lshBuckets(batch, dim, planes, tables)
       .write.mode("append").partitionBy("tbl", "sig").parquet(s"$dir/buckets")
     IndexFiles.refresh(spark, dir)
@@ -539,6 +545,18 @@ object Ann {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     IndexFiles.compact(spark, dir, Map("buckets" -> Seq("tbl", "sig")))
+
+  /** Fail fast when an appended batch's vectors don't match the stored
+    * index's dimension — a mismatch would SILENTLY corrupt the index
+    * (zip_with null-pads, dots go null, sign/argmin picks arbitrary
+    * values) instead of erroring. One limit(1) probe per append. */
+  private def requireBatchDim(batch: DataFrame, vecCol: String,
+      dim: Int): Unit =
+    batch.select(col(vecCol).cast("array<double>")).take(1).foreach { r =>
+      val got = r.getSeq[Double](0).length
+      require(got == dim,
+        s"batch vector dimension $got != index dimension $dim")
+    }
 
   /** Train the IVF structure: Right((cells, centroids)) — the corpus
     * with its cell assignment, and the nlist-row codebook. Left(the
@@ -763,6 +781,7 @@ object Ann {
     val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF index")
+    requireBatchDim(batch, "v", cb(0).length)
     val b = Dedup.spread(batch)
       .withColumn("v", col("v").cast("array<double>"))
       .filter(V.norm2(col("v")) > 0)
@@ -982,7 +1001,15 @@ object Ann {
     * exactly like [[bruteForceTopK]], with per-partition top-k before
     * the final rank. Approximate by construction (quantization error),
     * so graded by recall + spec'd reconstruction monotonicity rather
-    * than a SQL oracle. */
+    * than a SQL oracle.
+    *
+    * Plan-size envelope: the codebooks ride the plan as literals —
+    * ksub·dim doubles total across [[pqCodes]]/[[pqLut]]. Keep
+    * ksub·dim ≲ 100k (e.g. ksub 256 × dim ≤ 384, or ksub 16 at any
+    * practical dim); past that, whole-stage codegen falls back to
+    * interpreted evaluation for the encode projection and the plan
+    * shipped to every task bloats — switch the encode to a
+    * broadcast-array mapPartitions variant before going there. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, metric: String = "ip", seed: Long = 42L,
       trainCap: Long = -1L): DataFrame = {
@@ -995,15 +1022,8 @@ object Ann {
     if (firstRow.isEmpty) return bruteForceTopK(corpus, queries, k, metric)
     val dim = firstRow.head.getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val cap = if (trainCap > 0) trainCap else 256L * ksub
-    val sampleBytes = cap * dim.toLong * 8L
-    require(sampleBytes <= TrainSampleByteBudget,
-      s"trainCap $cap at dim $dim would collect $sampleBytes bytes to the " +
-        s"driver (budget $TrainSampleByteBudget) — lower trainCap")
-    val sample = c0.select(col("id"), col("v"))
-      .orderBy(xxhash64(col("id").cast("string")), col("id"))
-      .limit(cap.toInt).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val sample = hashSample(c0.select(col("id"), col("v")), "v",
+      effectiveCap(trainCap, ksub), dim)
     // a corpus no bigger than one codebook gains nothing from PQ — and
     // k-means can't seed ksub distinct centers. Scan it exactly.
     if (sample.length <= ksub) return bruteForceTopK(corpus, queries, k, metric)
@@ -1065,19 +1085,25 @@ object Ann {
       .select(col("id"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
 
-  /** Byte-bounded hash-ordered residual sample → [[trainPq]] codebooks;
-    * None when the corpus is no bigger than one codebook. */
-  private def trainPqResidual(res: DataFrame, dim: Int, m: Int, ksub: Int,
-      seed: Long, trainCap: Long): Option[Array[Array[Array[Double]]]] = {
-    val cap = effectiveCap(trainCap, ksub)
+  /** Byte-bounded (TrainSampleByteBudget), deterministic hash-ordered
+    * driver sample of `vecCol` — the ONE sampling recipe every
+    * driver-side trainer uses. */
+  private def hashSample(df: DataFrame, vecCol: String, cap: Long,
+      dim: Int): Array[Array[Double]] = {
     val sampleBytes = cap * dim.toLong * 8L
     require(sampleBytes <= TrainSampleByteBudget,
       s"trainCap $cap at dim $dim would collect $sampleBytes bytes to " +
         s"the driver (budget $TrainSampleByteBudget) — lower trainCap")
-    val sample = res
-      .orderBy(xxhash64(col("id").cast("string")), col("id"))
-      .limit(cap.toInt).select("res").collect()
+    df.orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(cap.toInt).select(vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Byte-bounded hash-ordered residual sample → [[trainPq]] codebooks;
+    * None when the corpus is no bigger than one codebook. */
+  private def trainPqResidual(res: DataFrame, dim: Int, m: Int, ksub: Int,
+      seed: Long, trainCap: Long): Option[Array[Array[Array[Double]]]] = {
+    val sample = hashSample(res, "res", effectiveCap(trainCap, ksub), dim)
     if (sample.length <= ksub) None else Some(trainPq(sample, m, ksub, seed))
   }
 
@@ -1195,6 +1221,7 @@ object Ann {
     val cb = centroids.orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF-PQ index")
+    requireBatchDim(batch, "v", cb(0).length)
     val cbs = readPqCodebooks(spark, dir)
     val b = Dedup.spread(batch)
       .withColumn("v", col("v").cast("array<double>"))

@@ -35,6 +35,14 @@ object Dedup {
     // read a partition count.
     val conf = spark.sessionState.conf
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // plans with no real size statistic (LogicalRDD — foreachBatch
+    // batches, createDataFrame(rdd) frames) report defaultSizeInBytes
+    // (Long.MaxValue): the byte math would conclude "already wide" and
+    // silently skip the widening those single-partition inputs need
+    // most. Fall back to the actual partition count — compiling the
+    // physical plan twice is cheap exactly for those plans.
+    if (bytes >= BigInt(conf.defaultSizeInBytes))
+      return if (df.rdd.getNumPartitions < n) df.repartition(n) else df
     val maxSplit = BigInt(conf.filesMaxPartitionBytes)
       .min(BigInt(conf.filesOpenCostInBytes).max(bytes / n))
     val est = if (maxSplit <= 0) BigInt(1) else (bytes + maxSplit - 1) / maxSplit
@@ -517,6 +525,15 @@ object Dedup {
     IndexFiles.appendIds(batchIds, dir)
     newSh.unpersist()
   }
+
+  /** The distinct doc ids a persisted minhash index currently covers —
+    * the compact sidecar when present, else the shingle table's id
+    * column. Public face of the id set for callers (e.g. streaming
+    * replay checks) that can't reach the package-private sidecar. */
+  def indexedIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    IndexFiles.storedIds(spark, dir,
+      spark.read.parquet(s"$dir/shingles").select("id").distinct())
 
   /** Tombstone docs out of a persisted minhash index — the shared
     * delete model ([[IndexFiles.writeTombstones]]): O(batch), no

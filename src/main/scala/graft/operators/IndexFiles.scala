@@ -90,12 +90,29 @@ private[operators] object IndexFiles {
       payload.join(org.apache.spark.sql.functions.broadcast(d),
         Seq("id"), "left_anti")).getOrElse(payload)
 
+  /** Swap a freshly staged table into place without a data-loss
+    * window: the live table is renamed ASIDE first, the staged copy
+    * renamed in, then the old copy deleted. A crash between the two
+    * renames leaves the data intact under `<path>_old` (an outage a
+    * human can repair by renaming back — never a loss); a crash after
+    * rename-in leaves at worst the `_old` leftover, deleted on the
+    * next compact. A leftover from a previous crash fails the first
+    * rename — surfaced by the require, not silently overwritten. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      staged: Path, live: Path): Unit = {
+    val old = new Path(live.getParent, live.getName + "_old")
+    require(fs.rename(live, old),
+      s"rename $live aside failed (leftover $old from a crashed compact?)")
+    require(fs.rename(staged, live), s"swap $staged into place failed")
+    require(fs.delete(old, true), s"delete $old failed")
+  }
+
   /** Physically purge tombstones: rewrite each payload table under
-    * `dir` without the dead ids (staged then swapped — a crash
-    * mid-compact leaves the old table intact), shrink the ids sidecar
-    * when the index keeps one, drop `dir/deleted`. `payloads` maps
-    * table name → partition columns (empty for unpartitioned). No-op
-    * when nothing was deleted. */
+    * `dir` without the dead ids (staged, then swapped via [[swapIn]] —
+    * no crash window loses data), shrink the ids sidecar when the
+    * index keeps one, drop `dir/deleted`. `payloads` maps table name →
+    * partition columns (empty for unpartitioned). No-op when nothing
+    * was deleted. */
   def compact(spark: SparkSession, dir: String,
       payloads: Map[String, Seq[String]]): Unit =
     tombstones(spark, dir).foreach { dead =>
@@ -108,10 +125,7 @@ private[operators] object IndexFiles {
         val w = kept.write.mode("overwrite")
         (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
           .parquet(s"$dir/${name}_tmp")
-        require(fs.delete(new Path(s"$dir/$name"), true),
-          s"delete $dir/$name failed")
-        require(fs.rename(new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name")),
-          s"swap $dir/${name}_tmp into place failed")
+        swapIn(fs, new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name"))
       }
       // indexes without an append guard (LSH) keep no sidecar — don't
       // invent one here that later appends would silently let go stale
@@ -120,9 +134,7 @@ private[operators] object IndexFiles {
           .join(org.apache.spark.sql.functions.broadcast(dead),
             Seq("id"), "left_anti")
         writeIds(keptIds, s"$dir/ids_staging")
-        require(fs.delete(new Path(s"$dir/ids"), true), s"delete $dir/ids failed")
-        require(fs.rename(new Path(s"$dir/ids_staging/ids"), new Path(s"$dir/ids")),
-          s"swap $dir/ids_staging into place failed")
+        swapIn(fs, new Path(s"$dir/ids_staging/ids"), new Path(s"$dir/ids"))
         fs.delete(new Path(s"$dir/ids_staging"), true)
       }
       fs.delete(new Path(s"$dir/deleted"), true)

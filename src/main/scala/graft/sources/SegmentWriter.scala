@@ -137,7 +137,11 @@ object SegmentWriter {
           require(fs.rename(f.getPath, new Path(p, f.getPath.getName)),
             s"rename ${f.getPath} into $dir failed")
         }
-      small.foreach(f => fs.delete(f.getPath, false))
+      // a failed delete would leave the original BESIDE its compacted
+      // copy — permanent duplicate rows on every later scan; fail loud
+      small.foreach(f => require(fs.delete(f.getPath, false),
+        s"delete ${f.getPath} failed — remove it manually before the " +
+          "next scan (its rows are duplicated in the compacted files)"))
       fs.delete(staging, true)
       // a cached plan over this directory would keep referencing the
       // deleted originals — same invalidation Spark's INSERT paths do

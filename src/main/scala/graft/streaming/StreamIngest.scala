@@ -43,28 +43,55 @@ object StreamIngest {
     * daily-ingest lifecycle ([[graft.operators.Dedup.buildMinhashIndex]]
     * / dedupAgainstIndex / appendToMinhashIndex) driven by a stream:
     * each micro-batch (1) emits its near-dup pairs vs the stored
-    * corpus to `pairsDir`, then (2) appends itself to the index, so
-    * batch N+1 dedups against history INCLUDING batch N — exactly the
-    * accumulate-as-you-ingest semantics of the reference's repeated
-    * upload runs (embed_to_milvus.py:147-183). State lives in the
-    * index directory, not the state store: per micro-batch the work is
-    * O(batch) plus one stored-signature scan, and a restart resumes
-    * from the checkpoint without replaying appended batches (replayed
-    * ids would throw — the at-least-once window between emit and
-    * append is the documented non-atomicity of the append itself). */
+    * corpus to `pairsDir/batch=<id>`, then (2) appends itself to the
+    * index, so batch N+1 dedups against history INCLUDING batch N —
+    * exactly the accumulate-as-you-ingest semantics of the reference's
+    * repeated upload runs (embed_to_milvus.py:147-183). State lives in
+    * the index directory, not the state store: per micro-batch the
+    * work is O(batch) plus one stored-signature scan.
+    *
+    * Replay-safe through the batchId (foreachBatch is at-least-once —
+    * a crash between the index append and the checkpoint commit
+    * replays the batch): an `indexDir/applied/<batchId>` marker skips
+    * fully-applied batches outright; without a marker, pairs are
+    * (re)written with per-batch overwrite, and the append is skipped
+    * when every batch id is already stored (the crash landed after
+    * the append, before the marker). A PARTIAL id overlap still
+    * throws through the append guard — that is a half-written append
+    * (the documented non-atomicity), which needs manual repair, not a
+    * silent double-count. */
   def dedupIngestStream(docsStream: DataFrame, indexDir: String,
       idCol: String, textCol: String, pairsDir: String,
       checkpointDir: String, tau: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          graft.operators.Dedup
-            .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
-            .write.mode("append").parquet(pairsDir)
-          graft.operators.Dedup
-            .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            import org.apache.spark.sql.functions.{broadcast, col}
+            val batchIds = batch.select(col(idCol).as("id")).distinct()
+            val total = batchIds.count()
+            val stored = graft.operators.Dedup.indexedIds(spark, indexDir)
+              .join(broadcast(batchIds), "id").count()
+            if (stored == 0) {
+              // normal path: pairs first (the guard requires the batch
+              // absent), then append, then the marker
+              graft.operators.Dedup
+                .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+                .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+              graft.operators.Dedup
+                .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+            } else require(stored == total,
+              s"batch $batchId half-appended ($stored of $total ids stored) " +
+                "— a previous append crashed mid-write; repair the index " +
+                "before restarting")
+            // stored == total: the crash landed after the append (pairs
+            // were already written before it) — just record completion
+            fs.create(marker, true).close()
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)
