@@ -60,39 +60,45 @@ object StreamIngest {
     * throws through the append guard — that is a half-written append
     * (the documented non-atomicity), which needs manual repair, not a
     * silent double-count. */
+  /** One micro-batch of [[dedupIngestStream]], idempotent in batchId —
+    * public so the replay semantics are directly testable. */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, pairsDir: String,
+      tau: Double): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val total = batchIds.count()
+    val stored = graft.operators.Dedup.indexedIds(spark, indexDir)
+      .join(broadcast(batchIds), "id").count()
+    if (stored == 0) {
+      // normal path: pairs first (the guard requires the batch
+      // absent), then append, then the marker
+      graft.operators.Dedup
+        .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      graft.operators.Dedup
+        .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+    } else require(stored == total,
+      s"batch $batchId half-appended ($stored of $total ids stored) " +
+        "— a previous append crashed mid-write; repair the index " +
+        "before restarting")
+    // stored == total: the crash landed after the append (pairs were
+    // already written before it) — just record completion
+    fs.create(marker, true).close()
+  }
+
   def dedupIngestStream(docsStream: DataFrame, indexDir: String,
       idCol: String, textCol: String, pairsDir: String,
       checkpointDir: String, tau: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
-          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(marker)) {
-            import org.apache.spark.sql.functions.{broadcast, col}
-            val batchIds = batch.select(col(idCol).as("id")).distinct()
-            val total = batchIds.count()
-            val stored = graft.operators.Dedup.indexedIds(spark, indexDir)
-              .join(broadcast(batchIds), "id").count()
-            if (stored == 0) {
-              // normal path: pairs first (the guard requires the batch
-              // absent), then append, then the marker
-              graft.operators.Dedup
-                .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
-                .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-              graft.operators.Dedup
-                .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
-            } else require(stored == total,
-              s"batch $batchId half-appended ($stored of $total ids stored) " +
-                "— a previous append crashed mid-write; repair the index " +
-                "before restarting")
-            // stored == total: the crash landed after the append (pairs
-            // were already written before it) — just record completion
-            fs.create(marker, true).close()
-          }
-        }
+        applyDedupBatch(batch, batchId, indexDir, idCol, textCol, pairsDir, tau)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -226,6 +226,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == 20L && p._2 == 1L))
   }
 
+  test("applyDedupBatch: replays are idempotent in every crash window") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val history = Seq((1L, base)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sdreplay").toString
+    Dedup.buildMinhashIndex(history, "doc_id", "text", s"$dir/idx")
+    val b1 = Seq((10L, base.replace("quick", "rapid"))).toDF("doc_id", "text")
+    def apply1() = StreamIngest.applyDedupBatch(b1, 1L, s"$dir/idx",
+      "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    apply1()
+    def pairs() = spark.read.parquet(s"$dir/pairs")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val once = pairs()
+    assert(once.contains((10L, 1L)))
+    // replay with the marker present: full no-op
+    apply1()
+    assert(pairs() == once)
+    // replay simulating a crash AFTER the append but BEFORE the marker:
+    // all batch ids are stored -> skip the append, rewrite the marker
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx/applied/1")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/1"), false)
+    apply1() // must not throw through the replayed-id guard
+    assert(pairs() == once)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/1")))
+    // the index holds each doc exactly once after all replays
+    assert(spark.read.parquet(s"$dir/idx/shingles")
+      .select("id").distinct().count() == 2)
+    // a HALF-appended batch (some ids stored, some not) fails loudly
+    val b2 = Seq((10L, "already stored"), (20L, "brand new doc " * 8))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.applyDedupBatch(b2, 2L, s"$dir/idx",
+        "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    }
+    assert(err.getMessage.contains("half-appended"), err.getMessage)
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
