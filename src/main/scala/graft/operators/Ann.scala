@@ -841,6 +841,15 @@ object Ann {
       dir: String): Unit =
     IndexFiles.compact(spark, dir, Map("postings" -> Seq("tbucket")))
 
+  /** The distinct ids a persisted guarded index (IVF / IVF-PQ / sparse)
+    * currently covers — public face of the id sidecar for callers
+    * (e.g. streaming replay checks) outside this package. `payload`
+    * names the table whose id column backs a pre-sidecar index. */
+  def indexedIds(spark: org.apache.spark.sql.SparkSession, dir: String,
+      payload: String = "cells"): DataFrame =
+    IndexFiles.storedIds(spark, dir,
+      spark.read.parquet(s"$dir/$payload").select("id").distinct())
+
   /** Search a persisted IVF index. Same results as [[ivfTopK]] with the
     * build's parameters; only the probed cells' partitions are read.
     * Like [[searchLshIndex]], the probed cell ids are collected

@@ -104,6 +104,50 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[annIngestStream]], idempotent in batchId —
+    * the [[applyDedupBatch]] pattern over [[graft.operators.Ann
+    * .appendToIvfIndex]]: marker-present replays no-op, a replay that
+    * crashed after the append but before the marker is detected by the
+    * all-ids-stored check, a half-appended batch fails loudly. */
+  def applyAnnBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val batchIds = batch.select(col("id")).distinct()
+    val total = batchIds.count()
+    val stored = graft.operators.Ann.indexedIds(spark, indexDir)
+      .join(broadcast(batchIds), "id").count()
+    if (stored == 0)
+      graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch)
+    else require(stored == total,
+      s"batch $batchId half-appended ($stored of $total ids stored) " +
+        "— a previous append crashed mid-write; repair the index " +
+        "before restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous ANN ingest — the reference's operating mode
+    * (embed_to_milvus.py:147-183 keeps uploading batches into the
+    * Milvus collection) as a stream into the persisted IVF index:
+    * each micro-batch of (id, v) rows is assigned through the STORED
+    * codebook and appended in O(batch); searches between micro-batches
+    * see everything ingested so far. Same replay idempotency as
+    * [[dedupIngestStream]]. */
+  def annIngestStream(vecStream: DataFrame, indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnnBatch(batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

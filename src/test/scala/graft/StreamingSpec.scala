@@ -264,6 +264,45 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("half-appended"), err.getMessage)
   }
 
+  test("annIngestStream: streamed batches land in the stored-codebook cells; search sees them") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val history = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString
+    Ann.buildIvfIndex(history, s"$dir/idx", nlist = 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.annIngestStream(
+      mem.toDF().toDF("id", "v"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((61L to 80L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    mem.addData((81L to 100L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.read.parquet(s"$dir/idx/cells")
+    assert(cells.count() == 100 && cells.select("id").distinct().count() == 100)
+    // full-probe search over the streamed index equals brute force on
+    // everything ingested so far — appended rows fully searchable
+    val full = (1L to 100L).map(i => (i, vec(i))).toDF("id", "v")
+    val qs85 = Seq((85L, vec(85L))).toDF("qid", "qv")
+    val searched = Ann.searchIvfIndex(spark, s"$dir/idx", qs85, k = 5, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Ann.bruteForceTopK(full, qs85, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(searched == exact, "streamed index at full probe diverged from brute force")
+    // replay idempotency: marker removed, batch re-applied -> no throw, no dup rows
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    graft.streaming.StreamIngest.applyAnnBatch(
+      (61L to 80L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/cells").count() == 100)
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
