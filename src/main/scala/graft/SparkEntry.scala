@@ -443,6 +443,20 @@ object SparkEntry {
     Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 16)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** C4-style segment dedup over synthesized two-paragraph docs:
+    * paragraph 1 is the doc's own text slice (unique per doc),
+    * paragraph 2 an md5 string shared by each (2k, 2k+1) doc pair — so
+    * the shared paragraph must survive only in the even doc. Both
+    * engines derive the same synthetic corpus, so the oracle is
+    * hash-exact. */
+  private def qDedupSegments(s: SparkSession, dir: String): DataFrame = {
+    val pdocs = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 100), lit("\n"),
+        md5(floor(col("doc_id") / 2).cast("string"))).as("text"))
+    Dedup.dedupSegments(pdocs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("text"))
+  }
+
   // Milvus range search: radius < score <= range_filter, capped at limit
   private def qAnnRange(s: SparkSession, dir: String): DataFrame =
     Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
@@ -622,6 +636,7 @@ object SparkEntry {
     "q_pipeline_blocks" -> (qPipelineBlocks _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1186,6 +1201,20 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // C4 segment dedup over the synthesized two-paragraph corpus:
+    // global first occurrence per segment digest (doc_id, pos order),
+    // docs reassembled from survivors; doc_id//2 is integer division
+    // on both engines (Spark floor(x/2) casts long, DuckDB //)
+    "q_dedup_segments" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 100) || chr(10) || md5(CAST(doc_id//2 AS VARCHAR)) AS t FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d),
+        |s AS (SELECT doc_id, segs[i] AS seg, i-1 AS pos
+        |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i FROM l)),
+        |k AS (SELECT doc_id, seg, pos,
+        |      row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM s)
+        |SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     // range search: band predicate BEFORE the rank, mirroring
     // Ann.rangeSearch(radius=0.1, rangeFilter=0.999, limit=20)

@@ -56,6 +56,34 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** C4-style exact SEGMENT-level dedup (Raffel et al. 2020 discard
+    * repeated three-sentence spans; here the unit is a separator-split
+    * segment — paragraph or line): across the whole corpus, only the
+    * globally FIRST occurrence (smallest (doc_id, position)) of each
+    * exact segment survives; each doc is reassembled from its
+    * surviving segments in original order. Docs whose every segment
+    * was seen earlier disappear from the output (their text would be
+    * empty). Two shuffles at any scale: one on the segment digest (the
+    * first-occurrence window), one on doc id (the reassembly) — never
+    * doc×doc. Returns (id, text). */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = spread(df).select(col(idCol).as("id"),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+    // global first occurrence per segment digest; (id, pos) struct
+    // ordering makes "first" total and deterministic
+    val first = min(struct(col("id"), col("pos")))
+      .over(Window.partitionBy(md5(col("seg"))))
+    segs.withColumn("first", first)
+      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), sep).as("text"))
+  }
+
   /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops
     * shingles occurring in more than maxDf docs (stopword-shingles add
     * candidates without discriminating — the classic LSH hot-key cap,

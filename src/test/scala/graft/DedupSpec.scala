@@ -208,6 +208,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs() == before, "re-appended doc did not restore its pairs")
   }
 
+  test("dedupSegments: only the globally first occurrence of each paragraph survives") {
+    val pdocs = Seq(
+      (1L, "alpha\nshared one\nbeta"),
+      (2L, "shared one\ngamma\nshared two"),
+      (3L, "shared two\nshared one"), // nothing unique but 'shared two' came from doc 2
+      (4L, "delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(pdocs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha\nshared one\nbeta")        // first owner keeps everything
+    assert(out(2L) == "gamma\nshared two")              // 'shared one' seen in doc 1
+    assert(!out.contains(3L))                           // every segment seen earlier
+    assert(out(4L) == "delta")
+    // duplicate WITHIN one doc: later position drops
+    val self = Seq((9L, "x\nx\ny")).toDF("doc_id", "text")
+    assert(Dedup.dedupSegments(self, "doc_id", "text")
+      .as[(Long, String)].head()._2 == "x\ny")
+  }
+
   test("bandClusters: exact dups cluster together; unrelated docs do not") {
     val out = Dedup.bandClusters(docs, "doc_id", "text", w = 8,
         numHashes = 12, bands = 4)
