@@ -68,15 +68,19 @@ object Dedup {
     * doc×doc. Returns (id, text). */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val segs = spread(df).select(col(idCol).as("id"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+      .withColumn("k", md5(col("seg")))
     // global first occurrence per segment digest; (id, pos) struct
-    // ordering makes "first" total and deterministic
-    val first = min(struct(col("id"), col("pos")))
-      .over(Window.partitionBy(md5(col("seg"))))
-    segs.withColumn("first", first)
+    // ordering makes "first" total and deterministic. groupBy + join
+    // back rather than a window: the aggregate gets map-side partial
+    // combine and AQE skew splitting, where a window over a hot
+    // boilerplate segment ("\n\n", subscribe-footers) would funnel
+    // every occurrence into one task.
+    val firsts = segs.groupBy("k")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    segs.join(firsts, "k")
       .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
       .groupBy("id")
       .agg(array_join(

@@ -96,13 +96,18 @@ private[operators] object IndexFiles {
     * renames leaves the data intact under `<path>_old` (an outage a
     * human can repair by renaming back — never a loss); a crash after
     * rename-in leaves at worst the `_old` leftover, deleted on the
-    * next compact. A leftover from a previous crash fails the first
-    * rename — surfaced by the require, not silently overwritten. */
+    * next compact. A leftover from a previous crash is detected by an
+    * explicit existence check BEFORE the rename — Hadoop rename into
+    * an existing directory nests the source inside it and returns
+    * true, so the rename itself would never surface the leftover
+    * (single concurrent compactor assumed, as everywhere here). */
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       staged: Path, live: Path): Unit = {
     val old = new Path(live.getParent, live.getName + "_old")
-    require(fs.rename(live, old),
-      s"rename $live aside failed (leftover $old from a crashed compact?)")
+    require(!fs.exists(old),
+      s"leftover $old from a crashed compact — inspect and remove it " +
+        "before compacting again")
+    require(fs.rename(live, old), s"rename $live aside failed")
     require(fs.rename(staged, live), s"swap $staged into place failed")
     require(fs.delete(old, true), s"delete $old failed")
   }

@@ -39,6 +39,67 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** How many of `batchIds` appear in `table`'s id column. */
+  private def overlap(batchIds: DataFrame, table: DataFrame): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    table.select("id").distinct()
+      .join(broadcast(batchIds), "id").count()
+  }
+
+  /** One micro-batch of [[dedupIngestStream]], idempotent in batchId —
+    * public so the replay semantics are directly testable.
+    *
+    * The replay check witnesses the PAYLOAD TABLES, not the raw batch:
+    * appendToMinhashIndex writes the same FILTERED id set (docs that
+    * produced shingles — short or fully-capped docs drop out) to sigs,
+    * shingles, and the ids sidecar in that order, and each parquet
+    * append is job-atomic under the commit protocol. So per batch the
+    * three tables' batch-overlap counts are equal iff the append
+    * completed; all-zero means it never started; anything else is a
+    * crash BETWEEN the table writes — the one window that genuinely
+    * needs repair. Comparing against a raw batch count instead would
+    * brick the stream on any batch containing a doc the filter
+    * legitimately drops. */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, pairsDir: String,
+      tau: Double): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val inSigs = overlap(batchIds, spark.read.parquet(s"$indexDir/sigs"))
+    val inShingles = overlap(batchIds, spark.read.parquet(s"$indexDir/shingles"))
+    val inSidecar = overlap(batchIds,
+      graft.operators.Dedup.indexedIds(spark, indexDir))
+    if (inSigs == 0 && inShingles == 0 && inSidecar == 0) {
+      // fresh batch: pairs first (the guard requires the batch
+      // absent), then append, then the marker
+      graft.operators.Dedup
+        .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      graft.operators.Dedup
+        .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+    } else if (inSigs == inShingles && inShingles == inSidecar) {
+      // append completed; the marker crash-window is fine ONLY if the
+      // pairs for THIS batchId were written (they precede the append).
+      // Their absence means these docs were indexed under some OTHER
+      // ledger (checkpoint reset, re-delivery) — fail loudly instead
+      // of silently dropping the batch's pair output.
+      val pairsPath = new org.apache.hadoop.fs.Path(s"$pairsDir/batch=$batchId")
+      require(pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(pairsPath),
+        s"batch $batchId ids already indexed but no pairs output at " +
+          s"$pairsPath — checkpoint/ledger mismatch, not a replay")
+    } else throw new IllegalStateException(
+      s"batch $batchId half-appended (sigs=$inSigs shingles=$inShingles " +
+        s"ids=$inSidecar of its ids stored) — a previous append crashed " +
+        "between table writes; repair the index before restarting")
+    fs.create(marker, true).close()
+  }
+
   /** Streaming near-dup dedup against a persisted minhash index — the
     * daily-ingest lifecycle ([[graft.operators.Dedup.buildMinhashIndex]]
     * / dedupAgainstIndex / appendToMinhashIndex) driven by a stream:
@@ -48,50 +109,8 @@ object StreamIngest {
     * exactly the accumulate-as-you-ingest semantics of the reference's
     * repeated upload runs (embed_to_milvus.py:147-183). State lives in
     * the index directory, not the state store: per micro-batch the
-    * work is O(batch) plus one stored-signature scan.
-    *
-    * Replay-safe through the batchId (foreachBatch is at-least-once —
-    * a crash between the index append and the checkpoint commit
-    * replays the batch): an `indexDir/applied/<batchId>` marker skips
-    * fully-applied batches outright; without a marker, pairs are
-    * (re)written with per-batch overwrite, and the append is skipped
-    * when every batch id is already stored (the crash landed after
-    * the append, before the marker). A PARTIAL id overlap still
-    * throws through the append guard — that is a half-written append
-    * (the documented non-atomicity), which needs manual repair, not a
-    * silent double-count. */
-  /** One micro-batch of [[dedupIngestStream]], idempotent in batchId —
-    * public so the replay semantics are directly testable. */
-  def applyDedupBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      idCol: String, textCol: String, pairsDir: String,
-      tau: Double): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val total = batchIds.count()
-    val stored = graft.operators.Dedup.indexedIds(spark, indexDir)
-      .join(broadcast(batchIds), "id").count()
-    if (stored == 0) {
-      // normal path: pairs first (the guard requires the batch
-      // absent), then append, then the marker
-      graft.operators.Dedup
-        .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-      graft.operators.Dedup
-        .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
-    } else require(stored == total,
-      s"batch $batchId half-appended ($stored of $total ids stored) " +
-        "— a previous append crashed mid-write; repair the index " +
-        "before restarting")
-    // stored == total: the crash landed after the append (pairs were
-    // already written before it) — just record completion
-    fs.create(marker, true).close()
-  }
-
+    * work is O(batch) plus one stored-signature scan. Replay-safe
+    * through the batchId — see [[applyDedupBatch]]. */
   def dedupIngestStream(docsStream: DataFrame, indexDir: String,
       idCol: String, textCol: String, pairsDir: String,
       checkpointDir: String, tau: Double = 0.5,
@@ -105,10 +124,12 @@ object StreamIngest {
       .start()
 
   /** One micro-batch of [[annIngestStream]], idempotent in batchId —
-    * the [[applyDedupBatch]] pattern over [[graft.operators.Ann
-    * .appendToIvfIndex]]: marker-present replays no-op, a replay that
-    * crashed after the append but before the marker is detected by the
-    * all-ids-stored check, a half-appended batch fails loudly. */
+    * the [[applyDedupBatch]] witness pattern over
+    * [[graft.operators.Ann.appendToIvfIndex]]: cells and the ids
+    * sidecar receive the same FILTERED id set (zero-norm vectors drop
+    * out) in that order, so equal batch-overlap counts mean the append
+    * completed, all-zero means it never started, anything else is a
+    * mid-append crash. */
   def applyAnnBatch(batch: DataFrame, batchId: Long,
       indexDir: String): Unit = {
     if (batch.isEmpty) return
@@ -116,17 +137,18 @@ object StreamIngest {
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     val batchIds = batch.select(col("id")).distinct()
-    val total = batchIds.count()
-    val stored = graft.operators.Ann.indexedIds(spark, indexDir)
-      .join(broadcast(batchIds), "id").count()
-    if (stored == 0)
+    val inCells = overlap(batchIds, spark.read.parquet(s"$indexDir/cells"))
+    val inSidecar = overlap(batchIds,
+      graft.operators.Ann.indexedIds(spark, indexDir))
+    if (inCells == 0 && inSidecar == 0)
       graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch)
-    else require(stored == total,
-      s"batch $batchId half-appended ($stored of $total ids stored) " +
-        "— a previous append crashed mid-write; repair the index " +
-        "before restarting")
+    else if (inCells != inSidecar) throw new IllegalStateException(
+      s"batch $batchId half-appended (cells=$inCells ids=$inSidecar of " +
+        "its ids stored) — a previous append crashed between table " +
+        "writes; repair the index before restarting")
+    // equal and nonzero: append completed, only the marker was lost
     fs.create(marker, true).close()
   }
 

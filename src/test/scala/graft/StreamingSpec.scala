@@ -254,14 +254,32 @@ class StreamingSpec extends SparkSpec {
     // the index holds each doc exactly once after all replays
     assert(spark.read.parquet(s"$dir/idx/shingles")
       .select("id").distinct().count() == 2)
-    // a HALF-appended batch (some ids stored, some not) fails loudly
-    val b2 = Seq((10L, "already stored"), (20L, "brand new doc " * 8))
-      .toDF("doc_id", "text")
-    val err = intercept[IllegalArgumentException] {
-      StreamIngest.applyDedupBatch(b2, 2L, s"$dir/idx",
+    // already-indexed ids arriving under a NEW batchId with no pairs
+    // output = checkpoint/ledger mismatch, not a replay — loud failure
+    val b2 = Seq((10L, base.replace("quick", "rapid"))).toDF("doc_id", "text")
+    val mism = intercept[IllegalArgumentException] {
+      StreamIngest.applyDedupBatch(b2, 7L, s"$dir/idx",
         "doc_id", "text", s"$dir/pairs", tau = 0.5)
     }
-    assert(err.getMessage.contains("half-appended"), err.getMessage)
+    assert(mism.getMessage.contains("ledger mismatch"), mism.getMessage)
+    // a GENUINE half-append (id present in sigs, absent from shingles
+    // and the sidecar — a crash between the table writes) fails loudly
+    Seq((99L, 0, "fake-sig")).toDF("id", "band", "sig")
+      .write.mode("append").parquet(s"$dir/idx/sigs")
+    val half = intercept[IllegalStateException] {
+      StreamIngest.applyDedupBatch(
+        Seq((99L, "brand new doc " * 8)).toDF("doc_id", "text"),
+        8L, s"$dir/idx", "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    }
+    assert(half.getMessage.contains("half-appended"), half.getMessage)
+    // a batch the shingle filter legitimately empties (doc shorter than
+    // the shingle width) must APPLY cleanly, not brick the stream
+    StreamIngest.applyDedupBatch(
+      Seq((50L, "hi")).toDF("doc_id", "text"),
+      9L, s"$dir/idx", "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    val fs2 = new org.apache.hadoop.fs.Path(s"$dir/idx/applied/9")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/9")))
   }
 
   test("annIngestStream: streamed batches land in the stored-codebook cells; search sees them") {
