@@ -68,10 +68,13 @@ object Dedup {
     * doc×doc. Returns (id, text). */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
+    // segs feeds both the firsts aggregate and the join probe — cache
+    // per the file's contract, or the corpus-wide explode+hash runs 2×
     val segs = spread(df).select(col(idCol).as("id"),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
       .withColumn("k", md5(col("seg")))
+      .cache()
     // global first occurrence per segment digest; (id, pos) struct
     // ordering makes "first" total and deterministic. groupBy + join
     // back rather than a window: the aggregate gets map-side partial

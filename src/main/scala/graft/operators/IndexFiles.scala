@@ -96,17 +96,23 @@ private[operators] object IndexFiles {
     * renames leaves the data intact under `<path>_old` (an outage a
     * human can repair by renaming back — never a loss); a crash after
     * rename-in leaves at worst the `_old` leftover, deleted on the
-    * next compact. A leftover from a previous crash is detected by an
-    * explicit existence check BEFORE the rename — Hadoop rename into
-    * an existing directory nests the source inside it and returns
-    * true, so the rename itself would never surface the leftover
-    * (single concurrent compactor assumed, as everywhere here). */
+    * next compact. Leftovers are handled by explicit existence checks
+    * — Hadoop rename into an existing directory NESTS the source
+    * inside it and returns true, so a rename would never surface them
+    * (single concurrent compactor assumed, as everywhere here): an
+    * `_old` beside an intact live table is the benign crash-after-
+    * rename-in window and self-heals (deleted, compact proceeds); an
+    * `_old` with the live table MISSING is the crash-between-renames
+    * window — fail with the rename-back repair instruction. */
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       staged: Path, live: Path): Unit = {
     val old = new Path(live.getParent, live.getName + "_old")
-    require(!fs.exists(old),
-      s"leftover $old from a crashed compact — inspect and remove it " +
-        "before compacting again")
+    if (fs.exists(old)) {
+      require(fs.exists(live),
+        s"crashed compact: $live is missing and its data sits at $old — " +
+          "rename it back before compacting")
+      require(fs.delete(old, true), s"delete leftover $old failed")
+    }
     require(fs.rename(live, old), s"rename $live aside failed")
     require(fs.rename(staged, live), s"swap $staged into place failed")
     require(fs.delete(old, true), s"delete $old failed")

@@ -39,11 +39,15 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  /** How many of `batchIds` appear in `table`'s id column. */
+  /** How many of `batchIds` appear in `table`'s id column — semi-join
+    * BEFORE the distinct, so the count aggregates O(batch) surviving
+    * rows instead of shuffling the full stored id column per
+    * micro-batch. */
   private def overlap(batchIds: DataFrame, table: DataFrame): Long = {
     import org.apache.spark.sql.functions.broadcast
-    table.select("id").distinct()
-      .join(broadcast(batchIds), "id").count()
+    table.select("id")
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .distinct().count()
   }
 
   /** One micro-batch of [[dedupIngestStream]], idempotent in batchId —
@@ -70,6 +74,17 @@ object StreamIngest {
     if (fs.exists(marker)) return
     import org.apache.spark.sql.functions.col
     val batchIds = batch.select(col(idCol).as("id")).distinct()
+    // what the append WOULD store: docs that survive shingling under
+    // the index's own parameters — O(batch) work, same pass the append
+    // itself runs. Comparing payload tables against this count makes a
+    // PARTIAL overlap (mixed re-delivery: some docs indexed, some new)
+    // fail loudly instead of masquerading as a completed replay.
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    val eligible = graft.operators.Dedup
+      .shingleHashSet(batch.select(col(idCol).as(idCol), col(textCol)),
+        idCol, textCol, m.getAs[Int]("w"),
+        Option(m.getAs[Int]("max_df")).filter(_ >= 0))
+      .select("id").distinct().count()
     val inSigs = overlap(batchIds, spark.read.parquet(s"$indexDir/sigs"))
     val inShingles = overlap(batchIds, spark.read.parquet(s"$indexDir/shingles"))
     val inSidecar = overlap(batchIds,
@@ -82,21 +97,27 @@ object StreamIngest {
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       graft.operators.Dedup
         .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
-    } else if (inSigs == inShingles && inShingles == inSidecar) {
+    } else if (inSigs == eligible && inShingles == eligible
+        && inSidecar == eligible) {
       // append completed; the marker crash-window is fine ONLY if the
       // pairs for THIS batchId were written (they precede the append).
       // Their absence means these docs were indexed under some OTHER
       // ledger (checkpoint reset, re-delivery) — fail loudly instead
-      // of silently dropping the batch's pair output.
+      // of silently dropping the batch's pair output. (A stale pairs
+      // dir surviving a checkpoint reset under a colliding batchId can
+      // still defeat this — pair outputs should be wiped with the
+      // checkpoint; documented residual.)
       val pairsPath = new org.apache.hadoop.fs.Path(s"$pairsDir/batch=$batchId")
       require(pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(pairsPath),
         s"batch $batchId ids already indexed but no pairs output at " +
           s"$pairsPath — checkpoint/ledger mismatch, not a replay")
     } else throw new IllegalStateException(
-      s"batch $batchId half-appended (sigs=$inSigs shingles=$inShingles " +
-        s"ids=$inSidecar of its ids stored) — a previous append crashed " +
-        "between table writes; repair the index before restarting")
+      s"batch $batchId inconsistently stored (sigs=$inSigs " +
+        s"shingles=$inShingles ids=$inSidecar of $eligible eligible) — " +
+        "either a previous append crashed between table writes or a " +
+        "re-delivered batch mixes indexed and new docs; repair before " +
+        "restarting")
     fs.create(marker, true).close()
   }
 
@@ -139,16 +160,26 @@ object StreamIngest {
     if (fs.exists(marker)) return
     import org.apache.spark.sql.functions.col
     val batchIds = batch.select(col("id")).distinct()
+    // what the append WOULD store: nonzero-norm vectors (the same
+    // filter appendToIvfIndex applies) — so a mixed re-delivered batch
+    // (some docs indexed, some new) fails loudly below instead of
+    // silently skipping its new docs
+    val eligible = batch
+      .filter(graft.functions.VectorFunctions
+        .norm2(col("v").cast("array<double>")) > 0)
+      .select(col("id")).distinct().count()
     val inCells = overlap(batchIds, spark.read.parquet(s"$indexDir/cells"))
     val inSidecar = overlap(batchIds,
       graft.operators.Ann.indexedIds(spark, indexDir))
     if (inCells == 0 && inSidecar == 0)
       graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch)
-    else if (inCells != inSidecar) throw new IllegalStateException(
-      s"batch $batchId half-appended (cells=$inCells ids=$inSidecar of " +
-        "its ids stored) — a previous append crashed between table " +
-        "writes; repair the index before restarting")
-    // equal and nonzero: append completed, only the marker was lost
+    else if (inCells != eligible || inSidecar != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (cells=$inCells " +
+          s"ids=$inSidecar of $eligible eligible) — either a previous " +
+          "append crashed between table writes or a re-delivered batch " +
+          "mixes indexed and new docs; repair before restarting")
+    // all eligible ids in both tables: append completed, marker was lost
     fs.create(marker, true).close()
   }
 

@@ -271,7 +271,16 @@ class StreamingSpec extends SparkSpec {
         Seq((99L, "brand new doc " * 8)).toDF("doc_id", "text"),
         8L, s"$dir/idx", "doc_id", "text", s"$dir/pairs", tau = 0.5)
     }
-    assert(half.getMessage.contains("half-appended"), half.getMessage)
+    assert(half.getMessage.contains("inconsistently stored"), half.getMessage)
+    // a MIXED re-delivered batch (one indexed doc, one new) must fail
+    // loudly, not silently skip the new doc
+    val mixed = intercept[IllegalStateException] {
+      StreamIngest.applyDedupBatch(
+        Seq((10L, base.replace("quick", "rapid")),
+          (77L, "genuinely new content " * 8)).toDF("doc_id", "text"),
+        11L, s"$dir/idx", "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    }
+    assert(mixed.getMessage.contains("inconsistently stored"), mixed.getMessage)
     // a batch the shingle filter legitimately empties (doc shorter than
     // the shingle width) must APPLY cleanly, not brick the stream
     StreamIngest.applyDedupBatch(
