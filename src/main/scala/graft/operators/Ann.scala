@@ -270,6 +270,12 @@ object Ann {
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a caller-supplied dim smaller than the vectors would SILENTLY
+    // ignore the tail components (wrong rankings, no error); larger
+    // throws an opaque ANSI element_at INVALID_ARRAY_INDEX. Probe one
+    // row per side, same guard as the index appends.
+    requireBatchDim(corpus, "v", dim)
+    requireBatchDim(queries, "qv", dim)
     val c = Dedup.spread(corpus)
       .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
     val q = queries.select(col("qid"), V.binarizeSign(col("qv"), dim).as("qb"))
@@ -549,10 +555,14 @@ object Ann {
   /** Fail fast when an appended batch's vectors don't match the stored
     * index's dimension — a mismatch would SILENTLY corrupt the index
     * (zip_with null-pads, dots go null, sign/argmin picks arbitrary
-    * values) instead of erroring. One limit(1) probe per append. */
+    * values) instead of erroring. One limit(1) probe per append. The
+    * probe skips null vectors: a null first row would NPE instead of
+    * diagnosing, and the appends drop nulls anyway (norm2 filter), so
+    * the first non-null row is the one whose dimension matters. */
   private def requireBatchDim(batch: DataFrame, vecCol: String,
       dim: Int): Unit =
-    batch.select(col(vecCol).cast("array<double>")).take(1).foreach { r =>
+    batch.select(col(vecCol).cast("array<double>").as(vecCol))
+      .filter(col(vecCol).isNotNull).take(1).foreach { r =>
       val got = r.getSeq[Double](0).length
       require(got == dim,
         s"batch vector dimension $got != index dimension $dim")

@@ -129,6 +129,18 @@ private[operators] object IndexFiles {
     tombstones(spark, dir).foreach { dead =>
       val fs = new Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Surface the crash-between-renames window HERE, where a re-run
+      // lands first: the payload read below would otherwise fail with a
+      // raw PATH_NOT_FOUND and no pointer to the `_old` rename-back
+      // repair (swapIn's own message is unreachable then — it only runs
+      // after this read succeeds).
+      payloads.keys.foreach { name =>
+        val live = new Path(s"$dir/$name")
+        val old = new Path(s"$dir/${name}_old")
+        require(fs.exists(live) || !fs.exists(old),
+          s"crashed compact: $live is missing and its data sits at $old — " +
+            "rename it back before compacting")
+      }
       payloads.foreach { case (name, partCols) =>
         val kept = spark.read.parquet(s"$dir/$name")
           .join(org.apache.spark.sql.functions.broadcast(dead),

@@ -71,7 +71,6 @@ object StreamIngest {
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return
     import org.apache.spark.sql.functions.col
     val batchIds = batch.select(col(idCol).as("id")).distinct()
     // what the append WOULD store: docs that survive shingling under
@@ -89,6 +88,22 @@ object StreamIngest {
     val inShingles = overlap(batchIds, spark.read.parquet(s"$indexDir/shingles"))
     val inSidecar = overlap(batchIds,
       graft.operators.Dedup.indexedIds(spark, indexDir))
+    // A marker alone is NOT proof of a replay: markers are keyed by
+    // batchId and live in the index dir, so a checkpoint reset (batchIds
+    // restart at 0 against the same index) re-presents a genuinely NEW
+    // batch under a marked id. Honor the marker only when the payload
+    // witness confirms the batch's docs are actually stored; otherwise
+    // fail loudly instead of silently dropping the batch.
+    if (fs.exists(marker)) {
+      if (inSigs == eligible && inShingles == eligible
+          && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its docs are not " +
+          s"stored (sigs=$inSigs shingles=$inShingles ids=$inSidecar of " +
+          s"$eligible eligible) — a checkpoint reset recycled the batchId " +
+          s"against a live index; wipe $indexDir/applied together with " +
+          "the checkpoint (or point the stream at a fresh index/pairs dir)")
+    }
     if (inSigs == 0 && inShingles == 0 && inSidecar == 0) {
       // fresh batch: pairs first (the guard requires the batch
       // absent), then append, then the marker
@@ -157,7 +172,6 @@ object StreamIngest {
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) return
     import org.apache.spark.sql.functions.col
     val batchIds = batch.select(col("id")).distinct()
     // what the append WOULD store: nonzero-norm vectors (the same
@@ -171,6 +185,17 @@ object StreamIngest {
     val inCells = overlap(batchIds, spark.read.parquet(s"$indexDir/cells"))
     val inSidecar = overlap(batchIds,
       graft.operators.Ann.indexedIds(spark, indexDir))
+    // same stale-marker guard as [[applyDedupBatch]]: a checkpoint reset
+    // recycles batchIds, so the marker is honored only when the payload
+    // witness confirms the batch is actually stored
+    if (fs.exists(marker)) {
+      if (inCells == eligible && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its vectors are not " +
+          s"stored (cells=$inCells ids=$inSidecar of $eligible eligible) — " +
+          s"a checkpoint reset recycled the batchId against a live index; " +
+          s"wipe $indexDir/applied together with the checkpoint")
+    }
     if (inCells == 0 && inSidecar == 0)
       graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch)
     else if (inCells != eligible || inSidecar != eligible)

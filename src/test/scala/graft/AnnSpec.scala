@@ -545,6 +545,48 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("binaryTopK: dimension mismatch fails fast instead of mis-ranking") {
+    // dim smaller than the vectors would silently ignore tail components
+    val small = intercept[IllegalArgumentException] {
+      Ann.binaryTopK(corpus, qs, k = 5, dim = dim / 2)
+    }
+    assert(small.getMessage.contains("dimension"), small.getMessage)
+    val big = intercept[IllegalArgumentException] {
+      Ann.binaryTopK(corpus, qs, k = 5, dim = dim * 2)
+    }
+    assert(big.getMessage.contains("dimension"), big.getMessage)
+  }
+
+  test("append dim guard probes past null vectors instead of NPE-ing") {
+    val dir = java.nio.file.Files.createTempDirectory("nullprobe").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 4)
+    // first row's vector is null, second has the WRONG dimension: the
+    // guard must skip the null and still diagnose the mismatch
+    val bad = Seq((300L, None: Option[Seq[Double]]),
+      (301L, Some(Seq.fill(dim / 2)(0.5)))).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, dir, bad)
+    }
+    assert(ex.getMessage.contains("dimension"), ex.getMessage)
+  }
+
+  test("compact on a crashed-swap index points at the _old rename-back repair") {
+    val postings = Seq((1L, 10L, 1.0), (2L, 11L, 1.0)).toDF("id", "term", "w")
+    val dir = java.nio.file.Files.createTempDirectory("crashedswap").toString + "/idx"
+    Ann.buildSparseIndex(postings, dir, buckets = 4)
+    Ann.deleteFromSparseIndex(spark, dir, Seq(1L).toDF("id"))
+    // simulate the crash-between-renames window: live table renamed
+    // aside, staged copy never made it in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings_old")))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.compactSparseIndex(spark, dir)
+    }
+    assert(ex.getMessage.contains("rename it back"), ex.getMessage)
+  }
+
   test("bm25TopK: scores match the Robertson/Lucene formula on a hand corpus") {
     val postings = Seq((1L, 10, 2.0), (1L, 11, 1.0), (2L, 10, 1.0), (2L, 12, 1.0),
       (3L, 11, 2.0)).toDF("id", "term", "tf")

@@ -291,6 +291,46 @@ class StreamingSpec extends SparkSpec {
     assert(fs2.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/9")))
   }
 
+  test("stale replay markers (checkpoint reset) fail loudly instead of dropping the batch") {
+    import graft.operators.{Ann, Dedup}
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val dir = java.nio.file.Files.createTempDirectory("stalemark").toString
+    Dedup.buildMinhashIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    // simulate a checkpoint reset: batch 0's marker survives in the index
+    // dir, but the stream restarts from batch 0 with a genuinely NEW doc
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), true).close()
+    val fresh = Seq((42L, base.replace("quick", "speedy"))).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      StreamIngest.applyDedupBatch(fresh, 0L, s"$dir/idx",
+        "doc_id", "text", s"$dir/pairs", tau = 0.5)
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    // nothing was silently appended or dropped into the pairs ledger
+    assert(Dedup.indexedIds(spark, s"$dir/idx")
+      .as[Long].collect().toSet == Set(1L))
+    // same guard on the ANN side
+    val dimA = 8
+    def vec(i: Long) = Seq.tabulate(dimA)(j => math.sin(i * 131 + j * 17))
+    Ann.buildIvfIndex((1L to 60L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$dir/ann", nlist = 4)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/ann/applied/0"), true).close()
+    val exAnn = intercept[IllegalStateException] {
+      StreamIngest.applyAnnBatch(
+        (61L to 70L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/ann")
+    }
+    assert(exAnn.getMessage.contains("checkpoint reset"), exAnn.getMessage)
+    // a marker backed by fully-stored docs is still honored as a replay
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ann/applied/0"), false)
+    StreamIngest.applyAnnBatch(
+      (61L to 70L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/ann")
+    StreamIngest.applyAnnBatch(
+      (61L to 70L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/ann")
+    assert(spark.read.parquet(s"$dir/ann/cells").count() == 70)
+  }
+
   test("annIngestStream: streamed batches land in the stored-codebook cells; search sees them") {
     import graft.operators.Ann
     implicit val sqlCtx = spark.sqlContext
