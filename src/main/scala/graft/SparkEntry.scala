@@ -506,6 +506,24 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** BM25 through the PERSISTED sparse index: the same postings are
+    * built into a bucketed index (scratch dir keyed by the sf dir —
+    * overwrite-mode rebuild per call, concurrent corpora don't
+    * collide), then searched BM25-scored off the doclens/stats
+    * sidecars. Hash-exact against the q_bm25 oracle — the cross-engine
+    * proof that bucket-local df + persisted stats lose nothing vs the
+    * full-postings formula. */
+  private def qBm25Index(s: SparkSession, dir: String): DataFrame = {
+    val postings = Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qterms = postings.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("term")).distinct()
+    val idx = s"/tmp/graft_bm25_idx_${Integer.toHexString(dir.hashCode)}"
+    Ann.buildSparseIndex(postings, idx, buckets = 32)
+    Ann.searchSparseIndexBm25(s, idx, qterms, k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Hybrid dense+sparse search: dense vectors from the embeddings table,
   // sparse postings from the documents' hashed-token terms (the two
   // embedding columns of the reference's Hybrid collection), fused RRF
@@ -666,6 +684,7 @@ object SparkEntry {
     "q_ann_binary" -> (qAnnBinary _),
     "q_ann_refine" -> (qAnnRefine _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_index" -> (qBm25Index _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
@@ -1306,15 +1325,40 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
 
-    // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
-    // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines.
-    // KNOWN RESIDUAL RISK: ln() is transcendental — JVM Math.log and
-    // DuckDB's libm agree to within an ulp but are not guaranteed
-    // bit-identical, so a score landing exactly on a 4-dp rounding
-    // boundary could flip. Accepted: the ln IS the BM25 semantics
-    // (substituting a rational function would change the operator), and
-    // a collision would fail the hash compare loudly, not corrupt data.
-    "q_bm25" ->
+    "q_bm25" -> bm25OracleSql,
+
+    // identical semantics through the persisted index: bucket-local df
+    // and the doclens/stats sidecars must reproduce the full-postings
+    // formula bit-for-bit
+    "q_bm25_index" -> bm25OracleSql,
+
+    // multi-table hyperplane LSH: same md5-derived plane constants as
+    // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag
+    // "plane-t{t}-{p}"), signatures bucket-joined per table, candidate
+    // scores collapsed with max before the final rank — mirrors
+    // Ann.lshTopK(tables=4, planes=6, dim=64, k=10) step for step
+    "q_ann_lsh" -> annLshOracleSql,
+
+    "q_sessionize" -> sessionizeOracleSql,
+
+    "q_event_window" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY bucket, event_type""".stripMargin,
+
+    "q_range_join" -> rangeJoinOracleSql,
+
+    "q_asof_join" -> asofJoinOracleSql)
+
+  // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
+  // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines.
+  // KNOWN RESIDUAL RISK: ln() is transcendental — JVM Math.log and
+  // DuckDB's libm agree to within an ulp but are not guaranteed
+  // bit-identical, so a score landing exactly on a 4-dp rounding
+  // boundary could flip. Accepted: the ln IS the BM25 semantics
+  // (substituting a rational function would change the operator), and
+  // a collision would fail the hash compare loudly, not corrupt data.
+  private val bm25OracleSql =
       s"""WITH post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
          |         CAST(count(*) AS DOUBLE) AS tf
          |         FROM ($tokDoc)
@@ -1333,14 +1377,9 @@ object SparkEntry {
          |      GROUP BY 1, 2)
          |SELECT qid, id, score, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
-         |WHERE rank <= 10""".stripMargin,
+         |WHERE rank <= 10""".stripMargin
 
-    // multi-table hyperplane LSH: same md5-derived plane constants as
-    // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag
-    // "plane-t{t}-{p}"), signatures bucket-joined per table, candidate
-    // scores collapsed with max before the final rank — mirrors
-    // Ann.lshTopK(tables=4, planes=6, dim=64, k=10) step for step
-    "q_ann_lsh" ->
+  private val annLshOracleSql =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
         |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
@@ -1362,9 +1401,9 @@ object SparkEntry {
         | WHERE s.vec_id < 5 GROUP BY 1, 2)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
-        |WHERE rank <= 10""".stripMargin,
+        |WHERE rank <= 10""".stripMargin
 
-    "q_sessionize" ->
+  private val sessionizeOracleSql =
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
         |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
@@ -1372,14 +1411,9 @@ object SparkEntry {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM c GROUP BY user_id, session_seq""".stripMargin,
+        |FROM c GROUP BY user_id, session_seq""".stripMargin
 
-    "q_event_window" ->
-      """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
-        | count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY bucket, event_type""".stripMargin,
-
-    "q_range_join" ->
+  private val rangeJoinOracleSql =
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM e),
         |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
@@ -1389,12 +1423,12 @@ object SparkEntry {
         |         FROM c GROUP BY user_id, session_seq)
         |SELECT e.user_id, e.event_id, sess.session_seq
         |FROM e JOIN sess ON e.user_id = sess.user_id
-        | AND e.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms""".stripMargin,
+        | AND e.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms""".stripMargin
 
-    "q_asof_join" ->
+  private val asofJoinOracleSql =
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |r AS (SELECT user_id, ts_ms AS rts, max(round(value, 2)) AS upd_value
         |      FROM e WHERE event_id % 10 = 0 GROUP BY user_id, ts_ms)
         |SELECT e.user_id, e.event_id, e.ts_ms, r.upd_value
-        |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts_ms >= r.rts""".stripMargin)
+        |FROM e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts_ms >= r.rts""".stripMargin
 }

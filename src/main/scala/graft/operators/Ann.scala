@@ -163,21 +163,44 @@ object Ann {
     * than spilling corpus-sized postings to disk, and each pass
     * aggregates down before anything joins. df is computed only for
     * the broadcast query-term set, so the per-query work is the
-    * posting lists of its terms. */
+    * posting lists of its terms.
+    *
+    * WARNING: `postings` must be the FULL corpus — N, avgdl, and df are
+    * computed from what is passed in, so a pre-pruned postings frame
+    * (e.g. the bucket-pruned scan of a persisted sparse index) silently
+    * yields wrong global statistics. For index-resident corpora use
+    * [[searchSparseIndexBm25]], which reads the persisted doc-length /
+    * stats sidecars instead. */
   def bm25TopK(postings: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = Dedup.spread(postings)
     val dl = p.groupBy("id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
+    bm25Rank(p, queryTerms, dl, stats, k, k1, b)
+  }
+
+  /** The BM25 scoring + rank core shared by [[bm25TopK]] (in-memory
+    * postings, stats computed inline) and [[searchSparseIndexBm25]]
+    * (bucket-pruned postings, stats from the index sidecars). `p` must
+    * contain every posting row of every query term (full corpus or
+    * bucket-complete pruned scan — a term's rows live wholly in its
+    * bucket, so df from `p` is exact either way); `dl` is the FULL
+    * (id, dl) doc-length table, `stats` one (n, avgdl) row. The
+    * corpus-sized `dl` is left-semi pruned to candidate doc ids before
+    * the scoring join, so that shuffle carries O(matched docs), not
+    * O(corpus) — the same candidate-prune verifyJaccard applies. */
+  private def bm25Rank(p: DataFrame, queryTerms: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfByTerm = p
       .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
       .groupBy("term").agg(countDistinct(col("id")).cast("double").as("df"))
-    val scored = p
-      .join(broadcast(queryTerms), "term")
+    val matched = p.join(broadcast(queryTerms), "term")
+    val dlPruned = dl.join(matched.select("id").distinct(), Seq("id"), "left_semi")
+    val scored = matched
       .join(broadcast(dfByTerm), "term")
-      .join(dl, "id")
+      .join(dlPruned, "id")
       .crossJoin(broadcast(stats))
       .groupBy("qid", "id")
       .agg(round(sum(
@@ -211,6 +234,43 @@ object Ann {
     Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$dir/meta")
     IndexFiles.writeIds(
       s.read.parquet(s"$dir/postings").select("id").distinct(), dir)
+    // BM25 sidecars: per-doc lengths + (n, avgdl), so a BM25-scored
+    // search never has to re-aggregate the full postings (Milvus's
+    // sparse index family IS BM25-scored — the weight-sum search alone
+    // would leave its highest-traffic path unable to use the index)
+    writeBm25Sidecars(s, dir)
+  }
+
+  /** Rewrite `dir/doclens` (id, dl = Σw per doc) and `dir/stats`
+    * (n, avgdl) from the stored postings — the build-time (and
+    * backfill) path; appends extend doclens incrementally instead. */
+  private def writeBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    refreshSparseStats(spark, dir)
+  }
+
+  /** Recompute `dir/stats` from the doclens sidecar — O(docs) of two
+    * columns, run after every doclens mutation. */
+  private def refreshSparseStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    IndexFiles.refresh(spark, dir)
+  }
+
+  /** Backfill the BM25 sidecars on a pre-BM25 index (one full postings
+    * aggregation, once); later mutations maintain them incrementally.
+    * Must run BEFORE a batch's postings are appended — the backfill
+    * aggregation would otherwise double-count the batch. */
+  private def ensureBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/doclens")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      writeBm25Sidecars(spark, dir)
   }
 
   /** Append a batch's postings to a persisted sparse index: bucketed
@@ -230,9 +290,19 @@ object Ann {
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would double-count in scores")
+    // backfill BEFORE the batch lands (the backfill aggregates stored
+    // postings; afterwards it would double-count the batch)
+    ensureBm25Sidecars(spark, dir)
     Dedup.spread(batch)
       .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
       .write.mode("append").partitionBy("tbucket").parquet(s"$dir/postings")
+    // batch ids are disjoint from stored ids (guarded above), so the
+    // batch's own doc lengths extend doclens O(batch); stats re-derive
+    // from the extended sidecar — O(docs) of two columns, never the
+    // postings themselves
+    batch.groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.mode("append").parquet(s"$dir/doclens")
+    refreshSparseStats(spark, dir)
     IndexFiles.appendIds(batchIds, dir)
   }
 
@@ -244,7 +314,15 @@ object Ann {
     * applied as typed literal partition filters — static pruning, same
     * rationale as [[searchIvfIndex]]. */
   def searchSparseIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, queryTerms: DataFrame, k: Int): DataFrame = {
+      dir: String, queryTerms: DataFrame, k: Int): DataFrame =
+    sparseTopK(prunedSparsePostings(spark, dir, queryTerms), queryTerms, k)
+
+  /** The bucket-pruned, tombstone-filtered (id, term, w) scan every
+    * sparse-index search starts from: query-term buckets collected
+    * driver-side (≤ |query terms| ints) and applied as typed literal
+    * partition filters — static pruning at the file index. */
+  private def prunedSparsePostings(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: DataFrame): DataFrame = {
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val wanted = queryTerms
       .select(pmod(col("term"), lit(buckets)).cast("int"))
@@ -256,7 +334,35 @@ object Ann {
     val pruned = (if (wanted.isEmpty) raw.filter(lit(false))
                   else raw.filter(col("tbucket").isin(typed: _*)))
       .drop("tbucket")
-    sparseTopK(IndexFiles.dropTombstones(spark, dir, pruned), queryTerms, k)
+    IndexFiles.dropTombstones(spark, dir, pruned)
+  }
+
+  /** BM25-scored search over a persisted sparse index — the scoring
+    * Milvus ships for its sparse vectors, over the same build-once
+    * lifecycle. Same results as [[bm25TopK]] over the full postings:
+    * df per query term comes from the bucket-pruned scan (exact — a
+    * term's posting rows live wholly in its own bucket, so pruning
+    * drops no occurrence of any query term), doc lengths from the
+    * `dir/doclens` sidecar (semi-pruned to candidates inside
+    * [[bm25Rank]]), N/avgdl from the 1-row `dir/stats` sidecar. With
+    * tombstones pending, stats and lengths re-derive from the
+    * tombstone-filtered doclens — O(live docs) of two columns — so a
+    * deleted doc is excluded from df, N, and avgdl immediately,
+    * bit-equal to searching the compacted index. Pre-BM25 indexes are
+    * backfilled on first call. */
+  def searchSparseIndexBm25(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    ensureBm25Sidecars(spark, dir)
+    val p = prunedSparsePostings(spark, dir, queryTerms)
+      .withColumnRenamed("w", "tf")
+    val dl = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/doclens"))
+    val stats =
+      if (IndexFiles.tombstones(spark, dir).isDefined)
+        dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      else spark.read.parquet(s"$dir/stats")
+    bm25Rank(p, queryTerms, dl, stats, k, k1, b)
   }
 
   /** Binary-quantized top-k by Hamming distance — the Milvus/faiss
@@ -848,8 +954,17 @@ object Ann {
     IndexFiles.writeTombstones(ids, dir)
 
   def compactSparseIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("postings" -> Seq("tbucket")))
+      dir: String): Unit = {
+    val hadTombstones = IndexFiles.tombstones(spark, dir).isDefined
+    val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
+    val hasDoclens =
+      dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dlPath)
+    IndexFiles.compact(spark, dir,
+      if (hasDoclens) Map("postings" -> Seq("tbucket"), "doclens" -> Nil)
+      else Map("postings" -> Seq("tbucket")))
+    // the purge shrank doclens — re-derive the 1-row global stats
+    if (hadTombstones && hasDoclens) refreshSparseStats(spark, dir)
+  }
 
   /** The distinct ids a persisted guarded index (IVF / IVF-PQ / sparse)
     * currently covers — public face of the id sidecar for callers

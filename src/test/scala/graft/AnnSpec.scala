@@ -416,6 +416,80 @@ class AnnSpec extends SparkSpec {
       qterms.filter(org.apache.spark.sql.functions.lit(false)), k = 3).count() == 0)
   }
 
+  // a BM25-shaped corpus: per-doc term sets overlap, lengths vary, so
+  // idf and the length normalization both discriminate
+  private def bm25Postings = (1L to 40L).flatMap { i =>
+    (0 until (3 + (i % 4)).toInt).map { j =>
+      (i, ((i + j * 5) % 13), 1.0 + ((i + j) % 3))
+    }
+  }.toDF("id", "term", "w")
+  private def bm25Qterms = bm25Postings.filter(col("id") <= 2L)
+    .select(col("id").as("qid"), col("term")).distinct()
+
+  test("searchSparseIndexBm25: persisted search equals bm25TopK over full postings") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Ann.buildSparseIndex(bm25Postings, dir, buckets = 4)
+    val direct = Ann.bm25TopK(bm25Postings.withColumnRenamed("w", "tf"),
+        bm25Qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val indexed = Ann.searchSparseIndexBm25(spark, dir, bm25Qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(indexed == direct && indexed.nonEmpty,
+      "index BM25 diverged from full-postings BM25")
+    // the doc-length join is candidate-pruned, not corpus-wide
+    val plan = Ann.bm25TopK(bm25Postings.withColumnRenamed("w", "tf"),
+      bm25Qterms, k = 5).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), "dl prune semi-join missing from plan")
+  }
+
+  test("sparse BM25 sidecars: append equals rebuild; pre-BM25 index backfills") {
+    def search(d: String) = Ann.searchSparseIndexBm25(spark, d, bm25Qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString + "/idx"
+    Ann.buildSparseIndex(bm25Postings, full, buckets = 4)
+    val dirApp = java.nio.file.Files.createTempDirectory("bm25app").toString + "/idx"
+    Ann.buildSparseIndex(bm25Postings.filter(col("id") <= 20L), dirApp, buckets = 4)
+    Ann.appendToSparseIndex(spark, dirApp, bm25Postings.filter(col("id") > 20L))
+    assert(search(dirApp) == search(full),
+      "appended doclens/stats diverged from rebuild")
+    // pre-BM25 index (no doclens/stats) backfills on first BM25 search
+    val legacy = java.nio.file.Files.createTempDirectory("bm25legacy").toString + "/idx"
+    Ann.buildSparseIndex(bm25Postings, legacy, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/doclens"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/stats"), true)
+    assert(search(legacy) == search(full), "backfilled sidecars diverged")
+  }
+
+  test("sparse BM25 delete: tombstoned doc excluded from df/N/avgdl; compaction bit-equal") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25del").toString + "/idx"
+    Ann.buildSparseIndex(bm25Postings, dir, buckets = 4)
+    Ann.deleteFromSparseIndex(spark, dir, Seq(5L, 6L).toDF("id"))
+    def search() = Ann.searchSparseIndexBm25(spark, dir, bm25Qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the oracle: BM25 over the postings with the deleted docs REMOVED —
+    // their rows must vanish from df and the (n, avgdl) globals, not
+    // just from the hit list
+    val survivors = Ann.bm25TopK(
+        bm25Postings.filter(!col("id").isin(5L, 6L)).withColumnRenamed("w", "tf"),
+        bm25Qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val tombstoned = search()
+    assert(tombstoned == survivors,
+      "tombstoned docs still influence BM25 stats")
+    Ann.compactSparseIndex(spark, dir)
+    assert(search() == survivors, "compacted index diverged from tombstoned")
+    // stats sidecar physically shrank with the purge
+    val n = spark.read.parquet(s"$dir/stats").head().getDouble(0)
+    assert(n == 38.0, s"stats n=$n after purging 2 of 40 docs")
+  }
+
   test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "ip")
       .select("qid", "id").as[(Long, Long)].collect().toSet
