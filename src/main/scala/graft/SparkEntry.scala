@@ -490,6 +490,18 @@ object SparkEntry {
     Ann.binaryTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64)
       .select(col("qid"), col("id"), col("hamming"), col("rank").cast("long"))
 
+  /** BIN_FLAT through the PERSISTED index: corpus packed to sign-bit
+    * words at rest (scratch dir keyed by the sf dir, overwrite-mode
+    * rebuild per call), then searched off the packed words. Hash-exact
+    * against the q_ann_binary oracle — the proof that pack-at-build
+    * loses nothing vs pack-per-search. */
+  private def qAnnBinaryIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"/tmp/graft_bin_idx_${Integer.toHexString(dir.hashCode)}"
+    Ann.buildBinaryIndex(corpus(s, dir), idx, dim = 64)
+    Ann.searchBinaryIndex(s, idx, queriesSet(s, dir), k = 10)
+      .select(col("qid"), col("id"), col("hamming"), col("rank").cast("long"))
+  }
+
   // Two-stage refine: SQ8 coarse top-30 -> exact cosine rescore top-10
   private def qAnnRefine(s: SparkSession, dir: String): DataFrame =
     Ann.refineTopK(corpus(s, dir), queriesSet(s, dir), k = 10, factor = 3)
@@ -682,6 +694,7 @@ object SparkEntry {
     "q_ann_page" -> (qAnnPage _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_binary" -> (qAnnBinary _),
+    "q_ann_binary_index" -> (qAnnBinaryIndex _),
     "q_ann_refine" -> (qAnnRefine _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_index" -> (qBm25Index _),
@@ -1290,18 +1303,10 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
 
-    // binary quantization: hamming = sign-mismatch count per component —
-    // the packed-bit XOR+popcount the Spark side computes, without
-    // reproducing the packing (embeddings are 64-d, one word)
-    "q_ann_binary" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |s AS (SELECT qid, vec_id AS id,
-        |      CAST(sum(CASE WHEN (qv[j] > 0) <> (v[j] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-        |      FROM q, e, (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY qid, vec_id)
-        |SELECT qid, id, hamming, rank FROM (
-        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS BIGINT) AS rank FROM s)
-        |WHERE rank <= 10""".stripMargin,
+    "q_ann_binary" -> annBinaryOracleSql,
+
+    // identical semantics through the persisted packed-word index
+    "q_ann_binary_index" -> annBinaryOracleSql,
 
     // two-stage refine: the q_ann_sq8 chain keeps top-30 candidates,
     // exact cosine re-scores only those, re-ranked to 10
@@ -1378,6 +1383,19 @@ object SparkEntry {
          |SELECT qid, id, score, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
          |WHERE rank <= 10""".stripMargin
+
+  // binary quantization: hamming = sign-mismatch count per component —
+  // the packed-bit XOR+popcount the Spark side computes, without
+  // reproducing the packing (embeddings are 64-d, one word)
+  private val annBinaryOracleSql =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id,
+        |      CAST(sum(CASE WHEN (qv[j] > 0) <> (v[j] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |      FROM q, e, (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY qid, vec_id)
+        |SELECT qid, id, hamming, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin
 
   private val annLshOracleSql =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

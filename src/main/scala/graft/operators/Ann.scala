@@ -375,22 +375,98 @@ object Ann {
     * DuckDB oracle reproduces it bit-for-bit as sign-mismatch counts. */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // a caller-supplied dim smaller than the vectors would SILENTLY
     // ignore the tail components (wrong rankings, no error); larger
     // throws an opaque ANSI element_at INVALID_ARRAY_INDEX. Probe one
     // row per side, same guard as the index appends.
     requireBatchDim(corpus, "v", dim)
     requireBatchDim(queries, "qv", dim)
-    val c = Dedup.spread(corpus)
-      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
+    hammingRank(Dedup.spread(corpus)
+      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb")),
+      queries, k, dim)
+  }
+
+  /** Hamming scoring + rank over pre-packed (id, cb) corpus words — the
+    * one definition [[binaryTopK]] (packs inline) and
+    * [[searchBinaryIndex]] (packed at rest) both rank through. */
+  private def hammingRank(cb: DataFrame, queries: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("qid"), V.binarizeSign(col("qv"), dim).as("qb"))
-    val scored = c.join(broadcast(q))
+    val scored = cb.join(broadcast(q))
       .select(col("qid"), col("id"),
         V.hammingDist(col("qb"), col("cb")).as("hamming"))
     val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Persist a BIN_FLAT index — the Milvus/faiss binary index family as
+    * the same build-once/search-many lifecycle as the dense siblings.
+    * The corpus is sign-binarized ONCE: `dir/bits` holds (id, cb) with
+    * cb the packed array<long> words — 1/32 of the float bytes — so
+    * every later search scans packed words at rest instead of paying a
+    * full-width float scan + re-binarization per call (the one cost
+    * [[binaryTopK]] can't avoid). Unpartitioned by design: Hamming has
+    * no bucketing structure to prune on — the index's win IS the 32×
+    * byte cut, and the scan parallelizes like any columnar read.
+    * `dir/meta` records dim; `dir/ids` guards appends. */
+  def buildBinaryIndex(corpus: DataFrame, dir: String, dim: Int): Unit = {
+    requireBatchDim(corpus, "v", dim)
+    val s = corpus.sparkSession
+    import s.implicits._
+    Dedup.spread(corpus)
+      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
+      .write.mode("overwrite").parquet(s"$dir/bits")
+    Seq(dim).toDF("dim").write.mode("overwrite").parquet(s"$dir/meta")
+    IndexFiles.writeIds(
+      s.read.parquet(s"$dir/bits").select("id").distinct(), dir)
+  }
+
+  /** Search a persisted BIN_FLAT index; bit-equal to [[binaryTopK]]
+    * over the corpus the index was built+appended from (binarizeSign is
+    * deterministic in dim, and the rank core is shared). Tombstoned ids
+    * never reach the ranking. */
+  def searchBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int): DataFrame = {
+    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    requireBatchDim(queries, "qv", dim)
+    hammingRank(
+      IndexFiles.dropTombstones(spark, dir, spark.read.parquet(s"$dir/bits")),
+      queries, k, dim)
+  }
+
+  /** Append a batch to a persisted BIN_FLAT index: packed through the
+    * stored dim, O(batch) per append, history never re-binarized.
+    * Batch ids must be disjoint from stored ids (checked via the
+    * `dir/ids` sidecar — [[hammingRank]] has no per-id collapse, so a
+    * replayed id would surface twice in any ranking it reaches). */
+  def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    requireBatchDim(batch, "v", dim)
+    val batchIds = batch.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir,
+        spark.read.parquet(s"$dir/bits").select("id").distinct())
+      .join(broadcast(batchIds), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would duplicate search hits")
+    Dedup.spread(batch)
+      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
+      .write.mode("append").parquet(s"$dir/bits")
+    IndexFiles.appendIds(batchIds, dir)
+  }
+
+  /** Tombstone / purge for the BIN_FLAT index — same model as
+    * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the bits table. */
+  def deleteFromBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("bits" -> Nil))
 
   /** Hybrid dense+sparse search with reciprocal-rank fusion — the
     * "Hybrid" in the reference's Knowledge1024Hybrid collection

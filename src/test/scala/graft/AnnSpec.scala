@@ -619,6 +619,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("binary index lifecycle: round trip bit-equal; append=rebuild; replay throws; delete/compact") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val direct = asSet(Ann.binaryTopK(corpus, qs, k = 10, dim = dim))
+    val dir = java.nio.file.Files.createTempDirectory("binidx").toString + "/idx"
+    Ann.buildBinaryIndex(corpus, dir, dim)
+    assert(asSet(Ann.searchBinaryIndex(spark, dir, qs, k = 10)) == direct,
+      "persisted binary search diverged from binaryTopK")
+    // append-then-search equals an index rebuilt on the union corpus
+    val dirApp = java.nio.file.Files.createTempDirectory("binapp").toString + "/idx"
+    Ann.buildBinaryIndex(corpus.filter(col("id") <= 100L), dirApp, dim)
+    Ann.appendToBinaryIndex(spark, dirApp, corpus.filter(col("id") > 100L))
+    assert(asSet(Ann.searchBinaryIndex(spark, dirApp, qs, k = 10)) == direct,
+      "appended binary index diverged from rebuild")
+    // replayed id fails fast; wrong-dim batch fails fast
+    val replay = intercept[IllegalArgumentException] {
+      Ann.appendToBinaryIndex(spark, dirApp, corpus.filter(col("id") === 1L))
+    }
+    assert(replay.getMessage.contains("already exists"), replay.getMessage)
+    val wrongDim = intercept[IllegalArgumentException] {
+      Ann.appendToBinaryIndex(spark, dirApp,
+        Seq((999L, Seq.fill(dim / 2)(1.0))).toDF("id", "v"))
+    }
+    assert(wrongDim.getMessage.contains("dimension"), wrongDim.getMessage)
+    // tombstoned search equals binaryTopK over the survivors; compaction
+    // is bit-equal and physically purges
+    val dead = direct.map(_._2).take(2).toSeq
+    Ann.deleteFromBinaryIndex(spark, dir, dead.toDF("id"))
+    val survivors = asSet(Ann.binaryTopK(
+      corpus.filter(!col("id").isin(dead: _*)), qs, k = 10, dim = dim))
+    assert(asSet(Ann.searchBinaryIndex(spark, dir, qs, k = 10)) == survivors,
+      "tombstoned ids still ranked")
+    Ann.compactBinaryIndex(spark, dir)
+    assert(asSet(Ann.searchBinaryIndex(spark, dir, qs, k = 10)) == survivors,
+      "compacted binary index diverged")
+    assert(spark.read.parquet(s"$dir/bits")
+      .filter(col("id").isin(dead: _*)).count() == 0, "purge left dead rows")
+    // the packed table stores words, not floats: ceil(dim/64) longs/row
+    val widths = spark.read.parquet(s"$dir/bits")
+      .select(size(col("cb"))).distinct().as[Int].collect().toSeq
+    assert(widths == Seq((dim + 63) / 64), s"packed widths $widths")
+  }
+
   test("binaryTopK: dimension mismatch fails fast instead of mis-ranking") {
     // dim smaller than the vectors would silently ignore tail components
     val small = intercept[IllegalArgumentException] {
