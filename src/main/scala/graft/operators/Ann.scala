@@ -277,10 +277,19 @@ object Ann {
     * through the stored `buckets` parameter, O(batch) per append,
     * history never rewritten. Batch ids must be disjoint from stored
     * ids (checked via the compact `dir/ids` sidecar) — a replayed id's
-    * terms would double-count in the score sum. Not atomic under job
-    * failure — stage-and-move at production scale. */
+    * terms would double-count in the score sum. Crash-safe: postings
+    * and doclens ride one [[IndexFiles.appendStaged]] transaction, so a
+    * job failure anywhere leaves a state the next append repairs
+    * completely. Stats refresh last — a crash before it leaves stats
+    * one batch stale, healed by the next mutation (or the tombstone
+    * path, which ignores the stats file). */
   def appendToSparseIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    // a rolled-forward batch extended doclens, so the derived stats file
+    // must refresh NOW — the append below may legitimately throw (e.g.
+    // a replayed id) and must not leave stats stale behind healed data
+    if (IndexFiles.healAppend(spark, dir, Seq("postings", "doclens")))
+      refreshSparseStats(spark, dir)
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val batchIds = batch.select("id").distinct()
     val replayed = IndexFiles
@@ -293,17 +302,15 @@ object Ann {
     // backfill BEFORE the batch lands (the backfill aggregates stored
     // postings; afterwards it would double-count the batch)
     ensureBm25Sidecars(spark, dir)
-    Dedup.spread(batch)
-      .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
-      .write.mode("append").partitionBy("tbucket").parquet(s"$dir/postings")
     // batch ids are disjoint from stored ids (guarded above), so the
-    // batch's own doc lengths extend doclens O(batch); stats re-derive
-    // from the extended sidecar — O(docs) of two columns, never the
-    // postings themselves
-    batch.groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.mode("append").parquet(s"$dir/doclens")
+    // batch's own doc lengths extend doclens O(batch)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("postings", Dedup.spread(batch)
+        .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int")),
+        Seq("tbucket")),
+      ("doclens", batch.groupBy("id").agg(sum(col("w")).as("dl")), Nil)),
+      Some(batchIds))
     refreshSparseStats(spark, dir)
-    IndexFiles.appendIds(batchIds, dir)
   }
 
   /** Search a persisted sparse index; same results as [[sparseTopK]]
@@ -442,6 +449,7 @@ object Ann {
     * replayed id would surface twice in any ranking it reaches). */
   def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bits"))
     val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
     requireBatchDim(batch, "v", dim)
     val batchIds = batch.select("id").distinct()
@@ -452,10 +460,10 @@ object Ann {
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would duplicate search hits")
-    Dedup.spread(batch)
-      .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
-      .write.mode("append").parquet(s"$dir/bits")
-    IndexFiles.appendIds(batchIds, dir)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("bits", Dedup.spread(batch)
+        .select(col("id"), V.binarizeSign(col("v"), dim).as("cb")), Nil)),
+      Some(batchIds))
   }
 
   /** Tombstone / purge for the BIN_FLAT index — same model as
@@ -675,13 +683,16 @@ object Ann {
     * through a staging dir (or a table format) and move on success. */
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame): Unit = {
+    // crash-safe with a marker-only journal (no ids sidecar to extend):
+    // a job failure anywhere leaves a state the next append repairs
+    IndexFiles.healAppend(spark, dir, Seq("buckets"))
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, planes, tables) =
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
     requireBatchDim(batch, "v", dim)
-    lshBuckets(batch, dim, planes, tables)
-      .write.mode("append").partitionBy("tbl", "sig").parquet(s"$dir/buckets")
-    IndexFiles.refresh(spark, dir)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("buckets", lshBuckets(batch, dim, planes, tables), Seq("tbl", "sig"))),
+      None)
   }
 
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
@@ -967,9 +978,11 @@ object Ann {
     * compact `dir/ids` sidecar ([[IndexFiles]]) against the broadcast
     * batch — O(stored docs) of bare ids, independent of the cell
     * table's width; pre-sidecar indexes are backfilled on first append.
-    * Not atomic under job failure — stage-and-move at production scale. */
+    * Crash-safe via [[IndexFiles.appendStaged]]: a job failure anywhere
+    * leaves a state the next append repairs completely. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
     val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF index")
@@ -984,9 +997,10 @@ object Ann {
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would duplicate search hits")
-    b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
-    IndexFiles.appendIds(batchIds, dir)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("cells", b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell")),
+        Seq("cell"))),
+      Some(batchIds))
   }
 
   /** Delete ids from a persisted IVF index by TOMBSTONE — the Milvus
@@ -1423,10 +1437,11 @@ object Ann {
     * rows. Same daily-ingest rationale and caveats as
     * [[appendToIvfIndex]]: O(batch) work, codebooks drift from a fresh
     * union-train (re-train on schedule), replayed ids throw via the
-    * compact `dir/ids` sidecar, the append is not atomic under job
-    * failure. */
+    * compact `dir/ids` sidecar, crash-safe via
+    * [[IndexFiles.appendStaged]]. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("codes"))
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cb = centroids.orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
@@ -1444,9 +1459,10 @@ object Ann {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would duplicate search hits")
     val cells = b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
-    pqResiduals(cells, centroids)
-      .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-    IndexFiles.appendIds(batchIds, dir)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("codes", pqResiduals(cells, centroids)
+        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes")),
+        Seq("cell"))),
+      Some(batchIds))
   }
 }

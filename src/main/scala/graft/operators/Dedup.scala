@@ -536,11 +536,14 @@ object Dedup {
     * id would double-count its shingles in the Jaccard verify). The
     * guard reads the compact `dir/ids` sidecar ([[IndexFiles]]) —
     * O(stored docs) bare ids, NOT the doc-shingle table's many× docs
-    * rows; pre-sidecar indexes are backfilled on first append. The
-    * append is not atomic under job failure — stage-and-move at
-    * production scale. */
+    * rows; pre-sidecar indexes are backfilled on first append.
+    * Crash-safe: sigs and shingles ride one
+    * [[IndexFiles.appendStaged]] transaction, so the crash-between-
+    * table-writes window the streaming witnesses used to flag is now
+    * repaired by the next append instead of needing manual repair. */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDf: DataFrame, idCol: String, textCol: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
     val m = spark.read.parquet(s"$dir/meta").head()
     val (w, numHashes, bands) =
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
@@ -554,10 +557,11 @@ object Dedup {
     require(replayed.isEmpty,
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would corrupt the Jaccard verify")
-    bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands)
-      .write.mode("append").parquet(s"$dir/sigs")
-    newSh.write.mode("append").parquet(s"$dir/shingles")
-    IndexFiles.appendIds(batchIds, dir)
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("sigs", bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands),
+        Nil),
+      ("shingles", newSh, Nil)),
+      Some(batchIds))
     newSh.unpersist()
   }
 

@@ -16,11 +16,135 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[ensureIds]] materializes the fallback projection once on the first
   * append, then every later guard reads the sidecar.
   */
-private[operators] object IndexFiles {
+private[graft] object IndexFiles {
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/ids")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-table staging dir for [[appendStaged]] — INSIDE the live table
+    * but underscore-prefixed, so every Spark read of the table ignores
+    * it while the batch is being written. */
+  private val StagingName = "_append_tmp"
+
+  /** The append journal: its EXISTENCE (created by atomic rename only
+    * after every staged table finished writing) is the commit point
+    * that flips recovery from roll-back to roll-forward; its content is
+    * the batch's id rows, from which an interrupted sidecar extension
+    * is replayed idempotently. */
+  private val JournalName = "_pending_append"
+  private val JournalTmp = "_pending_append_tmp"
+
+  /** Move a completed staging dir's data files into the live table,
+    * preserving partition subpaths. Idempotent: files already moved by
+    * an interrupted earlier pass are skipped (part-file names carry
+    * fresh UUIDs, so an existing destination can only BE this batch's
+    * own file). */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Unit = {
+    val staging = new Path(s"$tableDir/$StagingName")
+    if (!fs.exists(staging)) return
+    // listStatus returns scheme-qualified paths — qualify the prefix the
+    // same way or the relativization silently yields absolute paths
+    // (dest == source, "already moved", batch deleted with the staging)
+    val prefix = fs.makeQualified(staging).toString + "/"
+    val liveDir = fs.makeQualified(new Path(tableDir))
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (!st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) {
+        val full = fs.makeQualified(st.getPath).toString
+        require(full.startsWith(prefix), s"staged file $full outside $prefix")
+        val rel = full.stripPrefix(prefix)
+        val dest = new Path(liveDir, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.exists(dest))
+          require(fs.rename(st.getPath, dest), s"move ${st.getPath} -> $dest failed")
+      }
+    }
+    walk(staging)
+    require(fs.delete(staging, true), s"delete staging $staging failed")
+  }
+
+  /** Repair an interrupted [[appendStaged]] under `dir` — called at the
+    * head of every append (and by the streaming drivers before their
+    * witnesses). The journal's existence partitions every crash window
+    * into exactly two cases: no journal → staging may be incomplete and
+    * nothing is visible yet, so leftovers are discarded (roll BACK);
+    * journal present → every staged table was completely written, so
+    * the move is finished, the ids sidecar extended with whatever
+    * journal ids it is missing, and the journal dropped (roll FORWARD).
+    * Idempotent under repeated crashes at any point. Returns true iff a
+    * batch was rolled forward — callers with derived artifacts beyond
+    * the journaled tables (the sparse index's stats file) re-derive
+    * them on true. */
+  def healAppend(spark: SparkSession, dir: String,
+      tables: Seq[String]): Boolean = {
+    val fs = fsOf(spark, dir)
+    fs.delete(new Path(s"$dir/$JournalTmp"), true) // never valid, never visible
+    val journal = new Path(s"$dir/$JournalName")
+    if (fs.exists(journal)) {
+      tables.foreach(t => moveStagedIn(fs, s"$dir/$t"))
+      val hasIds = fs.listStatus(journal).exists(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      if (hasIds && exists(spark, dir)) {
+        spark.read.parquet(journal.toString)
+          .join(org.apache.spark.sql.functions
+            .broadcast(spark.read.parquet(s"$dir/ids")), Seq("id"), "left_anti")
+          .write.mode("append").parquet(s"$dir/ids")
+      }
+      require(fs.delete(journal, true), s"delete journal $journal failed")
+      refresh(spark, dir)
+      true
+    } else {
+      tables.foreach { t =>
+        val st = new Path(s"$dir/$t/$StagingName")
+        if (fs.exists(st)) require(fs.delete(st, true),
+          s"discard incomplete staging $st failed")
+      }
+      false
+    }
+  }
+
+  /** Crash-safe batch append: write every table's batch slice to its
+    * in-table staging dir, commit the batch by renaming the id journal
+    * into place (atomic — the one instant the append becomes
+    * roll-forward), move the staged files in, extend the ids sidecar
+    * from the journal, drop the journal. A job failure anywhere leaves
+    * a state [[healAppend]] repairs completely on the next append: the
+    * documented half-appended-index window of the bare
+    * `write.mode("append")` form is gone. `batchIds` is None for
+    * unguarded indexes (LSH) — the journal is then an empty commit
+    * marker and no sidecar is touched. Callers run [[healAppend]] and
+    * their replayed-id guard BEFORE building the staged frames. */
+  def appendStaged(spark: SparkSession, dir: String,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])],
+      batchIds: Option[DataFrame]): Unit = {
+    val fs = fsOf(spark, dir)
+    val journal = new Path(s"$dir/$JournalName")
+    require(!fs.exists(journal),
+      s"append journal $journal already exists — run healAppend first")
+    tables.foreach { case (t, df, partCols) =>
+      val w = df.write.mode("overwrite")
+      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+        .parquet(s"$dir/$t/$StagingName")
+    }
+    val tmp = new Path(s"$dir/$JournalTmp")
+    batchIds match {
+      case Some(ids) => ids.write.mode("overwrite").parquet(tmp.toString)
+      case None => fs.mkdirs(tmp)
+    }
+    require(fs.rename(tmp, journal), s"commit journal $journal failed")
+    tables.foreach { case (t, _, _) => moveStagedIn(fs, s"$dir/$t") }
+    if (batchIds.isDefined)
+      spark.read.parquet(journal.toString)
+        .write.mode("append").parquet(s"$dir/ids")
+    require(fs.delete(journal, true), s"delete journal $journal failed")
+    refresh(spark, dir)
   }
 
   /** Overwrite the sidecar at build time. `ids` must be one row per

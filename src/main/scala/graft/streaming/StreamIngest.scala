@@ -69,6 +69,12 @@ object StreamIngest {
       tau: Double): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // a previous micro-batch's append may have died mid-transaction —
+    // repair (roll forward/back) BEFORE computing the witnesses, so the
+    // journaled crash windows self-heal instead of tripping the
+    // inconsistently-stored check below
+    graft.operators.IndexFiles.healAppend(spark, indexDir,
+      Seq("sigs", "shingles"))
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.functions.col
@@ -170,6 +176,8 @@ object StreamIngest {
       indexDir: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // same pre-witness repair as [[applyDedupBatch]]
+    graft.operators.IndexFiles.healAppend(spark, indexDir, Seq("cells"))
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.functions.col

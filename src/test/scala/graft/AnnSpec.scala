@@ -490,6 +490,98 @@ class AnnSpec extends SparkSpec {
     assert(n == 38.0, s"stats n=$n after purging 2 of 40 docs")
   }
 
+  test("killed appends self-heal: staging-only rolls back; journaled batches roll forward") {
+    val postings = (1 to 50).flatMap(i =>
+      Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0), (2L, 3L, 1.0))
+      .toDF("qid", "term", "qw")
+    def res(d: String) = Ann.searchSparseIndex(spark, d, qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def ids(d: String) = spark.read.parquet(s"$d/ids").as[Long].collect().toSet
+    val fsFor = (d: String) => new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirFull = java.nio.file.Files.createTempDirectory("healfull").toString + "/idx"
+    Ann.buildSparseIndex(postings, dirFull, buckets = 8)
+    val want = res(dirFull)
+
+    // window 1 — crash MID-STAGING (no journal): the incomplete staging
+    // dir is invisible to searches and discarded by the next append
+    val dir1 = java.nio.file.Files.createTempDirectory("heal1").toString + "/idx"
+    Ann.buildSparseIndex(postings.filter(col("id") <= 25L), dir1, buckets = 8)
+    Seq((999L, 999L, 9.0)).toDF("id", "term", "w")
+      .withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
+      .write.partitionBy("tbucket").parquet(s"$dir1/postings/_append_tmp")
+    Ann.appendToSparseIndex(spark, dir1, postings.filter(col("id") > 25L))
+    assert(res(dir1) == want, "rolled-back staging leaked into results")
+    assert(!fsFor(dir1).exists(
+      new org.apache.hadoop.fs.Path(s"$dir1/postings/_append_tmp")))
+    assert(!ids(dir1).contains(999L), "discarded staging reached the sidecar")
+
+    // window 2 — crash AFTER the journal commit, BEFORE the move: the
+    // next append rolls the interrupted batch forward, then proceeds
+    val dir2 = java.nio.file.Files.createTempDirectory("heal2").toString + "/idx"
+    Ann.buildSparseIndex(postings.filter(col("id") <= 25L), dir2, buckets = 8)
+    val mid = postings.filter(col("id") > 25L && col("id") <= 40L)
+    mid.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
+      .write.partitionBy("tbucket").parquet(s"$dir2/postings/_append_tmp")
+    mid.groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.parquet(s"$dir2/doclens/_append_tmp")
+    mid.select("id").distinct().write.parquet(s"$dir2/_pending_append")
+    Ann.appendToSparseIndex(spark, dir2, postings.filter(col("id") > 40L))
+    assert(res(dir2) == want, "rolled-forward batch missing from results")
+    assert(ids(dir2) == (1L to 50L).toSet, "sidecar missing healed ids")
+    val replay2 = intercept[IllegalArgumentException] {
+      Ann.appendToSparseIndex(spark, dir2, postings.filter(col("id") === 30L))
+    }
+    assert(replay2.getMessage.contains("already exists"), replay2.getMessage)
+
+    // window 3 — crash AFTER the move, BEFORE the sidecar extension:
+    // payload visible, journal present, sidecar stale — healed in place
+    val dir3 = java.nio.file.Files.createTempDirectory("heal3").toString + "/idx"
+    Ann.buildSparseIndex(postings.filter(col("id") <= 40L), dir3, buckets = 8)
+    val tail = postings.filter(col("id") > 40L)
+    tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
+      .write.mode("append").partitionBy("tbucket").parquet(s"$dir3/postings")
+    tail.groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.mode("append").parquet(s"$dir3/doclens")
+    tail.select("id").distinct().write.parquet(s"$dir3/_pending_append")
+    spark.catalog.refreshByPath(dir3)
+    assert(ids(dir3) == (1L to 40L).toSet) // stale before the heal
+    val replay3 = intercept[IllegalArgumentException] {
+      Ann.appendToSparseIndex(spark, dir3, postings.filter(col("id") === 45L))
+    }
+    assert(replay3.getMessage.contains("already exists"),
+      s"healed sidecar should reject the moved batch's ids: ${replay3.getMessage}")
+    assert(ids(dir3) == (1L to 50L).toSet, "sidecar not healed")
+    assert(res(dir3) == want)
+    // derived stats healed too: BM25 over the healed index equals the
+    // full-postings formula even though the healing append threw
+    val bmQ = qterms.select("qid", "term").distinct()
+    val bmWant = Ann.bm25TopK(postings.withColumnRenamed("w", "tf"), bmQ, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bmGot = Ann.searchSparseIndexBm25(spark, dir3, bmQ, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(bmGot == bmWant, "stats file stale after heal")
+
+    // marker-only path (LSH): leftover garbage staging is discarded
+    val corpus16 = corpus
+    val dirL = java.nio.file.Files.createTempDirectory("heall").toString + "/idx"
+    Ann.buildLshIndex(corpus16.filter(col("id") <= 100L), dirL, dim, planes = 4)
+    Seq((999L, 1.0)).toDF("id", "x")
+      .write.parquet(s"$dirL/buckets/_append_tmp")
+    Ann.appendToLshIndex(spark, dirL, corpus16.filter(col("id") > 100L))
+    val dirLFull = java.nio.file.Files.createTempDirectory("heallf").toString + "/idx"
+    Ann.buildLshIndex(corpus16, dirLFull, dim, planes = 4)
+    def lshRes(d: String) = Ann.searchLshIndex(spark, d, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(lshRes(dirL) == lshRes(dirLFull), "LSH heal diverged from rebuild")
+  }
+
   test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {
     val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "ip")
       .select("qid", "id").as[(Long, Long)].collect().toSet
