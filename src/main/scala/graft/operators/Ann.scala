@@ -1025,6 +1025,115 @@ object Ann {
       dir: String): Unit =
     IndexFiles.compact(spark, dir, Map("cells" -> Seq("cell")))
 
+  /** Re-train a persisted IVF index in place — the missing half of the
+    * documented append-between-retrains lifecycle ([[appendToIvfIndex]]:
+    * appends assign through the STORED codebook, which drifts from what
+    * a fresh union-train would learn as the ingested distribution
+    * moves). Re-fits the coarse codebook from the stored vectors (IVF
+    * stores them — no external corpus needed) and re-assigns every row,
+    * staged and swapped via [[IndexFiles.replaceTable]] so no crash
+    * window loses data. O(corpus) — one assignment pass over the cells
+    * — run on schedule, not per batch.
+    *
+    * Tombstoned rows are EXCLUDED from the training sample (a deleted
+    * doc must not pull centroids) but kept in the rewritten cells:
+    * delete semantics are unchanged and compaction still purges them.
+    * The ids sidecar is untouched (same ids). A crash between the cells
+    * swap and the centroids swap leaves cells grouped by the new
+    * codebook while probes rank against the old one — searches stay
+    * sound (full probe remains exact; low-nprobe recall dips) and
+    * re-running the retrain converges; no data is lost.
+    * `nlist <= 0` keeps the stored cell count. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nlist: Int = -1, seed: Long = 42L, trainCap: Long = -1L): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
+    IndexFiles.requireLiveTable(spark, dir, "cells")
+    val stored = spark.read.parquet(s"$dir/cells").select(col("id"), col("v"))
+    val k =
+      if (nlist > 0) nlist
+      else spark.read.parquet(s"$dir/centroids").count().toInt
+    require(k >= 1, s"nlist must be >= 1, got $k")
+    val live = IndexFiles.dropTombstones(spark, dir, stored)
+    val firstRow = live.select(col("v")).take(1)
+    require(firstRow.nonEmpty, s"$dir/cells has no live vectors to retrain on")
+    val dim = firstRow.head.getSeq[Double](0).length
+    val sample = hashSample(live.select(col("id"), col("v")), "v",
+      effectiveCap(trainCap, k), dim)
+    require(sample.length > k,
+      s"index must exceed nlist=$k live vectors to retrain (got ${sample.length})")
+    val cb = sphericalKMeans(sample, k, seed)
+    // rewrite cells FIRST, centroids second: the crash window between
+    // them then under-probes (documented above) instead of ranking
+    // probes against centroids no cell is grouped by
+    IndexFiles.replaceTable(spark, dir, "cells",
+      stored.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell")),
+      Seq("cell"))
+    val s = spark
+    import s.implicits._
+    IndexFiles.replaceTable(spark, dir, "centroids",
+      cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "cv"), Nil)
+  }
+
+  /** Re-train a persisted IVF-PQ index — same schedule-driven lifecycle
+    * as [[retrainIvfIndex]], but the index stores only codes, so
+    * re-encoding needs the original vectors: `corpus` (id, v) must
+    * cover EXACTLY the indexed ids (checked against the id sidecar —
+    * a drifted corpus would silently re-encode the wrong rows). Both
+    * codebooks re-fit on the live distribution; codes rewrite staged
+    * and swapped; ids sidecar and tombstones preserved. */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, nlist: Int = -1, seed: Long = 42L,
+      trainCap: Long = -1L): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("codes"))
+    IndexFiles.requireLiveTable(spark, dir, "codes")
+    val c = Dedup.spread(corpus)
+      .withColumn("v", col("v").cast("array<double>"))
+      .filter(V.norm2(col("v")) > 0)
+    val indexed = Ann.indexedIds(spark, dir, payload = "codes")
+    val corpusIds = c.select("id").distinct()
+    val missing = indexed.join(broadcast(corpusIds), Seq("id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"corpus is missing indexed id ${missing.headOption.map(_.get(0)).orNull}" +
+        " — retrain needs every indexed vector")
+    val extra = corpusIds.join(broadcast(indexed), Seq("id"), "left_anti")
+      .limit(1).collect()
+    require(extra.isEmpty,
+      s"corpus carries unindexed id ${extra.headOption.map(_.get(0)).orNull}" +
+        " — append it instead of smuggling it in through a retrain")
+    val oldPq = readPqCodebooks(spark, dir)
+    val (m, ksub) = (oldPq.length, oldPq(0).length)
+    val k =
+      if (nlist > 0) nlist
+      else spark.read.parquet(s"$dir/centroids").count().toInt
+    // train on the live rows only; re-encode everything (tombstones
+    // keep hiding their rows until compaction)
+    val liveC = IndexFiles.dropTombstones(spark, dir, c)
+    val (liveCells, centroids) = ivfFit(liveC, k, seed, trainCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"index must exceed nlist=$k live vectors to retrain"))
+    val dim = centroids.head().getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val cbs = trainPqResidual(pqResiduals(liveCells, centroids), dim, m, ksub,
+      seed, trainCap).getOrElse(throw new IllegalArgumentException(
+        s"index must exceed ksub=$ksub live vectors to retrain"))
+    val cbArr = centroids.orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    val allCells = c.select(col("id"), col("v"), cellOf(col("v"), cbArr).as("cell"))
+    IndexFiles.replaceTable(spark, dir, "codes",
+      pqResiduals(allCells, centroids)
+        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes")),
+      Seq("cell"))
+    IndexFiles.replaceTable(spark, dir, "centroids", centroids, Nil)
+    val s = spark
+    import s.implicits._
+    IndexFiles.replaceTable(spark, dir, "pq",
+      cbs.zipWithIndex.flatMap { case (cbk, j) =>
+        cbk.zipWithIndex.map { case (cv, ci) => (j, ci, cv.toSeq) }
+      }.toSeq.toDF("sub", "code", "vec"), Nil)
+  }
+
   /** Tombstone / purge for the IVF-PQ index — same model as
     * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the codes
     * table; both codebooks are untouched. */

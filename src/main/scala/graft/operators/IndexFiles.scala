@@ -242,6 +242,35 @@ private[graft] object IndexFiles {
     require(fs.delete(old, true), s"delete $old failed")
   }
 
+  /** Stage `df` as `dir/<name>_tmp` and swap it over the live table via
+    * [[swapIn]] — the shared rewrite primitive of every maintenance
+    * rewrite (compaction, re-train). The staged write fully
+    * materializes `df` BEFORE the live table moves, so plans reading
+    * the live table feed the rewrite safely. */
+  /** Fail with the `_old` rename-back repair instruction when `name` is
+    * in the crash-between-renames state — called BEFORE any read of the
+    * live table, which would otherwise fail with a raw PATH_NOT_FOUND
+    * and no pointer to the repair (swapIn's own message is unreachable
+    * then — it only runs after the read succeeds). */
+  def requireLiveTable(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/$name")) ||
+        !fs.exists(new Path(s"$dir/${name}_old")),
+      s"crashed rewrite: $dir/$name is missing and its data sits at " +
+        s"$dir/${name}_old — rename it back before proceeding")
+  }
+
+  def replaceTable(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, partCols: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    requireLiveTable(spark, dir, name)
+    val w = df.write.mode("overwrite")
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+      .parquet(s"$dir/${name}_tmp")
+    swapIn(fs, new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name"))
+    refresh(spark, dir)
+  }
+
   /** Physically purge tombstones: rewrite each payload table under
     * `dir` without the dead ids (staged, then swapped via [[swapIn]] —
     * no crash window loses data), shrink the ids sidecar when the
@@ -251,28 +280,13 @@ private[graft] object IndexFiles {
   def compact(spark: SparkSession, dir: String,
       payloads: Map[String, Seq[String]]): Unit =
     tombstones(spark, dir).foreach { dead =>
-      val fs = new Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // Surface the crash-between-renames window HERE, where a re-run
-      // lands first: the payload read below would otherwise fail with a
-      // raw PATH_NOT_FOUND and no pointer to the `_old` rename-back
-      // repair (swapIn's own message is unreachable then — it only runs
-      // after this read succeeds).
-      payloads.keys.foreach { name =>
-        val live = new Path(s"$dir/$name")
-        val old = new Path(s"$dir/${name}_old")
-        require(fs.exists(live) || !fs.exists(old),
-          s"crashed compact: $live is missing and its data sits at $old — " +
-            "rename it back before compacting")
-      }
+      val fs = fsOf(spark, dir)
+      payloads.keys.foreach(requireLiveTable(spark, dir, _))
       payloads.foreach { case (name, partCols) =>
         val kept = spark.read.parquet(s"$dir/$name")
           .join(org.apache.spark.sql.functions.broadcast(dead),
             Seq("id"), "left_anti")
-        val w = kept.write.mode("overwrite")
-        (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
-          .parquet(s"$dir/${name}_tmp")
-        swapIn(fs, new Path(s"$dir/${name}_tmp"), new Path(s"$dir/$name"))
+        replaceTable(spark, dir, name, kept, partCols)
       }
       // indexes without an append guard (LSH) keep no sidecar — don't
       // invent one here that later appends would silently let go stale

@@ -490,6 +490,79 @@ class AnnSpec extends SparkSpec {
     assert(n == 38.0, s"stats n=$n after purging 2 of 40 docs")
   }
 
+  test("retrainIvfIndex: full-probe stays exact; recall@10 recovers on a drifted append") {
+    def vec(i: Long, shift: Double) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val first = (1L to 150L).map(i => (i, vec(i, 0.0))).toDF("id", "v")
+    // the appended distribution is SHIFTED — exactly the codebook-drift
+    // scenario the retrain exists for
+    val drifted = (151L to 300L).map(i => (i, vec(i, 2.5))).toDF("id", "v")
+    val union = first.union(drifted)
+    val qsDrift = (151L to 155L).map(i => (i, vec(i, 2.5))).toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain").toString + "/idx"
+    Ann.buildIvfIndex(first, dir, nlist = 8)
+    Ann.appendToIvfIndex(spark, dir, drifted)
+    val exact = Ann.bruteForceTopK(union, qsDrift, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int) = {
+      val got = Ann.searchIvfIndex(spark, dir, qsDrift, k = 10, nprobe = nprobe)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val before = recall(2)
+    Ann.retrainIvfIndex(spark, dir)
+    // full probe over the retrained index is still exact brute force
+    val full = Ann.searchIvfIndex(spark, dir, qsDrift, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exactFull = Ann.bruteForceTopK(union, qsDrift, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == exactFull, "full-probe search diverged after retrain")
+    val after = recall(2)
+    assert(after >= before,
+      s"retrain did not recover drifted recall: before=$before after=$after")
+    // the sidecar survived: a replayed id still fails fast
+    val replay = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, dir, first.filter(col("id") === 1L))
+    }
+    assert(replay.getMessage.contains("already exists"), replay.getMessage)
+    // tombstones survive the retrain: deleted before, still hidden after
+    Ann.deleteFromIvfIndex(spark, dir, Seq(151L).toDF("id"))
+    Ann.retrainIvfIndex(spark, dir)
+    val hits = Ann.searchIvfIndex(spark, dir, qsDrift, k = 10, nprobe = 8)
+      .select("id").as[Long].collect().toSet
+    assert(!hits.contains(151L), "tombstoned id resurfaced after retrain")
+    Ann.compactIvfIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter(col("id") === 151L).count() == 0)
+  }
+
+  test("retrainIvfPqIndex: re-encodes from the corpus; id-set mismatches fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqretrain").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus.filter(col("id") <= 100L), dir,
+      nlist = 4, m = 8, ksub = 16)
+    Ann.appendToIvfPqIndex(spark, dir, corpus.filter(col("id") > 100L))
+    Ann.retrainIvfPqIndex(spark, dir, corpus)
+    // full-probe ADC over the retrained index keeps healthy recall
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "l2")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val got = Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-retrain recall $recall below 0.8")
+    // corpus must cover exactly the indexed ids
+    val short = intercept[IllegalArgumentException] {
+      Ann.retrainIvfPqIndex(spark, dir, corpus.filter(col("id") <= 150L))
+    }
+    assert(short.getMessage.contains("missing indexed id"), short.getMessage)
+    val extra = intercept[IllegalArgumentException] {
+      Ann.retrainIvfPqIndex(spark, dir,
+        corpus.union(Seq((999L, Seq.fill(dim)(0.5))).toDF("id", "v")))
+    }
+    assert(extra.getMessage.contains("unindexed id"), extra.getMessage)
+  }
+
   test("killed appends self-heal: staging-only rolls back; journaled batches roll forward") {
     val postings = (1 to 50).flatMap(i =>
       Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
