@@ -78,9 +78,47 @@ object Ingest {
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (!hasData) docs
     else {
-      val done = spark.read.parquet(segmentDir).select(col("file_id")).distinct()
+      val done = spark.read
+        .parquet(resumeLedgerPaths(spark, docs, segmentDir, docKey): _*)
+        .select(col("file_id")).distinct()
       docs.join(done, docs(docKey) === done("file_id"), "left_anti")
     }
+  }
+
+  /** The ledger files [[resumeFrom]] actually needs to read: when the
+    * manifest carries per-segment id ranges (BulkFileInfo parity,
+    * [[graft.sources.SegmentWriter.writeManifest]]) and the doc key is
+    * integral, segments whose [min_id, max_id] cannot intersect the
+    * batch's own id range are pruned AT THE FILE LIST — a resume of
+    * a bounded batch then reads only the overlapping segments instead
+    * of the whole output history. The batch's bounds cost one
+    * column-pruned min/max pass over the input, cheap beside the
+    * re-chunk/re-embed work a resume exists to skip. Falls back to the
+    * full directory when the manifest is absent or unranged. */
+  private def resumeLedgerPaths(spark: SparkSession, docs: DataFrame,
+      segmentDir: String, docKey: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = docs.schema(docKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return Seq(segmentDir)
+    val manifest =
+      try graft.sources.SegmentWriter.readManifest(spark, segmentDir)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (manifest.isEmpty || manifest.exists(s => s.minId.isEmpty))
+      return Seq(segmentDir)
+    val bounds = docs.agg(min(col(docKey)).cast("long"),
+      max(col(docKey)).cast("long")).head()
+    if (bounds.isNullAt(0)) return Seq(segmentDir) // empty batch: any file does
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val overlapping = manifest
+      .filter(s => s.minId.get <= hi && s.maxId.get >= lo)
+      .map(_.path)
+    // every segment pruned → nothing ingested overlaps: read one file
+    // for the schema, the anti-join keeps everything anyway
+    if (overlapping.isEmpty) manifest.take(1).map(_.path)
+    else overlapping
   }
 
   /** Milvus-style query-by-expr with output-field selection

@@ -5,8 +5,15 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One written segment, as a downstream bulk-insert consumer needs it. */
-case class SegmentInfo(path: String, rows: Long, bytes: Long)
+/** One written segment, as a downstream bulk-insert consumer needs it.
+  * `minId`/`maxId` are the segment's id-column bounds from the parquet
+  * footer statistics (the reference's BulkFileInfo tracks min_id/max_id
+  * per file the same way, load_data/milvus_bulk_writer.py:20-28) —
+  * present when the id column exists, is integral, and every block
+  * carries stats; consumers use them to prune segment reads to the id
+  * range they care about instead of scanning the whole ledger. */
+case class SegmentInfo(path: String, rows: Long, bytes: Long,
+    minId: Option[Long] = None, maxId: Option[Long] = None)
 
 /** Rotating parquet segment writer — the Spark form of the reference's
   * ParquetFileManager / MilvusBulkWriterManager (load_data/
@@ -64,7 +71,8 @@ object SegmentWriter {
     * how many segments exist (at 100 TB / 512 MB that's ~200k footers —
     * a driver loop of 200k storage round trips, but seconds for a
     * cluster). */
-  def writeManifest(spark: SparkSession, dir: String): Seq[SegmentInfo] = {
+  def writeManifest(spark: SparkSession, dir: String,
+      idCol: String = "file_id"): Seq[SegmentInfo] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
@@ -87,11 +95,34 @@ object SegmentWriter {
           confKv.foreach { case (k, v) => c.set(k, v) }
           val reader =
             ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), c))
-          val rows = try reader.getRecordCount finally reader.close()
-          SegmentInfo(path, rows, bytes)
+          val (rows, minMax) = try {
+            // id bounds straight off the block statistics — the same
+            // metadata-only read as the row count, no data pages touched
+            val colStats = reader.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == idCol)
+              .map(_.getStatistics)
+            val bounds =
+              if (colStats.isEmpty || colStats.exists(s =>
+                  s == null || s.isEmpty ||
+                  !s.isInstanceOf[org.apache.parquet.column.statistics.LongStatistics]))
+                (None, None)
+              else {
+                val ls = colStats
+                  .map(_.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics])
+                (Some(ls.map(_.getMin).min), Some(ls.map(_.getMax).max))
+              }
+            (reader.getRecordCount, bounds)
+          } finally reader.close()
+          SegmentInfo(path, rows, bytes, minMax._1, minMax._2)
       }.collect().toSeq.sortBy(_.path)
-    val json = infos.map(i =>
-      s"""{"path":"${escJson(i.path)}","rows":${i.rows},"bytes":${i.bytes}}""").mkString("\n")
+    val json = infos.map { i =>
+      val range = (i.minId, i.maxId) match {
+        case (Some(lo), Some(hi)) => s""","min_id":$lo,"max_id":$hi"""
+        case _ => ""
+      }
+      s"""{"path":"${escJson(i.path)}","rows":${i.rows},"bytes":${i.bytes}$range}"""
+    }.mkString("\n")
     val out = fs.create(new Path(p, "_MANIFEST.json"), true)
     try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
     infos
@@ -160,10 +191,12 @@ object SegmentWriter {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val Line = """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)\}""".r
+    val Line =
+      """\{"path":"((?:[^"\\]|\\.)*)","rows":(\d+),"bytes":(\d+)(?:,"min_id":(-?\d+),"max_id":(-?\d+))?\}""".r
     txt.linesIterator.filter(_.nonEmpty).map {
-      case Line(path, rows, bytes) =>
-        SegmentInfo(unescJson(path), rows.toLong, bytes.toLong)
+      case Line(path, rows, bytes, minId, maxId) =>
+        SegmentInfo(unescJson(path), rows.toLong, bytes.toLong,
+          Option(minId).map(_.toLong), Option(maxId).map(_.toLong))
       case bad =>
         // a manifest the consumer can't trust is worse than no manifest —
         // fail loudly instead of silently dropping the line

@@ -185,6 +185,35 @@ class SourcesSpec extends SparkSpec {
     assert(pending == Seq(3L))
   }
 
+  test("manifest id ranges prune resumeFrom's ledger scan to overlapping segments") {
+    val dir = Files.createTempDirectory("segrange").toString + "/segs"
+    (1L to 50L).map(i => (i, s"c$i")).toDF("file_id", "content")
+      .coalesce(1).write.parquet(dir)
+    (1000L to 1050L).map(i => (i, s"c$i")).toDF("file_id", "content")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val manifest = SegmentWriter.writeManifest(spark, dir)
+    assert(manifest.length == 2)
+    // footer-derived bounds present and correct, and they round-trip
+    val byMin = manifest.sortBy(_.minId.get)
+    assert(byMin.head.minId.contains(1L) && byMin.head.maxId.contains(50L))
+    assert(byMin.last.minId.contains(1000L) && byMin.last.maxId.contains(1050L))
+    assert(SegmentWriter.readManifest(spark, dir) == manifest)
+    def tail(p: String) = p.substring(p.indexOf("/segs"))
+    // a batch whose ids only overlap the low segment reads ONLY it
+    val docs = Seq((10L, "x"), (40L, "y"), (60L, "z")).toDF("doc_id", "text")
+    val out = Ingest.resumeFrom(docs, dir)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(60L))
+    val scanned = out.inputFiles.filter(_.endsWith(".parquet")).map(tail).toSet
+    assert(scanned == Set(tail(byMin.head.path)),
+      s"ledger scan not pruned: $scanned")
+    // without a manifest the full directory is the (correct) fallback
+    new java.io.File(dir, "_MANIFEST.json").delete()
+    val full = Ingest.resumeFrom(docs, dir)
+    assert(full.select("doc_id").as[Long].collect().toSet == Set(60L))
+    assert(full.inputFiles.filter(_.endsWith(".parquet")).map(tail).toSet
+      == manifest.map(s => tail(s.path)).toSet)
+  }
+
   test("Ingest.pipeline: existence check skips already-ingested docs") {
     val docs = Seq((1L, "aaa bbb", "s", "en"), (2L, "ccc ddd", "s", "en"))
       .toDF("doc_id", "text", "source", "lang")
