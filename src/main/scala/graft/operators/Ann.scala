@@ -632,10 +632,20 @@ object Ann {
     * ties), so the DuckDB oracle reproduces it bit-for-bit. */
   def refineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       factor: Int = 3, metric: String = "cosine"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cand = sq8TopK(corpus, queries, k * factor)
       .select(col("qid"), col("id"))
+    exactRescore(corpus, queries, cand, k, metric)
+  }
+
+  /** The exact rescoring stage shared by [[refineTopK]] and
+    * [[searchIvfPqIndexRefined]]: re-score ONLY the q×|cand| candidate
+    * pairs with the exact metric (broadcast semi-join on id — the
+    * full-precision vectors of non-candidates never leave the scan)
+    * and re-rank to k. */
+  private def exactRescore(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int, metric: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c = withNorm(corpus, "v")
     val q = withNorm(queries, "qv")
     val rescored = c.join(broadcast(cand), "id").join(broadcast(q), "qid")
@@ -644,6 +654,27 @@ object Ann {
           col("qv_nrm"), col("v_nrm")), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Two-stage refined search over a persisted IVF-PQ index — the
+    * standard faiss recipe for recovering exactness from aggressive
+    * compression: stage 1 takes k·`factor` ADC candidates per query
+    * from the index ([[searchIvfPqIndex]] — nprobe cells of m-byte
+    * codes, no raw vectors touched); stage 2 re-scores ONLY those
+    * q×k·factor survivors with the exact metric and re-ranks to k.
+    * The index stores codes, not vectors, so the exact pass takes the
+    * raw `corpus` as an argument; it is scanned once, filtered to the
+    * broadcast candidate ids at the scan. With nprobe = nlist and a
+    * factor covering the corpus this reproduces brute force
+    * bit-for-bit (spec-pinned); at production settings it buys back
+    * most of the PQ recall loss for a candidate-sized exact pass. */
+  def searchIvfPqIndexRefined(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, factor: Int = 3, metric: String = "l2"): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cand = searchIvfPqIndex(spark, dir, queries, k * factor, nprobe)
+      .select(col("qid"), col("id"))
+    exactRescore(corpus, queries, cand, k, metric)
   }
 
   /** Persist the LSH buckets — build once, search many (the same index

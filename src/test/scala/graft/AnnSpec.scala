@@ -490,6 +490,33 @@ class AnnSpec extends SparkSpec {
     assert(n == 38.0, s"stats n=$n after purging 2 of 40 docs")
   }
 
+  test("searchIvfPqIndexRefined: covering factor reproduces brute force; refine lifts recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqref").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 4, m = 8, ksub = 16)
+    // nprobe = nlist and k*factor >= |corpus|: the ADC stage keeps
+    // everything, so the exact rescore IS brute force, bit for bit
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "l2")
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val covered = Ann.searchIvfPqIndexRefined(spark, dir, corpus, qs,
+        k = 10, nprobe = 4, factor = 20)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(covered == exact, "covering refine diverged from brute force")
+    // at a production-ish factor the refined recall is at least the raw
+    // ADC recall (rescoring a superset can only fix rank inversions)
+    def recallOf(got: Set[(Long, Long)]) = {
+      val e = exact.map(r => (r._1, r._2))
+      (e intersect got).size.toDouble / e.size
+    }
+    val raw = recallOf(Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet)
+    val refined = recallOf(Ann.searchIvfPqIndexRefined(spark, dir, corpus, qs,
+        k = 10, nprobe = 4, factor = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet)
+    assert(refined >= raw, s"refine lowered recall: $refined < $raw")
+  }
+
   test("retrainIvfIndex: full-probe stays exact; recall@10 recovers on a drifted append") {
     def vec(i: Long, shift: Double) =
       Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
