@@ -518,6 +518,24 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** Weight-sum search through the PERSISTED sparse inverted index —
+    * the reference's own sparse index type (milvus_connector.py:65-73)
+    * end to end: build bucketed postings, statically prune to the
+    * query terms' buckets, score Σ w·qw. Hash-exact vs a full-postings
+    * DuckDB oracle — the cross-engine proof that bucket pruning drops
+    * only rows that could never score. */
+  private def qSparseIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qterms = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    val idx = s"/tmp/graft_sparse_idx_${Integer.toHexString(dir.hashCode)}"
+    Ann.buildSparseIndex(postings, idx, buckets = 32)
+    Ann.searchSparseIndex(s, idx, qterms, k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   /** BM25 through the PERSISTED sparse index: the same postings are
     * built into a bucketed index (scratch dir keyed by the sf dir —
     * overwrite-mode rebuild per call, concurrent corpora don't
@@ -698,6 +716,7 @@ object SparkEntry {
     "q_ann_refine" -> (qAnnRefine _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_index" -> (qBm25Index _),
+    "q_sparse_index" -> (qSparseIndex _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
@@ -1336,6 +1355,21 @@ object SparkEntry {
     // and the doclens/stats sidecars must reproduce the full-postings
     // formula bit-for-bit
     "q_bm25_index" -> bm25OracleSql,
+
+    // weight-sum sparse retrieval (sparseTopK semantics) through the
+    // persisted bucketed index; the oracle scores the FULL postings —
+    // bucket pruning must lose nothing
+    "q_sparse_index" ->
+      s"""WITH post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |         FROM ($tokDoc)
+         |         GROUP BY doc_id, term),
+         |qt AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
+         |s AS (SELECT qt.qid, post.doc_id AS id, round(sum(post.w * qt.qw), 4) AS score
+         |      FROM post JOIN qt USING (term) GROUP BY 1, 2)
+         |SELECT qid, id, score, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+         |WHERE rank <= 10""".stripMargin,
 
     // multi-table hyperplane LSH: same md5-derived plane constants as
     // VectorFunctions.planeConst (table 0 tag "plane-p", table t>=1 tag
