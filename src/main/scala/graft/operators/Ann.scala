@@ -265,12 +265,22 @@ object Ann {
   /** Backfill the BM25 sidecars on a pre-BM25 index (one full postings
     * aggregation, once); later mutations maintain them incrementally.
     * Must run BEFORE a batch's postings are appended — the backfill
-    * aggregation would otherwise double-count the batch. */
+    * aggregation would otherwise double-count the batch. Called from
+    * MUTATION paths only (append, or this explicit maintenance entry):
+    * a search that backfilled would write from a read path — racing
+    * concurrent searches against the overwrite's delete-then-write
+    * window and failing outright on read-only mounts. */
+  def backfillBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = ensureBm25Sidecars(spark, dir)
+
   private def ensureBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String): Unit =
+    if (!hasBm25Sidecars(spark, dir)) writeBm25Sidecars(spark, dir)
+
+  private def hasBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/doclens")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      writeBm25Sidecars(spark, dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Append a batch's postings to a persisted sparse index: bucketed
@@ -330,6 +340,7 @@ object Ann {
     * partition filters — static pruning at the file index. */
   private def prunedSparsePostings(spark: org.apache.spark.sql.SparkSession,
       dir: String, queryTerms: DataFrame): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val wanted = queryTerms
       .select(pmod(col("term"), lit(buckets)).cast("int"))
@@ -355,12 +366,17 @@ object Ann {
     * tombstones pending, stats and lengths re-derive from the
     * tombstone-filtered doclens — O(live docs) of two columns — so a
     * deleted doc is excluded from df, N, and avgdl immediately,
-    * bit-equal to searching the compacted index. Pre-BM25 indexes are
-    * backfilled on first call. */
+    * bit-equal to searching the compacted index. Pre-BM25 indexes must
+    * be backfilled once via [[backfillBm25Sidecars]] — searches are
+    * read-only (no write from a read path: concurrent first-searches
+    * would race the sidecar overwrite, and read-only mounts would
+    * fail), so they refuse loudly instead of backfilling. */
   def searchSparseIndexBm25(spark: org.apache.spark.sql.SparkSession,
       dir: String, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    ensureBm25Sidecars(spark, dir)
+    require(hasBm25Sidecars(spark, dir),
+      s"$dir has no BM25 sidecars (pre-BM25 index) — run " +
+        "backfillBm25Sidecars(spark, dir) once before BM25 searches")
     val p = prunedSparsePostings(spark, dir, queryTerms)
       .withColumnRenamed("w", "tf")
     val dl = IndexFiles.dropTombstones(spark, dir,
@@ -435,6 +451,7 @@ object Ann {
     * never reach the ranking. */
   def searchBinaryIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, k: Int): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
     val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
     requireBatchDim(queries, "qv", dim)
     hammingRank(
@@ -674,6 +691,22 @@ object Ann {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cand = searchIvfPqIndex(spark, dir, queries, k * factor, nprobe)
       .select(col("qid"), col("id"))
+    // the rescore inner-joins candidates against the corpus, so a
+    // corpus drifted from the index (expired partition, bad upstream
+    // filter) would silently DROP those candidates from the refined
+    // top-k — confidently wrong results, possibly fewer than k rows.
+    // Guard with one id-column corpus pass semi-joined to the
+    // candidate set; both collected frames are candidate-bounded
+    // (≤ q·k·factor ids by construction).
+    val candIds = cand.select(col("id")).distinct()
+    val found = corpus.select(col("id"))
+      .join(broadcast(candIds), Seq("id"), "left_semi").distinct()
+    val missing = candIds.join(broadcast(found), Seq("id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"corpus is missing candidate id ${missing.headOption.map(_.get(0)).orNull}" +
+        " returned by the index — the exact rescore would silently drop it;" +
+        " pass a corpus covering every indexed id")
     exactRescore(corpus, queries, cand, k, metric)
   }
 
@@ -736,6 +769,7 @@ object Ann {
     * which a bare query set doesn't have. */
   def searchLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, metric: String = "cosine"): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, planes, tables) =
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
@@ -1079,6 +1113,7 @@ object Ann {
       nlist: Int = -1, seed: Long = 42L, trainCap: Long = -1L): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("cells"))
     IndexFiles.requireLiveTable(spark, dir, "cells")
+    IndexFiles.requireLiveTable(spark, dir, "centroids")
     val stored = spark.read.parquet(s"$dir/cells").select(col("id"), col("v"))
     val k =
       if (nlist > 0) nlist
@@ -1106,18 +1141,46 @@ object Ann {
         .toDF("cell", "cv"), Nil)
   }
 
+  /** `_retrain_pending` marks an IVF-PQ retrain in flight. Unlike the
+    * IVF index (raw vectors — a half-swapped retrain only dips recall),
+    * the PQ index's codes are meaningless without the EXACT codebooks
+    * that produced them: a crash between the codes swap and the
+    * centroids/pq swaps would leave searches decoding new codes with
+    * old codebooks — confidently wrong distances, not degraded ones.
+    * The marker brackets the three swaps, so every reader/mutator of
+    * the code↔codebook pairing refuses loudly while it stands; only
+    * re-running the retrain (which rewrites all three and clears the
+    * marker) repairs the state. */
+  private val RetrainMarker = "_retrain_pending"
+
+  private def requireNoPendingRetrain(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$RetrainMarker")
+    require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"interrupted retrain at $dir ($RetrainMarker pending) — codes and " +
+        "codebooks may disagree; re-run retrainIvfPqIndex(spark, dir, " +
+        "corpus) to converge before using the index")
+  }
+
   /** Re-train a persisted IVF-PQ index — same schedule-driven lifecycle
     * as [[retrainIvfIndex]], but the index stores only codes, so
     * re-encoding needs the original vectors: `corpus` (id, v) must
     * cover EXACTLY the indexed ids (checked against the id sidecar —
     * a drifted corpus would silently re-encode the wrong rows). Both
     * codebooks re-fit on the live distribution; codes rewrite staged
-    * and swapped; ids sidecar and tombstones preserved. */
+    * and swapped; ids sidecar and tombstones preserved. The three
+    * table swaps cannot be atomic together, so they are bracketed by
+    * the `_retrain_pending` marker: a crash mid-retrain leaves an
+    * index that REFUSES searches/appends/compaction (codes and
+    * codebooks may disagree — wrong rankings, not just low recall)
+    * until the retrain is re-run, which converges. */
   def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, corpus: DataFrame, nlist: Int = -1, seed: Long = 42L,
       trainCap: Long = -1L): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("codes"))
     IndexFiles.requireLiveTable(spark, dir, "codes")
+    IndexFiles.requireLiveTable(spark, dir, "centroids")
+    IndexFiles.requireLiveTable(spark, dir, "pq")
     val c = Dedup.spread(corpus)
       .withColumn("v", col("v").cast("array<double>"))
       .filter(V.norm2(col("v")) > 0)
@@ -1152,6 +1215,10 @@ object Ann {
     val cbArr = centroids.orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     val allCells = c.select(col("id"), col("v"), cellOf(col("v"), cbArr).as("cell"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$RetrainMarker")
+    fs.create(marker, true).close()
     IndexFiles.replaceTable(spark, dir, "codes",
       pqResiduals(allCells, centroids)
         .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes")),
@@ -1163,6 +1230,7 @@ object Ann {
       cbs.zipWithIndex.flatMap { case (cbk, j) =>
         cbk.zipWithIndex.map { case (cv, ci) => (j, ci, cv.toSeq) }
       }.toSeq.toDF("sub", "code", "vec"), Nil)
+    require(fs.delete(marker, false), s"clear retrain marker $marker failed")
   }
 
   /** Tombstone / purge for the IVF-PQ index — same model as
@@ -1173,8 +1241,10 @@ object Ann {
     IndexFiles.writeTombstones(ids, dir)
 
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
+    requireNoPendingRetrain(spark, dir)
     IndexFiles.compact(spark, dir, Map("codes" -> Seq("cell")))
+  }
 
   /** Tombstone / purge for the sparse inverted index — a deleted doc's
     * postings stop scoring immediately and are rewritten away at
@@ -1185,6 +1255,11 @@ object Ann {
 
   def compactSparseIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    // heal with the sparse-specific stats refresh BEFORE the generic
+    // compact (whose own heal knows nothing of the derived stats file);
+    // its inner healAppend then finds nothing to do
+    if (IndexFiles.healAppend(spark, dir, Seq("postings", "doclens")))
+      refreshSparseStats(spark, dir)
     val hadTombstones = IndexFiles.tombstones(spark, dir).isDefined
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
     val hasDoclens =
@@ -1218,6 +1293,9 @@ object Ann {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
       metric: String = "cosine"): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    IndexFiles.requireLiveTable(spark, dir, "cells")
+    IndexFiles.requireLiveTable(spark, dir, "centroids")
     val centroids = spark.read.parquet(s"$dir/centroids")
     // Compute the probes ONCE: collect the (qid, qv, cell) rows —
     // nprobe·|queries| by construction — and derive BOTH the pruning
@@ -1549,6 +1627,10 @@ object Ann {
     * files and none of the raw vectors. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    requireNoPendingRetrain(spark, dir)
+    Seq("codes", "centroids", "pq")
+      .foreach(IndexFiles.requireLiveTable(spark, dir, _))
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cbs = readPqCodebooks(spark, dir)
     val pc = probeCells(centroids, queries, nprobe)
@@ -1581,6 +1663,7 @@ object Ann {
     * [[IndexFiles.appendStaged]]. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    requireNoPendingRetrain(spark, dir)
     IndexFiles.healAppend(spark, dir, Seq("codes"))
     val centroids = spark.read.parquet(s"$dir/centroids")
     val cb = centroids.orderBy("cell").collect()

@@ -617,6 +617,7 @@ object Dedup {
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDf: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.5): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     val (w, numHashes, bands) =
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))

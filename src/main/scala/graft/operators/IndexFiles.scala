@@ -152,13 +152,19 @@ private[graft] object IndexFiles {
   def writeIds(ids: DataFrame, dir: String): Unit =
     ids.write.mode("overwrite").parquet(s"$dir/ids")
 
-  /** Extend the sidecar with an appended batch's ids. Runs LAST in
-    * every guarded append, so the refresh also covers the payload
-    * files the append just wrote. */
-  def appendIds(ids: DataFrame, dir: String): Unit = {
-    ids.write.mode("append").parquet(s"$dir/ids")
-    refresh(ids.sparkSession, dir)
-  }
+  /** Fail fast when an interrupted append's journal is pending. The
+    * journal's existence means the move phase may have landed only part
+    * of the batch's files, so a payload read can be TORN — a doc scored
+    * on a fraction of its rows, which is silently WRONG, not merely
+    * stale. Searches are read-only by contract (they must work against
+    * read-only mounts and race no writer), so they refuse loudly
+    * instead of healing; any append or compact on the index heals
+    * first and clears the journal. */
+  def requireNoPendingAppend(spark: SparkSession, dir: String): Unit =
+    require(!fsOf(spark, dir).exists(new Path(s"$dir/$JournalName")),
+      s"incomplete append at $dir ($JournalName pending) — payload tables " +
+        "may be torn mid-move; re-run the interrupted append (or any " +
+        "append/compact on this index: they heal first) before searching")
 
   /** The stored id set, reading the sidecar when present and falling
     * back to `fallback` (the index's own id column, already distinct)
@@ -169,9 +175,10 @@ private[graft] object IndexFiles {
     if (exists(spark, dir)) spark.read.parquet(s"$dir/ids") else fallback
 
   /** Like [[storedIds]], but backfills a missing sidecar from the
-    * fallback first, so a subsequent [[appendIds]] leaves it complete.
-    * Must be called BEFORE the batch's payload is appended (the
-    * fallback projection would otherwise include the batch). */
+    * fallback first, so [[appendStaged]]'s journal-driven sidecar
+    * extension leaves it complete. Must be called BEFORE the batch's
+    * payload is appended (the fallback projection would otherwise
+    * include the batch). */
   def ensureIds(spark: SparkSession, dir: String,
       fallback: => DataFrame): DataFrame = {
     if (!exists(spark, dir)) writeIds(fallback, dir)
@@ -278,7 +285,15 @@ private[graft] object IndexFiles {
     * partition columns (empty for unpartitioned). No-op when nothing
     * was deleted. */
   def compact(spark: SparkSession, dir: String,
-      payloads: Map[String, Seq[String]]): Unit =
+      payloads: Map[String, Seq[String]]): Unit = {
+    // an interrupted append's staged batch lives INSIDE the payload
+    // tables, and its journal holds ids not yet in the sidecar.
+    // replaceTable's rename-aside would silently destroy the staged
+    // files while the journal survives — the next healAppend would
+    // then roll the journal's ids forward with no payload behind them
+    // (a lying sidecar: ids that reject re-appends but never match a
+    // search). Heal first, unconditionally, before any table moves.
+    healAppend(spark, dir, payloads.keys.toSeq)
     tombstones(spark, dir).foreach { dead =>
       val fs = fsOf(spark, dir)
       payloads.keys.foreach(requireLiveTable(spark, dir, _))
@@ -301,4 +316,5 @@ private[graft] object IndexFiles {
       fs.delete(new Path(s"$dir/deleted"), true)
       refresh(spark, dir)
     }
+  }
 }

@@ -108,6 +108,20 @@ object Ingest {
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     if (manifest.isEmpty || manifest.exists(s => s.minId.isEmpty))
       return Seq(segmentDir)
+    // the manifest is only a valid pruning index if it covers every
+    // data file actually present: segments appended after the last
+    // writeManifest (a crash before the manifest rewrite, a bare
+    // mode("append") caller) are ranged NOWHERE, and pruning by a
+    // stale manifest would hide their file_ids from the ledger —
+    // silently re-ingesting their docs as duplicates. One listStatus
+    // (the same call writeManifest does) detects staleness; fall back
+    // to the full directory, which is always correct.
+    val ranged = manifest.map(_.path).toSet
+    val p = new org.apache.hadoop.fs.Path(segmentDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unranged = fs.listStatus(p).exists(f => f.isFile &&
+      f.getPath.getName.endsWith(".parquet") && !ranged(f.getPath.toString))
+    if (unranged) return Seq(segmentDir)
     val bounds = docs.agg(min(col(docKey)).cast("long"),
       max(col(docKey)).cast("long")).head()
     if (bounds.isNullAt(0)) return Seq(segmentDir) // empty batch: any file does

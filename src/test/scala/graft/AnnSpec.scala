@@ -455,13 +455,20 @@ class AnnSpec extends SparkSpec {
     Ann.appendToSparseIndex(spark, dirApp, bm25Postings.filter(col("id") > 20L))
     assert(search(dirApp) == search(full),
       "appended doclens/stats diverged from rebuild")
-    // pre-BM25 index (no doclens/stats) backfills on first BM25 search
+    // pre-BM25 index (no doclens/stats): searches REFUSE (read-only —
+    // a search-side backfill would write from a read path, racing
+    // concurrent searches and failing on read-only mounts); the
+    // explicit maintenance backfill then makes them exact
     val legacy = java.nio.file.Files.createTempDirectory("bm25legacy").toString + "/idx"
     Ann.buildSparseIndex(bm25Postings, legacy, buckets = 4)
     val fs = new org.apache.hadoop.fs.Path(legacy)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/doclens"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/stats"), true)
+    val refused = intercept[IllegalArgumentException] { search(legacy) }
+    assert(refused.getMessage.contains("backfillBm25Sidecars"),
+      refused.getMessage)
+    Ann.backfillBm25Sidecars(spark, legacy)
     assert(search(legacy) == search(full), "backfilled sidecars diverged")
   }
 
@@ -680,6 +687,114 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id", "score", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(lshRes(dirL) == lshRes(dirLFull), "LSH heal diverged from rebuild")
+  }
+
+  test("searches refuse a torn index while an append journal is pending") {
+    val postings = (1 to 30).map(i => (i.toLong, i.toLong, 2.0))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1L, 2.0), (1L, 2L, 1.0)).toDF("qid", "term", "qw")
+    val dir = java.nio.file.Files.createTempDirectory("tornsearch").toString + "/idx"
+    Ann.buildSparseIndex(postings, dir, buckets = 4)
+    // journal present = the move phase may have landed only part of the
+    // batch's files; a read could score a doc on a fraction of its rows
+    Seq(999L).toDF("id").write.parquet(s"$dir/_pending_append")
+    val weightSum = intercept[IllegalArgumentException] {
+      Ann.searchSparseIndex(spark, dir, qterms, k = 3).collect()
+    }
+    assert(weightSum.getMessage.contains("incomplete append"),
+      weightSum.getMessage)
+    val bm = intercept[IllegalArgumentException] {
+      Ann.searchSparseIndexBm25(spark, dir,
+        qterms.select("qid", "term").distinct(), k = 3).collect()
+    }
+    assert(bm.getMessage.contains("incomplete append"), bm.getMessage)
+    // the next append heals (rolls the journaled ids forward) and
+    // searches work again
+    Ann.appendToSparseIndex(spark, dir,
+      Seq((31L, 1L, 1.0)).toDF("id", "term", "w"))
+    assert(Ann.searchSparseIndex(spark, dir, qterms, k = 3).count() > 0)
+  }
+
+  test("compact heals a pending journaled append instead of destroying it") {
+    val postings = (1 to 40).flatMap(i =>
+      Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 35L, 2.0), (2L, 38L, 1.0)).toDF("qid", "term", "qw")
+    val dir = java.nio.file.Files.createTempDirectory("compactheal").toString + "/idx"
+    Ann.buildSparseIndex(postings.filter(col("id") <= 30L), dir, buckets = 8)
+    // crash window: batch fully staged + journal committed, move never ran
+    val tail = postings.filter(col("id") > 30L)
+    tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
+      .write.partitionBy("tbucket").parquet(s"$dir/postings/_append_tmp")
+    tail.groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.parquet(s"$dir/doclens/_append_tmp")
+    tail.select("id").distinct().write.parquet(s"$dir/_pending_append")
+    // a compact that swapped tables without healing would delete the
+    // staged batch with the old table dir, then the next heal would
+    // extend the sidecar with ids that have NO payload behind them
+    Ann.deleteFromSparseIndex(spark, dir, Seq(5L).toDF("id"))
+    Ann.compactSparseIndex(spark, dir)
+    val want = Ann.sparseTopK(
+        postings.filter(col("id") =!= 5L), qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = Ann.searchSparseIndex(spark, dir, qterms, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want, "journaled batch lost or corrupted by compact")
+    val ids = spark.read.parquet(s"$dir/ids").as[Long].collect().toSet
+    assert(ids == (1L to 40L).toSet - 5L, s"sidecar wrong after heal+compact")
+    // BM25 stats healed too: n counts the rolled-forward batch
+    val n = spark.read.parquet(s"$dir/stats").head().getDouble(0)
+    assert(n == 39.0, s"stats n=$n after heal(40) + purge(1)")
+  }
+
+  test("interrupted IVF-PQ retrain blocks the index until a retrain converges") {
+    val dir = java.nio.file.Files.createTempDirectory("pqmarker").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 4, m = 8, ksub = 16)
+    // simulate a crash between the codes swap and the codebook swaps:
+    // the marker is the ONLY trustworthy signal (codes decoded with the
+    // wrong codebooks rank confidently wrong, not merely low-recall)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_retrain_pending"), true).close()
+    val s1 = intercept[IllegalArgumentException] {
+      Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 4).collect()
+    }
+    assert(s1.getMessage.contains("interrupted retrain"), s1.getMessage)
+    val a1 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfPqIndex(spark, dir,
+        Seq((999L, Seq.fill(dim)(0.5))).toDF("id", "v"))
+    }
+    assert(a1.getMessage.contains("interrupted retrain"), a1.getMessage)
+    val c1 = intercept[IllegalArgumentException] {
+      Ann.compactIvfPqIndex(spark, dir)
+    }
+    assert(c1.getMessage.contains("interrupted retrain"), c1.getMessage)
+    // re-running the retrain rewrites all three tables and clears the
+    // marker — the documented repair converges
+    Ann.retrainIvfPqIndex(spark, dir, corpus)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_retrain_pending")),
+      "retrain left its marker behind")
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "l2")
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val got = Ann.searchIvfPqIndex(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-repair recall $recall below 0.8")
+  }
+
+  test("refined search fails fast when the corpus is missing a candidate id") {
+    val dir = java.nio.file.Files.createTempDirectory("refmiss").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus, dir, nlist = 4, m = 8, ksub = 16)
+    // covering factor: every indexed id becomes a candidate, so ANY
+    // corpus gap is hit — the rescore would silently drop it otherwise
+    val gapped = corpus.filter(col("id") =!= 7L)
+    val e = intercept[IllegalArgumentException] {
+      Ann.searchIvfPqIndexRefined(spark, dir, gapped, qs,
+        k = 10, nprobe = 4, factor = 20).collect()
+    }
+    assert(e.getMessage.contains("missing candidate id"), e.getMessage)
   }
 
   test("pqTopK: ADC recall@10 >= 0.8 vs exact ip ranking; deterministic re-run") {

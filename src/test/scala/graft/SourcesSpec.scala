@@ -206,12 +206,28 @@ class SourcesSpec extends SparkSpec {
     val scanned = out.inputFiles.filter(_.endsWith(".parquet")).map(tail).toSet
     assert(scanned == Set(tail(byMin.head.path)),
       s"ledger scan not pruned: $scanned")
+    // a segment appended AFTER the last writeManifest is ranged nowhere:
+    // pruning by the stale manifest would hide its file_ids from the
+    // ledger and silently re-ingest its docs — the coverage check must
+    // fall back to the full directory instead
+    (60L to 70L).map(i => (i, s"c$i")).toDF("file_id", "content")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stale = Ingest.resumeFrom(docs, dir)
+    assert(stale.select("doc_id").as[Long].collect().toSet == Set.empty[Long],
+      "doc 60 re-ingested: stale manifest hid the appended segment")
+    // after the manifest is refreshed the pruning resumes
+    SegmentWriter.writeManifest(spark, dir)
+    val refreshed = Ingest.resumeFrom(docs, dir)
+    assert(refreshed.select("doc_id").as[Long].collect().toSet
+      == Set.empty[Long])
+    assert(refreshed.inputFiles.filter(_.endsWith(".parquet")).length < 3,
+      "refreshed manifest no longer prunes")
     // without a manifest the full directory is the (correct) fallback
     new java.io.File(dir, "_MANIFEST.json").delete()
     val full = Ingest.resumeFrom(docs, dir)
-    assert(full.select("doc_id").as[Long].collect().toSet == Set(60L))
-    assert(full.inputFiles.filter(_.endsWith(".parquet")).map(tail).toSet
-      == manifest.map(s => tail(s.path)).toSet)
+    assert(full.select("doc_id").as[Long].collect().toSet == Set.empty[Long])
+    assert(full.inputFiles.filter(_.endsWith(".parquet")).length == 3,
+      "manifest-less fallback should scan the whole directory")
   }
 
   test("Ingest.pipeline: existence check skips already-ingested docs") {
