@@ -580,6 +580,30 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("wscore"), col("rank").cast("long"))
   }
 
+  /** Hybrid search over PERSISTED indexes — the production form of
+    * q_hybrid_search (Milvus hybrid_search against a stored
+    * collection): dense branch through a persisted IVF index probing
+    * EVERY cell (exact — the q_ann_ivf_full argument), sparse branch
+    * through the bucketed sparse index (exact — the q_sparse_index
+    * argument), RRF fusion. Hash-exact against the q_hybrid_search
+    * oracle: the cross-engine proof that the whole persisted
+    * composition loses nothing. */
+  private def qHybridIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    val suffix = Integer.toHexString(dir.hashCode)
+    val ivfIdx = s"/tmp/graft_hyb_ivf_idx_$suffix"
+    val spIdx = s"/tmp/graft_hyb_sparse_idx_$suffix"
+    Ann.buildIvfIndex(corpus(s, dir), ivfIdx, nlist = 16)
+    Ann.buildSparseIndex(postings, spIdx, buckets = 32)
+    Ann.searchHybridIndex(s, ivfIdx, spIdx, queriesSet(s, dir), qpost,
+        k = 10, nprobe = 16)
+      .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -720,6 +744,7 @@ object SparkEntry {
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
+    "q_hybrid_index" -> (qHybridIndex _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _),
     "q_asof_join" -> (qAsofJoin _),
@@ -733,6 +758,32 @@ object SparkEntry {
   // normText); ONE definition for every oracle that tokenizes.
   private val tokDoc =
     s"SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)"
+  // RRF hybrid fusion oracle — one definition for q_hybrid_search
+  // (in-memory branches) and q_hybrid_index (persisted IVF full-probe +
+  // bucket-pruned sparse index branches): both are exact, so the two
+  // registered queries must produce the identical frame.
+  private lazy val hybridRrfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       |ds AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
+       |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_d FROM ds),
+       |dtop AS (SELECT * FROM dr WHERE rank_d <= 10),
+       |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |         FROM ($tokDoc)
+       |         GROUP BY doc_id, term),
+       |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
+       |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
+       |       FROM post JOIN qpost ON post.term = qpost.term GROUP BY 1, 2),
+       |sr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_s FROM ss),
+       |stop AS (SELECT * FROM sr WHERE rank_s <= 10),
+       |f AS (SELECT qid, id,
+       |      round(coalesce(1.0/(60+rank_d), 0) + coalesce(1.0/(60+rank_s), 0), 6) AS rrf
+       |      FROM dtop FULL JOIN stop USING (qid, id))
+       |SELECT qid, id, rrf, rank FROM (
+       | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
+       |WHERE rank <= 10""".stripMargin
+
   private val shingle8 =
     s"""SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
        |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM ($normDoc))""".stripMargin
@@ -1085,27 +1136,11 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
 
-    "q_hybrid_search" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-         |ds AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
-         |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_d FROM ds),
-         |dtop AS (SELECT * FROM dr WHERE rank_d <= 10),
-         |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
-         |         CAST(count(*) AS DOUBLE) AS w
-         |         FROM ($tokDoc)
-         |         GROUP BY doc_id, term),
-         |qpost AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
-         |ss AS (SELECT qpost.qid, post.doc_id AS id, round(sum(post.w * qpost.qw), 4) AS score
-         |       FROM post JOIN qpost ON post.term = qpost.term GROUP BY 1, 2),
-         |sr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_s FROM ss),
-         |stop AS (SELECT * FROM sr WHERE rank_s <= 10),
-         |f AS (SELECT qid, id,
-         |      round(coalesce(1.0/(60+rank_d), 0) + coalesce(1.0/(60+rank_s), 0), 6) AS rrf
-         |      FROM dtop FULL JOIN stop USING (qid, id))
-         |SELECT qid, id, rrf, rank FROM (
-         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
-         |WHERE rank <= 10""".stripMargin,
+    // shared by q_hybrid_search and q_hybrid_index: the persisted form
+    // probes every IVF cell and every query-term bucket, so both
+    // branches are exact and the fused result is the same frame
+    "q_hybrid_search" -> hybridRrfSql,
+    "q_hybrid_index" -> hybridRrfSql,
 
     // WeightedRanker fusion: dense (1+cos)/2, sparse s/(1+s), 0.7/0.3
     // weights — same branch CTEs as q_hybrid_search

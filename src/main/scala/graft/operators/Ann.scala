@@ -298,8 +298,7 @@ object Ann {
     // a rolled-forward batch extended doclens, so the derived stats file
     // must refresh NOW — the append below may legitimately throw (e.g.
     // a replayed id) and must not leave stats stale behind healed data
-    if (IndexFiles.healAppend(spark, dir, Seq("postings", "doclens")))
-      refreshSparseStats(spark, dir)
+    healSparseIndex(spark, dir)
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val batchIds = batch.select("id").distinct()
     val replayed = IndexFiles
@@ -503,13 +502,20 @@ object Ann {
     * id-ascending tiebreaks. */
   def hybridTopK(corpus: DataFrame, queries: DataFrame,
       postings: DataFrame, queryTerms: DataFrame, k: Int,
-      metric: String = "cosine", rrfK: Int = 60): DataFrame = {
+      metric: String = "cosine", rrfK: Int = 60): DataFrame =
+    rrfFuse(bruteForceTopK(corpus, queries, k, metric),
+      sparseTopK(postings, queryTerms, k), k, rrfK)
+
+  /** The RRF fusion stage shared by [[hybridTopK]] and
+    * [[searchHybridIndex]]: both branch results are q×k frames
+    * (qid, id, …, rank), so the full-outer join and re-rank are
+    * candidate-sized no matter how big the corpus behind them was. */
+  private def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = bruteForceTopK(corpus, queries, k, metric)
-      .select(col("qid"), col("id"), col("rank").as("rank_d"))
-    val sparse = sparseTopK(postings, queryTerms, k)
-      .select(col("qid"), col("id"), col("rank").as("rank_s"))
-    val fused = dense.join(sparse, Seq("qid", "id"), "full_outer")
+    val d = dense.select(col("qid"), col("id"), col("rank").as("rank_d"))
+    val s = sparse.select(col("qid"), col("id"), col("rank").as("rank_s"))
+    val fused = d.join(s, Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         round(
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_d")), lit(0.0)) +
@@ -538,22 +544,65 @@ object Ann {
     * id-asc ties. */
   def hybridTopKWeighted(corpus: DataFrame, queries: DataFrame,
       postings: DataFrame, queryTerms: DataFrame, k: Int,
-      wDense: Double = 0.5, wSparse: Double = 0.5): DataFrame = {
+      wDense: Double = 0.5, wSparse: Double = 0.5): DataFrame =
+    weightedFuse(bruteForceTopK(corpus, queries, k, "cosine"),
+      sparseTopK(postings, queryTerms, k), k, wDense, wSparse)
+
+  /** The weighted fusion stage shared by [[hybridTopKWeighted]] and
+    * [[searchHybridIndexWeighted]] — takes each branch's raw q×k
+    * (qid, id, …, score) frame and applies the normalizations
+    * documented on [[hybridTopKWeighted]] (dense assumed cosine). */
+  private def weightedFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+      wDense: Double, wSparse: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = bruteForceTopK(corpus, queries, k, "cosine")
-      .select(col("qid"), col("id"),
-        ((lit(1.0) + col("score")) / 2).as("nd"))
-    val sparse = sparseTopK(postings, queryTerms, k)
-      .select(col("qid"), col("id"),
-        (greatest(col("score"), lit(0.0)) /
-          (lit(1.0) + greatest(col("score"), lit(0.0)))).as("ns"))
-    val fused = dense.join(sparse, Seq("qid", "id"), "full_outer")
+    val d = dense.select(col("qid"), col("id"),
+      ((lit(1.0) + col("score")) / 2).as("nd"))
+    val s = sparse.select(col("qid"), col("id"),
+      (greatest(col("score"), lit(0.0)) /
+        (lit(1.0) + greatest(col("score"), lit(0.0)))).as("ns"))
+    val fused = d.join(s, Seq("qid", "id"), "full_outer")
       .select(col("qid"), col("id"),
         round(coalesce(col("nd"), lit(0.0)) * wDense +
           coalesce(col("ns"), lit(0.0)) * wSparse, 6).as("wscore"))
     val w = Window.partitionBy("qid").orderBy(col("wscore").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Hybrid search over PERSISTED indexes — Milvus's hybrid_search
+    * against a stored collection, which is how the reference's
+    * Knowledge1024Hybrid is actually queried in production (the
+    * in-memory [[hybridTopK]] is the semantics oracle; this is the
+    * build-once/search-many form). The dense branch probes a persisted
+    * IVF index ([[searchIvfIndex]] — nprobe cell partitions), the
+    * sparse branch prunes the persisted inverted index to the query
+    * terms' buckets ([[searchSparseIndex]], or BM25-scored via
+    * `bm25 = true` — Milvus's own sparse scoring); fusion is RRF over
+    * the two q×k lists. With nprobe = nlist and bm25 = false this is
+    * bit-equal to [[hybridTopK]] (both branches exact); at production
+    * nprobe the dense branch trades recall for reading nprobe/nlist of
+    * the corpus, which is the whole point at 100 TB. */
+  def searchHybridIndex(spark: org.apache.spark.sql.SparkSession,
+      ivfDir: String, sparseDir: String, queries: DataFrame,
+      queryTerms: DataFrame, k: Int, nprobe: Int = 4,
+      metric: String = "cosine", rrfK: Int = 60,
+      bm25: Boolean = false): DataFrame =
+    rrfFuse(searchIvfIndex(spark, ivfDir, queries, k, nprobe, metric),
+      sparseBranch(spark, sparseDir, queryTerms, k, bm25), k, rrfK)
+
+  /** [[searchHybridIndex]] with WeightedRanker fusion (dense branch
+    * must be cosine — the normalization assumes [-1, 1] scores). */
+  def searchHybridIndexWeighted(spark: org.apache.spark.sql.SparkSession,
+      ivfDir: String, sparseDir: String, queries: DataFrame,
+      queryTerms: DataFrame, k: Int, nprobe: Int = 4,
+      wDense: Double = 0.5, wSparse: Double = 0.5,
+      bm25: Boolean = false): DataFrame =
+    weightedFuse(searchIvfIndex(spark, ivfDir, queries, k, nprobe, "cosine"),
+      sparseBranch(spark, sparseDir, queryTerms, k, bm25), k, wDense, wSparse)
+
+  private def sparseBranch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: DataFrame, k: Int, bm25: Boolean): DataFrame =
+    if (bm25) searchSparseIndexBm25(spark, dir, queryTerms, k)
+    else searchSparseIndex(spark, dir, queryTerms, k)
 
   /** Top-k search returning caller-selected payload columns with every
     * hit — the reference search surface's output_fields
@@ -1253,13 +1302,50 @@ object Ann {
       dir: String, ids: DataFrame): Unit =
     IndexFiles.writeTombstones(ids, dir)
 
+  /** Repair an interrupted append on a persisted index WITHOUT
+    * appending a new batch — the operator's answer to a search that
+    * refused with "incomplete append": searches are read-only by
+    * contract, so after a crashed append job something must run the
+    * roll-forward/roll-back repair, and forcing the caller to craft a
+    * fresh batch (or wait for tomorrow's) just to unblock reads is
+    * wrong. One entry per index family because each knows its own
+    * journaled table list (and the sparse index its derived stats
+    * file); all are idempotent no-ops on a healthy index. */
+  def healSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    if (IndexFiles.healAppend(spark, dir, Seq("postings", "doclens")))
+      refreshSparseStats(spark, dir)
+
+  /** See [[healSparseIndex]]. */
+  def healBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bits")); ()
+  }
+
+  /** See [[healSparseIndex]]. */
+  def healIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells")); ()
+  }
+
+  /** See [[healSparseIndex]]. */
+  def healIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("codes")); ()
+  }
+
+  /** See [[healSparseIndex]]. */
+  def healLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("buckets")); ()
+  }
+
   def compactSparseIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     // heal with the sparse-specific stats refresh BEFORE the generic
     // compact (whose own heal knows nothing of the derived stats file);
     // its inner healAppend then finds nothing to do
-    if (IndexFiles.healAppend(spark, dir, Seq("postings", "doclens")))
-      refreshSparseStats(spark, dir)
+    healSparseIndex(spark, dir)
     val hadTombstones = IndexFiles.tombstones(spark, dir).isDefined
     val dlPath = new org.apache.hadoop.fs.Path(s"$dir/doclens")
     val hasDoclens =

@@ -597,6 +597,15 @@ object Dedup {
     IndexFiles.compact(spark, dir,
       Map("sigs" -> Seq.empty[String], "shingles" -> Seq.empty[String]))
 
+  /** Repair an interrupted append without appending a new batch — see
+    * [[graft.operators.Ann.healSparseIndex]] for the rationale
+    * (searches refuse a pending journal; something read-write must run
+    * the repair). Idempotent no-op on a healthy index. */
+  def healMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles")); ()
+  }
+
   /** Near-dup pairs between a NEW batch and a persisted index:
     * [[minhashLsh]]'s candidates-then-verify with the join flipped to
     * new-batch signatures against STORED signatures. The batch side

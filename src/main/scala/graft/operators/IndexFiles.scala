@@ -163,8 +163,8 @@ private[graft] object IndexFiles {
   def requireNoPendingAppend(spark: SparkSession, dir: String): Unit =
     require(!fsOf(spark, dir).exists(new Path(s"$dir/$JournalName")),
       s"incomplete append at $dir ($JournalName pending) — payload tables " +
-        "may be torn mid-move; re-run the interrupted append (or any " +
-        "append/compact on this index: they heal first) before searching")
+        "may be torn mid-move; run this index's heal entry (or any " +
+        "append/compact on it: they heal first) before searching")
 
   /** The stored id set, reading the sidecar when present and falling
     * back to `fallback` (the index's own id column, already distinct)

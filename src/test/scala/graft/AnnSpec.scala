@@ -689,6 +689,61 @@ class AnnSpec extends SparkSpec {
     assert(lshRes(dirL) == lshRes(dirLFull), "LSH heal diverged from rebuild")
   }
 
+  test("persisted hybrid search equals the in-memory hybrid forms branch for branch") {
+    // postings over the ANN corpus ids so dense and sparse branches
+    // overlap: a few deterministic terms per doc, weights 1..3
+    val postings = (1L to 200L).flatMap(i => Seq(
+      (i, i % 7, 2.0), (i, 7 + i % 11, 1.0), (i, 18 + i % 5, 3.0)))
+      .toDF("id", "term", "w")
+    val qterms = postings.filter(col("id") <= 5L)
+      .select(col("id").as("qid"), col("term"), col("w").as("qw"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("hybivf").toString + "/idx"
+    val spDir = java.nio.file.Files.createTempDirectory("hybsp").toString + "/idx"
+    Ann.buildIvfIndex(corpus, ivfDir, nlist = 4)
+    Ann.buildSparseIndex(postings, spDir, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame, scoreCol: String) = df
+      .select(col("qid"), col("id"), col(scoreCol), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // full probe: both branches exact, so the persisted composition is
+    // bit-equal to the in-memory oracle
+    val rrfMem = rows(Ann.hybridTopK(corpus, qs, postings, qterms, k = 10), "rrf")
+    val rrfIdx = rows(Ann.searchHybridIndex(spark, ivfDir, spDir, qs, qterms,
+      k = 10, nprobe = 4), "rrf")
+    assert(rrfIdx == rrfMem && rrfIdx.nonEmpty,
+      "persisted RRF hybrid diverged from hybridTopK")
+    val wMem = rows(Ann.hybridTopKWeighted(corpus, qs, postings, qterms,
+      k = 10, wDense = 0.7, wSparse = 0.3), "wscore")
+    val wIdx = rows(Ann.searchHybridIndexWeighted(spark, ivfDir, spDir, qs,
+      qterms, k = 10, nprobe = 4, wDense = 0.7, wSparse = 0.3), "wscore")
+    assert(wIdx == wMem && wIdx.nonEmpty,
+      "persisted weighted hybrid diverged from hybridTopKWeighted")
+    // bm25 = true swaps the sparse branch's scoring: hand-fuse the two
+    // exact branch rankings with the RRF formula as the oracle
+    val dRank = Ann.bruteForceTopK(corpus, qs, k = 10, metric = "cosine")
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+      .map { case (q, i, r) => (q, i) -> r }.toMap
+    val sRank = Ann.bm25TopK(postings.withColumnRenamed("w", "tf"),
+        qterms.select("qid", "term").distinct(), k = 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+      .map { case (q, i, r) => (q, i) -> r }.toMap
+    val fusedKeys = (dRank.keySet ++ sRank.keySet).toSeq
+    val want = fusedKeys.map { key =>
+      val rrf = dRank.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sRank.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (key._1, key._2,
+        BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.groupBy(_._1).flatMap { case (_, hits) =>
+      hits.sortBy(h => (-h._3, h._2)).take(10)
+    }.map(h => (h._1, h._2, h._3)).toSet
+    // bm25 branch needs queryTerms WITHOUT qw ambiguity — pass (qid, term)
+    val got = Ann.searchHybridIndex(spark, ivfDir, spDir, qs,
+        qterms.select("qid", "term").distinct(), k = 10, nprobe = 4,
+        bm25 = true)
+      .select("qid", "id", "rrf").as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "persisted BM25 hybrid diverged from the hand-fused RRF oracle")
+  }
+
   test("searches refuse a torn index while an append journal is pending") {
     val postings = (1 to 30).map(i => (i.toLong, i.toLong, 2.0))
       .toDF("id", "term", "w")
@@ -708,8 +763,12 @@ class AnnSpec extends SparkSpec {
         qterms.select("qid", "term").distinct(), k = 3).collect()
     }
     assert(bm.getMessage.contains("incomplete append"), bm.getMessage)
-    // the next append heals (rolls the journaled ids forward) and
-    // searches work again
+    // the public heal entry repairs WITHOUT appending a batch (the
+    // operator's unblock path when no new data is due) and searches
+    // resume immediately
+    Ann.healSparseIndex(spark, dir)
+    assert(Ann.searchSparseIndex(spark, dir, qterms, k = 3).count() > 0)
+    // appends still work after the out-of-band heal
     Ann.appendToSparseIndex(spark, dir,
       Seq((31L, 1L, 1.0)).toDF("id", "term", "w"))
     assert(Ann.searchSparseIndex(spark, dir, qterms, k = 3).count() > 0)
