@@ -68,22 +68,44 @@ object Ingest {
     * stays correct under task retries and speculative execution, and
     * the scan of it reads only the file_id column (column pruning). */
   def resumeFrom(docs: DataFrame, segmentDir: String,
-      docKey: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
+      docKey: String = "doc_id"): DataFrame =
+    if (!ledgerHasData(docs.sparkSession, segmentDir)) docs
+    else docs.join(ledgerIds(docs, segmentDir, docKey),
+      docs(docKey) === col("file_id"), "left_anti")
+
+  /** The Milvus check_exists surface against the segment ledger
+    * (milvus_connector.py:163-173's check_exists, answered from the
+    * written output instead of a collection query): which of `probe`'s
+    * ids are already present in the segments. Same ranged-manifest
+    * pruning as [[resumeFrom]] — a narrow probe (the common case:
+    * today's batch against months of history) reads only the segments
+    * whose [min_id, max_id] overlap it, not the whole ledger. */
+  def existsInSegments(probe: DataFrame, segmentDir: String,
+      docKey: String = "doc_id"): DataFrame =
+    if (!ledgerHasData(probe.sparkSession, segmentDir))
+      probe.filter(lit(false))
+    else probe.join(ledgerIds(probe, segmentDir, docKey),
+      probe(docKey) === col("file_id"), "left_semi")
+
+  /** False when the dir holds no data files (absent, or killed
+    * mid-write leaving only _temporary/ or _MANIFEST.json) — nothing
+    * was durably written, so there is no ledger to consult. */
+  private def ledgerHasData(spark: SparkSession, segmentDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(segmentDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a dir holding no data files (killed mid-write: only _temporary/ or
-    // _MANIFEST.json) means nothing was durably written — same as absent
-    val hasData = fs.exists(p) && fs.listStatus(p).exists(f =>
+    fs.exists(p) && fs.listStatus(p).exists(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (!hasData) docs
-    else {
-      val done = spark.read
-        .parquet(resumeLedgerPaths(spark, docs, segmentDir, docKey): _*)
-        .select(col("file_id")).distinct()
-      docs.join(done, docs(docKey) === done("file_id"), "left_anti")
-    }
   }
+
+  /** The distinct file_ids of every ledger segment that could contain
+    * one of `probe`'s ids — the range-pruned scan behind [[resumeFrom]]
+    * and [[existsInSegments]]. */
+  private def ledgerIds(probe: DataFrame, segmentDir: String,
+      docKey: String): DataFrame =
+    probe.sparkSession.read
+      .parquet(resumeLedgerPaths(probe.sparkSession, probe, segmentDir,
+        docKey): _*)
+      .select(col("file_id")).distinct()
 
   /** The ledger files [[resumeFrom]] actually needs to read: when the
     * manifest carries per-segment id ranges (BulkFileInfo parity,

@@ -234,6 +234,77 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[sparseIngestStream]], idempotent in batchId —
+    * the [[applyAnnBatch]] witness pattern over
+    * [[graft.operators.Ann.appendToSparseIndex]]: postings, doclens,
+    * and the ids sidecar receive the same id set in one staged
+    * transaction, so equal batch-overlap counts mean the append
+    * completed, all-zero means it never started, anything else is a
+    * mid-append crash. Every batch id is eligible (the sparse append
+    * filters nothing), so the witness compares against the raw
+    * distinct-id count. */
+  def applySparseBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // same pre-witness repair as [[applyAnnBatch]] (heals the derived
+    // stats file too), plus the one-off doclens backfill so the
+    // witness below can read it on a pre-BM25 index — this driver is a
+    // writer, so the mutation-path-only backfill rule holds
+    graft.operators.Ann.healSparseIndex(spark, indexDir)
+    graft.operators.Ann.backfillBm25Sidecars(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col("id")).distinct()
+    val eligible = batchIds.count()
+    val inPostings = overlap(batchIds,
+      spark.read.parquet(s"$indexDir/postings"))
+    val inDoclens = overlap(batchIds, spark.read.parquet(s"$indexDir/doclens"))
+    val inSidecar = overlap(batchIds, graft.operators.Ann
+      .indexedIds(spark, indexDir, payload = "postings"))
+    // same stale-marker guard as [[applyDedupBatch]]
+    if (fs.exists(marker)) {
+      if (inPostings == eligible && inDoclens == eligible
+          && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its postings are not " +
+          s"stored (postings=$inPostings doclens=$inDoclens ids=$inSidecar " +
+          s"of $eligible eligible) — a checkpoint reset recycled the " +
+          s"batchId against a live index; wipe $indexDir/applied together " +
+          "with the checkpoint")
+    }
+    if (inPostings == 0 && inDoclens == 0 && inSidecar == 0)
+      graft.operators.Ann.appendToSparseIndex(spark, indexDir, batch)
+    else if (inPostings != eligible || inDoclens != eligible
+        || inSidecar != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (postings=$inPostings " +
+          s"doclens=$inDoclens ids=$inSidecar of $eligible eligible) — " +
+          "either a previous append crashed between table writes or a " +
+          "re-delivered batch mixes indexed and new docs; repair before " +
+          "restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous sparse ingest — the streaming half of the persisted
+    * sparse inverted index ([[graft.operators.Ann.buildSparseIndex]]):
+    * each micro-batch of (id, term, w) postings rows is bucketed
+    * through the index's stored parameters and appended in O(batch);
+    * weight-sum and BM25 searches between micro-batches see everything
+    * ingested so far (doclens/stats maintained per append). Same
+    * replay idempotency as [[annIngestStream]]. */
+  def sparseIngestStream(postingsStream: DataFrame, indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    postingsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySparseBatch(batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

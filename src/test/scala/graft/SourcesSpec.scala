@@ -230,6 +230,31 @@ class SourcesSpec extends SparkSpec {
       "manifest-less fallback should scan the whole directory")
   }
 
+  test("existsInSegments: check_exists against the ledger, range-pruned like resumeFrom") {
+    val dir = Files.createTempDirectory("segexists").toString + "/segs"
+    // absent dir: nothing exists yet
+    val probe = Seq((10L, "x"), (40L, "y"), (1040L, "z"), (5000L, "w"))
+      .toDF("doc_id", "text")
+    assert(Ingest.existsInSegments(probe, dir).count() == 0)
+    (1L to 50L).map(i => (i, s"c$i")).toDF("file_id", "content")
+      .coalesce(1).write.parquet(dir)
+    (1000L to 1050L).map(i => (i, s"c$i")).toDF("file_id", "content")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val manifest = SegmentWriter.writeManifest(spark, dir)
+    val hit = Ingest.existsInSegments(probe, dir)
+    assert(hit.select("doc_id").as[Long].collect().toSet
+      == Set(10L, 40L, 1040L))
+    // a probe overlapping only the low segment scans ONLY it
+    def tail(p: String) = p.substring(p.indexOf("/segs"))
+    val low = Ingest.existsInSegments(
+      Seq((10L, "x"), (40L, "y")).toDF("doc_id", "text"), dir)
+    assert(low.select("doc_id").as[Long].collect().toSet == Set(10L, 40L))
+    val scanned = low.inputFiles.filter(_.endsWith(".parquet")).map(tail).toSet
+    val lowSeg = manifest.sortBy(_.minId.get).head
+    assert(scanned == Set(tail(lowSeg.path)),
+      s"exists-check ledger scan not pruned: $scanned")
+  }
+
   test("Ingest.pipeline: existence check skips already-ingested docs") {
     val docs = Seq((1L, "aaa bbb", "s", "en"), (2L, "ccc ddd", "s", "en"))
       .toDF("doc_id", "text", "source", "lang")

@@ -370,6 +370,74 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/cells").count() == 100)
   }
 
+  test("sparseIngestStream: streamed postings searchable at once; replay and crash windows repaired") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    def post(lo: Long, hi: Long) = (lo to hi).flatMap(i =>
+      Seq((i, i % 13, 2.0), (i, 13 + i % 7, 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("sparsestream").toString
+    Ann.buildSparseIndex(post(1L, 40L).toDF("id", "term", "w"),
+      s"$dir/idx", buckets = 8)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamIngest.sparseIngestStream(
+      mem.toDF().toDF("id", "term", "w"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(post(41L, 60L): _*)
+    q.processAllAvailable()
+    mem.addData(post(61L, 80L): _*)
+    q.processAllAvailable()
+    q.stop()
+    // weight-sum AND BM25 searches over the streamed index equal the
+    // full-corpus in-memory forms — appends kept doclens/stats current
+    val full = post(1L, 80L).toDF("id", "term", "w")
+    val qterms = full.filter(col("id") === 70L)
+      .select(col("id").as("qid"), col("term"), col("w").as("qw"))
+    val wsGot = Ann.searchSparseIndex(spark, s"$dir/idx", qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val wsWant = Ann.sparseTopK(full, qterms, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(wsGot == wsWant && wsGot.nonEmpty,
+      "streamed sparse index diverged from full-postings weight-sum")
+    val bmQ = qterms.select("qid", "term").distinct()
+    val bmGot = Ann.searchSparseIndexBm25(spark, s"$dir/idx", bmQ, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bmWant = Ann.bm25TopK(full.withColumnRenamed("w", "tf"), bmQ, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(bmGot == bmWant, "streamed doclens/stats diverged from rebuild BM25")
+    // replay idempotency: marker lost, batch re-applied — no throw, no dups
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    graft.streaming.StreamIngest.applySparseBatch(
+      post(41L, 60L).toDF("id", "term", "w"), 0L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/ids").count() == 80)
+    // stale marker (checkpoint reset recycling batchId 0 with NEW docs)
+    // fails loudly instead of dropping the batch
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.applySparseBatch(
+        post(81L, 90L).toDF("id", "term", "w"), 0L, s"$dir/idx")
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    // crash window: batch staged + journal committed, move never ran —
+    // the next micro-batch's pre-witness heal rolls it forward
+    val tail = post(81L, 90L).toDF("id", "term", "w")
+    tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
+      .write.partitionBy("tbucket").parquet(s"$dir/idx/postings/_append_tmp")
+    tail.groupBy("id").agg(sum(col("w")).as("dl"))
+      .write.parquet(s"$dir/idx/doclens/_append_tmp")
+    tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
+    graft.streaming.StreamIngest.applySparseBatch(
+      post(91L, 95L).toDF("id", "term", "w"), 99L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/ids").count() == 95,
+      "healed batch missing from the sidecar")
+    val n = spark.read.parquet(s"$dir/idx/stats").head().getDouble(0)
+    assert(n == 95.0, s"stats n=$n after heal+append")
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
