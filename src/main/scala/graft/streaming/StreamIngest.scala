@@ -305,6 +305,68 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[binaryIngestStream]], idempotent in batchId —
+    * the [[applyAnnBatch]] witness pattern over
+    * [[graft.operators.Ann.appendToBinaryIndex]]: the bits table and
+    * the ids sidecar receive the same id set in one staged transaction,
+    * so equal batch-overlap counts mean the append completed, all-zero
+    * means it never started, anything else is a mid-append crash. Every
+    * batch id is eligible (binarizeSign packs any vector, zero-norm
+    * included), so the witness compares against the raw distinct-id
+    * count. */
+  def applyBinaryBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // same pre-witness repair as [[applyAnnBatch]]
+    graft.operators.Ann.healBinaryIndex(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col("id")).distinct()
+    val eligible = batchIds.count()
+    val inBits = overlap(batchIds, spark.read.parquet(s"$indexDir/bits"))
+    val inSidecar = overlap(batchIds, graft.operators.Ann
+      .indexedIds(spark, indexDir, payload = "bits"))
+    // same stale-marker guard as [[applyDedupBatch]]: a checkpoint reset
+    // recycles batchIds, so the marker is honored only when the payload
+    // witness confirms the batch is actually stored
+    if (fs.exists(marker)) {
+      if (inBits == eligible && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its vectors are not " +
+          s"stored (bits=$inBits ids=$inSidecar of $eligible eligible) — " +
+          s"a checkpoint reset recycled the batchId against a live index; " +
+          s"wipe $indexDir/applied together with the checkpoint")
+    }
+    if (inBits == 0 && inSidecar == 0)
+      graft.operators.Ann.appendToBinaryIndex(spark, indexDir, batch)
+    else if (inBits != eligible || inSidecar != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (bits=$inBits " +
+          s"ids=$inSidecar of $eligible eligible) — either a previous " +
+          "append crashed between table writes or a re-delivered batch " +
+          "mixes indexed and new docs; repair before restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous binary ingest — the streaming half of the persisted
+    * BIN_FLAT index ([[graft.operators.Ann.buildBinaryIndex]]): each
+    * micro-batch of (id, v) float vectors is sign-packed through the
+    * index's stored dim and appended in O(batch); Hamming searches
+    * between micro-batches see everything ingested so far. Same replay
+    * idempotency as [[annIngestStream]]. */
+  def binaryIngestStream(vecStream: DataFrame, indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBinaryBatch(batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

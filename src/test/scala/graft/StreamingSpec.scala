@@ -438,6 +438,63 @@ class StreamingSpec extends SparkSpec {
     assert(n == 95.0, s"stats n=$n after heal+append")
   }
 
+  test("binaryIngestStream: streamed vectors Hamming-searchable at once; replay and crash windows repaired") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val dir = java.nio.file.Files.createTempDirectory("binstream").toString
+    Ann.buildBinaryIndex((1L to 40L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$dir/idx", dim)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.binaryIngestStream(
+      mem.toDF().toDF("id", "v"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((41L to 60L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    mem.addData((61L to 80L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // search over the streamed index equals the in-memory form on the
+    // union corpus — appended rows fully searchable
+    val full = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
+    val qs = Seq((70L, vec(70L))).toDF("qid", "qv")
+    val got = Ann.searchBinaryIndex(spark, s"$dir/idx", qs, k = 5)
+      .select("qid", "id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val want = Ann.binaryTopK(full, qs, k = 5, dim = dim)
+      .select("qid", "id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "streamed binary index diverged from in-memory binaryTopK")
+    // replay idempotency: marker lost, batch re-applied — no throw, no dups
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    graft.streaming.StreamIngest.applyBinaryBatch(
+      (41L to 60L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/bits").count() == 80)
+    // stale marker (checkpoint reset recycling batchId 0 with NEW docs)
+    // fails loudly instead of dropping the batch
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.applyBinaryBatch(
+        (81L to 90L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    // crash window: batch staged + journal committed, move never ran —
+    // the next micro-batch's pre-witness heal rolls it forward
+    val tail = (81L to 90L).map(i => (i, vec(i))).toDF("id", "v")
+    tail.select(col("id"), graft.functions.VectorFunctions
+        .binarizeSign(col("v"), dim).as("cb"))
+      .write.parquet(s"$dir/idx/bits/_append_tmp")
+    tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
+    graft.streaming.StreamIngest.applyBinaryBatch(
+      (91L to 95L).map(i => (i, vec(i))).toDF("id", "v"), 99L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/ids").count() == 95,
+      "healed batch missing from the sidecar")
+    assert(spark.read.parquet(s"$dir/idx/bits").count() == 95)
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
