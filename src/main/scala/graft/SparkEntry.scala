@@ -477,6 +477,21 @@ object SparkEntry {
     Ann.pagedTopK(corpus(s, dir), queriesSet(s, dir), k = 10, offset = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** Milvus search_iterator: the second page of a cursor-paged search —
+    * page 1's last hits become the per-query cursors, so the page-2
+    * values must equal absolute ranks 11..20 computed by the oracle's
+    * window. Exercises the tail-filter path (strictly-after-cursor in
+    * (score desc, id asc) order), not [[Ann.pagedTopK]]'s offset path. */
+  private def qSearchIterator(s: SparkSession, dir: String): DataFrame = {
+    val p1 = Ann.searchIteratorPage(corpus(s, dir), queriesSet(s, dir),
+      pageSize = 10)
+    val cursors = p1.filter(col("rank") === 10)
+      .select(col("qid"), col("score").as("cur_score"), col("id").as("cur_id"))
+    Ann.searchIteratorPage(corpus(s, dir), queriesSet(s, dir),
+        pageSize = 10, cursors = Some(cursors))
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Milvus filtered search (search expr): scalar predicate ahead of scoring
   private def qAnnFiltered(s: SparkSession, dir: String): DataFrame =
     Ann.filteredTopK(
@@ -624,6 +639,13 @@ object SparkEntry {
     Ingest.queryByExpr(t(s, dir, "documents"),
       "doc_id % 7 = 0 AND lang = 'en'", Seq("doc_id", "source", "n_chars"))
 
+  // Milvus query_iterator: the second page of a cursor-paged expr scan
+  // (cursor doc_id > 100 carried from a first page of 20)
+  private def qQueryIterator(s: SparkSession, dir: String): DataFrame =
+    Ingest.queryPage(t(s, dir, "documents"), "lang = 'en'", "doc_id",
+      pageSize = 20, afterId = Some(100L),
+      outputFields = Seq("doc_id", "source", "n_chars"))
+
   // delete-by-key + insert, the reference's re-ingest (upsert) flow
   private def qUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
@@ -704,6 +726,8 @@ object SparkEntry {
     "q_jsonl_source" -> (qJsonlSource _),
     "q_files_by_knowledge" -> (qFilesByKnowledge _),
     "q_query_expr" -> (qQueryExpr _),
+    "q_query_iterator" -> (qQueryIterator _),
+    "q_search_iterator" -> (qSearchIterator _),
     "q_upsert" -> (qUpsert _),
     "q_pipeline_blocks" -> (qPipelineBlocks _),
     "q_pipeline_full" -> (qPipelineFull _),
@@ -1023,6 +1047,10 @@ object SparkEntry {
     "q_query_expr" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 = 0 AND lang = 'en'",
 
+    "q_query_iterator" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lang = 'en' AND doc_id > 100 ORDER BY doc_id LIMIT 20""".stripMargin,
+
     "q_upsert" ->
       """SELECT doc_id, source, lang FROM documents WHERE doc_id % 10 <> 0
         |UNION ALL
@@ -1334,6 +1362,17 @@ object SparkEntry {
         |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank > 10 AND rank <= 20""".stripMargin,
+
+    // search_iterator page 2: same absolute window as q_ann_page, but the
+    // Spark side reaches it through the cursor tail-filter; rank is
+    // page-local (1..10), hence the -10
+    "q_search_iterator" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
+        |SELECT qid, id, score, CAST(rank - 10 AS BIGINT) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM s)
         |WHERE rank > 10 AND rank <= 20""".stripMargin,
 
     // filtered search: the predicate excludes corpus rows BEFORE scoring

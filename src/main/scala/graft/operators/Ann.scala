@@ -116,6 +116,87 @@ object Ann {
       .filter(col("rank") > offset)
   }
 
+  /** One page of a cursor-paged exact search — the Milvus
+    * `search_iterator` surface (pymilvus SearchIterator pages past
+    * top-k limits by re-searching from the last hit's distance; the
+    * reference's client sits on the same collection.search plumbing,
+    * milvus_connector.py:172-183). `cursors` is the per-query resume
+    * point: one row (qid, cur_score, cur_id) carrying the LAST hit of
+    * the previous page; queries absent from `cursors` start from the
+    * top. A pair survives when it sorts strictly after its cursor in
+    * the (score desc, id asc) total order, and the filter runs BEFORE
+    * the rank window — so each page's shuffle carries only the
+    * remaining tail, the Spark analog of Milvus's moving-radius range
+    * search, instead of re-ranking offset+page rows like [[pagedTopK]].
+    * `rank` in the output is page-local (1..pageSize). */
+  def searchIteratorPage(corpus: DataFrame, queries: DataFrame,
+      pageSize: Int, cursors: Option[DataFrame] = None,
+      metric: String = "cosine"): DataFrame = {
+    require(pageSize > 0, s"pageSize must be > 0, got $pageSize")
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredPairs(corpus, queries, metric)
+    val remaining = cursors match {
+      case None => scored
+      case Some(cur) =>
+        scored.join(broadcast(cur), Seq("qid"), "left")
+          .filter(col("cur_id").isNull ||
+            col("score") < col("cur_score") ||
+            (col("score") === col("cur_score") && col("id") > col("cur_id")))
+          .drop("cur_score", "cur_id")
+    }
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    remaining.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= pageSize)
+  }
+
+  /** Drain [[searchIteratorPage]] lazily: each `next()` materializes one
+    * page (persisted so the cursor probe and the consumer share the
+    * computation), advances the per-query cursors from the page's last
+    * hits — one O(#queries) collect per page — and drops queries whose
+    * page came back short (exhausted). Stop pulling to stop scanning;
+    * nothing beyond the current page is ever resident. */
+  def searchIterator(corpus: DataFrame, queries: DataFrame,
+      pageSize: Int, metric: String = "cosine"): Iterator[DataFrame] =
+    new Iterator[DataFrame] {
+      private var live = queries
+      private var cursors: Option[DataFrame] = None
+      private var staged: Option[DataFrame] = None
+      private var prev: Option[DataFrame] = None
+      private var done = false
+      private def fetch(): Unit = {
+        if (staged.nonEmpty || done) return
+        val page = searchIteratorPage(corpus, live, pageSize, cursors, metric)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // full page (rank == pageSize present) → the query has more;
+        // short page → exhausted, drop it from subsequent rounds. The
+        // cursor frame is rebuilt from collected literals (one row per
+        // live query) so page plans never chain across pages.
+        val lastFrame = page.filter(col("rank") === pageSize)
+          .select(col("qid"), col("score").as("cur_score"),
+            col("id").as("cur_id"))
+        val lastHits = lastFrame.collect()
+        if (lastHits.isEmpty) {
+          done = true
+          if (page.isEmpty) { page.unpersist(); prev.foreach(_.unpersist()); return }
+        } else {
+          val cur = corpus.sparkSession.createDataFrame(
+            java.util.Arrays.asList(lastHits: _*), lastFrame.schema)
+          cursors = Some(cur)
+          live = live.join(broadcast(cur.select("qid")), Seq("qid"), "left_semi")
+        }
+        prev.foreach(_.unpersist())
+        prev = Some(page)
+        staged = Some(page)
+      }
+      override def hasNext: Boolean = { fetch(); staged.nonEmpty }
+      override def next(): DataFrame = {
+        fetch()
+        val p = staged.getOrElse(throw new NoSuchElementException("iterator drained"))
+        staged = None
+        p
+      }
+    }
+
   /** Filtered search — the Milvus search `expr` parameter (scalar
     * predicate evaluated BEFORE vector scoring, milvus_connector.py
     * search filters on file_id/source in exactly this position). The

@@ -167,6 +167,65 @@ object Ingest {
       outputFields: Seq[String]): DataFrame =
     df.filter(expr(predicate)).select(outputFields.map(col): _*)
 
+  /** One page of a cursor-paged scan — the Milvus `query_iterator`
+    * surface (pymilvus QueryIterator walks all rows matching an expr in
+    * pk order, batch by batch; the reference's check_exists/query calls
+    * sit on the same collection.query plumbing, milvus_connector
+    * .py:160-166). `afterId` is the exclusive cursor: the last id of
+    * the previous page, None for the first. Each page is an independent
+    * O(page) job — predicate AND id range both push down to the parquet
+    * scan (min/max row-group pruning skips everything at-or-before the
+    * cursor on id-sorted data), and the order-by-limit executes as
+    * TakeOrderedAndProject (per-partition top-pageSize, driver merge of
+    * pageSize rows) — so iterating a 100 TB table never materializes
+    * more than one page. */
+  def queryPage(df: DataFrame, predicate: String, idCol: String,
+      pageSize: Int, afterId: Option[Long] = None,
+      outputFields: Seq[String] = Nil): DataFrame = {
+    require(pageSize > 0, s"pageSize must be > 0, got $pageSize")
+    val base = df.filter(expr(predicate))
+    val cursored = afterId.fold(base)(a => base.filter(col(idCol) > lit(a)))
+    val paged = cursored.orderBy(col(idCol)).limit(pageSize)
+    if (outputFields.isEmpty) paged else paged.select(outputFields.map(col): _*)
+  }
+
+  /** Drain [[queryPage]] lazily: each `next()` runs one page job plus a
+    * two-long cursor probe (max id + row count in one aggregate), so
+    * driver state is O(1) regardless of table size. A short page ends
+    * the iteration. `outputFields` must include `idCol` when set (the
+    * cursor is read from the page). */
+  def queryIterator(df: DataFrame, predicate: String, idCol: String,
+      pageSize: Int, outputFields: Seq[String] = Nil): Iterator[DataFrame] =
+    new Iterator[DataFrame] {
+      require(outputFields.isEmpty || outputFields.contains(idCol),
+        s"outputFields must carry the cursor column $idCol")
+      private var cursor: Option[Long] = None
+      private var staged: Option[DataFrame] = None
+      private var done = false
+      private def fetch(): Unit = {
+        if (staged.nonEmpty || done) return
+        val page = queryPage(df, predicate, idCol, pageSize, cursor,
+          outputFields)
+        // functions.max/count by full name: the enclosing Iterator has
+        // same-named members that would shadow the sql aggregates
+        val probe = page.agg(
+          org.apache.spark.sql.functions.max(col(idCol)).cast("long"),
+          org.apache.spark.sql.functions.count(lit(1))).head()
+        val n = probe.getLong(1)
+        if (n == 0) { done = true; return }
+        if (n < pageSize) done = true // short page: emit it, then stop
+        cursor = Some(probe.getLong(0))
+        staged = Some(page)
+      }
+      override def hasNext: Boolean = { fetch(); staged.nonEmpty }
+      override def next(): DataFrame = {
+        fetch()
+        val p = staged.getOrElse(throw new NoSuchElementException("iterator drained"))
+        staged = None
+        p
+      }
+    }
+
   /** Sparse (SPLADE-ish) embedding as exploded rows: hashed-token term
     * frequencies. (tokenize → 32-bit hash bucket → tf weight). */
   def sparseTerms(df: DataFrame, idCols: Seq[String], textCol: String,

@@ -945,6 +945,34 @@ class AnnSpec extends SparkSpec {
     assert(page.toSet == full.filter(_._3 > 5).toSet && page.length == 25)
   }
 
+  test("searchIterator: drained pages reproduce the full ranking in order; ragged queries exhaust independently") {
+    val full = Ann.bruteForceTopK(corpus, qs, k = 200)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    // 200 corpus rows, pages of 66 → 66+66+66+2
+    val pages = Ann.searchIterator(corpus, qs, pageSize = 66).toList
+    assert(pages.length == 4, s"expected 4 pages (66*3+2), got ${pages.length}")
+    val walked = pages.zipWithIndex.flatMap { case (p, i) =>
+      p.select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+        .map { case (q, id, r) => (q, id, i * 66 + r) } // page-local → global
+    }.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    assert(walked.keySet == full.keySet)
+    walked.foreach { case (q, ids) =>
+      assert(ids == full(q), s"query $q walked ranking diverged")
+    }
+    // cursor page equals the offset page: mechanics agree with pagedTopK
+    val p1 = Ann.searchIteratorPage(corpus, qs, pageSize = 10)
+    val cur = p1.filter(col("rank") === 10)
+      .select(col("qid"), col("score").as("cur_score"), col("id").as("cur_id"))
+    val viaCursor = Ann.searchIteratorPage(corpus, qs, pageSize = 10,
+        cursors = Some(cur))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val viaOffset = Ann.pagedTopK(corpus, qs, k = 10, offset = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(viaCursor == viaOffset)
+  }
+
   test("filteredTopK: predicate excludes rows before scoring") {
     val corpusF = corpus.withColumn("label", (col("id") % 2).cast("int"))
     val out = Ann.filteredTopK(corpusF, qs, k = 10, predicate = "label = 0")

@@ -147,6 +147,24 @@ class SourcesSpec extends SparkSpec {
     assert(q == Seq(2L))
   }
 
+  test("Ingest.queryIterator: pages tile the filtered set exactly; short page ends the walk") {
+    val rows = (1L to 47L).map(i => (i, s"name_$i", i % 3 == 0))
+      .toDF("id", "name", "keep")
+    val pages = Ingest.queryIterator(rows, "keep", "id", pageSize = 6,
+      outputFields = Seq("id", "name")).toList
+    // 15 matching ids (3,6,...,45) → pages of 6,6,3
+    assert(pages.map(_.count()) == List(6L, 6L, 3L))
+    val ids = pages.flatMap(_.select("id").as[Long].collect())
+    assert(ids == (3L to 45L by 3L).toList, "pages out of order or overlapping")
+    // page boundary is the cursor: page 2 starts strictly after page 1's max
+    val p2first = pages(1).select("id").as[Long].collect().min
+    assert(p2first == 21L)
+    // exact-multiple tail: 12 matches, pageSize 6 → two pages, no empty third
+    val even = (1L to 36L).map(i => (i, i % 3 == 0)).toDF("id", "keep")
+    val evenPages = Ingest.queryIterator(even, "keep", "id", pageSize = 6).toList
+    assert(evenPages.map(_.count()) == List(6L, 6L))
+  }
+
   test("SegmentWriter.writeBucketed: co-located self-join plans no shuffle") {
     val dir = Files.createTempDirectory("buck").toString + "/tbl"
     val df = (1 to 100).map(i => (i.toLong, s"p$i")).toDF("file_id", "payload")
