@@ -355,6 +355,19 @@ object SparkEntry {
     Dedup.bandClusters(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, maxDf = Some(100))
 
+  /** Canonical selection over the minhash clusters: each near-dup
+    * family keeps its longest member (n_chars as the quality signal,
+    * ties → min doc_id); singletons survive untouched. */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
+      .select("id_a", "id_b"))
+    Dedup.keepCanonical(docs, clusters, "doc_id", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   // ---- training-data curation ---------------------------------------------
 
   // Benchmark decontamination: docs 0-24 stand in for the held-out eval
@@ -533,6 +546,35 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** Dirs whose index build already ran in this JVM. The persisted
+    * indexes are built once and searched many times (that asymmetry is
+    * their entire reason to exist), so the three sparse-index queries
+    * share ONE build of the identical postings instead of paying it
+    * three times per Verify/Bench run. Memoized per-JVM, not per-disk:
+    * a fresh JVM always rebuilds (overwrite mode), so a stale dir from
+    * an older format can never be searched. */
+  private val builtIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def buildOnce(idx: String)(build: String => Unit): String = {
+    if (!builtIndexes.contains(idx))
+      builtIndexes.synchronized {
+        if (!builtIndexes.contains(idx)) { build(idx); builtIndexes.add(idx) }
+      }
+    idx
+  }
+
+  /** The shared bucketed sparse index over the documents' hashed-token
+    * postings — the one build behind q_sparse_index, q_bm25_index, and
+    * q_hybrid_index's sparse branch (identical postings, identical
+    * bucket count). */
+  private def sparseIdx(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_sparse_idx_${Integer.toHexString(dir.hashCode)}") { idx =>
+      val postings = Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
+        .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+      Ann.buildSparseIndex(postings, idx, buckets = 32)
+    }
+
   /** Weight-sum search through the PERSISTED sparse inverted index —
     * the reference's own sparse index type (milvus_connector.py:65-73)
     * end to end: build bucketed postings, statically prune to the
@@ -541,31 +583,22 @@ object SparkEntry {
     * only rows that could never score. */
   private def qSparseIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
-      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
     val qterms = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
       .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
-    val idx = s"/tmp/graft_sparse_idx_${Integer.toHexString(dir.hashCode)}"
-    Ann.buildSparseIndex(postings, idx, buckets = 32)
-    Ann.searchSparseIndex(s, idx, qterms, k = 10)
+    Ann.searchSparseIndex(s, sparseIdx(s, dir), qterms, k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
-  /** BM25 through the PERSISTED sparse index: the same postings are
-    * built into a bucketed index (scratch dir keyed by the sf dir —
-    * overwrite-mode rebuild per call, concurrent corpora don't
-    * collide), then searched BM25-scored off the doclens/stats
-    * sidecars. Hash-exact against the q_bm25 oracle — the cross-engine
-    * proof that bucket-local df + persisted stats lose nothing vs the
+  /** BM25 through the PERSISTED sparse index ([[sparseIdx]], shared
+    * build), searched BM25-scored off the doclens/stats sidecars.
+    * Hash-exact against the q_bm25 oracle — the cross-engine proof
+    * that bucket-local df + persisted stats lose nothing vs the
     * full-postings formula. */
   private def qBm25Index(s: SparkSession, dir: String): DataFrame = {
-    val postings = Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
-      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
-    val qterms = postings.filter(col("id") < 5)
-      .select(col("id").as("qid"), col("term")).distinct()
-    val idx = s"/tmp/graft_bm25_idx_${Integer.toHexString(dir.hashCode)}"
-    Ann.buildSparseIndex(postings, idx, buckets = 32)
-    Ann.searchSparseIndexBm25(s, idx, qterms, k = 10)
+    val docs = t(s, dir, "documents")
+    val qterms = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    Ann.searchSparseIndexBm25(s, sparseIdx(s, dir), qterms, k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
@@ -605,17 +638,14 @@ object SparkEntry {
     * composition loses nothing. */
   private def qHybridIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
-      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
     val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
       .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
-    val suffix = Integer.toHexString(dir.hashCode)
-    val ivfIdx = s"/tmp/graft_hyb_ivf_idx_$suffix"
-    val spIdx = s"/tmp/graft_hyb_sparse_idx_$suffix"
-    Ann.buildIvfIndex(corpus(s, dir), ivfIdx, nlist = 16)
-    Ann.buildSparseIndex(postings, spIdx, buckets = 32)
-    Ann.searchHybridIndex(s, ivfIdx, spIdx, queriesSet(s, dir), qpost,
-        k = 10, nprobe = 16)
+    val ivfIdx = buildOnce(
+      s"/tmp/graft_hyb_ivf_idx_${Integer.toHexString(dir.hashCode)}") { idx =>
+      Ann.buildIvfIndex(corpus(s, dir), idx, nlist = 16)
+    }
+    Ann.searchHybridIndex(s, ivfIdx, sparseIdx(s, dir), queriesSet(s, dir),
+        qpost, k = 10, nprobe = 16)
       .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
   }
 
@@ -740,6 +770,7 @@ object SparkEntry {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_cluster_band" -> (qDedupClusterBand _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -1240,6 +1271,26 @@ object SparkEntry {
          |       FROM sig s JOIN hub h ON s.band = h.band AND s.sig = h.sig WHERE h.hub <> s.doc_id),
          |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
          |$reachClusterSql""".stripMargin,
+
+    // canonical selection: same verified-pair components as
+    // q_dedup_cluster, then per cluster keep (n_chars desc, doc_id asc);
+    // unclustered docs are singletons (own id as label)
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashCandCtes,
+         |vp AS (SELECT c.id_a, c.id_b
+         |       FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |        JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         |       WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+         |reach AS (SELECT a AS id, a AS r FROM e
+         |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |asg AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |               coalesce(cl.cluster_id, d.doc_id) AS c
+         |        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, lang, n_chars FROM (
+         | SELECT *, row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id ASC) AS rn FROM asg)
+         |WHERE rn = 1""".stripMargin,
 
     // 13-char shingles in the md5-slice 32-bit hash space on BOTH
     // engines — hit counts agree bit-for-bit even under collisions

@@ -504,6 +504,35 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
   }
 
+  /** Collapse each near-dup cluster to one canonical survivor — the
+    * keep-best half of fuzzy dedup (exact dedup keeps min id; curated
+    * training sets keep the highest-QUALITY member of each near-dup
+    * family instead). `clusters` is [[dupClusters]] output
+    * (id, cluster_id, …); docs absent from it are singletons and
+    * survive untouched (their own id doubles as the cluster label —
+    * sound because real labels are component-min member ids, so a
+    * non-member's id can never collide with another component's
+    * label). Survivor per cluster = max `qualityCol`, ties broken by
+    * min id; a null quality loses to any non-null.
+    *
+    * Scale shape: the argmax is a groupBy over max(struct(quality,
+    * -id)) — partial aggregation combines map-side, so a pathological
+    * mega-cluster (boilerplate LSH glues together) contributes one
+    * combined row per partition to the shuffle, NOT a single-task sort
+    * of the whole cluster the window form would cost. The survivor-id
+    * set re-joins the assigned frame semi-style to recover full rows. */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    val cl = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val assigned = docs.join(cl, Seq(idCol), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col(idCol)))
+    val winners = assigned.groupBy("__cl")
+      .agg(max(struct(col(qualityCol).as("q"), (-col(idCol)).as("nid"))).as("w"))
+      .select(col("__cl"), (-col("w.nid")).as(idCol))
+    assigned.join(winners, Seq("__cl", idCol), "left_semi")
+      .drop("__cl", "cluster_id")
+  }
+
   /** Persist a minhash dedup index: band signatures + shingle-hash sets
     * for an ingested corpus, so the NEXT batch dedups against history
     * without recomputing it — the production daily-ingest shape (new

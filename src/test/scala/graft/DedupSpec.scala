@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpec {
       7L -> (7L, 2L), 9L -> (7L, 2L)), s"got $out")
   }
 
+  test("keepCanonical: best-quality member survives per cluster; singletons untouched") {
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L),  // cluster 1: 2 wins (q 9, min id)
+      (7L, "d", 1L), (9L, "e", 2L),                  // cluster 7: 9 wins (q 2)
+      (5L, "f", 0L),                                 // clustered singleton
+      (6L, "g", 3L))                                 // absent from clusters entirely
+      .toDF("doc_id", "text", "quality")
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L), (5L, 5L, 1L)).toDF("id", "cluster_id", "cluster_sz")
+    val kept = Dedup.keepCanonical(docs, clusters, "doc_id", "quality")
+      .select("doc_id", "text", "quality")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((2L, "b", 9L), (5L, "f", 0L), (6L, "g", 3L), (9L, "e", 2L)),
+      s"got ${kept.toSeq}")
+    // full columns survive and nothing from the cluster plumbing leaks
+    val cols = Dedup.keepCanonical(docs, clusters, "doc_id", "quality").columns.toSet
+    assert(cols == Set("doc_id", "text", "quality"))
+  }
+
   test("dupClusters: long chain converges via pointer jumping") {
     // a 60-node path graph: plain min-propagation needs 59 rounds;
     // pointer jumping must finish well within maxIter
