@@ -317,4 +317,63 @@ private[graft] object IndexFiles {
       refresh(spark, dir)
     }
   }
+
+  /** Describe a persisted index — the Milvus describe_index /
+    * get_collection_stats surface over our on-disk layout. One row per
+    * stored table (payloads, sidecars, tombstones alike):
+    * (table, files, bytes, rows, kind), plus a `_pending_append` row
+    * when an interrupted append's journal is present (rows = journaled
+    * ids). Row counts come from the parquet footers (a metadata-only
+    * count job), so describing a 100 TB index reads no data pages. */
+  def describeIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    require(fs.exists(root), s"index dir $dir does not exist")
+    def kindOf(name: String): String = name match {
+      case "ids"        => "sidecar"
+      case "deleted"    => "tombstones"
+      case "meta" | "stats" | "centroids" | "codebook" | "codebooks"
+                        => "metadata"
+      case _            => "payload"
+    }
+    // payload tables may be partitioned (cells/cell=0/part-*.parquet),
+    // so the data-file probe has to recurse, not just look one level in
+    def hasParquet(p: Path): Boolean = fs.listStatus(p).exists { f =>
+      (f.isFile && f.getPath.getName.endsWith(".parquet")) ||
+        (f.isDirectory && !f.getPath.getName.startsWith("_") &&
+          hasParquet(f.getPath))
+    }
+    val tables = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        st.getPath.getName != "applied")
+      .map(_.getPath)
+      .filter(hasParquet)
+    val rows = tables.map { p =>
+      val sum = fs.getContentSummary(p)
+      (p.getName, sum.getFileCount, sum.getLength,
+        spark.read.parquet(p.toString).count(), kindOf(p.getName))
+    }
+    val journal = new Path(s"$dir/_pending_append")
+    val pending =
+      if (!fs.exists(journal)) Nil
+      else {
+        val sum = fs.getContentSummary(journal)
+        val n = try spark.read.parquet(journal.toString).count()
+          catch { case _: Exception => 0L } // empty commit marker (LSH)
+        Seq(("_pending_append", sum.getFileCount, sum.getLength, n, "journal"))
+      }
+    (rows ++ pending).toDF("table", "files", "bytes", "rows", "kind")
+  }
+
+  /** Drop a persisted index — the Milvus drop_collection surface
+    * (milvus_connector.py:188-190). Deletes the whole dir (payloads,
+    * sidecars, replay markers) and invalidates any cached scans so a
+    * stale fragment can never serve a search against the dead index. */
+  def dropIndex(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    refresh(spark, dir)
+    require(fs.delete(new Path(dir), true) || !fs.exists(new Path(dir)),
+      s"failed to delete index dir $dir")
+  }
 }

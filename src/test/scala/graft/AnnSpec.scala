@@ -945,6 +945,39 @@ class AnnSpec extends SparkSpec {
     assert(page.toSet == full.filter(_._3 > 5).toSet && page.length == 25)
   }
 
+  test("describeIndex + dropIndex: stats name every stored table; drop removes the index") {
+    import graft.operators.IndexFiles
+    val dir = java.nio.file.Files.createTempDirectory("descidx").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 4)
+    val desc = IndexFiles.describeIndex(spark, dir)
+      .select("table", "rows", "kind").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(desc("cells") == (200L, "payload"), s"got $desc")
+    assert(desc("ids") == (200L, "sidecar"))
+    assert(desc.get("_pending_append").isEmpty)
+    // tombstoned ids surface as their own row
+    Ann.deleteFromIvfIndex(spark, dir, Seq(1L, 2L).toDF("id"))
+    val desc2 = IndexFiles.describeIndex(spark, dir)
+      .select("table", "rows", "kind").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(desc2("deleted") == (2L, "tombstones"), s"got $desc2")
+    // an interrupted append's journal shows up as a pending row
+    Seq(900L, 901L).toDF("id").write.parquet(s"$dir/_pending_append")
+    val desc3 = IndexFiles.describeIndex(spark, dir)
+      .select("table", "rows", "kind").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(desc3("_pending_append") == (2L, "journal"), s"got $desc3")
+    new org.apache.hadoop.fs.Path(s"$dir/_pending_append")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/_pending_append"), true)
+    // drop_collection: the whole index dir is gone
+    IndexFiles.dropIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    intercept[IllegalArgumentException] { IndexFiles.describeIndex(spark, dir) }
+  }
+
   test("searchIterator: drained pages reproduce the full ranking in order; ragged queries exhaust independently") {
     val full = Ann.bruteForceTopK(corpus, qs, k = 200)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()

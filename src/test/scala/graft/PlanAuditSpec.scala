@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Plan-shape pins for the round-7 additions: the properties the
+  * docstrings claim (filter-before-window, pushdown, broadcast) must be
+  * visible in the optimized plan, not just asserted in prose. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private lazy val corpus = (1 to 50).map { i =>
+    (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)))
+  }.toDF("id", "v")
+  private lazy val qs = (1 to 2).map { i =>
+    (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)))
+  }.toDF("qid", "qv")
+
+  test("searchIteratorPage: cursor tail-filter sits below the rank window") {
+    val cur = Seq((1L, 0.5, 10L), (2L, 0.4, 20L))
+      .toDF("qid", "cur_score", "cur_id")
+    val plan = Ann.searchIteratorPage(corpus, qs, pageSize = 5,
+      cursors = Some(cur)).queryExecution.optimizedPlan
+    // walk down from the Window: every node beneath it must already be
+    // cursor-filtered — no Filter on cur_* above the Window
+    val windowIdx = plan.collect { case w: org.apache.spark.sql.catalyst
+      .plans.logical.Window => w }
+    assert(windowIdx.nonEmpty, "no Window in plan")
+    val filtersAbove = plan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name.startsWith("cur_")) => f
+    }
+    // the cursor filter must exist SOMEWHERE...
+    assert(filtersAbove.nonEmpty, "cursor filter optimized away entirely")
+    // ...and the Window's child subtree must contain it (filter below window)
+    val belowWindow = windowIdx.head.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name.startsWith("cur_")) => f
+    }
+    assert(belowWindow.nonEmpty,
+      s"cursor filter is not beneath the rank window:\n$plan")
+  }
+
+  test("queryPage: id-range and predicate reach the parquet scan; order-by-limit is a TakeOrdered") {
+    val tmp = java.nio.file.Files.createTempDirectory("qpage").toString
+    (1L to 500L).map(i => (i, s"s${i % 3}", i * 2))
+      .toDF("id", "src", "val").write.parquet(s"$tmp/t")
+    val df = spark.read.parquet(s"$tmp/t")
+    val page = graft.operators.Ingest.queryPage(df, "src = 's1'", "id",
+      pageSize = 10, afterId = Some(100L))
+    val phys = page.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"order-by-limit did not plan as TakeOrderedAndProject:\n$phys")
+    assert(phys.contains("PushedFilters") &&
+      phys.replaceAll("\\s", "").contains("GreaterThan(id,100"),
+      s"id cursor not pushed to the scan:\n$phys")
+  }
+}
