@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
+import graft.operators.{Ann, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -649,6 +649,22 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
   }
 
+  /** Search restricted to named partitions (Milvus partition_names):
+    * the embeddings are laid out as a label-partitioned collection once
+    * per JVM, then searched over partitions {0, 1} only — the scan's
+    * PartitionFilters keep every other label's files unopened. */
+  private def qAnnPartitions(s: SparkSession, dir: String): DataFrame = {
+    val coll = buildOnce(
+      s"/tmp/graft_part_coll_${Integer.toHexString(dir.hashCode)}") { d =>
+      Collections.writePartitioned(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("v"), col("label")), d, "label")
+    }
+    Collections.searchPartitions(s, coll, "label", Seq(0, 1),
+        queriesSet(s, dir), k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -790,6 +806,7 @@ object SparkEntry {
     "q_ann_grouped" -> (qAnnGrouped _),
     "q_ann_page" -> (qAnnPage _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_ann_partitions" -> (qAnnPartitions _),
     "q_ann_binary" -> (qAnnBinary _),
     "q_ann_binary_index" -> (qAnnBinaryIndex _),
     "q_ann_refine" -> (qAnnRefine _),
@@ -1425,6 +1442,16 @@ object SparkEntry {
         |SELECT qid, id, score, CAST(rank - 10 AS BIGINT) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM s)
         |WHERE rank > 10 AND rank <= 20""".stripMargin,
+
+    // partition-restricted search: corpus = labels 0 and 1 only
+    "q_ann_partitions" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE label IN (0, 1)),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, c)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
 
     // filtered search: the predicate excludes corpus rows BEFORE scoring
     // (queries still drawn from the unfiltered table)

@@ -42,6 +42,37 @@ class PlanAuditSpec extends SparkSpec {
       s"cursor filter is not beneath the rank window:\n$plan")
   }
 
+  test("Collections: partition_names search prunes at the file listing and matches the filtered brute force") {
+    import graft.operators.Collections
+    val tmp = java.nio.file.Files.createTempDirectory("pcoll").toString + "/coll"
+    val data = (1 to 60).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)), i % 3)
+    }.toDF("id", "v", "part")
+    Collections.writePartitioned(data, tmp, "part")
+    assert(Collections.listPartitions(spark, tmp, "part")
+      .as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    val restricted = Collections.readPartitions(spark, tmp, "part", Seq(0, 2))
+    // the isin must land in PartitionFilters (file-listing pruning),
+    // not as a post-scan data filter
+    val scan = restricted.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "part")),
+      s"partition restriction not in PartitionFilters: $scan")
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 partitions read, got ${scan.selectedPartitions.partitionCount}")
+    // ranking equals brute force over the same subset
+    val got = Collections.searchPartitions(spark, tmp, "part", Seq(0, 2),
+        qs, k = 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Ann.bruteForceTopK(
+        data.filter(col("part").isin(0, 2)).select("id", "v"), qs, k = 5)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // empty parts = whole collection (the Milvus default)
+    assert(Collections.readPartitions(spark, tmp, "part", Nil).count() == 60)
+  }
+
   test("queryPage: id-range and predicate reach the parquet scan; order-by-limit is a TakeOrdered") {
     val tmp = java.nio.file.Files.createTempDirectory("qpage").toString
     (1L to 500L).map(i => (i, s"s${i % 3}", i * 2))
