@@ -636,16 +636,34 @@ object SparkEntry {
     * argument), RRF fusion. Hash-exact against the q_hybrid_search
     * oracle: the cross-engine proof that the whole persisted
     * composition loses nothing. */
+  /** The shared persisted IVF index over the embeddings — one build
+    * behind both hybrid-index queries. */
+  private def hybIvfIdx(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_hyb_ivf_idx_${Integer.toHexString(dir.hashCode)}") {
+      idx => Ann.buildIvfIndex(corpus(s, dir), idx, nlist = 16)
+    }
+
   private def qHybridIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
       .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
-    val ivfIdx = buildOnce(
-      s"/tmp/graft_hyb_ivf_idx_${Integer.toHexString(dir.hashCode)}") { idx =>
-      Ann.buildIvfIndex(corpus(s, dir), idx, nlist = 16)
-    }
-    Ann.searchHybridIndex(s, ivfIdx, sparseIdx(s, dir), queriesSet(s, dir),
-        qpost, k = 10, nprobe = 16)
+    Ann.searchHybridIndex(s, hybIvfIdx(s, dir), sparseIdx(s, dir),
+        queriesSet(s, dir), qpost, k = 10, nprobe = 16)
+      .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
+  }
+
+  /** BM25-scored hybrid over the SAME persisted indexes — the standard
+    * RAG retrieval shape (Milvus hybrid_search with a BM25 sparse
+    * function, the highest-traffic configuration): dense IVF at full
+    * probe (exact), sparse branch scored by searchSparseIndexBm25 off
+    * the doclens/stats sidecars, RRF fusion. Hash-exact against a
+    * composed dense + BM25 + RRF oracle. */
+  private def qHybridBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qterms = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    Ann.searchHybridIndex(s, hybIvfIdx(s, dir), sparseIdx(s, dir),
+        queriesSet(s, dir), qterms, k = 10, nprobe = 16, bm25 = true)
       .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
   }
 
@@ -817,6 +835,7 @@ object SparkEntry {
     "q_hybrid_search" -> (qHybridSearch _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
     "q_hybrid_index" -> (qHybridIndex _),
+    "q_hybrid_bm25" -> (qHybridBm25 _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _),
     "q_asof_join" -> (qAsofJoin _),
@@ -1217,6 +1236,40 @@ object SparkEntry {
     // branches are exact and the fused result is the same frame
     "q_hybrid_search" -> hybridRrfSql,
     "q_hybrid_index" -> hybridRrfSql,
+
+    // RRF of the dense branch with a BM25-scored sparse branch — the
+    // same dense/fusion CTEs as hybridRrfSql, sparse swapped for the
+    // q_bm25 formula
+    "q_hybrid_bm25" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |ds AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e),
+         |dr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_d FROM ds),
+         |dtop AS (SELECT * FROM dr WHERE rank_d <= 10),
+         |post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS tf
+         |         FROM ($tokDoc)
+         |         GROUP BY doc_id, term),
+         |qt AS (SELECT DISTINCT doc_id AS qid, term FROM post WHERE doc_id < 5),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM post WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |ss AS (SELECT qt.qid, post.doc_id AS id,
+         |      round(sum(ln(1 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+         |                (post.tf * 2.2) /
+         |                (post.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+         |      FROM post JOIN qt USING (term) JOIN dft USING (term)
+         |      JOIN dl ON dl.doc_id = post.doc_id, st
+         |      GROUP BY 1, 2),
+         |sr AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank_s FROM ss),
+         |stop AS (SELECT * FROM sr WHERE rank_s <= 10),
+         |f AS (SELECT qid, id,
+         |      round(coalesce(1.0/(60+rank_d), 0) + coalesce(1.0/(60+rank_s), 0), 6) AS rrf
+         |      FROM dtop FULL JOIN stop USING (qid, id))
+         |SELECT qid, id, rrf, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     // WeightedRanker fusion: dense (1+cos)/2, sparse s/(1+s), 0.7/0.3
     // weights — same branch CTEs as q_hybrid_search
