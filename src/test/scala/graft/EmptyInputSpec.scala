@@ -58,4 +58,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(MlEmbed.tfidfSparse(noDocs, "text").count() == 0)
     assert(MlEmbed.word2vecDense(noDocs, "text", dim = 8).count() == 0)
   }
+
+  test("iterators, canonical selection, partitions over empty inputs") {
+    // empty corpus: one empty page from the cursor search, no throw
+    assert(Ann.searchIteratorPage(noVecs, someQs, pageSize = 5).count() == 0)
+    assert(Ann.searchIterator(noVecs, someQs, pageSize = 5).toList.isEmpty)
+    // empty query set: nothing to page
+    val noQs = Seq.empty[(Long, Seq[Double])].toDF("qid", "qv")
+    val tiny = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    assert(Ann.searchIterator(tiny, noQs, pageSize = 5).toList.isEmpty)
+    // no rows match the predicate: the iterator yields no pages
+    assert(Ingest.queryIterator(noDocs, "lang = 'en'", "doc_id",
+      pageSize = 5).toList.isEmpty)
+    assert(Ingest.queryPage(noDocs, "true", "doc_id", pageSize = 5).count() == 0)
+    // canonical selection with no clusters: every doc is a singleton
+    val docs = Seq((1L, "a", 2L), (2L, "b", 5L)).toDF("doc_id", "text", "q")
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    assert(Dedup.keepCanonical(docs, noClusters, "doc_id", "q").count() == 2)
+    assert(Dedup.keepCanonical(noDocs.select(col("doc_id"), col("text"),
+      lit(1L).as("q")), noClusters, "doc_id", "q").count() == 0)
+    // partition restriction that matches nothing: empty result, no throw
+    val dir = java.nio.file.Files.createTempDirectory("ecoll").toString + "/c"
+    graft.operators.Collections.writePartitioned(
+      Seq((1L, Seq(1.0, 0.0), 0)).toDF("id", "v", "part"), dir, "part")
+    assert(graft.operators.Collections.searchPartitions(spark, dir, "part",
+      Seq(99), someQs, k = 5).count() == 0)
+  }
 }
