@@ -305,6 +305,63 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[ivfPqIngestStream]], idempotent in batchId —
+    * the [[applyAnnBatch]] witness pattern over
+    * [[graft.operators.Ann.appendToIvfPqIndex]]: codes and the ids
+    * sidecar receive the same FILTERED id set (zero-norm vectors drop
+    * out, mirroring the append's own filter) in one staged
+    * transaction. */
+  def applyIvfPqBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.Ann.healIvfPqIndex(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col("id")).distinct()
+    val eligible = batch
+      .filter(graft.functions.VectorFunctions
+        .norm2(col("v").cast("array<double>")) > 0)
+      .select(col("id")).distinct().count()
+    val inCodes = overlap(batchIds, spark.read.parquet(s"$indexDir/codes"))
+    val inSidecar = overlap(batchIds, graft.operators.Ann
+      .indexedIds(spark, indexDir, payload = "codes"))
+    if (fs.exists(marker)) {
+      if (inCodes == eligible && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its vectors are not " +
+          s"stored (codes=$inCodes ids=$inSidecar of $eligible eligible) — " +
+          s"a checkpoint reset recycled the batchId against a live index; " +
+          s"wipe $indexDir/applied together with the checkpoint")
+    }
+    if (inCodes == 0 && inSidecar == 0)
+      graft.operators.Ann.appendToIvfPqIndex(spark, indexDir, batch)
+    else if (inCodes != eligible || inSidecar != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (codes=$inCodes " +
+          s"ids=$inSidecar of $eligible eligible) — either a previous " +
+          "append crashed between table writes or a re-delivered batch " +
+          "mixes indexed and new docs; repair before restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous IVF-PQ ingest: micro-batches of (id, v) are assigned
+    * and residual-encoded through the STORED codebooks and appended in
+    * O(batch) — ADC searches between micro-batches see everything
+    * ingested so far at 1/32-1/128 the corpus bytes. Same replay
+    * idempotency as [[annIngestStream]]. */
+  def ivfPqIngestStream(vecStream: DataFrame, indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfPqBatch(batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[binaryIngestStream]], idempotent in batchId —
     * the [[applyAnnBatch]] witness pattern over
     * [[graft.operators.Ann.appendToBinaryIndex]]: the bits table and

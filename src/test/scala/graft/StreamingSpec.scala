@@ -438,6 +438,52 @@ class StreamingSpec extends SparkSpec {
     assert(n == 95.0, s"stats n=$n after heal+append")
   }
 
+  test("ivfPqIngestStream: streamed batches encode through the stored codebooks; search equals batch appends") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val history = (1L to 60L).map(i => (i, vec(i))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    // two identical builds (deterministic seed): one fed by the stream,
+    // one by direct batch appends — the results must be bit-equal
+    Ann.buildIvfPqIndex(history, s"$dir/idx", nlist = 4, m = 4, ksub = 8)
+    Ann.buildIvfPqIndex(history, s"$dir/ref", nlist = 4, m = 4, ksub = 8)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.ivfPqIngestStream(
+      mem.toDF().toDF("id", "v"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((61L to 80L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    mem.addData((81L to 100L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    Ann.appendToIvfPqIndex(spark, s"$dir/ref",
+      (61L to 80L).map(i => (i, vec(i))).toDF("id", "v"))
+    Ann.appendToIvfPqIndex(spark, s"$dir/ref",
+      (81L to 100L).map(i => (i, vec(i))).toDF("id", "v"))
+    val qs = Seq((85L, vec(85L))).toDF("qid", "qv")
+    val got = Ann.searchIvfPqIndex(spark, s"$dir/idx", qs, k = 5, nprobe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Ann.searchIvfPqIndex(spark, s"$dir/ref", qs, k = 5, nprobe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "streamed IVF-PQ index diverged from direct batch appends")
+    // replay idempotency: marker lost, batch re-applied — no throw, no dups
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    graft.streaming.StreamIngest.applyIvfPqBatch(
+      (61L to 80L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/codes").count() == 100)
+    // stale marker with NEW docs fails loudly
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.applyIvfPqBatch(
+        (101L to 110L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+  }
+
   test("binaryIngestStream: streamed vectors Hamming-searchable at once; replay and crash windows repaired") {
     import graft.operators.Ann
     implicit val sqlCtx = spark.sqlContext
