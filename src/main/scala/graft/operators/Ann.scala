@@ -1211,6 +1211,32 @@ object Ann {
       dir: String, ids: DataFrame): Unit =
     IndexFiles.writeTombstones(ids, dir)
 
+  /** Replace-or-insert into a persisted IVF index — the index-level
+    * form of the reference's delete-then-insert re-ingest flow
+    * (milvus_connector.py:190-198 delete + insert; changed docs are
+    * re-uploaded under their old ids). Batch ids already stored are
+    * tombstoned and physically purged FIRST (one [[compactIvfIndex]] —
+    * an O(index) rewrite, the honest cost Milvus amortizes in
+    * background compaction; without the purge the appended replacement
+    * would share its id with a tombstone and be filtered out of every
+    * search), then the whole batch appends through the stored codebook
+    * in O(batch). Degrades to a plain append when no batch id is
+    * stored. Previously deleted-but-not-compacted ids upsert cleanly:
+    * the purge clears their tombstones, the append re-admits them. */
+  def upsertIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
+    val batchIds = batch.select(col("id")).distinct()
+    val replaced = indexedIds(spark, dir)
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+    if (!replaced.isEmpty) {
+      IndexFiles.writeTombstones(replaced, dir)
+      compactIvfIndex(spark, dir)
+    }
+    appendToIvfIndex(spark, dir, batch)
+  }
+
   /** Physically purge tombstoned rows ([[IndexFiles.compact]] over the
     * cells table): search results are bit-equal before and after (the
     * search filter and the rewrite drop exactly the same rows), purged

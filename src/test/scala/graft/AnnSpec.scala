@@ -945,6 +945,39 @@ class AnnSpec extends SparkSpec {
     assert(page.toSet == full.filter(_._3 > 5).toSet && page.length == 25)
   }
 
+  test("upsertIntoIvfIndex: replaced ids rank by their NEW vectors; fresh ids just append") {
+    def vec(i: Long, shift: Double = 0.0) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17 + shift))
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/idx"
+    Ann.buildIvfIndex((1L to 50L).map(i => (i, vec(i))).toDF("id", "v"), dir,
+      nlist = 4)
+    // ids 40-50 replaced with SHIFTED vectors, 51-60 fresh
+    val batch = (40L to 60L).map(i => (i, vec(i, shift = 2.5))).toDF("id", "v")
+    Ann.upsertIntoIvfIndex(spark, dir, batch)
+    // sidecar and cells carry each id exactly once
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == 60 && cells.select("id").distinct().count() == 60)
+    // full-probe search equals brute force over old∪new — replaced ids
+    // must rank by their new vectors
+    val union = ((1L to 39L).map(i => (i, vec(i))) ++
+      (40L to 60L).map(i => (i, vec(i, shift = 2.5)))).toDF("id", "v")
+    val qs45 = Seq((45L, vec(45L, shift = 2.5))).toDF("qid", "qv")
+    val got = Ann.searchIvfIndex(spark, dir, qs45, k = 5, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Ann.bruteForceTopK(union, qs45, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want, "upserted index diverged from brute force over old∪new")
+    // a deleted-but-not-compacted id upserts cleanly
+    Ann.deleteFromIvfIndex(spark, dir, Seq(10L).toDF("id"))
+    Ann.upsertIntoIvfIndex(spark, dir, Seq((10L, vec(10L, 1.0))).toDF("id", "v"))
+    val q10 = Seq((10L, vec(10L, 1.0))).toDF("qid", "qv")
+    val top = Ann.searchIvfIndex(spark, dir, q10, k = 1, nprobe = 4)
+      .select("id").as[Long].head()
+    assert(top == 10L, s"re-upserted deleted id not searchable, top=$top")
+  }
+
   test("describeIndex + dropIndex: stats name every stored table; drop removes the index") {
     import graft.operators.IndexFiles
     val dir = java.nio.file.Files.createTempDirectory("descidx").toString + "/idx"
