@@ -46,6 +46,32 @@ object Collections {
     if (parts.isEmpty) all else all.filter(col(partCol).isin(parts: _*))
   }
 
+  /** Insert rows into one named partition — collection.insert(...,
+    * partition_name=...). The batch lands as new files under that
+    * partition's directory only; concurrent inserts into different
+    * partitions never touch the same files, and no existing file is
+    * rewritten. `df` must not already carry the partition column (the
+    * name names the partition; a conflicting column would be
+    * ambiguous). */
+  def insertIntoPartition(df: DataFrame, dir: String, partCol: String,
+      value: Any): Unit = {
+    require(!df.columns.contains(partCol),
+      s"batch already carries $partCol — drop it; partition is named by `value`")
+    df.withColumn(partCol, lit(value))
+      .write.mode("append").partitionBy(partCol).parquet(dir)
+  }
+
+  /** Drop one partition — Milvus drop_partition: delete its directory,
+    * leave every other partition's files untouched. */
+  def dropPartition(spark: SparkSession, dir: String, partCol: String,
+      value: Any): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$value")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.catalog.refreshByPath(dir)
+    require(fs.delete(p, true) || !fs.exists(p),
+      s"failed to delete partition $p")
+  }
+
   /** Exact top-k search over named partitions — collection.search(...,
     * partition_names=parts). Identical ranking semantics to
     * [[Ann.bruteForceTopK]]; the corpus side is the partition-pruned

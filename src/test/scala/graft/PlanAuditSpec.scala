@@ -73,6 +73,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(Collections.readPartitions(spark, tmp, "part", Nil).count() == 60)
   }
 
+  test("Collections: insertIntoPartition touches only its partition; dropPartition removes only its own") {
+    import graft.operators.Collections
+    val tmp = java.nio.file.Files.createTempDirectory("pcrud").toString + "/coll"
+    val data = (1 to 30).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17)), i % 3)
+    }.toDF("id", "v", "part")
+    Collections.writePartitioned(data, tmp, "part")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(part: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/part=$part"))
+        .filter(_.isFile).map(f => (f.getPath.getName, f.getLen)).toSet
+    val p0Before = filesOf(0)
+    // insert 5 rows into partition 1 only
+    Collections.insertIntoPartition(
+      (100L to 104L).map(i => (i, Seq.tabulate(dim)(_.toDouble))).toDF("id", "v"),
+      tmp, "part", 1)
+    assert(filesOf(0) == p0Before, "insert into part 1 touched part 0's files")
+    assert(Collections.readPartitions(spark, tmp, "part", Seq(1)).count() == 15)
+    // a batch that already carries the partition column is ambiguous
+    intercept[IllegalArgumentException] {
+      Collections.insertIntoPartition(data, tmp, "part", 2)
+    }
+    // drop partition 2: gone from the listing, others intact
+    Collections.dropPartition(spark, tmp, "part", 2)
+    assert(Collections.listPartitions(spark, tmp, "part")
+      .as[Int].collect().sorted.toSeq == Seq(0, 1))
+    assert(filesOf(0) == p0Before)
+    assert(Collections.readPartitions(spark, tmp, "part", Nil).count() == 25)
+  }
+
   test("queryPage: id-range and predicate reach the parquet scan; order-by-limit is a TakeOrdered") {
     val tmp = java.nio.file.Files.createTempDirectory("qpage").toString
     (1L to 500L).map(i => (i, s"s${i % 3}", i * 2))
