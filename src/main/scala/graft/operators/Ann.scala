@@ -1225,16 +1225,58 @@ object Ann {
     * the purge clears their tombstones, the append re-admits them. */
   def upsertIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): Unit = {
+    healIvfIndex(spark, dir)
+    upsertVia(spark, dir, batch, indexedIds(spark, dir),
+      () => compactIvfIndex(spark, dir),
+      b => appendToIvfIndex(spark, dir, b))
+  }
+
+  /** [[upsertIntoIvfIndex]] for the sparse inverted index — same
+    * purge-then-append contract over postings/doclens/stats. */
+  def upsertIntoSparseIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    healSparseIndex(spark, dir)
+    upsertVia(spark, dir, batch,
+      indexedIds(spark, dir, payload = "postings"),
+      () => compactSparseIndex(spark, dir),
+      b => appendToSparseIndex(spark, dir, b))
+  }
+
+  /** [[upsertIntoIvfIndex]] for the BIN_FLAT index. */
+  def upsertIntoBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    healBinaryIndex(spark, dir)
+    upsertVia(spark, dir, batch,
+      indexedIds(spark, dir, payload = "bits"),
+      () => compactBinaryIndex(spark, dir),
+      b => appendToBinaryIndex(spark, dir, b))
+  }
+
+  /** [[upsertIntoIvfIndex]] for the IVF-PQ index — replacements are
+    * re-encoded through the STORED codebooks like any append. */
+  def upsertIntoIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    healIvfPqIndex(spark, dir)
+    upsertVia(spark, dir, batch,
+      indexedIds(spark, dir, payload = "codes"),
+      () => compactIvfPqIndex(spark, dir),
+      b => appendToIvfPqIndex(spark, dir, b))
+  }
+
+  /** The shared upsert body: tombstone + purge the batch's stored ids,
+    * then append the whole batch. Caller heals its family first (the
+    * stored-id read must not see a half-appended batch). */
+  private def upsertVia(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, stored: => DataFrame,
+      compactFn: () => Unit, append: DataFrame => Unit): Unit = {
     if (batch.isEmpty) return
-    IndexFiles.healAppend(spark, dir, Seq("cells"))
     val batchIds = batch.select(col("id")).distinct()
-    val replaced = indexedIds(spark, dir)
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
+    val replaced = stored.join(broadcast(batchIds), Seq("id"), "left_semi")
     if (!replaced.isEmpty) {
       IndexFiles.writeTombstones(replaced, dir)
-      compactIvfIndex(spark, dir)
+      compactFn()
     }
-    appendToIvfIndex(spark, dir, batch)
+    append(batch)
   }
 
   /** Physically purge tombstoned rows ([[IndexFiles.compact]] over the
@@ -1483,9 +1525,25 @@ object Ann {
     * DPP declines (it needs a selective build-side filter), which at
     * 100 TB is the difference between reading nprobe/nlist and reading
     * everything. */
+  /** [[searchIvfIndex]] restricted to an allowed-id set — the Milvus
+    * search-with-expr composite over an INDEXED collection: the scalar
+    * predicate runs where the scalar fields live (the caller's
+    * collection table, pushed into that scan), and the resulting id
+    * set filters the probed cells BEFORE ranking — an excluded id can
+    * never displace an allowed hit, which post-rank filtering would
+    * get wrong. `allowed` broadcasts; size it like any semi-join build
+    * side (selective predicates at 100 TB yield small allowed sets —
+    * for unselective ones search unfiltered and let the caller join). */
+  def searchIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, allowed: DataFrame,
+      nprobe: Int = 4, metric: String = "cosine"): DataFrame =
+    searchIvfIndex(spark, dir, queries, k, nprobe, metric,
+      allowedIds = Some(allowed))
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine",
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     IndexFiles.requireNoPendingAppend(spark, dir)
     IndexFiles.requireLiveTable(spark, dir, "cells")
     IndexFiles.requireLiveTable(spark, dir, "centroids")
@@ -1513,8 +1571,12 @@ object Ann {
       .withColumn("cell", col("cell").cast("int"))
     // tombstoned ids ([[deleteFromIvfIndex]]) never reach the ranking —
     // bit-equal to searching the physically compacted index
-    probeAndRank(IndexFiles.dropTombstones(spark, dir, pruned),
-      probes, k, metric)
+    val live = IndexFiles.dropTombstones(spark, dir, pruned)
+    // allowed-id restriction ([[searchIvfIndexFiltered]]) applies before
+    // the rank for the same reason the tombstone filter does
+    val scoped = allowedIds.fold(live)(a =>
+      live.join(broadcast(a.select(col("id")).distinct()), Seq("id"), "left_semi"))
+    probeAndRank(scoped, probes, k, metric)
   }
 
   /** Plain L2 Lloyd's k-means (k-means++ seeding, MEAN centroids, no

@@ -978,6 +978,66 @@ class AnnSpec extends SparkSpec {
     assert(top == 10L, s"re-upserted deleted id not searchable, top=$top")
   }
 
+  test("upsert siblings: sparse, binary, and IVF-PQ replace-or-insert cleanly") {
+    def vec(i: Long, shift: Double = 0.0) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17 + shift))
+    val root = java.nio.file.Files.createTempDirectory("upsertfam").toString
+    // sparse: doc 5's postings replaced, doc 21 fresh
+    def post(lo: Long, hi: Long, w: Double = 1.0) =
+      (lo to hi).flatMap(i => Seq((i, i % 7, w), (i, 7 + i % 5, w)))
+    Ann.buildSparseIndex(post(1L, 20L).toDF("id", "term", "w"),
+      s"$root/sp", buckets = 4)
+    Ann.upsertIntoSparseIndex(spark, s"$root/sp",
+      post(5L, 5L, w = 9.0).toDF("id", "term", "w")
+        .union(post(21L, 21L).toDF("id", "term", "w")))
+    val sp = spark.read.parquet(s"$root/sp/postings")
+    assert(sp.select("id").distinct().count() == 21)
+    assert(sp.filter(col("id") === 5L && col("w") === 9.0).count() == 2,
+      "doc 5's postings not replaced")
+    assert(sp.filter(col("id") === 5L).count() == 2, "old postings leaked")
+    // binary: id 3 replaced with a flipped vector, id 41 fresh
+    Ann.buildBinaryIndex((1L to 40L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$root/bin", dim)
+    Ann.upsertIntoBinaryIndex(spark, s"$root/bin",
+      Seq((3L, vec(3L, 2.5)), (41L, vec(41L))).toDF("id", "v"))
+    val q3 = Seq((3L, vec(3L, 2.5))).toDF("qid", "qv")
+    assert(Ann.searchBinaryIndex(spark, s"$root/bin", q3, k = 1)
+      .select("id").as[Long].head() == 3L)
+    assert(spark.read.parquet(s"$root/bin/bits").count() == 41)
+    // IVF-PQ: id 7 replaced, id 61 fresh; self-retrieval of the NEW code
+    Ann.buildIvfPqIndex((1L to 60L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$root/pq", nlist = 4, m = 4, ksub = 8)
+    Ann.upsertIntoIvfPqIndex(spark, s"$root/pq",
+      Seq((7L, vec(7L, 2.5)), (61L, vec(61L))).toDF("id", "v"))
+    val codes = spark.read.parquet(s"$root/pq/codes")
+    assert(codes.count() == 61 && codes.select("id").distinct().count() == 61)
+    val q7 = Seq((7L, vec(7L, 2.5))).toDF("qid", "qv")
+    assert(Ann.searchIvfPqIndex(spark, s"$root/pq", q7, k = 1, nprobe = 4)
+      .select("id").as[Long].head() == 7L)
+  }
+
+  test("searchIvfIndexFiltered: allowed-id restriction applies before the rank") {
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 4)
+    val allowed = (1L to 200L by 2L).toDF("id") // odd ids only
+    val got = Ann.searchIvfIndexFiltered(spark, dir, qs, k = 10, allowed,
+        nprobe = 4)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 1), "even id leaked through")
+    // at full probe: equals brute force over the allowed subset — the
+    // proof the filter runs BEFORE ranking (k hits, not k-minus-filtered)
+    val full = Ann.searchIvfIndexFiltered(spark, dir, qs, k = 10, allowed,
+        nprobe = 4).count()
+    val bf = Ann.searchIvfIndexFiltered(spark, dir, qs, k = 10, allowed,
+        nprobe = 16)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Ann.bruteForceTopK(
+        corpus.filter(col("id") % 2 === 1), qs, k = 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(bf == want, "full-probe filtered search diverged from filtered brute force")
+    assert(full == 50, s"expected 10 hits per query, got $full")
+  }
+
   test("describeIndex + dropIndex: stats name every stored table; drop removes the index") {
     import graft.operators.IndexFiles
     val dir = java.nio.file.Files.createTempDirectory("descidx").toString + "/idx"
