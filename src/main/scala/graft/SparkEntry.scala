@@ -691,6 +691,19 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** Pre-filtered search through the persisted IVF index at full probe:
+    * allowed ids = odd vec_ids (a stand-in for any scalar predicate
+    * evaluated on the caller's collection table). Hash-exact vs a
+    * filtered brute-force oracle — the proof the restriction applies
+    * before ranking. */
+  private def qAnnIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val allowed = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 1).select(col("vec_id").as("id"))
+    Ann.searchIvfIndexFiltered(s, hybIvfIdx(s, dir), queriesSet(s, dir),
+        k = 10, allowed, nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -833,6 +846,7 @@ object SparkEntry {
     "q_ann_page" -> (qAnnPage _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_partitions" -> (qAnnPartitions _),
+    "q_ann_ivf_filtered" -> (qAnnIvfFiltered _),
     "q_ann_binary" -> (qAnnBinary _),
     "q_ann_binary_index" -> (qAnnBinaryIndex _),
     "q_ann_refine" -> (qAnnRefine _),
@@ -1503,6 +1517,16 @@ object SparkEntry {
         |SELECT qid, id, score, CAST(rank - 10 AS BIGINT) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rank FROM s)
         |WHERE rank > 10 AND rank <= 20""".stripMargin,
+
+    // indexed search restricted to an allowed-id set (odd vec_ids)
+    "q_ann_ivf_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, c)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
 
     // partition-restricted search: corpus = labels 0 and 1 only
     "q_ann_partitions" ->
