@@ -1038,6 +1038,46 @@ class AnnSpec extends SparkSpec {
     assert(full == 50, s"expected 10 hits per query, got $full")
   }
 
+  test("aliases: blue-green swap repoints searches atomically") {
+    import graft.operators.Aliases
+    val root = java.nio.file.Files.createTempDirectory("alias").toString
+    val reg = s"$root/aliases"
+    def vec(i: Long, shift: Double = 0.0) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17 + shift))
+    // blue: ids 1-50; green: same ids, shifted vectors (a "retrain")
+    Ann.buildIvfIndex((1L to 50L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$root/blue", nlist = 4)
+    Ann.buildIvfIndex((1L to 50L).map(i => (i, vec(i, 2.5))).toDF("id", "v"),
+      s"$root/green", nlist = 4)
+    Aliases.createAlias(spark, reg, "prod", s"$root/blue")
+    // double-create must not hijack the live name
+    intercept[IllegalArgumentException] {
+      Aliases.createAlias(spark, reg, "prod", s"$root/green")
+    }
+    val qBlue = Seq((7L, vec(7L))).toDF("qid", "qv")
+    val hitBlue = Ann.searchIvfIndex(spark,
+      Aliases.resolveAlias(spark, reg, "prod"), qBlue, k = 1, nprobe = 4)
+      .select("id").as[Long].head()
+    assert(hitBlue == 7L)
+    // the swap: searches issued after alter resolve to green
+    Aliases.alterAlias(spark, reg, "prod", s"$root/green")
+    val qGreen = Seq((7L, vec(7L, 2.5))).toDF("qid", "qv")
+    val hitGreen = Ann.searchIvfIndex(spark,
+      Aliases.resolveAlias(spark, reg, "prod"), qGreen, k = 1, nprobe = 4)
+      .select("id").as[Long].head()
+    assert(hitGreen == 7L)
+    assert(Aliases.listAliases(spark, reg)
+      .as[(String, String)].collect().toSet == Set("prod" -> s"$root/green"))
+    Aliases.dropAlias(spark, reg, "prod")
+    intercept[IllegalArgumentException] {
+      Aliases.resolveAlias(spark, reg, "prod")
+    }
+    // path-traversal names rejected
+    intercept[IllegalArgumentException] {
+      Aliases.createAlias(spark, reg, "../evil", s"$root/blue")
+    }
+  }
+
   test("describeIndex + dropIndex: stats name every stored table; drop removes the index") {
     import graft.operators.IndexFiles
     val dir = java.nio.file.Files.createTempDirectory("descidx").toString + "/idx"
