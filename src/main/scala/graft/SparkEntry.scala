@@ -343,11 +343,23 @@ object SparkEntry {
   // Duplicate clusters: verified minhash pairs -> connected components.
   // The pair list is quadratic inside a duplicate cluster; the cluster
   // map is linear — this is the form a 100 TB dedup actually keeps.
+  /** The persisted near-dup cluster map, computed once per JVM — the
+    * assignment table a real dedup pipeline writes and every consumer
+    * (the cluster query, canonical selection) reads ([[buildOnce]],
+    * the persisted-index argument). */
+  private def clusterMapDir(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_cluster_map_${Integer.toHexString(dir.hashCode)}") {
+      d =>
+      Dedup.dupClusters(
+        Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
+        .select("id_a", "id_b"))
+        .write.mode("overwrite").parquet(d)
+    }
+
   private def qDedupCluster(s: SparkSession, dir: String): DataFrame =
-    Dedup.dupClusters(
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
-      .select("id_a", "id_b"))
+    s.read.parquet(clusterMapDir(s, dir))
+      .select("id", "cluster_id", "cluster_sz")
 
   // The unverified star-edge variant (linear everywhere, banding-curve
   // precision) — same components as clustering the full bucket graph.
@@ -364,15 +376,8 @@ object SparkEntry {
     * consumer ([[buildOnce]], the persisted-index argument). */
   private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val clusterMap = buildOnce(
-      s"/tmp/graft_cluster_map_${Integer.toHexString(dir.hashCode)}") { d =>
-      Dedup.dupClusters(
-        Dedup.minhashLsh(docs, "doc_id", "text",
-          w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
-        .select("id_a", "id_b"))
-        .write.mode("overwrite").parquet(d)
-    }
-    Dedup.keepCanonical(docs, s.read.parquet(clusterMap), "doc_id", "n_chars")
+    Dedup.keepCanonical(docs, s.read.parquet(clusterMapDir(s, dir)),
+        "doc_id", "n_chars")
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
