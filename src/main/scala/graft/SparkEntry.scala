@@ -401,6 +401,11 @@ object SparkEntry {
     Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
       budget = 1024, shards = 32)
 
+  // CCNet-style quality signal: bigram cross-entropy of every doc under
+  // a model trained on the corpus itself (the head/middle/tail bucketer).
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame =
+    Curate.perplexityScore(t(s, dir, "documents"), "doc_id", "text", k = 1.0)
+
   // Split on source (the group key) so near-dups within a source can't
   // straddle train/test.
   private def qHoldoutSplit(s: SparkSession, dir: String): DataFrame =
@@ -834,6 +839,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_perplexity" -> (qPerplexity _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1446,6 +1452,23 @@ object SparkEntry {
         | FROM tk)
         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
         | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
+
+    // add-1 bigram LM over the shared tokenizer, scored structurally
+    // identically on both engines (per-doc bigram counts, then
+    // sum(c·-ln p)/sum(c)); '<s>' start marker can't collide with
+    // [A-Za-z0-9]+ tokens; xent rounded 4dp
+    "q_perplexity" ->
+      s"""WITH tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM ($normDoc)),
+         |tk AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
+         |db AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2, 3),
+         |cb AS (SELECT prev, tok, sum(c) AS cb FROM db GROUP BY 1, 2),
+         |cu AS (SELECT prev, sum(c) AS cu FROM db GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM db)
+         |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tok,
+         | round(sum(c * -ln((cb + 1.0) / (cu + 1.0 * v))) / sum(c), 4) AS xent
+         |FROM db JOIN cb USING (prev, tok) JOIN cu USING (prev) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
 
     // SQ8 on both engines: scale = max|x|/127, codes = round-half-up of
     // x/scale (integers — exact in double), score = scale product times

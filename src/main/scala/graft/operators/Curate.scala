@@ -87,6 +87,50 @@ object Curate {
         < testFrac * 1000000.0, lit("test")).otherwise(lit("train")))
   }
 
+  /** CCNet-style LM quality scoring: per-token cross-entropy of each
+    * document under an add-k-smoothed bigram model trained on the
+    * corpus itself (perplexity = exp(xent); low = fluent/templated,
+    * high = noise — CCNet buckets a crawl into head/middle/tail on
+    * exactly this signal). Tokens are the whitespace tokenizer over
+    * normalized text (the cross-engine contract every token oracle
+    * shares); each doc's first token is conditioned on a `<s>` start
+    * marker, which cannot collide with real `[A-Za-z0-9]+` tokens.
+    * p(w|prev) = (C(prev,w)+k) / (C(prev)+k·V), V = distinct-token
+    * vocabulary. Returns (id, n_tok, xent) — xent rounded to 4dp so
+    * both engines' float summation orders agree; empty docs are absent.
+    *
+    * Scale shape: positions collapse to per-doc bigram counts FIRST, so
+    * every downstream aggregate and join moves distinct (doc, bigram)
+    * rows, not raw token positions; the model tables are two map-side-
+    * combined groupBys over those rows; V is a one-row broadcast. The
+    * scoring join keys on (prev, tok) — hot contexts ("the", "of") skew
+    * it, which AQE splits. No driver-side state: the "model" never
+    * leaves the cluster. */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val toks = T.wsTokens(T.normText(col(textCol)))
+    val grams = df.select(col(idCol).as("id"), toks.as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("id"), explode(arrays_zip(
+        concat(array(lit("<s>")), slice(col("l"), lit(1), size(col("l")) - 1))
+          .as("prev"),
+        col("l").as("tok"))).as("g"))
+      .select(col("id"), col("g.prev").as("prev"), col("g.tok").as("tok"))
+    val db = grams.groupBy("id", "prev", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val cb = db.groupBy("prev", "tok").agg(sum("c").as("cb"))
+    val cu = db.groupBy("prev").agg(sum("c").as("cu"))
+    val v = db.agg(countDistinct("tok").cast("double").as("v"))
+    db.join(cb, Seq("prev", "tok")).join(cu, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy("id")
+      .agg(sum("c").cast("long").as("n_tok"),
+        round(
+          sum(col("c") * -log((col("cb") + k) / (col("cu") + col("v") * k)))
+            / sum("c"), 4).as("xent"))
+  }
+
   /** Sequence packing (concat-and-chop): assign docs to fixed-token-
     * budget training sequences. Docs are sharded deterministically by
     * id hash, ordered by id within the shard, and laid end-to-end; a

@@ -23,6 +23,37 @@ class CurateSpec extends SparkSpec {
     assert(out(1L) > out(3L))
   }
 
+  test("perplexityScore: matches a hand-computed add-1 bigram model") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "c c c"),
+      (4L, "   ")) // empty after tokenize -> absent from output
+    // independent plain-Scala model over the same token streams
+    val streams = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toList
+    }.filter(_._2.nonEmpty)
+    val grams = streams.flatMap { case (id, ts) =>
+      ("<s>" :: ts.init).zip(ts).map(g => (id, g._1, g._2))
+    }
+    val cb = grams.groupBy(g => (g._2, g._3)).view.mapValues(_.size.toDouble)
+    val cu = grams.groupBy(_._2).view.mapValues(_.size.toDouble)
+    val v = grams.map(_._3).distinct.size.toDouble
+    val expect = grams.groupBy(_._1).map { case (id, gs) =>
+      val x = gs.map { case (_, p, w) =>
+        -math.log((cb((p, w)) + 1.0) / (cu(p) + v)) }.sum / gs.size
+      id -> (gs.size.toLong,
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Curate.perplexityScore(docs.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(!got.contains(4L))
+    // doc 3's tokens are the corpus-rare ones -> highest cross-entropy
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
   test("decontaminate: clean side = corpus minus contaminated") {
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
     val corpus = Seq(
