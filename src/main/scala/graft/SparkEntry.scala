@@ -406,6 +406,16 @@ object SparkEntry {
   private def qPerplexity(s: SparkSession, dir: String): DataFrame =
     Curate.perplexityScore(t(s, dir, "documents"), "doc_id", "text", k = 1.0)
 
+  // DSIR importance weights: docs 0-24 stand in for the quality/domain
+  // target (the same split decontamination uses); every other doc is
+  // scored by target-vs-raw hashed n-gram log-likelihood ratio.
+  private def qDsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.importanceWeight(docs.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text",
+      buckets = 1 << 14, k = 1.0)
+  }
+
   // Split on source (the group key) so near-dups within a source can't
   // straddle train/test.
   private def qHoldoutSplit(s: SparkSession, dir: String): DataFrame =
@@ -840,6 +850,7 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
+    "q_dsir_weight" -> (qDsirWeight _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1468,6 +1479,27 @@ object SparkEntry {
          |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tok,
          | round(sum(c * -ln((cb + 1.0) / (cu + 1.0 * v))) / sum(c), 4) AS xent
          |FROM db JOIN cb USING (prev, tok) JOIN cu USING (prev) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
+
+    // DSIR: hashed uni+bigram buckets (seeds 31/37, 2^14), add-1
+    // smoothed target-vs-raw log-likelihood ratio; model tables built
+    // from the identical feature streams on both engines
+    "q_dsir_weight" ->
+      s"""WITH tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM ($normDoc)),
+         |uni AS (SELECT doc_id, ('0x' || substr(md5('31#' || l[i]), 1, 8))::BIGINT % 16384 AS b
+         |        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
+         |bi AS (SELECT doc_id, ('0x' || substr(md5('37#' || l[i] || ' ' || l[i+1]), 1, 8))::BIGINT % 16384 AS b
+         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM tl)),
+         |f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         |dfc AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM f WHERE doc_id >= 25 GROUP BY 1, 2),
+         |ct AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM f WHERE doc_id < 25 GROUP BY 1),
+         |tt AS (SELECT sum(ct) AS tt FROM ct),
+         |cr AS (SELECT b, sum(c) AS cr FROM dfc GROUP BY 1),
+         |tr AS (SELECT sum(cr) AS tr FROM cr)
+         |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_feat,
+         | round(sum(c * (ln((coalesce(ct, 0) + 1.0) / (tt + 16384.0))
+         |              - ln((cr + 1.0) / (tr + 16384.0)))), 4) AS logw
+         |FROM dfc LEFT JOIN ct USING (b) JOIN cr USING (b) CROSS JOIN tt CROSS JOIN tr
          |GROUP BY doc_id""".stripMargin,
 
     // SQ8 on both engines: scale = max|x|/127, codes = round-half-up of

@@ -131,6 +131,61 @@ object Curate {
             / sum("c"), 4).as("xent"))
   }
 
+  /** Hashed unigram+bigram feature stream: (id, bucket) one row per
+    * token occurrence plus one per consecutive-token pair, both hashed
+    * into `buckets` — the DSIR feature space ([[importanceWeight]]). */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      T.wsTokens(T.normText(col(textCol))).as("l"))
+    val uni = base.select(col("id"), explode(col("l")).as("tok"))
+      .select(col("id"), pmod(H.hash32(31, col("tok")), lit(buckets)).as("b"))
+    val bi = base.filter(size(col("l")) > 1)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1).as("p"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("w"))).as("g"))
+      .select(col("id"), pmod(
+        H.hash32(37, concat(col("g.p"), lit(" "), col("g.w"))),
+        lit(buckets)).as("b"))
+    uni.union(bi)
+  }
+
+  /** DSIR-style importance weighting: score each corpus doc by how much
+    * more likely its hashed n-gram features are under the `target`
+    * distribution than under the corpus's own ("Data Selection via
+    * Importance Resampling" — sample training data proportional to
+    * exp(logw) to steer a raw crawl toward a quality/domain target).
+    * Features are hashed unigrams + bigrams in a `buckets`-sized space;
+    * both distributions are add-k smoothed bucket multinomials.
+    * logw(d) = Σ_b c_db · (ln p_target(b) − ln p_raw(b)), rounded 4dp.
+    * Returns (id, n_feat, logw); featureless docs are absent.
+    *
+    * Scale shape: both model tables are ≤ `buckets` rows no matter the
+    * corpus size — broadcast joins against the per-doc counts, whose
+    * groupBy is the only corpus-wide shuffle (map-side combined). The
+    * target corpus is streamed once through the same featurizer; its
+    * size never affects the join plan. */
+  def importanceWeight(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1 << 14, k: Double = 1.0): DataFrame = {
+    require(buckets > 0 && k > 0, "buckets and k must be positive")
+    val dfc = hashedFeatures(corpus, idCol, textCol, buckets)
+      .groupBy("id", "b").agg(count(lit(1)).cast("double").as("c"))
+    val ct = hashedFeatures(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
+    val tt = ct.agg(sum("ct").as("tt"))
+    val cr = dfc.groupBy("b").agg(sum("c").as("cr"))
+    val tr = cr.agg(sum("cr").as("tr"))
+    val kb = lit(k * buckets)
+    dfc.join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .groupBy("id")
+      .agg(sum("c").cast("long").as("n_feat"),
+        round(sum(col("c") *
+          (log((coalesce(col("ct"), lit(0.0)) + k) / (col("tt") + kb))
+            - log((col("cr") + k) / (col("tr") + kb)))), 4).as("logw"))
+  }
+
   /** Sequence packing (concat-and-chop): assign docs to fixed-token-
     * budget training sequences. Docs are sharded deterministically by
     * id hash, ordered by id within the shard, and laid end-to-end; a

@@ -54,6 +54,46 @@ class CurateSpec extends SparkSpec {
     assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
   }
 
+  test("importanceWeight: matches a hand-computed hashed-ngram likelihood ratio") {
+    val B = 64
+    def h32(seed: Int, s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed#$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def feats(t: String): List[Long] = {
+      val ts = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toList
+      ts.map(w => h32(31, w) % B) ++
+        ts.zip(ts.drop(1)).map { case (p, w) => h32(37, s"$p $w") % B }
+    }
+    val target = Seq((100L, "clean wiki prose about science"),
+      (101L, "more clean prose about history"))
+    val corpus = Seq((1L, "clean prose about science topics"),
+      (2L, "spam buy now cheap pills"), (3L, ""))
+    val ctM = target.flatMap(d => feats(d._2))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tt = ctM.values.sum
+    val crM = corpus.flatMap(d => feats(d._2))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tr = crM.values.sum
+    val expect = corpus.filter(d => feats(d._2).nonEmpty).map { case (id, t) =>
+      val fs = feats(t)
+      val lw = fs.map(b => math.log((ctM.getOrElse(b, 0.0) + 1.0) / (tt + B))
+        - math.log((crM(b) + 1.0) / (tr + B))).sum
+      id -> (fs.size.toLong,
+        BigDecimal(lw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Curate.importanceWeight(corpus.toDF("id", "text"),
+        target.toDF("id", "text"), "id", "text", buckets = B)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(!got.contains(3L)) // featureless doc absent
+    // the target-like doc outscores the spam doc
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("decontaminate: clean side = corpus minus contaminated") {
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
     val corpus = Seq(
