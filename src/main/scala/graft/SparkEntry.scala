@@ -340,6 +340,12 @@ object SparkEntry {
     Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.4, dim = 64, planes = 4)
 
+  // SemDeDup: cluster-bounded semantic dedup (rows-only — the k-means
+  // fit has no SQL oracle; DedupSpec pins the selection rule).
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 16, tau = 0.4)
+
   // Duplicate clusters: verified minhash pairs -> connected components.
   // The pair list is quadratic inside a duplicate cluster; the cluster
   // map is linear — this is the form a 100 TB dedup actually keeps.
@@ -843,6 +849,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
+    "q_sem_dedup" -> (qSemDedup _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_cluster_band" -> (qDedupClusterBand _),
     "q_dedup_canonical" -> (qDedupCanonical _),

@@ -1040,7 +1040,7 @@ object Ann {
       struct(V.dot(v, typedlit(c.toSeq)).as("cs"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
-  private def ivfFit(corpus: DataFrame, nlist: Int, seed: Long,
+  private[operators] def ivfFit(corpus: DataFrame, nlist: Int, seed: Long,
       trainCap: Long): Either[DataFrame, (DataFrame, DataFrame)] = {
     // zero-norm vectors (failed/padded embeds — a reality at corpus
     // scale) are undefined under cosine and can't rank anyway — drop

@@ -406,6 +406,62 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023):
+    * k-means-cluster the embedding space, then inside each cluster drop
+    * every doc whose cosine similarity to a higher-priority clustermate
+    * reaches `tau`. Priority keeps the member FURTHEST from its
+    * centroid (SemDeDup's diversity rule — low centroid similarity
+    * first; ties break on min id), applied as the deterministic star
+    * rule: d drops iff some clustermate e with
+    * (csim_e, id_e) < (csim_d, id_d) has cos(d,e) ≥ tau. Returns the
+    * survivors as (id, cell, csim) — csim rounded 4dp; zero-norm
+    * vectors (failed embeds; cosine-undefined) survive with cell -1.
+    * A corpus no bigger than `k` dedups nothing: each doc would get
+    * its own cluster, so everything survives in cell -1.
+    *
+    * Scale shape: THE point of SemDeDup is that clustering bounds the
+    * quadratic — the only self-join is per-cell, so size k such that
+    * corpus/k cells fit a task (the paper's k ≈ √n; AQE splits skewed
+    * cells). Centroids train on [[Ann.ivfFit]]'s byte-bounded
+    * deterministic driver sample and broadcast as literals; cell
+    * assignment and the cosine are codegen'd expressions. Reuses the
+    * exact machinery the IVF index trusts, so cluster assignment here
+    * and vector search there agree on geometry. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      tau: Double, seed: Long = 42L, trainCap: Long = -1L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val excluded = v.filter(V.norm2(col("v")) <= 0)
+      .select(col("id"), lit(-1).as("cell"), lit(null).cast("double").as("csim"))
+    Ann.ivfFit(v, k, seed, trainCap) match {
+      case Left(_) =>
+        v.filter(V.norm2(col("v")) > 0)
+          .select(col("id"), lit(-1).as("cell"),
+            lit(null).cast("double").as("csim"))
+          .unionByName(excluded)
+      case Right((cells, centroids)) =>
+        val withSim = cells.join(broadcast(centroids), "cell")
+          .withColumn("nrm", V.norm2(col("v")))
+          // centroids are unit vectors, so no cv norm in the divisor
+          .select(col("id"), col("cell"), col("v"), col("nrm"),
+            (V.dot(col("v"), col("cv")) / col("nrm")).as("csim"))
+        val dropped = spread(withSim).as("x").join(withSim.as("y"),
+            col("x.cell") === col("y.cell") &&
+              (col("y.csim") < col("x.csim") ||
+                (col("y.csim") === col("x.csim") && col("y.id") < col("x.id"))))
+          .select(col("x.id").as("id"),
+            (V.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+              .as("raw"))
+          .filter(col("raw") >= tau - 1e-4) // prune before the BigDecimal round
+          .filter(round(col("raw"), 4) >= tau)
+          .select("id").distinct()
+        withSim.join(dropped, Seq("id"), "left_anti")
+          .select(col("id"), col("cell"), round(col("csim"), 4).as("csim"))
+          .unionByName(excluded)
+    }
+  }
+
   /** Connected components over near-dup pairs: every doc maps to the
     * minimum id reachable through the pair graph (its cluster id), plus
     * the cluster size. This is THE scale answer to giant duplicate

@@ -6,6 +6,38 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("semDedup: one survivor per identical-vector group, min id, deterministic") {
+    // three duplicate groups of well-separated directions + one unique
+    // vector + one zero-norm failed embed; 20 > k so kmeans actually fits
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val rows =
+      (0 until 18).map(i => (i.toLong, dirs(i % 3))) ++
+      Seq((18L, Seq(0.5, 0.5, 0.5, 0.5)), (19L, Seq(0.0, 0.0, 0.0, 0.0)))
+    val df = rows.toDF("id", "vec")
+    val out = Dedup.semDedup(df, "id", "vec", k = 2, tau = 0.9999)
+      .as[(Long, Int, Option[Double])].collect()
+    val ids = out.map(_._1).toSet
+    // identical directions always share a cell (same assignment
+    // expression), so each group keeps exactly its min id
+    assert(ids.intersect((0L until 18L).toSet) == Set(0L, 1L, 2L), s"got $ids")
+    assert(ids.contains(18L) && ids.contains(19L))
+    val zeroRow = out.find(_._1 == 19L).get
+    assert(zeroRow._2 == -1 && zeroRow._3.isEmpty)
+    // deterministic across runs and partitionings
+    val again = Dedup.semDedup(df.repartition(7), "id", "vec", k = 2,
+      tau = 0.9999).as[(Long, Int, Option[Double])].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // impossible tau -> everything survives
+    val all = Dedup.semDedup(df, "id", "vec", k = 2, tau = 1.01)
+      .select("id").as[Long].collect().toSet
+    assert(all == (0L until 20L).toSet)
+    // corpus <= k -> per-doc clusters, nothing drops, cell -1
+    val tiny = Dedup.semDedup(df.filter(col("id") < 3), "id", "vec",
+      k = 16, tau = 0.5).as[(Long, Int, Option[Double])].collect()
+    assert(tiny.map(_._1).toSet == Set(0L, 1L, 2L) && tiny.forall(_._2 == -1))
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog again and again " * 4
   private val docs = Seq(
     (1L, base),
