@@ -340,6 +340,12 @@ object SparkEntry {
     Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.4, dim = 64, planes = 4)
 
+  // Exact repeated-substring spans: every >=30-char run (in normalized
+  // text) that appears verbatim at least twice in the corpus.
+  private def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      w = 13, minLen = 30)
+
   // SemDeDup: cluster-bounded semantic dedup (rows-only — the k-means
   // fit has no SQL oracle; DedupSpec pins the selection rule).
   private def qSemDedup(s: SparkSession, dir: String): DataFrame =
@@ -850,6 +856,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_sem_dedup" -> (qSemDedup _),
+    "q_repeated_spans" -> (qRepeatedSpans _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_cluster_band" -> (qDedupClusterBand _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -1487,6 +1494,21 @@ object SparkEntry {
          | round(sum(c * -ln((cb + 1.0) / (cu + 1.0 * v))) / sum(c), 4) AS xent
          |FROM db JOIN cb USING (prev, tok) JOIN cu USING (prev) CROSS JOIN v
          |GROUP BY doc_id""".stripMargin,
+
+    // repeated-substring islands over 13-char shingle positions in the
+    // unseeded md5-32 space (the shingleHashSet hash); islands via the
+    // pos - row_number() gap-and-island trick on both engines
+    "q_repeated_spans" ->
+      s"""WITH sh AS (SELECT doc_id, i, ('0x' || substr(md5(substr(t, CAST(i AS INT), 13)), 1, 8))::BIGINT AS h
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 12)) AS i FROM ($normDoc) WHERE length(t) >= 13)),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, i FROM sh JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g FROM cov)
+         |SELECT doc_id AS id, CAST(min(i) AS BIGINT) AS span_start,
+         | CAST(max(i) + 12 AS BIGINT) AS span_end,
+         | CAST(max(i) - min(i) + 13 AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, g
+         |HAVING max(i) - min(i) + 13 >= 30""".stripMargin,
 
     // DSIR: hashed uni+bigram buckets (seeds 31/37, 2^14), add-1
     // smoothed target-vs-raw log-likelihood ratio; model tables built

@@ -406,6 +406,53 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** Exact repeated-substring spans (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" recipe, in the
+    * shingle domain): maximal runs of `w`-char shingle positions whose
+    * shingle occurs at least twice in the whole corpus — i.e. every
+    * substring of length ≥ `minLen` that appears verbatim elsewhere
+    * (cross-doc or repeated within a doc). Returns
+    * (id, span_start, span_end, span_len), 1-based char offsets into
+    * the NORMALIZED text (normText — the dedup-side text domain);
+    * docs shorter than `w` after normalization are skipped. Spans are
+    * in the md5-32 shingle hash space all dedup set math shares: a
+    * hash collision can mark a rare false position, the price every
+    * hashed variant of this algorithm pays (the paper's suffix array
+    * is exact but needs O(corpus) sorted memory).
+    *
+    * Scale shape: the shingle stream is O(total chars) but narrow
+    * (id, pos, hash); the duplicated-hash set comes from one map-side-
+    * combined groupBy, and the semi-join back keys on the hash (AQE
+    * broadcasts it when the corpus is mostly unique). The island
+    * grouping is a per-doc window — doc-bounded, never global. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 13, minLen: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 0 && minLen >= w, "need w > 0 and minLen >= w")
+    val base = spread(df)
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("t"))
+      // sequence(1, len-w+1) would run DESCENDING for len < w — filter,
+      // don't clamp (a short doc has no w-shingle positions at all)
+      .filter(length(col("t")) >= w)
+    val sh = base.select(col("id"),
+        explode(sequence(lit(1), length(col("t")) - (w - 1))).as("i"),
+        col("t"))
+      .select(col("id"), col("i"),
+        conv(substring(md5(col("t").substr(col("i"), lit(w))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val cov = sh.join(dup, Seq("h"), "left_semi")
+    val wn = Window.partitionBy("id").orderBy("i")
+    cov.withColumn("g", col("i") - row_number().over(wn))
+      .groupBy("id", "g")
+      .agg(min("i").cast("long").as("span_start"),
+        (max("i") + (w - 1)).cast("long").as("span_end"),
+        (max("i") - min("i") + w).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .drop("g")
+  }
+
   /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023):
     * k-means-cluster the embedding space, then inside each cluster drop
     * every doc whose cosine similarity to a higher-priority clustermate

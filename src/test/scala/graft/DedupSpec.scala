@@ -6,6 +6,38 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {
+    // docs 1 and 2 share one exact 45-char phrase with DIFFERING boundary
+    // chars (x|y vs q|z), so the islands cover exactly the phrase; doc 3
+    // doubles a 40-char phrase back-to-back; doc 4 is fully unique; doc 5
+    // is shorter than the shingle width
+    val shared = "the exact shared phrase appears right here o"
+    val rep = "internal repetition of this exact phrase" // 40 chars
+    assert(rep.length == 40)
+    val t1 = s"unique preamble alpha betax${shared}y gamma delta closing words"
+    val t2 = s"other opening textq${shared}z and a second ending entirely"
+    val t3 = s"start $rep$rep finish"
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3),
+      (4L, "nothing here occurs twice anywhere inside our corpus at all"),
+      (5L, "tiny")).toDF("id", "text")
+    val out = Dedup.repeatedSpans(corpus, "id", "text", w = 13, minLen = 30)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toList.sortBy(_._2)
+        .map(x => (x._2, x._3, x._4))).toMap
+    def at(t: String): (Long, Long, Long) = {
+      val s = t.indexOf(shared) + 1L // 1-based, inputs are already normText
+      (s, s + shared.length - 1, shared.length.toLong)
+    }
+    assert(out(1L) == List(at(t1)), s"got ${out.get(1L)}")
+    assert(out(2L) == List(at(t2)), s"got ${out.get(2L)}")
+    // doubled phrase AA (A=40 chars at pos 7): positions whose shingle
+    // repeats are 7..34 (first copy, mirrored at +40) and 47..74 — the
+    // junction shingles are unique, so exactly TWO 40-char islands
+    assert(out(3L) == List((7L, 46L, 40L), (47L, 86L, 40L)),
+      s"got ${out.get(3L)}")
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
   test("semDedup: one survivor per identical-vector group, min id, deterministic") {
     // three duplicate groups of well-separated directions + one unique
     // vector + one zero-norm failed embed; 20 > k so kmeans actually fits
