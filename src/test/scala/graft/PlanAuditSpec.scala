@@ -104,6 +104,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(Collections.readPartitions(spark, tmp, "part", Nil).count() == 25)
   }
 
+  test("curation scorers: model-table broadcasts and semi-joins are in the physical plan") {
+    import graft.operators.{Curate, Dedup}
+    val docs = (1L to 40L)
+      .map(i => (i, s"some text number $i with shared words repeated over"))
+      .toDF("id", "text")
+    // perplexityScore: the one-row vocabulary frame must arrive via a
+    // broadcast nested-loop join, never a shuffled cartesian
+    val pplPhys = Curate.perplexityScore(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(pplPhys.contains("BroadcastNestedLoopJoin"),
+      s"vocab cross join is not broadcast:\n$pplPhys")
+    // importanceWeight: both bucket-count model tables (<= buckets rows)
+    // must broadcast into the per-doc count join
+    val dsirPhys = Curate.importanceWeight(
+        docs.filter(col("id") > 5), docs.filter(col("id") <= 5),
+        "id", "text", buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(dsirPhys).size >= 2,
+      s"target/raw model tables not broadcast:\n$dsirPhys")
+    // repeatedSpans: coverage comes from a LEFT SEMI against the
+    // duplicated-hash set — the stream is never joined to itself
+    val spanPhys = Dedup.repeatedSpans(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(spanPhys.contains("LeftSemi"),
+      s"duplicated-hash restriction is not a semi-join:\n$spanPhys")
+  }
+
   test("queryPage: id-range and predicate reach the parquet scan; order-by-limit is a TakeOrdered") {
     val tmp = java.nio.file.Files.createTempDirectory("qpage").toString
     (1L to 500L).map(i => (i, s"s${i % 3}", i * 2))
