@@ -346,6 +346,12 @@ object SparkEntry {
     Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
       w = 13, minLen = 30)
 
+  // The transform half: normalized text with every repeated span cut
+  // out (Lee et al. delete substrings, not documents).
+  private def qRemoveSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      w = 13, minLen = 30)
+
   // SemDeDup: cluster-bounded semantic dedup (rows-only — the k-means
   // fit has no SQL oracle; DedupSpec pins the selection rule).
   private def qSemDedup(s: SparkSession, dir: String): DataFrame =
@@ -857,6 +863,7 @@ object SparkEntry {
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_repeated_spans" -> (qRepeatedSpans _),
+    "q_remove_spans" -> (qRemoveSpans _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_cluster_band" -> (qDedupClusterBand _),
     "q_dedup_canonical" -> (qDedupCanonical _),
@@ -1509,6 +1516,27 @@ object SparkEntry {
          | CAST(max(i) - min(i) + 13 AS BIGINT) AS span_len
          |FROM isl GROUP BY doc_id, g
          |HAVING max(i) - min(i) + 13 >= 30""".stripMargin,
+
+    // span removal: keep exactly the chars no flagged span covers —
+    // the oracle keeps chars via NOT-EXISTS-in-span and reassembles
+    // with an ordered string_agg; the Spark side splices with a
+    // clamped-cursor aggregate() — same kept-char set by construction
+    "q_remove_spans" ->
+      s"""WITH sh AS (SELECT doc_id, i, ('0x' || substr(md5(substr(t, CAST(i AS INT), 13)), 1, 8))::BIGINT AS h
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 12)) AS i FROM ($normDoc) WHERE length(t) >= 13)),
+         |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, i FROM sh JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g FROM cov),
+         |sp AS (SELECT doc_id, min(i) AS s, max(i) + 12 AS e
+         |       FROM isl GROUP BY doc_id, g HAVING max(i) - min(i) + 13 >= 30),
+         |ch AS (SELECT doc_id, j, substr(t, CAST(j AS INT), 1) AS c
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS j FROM ($normDoc))),
+         |kept AS (SELECT doc_id, string_agg(c, '' ORDER BY j) AS clean
+         |         FROM ch WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = ch.doc_id AND ch.j BETWEEN sp.s AND sp.e)
+         |         GROUP BY doc_id)
+         |SELECT d.doc_id AS id, coalesce(kept.clean, '') AS clean
+         |FROM ($normDoc) d LEFT JOIN kept USING (doc_id)""".stripMargin,
 
     // DSIR: hashed uni+bigram buckets (seeds 31/37, 2^14), add-1
     // smoothed target-vs-raw log-likelihood ratio; model tables built

@@ -453,6 +453,42 @@ object Dedup {
       .drop("g")
   }
 
+  /** The transform half of [[repeatedSpans]]: delete every flagged span
+    * from the normalized text and reassemble what's left (Lee et al.
+    * cut the repeated substrings out of the training set rather than
+    * dropping whole docs). Returns (id, clean) — every doc survives,
+    * clean = normText minus covered chars ('' when fully covered).
+    * Adjacent islands can OVERLAP in char space (a one-position gap in
+    * shingle starts is fewer than `w` chars), so the splice clamps:
+    * each kept piece is max(span_start - cursor, 0) chars and the
+    * cursor only moves forward.
+    *
+    * Scale shape: [[repeatedSpans]]'s plan plus one per-doc
+    * collect_list (bounded by spans-per-doc, not text size) and a
+    * codegen'd aggregate() splice — no extra shuffle beyond the span
+    * groupBy, no driver-side strings. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 13, minLen: Int = 30): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, w, minLen)
+      .groupBy("id").agg(sort_array(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    val base = df.select(col(idCol).as("id"), T.normText(col(textCol)).as("t"))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"), when(col("sp").isNull, col("t")).otherwise(
+        aggregate(col("sp"),
+          struct(lit("").as("acc"), lit(1L).as("pos")),
+          (st, x) => struct(
+            concat(st.getField("acc"),
+              col("t").substr(st.getField("pos").cast("int"),
+                greatest(x.getField("s") - st.getField("pos"), lit(0L))
+                  .cast("int"))).as("acc"),
+            greatest(st.getField("pos"), x.getField("e") + lit(1L)).as("pos")),
+          st => concat(st.getField("acc"),
+            col("t").substr(st.getField("pos").cast("int"),
+              greatest(length(col("t")).cast("long") - st.getField("pos") + 1L,
+                lit(0L)).cast("int"))))).as("clean"))
+  }
+
   /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023):
     * k-means-cluster the embedding space, then inside each cluster drop
     * every doc whose cosine similarity to a higher-priority clustermate

@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == List((7L, 46L, 40L), (47L, 86L, 40L)),
       s"got ${out.get(3L)}")
     assert(!out.contains(4L) && !out.contains(5L))
+
+    // the transform half: spans cut out, everything else verbatim
+    val clean = Dedup.removeRepeatedSpans(corpus, "id", "text",
+        w = 13, minLen = 30)
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == t1.replace(shared, ""), s"got '${clean(1L)}'")
+    assert(clean(2L) == t2.replace(shared, ""))
+    // doc 3 loses chars 7..86 (both islands) -> "start " ++ " finish"
+    assert(clean(3L) == "start  finish", s"got '${clean(3L)}'")
+    assert(clean(4L) == "nothing here occurs twice anywhere inside our corpus at all")
+    assert(clean(5L) == "tiny")
   }
 
   test("semDedup: one survivor per identical-vector group, min id, deterministic") {
