@@ -434,12 +434,15 @@ object Dedup {
       // sequence(1, len-w+1) would run DESCENDING for len < w — filter,
       // don't clamp (a short doc has no w-shingle positions at all)
       .filter(length(col("t")) >= w)
+    // cached: the O(total chars) explode+md5 stream feeds both the
+    // duplicated-hash groupBy and the semi-join probe side
     val sh = base.select(col("id"),
         explode(sequence(lit(1), length(col("t")) - (w - 1))).as("i"),
         col("t"))
       .select(col("id"), col("i"),
         conv(substring(md5(col("t").substr(col("i"), lit(w))), 1, 8), 16, 10)
           .cast("long").as("h"))
+      .cache()
     val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val cov = sh.join(dup, Seq("h"), "left_semi")
@@ -518,17 +521,19 @@ object Dedup {
     val excluded = v.filter(V.norm2(col("v")) <= 0)
       .select(col("id"), lit(-1).as("cell"), lit(null).cast("double").as("csim"))
     Ann.ivfFit(v, k, seed, trainCap) match {
-      case Left(_) =>
-        v.filter(V.norm2(col("v")) > 0)
-          .select(col("id"), lit(-1).as("cell"),
+      case Left(clean) => // ivfFit's pre-filtered corpus — don't re-derive
+        clean.select(col("id"), lit(-1).as("cell"),
             lit(null).cast("double").as("csim"))
           .unionByName(excluded)
       case Right((cells, centroids)) =>
+        // cached: the assignment (k dot products per vector) feeds both
+        // self-join sides AND the survivors' anti-join — one pass, not 3
         val withSim = cells.join(broadcast(centroids), "cell")
           .withColumn("nrm", V.norm2(col("v")))
           // centroids are unit vectors, so no cv norm in the divisor
           .select(col("id"), col("cell"), col("v"), col("nrm"),
             (V.dot(col("v"), col("cv")) / col("nrm")).as("csim"))
+          .cache()
         val dropped = spread(withSim).as("x").join(withSim.as("y"),
             col("x.cell") === col("y.cell") &&
               (col("y.csim") < col("x.csim") ||

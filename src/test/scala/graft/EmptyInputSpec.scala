@@ -59,6 +59,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(MlEmbed.word2vecDense(noDocs, "text", dim = 8).count() == 0)
   }
 
+  test("curation scorers and span dedup over empty inputs") {
+    // empty corpus: empty score/span frames, no throw
+    assert(Curate.perplexityScore(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.repeatedSpans(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.removeRepeatedSpans(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.semDedup(noVecs, "id", "v", k = 4, tau = 0.5).count() == 0)
+    val target = Seq((100L, "target text here")).toDF("doc_id", "text")
+    assert(Curate.importanceWeight(noDocs, target, "doc_id", "text").count() == 0)
+    // a featureless TARGET is a caller error — fail loudly, never
+    // silently null every weight
+    val corpus = Seq((1L, "corpus text")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curate.importanceWeight(corpus, noDocs, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Curate.importanceWeight(corpus,
+        Seq((9L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+
   test("iterators, canonical selection, partitions over empty inputs") {
     // empty corpus: one empty page from the cursor search, no throw
     assert(Ann.searchIteratorPage(noVecs, someQs, pageSize = 5).count() == 0)
