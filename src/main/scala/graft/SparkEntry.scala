@@ -415,6 +415,12 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25, "es" -> 0.1), default = 0.0)
       .select("doc_id", "lang")
 
+  // Token-budget mixture: fill 20k EN / 15k ZH tokens from the
+  // deterministic hash-ordered prefix of each language.
+  private def qBudgetSample(s: SparkSession, dir: String): DataFrame =
+    Curate.budgetSample(t(s, dir, "documents"), "doc_id", "text", "lang",
+      Map("en" -> 20000L, "zh" -> 15000L), buckets = 16)
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
       budget = 1024, shards = 32)
@@ -872,6 +878,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
+    "q_budget_sample" -> (qBudgetSample _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1484,6 +1491,20 @@ object SparkEntry {
         | FROM tk)
         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
         | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
+
+    // budget sampling: the oracle's single per-stratum running sum
+    // equals the distributed bucket-offset + local-window form by
+    // construction (same (hash, id) total order)
+    "q_budget_sample" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+        |  ('0x' || substr(md5('41#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        | FROM documents WHERE lang IN ('en', 'zh')),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM tk)
+        |SELECT doc_id AS id, lang AS stratum, n_tok, CAST(cum AS BIGINT) AS cum_tok
+        |FROM c WHERE cum <= CASE lang WHEN 'en' THEN 20000 ELSE 15000 END""".stripMargin,
 
     // add-1 bigram LM over the shared tokenizer, scored structurally
     // identically on both engines (per-doc bigram counts, then

@@ -192,6 +192,63 @@ object Curate {
             - log((col("cr") + k) / (col("tr") + kb)))), 4).as("logw"))
   }
 
+  /** Token-budget mixture sampling: fill each stratum's token budget
+    * with the deterministic hash-ordered prefix of its docs — the
+    * data-mixing step that assembles a training set as "N tokens of
+    * source A, M of source B" rather than by keep fractions
+    * ([[stratifiedSample]]'s domain). A doc is kept iff the running
+    * token total through it stays ≤ its stratum's budget; strata
+    * absent from `budgets` are dropped. Returns
+    * (id, stratum, n_tok, cum_tok). Deterministic under re-runs and
+    * repartitioning: the order is (hash32(seed, id), id), never
+    * partition order.
+    *
+    * Scale shape: a global per-stratum running sum is inherently
+    * sequential, so it is computed as a DISTRIBUTED PREFIX SUM — docs
+    * range-bucket by hash; per-(stratum, bucket) token sums (one
+    * map-side-combined groupBy, ≤ strata×buckets rows) come to the
+    * driver for an exclusive prefix; each bucket then runs its own
+    * window with the offset added. No stratum-wide single-partition
+    * window — the per-bucket windows are the only sorts, and `buckets`
+    * bounds their size at corpus/buckets. The driver collect is bounded
+    * by budgets.size × buckets, independent of corpus size. */
+  def budgetSample(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgets: Map[String, Long], buckets: Int = 64,
+      seed: Int = 41): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-empty and non-negative")
+    val base = df
+      .filter(col(stratumCol).cast("string").isin(budgets.keySet.toSeq: _*))
+      .select(col(idCol).as("id"),
+        col(stratumCol).cast("string").as("stratum"),
+        T.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("h", H.hash32(seed, col("id").cast("string")))
+      // range bucket, monotone in h: global (h, id) order ==
+      // (bkt, h, id) order; hash ties share a bucket by construction
+      .withColumn("bkt",
+        (col("h") * buckets / lit(4294967296L)).cast("int"))
+    val s = df.sparkSession
+    import s.implicits._
+    val bucketSums = base.groupBy("stratum", "bkt")
+      .agg(sum("n_tok").as("bt"))
+      .as[(String, Int, Long)].collect()
+    val offsets = bucketSums.groupBy(_._1).toSeq.flatMap {
+      case (stratum, rows) =>
+        rows.sortBy(_._2).scanLeft((stratum, -1, 0L, 0L)) {
+          case ((_, _, acc, _), (_, bkt, bt)) => (stratum, bkt, acc + bt, acc)
+        }.drop(1).map { case (st, bkt, _, off) => (st, bkt, off) }
+    }.toDF("stratum", "bkt", "off")
+    val w = Window.partitionBy("stratum", "bkt").orderBy("h", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("stratum", "bkt"))
+      .withColumn("cum_tok", col("off") + sum("n_tok").over(w))
+      .filter(col("cum_tok") <=
+        element_at(typedlit(budgets), col("stratum")))
+      .select("id", "stratum", "n_tok", "cum_tok")
+  }
+
   /** Sequence packing (concat-and-chop): assign docs to fixed-token-
     * budget training sequences. Docs are sharded deterministically by
     * id hash, ordered by id within the shard, and laid end-to-end; a

@@ -94,6 +94,41 @@ class CurateSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("budgetSample: hash-ordered prefix per stratum, distributed offsets exact") {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"41#$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    }
+    // ~60 docs, 2 budgeted strata + 1 unbudgeted; varied token counts
+    val rows = (1L to 60L).map { i =>
+      val lang = Seq("en", "zh", "xx")(((i % 3)).toInt)
+      (i, (s"tok " * ((i % 7) + 1).toInt).trim, lang)
+    }
+    val df = rows.toDF("id", "text", "lang")
+    val budgets = Map("en" -> 30L, "zh" -> 25L)
+    // independent plain-Scala oracle: order by (hash, id), prefix-fill
+    val expect = rows.filter(r => budgets.contains(r._3)).groupBy(_._3)
+      .flatMap { case (lang, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (h32(d._1.toString), d._1)).flatMap { d =>
+          val n = d._2.split(" ").length.toLong
+          cum += n
+          if (cum <= budgets(lang)) Some((d._1, lang, n, cum)) else None
+        }
+      }.toSet
+    // buckets=4 forces several non-trivial driver-side offsets
+    val got = Curate.budgetSample(df, "id", "text", "lang", budgets,
+      buckets = 4).as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.nonEmpty && !got.exists(_._2 == "xx"))
+    // deterministic under repartitioning and a different bucket count
+    val again = Curate.budgetSample(df.repartition(13), "id", "text",
+      "lang", budgets, buckets = 7).as[(Long, String, Long, Long)]
+      .collect().toSet
+    assert(again == got)
+  }
+
   test("decontaminate: clean side = corpus minus contaminated") {
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
     val corpus = Seq(
