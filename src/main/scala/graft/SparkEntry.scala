@@ -522,6 +522,16 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text"))
   }
 
+  // Within-doc line dedup: both engines synthesize a 3-segment doc
+  // whose third segment duplicates its first; only the first survives.
+  private def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val pdocs = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 80), lit("\n"),
+        md5(col("doc_id").cast("string")), lit("\n"),
+        substring(col("text"), 1, 80)).as("text"))
+    Dedup.dedupLinesInDoc(pdocs, "doc_id", "text")
+  }
+
   // Milvus range search: radius < score <= range_filter, capped at limit
   private def qAnnRange(s: SparkSession, dir: String): DataFrame =
     Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
@@ -862,6 +872,7 @@ object SparkEntry {
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_segments" -> (qDedupSegments _),
+    "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1491,6 +1502,17 @@ object SparkEntry {
         | FROM tk)
         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
         | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
+
+    // within-doc line dedup over the same synthesized 3-segment doc:
+    // group to first occurrence per (doc, segment), reassemble in order
+    "q_dedup_lines" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 80) || chr(10) || md5(CAST(doc_id AS VARCHAR)) || chr(10) || substr(text, 1, 80) AS t FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d),
+        |e AS (SELECT doc_id, i, segs[i] AS seg
+        |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i FROM l)),
+        |f AS (SELECT doc_id, seg, min(i) AS i FROM e GROUP BY 1, 2)
+        |SELECT doc_id AS id, string_agg(seg, chr(10) ORDER BY i) AS clean
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     // budget sampling: the oracle's single per-stratum running sum
     // equals the distributed bucket-offset + local-window form by

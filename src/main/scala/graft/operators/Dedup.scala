@@ -91,6 +91,29 @@ object Dedup {
           s => s.getField("seg")), sep).as("text"))
   }
 
+  /** Within-doc segment dedup (the RefinedWeb/line-dedup preprocessing
+    * step): keep only the FIRST occurrence of each `sep`-delimited
+    * segment inside its own document, preserving order — boilerplate
+    * that repeats within a page (nav blocks, cookie banners, footers)
+    * goes; [[dedupSegments]] stays the cross-corpus form. Returns
+    * (id, clean).
+    *
+    * Scale shape: a pure per-row Catalyst expression — split, an
+    * aggregate() fold that appends only unseen segments (quadratic in
+    * SEGMENTS PER DOC, which is doc-bounded), array_join. Zero
+    * shuffles, zero state: it runs at scan speed on any corpus size
+    * and pushes through whole-stage codegen. */
+  def dedupLinesInDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_join(
+        aggregate(
+          split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          array().cast("array<string>"),
+          (acc, x) => when(array_contains(acc, x), acc)
+            .otherwise(concat(acc, array(x)))),
+        sep).as("clean"))
+
   /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops
     * shingles occurring in more than maxDf docs (stopword-shingles add
     * candidates without discriminating — the classic LSH hot-key cap,

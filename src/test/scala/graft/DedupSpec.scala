@@ -6,6 +6,24 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupLinesInDoc: keeps first occurrence per doc, preserves order, no shuffle") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\nd"),   // scattered dups
+      (2L, "x\nx\nx"),             // all-dup collapses to one
+      (3L, "only one line"),
+      (4L, ""),                    // empty stays empty
+      (5L, "b\na")                 // doc 1's lines: per-DOC dedup only
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesInDoc(docs, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a\nb\nc\nd", 2L -> "x", 3L -> "only one line",
+      4L -> "", 5L -> "b\na"), s"got $out")
+    // zero-shuffle claim: no Exchange anywhere in the plan
+    val phys = Dedup.dedupLinesInDoc(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"unexpected shuffle:\n$phys")
+  }
+
   test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {
     // docs 1 and 2 share one exact 45-char phrase with DIFFERING boundary
     // chars (x|y vs q|z), so the islands cover exactly the phrase; doc 3
