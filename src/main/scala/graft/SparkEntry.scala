@@ -415,6 +415,12 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25, "es" -> 0.1), default = 0.0)
       .select("doc_id", "lang")
 
+  // Gopher quality rules: every metric + the composite pass, with a
+  // word floor low enough that the synthetic corpus splits both ways.
+  private def qGopher(s: SparkSession, dir: String): DataFrame =
+    Curate.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
+      minWords = 20)
+
   // Token-budget mixture: fill 20k EN / 15k ZH tokens from the
   // deterministic hash-ordered prefix of each language.
   private def qBudgetSample(s: SparkSession, dir: String): DataFrame =
@@ -890,6 +896,7 @@ object SparkEntry {
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
     "q_budget_sample" -> (qBudgetSample _),
+    "q_gopher" -> (qGopher _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1502,6 +1509,25 @@ object SparkEntry {
         | FROM tk)
         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
         | CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
+
+    // Gopher rules, word = \s+-delimited (not the [A-Za-z0-9]+ token
+    // contract — Gopher counts raw words); ratios rounded 4dp
+    "q_gopher" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS ws,
+        |  (length(text) - length(replace(text, '#', ''))) +
+        |    CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS sym
+        | FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 4) AS mean_word_len,
+        |  round(CAST(sym AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 4) AS alpha_ratio,
+        |  CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS stop_hits
+        | FROM w WHERE len(ws) > 0)
+        |SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+        | (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
+        |  AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS pass
+        |FROM m""".stripMargin,
 
     // within-doc line dedup over the same synthesized 3-segment doc:
     // group to first occurrence per (doc, segment), reassemble in order

@@ -192,6 +192,45 @@ object Curate {
             - log((col("cr") + k) / (col("tr") + kb)))), 4).as("logw"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, the canonical pre-training
+    * document filter) as one per-row pass: word count bounds, mean
+    * word length in [3, 10], symbol-to-word ratio (# and ...) ≤ 0.1,
+    * ≥ 80% of words containing an alphabetic char, and ≥ 2 hits from
+    * the 8-stopword list (the|be|to|of|and|that|have|with). Returns
+    * every metric plus the composite `pass` so callers can loosen
+    * individual rules downstream; docs with zero words are absent
+    * (they trivially fail). Ratios rounded 4dp for the cross-engine
+    * contract.
+    *
+    * Scale shape: pure per-row Catalyst (split + array folds) — zero
+    * shuffles, scan speed, whole-stage codegen. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(trim(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val t = col(textCol)
+    val symbols = (length(t) - length(regexp_replace(t, "#", ""))) +
+      floor((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+    df.select(col(idCol).as("id"), words.as("ws"), symbols.as("sym"))
+      .filter(size(col("ws")) > 0)
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(aggregate(col("ws"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / size(col("ws")), 4).as("mean_word_len"),
+        round(col("sym").cast("double") / size(col("ws")), 4)
+          .as("symbol_ratio"),
+        round(size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
+          .cast("double") / size(col("ws")), 4).as("alpha_ratio"),
+        size(filter(col("ws"), w => lower(w).isin(stop: _*)))
+          .cast("long").as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+        col("symbol_ratio") <= 0.1 && col("alpha_ratio") >= 0.8 &&
+        col("stop_hits") >= 2)
+  }
+
   /** Token-budget mixture sampling: fill each stratum's token budget
     * with the deterministic hash-ordered prefix of its docs — the
     * data-mixing step that assembles a training set as "N tokens of

@@ -94,6 +94,36 @@ class CurateSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("gopherFilter: each rule trips independently; zero-word docs absent") {
+    val good = "the quick brown fox and the lazy dog have gone to the market " +
+      "with plenty of words that keep every single gopher rule happy today " +
+      "because nothing here is strange or repetitive in any measurable way"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too few words to pass"),                 // word floor
+      (3L, good + " ####### ##### #### ### ## # #"), // symbol ratio
+      (4L, ("9999 8888 " * 20) + "the of and"),      // alpha ratio
+      (5L, "x ".repeat(30).trim),                    // no stopwords, short words
+      (6L, "   ")                                    // zero words -> absent
+    ).toDF("id", "text")
+    val out = Curate.gopherFilter(docs, "id", "text", minWords = 20)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("pass"), r.getAs[Long]("n_words"))).toMap
+    assert(out(1L)._1 === true, s"good doc failed: ${out(1L)}")
+    assert(out(2L)._1 === false && out(2L)._2 == 5L)
+    assert(out(3L)._1 === false)
+    assert(out(4L)._1 === false)
+    assert(out(5L)._1 === false)
+    assert(!out.contains(6L))
+    // mean word length of doc 1 matches the obvious hand computation
+    val ws = good.split("\\s+")
+    val mean = BigDecimal(ws.map(_.length).sum.toDouble / ws.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Curate.gopherFilter(docs, "id", "text", minWords = 20)
+      .filter(col("id") === 1).collect().head
+    assert(row.getAs[Double]("mean_word_len") == mean)
+  }
+
   test("budgetSample: hash-ordered prefix per stratum, distributed offsets exact") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
