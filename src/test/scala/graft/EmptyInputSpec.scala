@@ -77,6 +77,12 @@ class EmptyInputSpec extends SparkSpec {
       Curate.importanceWeight(corpus,
         Seq((9L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
     }
+    // the later round-7 trio: empty in, empty out, no throw
+    val noLang = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Curate.budgetSample(noLang, "doc_id", "text", "lang",
+      Map("en" -> 100L)).count() == 0)
+    assert(Dedup.dedupLinesInDoc(noDocs, "doc_id", "text").count() == 0)
+    assert(Curate.gopherFilter(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("iterators, canonical selection, partitions over empty inputs") {
