@@ -248,7 +248,7 @@ object SparkEntry {
     // same-corpus runs sharing one staging dir would race overwrite /
     // listStatus / rename (the final rename over identical bytes stays
     // benign; the staging steps are not).
-    val key = Integer.toHexString(dir.hashCode)
+    val key = dirKey(dir)
     val path = s"/tmp/graft_jsonl_probe_$key.jsonl"
     val stage = s"/tmp/graft_jsonl_probe_${key}_stage_" +
       java.util.UUID.randomUUID.toString
@@ -366,7 +366,7 @@ object SparkEntry {
     * (the cluster query, canonical selection) reads ([[buildOnce]],
     * the persisted-index argument). */
   private def clusterMapDir(s: SparkSession, dir: String): String =
-    buildOnce(s"/tmp/graft_cluster_map_${Integer.toHexString(dir.hashCode)}") {
+    buildOnce(s"/tmp/graft_cluster_map_${dirKey(dir)}") {
       d =>
       Dedup.dupClusters(
         Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -592,7 +592,7 @@ object SparkEntry {
     * against the q_ann_binary oracle — the proof that pack-at-build
     * loses nothing vs pack-per-search. */
   private def qAnnBinaryIndex(s: SparkSession, dir: String): DataFrame = {
-    val idx = s"/tmp/graft_bin_idx_${Integer.toHexString(dir.hashCode)}"
+    val idx = s"/tmp/graft_bin_idx_${dirKey(dir)}"
     Ann.buildBinaryIndex(corpus(s, dir), idx, dim = 64)
     Ann.searchBinaryIndex(s, idx, queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("hamming"), col("rank").cast("long"))
@@ -624,6 +624,17 @@ object SparkEntry {
   private val builtIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Collision-resistant scratch-path key for a data dir. String.hashCode
+    * collisions between two dirs in one JVM would silently serve one
+    * corpus's scratch index for the other (and the per-JVM memo would
+    * pin the mistake), so scratch paths key on the md5 of the absolute
+    * path instead. */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private def buildOnce(idx: String)(build: String => Unit): String = {
     if (!builtIndexes.contains(idx))
       builtIndexes.synchronized {
@@ -637,7 +648,7 @@ object SparkEntry {
     * q_hybrid_index's sparse branch (identical postings, identical
     * bucket count). */
   private def sparseIdx(s: SparkSession, dir: String): String =
-    buildOnce(s"/tmp/graft_sparse_idx_${Integer.toHexString(dir.hashCode)}") { idx =>
+    buildOnce(s"/tmp/graft_sparse_idx_${dirKey(dir)}") { idx =>
       val postings = Ingest.sparseTerms(t(s, dir, "documents"), Seq("doc_id"), "text")
         .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
       Ann.buildSparseIndex(postings, idx, buckets = 32)
@@ -707,7 +718,7 @@ object SparkEntry {
   /** The shared persisted IVF index over the embeddings — one build
     * behind both hybrid-index queries. */
   private def hybIvfIdx(s: SparkSession, dir: String): String =
-    buildOnce(s"/tmp/graft_hyb_ivf_idx_${Integer.toHexString(dir.hashCode)}") {
+    buildOnce(s"/tmp/graft_hyb_ivf_idx_${dirKey(dir)}") {
       idx => Ann.buildIvfIndex(corpus(s, dir), idx, nlist = 16)
     }
 
@@ -741,7 +752,7 @@ object SparkEntry {
     * PartitionFilters keep every other label's files unopened. */
   private def qAnnPartitions(s: SparkSession, dir: String): DataFrame = {
     val coll = buildOnce(
-      s"/tmp/graft_part_coll_${Integer.toHexString(dir.hashCode)}") { d =>
+      s"/tmp/graft_part_coll_${dirKey(dir)}") { d =>
       Collections.writePartitioned(
         t(s, dir, "embeddings").select(col("vec_id").as("id"),
           col("embedding").as("v"), col("label")), d, "label")

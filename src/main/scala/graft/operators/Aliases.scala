@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path, UnsupportedFileSystemException}
 
 /** Milvus alias surface (create_alias / alter_alias / drop_alias):
   * a level of indirection between the name searchers use and the
@@ -37,13 +37,21 @@ object Aliases {
     val out = fs.create(tmp, true)
     try out.write(target.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename onto an existing file is not portable overwrite — drop the
-    // old pointer inside the same call; the tmp write above already
-    // holds the full new value, so a crash here leaves either pointer
-    // intact (old not yet deleted, or new already renamed), never a
-    // torn one
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"alias commit rename $tmp -> $p failed")
+    // Overwrite-atomic commit: FileContext.rename(OVERWRITE) replaces
+    // the old pointer in one operation, so a concurrent resolveAlias
+    // observes the old target or the new one — never a missing alias.
+    // Filesystems without a FileContext binding fall back to
+    // delete-then-rename; resolveAlias covers that gap by falling back
+    // to the staged tmp (which already holds the full new value).
+    try {
+      val fc = FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"alias commit rename $tmp -> $p failed")
+    }
   }
 
   /** Register a new alias. Fails if the name is taken (Milvus
@@ -74,16 +82,27 @@ object Aliases {
     require(fs.delete(p, false), s"failed to delete alias $p")
   }
 
-  /** The directory an alias currently points at. */
+  /** The directory an alias currently points at. If the pointer file is
+    * momentarily absent because a delete-then-rename fallback swap is in
+    * flight, the staged `_tmp` sibling (which holds the complete new
+    * target) answers instead — a reader never sees a registered alias
+    * vanish mid-swap. */
   def resolveAlias(spark: SparkSession, registry: String,
       alias: String): String = {
     val fs = fsOf(spark, registry)
     val p = aliasPath(registry, alias)
-    require(fs.exists(p), s"alias '$alias' does not exist in $registry")
-    val in = fs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    def read(path: Path): String = {
+      val in = fs.open(path)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    if (fs.exists(p)) read(p)
+    else {
+      val tmp = new Path(registry, s"${alias}_tmp")
+      require(fs.exists(tmp), s"alias '$alias' does not exist in $registry")
+      read(tmp)
+    }
   }
 
   /** Every (alias, target) pair in the registry. */

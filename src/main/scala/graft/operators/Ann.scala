@@ -128,7 +128,16 @@ object Ann {
     * the rank window — so each page's shuffle carries only the
     * remaining tail, the Spark analog of Milvus's moving-radius range
     * search, instead of re-ranking offset+page rows like [[pagedTopK]].
-    * `rank` in the output is page-local (1..pageSize). */
+    * `rank` in the output is page-local (1..pageSize).
+    *
+    * Cursor protocol: a query ABSENT from `cursors` starts from the
+    * top (page 1) — so a caller deriving cursors from a previous page
+    * must not simply omit exhausted queries (a short page yields no
+    * rank==pageSize row) or they'd silently re-fetch page 1. Mark a
+    * query exhausted EXPLICITLY with a cursor row whose `cur_id` is
+    * null — it then yields no rows at all. [[searchIterator]] manages
+    * this by dropping exhausted queries from its live set; manual
+    * callers should pass the null-cursor marker. */
   def searchIteratorPage(corpus: DataFrame, queries: DataFrame,
       pageSize: Int, cursors: Option[DataFrame] = None,
       metric: String = "cosine"): DataFrame = {
@@ -138,15 +147,77 @@ object Ann {
     val remaining = cursors match {
       case None => scored
       case Some(cur) =>
-        scored.join(broadcast(cur), Seq("qid"), "left")
-          .filter(col("cur_id").isNull ||
-            col("score") < col("cur_score") ||
-            (col("score") === col("cur_score") && col("id") > col("cur_id")))
-          .drop("cur_score", "cur_id")
+        // has_cur distinguishes "query not in cursors" (start from the
+        // top) from "cursor row with null cur_id" (explicitly
+        // exhausted — emit nothing)
+        scored.join(broadcast(cur.withColumn("has_cur", lit(true))),
+            Seq("qid"), "left")
+          .filter(col("has_cur").isNull ||
+            (col("cur_id").isNotNull &&
+              (col("score") < col("cur_score") ||
+                (col("score") === col("cur_score") && col("id") > col("cur_id")))))
+          .drop("cur_score", "cur_id", "has_cur")
     }
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     remaining.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= pageSize)
+  }
+
+  /** A [[searchIterator]] handle: an `Iterator[DataFrame]` that also
+    * closes. Each page is persisted so the cursor probe and the
+    * consumer share the computation; the iterator unpersists each page
+    * when the NEXT one is fetched, but the page currently in flight —
+    * the last one, for a completed drain, or the most recent one, for
+    * an abandoned drain — stays persisted until `close()` releases it
+    * (use a `Using` block). `close()` is idempotent and safe at any
+    * point; the iterator is drained afterwards. */
+  final class SearchPager private[Ann](corpus: DataFrame, queries: DataFrame,
+      pageSize: Int, metric: String)
+      extends Iterator[DataFrame] with AutoCloseable {
+    private var live = queries
+    private var cursors: Option[DataFrame] = None
+    private var staged: Option[DataFrame] = None
+    private var prev: Option[DataFrame] = None
+    private var done = false
+    private def fetch(): Unit = {
+      if (staged.nonEmpty || done) return
+      val page = searchIteratorPage(corpus, live, pageSize, cursors, metric)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // full page (rank == pageSize present) → the query has more;
+      // short page → exhausted, drop it from subsequent rounds. The
+      // cursor frame is rebuilt from collected literals (one row per
+      // live query) so page plans never chain across pages.
+      val lastFrame = page.filter(col("rank") === pageSize)
+        .select(col("qid"), col("score").as("cur_score"),
+          col("id").as("cur_id"))
+      val lastHits = lastFrame.collect()
+      if (lastHits.isEmpty) {
+        done = true
+        if (page.isEmpty) { page.unpersist(); prev.foreach(_.unpersist()); prev = None; return }
+      } else {
+        val cur = corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(lastHits: _*), lastFrame.schema)
+        cursors = Some(cur)
+        live = live.join(broadcast(cur.select("qid")), Seq("qid"), "left_semi")
+      }
+      prev.foreach(_.unpersist())
+      prev = Some(page)
+      staged = Some(page)
+    }
+    override def hasNext: Boolean = { fetch(); staged.nonEmpty }
+    override def next(): DataFrame = {
+      fetch()
+      val p = staged.getOrElse(throw new NoSuchElementException("iterator drained"))
+      staged = None
+      p
+    }
+    /** Release the in-flight persisted page and stop iterating. */
+    override def close(): Unit = {
+      prev.foreach(_.unpersist())
+      prev = None
+      staged = None
+      done = true
+    }
   }
 
   /** Drain [[searchIteratorPage]] lazily: each `next()` materializes one
@@ -154,48 +225,13 @@ object Ann {
     * computation), advances the per-query cursors from the page's last
     * hits — one O(#queries) collect per page — and drops queries whose
     * page came back short (exhausted). Stop pulling to stop scanning;
-    * nothing beyond the current page is ever resident. */
+    * nothing beyond the current page is ever resident. The returned
+    * [[SearchPager]] is AutoCloseable: `close()` it when done (whether
+    * drained or abandoned early) to release the in-flight persisted
+    * page. */
   def searchIterator(corpus: DataFrame, queries: DataFrame,
-      pageSize: Int, metric: String = "cosine"): Iterator[DataFrame] =
-    new Iterator[DataFrame] {
-      private var live = queries
-      private var cursors: Option[DataFrame] = None
-      private var staged: Option[DataFrame] = None
-      private var prev: Option[DataFrame] = None
-      private var done = false
-      private def fetch(): Unit = {
-        if (staged.nonEmpty || done) return
-        val page = searchIteratorPage(corpus, live, pageSize, cursors, metric)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // full page (rank == pageSize present) → the query has more;
-        // short page → exhausted, drop it from subsequent rounds. The
-        // cursor frame is rebuilt from collected literals (one row per
-        // live query) so page plans never chain across pages.
-        val lastFrame = page.filter(col("rank") === pageSize)
-          .select(col("qid"), col("score").as("cur_score"),
-            col("id").as("cur_id"))
-        val lastHits = lastFrame.collect()
-        if (lastHits.isEmpty) {
-          done = true
-          if (page.isEmpty) { page.unpersist(); prev.foreach(_.unpersist()); return }
-        } else {
-          val cur = corpus.sparkSession.createDataFrame(
-            java.util.Arrays.asList(lastHits: _*), lastFrame.schema)
-          cursors = Some(cur)
-          live = live.join(broadcast(cur.select("qid")), Seq("qid"), "left_semi")
-        }
-        prev.foreach(_.unpersist())
-        prev = Some(page)
-        staged = Some(page)
-      }
-      override def hasNext: Boolean = { fetch(); staged.nonEmpty }
-      override def next(): DataFrame = {
-        fetch()
-        val p = staged.getOrElse(throw new NoSuchElementException("iterator drained"))
-        staged = None
-        p
-      }
-    }
+      pageSize: Int, metric: String = "cosine"): SearchPager =
+    new SearchPager(corpus, queries, pageSize, metric)
 
   /** Filtered search — the Milvus search `expr` parameter (scalar
     * predicate evaluated BEFORE vector scoring, milvus_connector.py

@@ -62,10 +62,17 @@ object Collections {
   }
 
   /** Drop one partition — Milvus drop_partition: delete its directory,
-    * leave every other partition's files untouched. */
+    * leave every other partition's files untouched. The directory name
+    * is derived with Spark's own partition-path escaping, so values
+    * containing '/', ':', spaces, etc. — and null (which Spark writes
+    * as `__HIVE_DEFAULT_PARTITION__`) — resolve to the directory the
+    * writer actually produced. */
   def dropPartition(spark: SparkSession, dir: String, partCol: String,
       value: Any): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$value")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val leaf = ExternalCatalogUtils.getPartitionPathString(
+      partCol, Option(value).map(_.toString).orNull)
+    val p = new org.apache.hadoop.fs.Path(dir, leaf)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.catalog.refreshByPath(dir)
     require(fs.delete(p, true) || !fs.exists(p),

@@ -170,14 +170,20 @@ object Curate {
     require(buckets > 0 && k > 0, "buckets and k must be positive")
     val dfc = hashedFeatures(corpus, idCol, textCol, buckets)
       .groupBy("id", "b").agg(count(lit(1)).cast("double").as("c"))
-    // cached: ≤ buckets rows, probed once for the fail-fast below and
-    // broadcast into the scoring join after
-    val ct = hashedFeatures(target, idCol, textCol, buckets)
-      .groupBy("b").agg(count(lit(1)).cast("double").as("ct")).cache()
+    // The target model is ≤ buckets rows by construction — collect it
+    // once (bounded by `buckets`, never by target size) and serve the
+    // scoring join from a local relation: the target featurizer runs
+    // exactly once and no cache entry outlives the call.
+    val spark = corpus.sparkSession
+    val ctPlan = hashedFeatures(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
+    val ctRows = ctPlan.collect()
     // an empty/featureless target would make tt NULL and silently null
     // every logw — a caller error; fail loudly instead
-    require(ct.take(1).nonEmpty,
+    require(ctRows.nonEmpty,
       "target corpus has no features (empty or all-whitespace text)")
+    val ct = spark.createDataFrame(
+      java.util.Arrays.asList(ctRows: _*), ctPlan.schema)
     val tt = ct.agg(sum("ct").as("tt"))
     val cr = dfc.groupBy("b").agg(sum("c").as("cr"))
     val tr = cr.agg(sum("cr").as("tr"))

@@ -457,15 +457,20 @@ object Dedup {
       // sequence(1, len-w+1) would run DESCENDING for len < w — filter,
       // don't clamp (a short doc has no w-shingle positions at all)
       .filter(length(col("t")) >= w)
-    // cached: the O(total chars) explode+md5 stream feeds both the
-    // duplicated-hash groupBy and the semi-join probe side
+    // localCheckpointed (not cache()d): the O(total chars) explode+md5
+    // stream feeds both the duplicated-hash groupBy and the semi-join
+    // probe side, but a CacheManager entry would outlive the call until
+    // someone clears the cache — RDD-level checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned frame is
+    // dropped, so repeated calls in a long-lived session don't
+    // accumulate storage.
     val sh = base.select(col("id"),
         explode(sequence(lit(1), length(col("t")) - (w - 1))).as("i"),
         col("t"))
       .select(col("id"), col("i"),
         conv(substring(md5(col("t").substr(col("i"), lit(w))), 1, 8), 16, 10)
           .cast("long").as("h"))
-      .cache()
+      .localCheckpoint()
     val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     val cov = sh.join(dup, Seq("h"), "left_semi")
@@ -549,14 +554,17 @@ object Dedup {
             lit(null).cast("double").as("csim"))
           .unionByName(excluded)
       case Right((cells, centroids)) =>
-        // cached: the assignment (k dot products per vector) feeds both
-        // self-join sides AND the survivors' anti-join — one pass, not 3
+        // localCheckpointed (not cache()d): the assignment (k dot
+        // products per vector) feeds both self-join sides AND the
+        // survivors' anti-join — one pass, not 3 — and checkpoint
+        // blocks are ContextCleaner-reclaimed once the result is
+        // dropped, where a cache entry would leak until clearCache
         val withSim = cells.join(broadcast(centroids), "cell")
           .withColumn("nrm", V.norm2(col("v")))
           // centroids are unit vectors, so no cv norm in the divisor
           .select(col("id"), col("cell"), col("v"), col("nrm"),
             (V.dot(col("v"), col("cv")) / col("nrm")).as("csim"))
-          .cache()
+          .localCheckpoint()
         val dropped = spread(withSim).as("x").join(withSim.as("y"),
             col("x.cell") === col("y.cell") &&
               (col("y.csim") < col("x.csim") ||

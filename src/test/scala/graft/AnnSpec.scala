@@ -1116,13 +1116,15 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList).toMap
     // 200 corpus rows, pages of 66 → 66+66+66+2
-    val pages = Ann.searchIterator(corpus, qs, pageSize = 66).toList
+    val pager = Ann.searchIterator(corpus, qs, pageSize = 66)
+    val pages = pager.toList
     assert(pages.length == 4, s"expected 4 pages (66*3+2), got ${pages.length}")
     val walked = pages.zipWithIndex.flatMap { case (p, i) =>
       p.select("qid", "id", "rank").as[(Long, Long, Int)].collect()
         .map { case (q, id, r) => (q, id, i * 66 + r) } // page-local → global
     }.groupBy(_._1).view
       .mapValues(_.sortBy(_._3).map(_._2).toList).toMap
+    pager.close() // release the final page (see the SearchPager test)
     assert(walked.keySet == full.keySet)
     walked.foreach { case (q, ids) =>
       assert(ids == full(q), s"query $q walked ranking diverged")
@@ -1137,6 +1139,54 @@ class AnnSpec extends SparkSpec {
     val viaOffset = Ann.pagedTopK(corpus, qs, k = 10, offset = 10)
       .select("qid", "id").as[(Long, Long)].collect().toSet
     assert(viaCursor == viaOffset)
+  }
+
+  test("searchIteratorPage: null-cursor marker means exhausted, absent means from-the-top") {
+    val p1 = Ann.searchIteratorPage(corpus, qs, pageSize = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    // one query exhausted (null cur_id), one resuming mid-ranking, the
+    // rest absent (restart from the top)
+    val cur2 = Ann.searchIteratorPage(corpus, qs.filter(col("qid") === 2), pageSize = 10)
+      .filter(col("rank") === 10)
+      .select(col("qid"), col("score").as("cur_score"), col("id").as("cur_id"))
+    val cursors = Seq((1L, Option.empty[Double], Option.empty[Long]))
+      .toDF("qid", "cur_score", "cur_id")
+      .unionByName(cur2)
+    val out = Ann.searchIteratorPage(corpus, qs, pageSize = 10,
+        cursors = Some(cursors))
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(!out.exists(_._1 == 1L), "explicitly exhausted query must yield no rows")
+    val q2page2 = Ann.pagedTopK(corpus, qs.filter(col("qid") === 2), k = 10, offset = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(out.filter(_._1 == 2L).toSet == q2page2, "cursor query must resume, not restart")
+    (3L to 5L).foreach { q =>
+      assert(out.filter(_._1 == q).toSet == p1.filter(_._1 == q),
+        s"query $q absent from cursors must restart from the top")
+    }
+  }
+
+  test("SearchPager: close() releases the in-flight persisted page (drained and abandoned)") {
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    corpus.count() // materialize the fixture cache before the baseline diff
+    // pageSize 70 is unique to this test: an identical page plan cached
+    // by another test would make persist() a CacheManager no-op and
+    // poison the persistent-RDD diff
+    // drained: the final page stays persisted until close()
+    val before = persisted
+    val it = Ann.searchIterator(corpus, qs, pageSize = 70)
+    val pages = it.toList
+    assert(pages.length == 3)
+    assert((persisted -- before).nonEmpty, "final page should still be persisted pre-close")
+    it.close()
+    assert((persisted -- before).isEmpty, "close() after drain must release the final page")
+    // abandoned mid-drain: close() releases the current page
+    val it2 = Ann.searchIterator(corpus, qs, pageSize = 70)
+    it2.next()
+    assert((persisted -- before).nonEmpty)
+    it2.close()
+    assert((persisted -- before).isEmpty, "close() mid-drain must release the in-flight page")
+    assert(!it2.hasNext, "a closed pager is drained")
+    it2.close() // idempotent
   }
 
   test("filteredTopK: predicate excludes rows before scoring") {

@@ -104,6 +104,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(Collections.readPartitions(spark, tmp, "part", Nil).count() == 25)
   }
 
+  test("Collections: dropPartition resolves escaped and null partition values") {
+    import graft.operators.Collections
+    val tmp = java.nio.file.Files.createTempDirectory("pesc").toString + "/coll"
+    // ':' and '/' are URL-escaped in the directory name by the writer;
+    // null lands in __HIVE_DEFAULT_PARTITION__ — dropPartition must
+    // derive the same names, not interpolate the raw value
+    val data = Seq(
+      (1L, "plain"), (2L, "a b:c/d"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    Collections.writePartitioned(data, tmp, "src")
+    Collections.dropPartition(spark, tmp, "src", "a b:c/d")
+    assert(spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+      == Set(1L, 3L), "escaped-value partition not dropped (or wrong one)")
+    Collections.dropPartition(spark, tmp, "src", null)
+    assert(spark.read.parquet(tmp).select("id").as[Long].collect().toSet
+      == Set(1L), "null partition (__HIVE_DEFAULT_PARTITION__) not dropped")
+  }
+
   test("curation scorers: model-table broadcasts and semi-joins are in the physical plan") {
     import graft.operators.{Curate, Dedup}
     val docs = (1L to 40L)
