@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Ann, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
+import graft.operators.{Aliases, Ann, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -775,6 +775,27 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** Collection aliases end to end — the Milvus blue-green swap
+    * (Aliases.scala): build a STALE half-corpus "blue" IVF index and a
+    * full-corpus "green" one, point `prod` at blue, then alterAlias to
+    * green and search through resolveAlias at full probe. Hash-exact
+    * against the brute-force oracle over the WHOLE corpus — which can
+    * only match if the swap actually repointed the search away from the
+    * half-sized blue index. */
+  private def qAlias(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_alias_${dirKey(dir)}") { r =>
+      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0),
+        s"$r/blue", nlist = 16)
+      Ann.buildIvfIndex(corpus(s, dir), s"$r/green", nlist = 16)
+      Aliases.createAlias(s, s"$r/registry", "prod", s"$r/blue")
+      Aliases.alterAlias(s, s"$r/registry", "prod", s"$r/green")
+    }
+    Ann.searchIvfIndex(s,
+        Aliases.resolveAlias(s, s"$root/registry", "prod"),
+        queriesSet(s, dir), k = 10, nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // Milvus search surface with output_fields (milvus_connector.py:167-178)
   private def qAnnFields(s: SparkSession, dir: String): DataFrame =
     Ann.searchWithFields(
@@ -926,6 +947,7 @@ object SparkEntry {
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_partitions" -> (qAnnPartitions _),
     "q_ann_ivf_filtered" -> (qAnnIvfFiltered _),
+    "q_alias" -> (qAlias _),
     "q_ann_binary" -> (qAnnBinary _),
     "q_ann_binary_index" -> (qAnnBinaryIndex _),
     "q_ann_refine" -> (qAnnRefine _),
@@ -1748,13 +1770,13 @@ object SparkEntry {
 
     // full-probe IVF == exact brute force (same score expression, every
     // cell probed) — the q_ann_topk oracle verifies the partition
-    "q_ann_ivf_full" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
-        |SELECT qid, id, score, rank FROM (
-        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
-        |WHERE rank <= 10""".stripMargin,
+    "q_ann_ivf_full" -> ivfFullProbeOracleSql,
+
+    // alias-resolved full-probe search over the post-swap (green,
+    // full-corpus) index — the oracle covers the WHOLE corpus, so a
+    // swap that failed to repoint away from the half-corpus blue index
+    // could not hash-match
+    "q_alias" -> ivfFullProbeOracleSql,
 
     "q_ann_binary" -> annBinaryOracleSql,
 
@@ -1851,6 +1873,17 @@ object SparkEntry {
          |SELECT qid, id, score, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
          |WHERE rank <= 10""".stripMargin
+
+  // full-probe IVF == exact brute force: shared by q_ann_ivf_full and
+  // q_alias (the alias resolves to a full-corpus IVF index searched at
+  // full probe)
+  private val ivfFullProbeOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, e)
+      |SELECT qid, id, score, rank FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+      |WHERE rank <= 10""".stripMargin
 
   // binary quantization: hamming = sign-mismatch count per component —
   // the packed-bit XOR+popcount the Spark side computes, without
