@@ -508,6 +508,20 @@ object SparkEntry {
     Ann.sq8TopK(corpus(s, dir), queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** The PERSISTED IVF_SQ8 index at full probe — the Milvus index
+    * family between IVF_FLAT and IVF_PQ, end to end: cells store SQ8
+    * codes at rest (4× smaller), the search dequantizes in codegen.
+    * Full probe loses nothing, so the result is hash-exact against the
+    * q_ann_sq8 oracle — the cross-engine proof that quantize-at-build
+    * + cell partitioning + dequantized scoring ports exactly. */
+  private def qAnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildOnce(s"/tmp/graft_ivfsq8_idx_${dirKey(dir)}") {
+      d => Ann.buildIvfSq8Index(corpus(s, dir), d, nlist = 16)
+    }
+    Ann.searchIvfSq8Index(s, idx, queriesSet(s, dir), k = 10, nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   /** Product-quantization ADC search (rows-only: quantization error has
     * no SQL oracle; recall and determinism are pinned in AnnSpec). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame =
@@ -784,6 +798,13 @@ object SparkEntry {
     * half-sized blue index. */
   private def qAlias(s: SparkSession, dir: String): DataFrame = {
     val root = buildOnce(s"/tmp/graft_alias_${dirKey(dir)}") { r =>
+      // the index builds are overwrite-mode but createAlias refuses an
+      // existing name by design — drop the registry a previous JVM's
+      // run left behind so the fresh rebuild exercises the full
+      // create → alter swap
+      val reg = new org.apache.hadoop.fs.Path(s"$r/registry")
+      val fs = reg.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(reg)) fs.delete(reg, true)
       Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0),
         s"$r/blue", nlist = 16)
       Ann.buildIvfIndex(corpus(s, dir), s"$r/green", nlist = 16)
@@ -940,6 +961,7 @@ object SparkEntry {
     "q_ann_ivf_full" -> (qAnnIvfFull _),
     "q_ann_ivf_pq" -> (qAnnIvfPq _),
     "q_ann_sq8" -> (qAnnSq8 _),
+    "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_range" -> (qAnnRange _),
     "q_ann_grouped" -> (qAnnGrouped _),
@@ -1664,19 +1686,12 @@ object SparkEntry {
     // SQ8 on both engines: scale = max|x|/127, codes = round-half-up of
     // x/scale (integers — exact in double), score = scale product times
     // the integer dot
-    "q_ann_sq8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |z AS (SELECT vec_id, v, coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) / 127.0 AS scale FROM e),
-        |qz AS (SELECT vec_id, scale,
-        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-        |       ELSE list_transform(v, x -> CAST(round(x / scale) AS DOUBLE)) END AS q FROM z),
-        |qs AS (SELECT vec_id AS qid, scale AS qscale, q AS qq FROM qz WHERE vec_id < 5),
-        |s AS (SELECT qs.qid, c.vec_id AS id,
-        |      round(qs.qscale * c.scale * list_inner_product(qs.qq, c.q), 4) AS score
-        |      FROM qs, qz c)
-        |SELECT qid, id, score, rank FROM (
-        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
-        |WHERE rank <= 10""".stripMargin,
+    "q_ann_sq8" -> sq8OracleSql,
+
+    // the persisted IVF_SQ8 index searched at full probe equals the
+    // in-memory SQ8 scan bit-for-bit (spec-pinned), so it shares the
+    // q_ann_sq8 oracle — the cross-engine proof for the at-rest path
+    "q_ann_ivf_sq8" -> sq8OracleSql,
 
     // C4 segment dedup over the synthesized two-paragraph corpus:
     // global first occurrence per segment digest (doc_id, pos order),
@@ -1873,6 +1888,23 @@ object SparkEntry {
          |SELECT qid, id, score, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
          |WHERE rank <= 10""".stripMargin
+
+  // SQ8 dequantized-IP ranking: both engines quantize (round-half-up)
+  // and score scale_q*scale_c*Σ q_i*c_i — shared by q_ann_sq8 (in-memory
+  // scan) and q_ann_ivf_sq8 (persisted index at full probe)
+  private val sq8OracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |z AS (SELECT vec_id, v, coalesce(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) / 127.0 AS scale FROM e),
+      |qz AS (SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |       ELSE list_transform(v, x -> CAST(round(x / scale) AS DOUBLE)) END AS q FROM z),
+      |qs AS (SELECT vec_id AS qid, scale AS qscale, q AS qq FROM qz WHERE vec_id < 5),
+      |s AS (SELECT qs.qid, c.vec_id AS id,
+      |      round(qs.qscale * c.scale * list_inner_product(qs.qq, c.q), 4) AS score
+      |      FROM qs, qz c)
+      |SELECT qid, id, score, rank FROM (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+      |WHERE rank <= 10""".stripMargin
 
   // full-probe IVF == exact brute force: shared by q_ann_ivf_full and
   // q_alias (the alias resolves to a full-corpus IVF index searched at

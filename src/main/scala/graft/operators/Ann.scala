@@ -857,13 +857,19 @@ object Ann {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val cand = searchIvfPqIndex(spark, dir, queries, k * factor, nprobe)
       .select(col("qid"), col("id"))
-    // the rescore inner-joins candidates against the corpus, so a
-    // corpus drifted from the index (expired partition, bad upstream
-    // filter) would silently DROP those candidates from the refined
-    // top-k — confidently wrong results, possibly fewer than k rows.
-    // Guard with one id-column corpus pass semi-joined to the
-    // candidate set; both collected frames are candidate-bounded
-    // (≤ q·k·factor ids by construction).
+    requireCorpusCovers(corpus, cand)
+    exactRescore(corpus, queries, cand, k, metric)
+  }
+
+  /** The rescore inner-joins candidates against the corpus, so a
+    * corpus drifted from the index (expired partition, bad upstream
+    * filter) would silently DROP those candidates from the refined
+    * top-k — confidently wrong results, possibly fewer than k rows.
+    * Guard with one id-column corpus pass semi-joined to the candidate
+    * set; both collected frames are candidate-bounded (≤ q·k·factor
+    * ids by construction). Shared by [[searchIvfPqIndexRefined]] and
+    * [[searchIvfSq8IndexRefined]]. */
+  private def requireCorpusCovers(corpus: DataFrame, cand: DataFrame): Unit = {
     val candIds = cand.select(col("id")).distinct()
     val found = corpus.select(col("id"))
       .join(broadcast(candIds), Seq("id"), "left_semi").distinct()
@@ -873,7 +879,6 @@ object Ann {
       s"corpus is missing candidate id ${missing.headOption.map(_.get(0)).orNull}" +
         " returned by the index — the exact rescore would silently drop it;" +
         " pass a corpus covering every indexed id")
-    exactRescore(corpus, queries, cand, k, metric)
   }
 
   /** Persist the LSH buckets — build once, search many (the same index
@@ -1373,6 +1378,151 @@ object Ann {
     IndexFiles.replaceTable(spark, dir, "centroids",
       cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "cv"), Nil)
+  }
+
+  /** Persist an IVF_SQ8 index — the named Milvus index family between
+    * IVF_FLAT and IVF_PQ (the index_type dispatch the reference
+    * configures, vector_database/milvus_connector.py:65-73): the same
+    * trained coarse quantizer and cell-partitioned layout as
+    * [[buildIvfIndex]], but the cells store [[V.quantizeSq8]] structs
+    * instead of raw vectors — 4× fewer at-rest bytes (8× vs the double
+    * arrays Spark computes in) at near-zero recall cost, because each
+    * row keeps its OWN scale (what PQ's shared codebooks cannot), and
+    * scoring dequantizes inside whole-stage codegen ([[V.dotSq8]]).
+    * Layout: `dir/cells` = (id, cz) parquet PARTITIONED BY cell;
+    * `dir/centroids` = the coarse codebook (raw doubles — probes need
+    * full precision); `dir/ids` = the append-guard sidecar.
+    *
+    * Retrain-on-drift = rebuild: the index stores codes, not vectors,
+    * and unlike IVF-PQ there is no residual coupling to migrate — the
+    * build is overwrite-mode, so `buildIvfSq8Index` over the current
+    * corpus IS the retrain (or keep raw vectors in a sibling IVF index
+    * and [[retrainIvfIndex]] that). */
+  def buildIvfSq8Index(corpus: DataFrame, dir: String, nlist: Int = 16,
+      seed: Long = 42L, trainCap: Long = -1L): Unit = {
+    val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus must exceed nlist=$nlist vectors to index"))
+    cells.select(col("id"), V.quantizeSq8(col("v")).as("cz"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val spark = corpus.sparkSession
+    IndexFiles.writeIds(spark.read.parquet(s"$dir/cells").select("id"), dir)
+  }
+
+  /** Append to a persisted IVF_SQ8 index through the STORED codebook —
+    * the [[appendToIvfIndex]] contract (O(batch), replay-guarded,
+    * crash-safe via [[IndexFiles.appendStaged]]), with the batch
+    * quantized by the same [[V.quantizeSq8]] expression the build used
+    * (per-row scales, so append-then-search is bit-equal to
+    * rebuild-then-search — spec-pinned). */
+  def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
+    val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    require(cb.nonEmpty, s"$dir/centroids is empty — not a built IVF_SQ8 index")
+    requireBatchDim(batch, "v", cb(0).length)
+    val b = Dedup.spread(batch)
+      .withColumn("v", col("v").cast("array<double>"))
+      .filter(V.norm2(col("v")) > 0)
+    val batchIds = b.select("id").distinct()
+    val replayed = IndexFiles
+      .ensureIds(spark, dir, spark.read.parquet(s"$dir/cells").select("id"))
+      .join(broadcast(batchIds), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would duplicate search hits")
+    IndexFiles.appendStaged(spark, dir, Seq(
+      ("cells", b.select(col("id"), V.quantizeSq8(col("v")).as("cz"),
+        cellOf(col("v"), cb).as("cell")), Seq("cell"))),
+      Some(batchIds))
+  }
+
+  /** Search a persisted IVF_SQ8 index: probe the nprobe nearest cells
+    * (same static literal partition pruning as [[searchIvfIndex]] —
+    * only the probed cells' files are listed, ~nprobe/nlist of the
+    * index bytes, each 4× smaller than raw), then score the pruned
+    * scan by dequantized inner product — the query quantized once per
+    * probe row, [[V.dotSq8]] in codegen over the stored codes. Exact
+    * over the QUANTIZED values: at nprobe = nlist this equals
+    * [[sq8TopK]] over the whole corpus bit-for-bit (spec-pinned, and
+    * the cross-engine q_ann_ivf_sq8 oracle reproduces it). */
+  def searchIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    IndexFiles.requireLiveTable(spark, dir, "cells")
+    IndexFiles.requireLiveTable(spark, dir, "centroids")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val pc = probeCells(centroids, queries, nprobe)
+    val probeRows = pc.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), pc.schema)
+    val probed = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // type the pruning literals off the actual partition-column schema
+    // (the searchLshIndex lesson — a mismatch inserts a cast that
+    // defeats static pruning)
+    val raw = spark.read.parquet(s"$dir/cells")
+    val cellIsInt =
+      raw.schema("cell").dataType == org.apache.spark.sql.types.IntegerType
+    val typed: Seq[Any] = if (cellIsInt) probed else probed.map(_.toLong)
+    val pruned = (if (probed.isEmpty) raw.filter(lit(false))
+                  else raw.filter(col("cell").isin(typed: _*)))
+      .withColumn("cell", col("cell").cast("int"))
+    val live = IndexFiles.dropTombstones(spark, dir, pruned)
+    val qz = probes.select(col("qid"), col("cell"),
+      V.quantizeSq8(col("qv")).as("qz"))
+    val scored = live.as("c").join(broadcast(qz.as("p")), "cell")
+      .select(col("p.qid"), col("c.id"),
+        round(V.dotSq8(col("p.qz"), col("c.cz")), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Two-stage refined search over a persisted IVF_SQ8 index — SQ8
+    * coarse recall off the compressed cells, exact rescore of only the
+    * q×k·factor survivors against the raw `corpus` (the index stores
+    * codes, so the exact pass takes the corpus as an argument — same
+    * contract and corpus-coverage guard as
+    * [[searchIvfPqIndexRefined]]). */
+  def searchIvfSq8IndexRefined(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, factor: Int = 3, metric: String = "cosine"): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cand = searchIvfSq8Index(spark, dir, queries, k * factor, nprobe)
+      .select(col("qid"), col("id"))
+    requireCorpusCovers(corpus, cand)
+    exactRescore(corpus, queries, cand, k, metric)
+  }
+
+  /** Tombstone delete for the IVF_SQ8 index — [[deleteFromIvfIndex]]
+    * semantics over the quantized cells. */
+  def deleteFromIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  /** Physically purge tombstoned rows — [[compactIvfIndex]] over the
+    * quantized cells. */
+  def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("cells" -> Seq("cell")))
+
+  /** See [[healSparseIndex]]. */
+  def healIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells")); ()
+  }
+
+  /** [[upsertIntoIvfIndex]] for the IVF_SQ8 index — replacements are
+    * re-quantized and re-assigned through the stored codebook like any
+    * append. */
+  def upsertIntoIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit = {
+    healIvfSq8Index(spark, dir)
+    upsertVia(spark, dir, batch, indexedIds(spark, dir),
+      () => compactIvfSq8Index(spark, dir),
+      b => appendToIvfSq8Index(spark, dir, b))
   }
 
   /** `_retrain_pending` marks an IVF-PQ retrain in flight. Unlike the

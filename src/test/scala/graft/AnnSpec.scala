@@ -383,6 +383,123 @@ class AnnSpec extends SparkSpec {
       dataCol = "codes", partCol = "cell", maxParts = 2)
   }
 
+  test("IVF_SQ8 index: full probe equals sq8TopK bit-for-bit; scan prunes to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Ann.buildIvfSq8Index(corpus, dir, nlist = 8)
+    // at nprobe = nlist nothing is pruned away, so the dequantized
+    // ranking must equal the in-memory SQ8 scan exactly
+    val full = Ann.searchIvfSq8Index(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.sq8TopK(corpus, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == direct && full.nonEmpty,
+      "full-probe IVF_SQ8 diverged from sq8TopK")
+    // partial probe: decent recall vs full probe (self-rank-1 is not an
+    // IP invariant — inner product favors long vectors over self), and
+    // every surfaced pair carries its full-probe score
+    val fullPairs = full.map(r => (r._1, r._2))
+    val partial = Ann.searchIvfSq8Index(spark, dir, qs, k = 10, nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val recall = partial.map(r => (r._1, r._2)).toSet
+      .intersect(fullPairs).size.toDouble / fullPairs.size
+    assert(recall >= 0.6, s"nprobe=4 recall $recall vs full probe too low")
+    val fullScores = full.map(r => (r._1, r._2) -> r._3).toMap
+    partial.foreach { r =>
+      fullScores.get((r._1, r._2)).foreach(s =>
+        assert(s == r._3, s"pair (${r._1},${r._2}) scored $s full vs ${r._3} partial"))
+    }
+    // static partition pruning at the file index, like the siblings
+    assertPruned(Ann.searchIvfSq8Index(spark, dir,
+        qs.filter(col("qid") === 1L), k = 5, nprobe = 2),
+      dataCol = "cz", partCol = "cell", maxParts = 2)
+    // the cells store quantized structs, not raw vectors
+    val cellSchema = spark.read.parquet(s"$dir/cells").schema
+    assert(cellSchema.fieldNames.toSet == Set("id", "cz", "cell"),
+      s"unexpected cell columns: ${cellSchema.fieldNames.toSeq}")
+  }
+
+  test("IVF_SQ8 append=rebuild bit-equal; replay throws; delete/compact/upsert lifecycle") {
+    val dirApp = java.nio.file.Files.createTempDirectory("sq8app").toString + "/idx"
+    val dirFull = java.nio.file.Files.createTempDirectory("sq8full").toString + "/idx"
+    Ann.buildIvfSq8Index(corpus.filter(col("id") <= 100), dirApp, nlist = 8)
+    Ann.appendToIvfSq8Index(spark, dirApp, corpus.filter(col("id") > 100))
+    def res(d: String, np: Int = 8) =
+      Ann.searchIvfSq8Index(spark, d, qs, k = 10, nprobe = np)
+        .select("qid", "id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // append assigns through the STORED codebook — so compare against
+    // an index whose cells are (stored ∪ batch) under that codebook:
+    // full probe loses nothing, hence equality with the in-memory scan
+    val appended = res(dirApp)
+    val direct = Ann.sq8TopK(corpus, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(appended == direct, "appended IVF_SQ8 diverged from sq8TopK at full probe")
+    Ann.buildIvfSq8Index(corpus, dirFull, nlist = 8)
+    assert(res(dirFull) == appended, "append=rebuild violated")
+    // replayed id fails fast; empty batch no-op
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToIvfSq8Index(spark, dirApp, corpus.filter(col("id") === 5L))
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+    Ann.appendToIvfSq8Index(spark, dirApp, corpus.filter(lit(false)))
+    assert(res(dirApp) == appended)
+    // tombstones hide rows: ranking equals the survivors' scan
+    Ann.deleteFromIvfSq8Index(spark, dirApp, (1L to 5L).toDF("id"))
+    val tombstoned = res(dirApp)
+    assert(!tombstoned.exists(_._2 <= 5L), "deleted id surfaced")
+    val survivors = Ann.sq8TopK(corpus.filter(col("id") > 5), qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(tombstoned == survivors, "tombstoned ranking != survivors' ranking")
+    // compaction purges physically, search bit-equal, ids re-appendable
+    Ann.compactIvfSq8Index(spark, dirApp)
+    assert(!new java.io.File(s"$dirApp/deleted").exists())
+    assert(spark.read.parquet(s"$dirApp/cells").count() == 195)
+    assert(res(dirApp) == tombstoned, "compaction changed results")
+    Ann.appendToIvfSq8Index(spark, dirApp, corpus.filter(col("id") === 3L))
+    // upsert: replaced id ranks by its NEW vector
+    val moved = corpus.filter(col("id") === 1L)
+      .withColumn("v", transform(col("v"), x => x * -1.0))
+      .unionByName(corpus.filter(col("id") === 2L))
+    Ann.upsertIntoIvfSq8Index(spark, dirApp, moved)
+    val upserted = Ann.searchIvfSq8Index(spark, dirApp, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Ann.sq8TopK(
+        corpus.filter(col("id") > 5 || col("id") === 3L)
+          .unionByName(moved), qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(upserted == want, "upsert result != sq8 scan over old∪new")
+  }
+
+  test("searchIvfSq8IndexRefined: covering factor reproduces brute force bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("sq8ref").toString + "/idx"
+    Ann.buildIvfSq8Index(corpus, dir, nlist = 8)
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refined = Ann.searchIvfSq8IndexRefined(spark, dir, corpus, qs,
+        k = 10, nprobe = 8, factor = 20)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined == exact,
+      "covering refine factor did not reproduce exact brute force")
+    // refine never lowers recall vs the coarse SQ8 ranking
+    val coarse = Ann.searchIvfSq8Index(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val exactIds = exact.map(r => (r._1, r._2))
+    val prod = Ann.searchIvfSq8IndexRefined(spark, dir, corpus, qs,
+        k = 10, nprobe = 8, factor = 3)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert((prod intersect exactIds).size >= (coarse intersect exactIds).size,
+      "refine lowered recall")
+  }
+
   test("sparse index lifecycle: pruned search equals direct; append equals rebuild; replay throws") {
     val postings = (1 to 50).flatMap(i =>
       Seq((i.toLong, i.toLong, 2.0), (i.toLong, (i + 1).toLong, 1.0)))
