@@ -424,6 +424,68 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[lshIngestStream]], idempotent in batchId —
+    * the [[applyAnnBatch]] witness pattern over
+    * [[graft.operators.Ann.appendToLshIndex]]. LSH stores ONE payload
+    * table (buckets; no ids sidecar — appends are unguarded because
+    * lshRank collapses per-(qid,id)), and the append is staged/journaled
+    * like the siblings, so after the pre-witness heal the batch is
+    * either fully present or fully absent: the single-table overlap
+    * count is a complete witness. Every batch id is eligible
+    * (lshBuckets hashes any vector, zero-norm included), so the
+    * witness compares against the raw distinct-id count. */
+  def applyLshBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // same pre-witness repair as [[applyAnnBatch]]: a journaled
+    // crash-window rolls forward/back before the witness reads
+    graft.operators.Ann.healLshIndex(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col("id")).distinct()
+    val eligible = batchIds.count()
+    val inBuckets = overlap(batchIds,
+      spark.read.parquet(s"$indexDir/buckets"))
+    // same stale-marker guard as [[applyDedupBatch]]: a checkpoint reset
+    // recycles batchIds, so the marker is honored only when the payload
+    // witness confirms the batch is actually stored
+    if (fs.exists(marker)) {
+      if (inBuckets == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its vectors are not " +
+          s"stored (buckets=$inBuckets of $eligible eligible) — a " +
+          s"checkpoint reset recycled the batchId against a live index; " +
+          s"wipe $indexDir/applied together with the checkpoint")
+    }
+    if (inBuckets == 0)
+      graft.operators.Ann.appendToLshIndex(spark, indexDir, batch)
+    else if (inBuckets != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (buckets=$inBuckets of " +
+          s"$eligible eligible) — a re-delivered batch mixes indexed and " +
+          "new docs; repair before restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous LSH ingest — the streaming half of the persisted LSH
+    * index ([[graft.operators.Ann.buildLshIndex]]): each micro-batch of
+    * (id, v) vectors is hashed through the plane families recorded in
+    * the index's own meta and appended in O(batch); bucket-pruned
+    * searches between micro-batches see everything ingested so far.
+    * Same replay idempotency as [[annIngestStream]]. */
+  def lshIngestStream(vecStream: DataFrame, indexDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLshBatch(batch, batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** File-source → rotating parquet segments, exactly-once via the
     * checkpoint; AvailableNow drains what exists then stops (swap the
     * trigger for continuous micro-batching in production). */

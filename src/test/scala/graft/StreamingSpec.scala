@@ -541,6 +541,84 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/bits").count() == 95)
   }
 
+  test("lshIngestStream: streamed vectors bucket-searchable at once; replay and crash windows repaired") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val dir = java.nio.file.Files.createTempDirectory("lshstream").toString
+    Ann.buildLshIndex((1L to 40L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$dir/idx", dim, planes = 4, tables = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.lshIngestStream(
+      mem.toDF().toDF("id", "v"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((41L to 60L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    mem.addData((61L to 80L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // signatures are deterministic in (dim, planes, tables): the
+    // streamed index equals the in-memory form on the union corpus
+    val full = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
+    val qs = Seq((70L, vec(70L))).toDF("qid", "qv")
+    val got = Ann.searchLshIndex(spark, s"$dir/idx", qs, k = 5)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Ann.lshTopK(full, qs, k = 5, dim = dim, planes = 4, tables = 2)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "streamed LSH index diverged from in-memory lshTopK")
+    // replay idempotency: marker lost, batch re-applied — no dup rows
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    val rowsBefore = spark.read.parquet(s"$dir/idx/buckets").count()
+    graft.streaming.StreamIngest.applyLshBatch(
+      (41L to 60L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    assert(spark.read.parquet(s"$dir/idx/buckets").count() == rowsBefore,
+      "replayed batch re-appended")
+    // stale marker (checkpoint reset recycling batchId 0 with NEW docs)
+    // fails loudly instead of dropping the batch
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.applyLshBatch(
+        (81L to 90L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/idx")
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    // crash window: staging written + journal committed, move never ran.
+    // Stage exactly what appendToLshIndex would (an index built with the
+    // SAME meta produces the same deterministic bucket rows), then let
+    // the next micro-batch's pre-witness heal roll it forward.
+    val scratch = java.nio.file.Files.createTempDirectory("lshtail").toString
+    Ann.buildLshIndex((81L to 90L).map(i => (i, vec(i))).toDF("id", "v"),
+      s"$scratch/idx", dim, planes = 4, tables = 2)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/idx/buckets/_append_tmp")
+    fs.mkdirs(staging.getParent)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$scratch/idx/buckets"), staging))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/idx/_pending_append"))
+    graft.streaming.StreamIngest.applyLshBatch(
+      (91L to 95L).map(i => (i, vec(i))).toDF("id", "v"), 99L, s"$dir/idx")
+    val ids = spark.read.parquet(s"$dir/idx/buckets")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(ids == (1L to 95L).toSet,
+      s"healed/streamed ids wrong: missing ${(1L to 95L).toSet -- ids}")
+    // the healed batch is searchable like any other: the persisted
+    // search equals the in-memory form over everything ingested (ties
+    // at 4dp — vec(12) vs vec(85) — resolve identically on both paths)
+    val q85 = Seq((85L, vec(85L))).toDF("qid", "qv")
+    val healedGot = Ann.searchLshIndex(spark, s"$dir/idx", q85, k = 3)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val healedWant = Ann.lshTopK((1L to 95L).map(i => (i, vec(i))).toDF("id", "v"),
+        q85, k = 3, dim = dim, planes = 4, tables = 2)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(healedGot == healedWant && healedGot.exists(_._2 == 85L),
+      s"healed index search diverged: $healedGot vs $healedWant")
+  }
+
   test("stream_ingest: readStream through the ingest pipeline produces Milvus rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
