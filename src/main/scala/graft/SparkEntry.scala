@@ -421,6 +421,29 @@ object SparkEntry {
     Curate.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
       minWords = 20)
 
+  // C4 cleanup rules over a synthesized multi-line page (the corpus
+  // text is single-line word soup, so line structure and every
+  // rule-tripping pattern are spliced in deterministically from
+  // doc_id — both engines build the identical page, then filter it).
+  private def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    val synth = t(s, dir, "documents").select(col("doc_id"), concat(
+      substring(col("text"), 1, 60), lit(".\n"),
+      substring(col("text"), 61, 40), lit("\n"),
+      when(col("doc_id") % 9 === 0,
+        lit("please enable javascript to view this page."))
+        .otherwise(lit("a perfectly ordinary closing sentence.")),
+      lit("\n"),
+      when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet."))
+        .otherwise(lit("the final line has plenty of words.")),
+      lit("\n"),
+      when(col("doc_id") % 11 === 0, lit("function() { return 1; }"))
+        .otherwise(lit("no braces to see here.")),
+      when(col("doc_id") % 13 === 0, lit("\nfrak appears right here."))
+        .otherwise(lit(""))).as("text"))
+    Curate.c4Filter(synth, "doc_id", "text", minLines = 3,
+      badWords = Seq("frak"))
+  }
+
   // Token-budget mixture: fill 20k EN / 15k ZH tokens from the
   // deterministic hash-ordered prefix of each language.
   private def qBudgetSample(s: SparkSession, dir: String): DataFrame =
@@ -950,6 +973,7 @@ object SparkEntry {
     "q_dsir_weight" -> (qDsirWeight _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_gopher" -> (qGopher _),
+    "q_c4_filter" -> (qC4Filter _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1582,6 +1606,41 @@ object SparkEntry {
         |SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
         | (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
         |  AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS pass
+        |FROM m""".stripMargin,
+
+    // C4 rules over the same synthesized page the Spark side builds;
+    // line keep = terminal punct AND >=3 words AND no 'javascript'
+    "q_c4_filter" ->
+      """WITH synth AS (SELECT doc_id,
+        |  substr(text, 1, 60) || '.' || chr(10) ||
+        |  substr(text, 61, 40) || chr(10) ||
+        |  CASE WHEN doc_id % 9 = 0 THEN 'please enable javascript to view this page.'
+        |       ELSE 'a perfectly ordinary closing sentence.' END || chr(10) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |       ELSE 'the final line has plenty of words.' END || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'function() { return 1; }'
+        |       ELSE 'no braces to see here.' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'frak appears right here.'
+        |       ELSE '' END AS text
+        | FROM documents),
+        |ls AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |              x -> len(x) > 0) AS ls
+        | FROM synth),
+        |m AS (SELECT doc_id, ls,
+        |  list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+        |    AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> len(w) > 0)) >= 3
+        |    AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> list_contains(['frak'], w))) > 0 AS has_bad_word
+        | FROM ls)
+        |SELECT doc_id AS id, CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | array_to_string(kept, chr(10)) AS clean,
+        | has_lorem, has_brace, has_bad_word,
+        | (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS pass
         |FROM m""".stripMargin,
 
     // within-doc line dedup over the same synthesized 3-segment doc:

@@ -237,6 +237,53 @@ object Curate {
         col("stop_hits") >= 2)
   }
 
+  /** C4 cleanup rules (Raffel et al. 2020 §2.2) — the other canonical
+    * pre-training filter next to [[gopherFilter]]; real pipelines run
+    * both. Line level (a "line" is a newline-delimited, trimmed,
+    * non-blank segment): keep only lines that end in a terminal
+    * punctuation mark (. ! ? or a closing quote), contain ≥ 3
+    * whitespace-delimited words, and do not contain the word
+    * "javascript". Document level: flag pages containing the phrase
+    * "lorem ipsum", a curly brace `{`, or any exact lowercase
+    * whitespace-token match against `badWords` (C4's bad-word list is
+    * a parameter here — ship your own). Returns per-rule metrics plus
+    * the composite so callers can loosen individual rules:
+    * (id, n_lines, n_kept, clean, has_lorem, has_brace, has_bad_word,
+    * pass) where `clean` is the kept lines rejoined with `\n` and
+    * pass = n_kept ≥ minLines ∧ no document flag (C4 drops pages with
+    * fewer than 5 retained sentences; `minLines` is that floor).
+    * Blank-only docs survive with n_lines = 0 (they just fail `pass`).
+    *
+    * Scale shape: pure per-row Catalyst (split + array lambdas) —
+    * zero shuffles, scan speed, whole-stage codegen, same as
+    * [[gopherFilter]]. */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+      minLines: Int = 5, badWords: Seq[String] = Nil): DataFrame = {
+    val bad = badWords.map(_.toLowerCase)
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(col("ls"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).rlike("\\bjavascript\\b"))
+    val badHit =
+      if (bad.isEmpty) lit(false)
+      else exists(split(lower(col(textCol)), "\\s+"), w => w.isin(bad: _*))
+    df.select(col(idCol).as("id"), col(textCol), lines.as("ls"))
+      .withColumn("kept", kept)
+      .select(col("id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("clean"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"),
+        badHit.as("has_bad_word"))
+      .withColumn("pass",
+        col("n_kept") >= minLines && !col("has_lorem") &&
+          !col("has_brace") && !col("has_bad_word"))
+  }
+
   /** Token-budget mixture sampling: fill each stratum's token budget
     * with the deterministic hash-ordered prefix of its docs — the
     * data-mixing step that assembles a training set as "N tokens of

@@ -124,6 +124,48 @@ class CurateSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_word_len") == mean)
   }
 
+  test("c4Filter: each line and document rule trips independently") {
+    val docs = Seq(
+      (1L, "this line ends with a period.\nno terminal punct here\n" +
+        "this one asks a question?"),                 // 2 of 3 lines kept
+      (2L, "two words.\nanother good sentence right here."), // word floor
+      (3L, "please enable javascript to proceed.\n" +
+        "a fine closing sentence."),                   // javascript line
+      (4L, "lorem ipsum dolor sit amet.\na fine closing sentence."),
+      (5L, "var x = { a: 1 } is code.\na fine closing sentence."),
+      (6L, "this doc mentions frak once.\na fine closing sentence."),
+      (7L, "   \n  \n"),                               // blank-only page
+      (8L, "first good sentence right here.\nsecond good sentence right " +
+        "here!\nthird good \"sentence\"")              // ., !, closing quote
+    ).toDF("id", "text")
+    val out = Curate.c4Filter(docs, "id", "text", minLines = 2,
+      badWords = Seq("frak")).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    def f(id: Long, c: String) = out(id).getAs[Boolean](c)
+    def n(id: Long, c: String) = out(id).getAs[Long](c)
+    // line rules: terminal punct, >=3 words, no 'javascript'
+    assert(n(1L, "n_lines") == 3 && n(1L, "n_kept") == 2 && f(1L, "pass"))
+    assert(out(1L).getAs[String]("clean") ==
+      "this line ends with a period.\nthis one asks a question?")
+    assert(n(2L, "n_kept") == 1 && !f(2L, "pass"))
+    assert(n(3L, "n_kept") == 1 && !f(3L, "pass"))
+    // document flags: each trips alone, lines themselves survive
+    assert(n(4L, "n_kept") == 2 && f(4L, "has_lorem") && !f(4L, "pass"))
+    assert(n(5L, "n_kept") == 2 && f(5L, "has_brace") && !f(5L, "pass"))
+    assert(n(6L, "n_kept") == 2 && f(6L, "has_bad_word") && !f(6L, "pass"))
+    assert(Seq("has_lorem", "has_brace", "has_bad_word")
+      .forall(c => !f(1L, c) && !f(8L, c)))
+    // blank-only page: present, zero lines, fails
+    assert(n(7L, "n_lines") == 0 && !f(7L, "pass"))
+    // all three terminal punctuation forms keep their lines
+    assert(n(8L, "n_kept") == 3 && f(8L, "pass"))
+    // bad-word match is exact-token: 'frak.' (punct attached) is no hit
+    val attached = Seq((9L, "this mentions frak. with punct attached\n" +
+      "a fine closing sentence.")).toDF("id", "text")
+    assert(!Curate.c4Filter(attached, "id", "text", minLines = 1,
+      badWords = Seq("frak")).collect().head.getAs[Boolean]("has_bad_word"))
+  }
+
   test("budgetSample: hash-ordered prefix per stratum, distributed offsets exact") {
     def h32(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -83,6 +83,7 @@ class EmptyInputSpec extends SparkSpec {
       Map("en" -> 100L)).count() == 0)
     assert(Dedup.dedupLinesInDoc(noDocs, "doc_id", "text").count() == 0)
     assert(Curate.gopherFilter(noDocs, "doc_id", "text").count() == 0)
+    assert(Curate.c4Filter(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("iterators, canonical selection, partitions over empty inputs") {
