@@ -399,6 +399,37 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** The synthesized crawl URL both engines build identically from
+    * doc_id: scheme case, www, host case, trailing slash, query, and
+    * fragment all vary on different moduli so every normalization
+    * step is exercised, while the normalized key collapses to
+    * (source, doc_id % 40) — real duplicate groups. */
+  private def synthUrl = concat(
+    when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+    when(col("doc_id") % 4 < 2, lit("www.")).otherwise(lit("")),
+    when(col("doc_id") % 8 < 4, col("source")).otherwise(upper(col("source"))),
+    lit(".com/page/"), (col("doc_id") % 40).cast("string"),
+    when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=1"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
+
+  // URL-level exact dedup: re-fetches of one page under cosmetically
+  // different URLs collapse to the min doc_id.
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupByUrl(
+      t(s, dir, "documents").withColumn("url", synthUrl),
+      "doc_id", "url")
+      .select("doc_id", "url_norm")
+
+  // Per-domain cap: each registered domain keeps its 5 longest docs
+  // (n_chars as quality), rank-stamped.
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Dedup.capPerDomain(
+      t(s, dir, "documents").withColumn("url", synthUrl),
+      "doc_id", "url", n = 5, qualityCol = "n_chars")
+      .select("doc_id", "domain", "rank")
+
   // ---- training-data curation ---------------------------------------------
 
   // Benchmark decontamination: docs 0-24 stand in for the held-out eval
@@ -974,6 +1005,8 @@ object SparkEntry {
     "q_budget_sample" -> (qBudgetSample _),
     "q_gopher" -> (qGopher _),
     "q_c4_filter" -> (qC4Filter _),
+    "q_url_dedup" -> (qUrlDedup _),
+    "q_domain_cap" -> (qDomainCap _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
@@ -1011,6 +1044,27 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _))
 
   // Shared SQL fragments for the DuckDB oracles.
+  // (doc_id, n_chars, url_norm): the synthesized crawl URL (mirror of
+  // synthUrl) pushed through the normalizeUrl steps — strip fragment,
+  // query, scheme, one leading www.; lowercase the host; strip
+  // trailing slashes. Plain string (no s-interp): single backslashes
+  // survive into the SQL.
+  private val urlNormDoc =
+    """SELECT doc_id, n_chars,
+      |  regexp_replace(lower(regexp_extract(s4, '^([^/]*)', 1)) ||
+      |    regexp_extract(s4, '^[^/]*(.*)$', 1), '/+$', '') AS url_norm
+      |FROM (SELECT doc_id, n_chars,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+      |    CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END ||
+      |    CASE WHEN doc_id % 8 < 4 THEN source ELSE upper(source) END ||
+      |    '.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=1' ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END,
+      |    '#.*$', ''), '\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      |    '^www\.', '') AS s4
+      | FROM documents)""".stripMargin
   private val normDoc =
     "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents"
   // (doc_id, tok) exploded whitespace tokens over normalized text — the
@@ -1642,6 +1696,31 @@ object SparkEntry {
         | has_lorem, has_brace, has_bad_word,
         | (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS pass
         |FROM m""".stripMargin,
+
+    // URL dedup over the same synthesized crawl URL the Spark side
+    // builds; normalization mirrored step for step (fragment, query,
+    // scheme, www, host lowercase, trailing slash)
+    "q_url_dedup" ->
+      s"""WITH n AS ($urlNormDoc)
+         |SELECT min(doc_id) AS doc_id, url_norm FROM n GROUP BY url_norm""".stripMargin,
+
+    // per-domain top-5 by n_chars (ties -> min doc_id); domain = last
+    // two host labels after port strip
+    "q_domain_cap" ->
+      s"""WITH n AS ($urlNormDoc),
+         |h AS (SELECT doc_id, n_chars,
+         |  regexp_replace(regexp_extract(url_norm, '^([^/]*)', 1), ':\\d+$$', '') AS host
+         | FROM n),
+         |d AS (SELECT doc_id, n_chars,
+         |  CASE WHEN regexp_matches(host, '\\.')
+         |       THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |       ELSE host END AS domain
+         | FROM h),
+         |r AS (SELECT doc_id, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC NULLS LAST, doc_id) AS BIGINT) AS rank
+         | FROM d)
+         |SELECT doc_id, domain, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // within-doc line dedup over the same synthesized 3-segment doc:
     // group to first occurrence per (doc, segment), reassemble in order

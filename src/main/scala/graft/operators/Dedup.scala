@@ -708,6 +708,86 @@ object Dedup {
       .drop("__cl", "cluster_id")
   }
 
+  /** URL normalization for crawl dedup (the RefinedWeb recipe's first
+    * stage runs BEFORE any content hashing — most crawl duplicates are
+    * the same page re-fetched under a cosmetically different URL):
+    * strip the fragment, then the query string, then the scheme, then
+    * one leading "www."; lowercase the host (the part before the first
+    * "/" — case-insensitive per RFC 3986, unlike the path, which keeps
+    * its case); strip trailing slashes. Ports stay in the host (":80"
+    * vs none is a real difference to a fetcher). Pure per-row regex
+    * chain — codegen'd, zero shuffle. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val noScheme = regexp_replace(noQuery, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val host = regexp_extract(noWww, "^([^/]*)", 1)
+    val path = regexp_extract(noWww, "^[^/]*(.*)$", 1)
+    regexp_replace(concat(lower(host), path), "/+$", "")
+  }
+
+  /** Registered domain of a (raw or normalized) URL: the host with any
+    * port stripped, reduced to its last two dot-labels ("a.b.example
+    * .com" → "example.com"; a dotless host passes through). The
+    * two-label rule is the deterministic stand-in for a public-suffix
+    * lookup — production code dedicating caps to "co.uk" domains
+    * should swap in a suffix table; the operator seam is this one
+    * expression. */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_replace(
+      regexp_extract(normalizeUrl(url), "^([^/]*)", 1), ":\\d+$", "")
+    when(host.rlike("\\."),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+  }
+
+  /** URL-level exact dedup: one surviving row per [[normalizeUrl]]
+    * key, the minimum id winning (re-fetches of one page collapse
+    * before any content pass runs). Returns the survivors' full rows
+    * plus `url_norm`.
+    *
+    * Scale shape: same as [[exact]] — one map-side-combined groupBy on
+    * the normalized key for the argmin, then a semi-style join back on
+    * (key, id) to recover rows. No text moves through the shuffle. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keyed = df.withColumn("url_norm", normalizeUrl(col(urlCol)))
+    val winners = keyed.groupBy("url_norm")
+      .agg(min(col(idCol)).as(idCol))
+    keyed.join(winners, Seq("url_norm", idCol), "left_semi")
+  }
+
+  /** Per-domain document cap (the RefinedWeb / crawl-curation rule
+    * that stops one hot domain from dominating a training mixture):
+    * keep at most `n` docs per [[registeredDomain]], best
+    * `qualityCol` first, ties → min id (nulls lose to any non-null).
+    * Returns the survivors' full rows plus `domain` and `rank`
+    * (1-based position within the domain).
+    *
+    * Scale shape: a single window over `domain` would sort a hot
+    * domain (the exact pathology this operator exists for) in ONE
+    * task, and AQE does not split window partitions. So the top-n runs
+    * in two skew-proof stages: a salted window (domain × `salt`
+    * deterministic id-hash subgroups) prunes each subgroup to its own
+    * top n, then the final window ranks the ≤ salt·n survivors per
+    * domain. Any row in a domain's global top n is in its subgroup's
+    * top n, so the two-stage result is exact; everything downstream of
+    * stage 1 is bounded by salt·n per domain regardless of skew. */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String, n: Int,
+      qualityCol: String, salt: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && salt > 0, "n and salt must be positive")
+    val order = Seq(col(qualityCol).desc_nulls_last, col(idCol).asc)
+    val w1 = Window.partitionBy("domain", "__salt").orderBy(order: _*)
+    val w2 = Window.partitionBy("domain").orderBy(order: _*)
+    df.withColumn("domain", registeredDomain(col(urlCol)))
+      .withColumn("__salt",
+        pmod(H.hash32(59, col(idCol).cast("string")), lit(salt)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= n)
+      .drop("__salt", "__r1")
+  }
+
   /** Persist a minhash dedup index: band signatures + shingle-hash sets
     * for an ingested corpus, so the NEXT batch dedups against history
     * without recomputing it — the production daily-ingest shape (new

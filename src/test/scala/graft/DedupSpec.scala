@@ -393,4 +393,80 @@ class DedupSpec extends SparkSpec {
     // 4 and 5 are unrelated to 1: if present at all, not in 1's cluster
     assert(!out.get(4L).contains(1L) && !out.get(5L).contains(1L))
   }
+
+  test("normalizeUrl / registeredDomain: each edge case") {
+    val cases = Seq(
+      // host lowered, path case kept, query+fragment+trailing / stripped
+      ("https://www.Example.COM/Path/?q=1#f", "example.com/Path"),
+      ("HTTP://example.com/a/b", "example.com/a/b"),   // scheme case-blind
+      ("https://foo.org/", "foo.org"),                 // bare host
+      ("www.foo.org/bar", "foo.org/bar"),              // no scheme
+      ("ftp://x.y.z/file", "x.y.z/file"),              // any scheme
+      ("https://a.com/p#frag?x=1", "a.com/p"),         // ? inside fragment
+      ("https://sub.www.a.com/q", "sub.www.a.com/q"),  // only LEADING www.
+      ("https://a.com:8080/p/", "a.com:8080/p"),       // port stays
+      ("https://a.com/p///", "a.com/p")                // slash run
+    )
+    val got = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), Dedup.normalizeUrl(col("url")).as("n"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"normalizeUrl($u)") }
+    val doms = Seq(
+      ("https://a.b.example.com/x", "example.com"),  // last two labels
+      ("https://www.example.co/x", "example.co"),    // (public-suffix caveat)
+      ("http://localhost/x", "localhost"),           // dotless host
+      ("https://a.com:8080/x", "a.com")              // port stripped
+    )
+    val gd = doms.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), Dedup.registeredDomain(col("url")).as("d"))
+      .as[(Long, String)].collect().toMap
+    doms.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(gd(i.toLong) == want, s"registeredDomain($u)") }
+  }
+
+  test("dedupByUrl: min id survives per normalized key, full rows kept") {
+    val rows = Seq(
+      (5L, "https://www.a.com/p?utm=1", "five"),
+      (2L, "http://A.COM/p/", "two"),      // same page as 5 -> 2 wins
+      (9L, "https://a.com/p#frag", "nine"),// same page again
+      (7L, "https://a.com/q", "seven"),    // different path: survives
+      (1L, "https://b.org", "one")         // singleton
+    ).toDF("id", "url", "payload")
+    val out = Dedup.dedupByUrl(rows, "id", "url")
+      .select("id", "url_norm", "payload")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 7L))
+    assert(out.find(_._1 == 2L).get._2 == "a.com/p")
+    assert(out.find(_._1 == 2L).get._3 == "two") // original columns intact
+  }
+
+  test("capPerDomain: top-n by quality per domain, salt-invariant, skew-safe") {
+    // one mega-domain (60 docs) + one small domain (2 docs); quality
+    // ascends with id so the TOP n are the LAST ids — any partition-
+    // order dependence would surface immediately
+    val rows = (1L to 60L).map(i =>
+      (i, s"https://www.mega.com/page/$i", i * 10)) ++
+      Seq((101L, "https://tiny.org/a", 5L), (102L, "https://tiny.org/b", 9L))
+    val df = rows.toDF("id", "url", "q")
+    def run(salt: Int) = Dedup.capPerDomain(df, "id", "url", n = 3,
+        qualityCol = "q", salt = salt)
+      .select("id", "domain", "rank").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    val got = run(16)
+    assert(got.filter(_._2 == "mega.com").map(_._1).toSeq ==
+      Seq(60L, 59L, 58L), s"got ${got.toSeq}")           // best quality first
+    assert(got.filter(_._2 == "tiny.org").map(_._1).toSeq ==
+      Seq(102L, 101L))                                    // under-cap domain whole
+    assert(got.map(_._3).forall(_ <= 3))
+    // exactness does not depend on the salt fan-out
+    assert(run(1).toSeq == got.toSeq && run(7).toSeq == got.toSeq)
+    // quality ties break on min id
+    val ties = Seq((3L, "https://t.com/x", 1L), (1L, "https://t.com/y", 1L),
+      (2L, "https://t.com/z", 1L)).toDF("id", "url", "q")
+    assert(Dedup.capPerDomain(ties, "id", "url", n = 2, qualityCol = "q")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }
