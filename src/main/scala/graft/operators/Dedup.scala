@@ -536,14 +536,22 @@ object Dedup {
     * Scale shape: THE point of SemDeDup is that clustering bounds the
     * quadratic — the only self-join is per-cell, so size k such that
     * corpus/k cells fit a task (the paper's k ≈ √n; AQE splits skewed
-    * cells). Centroids train on [[Ann.ivfFit]]'s byte-bounded
+    * cells). `maxCellSize` guards the case k-sizing can't: a
+    * near-point-mass embedding cluster that lands corpus-many docs in
+    * one cell. Oversized cells split into deterministic id-hash
+    * subgroups compared only within themselves — conservative (keeps
+    * strictly more docs, never fewer) and bit-identical to uncapped
+    * for every cell already at or under the cap.
+    * Centroids train on [[Ann.ivfFit]]'s byte-bounded
     * deterministic driver sample and broadcast as literals; cell
     * assignment and the cosine are codegen'd expressions. Reuses the
     * exact machinery the IVF index trusts, so cluster assignment here
     * and vector search there agree on geometry. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      tau: Double, seed: Long = 42L, trainCap: Long = -1L): DataFrame = {
+      tau: Double, seed: Long = 42L, trainCap: Long = -1L,
+      maxCellSize: Option[Int] = None): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxCellSize.forall(_ > 0), "maxCellSize must be positive")
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val excluded = v.filter(V.norm2(col("v")) <= 0)
@@ -559,14 +567,36 @@ object Dedup {
         // survivors' anti-join — one pass, not 3 — and checkpoint
         // blocks are ContextCleaner-reclaimed once the result is
         // dropped, where a cache entry would leak until clearCache
-        val withSim = cells.join(broadcast(centroids), "cell")
+        val assigned = cells.join(broadcast(centroids), "cell")
           .withColumn("nrm", V.norm2(col("v")))
           // centroids are unit vectors, so no cv norm in the divisor
           .select(col("id"), col("cell"), col("v"), col("nrm"),
             (V.dot(col("v"), col("cv")) / col("nrm")).as("csim"))
           .localCheckpoint()
+        // The per-cell quadratic is the paper's own scale bound (size k
+        // so corpus/k fits a task); `maxCellSize` is the guard for when
+        // the EMBEDDING distribution defeats that sizing — a degenerate
+        // near-point-mass cluster lands corpus-many docs in one cell.
+        // Oversized cells split into ceil(n/m) deterministic id-hash
+        // subgroups and only compare within a subgroup: conservative
+        // (cross-subgroup near-dups both survive), deterministic under
+        // re-runs and repartitioning, and every task stays <= m rows a
+        // side. Cells at or under m get ONE subgroup — bit-identical to
+        // the uncapped run. The cell-size histogram is one tiny agg
+        // (<= k rows), broadcast back onto the assignment.
+        val withSim = maxCellSize match {
+          case None => assigned.withColumn("__sub", lit(0))
+          case Some(m) =>
+            val sizes = assigned.groupBy("cell")
+              .agg(count(lit(1)).as("__n"))
+            assigned.join(broadcast(sizes), "cell")
+              .withColumn("__sub", pmod(H.hash32(61, col("id").cast("string")),
+                ceil(col("__n") / lit(m.toDouble)).cast("int")))
+              .drop("__n")
+        }
         val dropped = spread(withSim).as("x").join(withSim.as("y"),
             col("x.cell") === col("y.cell") &&
+              col("x.__sub") === col("y.__sub") &&
               (col("y.csim") < col("x.csim") ||
                 (col("y.csim") === col("x.csim") && col("y.id") < col("x.id"))))
           .select(col("x.id").as("id"),

@@ -99,6 +99,31 @@ class DedupSpec extends SparkSpec {
     assert(tiny.map(_._1).toSet == Set(0L, 1L, 2L) && tiny.forall(_._2 == -1))
   }
 
+  test("semDedup maxCellSize: cap splits only oversized cells, stays deterministic") {
+    // well-separated duplicate groups, none near the cap: capped run
+    // must be BIT-IDENTICAL to uncapped (every cell gets one subgroup)
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0))
+    val spreadDf = ((0 until 18).map(i => (i.toLong, dirs(i % 3))) ++
+      Seq((18L, Seq(0.5, 0.5, 0.5, 0.5)))).toDF("id", "vec")
+    def run(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      Dedup.semDedup(df, "id", "vec", k = 2, tau = 0.9999,
+        maxCellSize = cap).as[(Long, Int, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    assert(run(spreadDf, Some(100)) == run(spreadDf, None))
+    // degenerate point-mass corpus: every doc in ONE cell. Capped run
+    // completes with bounded per-task size; survivors = one min id per
+    // id-hash subgroup (conservative: a superset of the uncapped one)
+    val mass = (0 until 120).map(i => (i.toLong, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val uncapped = run(mass, None).map(_._1).toSet
+    val capped = run(mass, Some(10)).map(_._1).toSet
+    assert(uncapped.subsetOf(capped), s"capped lost ${uncapped -- capped}")
+    assert(capped.size > 1 && capped.size <= 12) // ceil(120/10) subgroups
+    // deterministic under repartitioning
+    assert(run(mass.repartition(7), Some(10)).map(_._1).toSet == capped)
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog again and again " * 4
   private val docs = Seq(
     (1L, base),
