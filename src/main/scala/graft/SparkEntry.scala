@@ -485,6 +485,54 @@ object SparkEntry {
     Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
       budget = 1024, shards = 32)
 
+  /** The flagship end-to-end curation pipeline — the chain a real
+    * pretraining-data run executes, stage outputs feeding stage inputs
+    * (not the per-operator queries' isolated scans): crawl pages (body
+    * + a boilerplate footer repeated twice, the nav/footer shape real
+    * crawls have) → within-doc line dedup (collapses the footer) →
+    * Gopher quality gate → benchmark decontamination (doc_id < 25
+    * stands in for the eval suite; its own rows leave the pool too) →
+    * minhash near-dup clusters over the SURVIVORS (df caps and Jaccard
+    * computed on the filtered corpus, as a staged pipeline would) →
+    * canonical selection by n_chars → token-budget mixture fill.
+    * Output is the training-mixture manifest (id, stratum, n_tok,
+    * cum_tok). Budgets are sized to bite at sf0.01 (en pool ≫ 4k
+    * tokens) so the prefix cut is actually exercised.
+    *
+    * Scale shape: every stage is one of the §2 operators unchanged —
+    * the composition adds joins that are all semi/anti joins on doc_id
+    * (AQE broadcasts the small filtered sides) and no new shuffles
+    * beyond the stages' own. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val footer = "subscribe to our newsletter for updates."
+    val pages = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      concat(col("text"), lit("\n" + footer + "\n" + footer)).as("text"))
+    // stage 1: within-doc line dedup — the duplicated footer collapses
+    val cleaned = Dedup.dedupLinesInDoc(pages, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean").as("text"))
+      .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+    // stage 2: Gopher quality gate on the cleaned text
+    val quality = cleaned.join(
+      Curate.gopherFilter(cleaned, "doc_id", "text", minWords = 20)
+        .filter(col("pass")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // stage 3: benchmark decontamination (bench = raw eval-suite text)
+    // w=30: a shared 30-char verbatim run means a real eval-set dupe
+    // (w=13 ~ 2 words flags the whole word-soup corpus — measured)
+    val pool = Curate.decontaminate(
+      quality.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text", w = 30)
+    // stage 4: near-dup clusters over the survivors, keep the longest
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashLsh(pool, "doc_id", "text", w = 8, numHashes = 12,
+        bands = 4, tau = 0.5, maxDf = Some(100)).select("id_a", "id_b"))
+    val canonical = Dedup.keepCanonical(pool, clusters, "doc_id", "n_chars")
+    // stage 5: token-budget mixture fill over what survived
+    Curate.budgetSample(canonical, "doc_id", "text", "lang",
+      Map("en" -> 4000L, "zh" -> 3000L), buckets = 16)
+  }
+
   // CCNet-style quality signal: bigram cross-entropy of every doc under
   // a model trained on the corpus itself (the head/middle/tail bucketer).
   private def qPerplexity(s: SparkSession, dir: String): DataFrame =
@@ -1003,6 +1051,7 @@ object SparkEntry {
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
     "q_budget_sample" -> (qBudgetSample _),
+    "q_curation_pipeline" -> (qCurationPipeline _),
     "q_gopher" -> (qGopher _),
     "q_c4_filter" -> (qC4Filter _),
     "q_url_dedup" -> (qUrlDedup _),
@@ -1746,6 +1795,90 @@ object SparkEntry {
         | FROM tk)
         |SELECT doc_id AS id, lang AS stratum, n_tok, CAST(cum AS BIGINT) AS cum_tok
         |FROM c WHERE cum <= CASE lang WHEN 'en' THEN 20000 ELSE 15000 END""".stripMargin,
+
+    // the flagship chain: each stage is the corresponding per-operator
+    // oracle retargeted at the previous stage's survivor CTE — page
+    // synth (dup footer) -> line dedup -> gopher -> decontaminate ->
+    // minhash clusters -> canonical -> budget fill
+    "q_curation_pipeline" ->
+      """WITH RECURSIVE
+        |page AS (SELECT doc_id, lang, n_chars,
+        |  text || chr(10) || 'subscribe to our newsletter for updates.'
+        |       || chr(10) || 'subscribe to our newsletter for updates.' AS text
+        | FROM documents),
+        |lsegs AS (SELECT doc_id, string_split(text, chr(10)) AS segs FROM page),
+        |lexp AS (SELECT doc_id, i, segs[i] AS seg
+        |         FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i FROM lsegs)),
+        |lfirst AS (SELECT doc_id, seg, min(i) AS i FROM lexp GROUP BY 1, 2),
+        |d1 AS (SELECT f.doc_id, d.lang, d.n_chars,
+        |       string_agg(f.seg, chr(10) ORDER BY f.i) AS text
+        |       FROM lfirst f JOIN documents d USING (doc_id)
+        |       GROUP BY f.doc_id, d.lang, d.n_chars),
+        |gw AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS ws,
+        |  (length(text) - length(replace(text, '#', ''))) +
+        |    CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS sym
+        | FROM d1),
+        |gok AS (SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |   round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 4) AS mean_word_len,
+        |   round(CAST(sym AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+        |   round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 4) AS alpha_ratio,
+        |   CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS stop_hits
+        |  FROM gw WHERE len(ws) > 0)
+        | WHERE n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
+        |   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2),
+        |d2 AS (SELECT d1.* FROM d1 JOIN gok USING (doc_id)),
+        |n2 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM d2),
+        |nb AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |       FROM documents WHERE doc_id < 25),
+        |cs AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(t, CAST(i AS INT), 30)), 1, 8))::BIGINT AS h
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-29, 1))) AS i
+        |             FROM n2 WHERE doc_id >= 25)),
+        |bs AS (SELECT DISTINCT ('0x' || substr(md5(substr(t, CAST(i AS INT), 30)), 1, 8))::BIGINT AS h
+        |       FROM (SELECT t, unnest(generate_series(1, greatest(length(t)-29, 1))) AS i FROM nb)),
+        |cont AS (SELECT DISTINCT doc_id FROM cs JOIN bs USING (h)),
+        |d3 AS (SELECT d2.* FROM d2 WHERE d2.doc_id >= 25
+        |       AND d2.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |n3 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM d3),
+        |psh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+        |         FROM (SELECT doc_id, substr(t, i, 8) AS sh
+        |               FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM n3))),
+        |psh AS (SELECT s.doc_id, s.h FROM psh0 s
+        |        JOIN (SELECT h FROM psh0 GROUP BY h HAVING count(*) <= 100) k ON s.h = k.h),
+        |pmh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+        |        FROM psh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+        |psig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM pmh GROUP BY doc_id, band),
+        |pcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |          FROM psig a JOIN psig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |psz AS (SELECT doc_id, count(*) AS sz FROM psh GROUP BY doc_id),
+        |pint AS (SELECT c.id_a, c.id_b, count(*) AS i
+        |         FROM pcand c JOIN psh a ON a.doc_id = c.id_a JOIN psh b ON b.doc_id = c.id_b AND a.h = b.h
+        |         GROUP BY 1, 2),
+        |vp AS (SELECT c.id_a, c.id_b
+        |       FROM pcand c LEFT JOIN pint i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |        JOIN psz sa ON sa.doc_id = c.id_a JOIN psz sb ON sb.doc_id = c.id_b
+        |       WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+        |reach AS (SELECT a AS id, a AS r FROM e
+        |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |asg AS (SELECT p.doc_id, p.lang, p.n_chars, p.text,
+        |               coalesce(cl.cluster_id, p.doc_id) AS c
+        |        FROM d3 p LEFT JOIN cl ON cl.id = p.doc_id),
+        |d4 AS (SELECT doc_id, lang, text FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id ASC) AS rn FROM asg)
+        |       WHERE rn = 1),
+        |tk AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+        |  ('0x' || substr(md5('41#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        | FROM d4 WHERE lang IN ('en', 'zh')),
+        |cm AS (SELECT doc_id, lang, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM tk)
+        |SELECT doc_id AS id, lang AS stratum, n_tok, CAST(cum AS BIGINT) AS cum_tok
+        |FROM cm WHERE cum <= CASE lang WHEN 'en' THEN 4000 ELSE 3000 END""".stripMargin,
 
     // add-1 bigram LM over the shared tokenizer, scored structurally
     // identically on both engines (per-doc bigram counts, then

@@ -365,4 +365,46 @@ object Curate {
       .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
       .withColumn("seq_id", floor(col("start_tok") / budget))
   }
+
+  /** The end-to-end curation recipe — the stage chain a pretraining
+    * data run executes, each stage feeding the next's input (RefinedWeb
+    * / Gopher / Lee-et-al assembled in their published order): within-
+    * doc line dedup (crawl nav/footer boilerplate collapses) → Gopher
+    * quality gate → benchmark decontamination against `bench` (w-char
+    * verbatim-run overlap; w defaults to 30 — a shared 30-char run
+    * means a real eval-set leak, where shorter shingles flag benign
+    * vocabulary overlap) → minhash near-dup clusters over the
+    * SURVIVORS (df caps and Jaccard on the filtered corpus, as a
+    * staged pipeline sees it) → canonical selection by `qualityCol` →
+    * token-budget mixture fill. Returns budgetSample's manifest
+    * (id, stratum, n_tok, cum_tok).
+    *
+    * Scale shape: pure composition of the §2 operators — the glue is
+    * semi-joins on the id (AQE broadcasts the small filtered sides);
+    * no new shuffle beyond the stages' own, and every stage's own
+    * scale story (zero-shuffle scans, banded LSH, distributed prefix
+    * sum) is unchanged by the chaining. */
+  def curationPipeline(pool: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, qualityCol: String,
+      budgets: Map[String, Long], minWords: Int = 20, decontamW: Int = 30,
+      minhashW: Int = 8, numHashes: Int = 12, bands: Int = 4,
+      tau: Double = 0.5, maxDf: Option[Int] = Some(100),
+      buckets: Int = 64, sep: String = "\n"): DataFrame = {
+    val meta = pool.select(col(idCol), col(stratumCol), col(qualityCol))
+    val cleaned = Dedup.dedupLinesInDoc(pool, idCol, textCol, sep)
+      .select(col("id").as(idCol), col("clean").as(textCol))
+      .join(meta, Seq(idCol))
+    val quality = cleaned.join(
+      gopherFilter(cleaned, idCol, textCol, minWords)
+        .filter(col("pass")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val survivors = decontaminate(quality, bench, idCol, textCol,
+      w = decontamW)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashLsh(survivors, idCol, textCol, minhashW, numHashes,
+        bands, tau, maxDf).select("id_a", "id_b"))
+    val canonical = Dedup.keepCanonical(survivors, clusters, idCol,
+      qualityCol)
+    budgetSample(canonical, idCol, textCol, stratumCol, budgets, buckets)
+  }
 }
