@@ -22,7 +22,13 @@ object Bench {
     // added, silently changing which heavy query precedes which — that
     // neighbor effect made identical queries swing 2.5s → 31s between
     // rounds. Sorted names keep timings comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration escape hatch: a comma-separated allowlist limits
+    // the run to the named queries (unset in driver runs — full bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       // isolate queries: operators may cache() internally; leaked cache
       // blocks from earlier queries would otherwise squeeze execution
       // memory for later ones and skew their timings — clear, then let
