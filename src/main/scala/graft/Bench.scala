@@ -26,8 +26,22 @@ object Bench {
     // the run to the named queries (unset in driver runs — full bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a mistyped allowlist must fail LOUDLY: silently selecting zero
+    // queries still prints a valid-looking JSON line with total=0,
+    // which reads as a (spectacular) real result
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    if (selected.isEmpty) {
+      System.err.println("[bench] selection is empty — nothing to run")
+      spark.stop()
+      sys.exit(1)
+    }
     val results = selected.map { case (name, fn) =>
       // isolate queries: operators may cache() internally; leaked cache
       // blocks from earlier queries would otherwise squeeze execution

@@ -406,7 +406,8 @@ object SparkEntry {
     * (source, doc_id % 40) — real duplicate groups. */
   private def synthUrl = concat(
     when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
-    when(col("doc_id") % 4 < 2, lit("www.")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("www."))
+      .when(col("doc_id") % 4 === 1, lit("WWW.")).otherwise(lit("")),
     when(col("doc_id") % 8 < 4, col("source")).otherwise(upper(col("source"))),
     lit(".com/page/"), (col("doc_id") % 40).cast("string"),
     when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
@@ -1105,14 +1106,15 @@ object SparkEntry {
       |FROM (SELECT doc_id, n_chars,
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
-      |    CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN 'www.'
+      |         WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END ||
       |    CASE WHEN doc_id % 8 < 4 THEN source ELSE upper(source) END ||
       |    '.com/page/' || CAST(doc_id % 40 AS VARCHAR) ||
       |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
       |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=1' ELSE '' END ||
       |    CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END,
       |    '#.*$', ''), '\?.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-      |    '^www\.', '') AS s4
+      |    '(?i)^www\.', '') AS s4
       | FROM documents)""".stripMargin
   private val normDoc =
     "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents"

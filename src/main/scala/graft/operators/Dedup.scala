@@ -580,8 +580,9 @@ object Dedup {
         // Oversized cells split into ceil(n/m) deterministic id-hash
         // subgroups and only compare within a subgroup: conservative
         // (cross-subgroup near-dups both survive), deterministic under
-        // re-runs and repartitioning, and every task stays <= m rows a
-        // side. Cells at or under m get ONE subgroup — bit-identical to
+        // re-runs and repartitioning, and a task sees ~m rows a side in
+        // expectation (id-hash buckets balance statistically, not
+        // exactly). Cells at or under m get ONE subgroup — bit-identical to
         // the uncapped run. The cell-size histogram is one tiny agg
         // (<= k rows), broadcast back onto the assignment.
         val withSim = maxCellSize match {
@@ -751,7 +752,10 @@ object Dedup {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noQuery = regexp_replace(noFrag, "\\?.*$", "")
     val noScheme = regexp_replace(noQuery, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    // (?i): the host is case-insensitive, so "WWW." / "Www." are the
+    // same re-fetch cosmetics as "www." — and this strip runs BEFORE
+    // the host is lowercased below, so the flag is load-bearing
+    val noWww = regexp_replace(noScheme, "(?i)^www\\.", "")
     val host = regexp_extract(noWww, "^([^/]*)", 1)
     val path = regexp_extract(noWww, "^[^/]*(.*)$", 1)
     regexp_replace(concat(lower(host), path), "/+$", "")
@@ -776,6 +780,12 @@ object Dedup {
     * before any content pass runs). Returns the survivors' full rows
     * plus `url_norm`.
     *
+    * Contract: `idCol` must be unique (the (key, id) join-back keeps
+    * every row carrying a winning id — duplicate ids would keep
+    * duplicate rows), and a pre-existing `url_norm` column is
+    * overwritten (it is this operator's output column, same convention
+    * as `clean`/`pass` elsewhere in this file).
+    *
     * Scale shape: same as [[exact]] — one map-side-combined groupBy on
     * the normalized key for the argmin, then a semi-style join back on
     * (key, id) to recover rows. No text moves through the shuffle. */
@@ -792,6 +802,11 @@ object Dedup {
     * `qualityCol` first, ties → min id (nulls lose to any non-null).
     * Returns the survivors' full rows plus `domain` and `rank`
     * (1-based position within the domain).
+    *
+    * Contract: `idCol` must be unique (it is the deterministic
+    * tiebreak and the salt key); pre-existing `domain` / `rank`
+    * columns are overwritten (this operator's output columns), and
+    * `__salt` / `__r1` are reserved scratch names, dropped on return.
     *
     * Scale shape: a single window over `domain` would sort a hot
     * domain (the exact pathology this operator exists for) in ONE

@@ -430,7 +430,10 @@ class DedupSpec extends SparkSpec {
       ("https://a.com/p#frag?x=1", "a.com/p"),         // ? inside fragment
       ("https://sub.www.a.com/q", "sub.www.a.com/q"),  // only LEADING www.
       ("https://a.com:8080/p/", "a.com:8080/p"),       // port stays
-      ("https://a.com/p///", "a.com/p")                // slash run
+      ("https://a.com/p///", "a.com/p"),               // slash run
+      // www-strip is case-blind AND precedes the host lowering
+      ("HTTP://WWW.Example.com/x", "example.com/x"),
+      ("https://Www.a.com/y", "a.com/y")
     )
     val got = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
       .toDF("id", "url")
