@@ -29,11 +29,17 @@ object Bench {
     // a mistyped allowlist must fail LOUDLY: silently selecting zero
     // queries still prints a valid-looking JSON line with total=0,
     // which reads as a (spectacular) real result
+    // ANY unknown name is fatal, not just an empty selection: a typo
+    // among several names would otherwise run the partial selection and
+    // exit 0, silently dropping a query from a scripted run
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
-      if (unknown.nonEmpty)
+      if (unknown.nonEmpty) {
         System.err.println(
           s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -521,14 +521,26 @@ object SparkEntry {
     // stage 3: benchmark decontamination (bench = raw eval-suite text)
     // w=30: a shared 30-char verbatim run means a real eval-set dupe
     // (w=13 ~ 2 words flags the whole word-soup corpus — measured)
+    // the pool is consumed THREE times (minhash shingling, canonical
+    // selection, and transitively the budget fill) — without pinning it,
+    // each consumer re-executes the whole line-dedup → Gopher →
+    // decontaminate chain, and at 100× every redundant pass is a
+    // full-corpus scan + shuffle. localCheckpoint materializes the frame
+    // AND flattens the lineage, so downstream stages replan from the
+    // checkpointed blocks, not the 5-stage DAG. Checkpoint blocks are
+    // reclaimed by the ContextCleaner once the frames are unreferenced
+    // (Bench runs System.gc() between queries), so they don't accumulate
+    // across a 90-query run.
     val pool = Curate.decontaminate(
       quality.filter(col("doc_id") >= 25),
       docs.filter(col("doc_id") < 25), "doc_id", "text", w = 30)
+      .localCheckpoint()
     // stage 4: near-dup clusters over the survivors, keep the longest
     val clusters = Dedup.dupClusters(
       Dedup.minhashLsh(pool, "doc_id", "text", w = 8, numHashes = 12,
         bands = 4, tau = 0.5, maxDf = Some(100)).select("id_a", "id_b"))
     val canonical = Dedup.keepCanonical(pool, clusters, "doc_id", "n_chars")
+      .localCheckpoint()
     // stage 5: token-budget mixture fill over what survived
     Curate.budgetSample(canonical, "doc_id", "text", "lang",
       Map("en" -> 4000L, "zh" -> 3000L), buckets = 16)

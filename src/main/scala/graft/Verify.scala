@@ -28,7 +28,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a failed query must leave a VISIBLE artifact: with stderr alone
+        // the driver's correctness report simply has no row for it, and a
+        // shrinking query set looks identical to a never-registered query
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val failDir = Paths.get(s"$outDir/_FAILED")
+        Files.createDirectories(failDir)
+        Files.writeString(failDir.resolve(name),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

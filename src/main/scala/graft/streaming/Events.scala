@@ -24,10 +24,16 @@ case class ClosedSession(user_id: Long, session_start_ms: Long,
   */
 object Events {
 
-  /** Normalize `ts` to epoch-ms. The testdata parquet stores
-    * TIMESTAMP(NANOS), which Spark only reads as LONG nanos (via
-    * `spark.sql.legacy.parquet.nanosAsLong=true`); epoch nanos exceed
-    * 2^53, so use integer division — double division would lose ms.
+  /** Normalize `ts` to epoch-ms across every encoding the testdata has
+    * shipped with: LONG epoch-nanos (parquet TIMESTAMP(NANOS) read via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — epoch nanos exceed
+    * 2^53, so integer division; double division would lose ms),
+    * TIMESTAMP (instant — unix_micros is timezone-independent), and
+    * TIMESTAMP_NTZ (parquet `timestamp[us]` with no zone — a wall
+    * clock; the corpus writes UTC wall clocks, so it is cast to an
+    * instant through the session timezone, which every graft entry
+    * point pins to UTC; a non-UTC session would silently shift every
+    * event, so that contract is enforced, not assumed).
     * `div` truncates toward zero while the oracle's epoch_ms floors, so
     * pre-epoch (negative) timestamps are floor-adjusted to keep the
     * cross-engine contract bit-for-bit. */
@@ -36,6 +42,13 @@ object Events {
       expr(s"$e div $d - (CASE WHEN $e % $d < 0 THEN 1 ELSE 0 END)")
     val msCol = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => floorDiv("ts", 1000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"ts is TIMESTAMP_NTZ (UTC wall clock by corpus contract) but " +
+          s"spark.sql.session.timeZone=$tz — the cast to an instant would " +
+          "shift every event; pin the session timezone to UTC")
+        floorDiv("unix_micros(cast(ts as timestamp))", 1000L)
       case _ => floorDiv("unix_micros(ts)", 1000L)
     }
     events.withColumn("ts_ms", msCol)
