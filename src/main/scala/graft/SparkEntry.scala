@@ -358,6 +358,16 @@ object SparkEntry {
     Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 16, tau = 0.4)
 
+  // SemDeDup at k=1: with one cell and trainCap covering the whole
+  // table, the spherical k-means fit degenerates to the direction of
+  // sum(v/|v|) — pure SQL — so the FULL selection arithmetic (centroid
+  // -similarity priority, lexicographic tie-break, pairwise-cosine star
+  // rule, 4dp rounding, zero-norm escape hatch) gets a cross-engine
+  // hash-exact oracle instead of only the rows-only check k=16 allows.
+  private def qSemDedupK1(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 1, tau = 0.4, trainCap = 100000L)
+
   // Duplicate clusters: verified minhash pairs -> connected components.
   // The pair list is quadratic inside a duplicate cluster; the cluster
   // map is linear — this is the form a 100 TB dedup actually keeps.
@@ -1053,6 +1063,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_sem_dedup" -> (qSemDedup _),
+    "q_sem_dedup_k1" -> (qSemDedupK1 _),
     "q_repeated_spans" -> (qRepeatedSpans _),
     "q_remove_spans" -> (qRemoveSpans _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -1508,6 +1519,29 @@ object SparkEntry {
         |JOIN e ea ON ea.vec_id = a.vec_id
         |JOIN e eb ON eb.vec_id = b.vec_id
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
+
+    // k=1 SemDeDup: centroid = direction of sum(v/|v|) over the non-zero
+    // corpus (cosine is scale-invariant, so the raw sum works unnormalized);
+    // drop rule = exists a strictly-higher-priority mate at >= tau.
+    // `+ 0` on csim: DuckDB's round preserves IEEE -0.0 where Spark's
+    // BigDecimal round normalizes it to 0.0 — adding zero makes them agree.
+    "q_sem_dedup_k1" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        |clean AS (SELECT id, v FROM n WHERE nrm > 0),
+        |comp AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) / nrm AS x
+        |  FROM n WHERE nrm > 0),
+        |dims AS (SELECT i, sum(x) AS s FROM comp GROUP BY i),
+        |cent AS (SELECT list(s ORDER BY i) AS c FROM dims),
+        |scored AS (SELECT cl.id, cl.v, list_cosine_similarity(cl.v, ct.c) AS csim
+        |  FROM clean cl CROSS JOIN cent ct),
+        |dropped AS (SELECT DISTINCT d.id FROM scored d JOIN scored o
+        |  ON (o.csim < d.csim OR (o.csim = d.csim AND o.id < d.id))
+        |  WHERE round(list_cosine_similarity(d.v, o.v), 4) >= 0.4)
+        |SELECT s.id, 0 AS cell, round(s.csim, 4) + 0 AS csim FROM scored s
+        |WHERE s.id NOT IN (SELECT id FROM dropped)
+        |UNION ALL
+        |SELECT id, -1 AS cell, CAST(NULL AS DOUBLE) AS csim FROM n WHERE nrm <= 0""".stripMargin,
 
     "q_ann_fields" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
