@@ -17,6 +17,19 @@ case class PackState(next_start: Long)
 case class PackedDoc(id: Long, shard: Int, n_tok: Long, start_tok: Long,
     seq_id: Long)
 
+/** One crawl doc routed to its registered domain (same domain
+  * expression as the batch cap). */
+case class CapInput(id: Long, domain: String, quality: Option[Double])
+
+/** Per-domain admission state: how many docs this domain has already
+  * placed in the mixture. */
+case class CapState(accepted: Long)
+
+/** An admitted doc with its 1-based admission rank within the domain —
+  * the same (id, domain, rank) the batch cap emits for survivors. */
+case class CappedDoc(id: Long, domain: String, quality: Option[Double],
+    rank: Long)
+
 /** Streaming forms of the curation operators. Decontaminate and the
   * hash-predicate samplers are stateless — the batch expressions apply
   * to a stream unchanged (spec'd in CurateSpec). Sequence packing is
@@ -65,6 +78,51 @@ object StreamCurate {
             row
           }
           state.update(PackState(start))
+          out.iterator
+      }
+  }
+
+  /** Streaming per-domain document cap — the admission-control form of
+    * [[graft.operators.Dedup.capPerDomain]] for a live crawl: a doc is
+    * admitted iff its [[graft.operators.Dedup.registeredDomain]] has
+    * admitted fewer than `n` docs so far. State is ONE counter per
+    * domain (bytes-sized at any crawl volume); each trigger's work is
+    * O(batch). Emitted rows are immutable (Append mode), so unlike the
+    * batch operator a later better doc cannot evict an earlier one —
+    * that is the price of streaming, not a bug.
+    *
+    * Ordering contract (same shape as [[packSequencesStream]]): docs
+    * are sorted (quality desc nulls-last, id asc) WITHIN each trigger —
+    * the batch cap's exact priority — and triggers admit in arrival
+    * order. Feed the stream in globally quality-descending order (the
+    * replay/backfill case) and the drained (id, domain, rank) set is
+    * exactly batch capPerDomain on the same prefix; out-of-order
+    * arrival admits first-come within the cap instead. NoTimeout: a
+    * domain's budget is meaningful for the stream's lifetime. */
+  def capPerDomainStream(docs: DataFrame, idCol: String, urlCol: String,
+      n: Int, qualityCol: String): Dataset[CappedDoc] = {
+    require(n > 0, "n must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        graft.operators.Dedup.registeredDomain(col(urlCol)).as("domain"),
+        col(qualityCol).cast("double").as("quality"))
+      .as[CapInput]
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState[CapState, CappedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (domain, it, state) =>
+          // batch-cap priority within the trigger: quality desc (nulls
+          // last), then id asc — Option sorts None-last via the isEmpty
+          // key, Boolean false < true
+          val batch = it.toIndexedSeq.sortBy(d =>
+            (d.quality.isEmpty, d.quality.map(-_).getOrElse(0.0), d.id))
+          var k = state.getOption.map(_.accepted).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CappedDoc]
+          batch.foreach { d =>
+            if (k < n) { k += 1; out += CappedDoc(d.id, domain, d.quality, k) }
+          }
+          state.update(CapState(k))
           out.iterator
       }
   }

@@ -640,4 +640,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("file_id") == 1L)) // exists-check skipped doc 2
     assert(rows.map(_.getAs[Long]("block_id")).distinct.length == rows.length)
   }
+
+  test("capPerDomainStream: drained quality-ordered stream equals batch capPerDomain; cap holds across triggers") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "http://a.site1.com/x", Some(9.0)),
+      (2L, "http://site1.com/y", Some(8.0)),
+      (3L, "http://www.site1.com/z", Some(7.0)), // over site1 cap
+      (4L, "http://site1.com/w", None),          // null quality, over cap
+      (10L, "http://site2.org/a", Some(5.0)),
+      (11L, "http://site2.org/b", Some(4.0)),
+      (12L, "http://site2.org/c", Some(3.0)),    // over site2 cap
+      (20L, "http://solo.net/only", None))       // null quality, admitted (cap not hit)
+    // the replay/backfill contract: global quality-desc nulls-last feed
+    val ordered = docs.sortBy { case (id, _, q) =>
+      (q.isEmpty, q.map(-_).getOrElse(0.0), id) }
+    val mem = MemoryStream[(Long, String, Option[Double])]
+    val sdf = mem.toDF().toDF("doc_id", "url", "q")
+    val qy = graft.streaming.StreamCurate
+      .capPerDomainStream(sdf, "doc_id", "url", n = 2, "q")
+      .writeStream.format("memory").queryName("scap")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(ordered.take(4): _*)   // trigger 1 fills site1's cap
+    qy.processAllAvailable()
+    mem.addData(ordered.drop(4): _*)   // trigger 2: site1 arrivals must bounce
+    qy.processAllAvailable()
+    val streamed = spark.table("scap").select("id", "domain", "rank")
+      .as[(Long, String, Long)].collect().toSet
+    qy.stop()
+    val batch = Dedup.capPerDomain(docs.toDF("doc_id", "url", "q"),
+        "doc_id", "url", n = 2, "q")
+      .select(col("doc_id"), col("domain"), col("rank"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // doc 4 arrived in trigger 2 AFTER site1 filled its budget in trigger 1
+    assert(streamed.count(_._2 == "site1.com") == 2)
+    assert(!streamed.exists(_._1 == 4L))
+  }
 }
