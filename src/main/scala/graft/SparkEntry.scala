@@ -535,22 +535,27 @@ object SparkEntry {
     // selection, and transitively the budget fill) — without pinning it,
     // each consumer re-executes the whole line-dedup → Gopher →
     // decontaminate chain, and at 100× every redundant pass is a
-    // full-corpus scan + shuffle. localCheckpoint materializes the frame
-    // AND flattens the lineage, so downstream stages replan from the
-    // checkpointed blocks, not the 5-stage DAG. Checkpoint blocks are
-    // reclaimed by the ContextCleaner once the frames are unreferenced
-    // (Bench runs System.gc() between queries), so they don't accumulate
-    // across a 90-query run.
-    val pool = Curate.decontaminate(
+    // full-corpus scan + shuffle. persist + count (NOT localCheckpoint):
+    // the eager count materializes the frame once, and the cached
+    // InMemoryRelation keeps REAL size statistics, so the minhash
+    // verify's broadcast semi-joins still broadcast — a localCheckpoint
+    // here measured 2× slower end-to-end because its LogicalRDD reports
+    // no stats and every downstream broadcast degraded to a shuffle.
+    // Verify/Bench clearCache between queries, so the blocks don't
+    // outlive the query.
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val pool = pin(Curate.decontaminate(
       quality.filter(col("doc_id") >= 25),
-      docs.filter(col("doc_id") < 25), "doc_id", "text", w = 30)
-      .localCheckpoint()
+      docs.filter(col("doc_id") < 25), "doc_id", "text", w = 30))
     // stage 4: near-dup clusters over the survivors, keep the longest
     val clusters = Dedup.dupClusters(
       Dedup.minhashLsh(pool, "doc_id", "text", w = 8, numHashes = 12,
         bands = 4, tau = 0.5, maxDf = Some(100)).select("id_a", "id_b"))
-    val canonical = Dedup.keepCanonical(pool, clusters, "doc_id", "n_chars")
-      .localCheckpoint()
+    val canonical = pin(Dedup.keepCanonical(pool, clusters, "doc_id", "n_chars"))
     // stage 5: token-budget mixture fill over what survived
     Curate.budgetSample(canonical, "doc_id", "text", "lang",
       Map("en" -> 4000L, "zh" -> 3000L), buckets = 16)
