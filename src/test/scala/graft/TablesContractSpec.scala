@@ -58,6 +58,21 @@ class TablesContractSpec extends SparkSpec {
     assert(norm > 0.0, "zero-norm first embedding — generator drift?")
   }
 
+  test("lineitem/orders date columns compare against string date literals (q1/q3/q5 seam)") {
+    assume(present, s"$sfDir absent — skipping on-disk contract checks")
+    import org.apache.spark.sql.functions._
+    // the TPC-H queries filter NTZ/timestamp/date-encoded columns against
+    // string literals — whatever encoding the driver writes, the implicit
+    // cast must plan AND produce a sane split (not 0/all from a bad cast)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val n = li.count()
+    val before = li.filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(before > 0 && before <= n, s"shipdate filter kept $before of $n")
+    val od = Tables.load(spark, sfDir, "orders")
+    assert(od.filter(col("o_orderdate") < lit("1995-03-15")).limit(1).count() == 1L,
+      "orderdate literal comparison selected nothing — encoding drift?")
+  }
+
   test("documents carries non-null text/lang and events carries the query-contract columns") {
     assume(present, s"$sfDir absent — skipping on-disk contract checks")
     val docs = Tables.load(spark, sfDir, "documents")
