@@ -145,11 +145,33 @@ object Events {
       .drop("__cell")
   }
 
+  /** Normalize `ts` to a watermarkable TIMESTAMP (instant) in place.
+    * Spark refuses event-time watermarks on TIMESTAMP_NTZ
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and on LONG — both
+    * encodings the events table has shipped with — so the streaming
+    * operators route through this seam before `withWatermark`. Same
+    * UTC contract as [[withMs]] for the NTZ wall clock; LONG nanos
+    * truncate to µs (sub-µs is noise at watermark granularity). A
+    * TIMESTAMP column passes through untouched. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"ts is TIMESTAMP_NTZ (UTC wall clock by corpus contract) but " +
+          s"spark.sql.session.timeZone=$tz — the cast to an instant would " +
+          "shift every event; pin the session timezone to UTC")
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events
+    }
+
   /** Streaming tumbling window with watermark — same aggregation as
     * [[windowAggBatch]] expressed on an unbounded stream. */
   def windowAggStream(events: DataFrame, width: String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+    withEventTime(events).withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
@@ -158,7 +180,7 @@ object Events {
     * [[sessionizeWithState]] for the custom-state form). */
   def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+    withEventTime(events).withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
 

@@ -73,6 +73,31 @@ class TablesContractSpec extends SparkSpec {
       "orderdate literal comparison selected nothing — encoding drift?")
   }
 
+  test("windowAggStream accepts the on-disk events encoding end-to-end (readStream)") {
+    assume(present, s"$sfDir absent — skipping on-disk contract checks")
+    import org.apache.spark.sql.functions._
+    // the batch NTZ break hid behind toDF specs; the streaming forms
+    // watermark/window on `ts` directly — drive them from the REAL file
+    // so a watermark-incompatible encoding fails here, not in production
+    val batch = Tables.load(spark, sfDir, "events")
+    // the file stream source requires a DIRECTORY; stage the real file
+    // (same bytes, same encoding) into one
+    val dir = java.nio.file.Files.createTempDirectory("contract_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val sdf = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val q = Events.windowAggStream(sdf, width = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("contract_ev_win")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("contract_ev_win")
+        .agg(sum("n").cast("long")).collect()(0).getLong(0)
+      assert(got == batch.count(), s"streamed window n=$got != event count")
+    } finally q.stop()
+  }
+
   test("documents carries non-null text/lang and events carries the query-contract columns") {
     assume(present, s"$sfDir absent — skipping on-disk contract checks")
     val docs = Tables.load(spark, sfDir, "documents")
