@@ -56,9 +56,19 @@ def main(sf_dir, out_dir):
             print(diff.head(6).to_string())
             fails.append(name); continue
         print(f"OK   {name} ({len(a)} rows)")
+    # queries that crashed in Verify leave a marker file — print the
+    # actual error instead of the bare "no spark output" row
+    for f in sorted(glob.glob(f"{out_dir}/_FAILED/*")):
+        name = f.split("/")[-1]
+        msg = open(f).read().strip().splitlines()[0][:160]
+        print(f"FAIL {name}: verify crashed: {msg}")
+        if name not in fails:
+            fails.append(name)
     # rows-only queries (no oracle)
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
+        if name == "_FAILED":
+            continue
         if name not in oracles:
             files = glob.glob(f"{d}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
