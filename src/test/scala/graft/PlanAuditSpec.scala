@@ -149,6 +149,43 @@ class PlanAuditSpec extends SparkSpec {
       s"duplicated-hash restriction is not a semi-join:\n$spanPhys")
   }
 
+  test("persist+count replaces a join-inflated size estimate with actual bytes; localCheckpoint preserves it") {
+    import graft.operators.Dedup
+    // the curation flagship pins inter-stage frames with persist+count
+    // because join-heavy chains carry multiplicatively INFLATED size
+    // estimates, localCheckpoint PRESERVES the origin plan's estimate
+    // (Spark 4 LogicalRDD), and a materialized InMemoryRelation reports
+    // actual bytes — at sf0.1 the same pool planned as 39.7 GB
+    // checkpointed vs 843 KB persisted, killing every downstream
+    // broadcast (measured 2.4× on the flagship). Pin the mechanism on a
+    // join-inflated frame: the persisted consumer's estimate must be
+    // orders of magnitude below the checkpointed one, and minhashLsh
+    // over the persisted frame must plan broadcast joins.
+    val base = (1L to 60L)
+      .map(i => (i, s"document number $i " + ("shared shingle text chunk " * 4)))
+      .toDF("doc_id", "text")
+    val joiny = base
+      .join(base.select(col("doc_id")), Seq("doc_id"))
+      .join(base.select(col("doc_id"), col("text").as("t2")), Seq("doc_id"))
+      .drop("t2")
+    def consumerBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.filter(col("doc_id") > 0).queryExecution.optimizedPlan.stats.sizeInBytes
+    val ckpt = joiny.localCheckpoint()
+    val persisted = joiny.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.count()
+    val (pB, cB) = (consumerBytes(persisted), consumerBytes(ckpt))
+    val phys = Dedup.minhashLsh(persisted, "doc_id", "text",
+      w = 8, numHashes = 12, bands = 4, tau = 0.5)
+      .queryExecution.executedPlan.toString
+    persisted.unpersist()
+    assert(pB * 100 < cB,
+      s"persisted consumer estimate $pB is not ≪ checkpointed $cB — " +
+        "the stats mechanism the flagship relies on has changed")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"minhashLsh over the persisted pool plans no broadcast joins:\n$phys")
+  }
+
   test("queryPage: id-range and predicate reach the parquet scan; order-by-limit is a TakeOrdered") {
     val tmp = java.nio.file.Files.createTempDirectory("qpage").toString
     (1L to 500L).map(i => (i, s"s${i % 3}", i * 2))
