@@ -184,6 +184,19 @@ object Events {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Adapt a raw events frame (any `ts` encoding [[withEventTime]]
+    * accepts) to the typed input [[sessionizeWithState]] consumes.
+    * Watermark is NOT attached here — the caller owns the lateness
+    * policy (`toSessionEvents(df).withWatermark("ts", …)`). */
+  def toSessionEvents(events: DataFrame): Dataset[SessionEvent] = {
+    val s = events.sparkSession
+    import s.implicits._
+    withEventTime(events).select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts"),
+      col("value").cast("double").as("value")).as[SessionEvent]
+  }
+
   /** Streaming gap sessionization with hand-rolled state via
     * flatMapGroupsWithState: the open session per user lives in the
     * state store; a session closes (and is emitted) when a later event

@@ -96,6 +96,18 @@ class TablesContractSpec extends SparkSpec {
         .agg(sum("n").cast("long")).collect()(0).getLong(0)
       assert(got == batch.count(), s"streamed window n=$got != event count")
     } finally q.stop()
+    // the custom-state sessionizer through the typed adapter: the NTZ
+    // seam must survive groupByKey/flatMapGroupsWithState end-to-end
+    val q2 = Events.sessionizeWithState(
+        Events.toSessionEvents(sdf).withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("contract_ev_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      // real data spans days at a 30-min gap — sessions must close
+      assert(spark.table("contract_ev_sess").limit(1).count() == 1L,
+        "no sessions closed from the real events stream")
+    } finally q2.stop()
   }
 
   test("documents carries non-null text/lang and events carries the query-contract columns") {
