@@ -537,10 +537,11 @@ object SparkEntry {
     // decontaminate chain, and at 100× every redundant pass is a
     // full-corpus scan + shuffle. persist + count (NOT localCheckpoint):
     // the eager count materializes the frame once, and the cached
-    // InMemoryRelation keeps REAL size statistics, so the minhash
-    // verify's broadcast semi-joins still broadcast — a localCheckpoint
-    // here measured 2× slower end-to-end because its LogicalRDD reports
-    // no stats and every downstream broadcast degraded to a shuffle.
+    // InMemoryRelation reports ACTUAL bytes (843 KB here) where a
+    // localCheckpoint preserves the join-chain's multiplicatively
+    // inflated estimate (39.7 GB for the same frame) — measured 2.4×
+    // slower end-to-end because every downstream broadcast semi-join
+    // degraded to a shuffle (mechanism pinned in PlanAuditSpec).
     // Verify/Bench clearCache between queries, so the blocks don't
     // outlive the query.
     def pin(df: DataFrame): DataFrame = {
