@@ -111,4 +111,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Collections.searchPartitions(spark, dir, "part",
       Seq(99), someQs, k = 5).count() == 0)
   }
+
+  test("events adapters and k=1 semDedup over empty inputs") {
+    import graft.streaming.Events
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(Events.withMs(noEvents).count() == 0)
+    assert(Events.withEventTime(noEvents).count() == 0)
+    assert(Events.toSessionEvents(noEvents).count() == 0)
+    // k=1 semDedup on an empty embedding table: ivfFit's empty guard
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(noVecs, "vec_id", "embedding",
+      k = 1, tau = 0.4, trainCap = 1000L).count() == 0)
+  }
 }
