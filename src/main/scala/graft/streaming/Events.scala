@@ -17,6 +17,22 @@ case class OpenSession(start: Long, last: Long, n: Long, total: Double)
 case class ClosedSession(user_id: Long, session_start_ms: Long,
     session_end_ms: Long, n_events: Long, total_value: Double)
 
+/** One tagged row of the unioned as-of input stream: side 0 = right
+  * (the versioned lookup: `value` is real, `event_id` ignored), side 1
+  * = left (the event to enrich: `event_id` is real, `value` ignored). */
+case class AsofEvent(key: Long, ts: java.sql.Timestamp, side: Int,
+    event_id: Long, value: Double)
+
+/** Per-key as-of buffer: right versions not yet superseded below the
+  * watermark, and left events still waiting for their emission bar. */
+case class AsofPending(rights: List[(Long, Double)],
+    lefts: List[(Long, Long)])
+
+/** A left event enriched with the latest right value at-or-before its
+  * event time — the same row batch [[Events.asofJoin]] produces. */
+case class AsofJoined(key: Long, event_id: Long, ts_ms: Long,
+    value: Option[Double])
+
 /** Event-stream operators: gap sessionization and tumbling windows, in
   * both batch (window-function) and Structured Streaming forms. Times
   * are carried as epoch-milliseconds BIGINT so results are engine- and
@@ -195,6 +211,67 @@ object Events {
       col("user_id").cast("long").as("user_id"),
       col("ts"),
       col("value").cast("double").as("value")).as[SessionEvent]
+  }
+
+  /** Streaming backward as-of join — the point-in-time enrichment
+    * (feature-store lookup) form of [[asofJoin]] for live streams:
+    * each left event picks up the LATEST right version of its key with
+    * right ts <= left ts (inclusive, same contract as batch).
+    *
+    * Input is the two streams unioned and tagged ([[AsofEvent]]; build
+    * each side with the same watermark on `ts` before the union).
+    * Event-time correctness, not processing-time approximation: a left
+    * event is held in state until the watermark passes its timestamp —
+    * only then can no earlier-or-equal right version still arrive — and
+    * is emitted with the right value that was current as of its ts.
+    * Out-of-order arrivals within the watermark are therefore joined
+    * exactly as batch would.
+    *
+    * State per key is bounded: buffered lefts drain as the watermark
+    * advances (late lefts beyond the watermark are dropped by the
+    * engine before the state fn runs, like any watermarked stateful
+    * op), and right versions at-or-below the watermark collapse to the
+    * single latest one (the only version a future left can still
+    * match). Contract (same as batch): rights unique per (key, ts) —
+    * pre-aggregate the right side.
+    *
+    * Scale shape: one shuffle on the key; state = O(in-flight lefts +
+    * 1 right version + post-watermark rights) per key, O(batch·log)
+    * work per trigger. */
+  def asofJoinStream(in: Dataset[AsofEvent]): Dataset[AsofJoined] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofPending, AsofJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(AsofPending(Nil, Nil))
+          val arrivals = it.toIndexedSeq
+          val rights = (st0.rights ++ arrivals.filter(_.side == 0)
+              .map(e => (e.ts.getTime, e.value))).sortBy(_._1)
+          val lefts = (st0.lefts ++ arrivals.filter(_.side == 1)
+              .map(e => (e.ts.getTime, e.event_id))).sorted
+          // a left at t is final once wm >= t: no right <= t can arrive
+          val (ready, pending) = lefts.partition(_._1 <= wm)
+          val out = ready.map { case (t, id) =>
+            val m = rights.takeWhile(_._1 <= t).lastOption
+            AsofJoined(key, id, t, m.map(_._2))
+          }
+          // rights at-or-below the watermark collapse to the latest one —
+          // the only version a future (post-watermark) left can match
+          val keepFrom = rights.lastIndexWhere(_._1 <= wm)
+          val prunedRights = if (keepFrom <= 0) rights else rights.drop(keepFrom)
+          if (pending.isEmpty && prunedRights.isEmpty) state.remove()
+          else {
+            state.update(AsofPending(prunedRights.toList, pending.toList))
+            // pending heads are > wm (else they'd be ready), so this
+            // timeout is legal and fires exactly when they become final
+            pending.headOption.foreach { case (t, _) =>
+              state.setTimeoutTimestamp(t)
+            }
+          }
+          out.iterator
+      }
   }
 
   /** Streaming gap sessionization with hand-rolled state via

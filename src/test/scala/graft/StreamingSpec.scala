@@ -641,6 +641,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("block_id")).distinct.length == rows.length)
   }
 
+  test("asofJoinStream: drained stream equals batch asofJoin; out-of-order within watermark joined exactly") {
+    import graft.streaming.{AsofEvent, AsofJoined}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: Long, min: Int, side: Int, id: Long, v: Double) =
+      AsofEvent(key, ts(min), side, id, v)
+    // rights (versioned lookup) and lefts (events to enrich)
+    val rights = Seq(ev(1, 0, 0, 0, 1.0), ev(1, 10, 0, 0, 2.0), ev(2, 5, 0, 0, 5.0))
+    val lefts = Seq(ev(1, 1, 1, 1, 0), ev(1, 9, 1, 2, 0), ev(1, 10, 1, 3, 0), // inclusive match at 10
+      ev(1, 25, 1, 4, 0), ev(2, 4, 1, 10, 0), ev(2, 6, 1, 11, 0))
+    val mem = MemoryStream[AsofEvent]
+    val q = graft.streaming.Events
+      .asofJoinStream(mem.toDS().withWatermark("ts", "1 hour").as[AsofEvent])
+      .writeStream.format("memory").queryName("sasof")
+      .outputMode(OutputMode.Append()).start()
+    // two interleaved OUT-OF-ORDER triggers, then a far-future right to
+    // push the watermark past every left so all of them become final
+    mem.addData(lefts(1), rights(1), lefts(4), rights(0), lefts(0))
+    q.processAllAvailable()
+    mem.addData(lefts(3), rights(2), lefts(2), lefts(5))
+    q.processAllAvailable()
+    mem.addData(ev(99, 60 * 24, 0, 0, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sasof")
+      .select("key", "event_id", "ts_ms", "value")
+      .as[AsofJoined].collect().toSet
+    q.stop()
+    val leftDf = lefts.map(e => (e.key, e.event_id, e.ts.getTime))
+      .toDF("user_id", "event_id", "ts_ms")
+    val rightDf = rights.map(e => (e.key, e.ts.getTime, e.value))
+      .toDF("user_id", "rts", "upd_value")
+    val batch = Events.asofJoin(leftDf, rightDf, "user_id", "ts_ms", "rts",
+        Seq("upd_value"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("upd_value"))
+      .collect().map(r => AsofJoined(r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(streamed == batch && streamed.size == lefts.size,
+      s"streamed ${streamed.toSeq.sortBy(_.event_id)} vs batch ${batch.toSeq.sortBy(_.event_id)}")
+    // the pre-right left joined null; the inclusive-ts left took 2.0
+    assert(streamed.find(_.event_id == 10L).get.value.isEmpty)
+    assert(streamed.find(_.event_id == 3L).get.value.contains(2.0))
+  }
+
   test("capPerDomainStream: drained quality-ordered stream equals batch capPerDomain; cap holds across triggers") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
