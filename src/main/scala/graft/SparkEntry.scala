@@ -1386,6 +1386,48 @@ object SparkEntry {
         | (('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || text), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS val
         |FROM (SELECT doc_id, text, unnest(generate_series(0, 15)) AS j FROM documents)""".stripMargin,
 
+    // the full semantic-chunker recipe in SQL: sentence split → ±1-
+    // neighbour context → stub embedding (same md5 formula as
+    // q_embed_dense) → consecutive cosine distance → per-doc 95th-
+    // percentile threshold → cumulative break groups. The strict
+    // sig > thr compare is cross-engine safe: the interpolated
+    // percentile can only coincide with a sig value when the rank index
+    // is integral, and then thr IS that value — each engine compares a
+    // double against its own copy, so ulp noise cannot flip the branch.
+    "q_chunk_semantic" ->
+      """WITH doc AS (SELECT doc_id, text || '. ' || text AS t FROM documents),
+        |sraw AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, '[^。.!?！？；]+[。.!?！？；]?')) AS sentence,
+        |  generate_subscripts(regexp_extract_all(t, '[^。.!?！？；]+[。.!?！？；]?'), 1) AS sent_id
+        | FROM doc),
+        |sents AS (SELECT doc_id, sentence, sent_id FROM sraw WHERE length(trim(sentence)) > 0),
+        |ctx AS (SELECT doc_id, sent_id, sentence,
+        |  concat_ws(' ', lag(sentence) OVER w, sentence, lead(sentence) OVER w) AS c
+        | FROM sents WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)),
+        |emb AS (SELECT doc_id, sent_id, sentence,
+        |  list_transform(range(0, 16), j ->
+        |    (('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || c), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0) AS e
+        | FROM ctx),
+        |pair AS (SELECT doc_id, sent_id, sentence, e, lag(e) OVER w AS pe
+        | FROM emb WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)),
+        |dist AS (SELECT doc_id, sent_id, sentence,
+        |  CASE WHEN pe IS NULL THEN 0.0
+        |       ELSE 1.0 - list_inner_product(e, pe) /
+        |            (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(pe, pe)))
+        |  END AS sig
+        | FROM pair),
+        |thr AS (SELECT doc_id, quantile_cont(sig, 0.95) AS thr FROM dist GROUP BY doc_id),
+        |brk AS (SELECT d.doc_id, d.sent_id, d.sentence,
+        |  CASE WHEN d.sig > t.thr THEN 1 ELSE 0 END AS b
+        | FROM dist d JOIN thr t ON d.doc_id = t.doc_id),
+        |grp AS (SELECT doc_id, sent_id, sentence,
+        |  CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY sent_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS block_id
+        | FROM brk)
+        |SELECT doc_id, block_id, string_agg(sentence, ' ' ORDER BY sent_id) AS content,
+        | count(*) AS n_sentences
+        |FROM grp GROUP BY doc_id, block_id""".stripMargin,
+
     "q_sparse_embed" ->
       s"""SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
          | CAST(count(*) AS DOUBLE) AS weight
