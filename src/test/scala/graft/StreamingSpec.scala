@@ -683,6 +683,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_.event_id == 3L).get.value.contains(2.0))
   }
 
+  test("rangeJoin is stream-static: a points stream against static ranges equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    // static side: per-user time ranges; stream side: points
+    val ranges = Seq((1L, 0L, 1000L, 100L), (1L, 5000L, 9000L, 200L),
+      (2L, 500L, 1500L, 300L)).toDF("user_id", "rs", "re", "range_id")
+    val points = Seq((1L, 10L, 500L), (1L, 11L, 7000L), (1L, 12L, 2000L), // 12: no range
+      (2L, 20L, 600L), (2L, 21L, 1501L))                                  // 21: just outside
+    val mem = MemoryStream[(Long, Long, Long)]
+    val sdf = mem.toDF().toDF("user_id", "event_id", "ts")
+    val q = Events.rangeJoin(sdf, ranges, "user_id", "ts", "rs", "re",
+        bucketMs = 1000L)
+      .select("user_id", "event_id", "range_id")
+      .writeStream.format("memory").queryName("srange")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(points.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(points.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("srange")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Events.rangeJoin(points.toDF("user_id", "event_id", "ts"),
+        ranges, "user_id", "ts", "rs", "re", bucketMs = 1000L)
+      .select("user_id", "event_id", "range_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed ==
+      Set((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 300L)),
+      s"streamed $streamed vs batch $batch")
+  }
+
   test("capPerDomainStream: drained quality-ordered stream equals batch capPerDomain; cap holds across triggers") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
