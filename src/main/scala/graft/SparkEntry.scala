@@ -451,6 +451,14 @@ object SparkEntry {
       docs.filter(col("doc_id") < 25), "doc_id", "text", w = 13)
   }
 
+  // The thresholded contamination report: per-doc shingle totals, hits
+  // against the eval-suite union, and the overlap fraction.
+  private def qContamScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.contaminationScore(docs.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text", w = 13)
+  }
+
   // Mixture re-weighting: deterministic per-language keep fractions.
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     Curate.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
@@ -1076,6 +1084,7 @@ object SparkEntry {
     "q_dedup_cluster_band" -> (qDedupClusterBand _),
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_contam_score" -> (qContamScore _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
@@ -1739,6 +1748,20 @@ object SparkEntry {
          |b AS (SELECT DISTINCT h FROM s WHERE doc_id < 25)
          |SELECT s.doc_id AS id, count(*) AS hits
          |FROM s JOIN b USING (h) WHERE s.doc_id >= 25 GROUP BY 1""".stripMargin,
+
+    // the report form: totals + hits + 6dp fraction; hits/n divides the
+    // same integers in both engines, so the rounded fraction is exact
+    "q_contam_score" ->
+      s"""WITH s AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, substr(t, i, 13) AS sh
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM ($normDoc)))),
+         |b AS (SELECT DISTINCT h FROM s WHERE doc_id < 25),
+         |tot AS (SELECT doc_id AS id, count(*) AS n_shingles FROM s WHERE doc_id >= 25 GROUP BY 1),
+         |hit AS (SELECT s.doc_id AS id, count(*) AS hits
+         |  FROM s JOIN b USING (h) WHERE s.doc_id >= 25 GROUP BY 1)
+         |SELECT t.id, t.n_shingles, coalesce(hit.hits, 0) AS hits,
+         | round(coalesce(hit.hits, 0) * 1.0 / t.n_shingles, 6) AS frac
+         |FROM tot t LEFT JOIN hit ON t.id = hit.id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -41,6 +41,33 @@ object Curate {
       .filter(col("hits") >= minHits)
   }
 
+  /** Per-doc contamination REPORT with denominators: every corpus doc's
+    * distinct-shingle count, how many of those appear in the benchmark
+    * union, and the fraction — the thresholded form of the n-gram rule
+    * ("flag if > x% of a doc's n-grams hit the eval suite") that real
+    * decontamination writeups report, where [[contamination]] is the
+    * binary membership form. Fraction rounded 6dp for the cross-engine
+    * contract; docs with zero hits still appear (frac 0.0) so the
+    * report covers the whole corpus.
+    *
+    * Scale shape: same as [[contamination]] — the benchmark's distinct
+    * shingles broadcast; the corpus side is one narrow shingle explode
+    * cached across the totals and hits passes (two map-side-combined
+    * groupBys on id), then a join of two id-keyed count tables. */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, w: Int = 13): DataFrame = {
+    val cs = Dedup.shingleHashSet(corpus, idCol, textCol, w, None).cache()
+    val bs = Dedup.shingleHashSet(bench, idCol, textCol, w, None)
+      .select("h").distinct()
+    val totals = cs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.join(broadcast(bs), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    totals.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_shingles"), 6).as("frac"))
+  }
+
   /** The clean side: corpus minus contaminated docs. Left as a plain
     * anti-join (no broadcast hint) — AQE picks broadcast when the
     * contaminated set is small, which it usually is. */
