@@ -21,6 +21,18 @@ class CurateSpec extends SparkSpec {
     // doc 1 contains the full benchmark text, so it hits every one of its
     // 13-char shingles; doc 3 only the suffix ones
     assert(out(1L) > out(3L))
+
+    // the report form: totals, hits, fraction — zero-hit docs included
+    val score = Curate.contaminationScore(corpus, bench, "id", "text", w = 13)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(score.keySet == Set(1L, 2L, 3L), "every corpus doc reports")
+    assert(score(2L)._3 == 0L && score(2L)._4 == 0.0)
+    score.values.foreach { case (_, n, h, f) =>
+      assert(h <= n && f == math.rint(h.toDouble / n * 1e6) / 1e6, s"bad row ($n,$h,$f)")
+    }
+    // hit counts agree with the membership form
+    assert(score(1L)._3 == out(1L) && score(3L)._3 == out(3L))
   }
 
   test("perplexityScore: matches a hand-computed add-1 bigram model") {

@@ -39,6 +39,10 @@ class EmptyInputSpec extends SparkSpec {
   test("curation and clustering over an empty corpus") {
     val doc = Seq((1L, "some benchmark text here")).toDF("doc_id", "text")
     assert(Curate.contamination(noDocs, doc, "doc_id", "text").count() == 0)
+    assert(Curate.contaminationScore(noDocs, doc, "doc_id", "text").count() == 0)
+    // empty benchmark: whole corpus reports zero hits, fraction 0.0
+    assert(Curate.contaminationScore(doc, noDocs, "doc_id", "text")
+      .filter(col("hits") === 0 && col("frac") === 0.0).count() == 1)
     // empty benchmark: nothing can be contaminated, corpus passes whole
     assert(Curate.decontaminate(doc, noDocs, "doc_id", "text").count() == 1)
     assert(Curate.stratifiedSample(noDocs, "doc_id", "lang",
