@@ -50,22 +50,22 @@ object Curate {
     * contract; docs with zero hits still appear (frac 0.0) so the
     * report covers the whole corpus.
     *
-    * Scale shape: same as [[contamination]] — the benchmark's distinct
-    * shingles broadcast; the corpus side is one narrow shingle explode
-    * cached across the totals and hits passes (two map-side-combined
-    * groupBys on id), then a join of two id-keyed count tables. */
+    * Scale shape: ONE pass over the corpus shingles — the broadcast
+    * benchmark set left-join marks each shingle, then a single
+    * map-side-combined groupBy counts totals and hits together
+    * (count(col) skips the unmarked nulls). No cache, no second scan:
+    * at corpus scale the shingle table is the biggest frame in the
+    * plan and must never be materialized or traversed twice. */
   def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, w: Int = 13): DataFrame = {
-    val cs = Dedup.shingleHashSet(corpus, idCol, textCol, w, None).cache()
+    val cs = Dedup.shingleHashSet(corpus, idCol, textCol, w, None)
     val bs = Dedup.shingleHashSet(bench, idCol, textCol, w, None)
-      .select("h").distinct()
-    val totals = cs.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val hits = cs.join(broadcast(bs), Seq("h"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("hits"))
-    totals.join(hits, Seq("id"), "left")
-      .select(col("id"), col("n_shingles"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / col("n_shingles"), 6).as("frac"))
+      .select("h").distinct().withColumn("__hit", lit(1))
+    cs.join(broadcast(bs), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("hits"))
+      .select(col("id"), col("n_shingles"), col("hits"),
+        round(col("hits") / col("n_shingles"), 6).as("frac"))
   }
 
   /** The clean side: corpus minus contaminated docs. Left as a plain
