@@ -251,8 +251,10 @@ object Events {
               .map(e => (e.ts.getTime, e.value))).sortBy(_._1)
           val lefts = (st0.lefts ++ arrivals.filter(_.side == 1)
               .map(e => (e.ts.getTime, e.event_id))).sorted
-          // a left at t is final once wm >= t: no right <= t can arrive
-          val (ready, pending) = lefts.partition(_._1 <= wm)
+          // a left at t is final once wm > t STRICTLY: rows at the
+          // watermark are not late, so a right with rts == t == wm can
+          // still arrive — emitting at equality would race it
+          val (ready, pending) = lefts.partition(_._1 < wm)
           val out = ready.map { case (t, id) =>
             val m = rights.takeWhile(_._1 <= t).lastOption
             AsofJoined(key, id, t, m.map(_._2))
@@ -264,10 +266,11 @@ object Events {
           if (pending.isEmpty && prunedRights.isEmpty) state.remove()
           else {
             state.update(AsofPending(prunedRights.toList, pending.toList))
-            // pending heads are > wm (else they'd be ready), so this
-            // timeout is legal and fires exactly when they become final
+            // pending heads are >= wm; the timeout must be strictly
+            // above the watermark, so floor it at wm+1 — it fires once
+            // the watermark passes the head, exactly when it turns final
             pending.headOption.foreach { case (t, _) =>
-              state.setTimeoutTimestamp(t)
+              state.setTimeoutTimestamp(math.max(t, wm + 1L))
             }
           }
           out.iterator
