@@ -66,7 +66,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_rN.json keeps only a truncated tail of stdout,
+    // which loses the first ~30 queries' times (and the total) from
+    // cross-round regression checks — r10's events breakage first showed
+    // as -1.0s in exactly that lost window. Persist the SAME line as a
+    // file artifact so every round's full per-query map stays readable.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_times.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_times.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -107,10 +107,30 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text", 120, 20)
       .select(col("doc_id"), col("block_id").cast("long"), col("content"))
 
-  private def qChunkRecursive(s: SparkSession, dir: String): DataFrame =
-    Chunker.recursiveChunks(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", 120, 20)
+  /** Recursive splitter, now hash-exact: on the graded corpus the only
+    * separator present is " " (no markup/newline/CJK punctuation, no
+    * word over `size`, no doubled/edge spaces), so the full recursion
+    * reduces to its innermost case — greedy word-wrap at `size` joined
+    * by single spaces — which the DuckDB oracle replays as a recursive
+    * CTE over word indexes. The guard makes that reduction a CONTRACT:
+    * corpus drift that re-activates a higher separator (or the
+    * hard-wrap path the oracle can't express) fails loudly here instead
+    * of surfacing as a bare hash mismatch. */
+  private def qChunkRecursive(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val higherSeps = Chunker.defaultSeparators.dropRight(1)
+    val violating = docs.filter(
+      higherSeps.map(sep => col("text").contains(sep)).reduce(_ || _) ||
+      exists(split(col("text"), " ", -1), w => length(w) > 120) ||
+      col("text").contains("  ") ||
+      col("text").startsWith(" ") || col("text").endsWith(" ")).count()
+    require(violating == 0,
+      s"q_chunk_recursive degenerate-oracle contract broken: $violating " +
+      "docs contain a pre-space separator, an oversize word, or " +
+      "doubled/edge spaces — the word-wrap CTE oracle no longer applies")
+    Chunker.recursiveChunks(docs, "text", 120, 20)
       .select(col("doc_id"), col("block_id").cast("long"), col("content"))
+  }
 
   private def qChunkSemantic(s: SparkSession, dir: String): DataFrame =
     Chunker.semanticChunks(
@@ -364,9 +384,24 @@ object SparkEntry {
   // -similarity priority, lexicographic tie-break, pairwise-cosine star
   // rule, 4dp rounding, zero-norm escape hatch) gets a cross-engine
   // hash-exact oracle instead of only the rows-only check k=16 allows.
-  private def qSemDedupK1(s: SparkSession, dir: String): DataFrame =
-    Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 1, tau = 0.4, trainCap = 100000L)
+  private def qSemDedupK1(s: SparkSession, dir: String): DataFrame = {
+    val trainCap = 100000L
+    val emb = t(s, dir, "embeddings")
+    // ADVICE r11: the k=1 oracle's hash-exactness silently assumes the
+    // k-means training SAMPLE covers every non-zero vector (sample mean
+    // == population mean) and that >1 non-zero vector exists (ivfFit
+    // returns Left otherwise, while the oracle still emits cell 0).
+    // Dataset growth past trainCap must be a loud failure here, not a
+    // bare hash mismatch in the round report.
+    val nonZero = emb
+      .filter(V.norm2(col("embedding").cast("array<double>")) > 0).count()
+    require(nonZero > 1 && nonZero <= trainCap,
+      s"q_sem_dedup_k1 degenerate-oracle contract broken: $nonZero " +
+      s"non-zero embeddings (need 1 < n <= trainCap=$trainCap so the " +
+      "training sample is the whole population)")
+    Dedup.semDedup(emb, "vec_id", "embedding",
+      k = 1, tau = 0.4, trainCap = trainCap)
+  }
 
   // Duplicate clusters: verified minhash pairs -> connected components.
   // The pair list is quadratic inside a duplicate cluster; the cluster
@@ -643,6 +678,25 @@ object SparkEntry {
         nlist = 16, nprobe = 4, m = 8, ksub = 16)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** IVFADC at nlist=1 + ksub=1: the coarse centroid degenerates to the
+    * spherical mean (direction of Σ v/‖v‖ over the non-zero corpus —
+    * the q_sem_dedup_k1 centroid), every vector lands in cell 0, the
+    * residual codebooks degenerate to the mean residual per subspace,
+    * and the per-cell l2 LUT collapses to
+    * 2·(qres·r̄) − ‖r̄‖² − ‖qres‖² with qres = q − centroid — pure SQL.
+    * Cross-engine-verifies the residual computation, residual-codebook
+    * training, and per-cell LUT scoring that the real IVFADC composes
+    * (zero-norm vectors are excluded by ivfFit, as the oracle mirrors). */
+  private def qAnnIvfPqK1(s: SparkSession, dir: String): DataFrame = {
+    val trainCap = 100000L
+    val nonZero = corpus(s, dir)
+      .filter(V.norm2(col("v").cast("array<double>")) > 0).count()
+    requireCapCovers("q_ann_ivf_pq_k1", nonZero, trainCap)
+    Ann.ivfPqTopK(corpus(s, dir), queriesSet(s, dir), k = 10,
+        nlist = 1, nprobe = 1, m = 8, ksub = 1, trainCap = trainCap)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
     Ann.sq8TopK(corpus(s, dir), queriesSet(s, dir), k = 10)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
@@ -666,6 +720,34 @@ object SparkEntry {
   private def qAnnPq(s: SparkSession, dir: String): DataFrame =
     Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 16)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  /** The trainCap-covers-everything contract every k=1 degenerate oracle
+    * rests on: the k-means "sample" must BE the population (sample mean
+    * == population mean, which is what the SQL side computes) and hold
+    * more than one vector (the trainers bail to brute force otherwise).
+    * Dataset growth past the cap must fail loudly here, not surface as
+    * a bare hash mismatch in the round report. */
+  private def requireCapCovers(name: String, n: Long, trainCap: Long): Unit =
+    require(n > 1 && n <= trainCap,
+      s"$name degenerate-oracle contract broken: $n vectors (need " +
+      s"1 < n <= trainCap=$trainCap so the training sample is the " +
+      "whole population)")
+
+  /** PQ at ksub=1: each subspace codebook degenerates to the subspace
+    * MEAN of the training sample (k-means with one centroid converges
+    * in one step), every code is 0, and the l2 ADC score collapses to
+    * −‖q − mean‖² expanded per subspace — pure SQL. The full
+    * trainPq → encode → LUT → ADC-sum → rank path (the arithmetic the
+    * 32-128× compression claim rides on) gets a cross-engine hash-exact
+    * check that the ksub=16 recall spec can't give. trainCap covers the
+    * corpus so the sample mean is the population mean. */
+  private def qAnnPqK1(s: SparkSession, dir: String): DataFrame = {
+    val trainCap = 100000L
+    requireCapCovers("q_ann_pq_k1", corpus(s, dir).count(), trainCap)
+    Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 1,
+        metric = "l2", trainCap = trainCap)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
 
   /** C4-style segment dedup over synthesized two-paragraph docs:
     * paragraph 1 is the doc's own text slice (unique per doc),
@@ -1108,6 +1190,8 @@ object SparkEntry {
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_k1" -> (qAnnPqK1 _),
+    "q_ann_ivf_pq_k1" -> (qAnnIvfPqK1 _),
     "q_ann_range" -> (qAnnRange _),
     "q_ann_grouped" -> (qAnnGrouped _),
     "q_ann_page" -> (qAnnPage _),
@@ -1285,6 +1369,35 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS BIGINT) AS block_id, substr(text, i*100 + 1, 120) AS content
         |FROM (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/100) AS BIGINT))) AS i
         |      FROM documents WHERE length(text) > 0)""".stripMargin,
+
+    // Recursive splitter on the graded corpus (guarded in the query):
+    // the only separator present is " ", so the recursion reduces to
+    // greedy word-wrap at 120 joined by single spaces — a recursive CTE
+    // carrying (chunk_no, cur_len) one word at a time. Docs at or under
+    // 120 chars pass through whole; empty docs produce no chunk.
+    "q_chunk_recursive" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents),
+        |short AS (SELECT doc_id, 0 AS block_id, text AS content FROM d
+        |          WHERE length(text) <= 120 AND length(text) > 0),
+        |words AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS wi,
+        |                 unnest(string_split(text, ' ')) AS w
+        |          FROM d WHERE length(text) > 120),
+        |rec AS (
+        |  SELECT doc_id, wi, 1 AS chunk_no, length(w) AS cur_len
+        |  FROM words WHERE wi = 1
+        |  UNION ALL
+        |  SELECT w.doc_id, w.wi,
+        |    CASE WHEN r.cur_len + 1 + length(w.w) <= 120 THEN r.chunk_no ELSE r.chunk_no + 1 END,
+        |    CASE WHEN r.cur_len + 1 + length(w.w) <= 120 THEN r.cur_len + 1 + length(w.w) ELSE length(w.w) END
+        |  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.wi = r.wi + 1
+        |),
+        |long_chunks AS (
+        |  SELECT r.doc_id, r.chunk_no - 1 AS block_id, string_agg(w.w, ' ' ORDER BY w.wi) AS content
+        |  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.wi = r.wi
+        |  GROUP BY r.doc_id, r.chunk_no
+        |)
+        |SELECT doc_id, CAST(block_id AS BIGINT) AS block_id, content
+        |FROM (SELECT * FROM short UNION ALL SELECT * FROM long_chunks)""".stripMargin,
 
     "q_tokens" ->
       """SELECT doc_id,
@@ -1694,6 +1807,53 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |s AS (SELECT qid, vec_id AS id, round(-list_distance(qv, v), 4) + 0.0 AS score FROM q, e)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // PQ at ksub=1: every subspace codebook is the subspace mean of the
+    // (cap-covered) corpus, codes are all zero, and the summed l2 ADC
+    // LUT collapses to 2·(q·μ) − ‖μ‖² − ‖q‖² = −‖q − μ‖² — the exact
+    // per-subspace expansion Spark evaluates, just re-associated over
+    // the full vector. Scores tie across ids, so rank is the id order —
+    // the score VALUE carries the cross-engine arithmetic check.
+    "q_ann_pq_k1" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+        |dims AS (SELECT i, avg(x) AS mu FROM comp GROUP BY i),
+        |cent AS (SELECT list(mu ORDER BY i) AS c FROM dims),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid, vec_id AS id,
+        | round(2*list_inner_product(qv, ct.c) - list_inner_product(ct.c, ct.c)
+        |       - list_inner_product(qv, qv), 4) + 0 AS score
+        | FROM q, e, cent ct)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // IVFADC at nlist=1 + ksub=1: coarse centroid = direction of
+    // Σ v/‖v‖ over the non-zero corpus (the q_sem_dedup_k1 centroid),
+    // residual codebook = mean residual r̄, and the per-cell l2 LUT sums
+    // to 2·(qres·r̄) − ‖r̄‖² − ‖qres‖² with qres = q − centroid.
+    // Zero-norm vectors are excluded (ivfFit drops them), mirrored here.
+    "q_ann_ivf_pq_k1" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        |clean AS (SELECT id, v FROM n WHERE nrm > 0),
+        |comp AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) / nrm AS x
+        |  FROM n WHERE nrm > 0),
+        |dims AS (SELECT i, sum(x) AS s FROM comp GROUP BY i),
+        |cn AS (SELECT sqrt(sum(s*s)) AS m FROM dims),
+        |cent AS (SELECT list(s / cn.m ORDER BY i) AS c FROM dims, cn),
+        |rcomp AS (SELECT generate_subscripts(cl.v, 1) AS i, unnest(cl.v) AS x FROM clean cl),
+        |rdims AS (SELECT i, avg(x - ct.c[i]) AS mu FROM rcomp, cent ct GROUP BY i),
+        |rbar AS (SELECT list(mu ORDER BY i) AS r FROM rdims),
+        |q AS (SELECT id AS qid, list_transform(list_zip(v, ct.c), z -> z[1] - z[2]) AS qres
+        |  FROM e, cent ct WHERE id < 5),
+        |s AS (SELECT qid, cl.id,
+        | round(2*list_inner_product(qres, rb.r) - list_inner_product(rb.r, rb.r)
+        |       - list_inner_product(qres, qres), 4) + 0 AS score
+        | FROM q, clean cl, rbar rb)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,

@@ -19,6 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ADVICE r11: stale _FAILED markers from a previous run must not
+    // outlive the failure — a fixed query would otherwise report both OK
+    // (fresh parquet) and FAIL (old marker). Wipe the dir up front; the
+    // per-query delete below covers filtered (`only`) re-runs too.
+    val failDirPath = Paths.get(s"$outDir/_FAILED")
+    if (Files.isDirectory(failDirPath)) {
+      val entries = Files.list(failDirPath)
+      try entries.forEach { p =>
+        if (only.forall(_.contains(p.getFileName.toString)))
+          Files.deleteIfExists(p)
+      } finally entries.close()
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -1899,7 +1899,13 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     require(metric == "ip" || metric == "l2",
       s"pq supports ip|l2, got $metric")
-    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    // ksub=1 is the cross-engine oracle degenerate: one centroid per
+    // subspace = the subspace mean of the training sample (k-means with
+    // one center converges in one step), codes are all zero, and the ADC
+    // score collapses to a closed form plain SQL can reproduce — the
+    // only way the ADC arithmetic gets a hash-exact check. Real indexes
+    // use ksub in [2,256].
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     val c0 = Dedup.spread(corpus).withColumn("v", col("v").cast("array<double>"))
     val firstRow = c0.select(col("v")).take(1)
     if (firstRow.isEmpty) return bruteForceTopK(corpus, queries, k, metric)
@@ -1942,7 +1948,8 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L, trainCap: Long = -1L): DataFrame = {
-    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    // ksub=1 (with nlist=1) is the oracle degenerate — see [[pqTopK]]
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     ivfFit(corpus, nlist, seed, trainCap) match {
       // corpus no bigger than the cell count — scan it exactly
       case Left(filtered) => bruteForceTopK(filtered, queries, k, "l2")

@@ -172,7 +172,11 @@ object Events {
   def withEventTime(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // floor (not truncate) pre-epoch nanos like withMs does: `div`
+        // rounds toward zero, so a negative ts would land 1µs later
+        // than the batch epoch-ms contract and shift window membership
+        events.withColumn("ts", timestamp_micros(
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
         require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",

@@ -47,6 +47,20 @@ class EventsEncodingSpec extends SparkSpec {
     assert(msOf(asNtz) == expectedMs, "TIMESTAMP_NTZ path diverged")
   }
 
+  test("withEventTime LONG branch floors pre-epoch nanos like withMs (ADVICE r11)") {
+    val s = spark; import s.implicits._
+    // nanos with non-zero sub-µs digits, incl. negative: `div` truncates
+    // toward zero, which would land pre-epoch events 1µs later than the
+    // batch epoch-ms contract and shift watermark/window membership
+    val nanos = Seq(1709296496789123456L, -1L, -999L, -1001L, -1234567891L)
+    val expectedUs = nanos.map(ns => Math.floorDiv(ns, 1000L))
+    val df = nanos.indices.map(_.toLong).zip(nanos).toDF("event_id", "ts")
+    val got = Events.withEventTime(df)
+      .orderBy("event_id").select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expectedUs, "LONG→timestamp µs floor diverged from batch contract")
+  }
+
   test("withMs refuses TIMESTAMP_NTZ under a non-UTC session timezone") {
     val s = spark; import s.implicits._
     val ntz = Seq((1L, LocalDateTime.of(2024, 3, 1, 12, 0, 0)))
