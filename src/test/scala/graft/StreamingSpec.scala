@@ -683,6 +683,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_.event_id == 3L).get.value.contains(2.0))
   }
 
+  test("asofJoinStream: a left arriving after the watermark passed its ts is dropped (late-data contract)") {
+    import graft.streaming.{AsofEvent, AsofJoined}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: Long, min: Int, side: Int, id: Long, v: Double) =
+      AsofEvent(key, ts(min), side, id, v)
+    val mem = MemoryStream[AsofEvent]
+    val q = graft.streaming.Events
+      .asofJoinStream(mem.toDS().withWatermark("ts", "1 hour").as[AsofEvent])
+      .writeStream.format("memory").queryName("sasoflate")
+      .outputMode(OutputMode.Append()).start()
+    // trigger 1: a right at t=0 and a far-future event push the
+    // watermark to ~23h — far past every minute-scale timestamp below
+    mem.addData(ev(1, 0, 0, 0, 1.0), ev(99, 60 * 24, 0, 0, 0.0))
+    q.processAllAvailable()
+    // trigger 2: a left at t=5min arrives AFTER the watermark passed its
+    // ts — the engine must drop it before the state fn (it can no longer
+    // be joined correctly: rights below the watermark already collapsed)
+    mem.addData(ev(1, 5, 1, 42, 0))
+    q.processAllAvailable()
+    // a live left (above the watermark) still joins once the watermark
+    // passes IT — the drop is the late-data contract, not a stuck stream
+    mem.addData(ev(1, 60 * 25, 1, 43, 0))
+    q.processAllAvailable()
+    mem.addData(ev(99, 60 * 48, 0, 0, 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sasoflate").select("key", "event_id", "ts_ms", "value")
+      .as[AsofJoined].collect()
+    q.stop()
+    assert(!out.exists(_.event_id == 42L),
+      s"late left must be dropped, got ${out.toSeq}")
+    val live = out.find(_.event_id == 43L)
+    assert(live.isDefined && live.get.value.contains(1.0),
+      s"live left must still join the surviving right version, got ${out.toSeq}")
+  }
+
   test("rangeJoin is stream-static: a points stream against static ranges equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     // static side: per-user time ranges; stream side: points
