@@ -1083,6 +1083,19 @@ object SparkEntry {
   private def qEventWindow(s: SparkSession, dir: String): DataFrame =
     Events.windowAggBatch(t(s, dir, "events"))
 
+  // Streaming drains (bench-only, non-oracle): the state-store paths —
+  // flatMapGroupsWithState sessionization and watermarked window
+  // aggregation — replayed over the whole events table through a real
+  // MemoryStream → state store → sink pipeline, so a state-size or
+  // emission regression moves a benched number instead of hiding in
+  // spec-scale inputs. Batch equivalence is pinned in StreamingSpec;
+  // DuckDB has no streaming semantics to oracle against.
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDrain.sessionizeDrained(t(s, dir, "events"))
+
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDrain.windowAggDrained(t(s, dir, "events"))
+
   // range join: every event lands back in exactly its own session's
   // [start, end] range — a self-consistency check with a BETWEEN oracle
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1212,6 +1225,8 @@ object SparkEntry {
     "q_hybrid_bm25" -> (qHybridBm25 _),
     "q_sessionize" -> (qSessionize _),
     "q_event_window" -> (qEventWindow _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_window" -> (qStreamWindow _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _))
 

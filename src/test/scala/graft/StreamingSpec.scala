@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, 1L, 4.0))) // user 2 closed by timeout
   }
 
+  test("StreamDrain: chunked bench drains equal the batch forms") {
+    // the bench-only harness (event-time-ordered chunked feed + far-
+    // future flush) must reproduce batch results exactly — otherwise a
+    // benched streaming number times a different computation
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0), (2L, ts(5), 7L, "view", 2.0),
+      (3L, ts(60), 7L, "click", 3.0),   // gap > 30min: new session
+      (4L, ts(2), 8L, "click", 4.0), (5L, ts(95), 8L, "view", 5.0),
+      (6L, ts(1), 9L, "click", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val drained = graft.streaming.StreamDrain.sessionizeDrained(events, chunks = 3)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), round(col("total_value"), 2))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = Events.sessionizeBatch(events)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(drained == batch, s"sessionize drain $drained vs batch $batch")
+    val wdrained = graft.streaming.StreamDrain.windowAggDrained(events, chunks = 3)
+      .select((unix_millis(col("window.start")) / 300000L).cast("long"),
+        col("event_type"), col("n"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val wbatch = Events.windowAggBatch(events)
+      .select(col("bucket"), col("event_type"), col("n"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(wdrained == wbatch, s"window drain $wdrained vs batch $wbatch")
+  }
+
   test("asofJoin: latest right row at-or-before each left ts, per key") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
       (2L, 150L, "d")).toDF("user_id", "ts", "tag")
