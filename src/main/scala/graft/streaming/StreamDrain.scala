@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -29,6 +29,20 @@ object StreamDrain {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Empty frame in [[Events.windowAggStream]]'s output shape — the
+    * empty-input escape (an empty events slice must drain to an empty
+    * result, not crash on `rows.last`). */
+  private def windowAggDrainedSchema(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val win = StructType(Seq(
+      StructField("start", TimestampType), StructField("end", TimestampType)))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("window", win),
+        StructField("event_type", StringType),
+        StructField("n", LongType, nullable = false),
+        StructField("total_value", DoubleType))))
+  }
+
   /** Drain [[Events.sessionizeWithState]] (flatMapGroupsWithState — the
     * custom-state path) over the whole events frame. The flush event's
     * own open session is excluded from the returned frame. */
@@ -38,6 +52,8 @@ object StreamDrain {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val rows = Events.toSessionEvents(events).orderBy("ts").collect()
+    if (rows.isEmpty)
+      return s.emptyDataset[ClosedSession].toDF()
     val mem = MemoryStream[SessionEvent]
     val name = s"graft_drain_sess_${seq.incrementAndGet()}"
     val q = Events.sessionizeWithState(
@@ -73,6 +89,8 @@ object StreamDrain {
         col("event_type").cast("string"), col("value").cast("double"))
       .orderBy("ts")
       .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    if (rows.isEmpty)
+      return windowAggDrainedSchema(s)
     val flushTs = new java.sql.Timestamp(
       rows.last._2.getTime + 1000L * 24 * 3600 * 1000)
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]

@@ -53,6 +53,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.bandClusters(noDocs, "doc_id", "text").count() == 0)
   }
 
+  test("streaming bench drains over an empty events frame") {
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.streaming.StreamDrain.sessionizeDrained(noEvents).count() == 0)
+    assert(graft.streaming.StreamDrain.windowAggDrained(noEvents).count() == 0)
+  }
+
   test("chunkers, pipeline, profile over an empty corpus") {
     assert(Chunker.fixedChunks(noDocs.select("doc_id", "text"), "text", 100, 10).count() == 0)
     assert(Chunker.recursiveChunks(noDocs.select("doc_id", "text"), "text", 100, 10).count() == 0)
