@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Opt-in scale-evidence run (SURVEY §5): synthesize a FACTOR× corpus
@@ -35,8 +35,14 @@ object Scale {
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * off))
-        .withColumn("text", array_join(
+        // empty text stays empty (split('', ' ') yields [''], which
+        // would otherwise salt an empty doc into the literal "_i");
+        // n_chars is intentionally NOT recomputed — it is the canonical
+        // -selection ranking signal, and keeping the original values
+        // preserves each replica's selection order exactly
+        .withColumn("text", when(length(col("text")) > 0, array_join(
           transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
+          .otherwise(col("text")))
     }.reduce(_ unionByName _)
   }
 
@@ -44,14 +50,7 @@ object Scale {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
     scaledDocuments(Tables.load(spark, baseDir, "documents"), factor)

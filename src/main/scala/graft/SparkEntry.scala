@@ -119,11 +119,14 @@ object SparkEntry {
   private def qChunkRecursive(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val higherSeps = Chunker.defaultSeparators.dropRight(1)
-    val violating = docs.filter(
+    // scoped to docs the recursion actually splits: at <= size both
+    // engines emit the doc whole regardless of separators, so a short
+    // doc gaining a newline is harmless drift, not an oracle breach
+    val violating = docs.filter(length(col("text")) > 120 && (
       higherSeps.map(sep => col("text").contains(sep)).reduce(_ || _) ||
       exists(split(col("text"), " ", -1), w => length(w) > 120) ||
       col("text").contains("  ") ||
-      col("text").startsWith(" ") || col("text").endsWith(" ")).count()
+      col("text").startsWith(" ") || col("text").endsWith(" "))).count()
     require(violating == 0,
       s"q_chunk_recursive degenerate-oracle contract broken: $violating " +
       "docs contain a pre-space separator, an oversize word, or " +

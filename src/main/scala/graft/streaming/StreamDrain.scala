@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Bounded drains of the streaming operators for the BENCH surface:
   * replay a batch events frame through the real Structured Streaming
@@ -29,9 +29,35 @@ object StreamDrain {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The flush sentinel key. Long.MinValue, not a plausible id like -1:
+    * a corpus row carrying the sentinel would have its output silently
+    * swallowed by the sentinel filter, so the drains REJECT input that
+    * collides instead (loud beats wrong). */
+  private[streaming] val FlushKey = Long.MinValue
+
+  /** The one drain protocol both entries share: event-time-ordered
+    * chunked feed, a far-future flush so every pending state emits
+    * (watermark = flush − delay passes every real timestamp; the
+    * engine's no-data batch then fires event-time timeouts — pinned in
+    * StreamingSpec), stop, read the sink. */
+  private def drain[T](mem: MemoryStream[T], q: StreamingQuery,
+      rows: IndexedSeq[T], chunks: Int, flush: T): Unit =
+    try {
+      val step = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
+      rows.grouped(step).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      mem.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+
+  private def flushTsAfter(lastMs: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(lastMs + 1000L * 24 * 3600 * 1000)
+
   /** Empty frame in [[Events.windowAggStream]]'s output shape — the
     * empty-input escape (an empty events slice must drain to an empty
-    * result, not crash on `rows.last`). */
+    * result, not crash on the flush-horizon lookup). */
   private def windowAggDrainedSchema(s: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     val win = StructType(Seq(
@@ -51,64 +77,58 @@ object StreamDrain {
     val s = events.sparkSession
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Events.toSessionEvents(events).orderBy("ts").collect()
+    val rows = Events.toSessionEvents(events).orderBy("ts").collect().toIndexedSeq
     if (rows.isEmpty)
       return s.emptyDataset[ClosedSession].toDF()
+    require(!rows.exists(_.user_id == FlushKey),
+      s"events carry user_id=$FlushKey — the drain's flush sentinel; " +
+      "its sessions would be silently dropped from the result")
     val mem = MemoryStream[SessionEvent]
     val name = s"graft_drain_sess_${seq.incrementAndGet()}"
     val q = Events.sessionizeWithState(
         mem.toDS().withWatermark("ts", "1 hour"), gapMs)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      val step = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
-      rows.grouped(step).foreach { g =>
-        mem.addData(g.toIndexedSeq: _*)
-        q.processAllAvailable()
-      }
-      // far-future flush: the watermark must pass last + gap for every
-      // open session's event-time timeout to fire
-      val flushTs = new java.sql.Timestamp(
-        rows.last.ts.getTime + 1000L * 24 * 3600 * 1000)
-      mem.addData(SessionEvent(-1L, flushTs, 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name).filter(col("user_id") =!= -1L)
+    drain(mem, q, rows, chunks,
+      SessionEvent(FlushKey, flushTsAfter(rows.last.ts.getTime), 0.0))
+    s.table(name).filter(col("user_id") =!= FlushKey)
   }
 
   /** Drain [[Events.windowAggStream]] (watermarked declarative
-    * aggregation — the built-in state-store path). Windows touched by
-    * the flush event are excluded. */
+    * aggregation — the built-in state-store path). The flush rides its
+    * own far-future sentinel key and is excluded from the result;
+    * NULL event_type rows pass through like the batch form (the
+    * sentinel filter is null-safe). */
   def windowAggDrained(events: DataFrame, width: String = "5 minutes",
       chunks: Int = 8): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Option-encoded event_type/value: a regenerated corpus may carry
+    // NULLs, and the batch form tolerates them (NULL group, sum skips)
     val rows = Events.withEventTime(events)
-      .select(col("event_id").cast("long"), col("ts"),
-        col("event_type").cast("string"), col("value").cast("double"))
+      .select(col("ts"), col("event_type").cast("string"),
+        col("value").cast("double"))
       .orderBy("ts")
-      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      .as[(java.sql.Timestamp, Option[String], Option[Double])]
+      .collect().toIndexedSeq
     if (rows.isEmpty)
       return windowAggDrainedSchema(s)
-    val flushTs = new java.sql.Timestamp(
-      rows.last._2.getTime + 1000L * 24 * 3600 * 1000)
-    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sentinel = "__graft_flush"
+    require(!rows.exists(_._2.contains(sentinel)),
+      s"events carry event_type=$sentinel — the drain's flush sentinel; " +
+      "its windows would be silently dropped from the result")
+    val mem = MemoryStream[(java.sql.Timestamp, Option[String], Option[Double])]
     val name = s"graft_drain_win_${seq.incrementAndGet()}"
     // windowAggStream attaches its own watermark through withEventTime
     val q = Events.windowAggStream(
-        mem.toDF().toDF("event_id", "ts", "event_type", "value"), width)
+        mem.toDF().toDF("ts", "event_type", "value"), width)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    try {
-      val step = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
-      rows.grouped(step).foreach { g =>
-        mem.addData(g.toIndexedSeq: _*)
-        q.processAllAvailable()
-      }
-      mem.addData((-1L, flushTs, "__flush", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name).filter(col("event_type") =!= "__flush")
+    drain(mem, q, rows, chunks,
+      (flushTsAfter(rows.last._1.getTime), Some(sentinel), Some(0.0)))
+    // null-safe: `=!=` on a NULL event_type yields NULL (dropped) —
+    // the batch form keeps the NULL group, so the drain must too
+    s.table(name).filter(!(col("event_type") <=> sentinel))
   }
 }
