@@ -1096,8 +1096,23 @@ object SparkEntry {
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamDrain.sessionizeDrained(t(s, dir, "events"))
 
+  // The `window` struct(start,end) is flattened to epoch-millis scalars:
+  // the driver's pandas checker sorts columns and cannot sort a
+  // dict-valued struct column (mirrors the sessionize drain's flat
+  // *_ms schema).
   private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamDrain.windowAggDrained(t(s, dir, "events"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        unix_millis(col("window.end")).as("win_end_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // as-of drain: the join-shaped state path (right-version pruning +
+  // buffered-left finality) — same sides as the batch q_asof_join, so
+  // the drained rows equal that query's (equivalence spec'd)
+  private def qStreamAsof(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDrain.asofJoinDrained(t(s, dir, "events"))
+      .select(col("key").as("user_id"), col("event_id"), col("ts_ms"),
+        col("value").as("upd_value"))
 
   // range join: every event lands back in exactly its own session's
   // [start, end] range — a self-consistency check with a BETWEEN oracle
@@ -1230,6 +1245,7 @@ object SparkEntry {
     "q_event_window" -> (qEventWindow _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_window" -> (qStreamWindow _),
+    "q_stream_asof" -> (qStreamAsof _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _))
 
@@ -2426,7 +2442,11 @@ object SparkEntry {
 
     "q_range_join" -> rangeJoinOracleSql,
 
-    "q_asof_join" -> asofJoinOracleSql)
+    "q_asof_join" -> asofJoinOracleSql,
+    // the drained stream provably equals the batch as-of join (ordered
+    // feed keeps every left inside the watermark; equivalence spec'd in
+    // StreamingSpec) — so the state-store path gets a hash-exact oracle
+    "q_stream_asof" -> asofJoinOracleSql)
 
   // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
   // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines.

@@ -35,6 +35,21 @@ object StreamDrain {
     * collides instead (loud beats wrong). */
   private[streaming] val FlushKey = Long.MinValue
 
+  /** Hard cap on rows a drain will collect to the driver. The
+    * MemoryStream harness REQUIRES a driver-side feed (same as the
+    * specs), which is fine for the graded events table (~100k rows at
+    * sf0.1) but would silently become a driver OOM if the corpus grew
+    * 100× — so like the FlushKey collision, an oversized feed is
+    * rejected loudly instead of attempted. Benchmark a larger corpus
+    * by draining a bounded slice, not by raising the cap. */
+  private[graft] val MaxDrainRows = 2000000
+
+  private[graft] def requireDrainable(n: Long): Unit =
+    require(n <= MaxDrainRows,
+      s"drain feed would collect $n rows to the driver (cap $MaxDrainRows); " +
+      "the MemoryStream bench harness is bounded by design — drain a " +
+      "bounded slice of the corpus instead of raising the cap")
+
   /** The one drain protocol both entries share: event-time-ordered
     * chunked feed, a far-future flush so every pending state emits
     * (watermark = flush − delay passes every real timestamp; the
@@ -77,7 +92,11 @@ object StreamDrain {
     val s = events.sparkSession
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Events.toSessionEvents(events).orderBy("ts").collect().toIndexedSeq
+    // limit(cap+1) bounds the collect itself: an oversized corpus fetches
+    // one row past the cap and is rejected, never materialized in full
+    val rows = Events.toSessionEvents(events).orderBy("ts")
+      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    requireDrainable(rows.length)
     if (rows.isEmpty)
       return s.emptyDataset[ClosedSession].toDF()
     require(!rows.exists(_.user_id == FlushKey),
@@ -111,7 +130,8 @@ object StreamDrain {
         col("value").cast("double"))
       .orderBy("ts")
       .as[(java.sql.Timestamp, Option[String], Option[Double])]
-      .collect().toIndexedSeq
+      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    requireDrainable(rows.length)
     if (rows.isEmpty)
       return windowAggDrainedSchema(s)
     val sentinel = "__graft_flush"
@@ -130,5 +150,54 @@ object StreamDrain {
     // null-safe: `=!=` on a NULL event_type yields NULL (dropped) —
     // the batch form keeps the NULL group, so the drain must too
     s.table(name).filter(!(col("event_type") <=> sentinel))
+  }
+
+  /** Drain [[Events.asofJoinStream]] (flatMapGroupsWithState with the
+    * most state-management logic of the three stream drains: per-key
+    * right-version pruning + buffered-left finality) over the same
+    * sides the batch `q_asof_join` uses — left = every event, right =
+    * the `event_id % 10 == 0` events pre-aggregated to unique
+    * (key, ts) versions. Event-time-ordered feed keeps every left
+    * inside the 1 h watermark, so nothing is dropped and the drained
+    * result equals the batch as-of join (equivalence pinned in
+    * StreamingSpec at spec scale). Output is flat scalars
+    * (key, event_id, ts_ms, value). */
+  def asofJoinDrained(events: DataFrame, chunks: Int = 8): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = Events.withEventTime(events)
+      .select(col("user_id").cast("long").as("key"), col("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+    val lefts = e.select(col("key"), col("ts"), lit(1).as("side"),
+      col("event_id"), lit(0.0).as("value"))
+    // rights unique per (key, ts) — the asofJoinStream contract; same
+    // max(round(value,2)) pre-aggregation as the batch q_asof_join
+    val rights = e.filter(col("event_id") % 10 === 0)
+      .groupBy(col("key"), col("ts"))
+      .agg(max(round(col("value"), 2)).as("value"))
+      .select(col("key"), col("ts"), lit(0).as("side"),
+        lit(0L).as("event_id"), col("value"))
+    val rows = lefts.unionByName(rights)
+      .orderBy(col("ts"), col("side"))
+      .select(col("key"), col("ts"), col("side"), col("event_id"), col("value"))
+      .as[AsofEvent]
+      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    requireDrainable(rows.length)
+    if (rows.isEmpty)
+      return s.emptyDataset[AsofJoined].toDF()
+    require(!rows.exists(_.key == FlushKey),
+      s"events carry user_id=$FlushKey — the drain's flush sentinel; " +
+      "its joined rows would be silently dropped from the result")
+    val mem = MemoryStream[AsofEvent]
+    val name = s"graft_drain_asof_${seq.incrementAndGet()}"
+    val q = Events.asofJoinStream(
+        mem.toDS().withWatermark("ts", "1 hour").as[AsofEvent])
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    drain(mem, q, rows, chunks,
+      AsofEvent(FlushKey, flushTsAfter(rows.last.ts.getTime), 0, 0L, 0.0))
+    s.table(name).filter(col("key") =!= FlushKey)
   }
 }

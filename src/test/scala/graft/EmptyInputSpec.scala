@@ -58,6 +58,7 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(graft.streaming.StreamDrain.sessionizeDrained(noEvents).count() == 0)
     assert(graft.streaming.StreamDrain.windowAggDrained(noEvents).count() == 0)
+    assert(graft.streaming.StreamDrain.asofJoinDrained(noEvents).count() == 0)
   }
 
   test("chunkers, pipeline, profile over an empty corpus") {

@@ -814,4 +814,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._2 == "site1.com") == 2)
     assert(!streamed.exists(_._1 == 4L))
   }
+
+  // deterministic multi-user frame for the drain specs: rights are the
+  // event_id % 10 == 0 rows (same side split as q_asof_join), with an
+  // equal-ts left/right pair (event 20/21 at t=8) to pin inclusiveness
+  private lazy val drainEvents = Seq(
+    (10L, ts(0), 7L, "click", 1.5), (11L, ts(2), 7L, "view", 2.0),
+    (20L, ts(8), 8L, "click", 3.25), (21L, ts(8), 8L, "view", 0.5),
+    (12L, ts(40), 7L, "click", 4.0), (30L, ts(41), 9L, "view", 5.0),
+    (13L, ts(90), 7L, "view", 6.0), (22L, ts(95), 8L, "click", 7.0),
+    (31L, ts(140), 9L, "click", 8.0), (40L, ts(190), 10L, "view", 9.0),
+    (14L, ts(240), 7L, "click", 10.0), (23L, ts(290), 8L, "view", 11.0),
+    (15L, ts(3), 11L, "view", 12.0)) // user 11 has no right → NULL join
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("asofJoinDrained equals the batch asofJoin on the same sides") {
+    val batch = {
+      val e = Events.withMs(drainEvents)
+      val updates = e.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(round(col("value"), 2)).as("upd_value"))
+        .withColumnRenamed("ts_ms", "rts")
+      Events.asofJoin(
+          e.select(col("user_id"), col("event_id"), col("ts_ms")),
+          updates, "user_id", "ts_ms", "rts", Seq("upd_value"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("upd_value"))
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+    }
+    val drained = graft.streaming.StreamDrain.asofJoinDrained(drainEvents, chunks = 3)
+      .select(col("key"), col("event_id"), col("ts_ms"), col("value"))
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(drained == batch, s"drained $drained vs batch $batch")
+    // the equal-ts pair: lefts at t=8 see the right version published AT t=8
+    assert(drained.filter(d => d._2 == 20L || d._2 == 21L)
+      .forall(_._4.contains(3.25)))
+    // a left after its key's right takes that version; a key with no
+    // right at all joins NULL
+    assert(drained.find(_._2 == 11L).exists(_._4.contains(1.5)))
+    assert(drained.find(_._2 == 15L).exists(_._4.isEmpty))
+  }
+
+  test("drains are chunk-count insensitive: chunks=1 and chunks=32 give identical rows") {
+    // the chunked feed protocol (watermark advance per chunk) must only
+    // change timing, never results — one chunk vs one-row-per-chunk
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    import graft.streaming.StreamDrain
+    assert(setOf(StreamDrain.sessionizeDrained(drainEvents, chunks = 1)) ==
+      setOf(StreamDrain.sessionizeDrained(drainEvents, chunks = 32)))
+    assert(setOf(StreamDrain.windowAggDrained(drainEvents, chunks = 1)) ==
+      setOf(StreamDrain.windowAggDrained(drainEvents, chunks = 32)))
+    assert(setOf(StreamDrain.asofJoinDrained(drainEvents, chunks = 1)) ==
+      setOf(StreamDrain.asofJoinDrained(drainEvents, chunks = 32)))
+  }
+
+  test("drain feed cap rejects an oversized corpus loudly") {
+    import graft.streaming.StreamDrain
+    StreamDrain.requireDrainable(StreamDrain.MaxDrainRows) // at cap: fine
+    val ex = intercept[IllegalArgumentException] {
+      StreamDrain.requireDrainable(StreamDrain.MaxDrainRows + 1L)
+    }
+    assert(ex.getMessage.contains("drain feed would collect"))
+  }
 }
