@@ -30,19 +30,29 @@ object Scale {
     "q_dedup_cluster", "q_dedup_canonical", "q_bm25_index")
 
   def scaledDocuments(docs: DataFrame, factor: Int): DataFrame = {
-    val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val maxId = docs.agg(max(col("doc_id"))).head
+    require(!maxId.isNullAt(0),
+      "scaledDocuments: documents table is empty — nothing to scale " +
+      "(max(doc_id) is NULL); point SPARK_GRAFT_SF_DIR at a populated sf dir")
+    val off = maxId.getLong(0) + 1L
     (0 until factor).map { i =>
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * off))
-        // empty text stays empty (split('', ' ') yields [''], which
-        // would otherwise salt an empty doc into the literal "_i");
-        // n_chars is intentionally NOT recomputed — it is the canonical
-        // -selection ranking signal, and keeping the original values
-        // preserves each replica's selection order exactly
-        .withColumn("text", when(length(col("text")) > 0, array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))), " "))
-          .otherwise(col("text")))
+        // only NON-empty words take the replica salt: split() yields ''
+        // entries for doubled/leading/trailing spaces (and for fully
+        // empty text), and salting those would mint bare "_i" tokens
+        // that exist in no replica-0 doc, distorting replica token
+        // distributions. Keeping them empty-in-place preserves the
+        // exact whitespace structure, so every replica's char-level
+        // layout matches the original. n_chars is intentionally NOT
+        // recomputed — it is the canonical-selection ranking signal,
+        // and keeping the original values preserves each replica's
+        // selection order exactly
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => when(length(w) > 0, concat(w, lit(s"_$i"))).otherwise(w)),
+          " "))
     }.reduce(_ unionByName _)
   }
 

@@ -126,11 +126,17 @@ object SparkEntry {
       higherSeps.map(sep => col("text").contains(sep)).reduce(_ || _) ||
       exists(split(col("text"), " ", -1), w => length(w) > 120) ||
       col("text").contains("  ") ||
-      col("text").startsWith(" ") || col("text").endsWith(" "))).count()
+      col("text").startsWith(" ") || col("text").endsWith(" ") ||
+      // astral-plane chars: the chunker wraps on Java String offsets
+      // (UTF-16 code units — a non-BMP char counts 2) while the DuckDB
+      // CTE counts codepoints, so the engines could disagree on wrap
+      // points without any other clause tripping — reject them loudly
+      col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))).count()
     require(violating == 0,
       s"q_chunk_recursive degenerate-oracle contract broken: $violating " +
-      "docs contain a pre-space separator, an oversize word, or " +
-      "doubled/edge spaces — the word-wrap CTE oracle no longer applies")
+      "docs contain a pre-space separator, an oversize word, " +
+      "doubled/edge spaces, or astral-plane (non-BMP) characters — " +
+      "the word-wrap CTE oracle no longer applies")
     Chunker.recursiveChunks(docs, "text", 120, 20)
       .select(col("doc_id"), col("block_id").cast("long"), col("content"))
   }
@@ -233,6 +239,35 @@ object SparkEntry {
   private def qEmbedTfidf(s: SparkSession, dir: String): DataFrame =
     MlEmbed.tfidfSparse(t(s, dir, "documents"), "text")
       .select(col("doc_id"), size(col("sparse_embedding")).cast("long").as("n_terms"))
+
+  // TF-IDF at numFeatures=1: every token hashes to bucket 0, so
+  // HashingTF's TF collapses to the doc's token count and IDF to the
+  // closed form ln((N+1)/(df+1)) with df = docs holding >=1 token —
+  // pure SQL, the same degenerate-config trick as q_sem_dedup_k1 /
+  // q_ann_pq_k1, giving the MLlib sparse-embedding path a cross-engine
+  // arithmetic check. A deterministic subset (doc_id % 7 == 0) is
+  // masked to punctuation-only text on BOTH sides: without it a corpus
+  // where every doc tokenizes non-empty has df == N, the IDF factor is
+  // exactly 0, MLlib's toSparse drops the zero values, and the check
+  // degenerates to all-NULL (vacuously equal — no arithmetic pinned).
+  private def qEmbedTfidfK1(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // loud contract: the masked subset must be non-empty AND proper so
+    // 0 < df < N keeps the IDF factor non-zero (corpus drift to a
+    // doc_id numbering with no %7 hits must fail here, not as a bare
+    // all-NULL hash match that pins nothing)
+    val Array(total, masked) = docs
+      .agg(count(lit(1)), count(when(col("doc_id") % 7 === 0, 1)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(masked > 0 && masked < total,
+      s"q_embed_tfidf_k1 degenerate-oracle contract broken: $masked of " +
+      s"$total docs masked (need a proper non-empty subset so idf != 0)")
+    val side = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, lit("...")).otherwise(col("text")))
+    MlEmbed.tfidfSparse(side, "text", numFeatures = 1)
+      .select(col("doc_id"),
+        round(element_at(col("sparse_embedding"), lit(0)), 4).as("tfidf_w"))
+  }
 
   private def qEmbedW2v(s: SparkSession, dir: String): DataFrame =
     MlEmbed.word2vecDense(t(s, dir, "documents"), "text", dim = 32)
@@ -1168,6 +1203,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_dense" -> (qEmbedDense _),
     "q_embed_tfidf" -> (qEmbedTfidf _),
+    "q_embed_tfidf_k1" -> (qEmbedTfidfK1 _),
     "q_embed_w2v" -> (qEmbedW2v _),
     "q_sparse_embed" -> (qSparseEmbed _),
     "q_id_lookup" -> (qIdLookup _),
@@ -1746,6 +1782,22 @@ object SparkEntry {
         |WHERE s.id NOT IN (SELECT id FROM dropped)
         |UNION ALL
         |SELECT id, -1 AS cell, CAST(NULL AS DOUBLE) AS csim FROM n WHERE nrm <= 0""".stripMargin,
+
+    // numFeatures=1 TF-IDF collapse: tf = token count ([A-Za-z0-9]+
+    // matches — RegexTokenizer's pattern), idf = ln((N+1)/(df+1)) with
+    // df over the %7-masked side frame; a zero product is NULL (MLlib's
+    // toSparse drops zeros), never 0.0
+    "q_embed_tfidf_k1" ->
+      """WITH tok AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 0
+        |       ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+')) END AS tf
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tok)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.tf > 0 AND s.df <> s.n
+        |       THEN round(t.tf * ln((s.n + 1.0) / (s.df + 1.0)), 4) END AS tfidf_w
+        |FROM tok t CROSS JOIN stats s""".stripMargin,
 
     "q_ann_fields" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -44,6 +44,19 @@ class MlEmbedSpec extends SparkSpec {
     assert(math.abs(cos(rows(1L), rows(1L)) - 1.0) < 1e-9)
   }
 
+  test("tfidfSparse at numFeatures=1 collapses to tokenCount * ln((N+1)/(df+1))") {
+    // the q_embed_tfidf_k1 degenerate-oracle contract, pinned at spec
+    // scale: doc 5 has zero tokens, so N=5, df=4, idf=ln(6/5)
+    val withEmpty = docs.union(Seq((5L, "!!! ...")).toDF("doc_id", "text"))
+    val out = MlEmbed.tfidfSparse(withEmpty, "text", numFeatures = 1)
+      .select("doc_id", "sparse_embedding")
+      .collect().map(r => r.getLong(0) -> r.getMap[Int, Double](1).toMap).toMap
+    val idf = math.log(6.0 / 5.0)
+    assert(math.abs(out(1L)(0) - 6 * idf) < 1e-9) // 6 tokens
+    assert(math.abs(out(3L)(0) - 8 * idf) < 1e-9) // 8 tokens
+    assert(out(5L).isEmpty) // zero tokens -> empty sparse map, not 0.0
+  }
+
   test("tfidf embeddings plug into the dedup cosine operator") {
     val emb = MlEmbed.word2vecDense(docs, "text", dim = 16, seed = 7L)
       .select(col("doc_id").as("id"), col("dense_embedding").as("v"))
