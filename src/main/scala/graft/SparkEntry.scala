@@ -213,13 +213,21 @@ object SparkEntry {
   private def qFrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(mediaTable(s, dir, "video"), "doc_id", everyMs = 60000L)
 
-  // sketch-based corpus profile (rows-only: HLL/quantile-summary
-  // internals aren't reproducible in DuckDB; semantics pinned by
-  // StatsSpec against exact counts)
+  // sketch-based corpus profile, split into its two natures: the
+  // sketch half (HLL vocabulary, quantile-summary percentiles — whose
+  // internals DuckDB cannot reproduce; semantics pinned by StatsSpec
+  // against exact counts) stays rows-only, while the exact half
+  // (doc counts, mean token length — plain aggregates that ride the
+  // same profile scan) gets its own hash-exact oracle. Together the
+  // two rows pin everything about the profile that CAN be pinned.
   private def qCorpusProfile(s: SparkSession, dir: String): DataFrame =
     Stats.corpusProfile(t(s, dir, "documents"), "source", "text")
-      .select(col("source"), col("n_docs"), col("approx_vocab"),
-        col("p50_tokens"), col("p95_tokens"), col("mean_tokens"))
+      .select(col("source"), col("approx_vocab"),
+        col("p50_tokens"), col("p95_tokens"))
+
+  private def qCorpusProfileExact(s: SparkSession, dir: String): DataFrame =
+    Stats.corpusProfile(t(s, dir, "documents"), "source", "text")
+      .select(col("source"), col("n_docs"), col("mean_tokens"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -1121,24 +1129,35 @@ object SparkEntry {
   private def qEventWindow(s: SparkSession, dir: String): DataFrame =
     Events.windowAggBatch(t(s, dir, "events"))
 
-  // Streaming drains (bench-only, non-oracle): the state-store paths —
-  // flatMapGroupsWithState sessionization and watermarked window
-  // aggregation — replayed over the whole events table through a real
-  // MemoryStream → state store → sink pipeline, so a state-size or
-  // emission regression moves a benched number instead of hiding in
-  // spec-scale inputs. Batch equivalence is pinned in StreamingSpec;
-  // DuckDB has no streaming semantics to oracle against.
-  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+  // Streaming drains: the state-store paths — flatMapGroupsWithState
+  // sessionization and watermarked window aggregation — replayed over
+  // the whole events table through a real MemoryStream → state store →
+  // sink pipeline, so a state-size or emission regression moves a
+  // benched number instead of hiding in spec-scale inputs. The
+  // event-time-ordered feed keeps every event inside the watermark, so
+  // the drained result EQUALS the batch form (pinned in StreamingSpec)
+  // — which means the batch DuckDB oracles apply and the state-store
+  // paths get hash-exact rows, same as q_stream_asof. session_seq is
+  // reconstructed post-drain: closed sessions of a user are disjoint
+  // in time (next start > prev end + gap), so ranking by start time
+  // reproduces the batch ordinal exactly. total_value rounds once at
+  // emission (2 dp), the same single rounding point as the batch form.
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("session_start_ms")
     graft.streaming.StreamDrain.sessionizeDrained(t(s, dir, "events"))
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+  }
 
-  // The `window` struct(start,end) is flattened to epoch-millis scalars:
-  // the driver's pandas checker sorts columns and cannot sort a
-  // dict-valued struct column (mirrors the sessionize drain's flat
-  // *_ms schema).
+  // The `window` struct(start,end) collapses to the batch form's bucket
+  // ordinal (tumbling windows are epoch-aligned: start_ms = bucket ·
+  // 300000), so the drain reuses q_event_window's oracle verbatim — and
+  // the pandas checker gets a sortable scalar instead of a struct.
   private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamDrain.windowAggDrained(t(s, dir, "events"))
-      .select(unix_millis(col("window.start")).as("win_start_ms"),
-        unix_millis(col("window.end")).as("win_end_ms"),
+      .select((unix_millis(col("window.start")) / 300000L).cast("long").as("bucket"),
         col("event_type"), col("n"), col("total_value"))
 
   // as-of drain: the join-shaped state path (right-version pruning +
@@ -1196,6 +1215,7 @@ object SparkEntry {
     "q_redact_pii" -> (qRedactPii _),
     "q_repetition" -> (qRepetition _),
     "q_corpus_profile" -> (qCorpusProfile _),
+    "q_corpus_profile_exact" -> (qCorpusProfileExact _),
     "q_llm_tag" -> (qLlmTag _),
     "q_llm_chat" -> (qLlmChat _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -2036,6 +2056,14 @@ object SparkEntry {
          |FROM tk LEFT JOIN v ON tk.lang = v.lang
          |GROUP BY tk.lang""".stripMargin,
 
+    // the exact half of the corpus profile (doc counts + mean token
+    // length); the sketch half (HLL vocab, approx percentiles) stays
+    // rows-only in q_corpus_profile — its internals have no SQL form
+    "q_corpus_profile_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        | round(avg(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE)), 4) AS mean_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
     "q_top_tokens" ->
       s"""WITH tf AS (SELECT d.lang, u.tok, count(*) AS tf
          |  FROM documents d
@@ -2487,18 +2515,18 @@ object SparkEntry {
 
     "q_sessionize" -> sessionizeOracleSql,
 
-    "q_event_window" ->
-      """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
-        | count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY bucket, event_type""".stripMargin,
+    "q_event_window" -> eventWindowOracleSql,
 
     "q_range_join" -> rangeJoinOracleSql,
 
     "q_asof_join" -> asofJoinOracleSql,
-    // the drained stream provably equals the batch as-of join (ordered
-    // feed keeps every left inside the watermark; equivalence spec'd in
-    // StreamingSpec) — so the state-store path gets a hash-exact oracle
-    "q_stream_asof" -> asofJoinOracleSql)
+    // the drained streams provably equal their batch forms (the
+    // event-time-ordered feed keeps every event inside the watermark;
+    // equivalence pinned in StreamingSpec) — so all three state-store
+    // paths share the batch oracles and get hash-exact rows
+    "q_stream_asof" -> asofJoinOracleSql,
+    "q_stream_sessionize" -> sessionizeOracleSql,
+    "q_stream_window" -> eventWindowOracleSql)
 
   // BM25 over the same md5-hashed postings as q_hybrid_search's sparse
   // branch; Lucene positive idf, k1=1.2, b=0.75 on both engines.
@@ -2593,6 +2621,11 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
         |WHERE rank <= 10""".stripMargin
+
+  private val eventWindowOracleSql =
+      """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY bucket, event_type""".stripMargin
 
   private val sessionizeOracleSql =
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),

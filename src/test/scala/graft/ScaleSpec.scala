@@ -36,4 +36,20 @@ class ScaleSpec extends SparkSpec {
     assert(out(7L) == "")
     assert(!out.values.exists(_.split(" ", -1).contains("_1")))
   }
+
+  test("scaledVectors: factor× rows, disjoint ids, vectors verbatim") {
+    val emb = Seq((0L, Seq(1.0, 2.0)), (3L, Seq(0.5, -1.0))).toDF("id", "v")
+    val out = Scale.scaledVectors(emb, 3)
+      .select("id", "v").as[(Long, Seq[Double])].collect().toMap
+    assert(out.size == 6) // 2 rows × 3 replicas, all ids distinct
+    // replica i offsets by i·(maxId+1)=4i; every replica keeps vectors
+    assert(out(0L) == Seq(1.0, 2.0) && out(4L) == Seq(1.0, 2.0) &&
+      out(8L) == Seq(1.0, 2.0))
+    assert(out(3L) == Seq(0.5, -1.0) && out(7L) == Seq(0.5, -1.0) &&
+      out(11L) == Seq(0.5, -1.0))
+    val ex = intercept[IllegalArgumentException] {
+      Scale.scaledVectors(Seq.empty[(Long, Seq[Double])].toDF("id", "v"), 2)
+    }
+    assert(ex.getMessage.contains("embeddings table is empty"))
+  }
 }
