@@ -75,6 +75,59 @@ object Scale {
     }.reduce(_ unionByName _)
   }
 
+  /** FACTOR× of the events table: replica i offsets event_id AND
+    * user_id by i·(max+1), keeping timestamps VERBATIM. Each replica is
+    * an isomorphic copy of the original's per-user event streams over a
+    * DISJOINT user population — so the stateful streaming operators see
+    * factor× concurrent keys (factor× live state) with identical
+    * per-key session/window structure, which is exactly how a factor×
+    * event stream grows: more users, not longer histories. Offsetting
+    * only event_id would instead fuse replicas into the same sessions
+    * (factor× events per session — a different, pathological workload). */
+  def scaledEvents(events: DataFrame, factor: Int): DataFrame = {
+    val offE = maxIdOffset(events, "event_id", "scaledEvents: events")
+    val offU = maxIdOffset(events, "user_id", "scaledEvents: events")
+    (0 until factor).map { i =>
+      if (i == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(i * offE))
+        .withColumn("user_id", col("user_id") + lit(i * offU))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Streaming state-store scale evidence: the three bench drains
+    * (MemoryStream → watermark → state store → sink) at 1× and FACTOR×
+    * the events table. A FACTOR× stream means FACTOR× concurrent users
+    * ([[scaledEvents]]), so live state grows FACTOR× while per-key
+    * state stays bounded — wall should track the feed (≈ linear), and
+    * anything superlinear would expose a state-store scan that grows
+    * with TOTAL state rather than the touched keys. FACTOR× runs
+    * first (cold — conservative, same protocol as the other modes).
+    * The feed stays under [[graft.streaming.StreamDrain.MaxDrainRows]]
+    * for factor ≤ 20 at sf0.1 (100k rows); the cap rejects beyond. */
+  def streamLifecycle(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int): Unit = {
+    import graft.streaming.StreamDrain
+    val events1 = Tables.load(spark, baseDir, "events")
+    val eventsN = scaledEvents(events1, factor)
+    def timed(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    Seq[(String, DataFrame => Long)](
+      ("sessionize", e => StreamDrain.sessionizeDrained(e).count()),
+      ("window", e => StreamDrain.windowAggDrained(e).count()),
+      ("asof", e => StreamDrain.asofJoinDrained(e).count())
+    ).foreach { case (name, run) =>
+      val (tN, rN) = timed(run(eventsN))
+      val (t1, r1) = timed(run(events1))
+      println(f"SCALE_STREAM $name,$t1%.2f,$tN%.2f,${tN / t1}%.2f,$r1,$rN")
+    }
+  }
+
   /** Index-lifecycle scale evidence: the O(batch) append claim
     * (appendToIvfIndex / appendToMinhashIndex assign new rows through
     * the STORED codebook/meta and stage files in place — no rebuild)
@@ -163,10 +216,19 @@ object Scale {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("append")) {
-      appendLifecycle(spark, baseDir, scaleDir, factor)
-      spark.stop()
-      return
+    sys.env.get("SPARK_GRAFT_SCALE_MODE") match {
+      case Some("append") =>
+        appendLifecycle(spark, baseDir, scaleDir, factor)
+        spark.stop()
+        return
+      case Some("stream") =>
+        streamLifecycle(spark, baseDir, factor)
+        spark.stop()
+        return
+      case Some(other) if other != "heavy" =>
+        throw new IllegalArgumentException(
+          s"unknown SPARK_GRAFT_SCALE_MODE=$other (expected heavy|append|stream)")
+      case _ => ()
     }
 
     scaledDocuments(Tables.load(spark, baseDir, "documents"), factor)

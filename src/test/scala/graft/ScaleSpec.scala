@@ -37,6 +37,31 @@ class ScaleSpec extends SparkSpec {
     assert(!out.values.exists(_.split(" ", -1).contains("_1")))
   }
 
+  test("scaledEvents: disjoint user populations, per-user streams isomorphic, timestamps verbatim") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val events = Seq(
+      (0L, 2L, ts(0), "click", 1.0),
+      (1L, 2L, ts(5), "view", 2.0),
+      (2L, 5L, ts(1), "click", 3.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Scale.scaledEvents(events, 3)
+    assert(out.count() == 9)
+    // both ids offset per replica: user populations are disjoint, so a
+    // factor× stream means factor× concurrent keys — never fused sessions
+    assert(out.select("event_id").distinct().count() == 9)
+    assert(out.select("user_id").distinct().count() == 6)
+    // per-user event streams are isomorphic: every replica user carries
+    // the same (minutes-from-epoch, type, value) multiset as its original
+    val streams = out.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"), col("value")))).as("s"))
+      .select("s").distinct().count()
+    assert(streams == 2) // user 2's stream shape and user 5's, each ×3
+    // timestamps verbatim — replicas add concurrent state, not history
+    assert(out.select(min("ts"), max("ts")).head() ==
+      events.select(min("ts"), max("ts")).head())
+  }
+
   test("scaledVectors: factor× rows, disjoint ids, vectors verbatim") {
     val emb = Seq((0L, Seq(1.0, 2.0)), (3L, Seq(0.5, -1.0))).toDF("id", "v")
     val out = Scale.scaledVectors(emb, 3)
