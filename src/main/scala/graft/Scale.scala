@@ -117,10 +117,17 @@ object Scale {
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    // pin the state-partition count for BOTH scale points (the drains
+    // otherwise auto-size by feed, and a 1×-vs-N× ratio would then mix
+    // state growth with partition-count choices)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     Seq[(String, DataFrame => Long)](
-      ("sessionize", e => StreamDrain.sessionizeDrained(e).count()),
-      ("window", e => StreamDrain.windowAggDrained(e).count()),
-      ("asof", e => StreamDrain.asofJoinDrained(e).count())
+      ("sessionize", e =>
+        StreamDrain.sessionizeDrained(e, statePartitions = parts).count()),
+      ("window", e =>
+        StreamDrain.windowAggDrained(e, statePartitions = parts).count()),
+      ("asof", e =>
+        StreamDrain.asofJoinDrained(e, statePartitions = parts).count())
     ).foreach { case (name, run) =>
       val (tN, rN) = timed(run(eventsN))
       val (t1, r1) = timed(run(events1))

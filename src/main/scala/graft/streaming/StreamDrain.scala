@@ -50,6 +50,42 @@ object StreamDrain {
       "the MemoryStream bench harness is bounded by design — drain a " +
       "bounded slice of the corpus instead of raising the cap")
 
+  /** Rows of state work per partition the auto-sizer aims for. */
+  private val RowsPerStatePartition = 25000
+
+  /** A streaming query's state-partition count is `spark.sql.shuffle
+    * .partitions` AT QUERY START, fixed for the stream's life by the
+    * checkpoint — AQE never resizes it, and every micro-batch pays a
+    * state-store commit PER PARTITION. At drain scale (100k events, 9
+    * micro-batches) the session's batch-tuned 32 partitions mean ~290
+    * near-empty state commits per drain — measured ~2× the drain's
+    * wall. So each drain runs its streaming query on an ISOLATED
+    * `newSession()` (same SparkContext, private conf) sized by its
+    * own feed: ~[[RowsPerStatePartition]] rows of state work per
+    * partition, clamped to [1, session setting] — a bigger feed scales
+    * back up to the session ceiling, exactly how one sizes a
+    * checkpointed production stream for expected peak (state
+    * partitions can only be chosen once, at start). `statePartitions
+    * > 0` overrides the auto-size — [[graft.Scale.streamLifecycle]]
+    * pins it so 1× vs N× comparisons measure state growth, not
+    * partition-count choices. Partition count never changes drained
+    * CONTENT (spec'd alongside chunk-insensitivity). */
+  private def drainSession(s: SparkSession, feedRows: Int,
+      statePartitions: Int): SparkSession = {
+    val ceiling = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val p =
+      if (statePartitions > 0) statePartitions
+      else math.max(1, math.min(ceiling,
+        math.ceil(feedRows.toDouble / RowsPerStatePartition).toInt))
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // the instant-semantics contract rides the session timezone; copy
+    // it so a drain never reads differently from its caller
+    ns.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    ns
+  }
+
   /** The one drain protocol both entries share: event-time-ordered
     * chunked feed, a far-future flush so every pending state emits
     * (watermark = flush − delay passes every real timestamp; the
@@ -88,15 +124,17 @@ object StreamDrain {
     * custom-state path) over the whole events frame. The flush event's
     * own open session is excluded from the returned frame. */
   def sessionizeDrained(events: DataFrame, gapMs: Long = 1800000L,
-      chunks: Int = 8): DataFrame = {
-    val s = events.sparkSession
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      chunks: Int = 8, statePartitions: Int = 0): DataFrame = {
+    val s0 = events.sparkSession
     // limit(cap+1) bounds the collect itself: an oversized corpus fetches
     // one row past the cap and is rejected, never materialized in full
-    val rows = Events.toSessionEvents(events).orderBy("ts")
-      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    val rows: IndexedSeq[SessionEvent] =
+      Events.toSessionEvents(events).orderBy("ts")
+        .limit(MaxDrainRows + 1).collect().toIndexedSeq
     requireDrainable(rows.length)
+    val s: SparkSession = drainSession(s0, rows.length, statePartitions)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     if (rows.isEmpty)
       return s.emptyDataset[ClosedSession].toDF()
     require(!rows.exists(_.user_id == FlushKey),
@@ -119,19 +157,23 @@ object StreamDrain {
     * NULL event_type rows pass through like the batch form (the
     * sentinel filter is null-safe). */
   def windowAggDrained(events: DataFrame, width: String = "5 minutes",
-      chunks: Int = 8): DataFrame = {
-    val s = events.sparkSession
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      chunks: Int = 8, statePartitions: Int = 0): DataFrame = {
+    val s0 = events.sparkSession
     // Option-encoded event_type/value: a regenerated corpus may carry
     // NULLs, and the batch form tolerates them (NULL group, sum skips)
-    val rows = Events.withEventTime(events)
-      .select(col("ts"), col("event_type").cast("string"),
-        col("value").cast("double"))
-      .orderBy("ts")
-      .as[(java.sql.Timestamp, Option[String], Option[Double])]
-      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    val rows: IndexedSeq[(java.sql.Timestamp, Option[String], Option[Double])] = {
+      import s0.implicits._
+      Events.withEventTime(events)
+        .select(col("ts"), col("event_type").cast("string"),
+          col("value").cast("double"))
+        .orderBy("ts")
+        .as[(java.sql.Timestamp, Option[String], Option[Double])]
+        .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    }
     requireDrainable(rows.length)
+    val s: SparkSession = drainSession(s0, rows.length, statePartitions)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     if (rows.isEmpty)
       return windowAggDrainedSchema(s)
     val sentinel = "__graft_flush"
@@ -162,15 +204,14 @@ object StreamDrain {
     * result equals the batch as-of join (equivalence pinned in
     * StreamingSpec at spec scale). Output is flat scalars
     * (key, event_id, ts_ms, value). */
-  def asofJoinDrained(events: DataFrame, chunks: Int = 8): DataFrame = {
-    val s = events.sparkSession
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val e = Events.withEventTime(events)
+  def asofJoinDrained(events: DataFrame, chunks: Int = 8,
+      statePartitions: Int = 0): DataFrame = {
+    val s0 = events.sparkSession
+    val e: DataFrame = Events.withEventTime(events)
       .select(col("user_id").cast("long").as("key"), col("ts"),
         col("event_id").cast("long").as("event_id"),
         col("value").cast("double").as("value"))
-    val lefts = e.select(col("key"), col("ts"), lit(1).as("side"),
+    val lefts: DataFrame = e.select(col("key"), col("ts"), lit(1).as("side"),
       col("event_id"), lit(0.0).as("value"))
     // rights unique per (key, ts) — the asofJoinStream contract; same
     // max(round(value,2)) pre-aggregation as the batch q_asof_join
@@ -179,12 +220,18 @@ object StreamDrain {
       .agg(max(round(col("value"), 2)).as("value"))
       .select(col("key"), col("ts"), lit(0).as("side"),
         lit(0L).as("event_id"), col("value"))
-    val rows = lefts.unionByName(rights)
-      .orderBy(col("ts"), col("side"))
-      .select(col("key"), col("ts"), col("side"), col("event_id"), col("value"))
-      .as[AsofEvent]
-      .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    val rows: IndexedSeq[AsofEvent] = {
+      import s0.implicits._
+      lefts.unionByName(rights)
+        .orderBy(col("ts"), col("side"))
+        .select(col("key"), col("ts"), col("side"), col("event_id"), col("value"))
+        .as[AsofEvent]
+        .limit(MaxDrainRows + 1).collect().toIndexedSeq
+    }
     requireDrainable(rows.length)
+    val s: SparkSession = drainSession(s0, rows.length, statePartitions)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     if (rows.isEmpty)
       return s.emptyDataset[AsofJoined].toDF()
     require(!rows.exists(_.key == FlushKey),

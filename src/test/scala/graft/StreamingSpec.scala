@@ -868,6 +868,21 @@ class StreamingSpec extends SparkSpec {
       setOf(StreamDrain.asofJoinDrained(drainEvents, chunks = 32)))
   }
 
+  test("drains are state-partition insensitive: 1 and 32 partitions give identical rows") {
+    // the auto-sized drain session picks a partition count from the
+    // feed; like chunking, that choice may move only timing — state is
+    // keyed, so how keys spread over partitions can't change results
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    import graft.streaming.StreamDrain
+    assert(setOf(StreamDrain.sessionizeDrained(drainEvents, statePartitions = 1)) ==
+      setOf(StreamDrain.sessionizeDrained(drainEvents, statePartitions = 32)))
+    assert(setOf(StreamDrain.windowAggDrained(drainEvents, statePartitions = 1)) ==
+      setOf(StreamDrain.windowAggDrained(drainEvents, statePartitions = 32)))
+    assert(setOf(StreamDrain.asofJoinDrained(drainEvents, statePartitions = 1)) ==
+      setOf(StreamDrain.asofJoinDrained(drainEvents, statePartitions = 32)))
+  }
+
   test("drain feed cap rejects an oversized corpus loudly") {
     import graft.streaming.StreamDrain
     StreamDrain.requireDrainable(StreamDrain.MaxDrainRows) // at cap: fine
