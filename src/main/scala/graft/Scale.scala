@@ -214,6 +214,30 @@ object Scale {
       Dedup.dedupAgainstIndex(spark, m1, probe, "doc_id", "text").count())
     report("minhash", "dedup_against_index", mq1, mqN)
     println(s"SCALE_APPEND_ROWS minhash_query x1=$p1 x$factor=$pN")
+
+    // ---- exact (bloom-pruned fingerprint index) ----
+    // Same controls as minhash: build batch = replica FACTOR (disjoint
+    // ids + salted vocabulary → its fps are certainly novel), probe =
+    // an unsalted id-offset copy of the base docs, whose fps match
+    // exactly the replica-0 docs present in BOTH indexes — so the dup
+    // hit-set is identical at both scales and only the bloom size and
+    // the pruned confirm join grew.
+    val (e1, eN) = (s"$scaleDir/ex_x1", s"$scaleDir/ex_x$factor")
+    val (ebN, _) = timed(
+      Dedup.buildExactIndex(scaledDocuments(docs, factor), "doc_id", "text", eN))
+    val (eb1, _) = timed(Dedup.buildExactIndex(docs, "doc_id", "text", e1))
+    report("exact", "build", eb1, ebN)
+    val (eaN, _) = timed(
+      Dedup.appendToExactIndex(spark, eN, mbatch, "doc_id", "text"))
+    val (ea1, _) = timed(
+      Dedup.appendToExactIndex(spark, e1, mbatch, "doc_id", "text"))
+    report("exact", "append_same_batch", ea1, eaN)
+    val (eqN, dupN) = timed(Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    val (eq1, dup1) = timed(Dedup.dedupExactAgainstIndex(spark, e1, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    report("exact", "dedup_against_index", eq1, eqN)
+    println(s"SCALE_APPEND_ROWS exact_query x1=$dup1 x$factor=$dupN")
   }
 
   def main(args: Array[String]): Unit = {

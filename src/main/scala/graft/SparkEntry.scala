@@ -382,6 +382,26 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
 
+  // Bloom-pruned exact dedup against persisted history: even docs are
+  // the history index, the probe batch is the odd docs plus verbatim
+  // replays of every doc_id % 10 == 0 doc under offset ids (+1_000_000)
+  // — the graded corpus has no cross-parity exact dups of its own, so
+  // the replays guarantee the dup branch (bloom hit → confirm join →
+  // first_id) is exercised, not just the all-novel path. Output is
+  // exact at any fpp (the bloom only prunes; DuckDB needs no bloom).
+  private def qDedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_exact_idx_${dirKey(dir)}") { d =>
+      Dedup.buildExactIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", d)
+    }
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.dedupExactAgainstIndex(s, idx, batch, "doc_id", "text")
+  }
+
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
   // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
   // dedup signal but produce >99% of the inverted-index join's pairs.
@@ -1238,6 +1258,7 @@ object SparkEntry {
     "q_pipeline_blocks" -> (qPipelineBlocks _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_ngram" -> (qDedupNgram _),
@@ -1725,6 +1746,17 @@ object SparkEntry {
     "q_dedup_exact" ->
       s"""SELECT md5(t) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM ($normDoc) GROUP BY fp""".stripMargin,
+
+    // the bloom is pure pruning — the oracle is the plain history join
+    "q_dedup_bloom" ->
+      s"""WITH n AS ($normDoc),
+         |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
+         |      WHERE doc_id % 2 = 0 GROUP BY 1),
+         |b AS (SELECT doc_id AS id, t FROM n WHERE doc_id % 2 = 1
+         |      UNION ALL
+         |      SELECT doc_id + 1000000 AS id, t FROM n WHERE doc_id % 10 = 0)
+         |SELECT b.id, h.first_id, h.first_id IS NOT NULL AS is_dup
+         |FROM b LEFT JOIN h ON md5(b.t) = h.fp""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH sh AS ($shingle8Capped),

