@@ -39,6 +39,45 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming admission against a PERSISTED exact-dedup history
+    * ([[graft.operators.Dedup.buildExactIndex]]): pass through only
+    * docs whose exact normalized text history has never stored — the
+    * front gate a continuously-ingesting pipeline puts before
+    * [[dedupStream]] (which handles duplicates WITHIN the stream; this
+    * handles duplicates against everything ingested before the stream
+    * started). The history side stays fixed for the stream's life —
+    * re-ingest after index appends to pick up a newer history.
+    *
+    * Scale shape, per micro-batch: the Bloom sidecar (read once at
+    * stream setup, meta-sized, embedded as one codegen'd literal
+    * predicate) passes bloom-NEGATIVE docs — certainly novel, no false
+    * negatives — with no history access at all; only bloom positives
+    * (true dups + fpp·batch) pay the stream-static join against the
+    * fps table, which dynamic partition pruning narrows to their
+    * fp-prefix partitions. Stream-static left-anti is not a supported
+    * streaming join, so the confirm is left_outer + IS NULL — same
+    * rows, supported shape. */
+  def admitNovelStream(spark: SparkSession, indexDir: String,
+      docsStream: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{SketchExpressions => SK}
+    val bytes = spark.read.parquet(s"$indexDir/bloom")
+      .head().getAs[Array[Byte]]("bloom")
+    val fps = spark.read.parquet(s"$indexDir/fps")
+      .select(col("pfx").as("__pfx"), col("fp").as("__fp"),
+        col("keep_id").as("__hist_id"))
+    val probed = docsStream.withColumn("__fp",
+      graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
+    val seen = SK.mightContain(lit(bytes), xxhash64(col("__fp")))
+    val certainlyNovel = probed.filter(!seen)
+    val confirmedNovel = probed.filter(seen)
+      .withColumn("__pfx", substring(col("__fp"), 1, 2))
+      .join(fps, Seq("__pfx", "__fp"), "left_outer")
+      .filter(col("__hist_id").isNull)
+      .drop("__pfx", "__hist_id")
+    certainlyNovel.unionByName(confirmedNovel).drop("__fp")
+  }
+
   /** How many of `batchIds` appear in `table`'s id column — semi-join
     * BEFORE the distinct, so the count aggregates O(batch) surviving
     * rows instead of shuffling the full stored id column per

@@ -183,6 +183,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L), s"got $got")
   }
 
+  test("admitNovelStream: drained admissions equal the batch probe's non-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((10L, "seen before alpha"), (11L, "seen before beta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exstream").toString + "/idx"
+    graft.operators.Dedup.buildExactIndex(history, "doc_id", "text", dir)
+    val batch = Seq(
+      (20L, "SEEN  before ALPHA"),   // dup via normalization → rejected
+      (21L, "novel gamma"),
+      (22L, "seen before beta"),     // verbatim dup → rejected
+      (23L, "novel delta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.admitNovelStream(spark, dir,
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("sadmit")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(batch.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(batch.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("sadmit").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(21L, 23L), s"got $got")
+    // equivalence with the batch gate on the same feed
+    val batchNovel = graft.operators.Dedup
+      .dedupExactAgainstIndex(spark, dir, batch.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .filter(!col("is_dup")).select("id").as[Long].collect().toSet
+    assert(got == batchNovel)
+  }
+
   test("packSequencesStream: drained stream equals batch packSequences on the same prefix") {
     implicit val sqlCtx = spark.sqlContext
     val docsSeq = (0L until 20L).map(i =>
