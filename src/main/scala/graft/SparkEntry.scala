@@ -605,6 +605,16 @@ object SparkEntry {
     Curate.packSequences(t(s, dir, "documents"), "doc_id", "text",
       budget = 1024, shards = 32)
 
+  // α=0.5 temperature re-balancing toward an expected-300-doc mixture:
+  // up-samples tail languages relative to their natural share without
+  // saturating any stratum's keep fraction at 1 on the graded corpus.
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Curate.temperatureMixture(t(s, dir, "documents"), "doc_id", "lang",
+      alpha = 0.5, budget = 300)
+
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Curate.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
+
   /** The flagship end-to-end curation pipeline — the chain a real
     * pretraining-data run executes, stage outputs feeding stage inputs
     * (not the per-operator queries' isolated scans): crawl pages (body
@@ -1276,6 +1286,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_contam_score" -> (qContamScore _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_shuffle_shards" -> (qShuffleShards _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -2065,6 +2077,32 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 WHEN 'de' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.0 END * 1000000.0""".stripMargin,
+
+    // mirrors temperatureMixture's arithmetic exactly: q_d ∝ n_d^α,
+    // keep_ppm = round(min(1, budget·q_d/n_d)·1e6) — integer admission
+    // thresholds, so the hash boundary is exact in both engines
+    "q_temperature_mix" ->
+      """WITH sizes AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM sizes),
+        |thr AS (
+        |  SELECT stratum,
+        |    CAST(round(LEAST(1.0, 300 * (pow(n, 0.5) / z.z) / n) * 1000000) AS BIGINT) AS keep_ppm
+        |  FROM sizes, z)
+        |SELECT d.doc_id AS id, t.stratum, t.keep_ppm
+        |FROM documents d JOIN thr t ON CAST(d.lang AS VARCHAR) = t.stratum
+        |WHERE ('0x' || substr(md5('23#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < t.keep_ppm""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id,
+        |    ('0x' || substr(md5('37#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('38#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ord
+        |  FROM documents)
+        |SELECT id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id) - 1 AS pos
+        |FROM b""".stripMargin,
 
     "q_holdout_split" ->
       """SELECT doc_id, source,

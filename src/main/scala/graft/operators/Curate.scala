@@ -434,4 +434,75 @@ object Curate {
       qualityCol)
     budgetSample(canonical, idCol, textCol, stratumCol, budgets, buckets)
   }
+
+  /** Temperature-scaled mixture sampling (the multilingual re-balancing
+    * rule of Conneau & Lample 2019 §3.1, also mBERT's exponential
+    * smoothing): strata contribute to the mixture with probability
+    * q_d ∝ p_d^alpha where p_d = n_d / N — alpha = 1 keeps the natural
+    * distribution, alpha = 0 flattens to uniform, the published
+    * sweet spots (0.3-0.7) up-sample the tail without drowning the
+    * head. Materialized as keep fractions for an expected-`budget`-doc
+    * mixture: f_d = min(1, budget·q_d / n_d), admission by the same
+    * deterministic hash predicate as [[stratifiedSample]] (no RNG —
+    * stable under re-runs and repartitioning). Returns
+    * (id, stratum, keep_ppm) for kept rows, keep_ppm = round(f_d·1e6)
+    * — integer thresholds, so the admission boundary is exact in both
+    * engines. NULL strata drop (no size, no fraction — same as a
+    * stratum with n=0).
+    *
+    * Scale shape: the stratum-size frame is one map-side-combined
+    * groupBy (rows = distinct strata, not corpus); its normalizer is a
+    * broadcast one-row agg; the thresholds broadcast back onto the
+    * corpus scan, and the admission filter is a pure codegen'd
+    * predicate — a single narrow pass over 100 TB, identical to
+    * [[stratifiedSample]]'s plan plus one tiny aggregate. */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, budget: Long, seed: Int = 23): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    require(budget >= 0, "budget must be non-negative")
+    val sizes = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    // p_d^alpha / Σ p_e^alpha == n_d^alpha / Σ n_e^alpha (the 1/N^alpha
+    // factor cancels), so normalize raw counts directly
+    val z = sizes.agg(sum(pow(col("n"), alpha)).as("z"))
+    val thr = sizes.crossJoin(broadcast(z))
+      .withColumn("keep_ppm", round(
+        least(lit(1.0),
+          lit(budget.toDouble) * (pow(col("n"), alpha) / col("z")) / col("n"))
+          * 1e6).cast("long"))
+      .select("stratum", "keep_ppm")
+    df.select(col(idCol).as("id"),
+        col(stratumCol).cast("string").as("stratum"))
+      .join(broadcast(thr), Seq("stratum"))
+      .filter(H.hash32(seed, col("id").cast("string")) % 1000000
+        < col("keep_ppm"))
+      .select("id", "stratum", "keep_ppm")
+  }
+
+  /** Deterministic epoch shuffle: training readers need the corpus in a
+    * reproducible pseudo-random order, sharded for parallel loaders.
+    * shard = hash(seed, id) mod numShards; pos = rank of
+    * (hash(seed+1, id), id) within the shard — a total, collision-free
+    * (ties break on id), RNG-free assignment, stable under re-runs and
+    * repartitioning. Different seeds give independent epoch orders.
+    * Returns (id, shard, pos); write partitionBy("shard") +
+    * sortWithinPartitions("pos") for ready-to-stream epoch files.
+    *
+    * Scale shape: one hash shuffle into numShards groups + a
+    * per-shard sort (the row_number window) — numShards bounds each
+    * sort at corpus/numShards exactly like [[packSequences]]' shards,
+    * so there is never a global or single-partition sort; size
+    * numShards to the reader fleet. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: Int = 37): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("id"))
+    df.select(col(idCol).as("id"))
+      .withColumn("shard",
+        pmod(H.hash32(seed, col("id").cast("string")), lit(numShards)))
+      .withColumn("ord", H.hash32(seed + 1, col("id").cast("string")))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("id", "shard", "pos")
+  }
 }

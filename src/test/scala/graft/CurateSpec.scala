@@ -299,4 +299,73 @@ class CurateSpec extends SparkSpec {
       .select("id", "shard").as[(Long, Long)].collect().toMap
     assert(out.forall(r => again(r._1) == r._2))
   }
+
+  test("temperatureMixture: thresholds match the hand formula; alpha edges") {
+    // 400 docs of 'big', 100 of 'small' — known sizes for hand math
+    val df = ((0L until 400L).map((_, "big")) ++ (400L until 500L).map((_, "small")))
+      .toDF("id", "lang")
+    def ppm(alpha: Double, budget: Long): Map[String, Long] = {
+      val z = math.pow(400, alpha) + math.pow(100, alpha)
+      Map(
+        "big" -> math.rint(math.min(1.0,
+          budget * (math.pow(400, alpha) / z) / 400) * 1e6).toLong,
+        "small" -> math.rint(math.min(1.0,
+          budget * (math.pow(100, alpha) / z) / 100) * 1e6).toLong)
+    }
+    for (alpha <- Seq(0.0, 0.5, 1.0); budget <- Seq(100L, 250L)) {
+      val expect = ppm(alpha, budget)
+      val got = Curate.temperatureMixture(df, "id", "lang", alpha, budget)
+        .select("stratum", "keep_ppm").distinct()
+        .as[(String, Long)].collect().toMap
+      assert(got == expect, s"alpha=$alpha budget=$budget: $got vs $expect")
+    }
+    // alpha=1 is the natural distribution: every stratum keeps budget/N
+    val nat = Curate.temperatureMixture(df, "id", "lang", 1.0, 250)
+      .select("keep_ppm").distinct().as[Long].collect().toSet
+    assert(nat == Set(500000L), s"alpha=1 must flatten to budget/N, got $nat")
+    // alpha=0 is uniform over strata: expected budget/S docs each, so the
+    // small stratum's keep fraction is 4x the big one's
+    val uni = Curate.temperatureMixture(df, "id", "lang", 0.0, 100)
+      .select("stratum", "keep_ppm").distinct().as[(String, Long)].collect().toMap
+    assert(uni("small") == 4 * uni("big"), s"got $uni")
+    // membership is the hash predicate exactly, stable under repartition
+    val out = Curate.temperatureMixture(df, "id", "lang", 0.5, 250)
+      .select("id").as[Long].collect().toSet
+    val rep = Curate.temperatureMixture(df.repartition(13), "id", "lang", 0.5, 250)
+      .select("id").as[Long].collect().toSet
+    assert(out == rep, "must be repartition-invariant")
+    // saturation: a budget >= N clamps every stratum at 1.0 (keep all)
+    val all = Curate.temperatureMixture(df, "id", "lang", 0.5, 10000)
+    assert(all.count() == 500 &&
+      all.select("keep_ppm").distinct().as[Long].collect().toSet == Set(1000000L))
+  }
+
+  test("shuffleShards: total collision-free dense assignment, seed-independent orders") {
+    val df = (0L until 300L).map(i => (i, s"t$i")).toDF("id", "text")
+    val out = Curate.shuffleShards(df, "id", numShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 300 && out.map(_._1).distinct.length == 300)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // per shard: positions are exactly 0..count-1 (dense, no ties lost)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // deterministic under repartition
+    val rep = Curate.shuffleShards(df.repartition(11), "id", numShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == rep.sortBy(_._1).toSeq)
+    // a different seed is a different epoch: some shard's id-order differs
+    // (shards too, but order is the property readers consume)
+    val ep2 = Curate.shuffleShards(df, "id", numShards = 8, seed = 101)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    def orders(rows: Array[(Long, Long, Long)]): Map[Long, Seq[Long]] =
+      rows.groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    assert(orders(out) != orders(ep2), "seeds must give independent orders")
+    // shard is hash32(seed, id) mod shards — pin one row against an
+    // independent md5 computation so the hash space never drifts
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("37#0".getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    assert(out.find(_._1 == 0L).get._2 == md % 8, "hash space drifted")
+  }
 }
