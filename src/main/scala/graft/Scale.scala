@@ -192,6 +192,15 @@ object Scale {
     val (s1, r1) = timed(Ann.searchIvfIndex(spark, d1, qs, k = 10).count())
     report("ivf", "search_nprobe4", s1, sN)
     println(s"SCALE_APPEND_ROWS ivf_search x1=$r1 x$factor=$rN")
+    // brute-force contrast: the same 5 queries, exact unpruned top-k over
+    // the 1× and FACTOR× corpora — whatever this ratio is, the pruned
+    // search_nprobe4 ratio above is the dividend cell probing buys when
+    // the corpus grows FACTOR× (both rows scan value vectors; only the
+    // index row gets to skip (nlist-nprobe)/nlist of them)
+    val (bfN, _) = timed(
+      Ann.bruteForceTopK(scaledVectors(emb, factor), qs, k = 10).count())
+    val (bf1, _) = timed(Ann.bruteForceTopK(emb, qs, k = 10).count())
+    report("ivf", "search_brute_contrast", bf1, bfN)
 
     // ---- minhash ----
     val docs = Tables.load(spark, baseDir, "documents")

@@ -147,6 +147,20 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(spanPhys.contains("LeftSemi"),
       s"duplicated-hash restriction is not a semi-join:\n$spanPhys")
+    // temperatureMixture: the stratum thresholds (<= strata rows) must
+    // broadcast onto the corpus scan — the corpus side never shuffles
+    val mixPhys = Curate.temperatureMixture(docs
+        .withColumn("lang", when(col("id") % 3 === 0, "en").otherwise("de")),
+        "id", "lang", alpha = 0.5, budget = 20)
+      .queryExecution.executedPlan.toString
+    assert(mixPhys.contains("BroadcastHashJoin"),
+      s"mixture thresholds not broadcast:\n$mixPhys")
+    // shuffleShards: exactly one exchange (the shard hash partition) —
+    // the per-shard rank must reuse it, never add a second shuffle
+    val shufPhys = Curate.shuffleShards(docs, "id", numShards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(shufPhys).size == 1,
+      s"epoch shuffle must cost exactly one exchange:\n$shufPhys")
   }
 
   test("persist+count replaces a join-inflated size estimate with actual bytes; localCheckpoint preserves it") {
