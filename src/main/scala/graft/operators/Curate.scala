@@ -457,27 +457,42 @@ object Curate {
     * predicate — a single narrow pass over 100 TB, identical to
     * [[stratifiedSample]]'s plan plus one tiny aggregate. */
   def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
-      alpha: Double, budget: Long, seed: Int = 23): DataFrame = {
+      alpha: Double, budget: Long, seed: Int = 23): DataFrame =
+    applyMixture(df, mixtureThresholds(df, stratumCol, alpha, budget),
+      idCol, stratumCol, seed)
+
+  /** The (stratum, keep_ppm) threshold table for [[temperatureMixture]],
+    * computed from `ref` — exposed separately so the streaming form can
+    * pin thresholds to a static history corpus while the batch form
+    * derives them from its own input. */
+  private[graft] def mixtureThresholds(ref: DataFrame, stratumCol: String,
+      alpha: Double, budget: Long): DataFrame = {
     require(alpha >= 0, "alpha must be non-negative")
     require(budget >= 0, "budget must be non-negative")
-    val sizes = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+    val sizes = ref.groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(count(lit(1)).cast("double").as("n"))
     // p_d^alpha / Σ p_e^alpha == n_d^alpha / Σ n_e^alpha (the 1/N^alpha
     // factor cancels), so normalize raw counts directly
     val z = sizes.agg(sum(pow(col("n"), alpha)).as("z"))
-    val thr = sizes.crossJoin(broadcast(z))
+    sizes.crossJoin(broadcast(z))
       .withColumn("keep_ppm", round(
         least(lit(1.0),
           lit(budget.toDouble) * (pow(col("n"), alpha) / col("z")) / col("n"))
           * 1e6).cast("long"))
       .select("stratum", "keep_ppm")
+  }
+
+  /** Admission half of [[temperatureMixture]]: stateless hash predicate
+    * against a broadcast threshold table — applies to batch and
+    * streaming frames alike. */
+  private[graft] def applyMixture(df: DataFrame, thresholds: DataFrame,
+      idCol: String, stratumCol: String, seed: Int): DataFrame =
     df.select(col(idCol).as("id"),
         col(stratumCol).cast("string").as("stratum"))
-      .join(broadcast(thr), Seq("stratum"))
+      .join(broadcast(thresholds), Seq("stratum"))
       .filter(H.hash32(seed, col("id").cast("string")) % 1000000
         < col("keep_ppm"))
       .select("id", "stratum", "keep_ppm")
-  }
 
   /** Deterministic epoch shuffle: training readers need the corpus in a
     * reproducible pseudo-random order, sharded for parallel loaders.

@@ -126,4 +126,23 @@ object StreamCurate {
           out.iterator
       }
   }
+
+  /** Streaming temperature-mixture admission: thresholds are computed
+    * ONCE from a static reference corpus (the history the mixture was
+    * weighted on) and broadcast onto the stream; each arriving doc then
+    * passes the same stateless hash predicate as the batch operator —
+    * so a doc admits identically whether it arrives in a batch rerun or
+    * on the live stream. Deriving thresholds from the stream itself
+    * would re-weight every micro-batch (admission for the same doc
+    * would depend on arrival time — exactly what the deterministic
+    * contract forbids), hence the explicit `ref`. Stream-static
+    * broadcast join + codegen'd filter: stateless, no watermark, no
+    * state store. */
+  def temperatureMixtureStream(stream: DataFrame, ref: DataFrame,
+      idCol: String, stratumCol: String, alpha: Double, budget: Long,
+      seed: Int = 23): DataFrame = {
+    val thr = graft.operators.Curate
+      .mixtureThresholds(ref, stratumCol, alpha, budget)
+    graft.operators.Curate.applyMixture(stream, thr, idCol, stratumCol, seed)
+  }
 }

@@ -264,6 +264,32 @@ class CurateSpec extends SparkSpec {
     assert(got.forall(r => batch(r._1) == r._3))
   }
 
+  test("temperatureMixtureStream: stream admissions equal the batch mixture") {
+    import graft.streaming.StreamCurate
+    implicit val sqlCtx = spark.sqlContext
+    val ref = ((0L until 80L).map((_, "en")) ++ (80L until 100L).map((_, "de")))
+      .toDF("id", "lang")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamCurate.temperatureMixtureStream(
+        mem.toDF().toDF("id", "lang"), ref, "id", "lang",
+        alpha = 0.5, budget = 50)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode(OutputMode.Append()).start()
+    // feed the ref corpus across two triggers (arrival order scrambled)
+    val rows = (0L until 100L).map(i => (i, if (i < 80) "en" else "de"))
+    mem.addData(rows.filter(_._1 % 2 == 0): _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 % 2 == 1): _*)
+    q.processAllAvailable()
+    val got = spark.table("mix_stream")
+      .select("id", "stratum", "keep_ppm").as[(Long, String, Long)].collect()
+    q.stop()
+    val batch = Curate.temperatureMixture(ref, "id", "lang", 0.5, 50)
+      .select("id", "stratum", "keep_ppm").as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq,
+      "stream admission must be arrival-order-independent and equal batch")
+  }
+
   test("holdoutSplit: total, disjoint, deterministic, group-consistent") {
     val df = (0L until 1000L).map(i => (i, s"src${i % 50}")).toDF("id", "src")
     val out = Curate.holdoutSplit(df, "src", testFrac = 0.2)

@@ -51,6 +51,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dupClusters(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
     assert(Dedup.bandClusters(noDocs, "doc_id", "text").count() == 0)
+    // empty corpus: no strata, no thresholds — empty result, no crash on
+    // the null normalizer the empty-frame sum produces
+    assert(Curate.temperatureMixture(noDocs, "doc_id", "lang",
+      alpha = 0.5, budget = 100).count() == 0)
+    assert(Curate.shuffleShards(noDocs, "doc_id", numShards = 4).count() == 0)
   }
 
   test("streaming bench drains over an empty events frame") {
