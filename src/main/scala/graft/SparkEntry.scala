@@ -615,6 +615,13 @@ object SparkEntry {
   private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
     Curate.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
 
+  // CCNet-style terciles over token counts: discrete-quantile CDF
+  // thresholds, first label = lowest scores
+  private def qScoreBuckets(s: SparkSession, dir: String): DataFrame =
+    Curate.scoreBuckets(t(s, dir, "documents"), "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+
   /** The flagship end-to-end curation pipeline — the chain a real
     * pretraining-data run executes, stage outputs feeding stage inputs
     * (not the per-operator queries' isolated scans): crawl pages (body
@@ -1288,6 +1295,7 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_shuffle_shards" -> (qShuffleShards _),
+    "q_score_buckets" -> (qScoreBuckets _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -2103,6 +2111,24 @@ object SparkEntry {
         |SELECT id, shard,
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id) - 1 AS pos
         |FROM b""".stripMargin,
+
+    // discrete quantiles (no interpolation): threshold = smallest score
+    // whose cumulative fraction reaches the cut, over the score histogram
+    "q_score_buckets" ->
+      """WITH sc AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS score
+        |  FROM documents),
+        |hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n FROM hist),
+        |cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) / n.n AS f FROM hist, n),
+        |t AS (SELECT MIN(CASE WHEN f >= 0.3333 THEN score END) AS t0,
+        |             MIN(CASE WHEN f >= 0.6667 THEN score END) AS t1 FROM cdf)
+        |SELECT sc.id, sc.score,
+        |  CASE WHEN sc.score <= t.t0 THEN 'head'
+        |       WHEN sc.score <= t.t1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc, t""".stripMargin,
 
     "q_holdout_split" ->
       """SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 
@@ -493,6 +493,55 @@ object Curate {
       .filter(H.hash32(seed, col("id").cast("string")) % 1000000
         < col("keep_ppm"))
       .select("id", "stratum", "keep_ppm")
+
+  /** CCNet-style corpus bucketing (Wenzek et al. 2020's head / middle /
+    * tail): assign each doc a bucket by where its score falls in the
+    * corpus's own empirical CDF. Thresholds are DISCRETE quantiles —
+    * the smallest score whose cumulative fraction reaches the cut —
+    * computed over the score histogram, so there is no interpolation
+    * arithmetic to disagree on across engines and the result is exact.
+    * `cuts` are ascending fractions in (0,1); `labels` has
+    * cuts.size+1 entries, first label = lowest scores (CCNet's head is
+    * LOW perplexity); a doc lands in the first cut whose threshold its
+    * score does not exceed. NULL scores drop (no place on the CDF).
+    * Returns (id, score, bucket).
+    *
+    * Scale shape: the histogram has one row per DISTINCT score value —
+    * corpus-INDEPENDENT for discrete or rounded scores (token counts,
+    * 4dp cross-entropies) — so the one ordered cumulative pass (the
+    * lone unpartitioned window here) runs over a value-bounded frame,
+    * never the corpus; thresholds are a cuts-sized driver collect, and
+    * bucket assignment is a codegen'd when-chain on the scan. Round
+    * continuous scores before bucketing (the 4dp convention the
+    * scoring operators already emit) to keep the histogram bounded. */
+  def scoreBuckets(df: DataFrame, idCol: String, scoreCol: Column,
+      cuts: Seq[Double], labels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.distinct == cuts && cuts.forall(p => p > 0 && p < 1),
+      "cuts must be strictly ascending fractions in (0,1)")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts")
+    val base = df.select(col(idCol).as("id"),
+        scoreCol.cast("double").as("score"))
+      .filter(col("score").isNotNull)
+    val hist = base.groupBy("score").agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum("c").as("n"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist.crossJoin(broadcast(n))
+      .withColumn("f", sum("c").over(w) / col("n"))
+    // bounded collect: one double per cut (the codebook-literal pattern)
+    val aggs = cuts.zipWithIndex.map { case (p, i) =>
+      min(when(col("f") >= p, col("score"))).as(s"t$i") }
+    val row = cdf.agg(aggs.head, aggs.tail: _*).head
+    if (row.isNullAt(0)) return base.withColumn("bucket", lit(null).cast("string"))
+    val thresholds = cuts.indices.map(row.getDouble)
+    val bucket = thresholds.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
+    }
+    base.withColumn("bucket", bucket)
+  }
 
   /** Deterministic epoch shuffle: training readers need the corpus in a
     * reproducible pseudo-random order, sharded for parallel loaders.

@@ -366,6 +366,38 @@ class CurateSpec extends SparkSpec {
       all.select("keep_ppm").distinct().as[Long].collect().toSet == Set(1000000L))
   }
 
+  test("scoreBuckets: discrete-quantile thresholds match the hand CDF") {
+    // hist: 1x3 (f=.3), 2 (f=.4), 3 (f=.5), 4x2 (f=.7), 5x2 (f=.9), 10 (f=1)
+    // t(1/3) = 2 (first f >= .3333), t(2/3) = 4
+    val df = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 4.0, 5.0, 5.0, 10.0)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sc")
+    val got = Curate.scoreBuckets(df, "id", col("sc"),
+        cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+      .select("score", "bucket").as[(Double, String)].collect()
+    assert(got.length == 10)
+    got.foreach { case (s, b) =>
+      val expect = if (s <= 2.0) "head" else if (s <= 4.0) "middle" else "tail"
+      assert(b == expect, s"score $s -> $b, want $expect")
+    }
+    // NULL scores drop (no place on the CDF); the survivors' thresholds
+    // come from the survivor histogram alone
+    val withNull = df.withColumn("sc",
+      when(col("id") === 0L, lit(null).cast("double")).otherwise(col("sc")))
+    assert(Curate.scoreBuckets(withNull, "id", col("sc"),
+      Seq(0.5), Seq("lo", "hi")).count() == 9)
+    // composes with a computed score column (the CCNet shape: bucket by
+    // a scoring operator's output)
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f"), (3L, "a")).toDF("id", "text")
+    val byTok = Curate.scoreBuckets(docs, "id",
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        Seq(0.33, 0.66), Seq("short", "mid", "long"))
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert(byTok == Map(3L -> "short", 1L -> "mid", 2L -> "long"), s"$byTok")
+    // empty corpus: empty result, no crash on the null threshold row
+    assert(Curate.scoreBuckets(docs.filter(col("id") < 0), "id",
+      col("id"), Seq(0.5), Seq("a", "b")).count() == 0)
+  }
+
   test("shuffleShards: total collision-free dense assignment, seed-independent orders") {
     val df = (0L until 300L).map(i => (i, s"t$i")).toDF("id", "text")
     val out = Curate.shuffleShards(df, "id", numShards = 8)
