@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Aliases, Ann, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
+import graft.operators.{Aliases, Ann, Bpe, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -621,6 +621,27 @@ object SparkEntry {
     Curate.scoreBuckets(t(s, dir, "documents"), "doc_id",
       graft.functions.TextFunctions.tokenCount(col("text")),
       cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+
+  // the published CCNet composition: bigram-LM cross-entropy → buckets
+  // (head = most fluent under the corpus LM)
+  private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    Curate.scoreBuckets(
+      Curate.perplexityScore(t(s, dir, "documents"), "doc_id", "text"),
+      "id", col("xent"),
+      cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+
+  // BPE trainer surface: step-0 pair distribution and the argmax first
+  // merge are hash-exact; the full iterative trainer is rows-only (no
+  // SQL form — per-step argmax feeds the next step's counts) with
+  // those two as its cross-engine arithmetic anchors.
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    Bpe.initialPairs(t(s, dir, "documents"), "text")
+
+  private def qBpeMerge1(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(t(s, dir, "documents"), "text", numMerges = 1)
+
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
 
   /** The flagship end-to-end curation pipeline — the chain a real
     * pretraining-data run executes, stage outputs feeding stage inputs
@@ -1296,6 +1317,10 @@ object SparkEntry {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_score_buckets" -> (qScoreBuckets _),
+    "q_perplexity_buckets" -> (qPerplexityBuckets _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_merge1" -> (qBpeMerge1 _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -1376,6 +1401,20 @@ object SparkEntry {
   // normText); ONE definition for every oracle that tokenizes.
   private val tokDoc =
     s"SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)"
+  // the add-1 bigram LM scorer — ONE definition shared by q_perplexity
+  // and the CCNet bucketing composition q_perplexity_buckets
+  private val perplexitySql =
+    s"""WITH tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM ($normDoc)),
+       |tk AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+       |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
+       |db AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2, 3),
+       |cb AS (SELECT prev, tok, sum(c) AS cb FROM db GROUP BY 1, 2),
+       |cu AS (SELECT prev, sum(c) AS cu FROM db GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM db)
+       |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tok,
+       | round(sum(c * -ln((cb + 1.0) / (cu + 1.0 * v))) / sum(c), 4) AS xent
+       |FROM db JOIN cb USING (prev, tok) JOIN cu USING (prev) CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin
   // RRF hybrid fusion oracle — one definition for q_hybrid_search
   // (in-memory branches) and q_hybrid_index (persisted IVF full-probe +
   // bucket-pruned sparse index branches): both are exact, so the two
@@ -2112,6 +2151,33 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id) - 1 AS pos
         |FROM b""".stripMargin,
 
+    // step-0 BPE pair distribution: word-frequency-weighted adjacent
+    // symbol pairs over char-split words + the </w> terminal (left/right
+    // are reserved words in DuckDB — quoted)
+    "q_bpe_pairs" ->
+      s"""WITH wc AS (SELECT w, COUNT(*) AS n
+        |  FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc)) GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 1) AS "left",
+        |         CASE WHEN i = len(w) THEN '</w>' ELSE substr(w, i + 1, 1) END AS "right", n
+        |  FROM (SELECT w, n, unnest(generate_series(1, len(w))) AS i FROM wc))
+        |SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS freq
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // the first merge rule = argmax of the step-0 distribution with the
+    // trainer's tie-break (freq desc, then pair lexicographic)
+    "q_bpe_merge1" ->
+      s"""WITH wc AS (SELECT w, COUNT(*) AS n
+        |  FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc)) GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 1) AS "left",
+        |         CASE WHEN i = len(w) THEN '</w>' ELSE substr(w, i + 1, 1) END AS "right", n
+        |  FROM (SELECT w, n, unnest(generate_series(1, len(w))) AS i FROM wc))
+        |SELECT 1 AS step, "left", "right", "left" || "right" AS merged,
+        |  CAST(SUM(n) AS BIGINT) AS freq
+        |FROM pairs GROUP BY "left", "right"
+        |ORDER BY freq DESC, "left", "right" LIMIT 1""".stripMargin,
+
     // discrete quantiles (no interpolation): threshold = smallest score
     // whose cumulative fraction reaches the cut, over the score histogram
     "q_score_buckets" ->
@@ -2373,18 +2439,22 @@ object SparkEntry {
     // identically on both engines (per-doc bigram counts, then
     // sum(c·-ln p)/sum(c)); '<s>' start marker can't collide with
     // [A-Za-z0-9]+ tokens; xent rounded 4dp
-    "q_perplexity" ->
-      s"""WITH tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM ($normDoc)),
-         |tk AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
-         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
-         |db AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2, 3),
-         |cb AS (SELECT prev, tok, sum(c) AS cb FROM db GROUP BY 1, 2),
-         |cu AS (SELECT prev, sum(c) AS cu FROM db GROUP BY 1),
-         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM db)
-         |SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tok,
-         | round(sum(c * -ln((cb + 1.0) / (cu + 1.0 * v))) / sum(c), 4) AS xent
-         |FROM db JOIN cb USING (prev, tok) JOIN cu USING (prev) CROSS JOIN v
-         |GROUP BY doc_id""".stripMargin,
+    "q_perplexity" -> perplexitySql,
+
+    // the CCNet recipe end-to-end: the bigram-LM cross-entropy above →
+    // head/middle/tail by the corpus's own discrete-quantile CDF
+    "q_perplexity_buckets" ->
+      s"""WITH sc AS (SELECT id, xent AS score FROM ($perplexitySql) ppl),
+         |hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY 1),
+         |n AS (SELECT SUM(c) AS n FROM hist),
+         |cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) / n.n AS f FROM hist, n),
+         |t AS (SELECT MIN(CASE WHEN f >= 0.3333 THEN score END) AS t0,
+         |             MIN(CASE WHEN f >= 0.6667 THEN score END) AS t1 FROM cdf)
+         |SELECT sc.id, sc.score,
+         |  CASE WHEN sc.score <= t.t0 THEN 'head'
+         |       WHEN sc.score <= t.t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc, t""".stripMargin,
 
     // repeated-substring islands over 13-char shingle positions in the
     // unseeded md5-32 space (the shingleHashSet hash); islands via the

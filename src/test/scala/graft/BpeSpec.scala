@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent plain-Scala BPE trainer (Sennrich et al. 2016's
+    * published algorithm verbatim): the same semantics implemented a
+    * second way, with no shared code beyond the tie-break contract. */
+  private def refTrain(words: Map[String, Long], numMerges: Int,
+      minFreq: Long = 2L): Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, n) => (w.map(_.toString).toVector :+ "</w>") -> n }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= numMerges && !stop) {
+      val counts = vocab.toSeq
+        .flatMap { case (s, n) => s.zip(s.tail).map(p => p -> n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        if (f < minFreq) stop = true
+        else {
+          out += ((step, a, b, a + b, f))
+          vocab = vocab.map { case (s, n) =>
+            val merged = s.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc.init :+ (a + b)
+              else acc :+ x
+            }
+            merged -> n
+          }
+          step += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def refFinalVocab(words: Map[String, Long],
+      rules: Seq[(String, String)]): Map[String, Vector[String]] =
+    words.keys.map { w =>
+      val syms0 = w.map(_.toString).toVector :+ "</w>"
+      w -> rules.foldLeft(syms0) { case (s, (a, b)) =>
+        s.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    }.toMap
+
+  // Sennrich's worked corpus shape: repeated words with shared suffixes
+  private val corpusWords: Seq[(String, Int)] = Seq(
+    "low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+  private def corpusDf =
+    corpusWords.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+
+  test("train matches an independent reference implementation, merge for merge") {
+    val got = Bpe.train(corpusDf, "text", numMerges = 10)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val expect = refTrain(corpusWords.map { case (w, n) => w -> n.toLong }.toMap, 10)
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // the classic first merges: 'es' (9 = newest 6 + widest 3) before
+    // anything from the 7-weight 'lo' family
+    assert(got.head._4 == "es" && got.head._5 == 9L)
+    assert(got.map(_._4).take(3) == Seq("es", "est", "est</w>"))
+  }
+
+  test("early stop: merges end when no pair reaches minFreq") {
+    // every word unique -> after the shared-suffix merges run dry, all
+    // remaining pairs are singletons and training must stop early
+    val df = Seq((1L, "ab"), (2L, "cd"), (3L, "ef")).toDF("id", "text")
+    val got = Bpe.train(df, "text", numMerges = 50)
+    assert(got.count() == 0, "all pairs are singletons at minFreq=2")
+    val one = Bpe.train(df, "text", numMerges = 50, minFreq = 1L)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(one.nonEmpty && one.forall(_._5 == 1L))
+    // 3 words x 2 chars + </w>: 2 merges each collapse a word to one
+    // symbol; 6 merges total, all at freq 1, in deterministic tie order
+    assert(one.length == 6)
+  }
+
+  test("encode under trained rules reproduces the reference final vocabulary") {
+    val rulesDf = Bpe.train(corpusDf, "text", numMerges = 6)
+    val rules = rulesDf.orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val got = Bpe.encode(corpusDf, "text", rules)
+      .select("w", "syms", "n").as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> (r._2.toVector, r._3)).toMap
+    val expect = refFinalVocab(
+      corpusWords.map { case (w, n) => w -> n.toLong }.toMap, rules)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (w, (syms, n)) =>
+      assert(syms == expect(w), s"word $w: $syms vs ${expect(w)}")
+      assert(n == corpusWords.toMap.apply(w).toLong)
+    }
+    // vocabulary: symbol counts over the final forms, weighted by word n
+    val vocab = Bpe.vocabulary(corpusDf, "text", rulesDf)
+      .as[(String, Long)].collect().toMap
+    val expVocab = expect.toSeq
+      .flatMap { case (w, syms) =>
+        syms.map(_ -> corpusWords.toMap.apply(w).toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(vocab == expVocab, s"$vocab vs $expVocab")
+  }
+
+  test("initialPairs: the step-0 distribution over chars + terminal") {
+    val df = Seq((1L, "ab ab b")).toDF("id", "text")
+    val got = Bpe.initialPairs(df, "text")
+      .as[(String, String, Long)].collect().toSet
+    // "ab" x2: (a,b) 2, (b,</w>) 2; "b" x1: (b,</w>) 1 -> 3 total
+    assert(got == Set(("a", "b", 2L), ("b", "</w>", 3L)), s"$got")
+  }
+
+  test("empty corpus: train and initialPairs return empty, no crash") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Bpe.train(empty, "text", numMerges = 5).count() == 0)
+    assert(Bpe.initialPairs(empty, "text").count() == 0)
+  }
+}
