@@ -643,6 +643,15 @@ object SparkEntry {
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
 
+  // perceptual-hash media dedup over the decode/embed seam: sign-
+  // threshold signature on the first 16 dims, banded hamming join —
+  // banding is pure pruning, so the all-pairs oracle is exact
+  private def qPhashDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashPairs(
+      t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("features")),
+      "id", "features", dim = 16, maxHam = 2, thresh = 0.0)
+
   /** The flagship end-to-end curation pipeline — the chain a real
     * pretraining-data run executes, stage outputs feeding stage inputs
     * (not the per-operator queries' isolated scans): crawl pages (body
@@ -1321,6 +1330,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merge1" -> (qBpeMerge1 _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_phash_dedup" -> (qPhashDedup _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -2150,6 +2160,19 @@ object SparkEntry {
         |SELECT id, shard,
         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id) - 1 AS pos
         |FROM b""".stripMargin,
+
+    // phash near-dup: the banded join is pure candidate pruning, so the
+    // oracle is the brute all-pairs hamming filter over the same
+    // sign-threshold signatures
+    "q_phash_dedup" ->
+      """WITH sig AS (
+        |  SELECT vec_id AS id,
+        |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 15) AS t(j)) AS sig
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
 
     // step-0 BPE pair distribution: word-frequency-weighted adjacent
     // symbol pairs over char-split words + the </w> terminal (left/right

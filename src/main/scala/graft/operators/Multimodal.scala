@@ -89,6 +89,58 @@ object Multimodal {
       col("media_meta").withField("width", lit(w))
         .withField("height", lit(h)))
 
+  /** Perceptual-hash signature over a decoded feature vector: bit j set
+    * iff features[j] >= thresh — the threshold step of pHash/aHash,
+    * applied to whatever the decode seam emits (DCT coefficients from a
+    * real decoder, [[stubDecode]]'s deterministic vector here, or any
+    * embedding — thresh 0.0 over an embedding is the hyperplane-sign
+    * sketch). Pure Catalyst; dim <= 60 keeps band math in a signed
+    * long (the simhash convention). */
+  def phashBits(features: org.apache.spark.sql.Column, dim: Int,
+      thresh: Double = 0.5): org.apache.spark.sql.Column = {
+    require(dim > 0 && dim <= 60, "dim must be in [1, 60]")
+    (0 until dim).map { j =>
+      when(element_at(features, j + 1) >= thresh, shiftleft(lit(1L), j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate media pairs by hamming distance over [[phashBits]]
+    * signatures — the image/video analog of text simhash dedup (how a
+    * LAION-scale corpus drops re-encodes and crops). Banding is the
+    * same pigeonhole as [[Dedup.simhashPairs]]: maxHam+1 bands (the
+    * last band absorbing the remainder bits) — any pair within maxHam
+    * leaves at least one band untouched, so the band join finds
+    * EXACTLY the all-pairs result while shuffling only band keys;
+    * candidates then verify on the codegen'd XOR popcount. Input is an
+    * (id, features) frame from [[decodeFeatures]] or any embedder at
+    * the same seam. */
+  def phashPairs(df: DataFrame, idCol: String, featuresCol: String,
+      dim: Int, maxHam: Int = 2, thresh: Double = 0.5): DataFrame = {
+    require(maxHam >= 0, "maxHam must be non-negative")
+    val bands = maxHam + 1
+    require(dim >= bands, s"need dim >= ${bands} bands (dim=$dim)")
+    val width = (dim + bands - 1) / bands // ceil: all bits live in a band
+    require((bands - 1) * width < dim,
+      s"dim=$dim cannot split into $bands non-empty bands — lower maxHam")
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      phashBits(col(featuresCol), dim, thresh).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        val w = math.min(width, dim - b * width) // last band: remainder
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND((1L << w) - 1).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
   /** Frame sampling for video payloads: every `everyMs` milliseconds of
     * the (stub) duration, emit a frame row (media_id, frame_idx, ts_ms).
     * Real decode of the frame bytes happens at the [[stubDecode]] seam. */

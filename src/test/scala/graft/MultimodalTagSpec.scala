@@ -27,6 +27,49 @@ class MultimodalTagSpec extends SparkSpec {
     assert(f1.toSeq == f2.toSeq) // batch shape must not change results
   }
 
+  test("phashPairs: banded join equals brute-force hamming, end to end from the decode seam") {
+    // 40 payloads in 4 content families (re-encode stand-ins: same bytes
+    // modulo a family tag), decoded at the stub seam
+    val fam = (0 until 40).map { i =>
+      (i.toLong, s"asset-${i % 4}".getBytes("UTF-8"), "image")
+    }.toDF("media_id", "payload", "kind")
+    val feats = Multimodal.decodeFeatures(fam, "media_id", "payload", dim = 12)
+    val got = Multimodal.phashPairs(feats, "media_id", "features",
+        dim = 12, maxHam = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the same signatures, plain Scala
+    val sigs = feats.as[(Long, Seq[Double])].collect().map { case (id, f) =>
+      id -> (0 until 12).map(j => if (f(j) >= 0.5) 1L << j else 0L).sum
+    }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+    // same-family payloads have identical bytes -> identical features ->
+    // hamming 0: every within-family pair must be present
+    val famOf = (0 until 40).map(i => i.toLong -> i % 4).toMap
+    for (a <- 0L until 40L; b <- a + 1 until 40L if famOf(a) == famOf(b))
+      assert(got.contains((a, b, 0)), s"missing within-family pair ($a,$b)")
+    // uneven banding (10 bits, 3 bands -> 4+4+2) also matches brute force
+    val feats10 = Multimodal.decodeFeatures(fam, "media_id", "payload", dim = 10)
+    val got10 = Multimodal.phashPairs(feats10, "media_id", "features",
+        dim = 10, maxHam = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs10 = feats10.as[(Long, Seq[Double])].collect().map { case (id, f) =>
+      id -> (0 until 10).map(j => if (f(j) >= 0.5) 1L << j else 0L).sum
+    }
+    val brute10 = (for {
+      (a, sa) <- sigs10; (b, sb) <- sigs10 if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got10 == brute10, s"uneven banding ${got10.size} vs ${brute10.size}")
+    // degenerate banding rejected loudly
+    assertThrows[IllegalArgumentException] {
+      Multimodal.phashPairs(feats, "media_id", "features", dim = 4, maxHam = 2)
+    }
+  }
+
   test("sampleFrames: one frame per everyMs of stub duration") {
     val withMeta = Multimodal.withMetadata(media, "payload", "kind")
     val frames = Multimodal.sampleFrames(withMeta, "media_id", everyMs = 60000L)
