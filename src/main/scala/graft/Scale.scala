@@ -249,6 +249,32 @@ object Scale {
     println(s"SCALE_APPEND_ROWS exact_query x1=$dup1 x$factor=$dupN")
   }
 
+  /** BPE-trainer scale evidence: train the same merge count at 1× and
+    * FACTOR× the documents table. The trainer's wall is one corpus
+    * shuffle (word counts) + vocab-bounded iterations; the salted
+    * FACTOR× corpus grows the VOCABULARY by ~factor too (disjoint
+    * per-replica vocabularies — the conservative direction: a real 10×
+    * crawl repeats mostly the SAME words, keeping iterations flat), so
+    * wall should track factor at worst, never the per-iteration
+    * corpus re-scan a naive trainer would pay. FACTOR× runs first
+    * (cold), same protocol as the other modes. */
+  def bpeLifecycle(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int, merges: Int = 8): Unit = {
+    import graft.operators.Bpe
+    val docs = Tables.load(spark, baseDir, "documents")
+    val docsN = scaledDocuments(docs, factor)
+    def timed(df: DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = Bpe.train(df, "text", merges).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tN, rN) = timed(docsN)
+    val (t1, r1) = timed(docs)
+    println(f"SCALE_BPE merges=$merges,$t1%.2f,$tN%.2f,${tN / t1}%.2f,$r1,$rN")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -265,9 +291,13 @@ object Scale {
         streamLifecycle(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("bpe") =>
+        bpeLifecycle(spark, baseDir, factor)
+        spark.stop()
+        return
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
-          s"unknown SPARK_GRAFT_SCALE_MODE=$other (expected heavy|append|stream)")
+          s"unknown SPARK_GRAFT_SCALE_MODE=$other (expected heavy|append|stream|bpe)")
       case _ => ()
     }
 
