@@ -123,4 +123,30 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(empty, "text", numMerges = 5).count() == 0)
     assert(Bpe.initialPairs(empty, "text").count() == 0)
   }
+
+  test("merge fold matches the reference scan on randomized symbol runs") {
+    // overlapping-run cases ("aaa" under (a,a) merges greedily left to
+    // right) are where a fold can silently diverge from the published
+    // scan — 200 seeded random words over a tiny alphabet, one Spark job
+    val rnd = new scala.util.Random(7L)
+    val words = (0 until 200).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(9)))
+        .map(_ => "ab".charAt(rnd.nextInt(2))).mkString)
+    }
+    def refMerge(s: Vector[String], a: String, b: String): Vector[String] =
+      s.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val got = Bpe.encode(words.toDF("id", "text"), "text",
+        rules = Seq(("a", "a"), ("b", "b"), ("aa", "b")))
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    words.map(_._2).distinct.foreach { w =>
+      val expect = Seq(("a", "a"), ("b", "b"), ("aa", "b"))
+        .foldLeft(w.map(_.toString).toVector :+ "</w>") {
+          case (s, (a, b)) => refMerge(s, a, b)
+        }
+      assert(got(w) == expect, s"word '$w': ${got(w)} vs $expect")
+    }
+  }
 }

@@ -56,6 +56,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curate.temperatureMixture(noDocs, "doc_id", "lang",
       alpha = 0.5, budget = 100).count() == 0)
     assert(Curate.shuffleShards(noDocs, "doc_id", numShards = 4).count() == 0)
+    // phash over an empty features frame: no signatures, no pairs
+    val noFeats = Seq.empty[(Long, Seq[Double])].toDF("media_id", "features")
+    assert(graft.operators.Multimodal.phashPairs(
+      noFeats, "media_id", "features", dim = 12, maxHam = 2).count() == 0)
   }
 
   test("streaming bench drains over an empty events frame") {
