@@ -640,8 +640,23 @@ object SparkEntry {
   private def qBpeMerge1(s: SparkSession, dir: String): DataFrame =
     Bpe.train(t(s, dir, "documents"), "text", numMerges = 1)
 
-  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
-    Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
+  private val BpeTrainSteps = 12
+
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val out = Bpe.train(t(s, dir, "documents"), "text",
+      numMerges = BpeTrainSteps)
+    // loud contract guard (the chunk_recursive pattern): the oracle
+    // chains exactly BpeTrainSteps merge CTEs and cannot model early
+    // stop — a corpus where training goes dry before then must fail
+    // loudly here, never hash-mismatch quietly. count() is free: train
+    // returns a local relation of already-collected rules.
+    val n = out.count()
+    require(n == BpeTrainSteps.toLong,
+      s"q_bpe_train degenerate-oracle contract broken: trainer stopped " +
+      s"after $n merges (< $BpeTrainSteps) — the chained-CTE oracle " +
+      "cannot model early stop; lower the step count for this corpus")
+    out
+  }
 
   // perceptual-hash media dedup over the decode/embed seam: sign-
   // threshold signature on the first 16 dims, banded hamming join —
@@ -1411,6 +1426,36 @@ object SparkEntry {
   // normText); ONE definition for every oracle that tokenizes.
   private val tokDoc =
     s"SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM ($normDoc)"
+  /** The full iterative BPE-trainer oracle: [[BpeTrainSteps]] chained
+    * merge rounds, generated mechanically. Each word's symbol sequence
+    * is a «sym»«sym»… wrapped string — '«' only ever precedes a symbol
+    * start, so replace('«a»«b»', '«ab»') is the published greedy
+    * left-to-right merge with no cross-boundary false matches, and
+    * DuckDB's non-overlapping scan reproduces the overlap rule ("aaa"
+    * under (a,a) → "aa","a") exactly. MATERIALIZED pins each round's
+    * vocabulary — inlined CTEs would re-evaluate the whole chain per
+    * reference. The Spark query carries a loud guard: the chain cannot
+    * model early stop, so a corpus that goes dry before the last step
+    * fails the contract instead of hash-mismatching. */
+  private def bpeTrainSql(steps: Int): String = {
+    val init =
+      s"""w0 AS MATERIALIZED (SELECT '\u00ab' || regexp_replace(w, '(.)', '\\1\u00bb\u00ab', 'g') || '</w>\u00bb' AS s, n
+         |  FROM (SELECT w, COUNT(*) AS n FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc)) GROUP BY w))""".stripMargin
+    val rounds = (1 to steps).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(n) AS BIGINT) AS freq FROM (
+         |    SELECT n, sy[i] AS l, sy[i+1] AS r FROM (
+         |      SELECT n, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+         |      FROM (SELECT regexp_extract_all(s, '\u00ab([^\u00bb]*)\u00bb', 1) AS sy, n FROM w${k - 1})))
+         |  GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(s, '\u00ab' || m.l || '\u00bb\u00ab' || m.r || '\u00bb', '\u00ab' || m.l || m.r || '\u00bb') AS s, n FROM w${k - 1}, m$k m)""".stripMargin
+    }
+    val out = (1 to steps)
+      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", l || r AS merged, freq FROM m$k""")
+      .mkString("\nUNION ALL ")
+    s"WITH ${(init +: rounds).mkString(",\n")}\n$out"
+  }
+
   // the add-1 bigram LM scorer — ONE definition shared by q_perplexity
   // and the CCNet bucketing composition q_perplexity_buckets
   private val perplexitySql =
@@ -2186,6 +2231,11 @@ object SparkEntry {
         |  FROM (SELECT w, n, unnest(generate_series(1, len(w))) AS i FROM wc))
         |SELECT "left", "right", CAST(SUM(n) AS BIGINT) AS freq
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // the FULL iterative trainer, cross-engine at every step: 12 chained
+    // materialized merge rounds (see bpeTrainSql's scaladoc; the Spark
+    // side guards against early stop the chain can't model)
+    "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
 
     // the first merge rule = argmax of the step-0 distribution with the
     // trainer's tie-break (freq desc, then pair lexicographic)
