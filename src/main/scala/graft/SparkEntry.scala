@@ -658,6 +658,19 @@ object SparkEntry {
     out
   }
 
+  // the trained-encoder path, hash-exact end to end: train 12 rules,
+  // encode the corpus vocabulary under them; same early-stop guard as
+  // q_bpe_train (shared chain, shared contract)
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(docs, "text", numMerges = BpeTrainSteps)
+    require(merges.count() == BpeTrainSteps.toLong,
+      s"q_bpe_encode degenerate-oracle contract broken: trainer stopped " +
+      s"early — the chained-CTE oracle cannot model early stop")
+    Bpe.encode(docs, "text", merges)
+      .select(col("w"), array_join(col("syms"), " ").as("toks"), col("n"))
+  }
+
   // perceptual-hash media dedup over the decode/embed seam: sign-
   // threshold signature on the first 16 dims, banded hamming join —
   // banding is pure pruning, so the all-pairs oracle is exact
@@ -1345,6 +1358,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merge1" -> (qBpeMerge1 _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
@@ -1437,9 +1451,9 @@ object SparkEntry {
     * reference. The Spark query carries a loud guard: the chain cannot
     * model early stop, so a corpus that goes dry before the last step
     * fails the contract instead of hash-mismatching. */
-  private def bpeTrainSql(steps: Int): String = {
+  private def bpeChain(steps: Int): String = {
     val init =
-      s"""w0 AS MATERIALIZED (SELECT '\u00ab' || regexp_replace(w, '(.)', '\\1\u00bb\u00ab', 'g') || '</w>\u00bb' AS s, n
+      s"""w0 AS MATERIALIZED (SELECT w, '\u00ab' || regexp_replace(w, '(.)', '\\1\u00bb\u00ab', 'g') || '</w>\u00bb' AS s, n
          |  FROM (SELECT w, COUNT(*) AS n FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc)) GROUP BY w))""".stripMargin
     val rounds = (1 to steps).map { k =>
       s"""m$k AS MATERIALIZED (
@@ -1448,13 +1462,25 @@ object SparkEntry {
          |      SELECT n, sy, unnest(generate_series(1, len(sy) - 1)) AS i
          |      FROM (SELECT regexp_extract_all(s, '\u00ab([^\u00bb]*)\u00bb', 1) AS sy, n FROM w${k - 1})))
          |  GROUP BY l, r ORDER BY freq DESC, l, r LIMIT 1),
-         |w$k AS MATERIALIZED (SELECT replace(s, '\u00ab' || m.l || '\u00bb\u00ab' || m.r || '\u00bb', '\u00ab' || m.l || m.r || '\u00bb') AS s, n FROM w${k - 1}, m$k m)""".stripMargin
+         |w$k AS MATERIALIZED (SELECT w, replace(s, '\u00ab' || m.l || '\u00bb\u00ab' || m.r || '\u00bb', '\u00ab' || m.l || m.r || '\u00bb') AS s, n FROM w${k - 1}, m$k m)""".stripMargin
     }
+    (init +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainSql(steps: Int): String = {
     val out = (1 to steps)
       .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", l || r AS merged, freq FROM m$k""")
       .mkString("\nUNION ALL ")
-    s"WITH ${(init +: rounds).mkString(",\n")}\n$out"
+    s"WITH ${bpeChain(steps)}\n$out"
   }
+
+  /** Encode oracle: the chain's final word table IS encode's output —
+    * unwrap «sym»«sym» to space-joined symbols (symbols draw from
+    * [A-Za-z0-9] plus the </w> marker; none contain spaces or the
+    * wrapping delimiters, so the unwrap is unambiguous). */
+  private def bpeEncodeSql(steps: Int): String =
+    s"""WITH ${bpeChain(steps)}
+       |SELECT w, trim(replace(s, '\u00bb\u00ab', ' '), '\u00ab\u00bb') AS toks, n FROM w$steps""".stripMargin
 
   // the add-1 bigram LM scorer — ONE definition shared by q_perplexity
   // and the CCNet bucketing composition q_perplexity_buckets
@@ -2236,6 +2262,7 @@ object SparkEntry {
     // materialized merge rounds (see bpeTrainSql's scaladoc; the Spark
     // side guards against early stop the chain can't model)
     "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
+    "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
 
     // the first merge rule = argmax of the step-0 distribution with the
     // trainer's tie-break (freq desc, then pair lexicographic)

@@ -142,6 +142,11 @@ object Bpe {
     * count; beyond a few hundred rules a production encoder would move
     * to a per-partition imperative kernel — at that point this seam is
     * where it plugs in. */
+  /** [[encode]] under a trained merge-rule frame (bounded collect of
+    * the rule list — numMerges rows, never the corpus). */
+  def encode(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
+    encode(df, textCol, collectRules(merges))
+
   def encode(df: DataFrame, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
     val base = wordCounts(df, textCol)
