@@ -622,6 +622,15 @@ object SparkEntry {
       graft.functions.TextFunctions.tokenCount(col("text")),
       cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
 
+  // CCNet's deployed shape: the LM trains on a clean reference slice
+  // (the EN documents stand in for the paper's Wikipedia) and scores
+  // the WHOLE corpus; unseen bigrams fall to the add-k floor
+  private def qPerplexityRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.perplexityScoreWith(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text")
+  }
+
   // the published CCNet composition: bigram-LM cross-entropy → buckets
   // (head = most fluent under the corpus LM)
   private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame =
@@ -1355,6 +1364,7 @@ object SparkEntry {
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_score_buckets" -> (qScoreBuckets _),
     "q_perplexity_buckets" -> (qPerplexityBuckets _),
+    "q_perplexity_ref" -> (qPerplexityRef _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_merge1" -> (qBpeMerge1 _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -2540,6 +2550,26 @@ object SparkEntry {
     // sum(c·-ln p)/sum(c)); '<s>' start marker can't collide with
     // [A-Za-z0-9]+ tokens; xent rounded 4dp
     "q_perplexity" -> perplexitySql,
+
+    // reference-trained LM scoring the whole corpus: model CTEs over the
+    // EN slice, LEFT-join scoring with COALESCE-0 unseen counts
+    "q_perplexity_ref" ->
+      s"""WITH tlr AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l
+         |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents WHERE lang = 'en')),
+         |tkr AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+         |        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tlr)),
+         |dbr AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tkr GROUP BY 1, 2, 3),
+         |cb AS (SELECT prev, tok, sum(c) AS cb FROM dbr GROUP BY 1, 2),
+         |cu AS (SELECT prev, sum(c) AS cu FROM dbr GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM dbr),
+         |tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM ($normDoc)),
+         |tk AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
+         |db AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2, 3)
+         |SELECT db.doc_id AS id, CAST(sum(c) AS BIGINT) AS n_tok,
+         | round(sum(c * -ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + 1.0 * v.v))) / sum(c), 4) AS xent
+         |FROM db LEFT JOIN cb USING (prev, tok) LEFT JOIN cu USING (prev) CROSS JOIN v
+         |GROUP BY db.doc_id""".stripMargin,
 
     // the CCNet recipe end-to-end: the bigram-LM cross-entropy above →
     // head/middle/tail by the corpus's own discrete-quantile CDF

@@ -136,16 +136,7 @@ object Curate {
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    val toks = T.wsTokens(T.normText(col(textCol)))
-    val grams = df.select(col(idCol).as("id"), toks.as("l"))
-      .filter(size(col("l")) > 0)
-      .select(col("id"), explode(arrays_zip(
-        concat(array(lit("<s>")), slice(col("l"), lit(1), size(col("l")) - 1))
-          .as("prev"),
-        col("l").as("tok"))).as("g"))
-      .select(col("id"), col("g.prev").as("prev"), col("g.tok").as("tok"))
-    val db = grams.groupBy("id", "prev", "tok")
-      .agg(count(lit(1)).cast("double").as("c"))
+    val db = docBigrams(df, idCol, textCol)
     val cb = db.groupBy("prev", "tok").agg(sum("c").as("cb"))
     val cu = db.groupBy("prev").agg(sum("c").as("cu"))
     val v = db.agg(countDistinct("tok").cast("double").as("v"))
@@ -157,6 +148,66 @@ object Curate {
           sum(col("c") * -log((col("cb") + k) / (col("cu") + col("v") * k)))
             / sum("c"), 4).as("xent"))
   }
+
+  /** Per-doc bigram counts (id, prev, tok, c) under the engine token
+    * contract, '<s>'-started — the shared front half of both
+    * perplexity scorers. */
+  private def docBigrams(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = T.wsTokens(T.normText(col(textCol)))
+    df.select(col(idCol).as("id"), toks.as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("id"), explode(arrays_zip(
+        concat(array(lit("<s>")), slice(col("l"), lit(1), size(col("l")) - 1))
+          .as("prev"),
+        col("l").as("tok"))).as("g"))
+      .select(col("id"), col("g.prev").as("prev"), col("g.tok").as("tok"))
+      .groupBy("id", "prev", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+  }
+
+  /** CCNet's actual deployment shape (Wenzek et al. 2020 §4.3): the LM
+    * trains on a CLEAN reference corpus (the paper uses Wikipedia) and
+    * scores the crawl — [[perplexityScore]] is the self-trained special
+    * case (perplexityScoreWith(df, df) is bit-equal to it, spec'd).
+    * Bigrams the reference never saw fall back to the add-k floor
+    * (coalesce-0 counts: p = k/(k·V) for a fully unseen context), so
+    * out-of-domain text scores HIGH cross-entropy — exactly the signal
+    * the head/middle/tail cut keys on. V is the reference vocabulary.
+    * Returns (id, n_tok, xent) over `corpus`; token-less docs absent.
+    *
+    * Scale shape: the model tables are reference-vocabulary-bounded
+    * groupBys, independent of crawl size; scoring joins key on
+    * (prev, tok)/(prev) — hot contexts skew them, AQE splits; V is a
+    * one-row broadcast. The model never leaves the cluster, and the
+    * crawl is touched exactly once. */
+  def perplexityScoreWith(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val refG = docBigrams(ref, idCol, textCol)
+    val cb = refG.groupBy("prev", "tok").agg(sum("c").as("cb"))
+    val cu = refG.groupBy("prev").agg(sum("c").as("cu"))
+    val v = refG.agg(countDistinct("tok").cast("double").as("v"))
+    docBigrams(corpus, idCol, textCol)
+      .join(cb, Seq("prev", "tok"), "left")
+      .join(cu, Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("id")
+      .agg(sum("c").cast("long").as("n_tok"),
+        // an EMPTY reference has V = 0 and every denominator 0 — there
+        // is no model to score under, so xent is NULL (total, loud in
+        // the data). The zero denominator is nulled PER ROW (a null
+        // division, not an ANSI divide-by-zero); for any non-empty
+        // reference den >= k·V > 0 and the guard never fires.
+        round(sum(col("c") * -log(
+            (coalesce(col("cb"), lit(0.0)) + k) / nonZero(
+              coalesce(col("cu"), lit(0.0)) + col("v") * k)))
+            / sum("c"), 4).as("xent"))
+  }
+
+  /** The column when positive, NULL otherwise — lets a degenerate 0
+    * denominator propagate as SQL NULL instead of an ANSI error. */
+  private def nonZero(c: Column): Column = when(c > 0, c)
 
   /** Hashed unigram+bigram feature stream: (id, bucket) one row per
     * token occurrence plus one per consecutive-token pair, both hashed

@@ -264,6 +264,36 @@ class CurateSpec extends SparkSpec {
     assert(got.forall(r => batch(r._1) == r._3))
   }
 
+  test("perplexityScoreWith: reference LM, unseen floor; self-trained equals perplexityScore") {
+    val ref = Seq((10L, "a b"), (11L, "a b")).toDF("id", "text")
+    // corpus doc of entirely unseen tokens: (<s>,c) has the SEEN <s>
+    // context (cu=2, cb=0 -> p=1/4); (c,d) is fully unseen (p = 1/V = 1/2)
+    val corpus = Seq((1L, "c d"), (2L, "a b")).toDF("id", "text")
+    val got = Curate.perplexityScoreWith(corpus, ref, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val unseenXent = (-math.log(1.0 / 4.0) - math.log(1.0 / 2.0)) / 2
+    assert(got(1L)._2 == 2L &&
+      got(1L)._3 == math.rint(unseenXent * 1e4) / 1e4, s"${got(1L)}")
+    // doc "a b" under the ref model: p(a|<s>) = (2+1)/(2+2), p(b|a) = (2+1)/(2+2)
+    val pab = -math.log(3.0 / 4.0)
+    assert(got(2L)._3 == math.rint(pab * 1e4) / 1e4, s"${got(2L)}")
+    // in-domain text scores lower than out-of-domain — the CCNet signal
+    assert(got(2L)._3 < got(1L)._3)
+    // self-trained special case is bit-equal to perplexityScore
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
+    val self = Curate.perplexityScoreWith(docs, docs, "id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val plain = Curate.perplexityScore(docs, "id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(self == plain, s"\nself  $self\nplain $plain")
+    // empty reference: V = 0 means there is no model — rows stay total
+    // with NULL xent (never an infinity smuggled through round())
+    val emptyRef = Seq.empty[(Long, String)].toDF("id", "text")
+    val floored = Curate.perplexityScoreWith(corpus, emptyRef, "id", "text")
+      .select("id", "xent").as[(Long, Option[Double])].collect()
+    assert(floored.length == 2 && floored.forall(_._2.isEmpty))
+  }
+
   test("temperatureMixtureStream: stream admissions equal the batch mixture") {
     import graft.streaming.StreamCurate
     implicit val sqlCtx = spark.sqlContext
