@@ -566,15 +566,22 @@ object Curate {
     * continuous scores before bucketing (the 4dp convention the
     * scoring operators already emit) to keep the histogram bounded. */
   def scoreBuckets(df: DataFrame, idCol: String, scoreCol: Column,
-      cuts: Seq[Double], labels: Seq[String]): DataFrame = {
+      cuts: Seq[Double], labels: Seq[String]): DataFrame =
+    applyBuckets(df, idCol, scoreCol,
+      bucketThresholds(df, scoreCol, cuts), cuts, labels)
+
+  /** The discrete-quantile cut points of `scoreCol`'s empirical CDF
+    * over `ref` — None for an empty reference. Exposed separately so
+    * the streaming form can pin thresholds to a static history corpus
+    * while the batch form derives them from its own input. Bounded
+    * collect: one double per cut (the codebook-literal pattern). */
+  private[graft] def bucketThresholds(ref: DataFrame, scoreCol: Column,
+      cuts: Seq[Double]): Option[Seq[Double]] = {
     import org.apache.spark.sql.expressions.Window
     require(cuts.nonEmpty && cuts == cuts.sorted &&
       cuts.distinct == cuts && cuts.forall(p => p > 0 && p < 1),
       "cuts must be strictly ascending fractions in (0,1)")
-    require(labels.size == cuts.size + 1,
-      s"need ${cuts.size + 1} labels for ${cuts.size} cuts")
-    val base = df.select(col(idCol).as("id"),
-        scoreCol.cast("double").as("score"))
+    val base = ref.select(scoreCol.cast("double").as("score"))
       .filter(col("score").isNotNull)
     val hist = base.groupBy("score").agg(count(lit(1)).as("c"))
     val n = hist.agg(sum("c").as("n"))
@@ -582,16 +589,31 @@ object Curate {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = hist.crossJoin(broadcast(n))
       .withColumn("f", sum("c").over(w) / col("n"))
-    // bounded collect: one double per cut (the codebook-literal pattern)
     val aggs = cuts.zipWithIndex.map { case (p, i) =>
       min(when(col("f") >= p, col("score"))).as(s"t$i") }
     val row = cdf.agg(aggs.head, aggs.tail: _*).head
-    if (row.isNullAt(0)) return base.withColumn("bucket", lit(null).cast("string"))
-    val thresholds = cuts.indices.map(row.getDouble)
-    val bucket = thresholds.zip(labels.init).foldRight(lit(labels.last): Column) {
-      case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
+    if (row.isNullAt(0)) None else Some(cuts.indices.map(row.getDouble))
+  }
+
+  /** Assignment half of [[scoreBuckets]]: a codegen'd when-chain over
+    * literal thresholds — applies to batch and streaming frames alike.
+    * `thresholds = None` (empty reference) keeps rows with NULL bucket. */
+  private[graft] def applyBuckets(df: DataFrame, idCol: String,
+      scoreCol: Column, thresholds: Option[Seq[Double]],
+      cuts: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts")
+    val base = df.select(col(idCol).as("id"),
+        scoreCol.cast("double").as("score"))
+      .filter(col("score").isNotNull)
+    thresholds match {
+      case None => base.withColumn("bucket", lit(null).cast("string"))
+      case Some(ts) =>
+        val bucket = ts.zip(labels.init).foldRight(lit(labels.last): Column) {
+          case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
+        }
+        base.withColumn("bucket", bucket)
     }
-    base.withColumn("bucket", bucket)
   }
 
   /** Deterministic epoch shuffle: training readers need the corpus in a

@@ -145,4 +145,19 @@ object StreamCurate {
       .mixtureThresholds(ref, stratumCol, alpha, budget)
     graft.operators.Curate.applyMixture(stream, thr, idCol, stratumCol, seed)
   }
+
+  /** Streaming CCNet bucketing: discrete-quantile thresholds are cut
+    * ONCE from a static reference corpus's CDF (the history the
+    * head/middle/tail bar was calibrated on) and applied to arriving
+    * docs as a codegen'd when-chain — stateless, no watermark, no
+    * state store, and a doc buckets identically on the stream and in a
+    * batch rerun. Deriving the CDF from the stream itself would move
+    * the bar every micro-batch (same argument as
+    * [[temperatureMixtureStream]]'s static `ref`). */
+  def scoreBucketsStream(stream: DataFrame, ref: DataFrame, idCol: String,
+      scoreCol: org.apache.spark.sql.Column, cuts: Seq[Double],
+      labels: Seq[String]): DataFrame = {
+    val ts = graft.operators.Curate.bucketThresholds(ref, scoreCol, cuts)
+    graft.operators.Curate.applyBuckets(stream, idCol, scoreCol, ts, cuts, labels)
+  }
 }

@@ -428,6 +428,30 @@ class CurateSpec extends SparkSpec {
       col("id"), Seq(0.5), Seq("a", "b")).count() == 0)
   }
 
+  test("scoreBucketsStream: static-ref thresholds bucket the stream like batch") {
+    import graft.streaming.StreamCurate
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0L until 90L).map(i => (i, (i % 9).toDouble)).toDF("id", "sc")
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamCurate.scoreBucketsStream(
+        mem.toDF().toDF("id", "sc"), ref, "id", col("sc"),
+        cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+      .writeStream.format("memory").queryName("buckets_stream")
+      .outputMode(OutputMode.Append()).start()
+    val rows = (0L until 90L).map(i => (i, (i % 9).toDouble))
+    mem.addData(rows.filter(_._1 % 2 == 0): _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 % 2 == 1): _*)
+    q.processAllAvailable()
+    val got = spark.table("buckets_stream")
+      .select("id", "score", "bucket").as[(Long, Double, String)].collect()
+    q.stop()
+    val batch = Curate.scoreBuckets(ref, "id", col("sc"),
+        Seq(0.3333, 0.6667), Seq("head", "middle", "tail"))
+      .as[(Long, Double, String)].collect()
+    assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+  }
+
   test("shuffleShards: total collision-free dense assignment, seed-independent orders") {
     val df = (0L until 300L).map(i => (i, s"t$i")).toDF("id", "text")
     val out = Curate.shuffleShards(df, "id", numShards = 8)
