@@ -680,6 +680,17 @@ object SparkEntry {
       .select(col("w"), array_join(col("syms"), " ").as("toks"), col("n"))
   }
 
+  // the subword vocabulary implied by the trained rules — the symbol
+  // table a downstream embedder sizes on; same chain, same guard
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(docs, "text", numMerges = BpeTrainSteps)
+    require(merges.count() == BpeTrainSteps.toLong,
+      s"q_bpe_vocab degenerate-oracle contract broken: trainer stopped " +
+      s"early — the chained-CTE oracle cannot model early stop")
+    Bpe.vocabulary(docs, "text", merges)
+  }
+
   // perceptual-hash media dedup over the decode/embed seam: sign-
   // threshold signature on the first 16 dims, banded hamming join —
   // banding is pure pruning, so the all-pairs oracle is exact
@@ -1369,6 +1380,7 @@ object SparkEntry {
     "q_bpe_merge1" -> (qBpeMerge1 _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_vocab" -> (qBpeVocab _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
@@ -1491,6 +1503,14 @@ object SparkEntry {
   private def bpeEncodeSql(steps: Int): String =
     s"""WITH ${bpeChain(steps)}
        |SELECT w, trim(replace(s, '\u00bb\u00ab', ' '), '\u00ab\u00bb') AS toks, n FROM w$steps""".stripMargin
+
+  /** Vocabulary oracle: symbol occurrence counts over the chain's
+    * final word forms, weighted by word frequency. */
+  private def bpeVocabSql(steps: Int): String =
+    s"""WITH ${bpeChain(steps)}
+       |SELECT symbol, CAST(SUM(n) AS BIGINT) AS n FROM (
+       |  SELECT unnest(regexp_extract_all(s, '\u00ab([^\u00bb]*)\u00bb', 1)) AS symbol, n FROM w$steps)
+       |GROUP BY symbol""".stripMargin
 
   // the add-1 bigram LM scorer — ONE definition shared by q_perplexity
   // and the CCNet bucketing composition q_perplexity_buckets
@@ -2273,6 +2293,7 @@ object SparkEntry {
     // side guards against early stop the chain can't model)
     "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
+    "q_bpe_vocab" -> bpeVocabSql(BpeTrainSteps),
 
     // the first merge rule = argmax of the step-0 distribution with the
     // trainer's tie-break (freq desc, then pair lexicographic)

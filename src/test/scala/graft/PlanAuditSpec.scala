@@ -147,6 +147,13 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(spanPhys.contains("LeftSemi"),
       s"duplicated-hash restriction is not a semi-join:\n$spanPhys")
+    // perplexityScoreWith: the one-row reference vocabulary must arrive
+    // via a broadcast nested-loop join, same as the self-trained form
+    val refPhys = Curate.perplexityScoreWith(
+        docs.filter(col("id") > 5), docs.filter(col("id") <= 5), "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(refPhys.contains("BroadcastNestedLoopJoin"),
+      s"reference vocab cross join is not broadcast:\n$refPhys")
     // temperatureMixture: the stratum thresholds (<= strata rows) must
     // broadcast onto the corpus scan — the corpus side never shuffles
     val mixPhys = Curate.temperatureMixture(docs
