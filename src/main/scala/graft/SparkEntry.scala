@@ -680,6 +680,19 @@ object SparkEntry {
       .select(col("w"), array_join(col("syms"), " ").as("toks"), col("n"))
   }
 
+  // ftfy-lite over a corpus corrupted IN the query: both engines derive
+  // the same mojibake (curly-quote wrap + NBSP-artifact spaces) from the
+  // shared mojibakeTable, so the fix verifies as a real transform, not a
+  // no-op on the clean synthetic corpus
+  private def qFixText(s: SparkSession, dir: String): DataFrame = {
+    val m = T.mojibakeTable.map(_.swap).toMap
+    val corrupt = concat(lit(m("“")),
+      replace(col("text"), lit(" "), lit(m(" "))),
+      lit(m("”")))
+    t(s, dir, "documents").select(col("doc_id"),
+      T.fixText(corrupt).as("clean"))
+  }
+
   // the subword vocabulary implied by the trained rules — the symbol
   // table a downstream embedder sizes on; same chain, same guard
   private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
@@ -1381,6 +1394,7 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_vocab" -> (qBpeVocab _),
+    "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
@@ -1503,6 +1517,17 @@ object SparkEntry {
   private def bpeEncodeSql(steps: Int): String =
     s"""WITH ${bpeChain(steps)}
        |SELECT w, trim(replace(s, '\u00bb\u00ab', ' '), '\u00ab\u00bb') AS toks, n FROM w$steps""".stripMargin
+
+  /** fixText oracle expression over SQL fragment `x` — generated from
+    * the SAME mojibakeTable / pattern constants the Spark expression
+    * uses (one definition, two engines; the patterns are written in
+    * the Java∩RE2 dialect — \xhh escapes and literal code points). */
+  private def fixTextSql(x: String): String = {
+    val chain = T.mojibakeTable.foldLeft(x) { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+    s"regexp_replace(regexp_replace($chain, '${T.controlCharPattern}', '', 'g'), '${T.oddWhitespacePattern}', ' ', 'g')"
+  }
 
   /** Vocabulary oracle: symbol occurrence counts over the chain's
     * final word forms, weighted by word frequency. */
@@ -2294,6 +2319,14 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
     "q_bpe_vocab" -> bpeVocabSql(BpeTrainSteps),
+
+    // corrupt-then-fix, both halves generated from the shared table
+    "q_fix_text" -> {
+      val m = T.mojibakeTable.map(_.swap).toMap
+      val corrupt =
+        s"'${m("“")}' || replace(text, ' ', '${m(" ")}') || '${m("”")}'"
+      s"SELECT doc_id, ${fixTextSql(corrupt)} AS clean FROM documents"
+    },
 
     // the first merge rule = argmax of the step-0 distribution with the
     // trainer's tie-break (freq desc, then pair lexicographic)

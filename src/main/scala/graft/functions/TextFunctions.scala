@@ -118,6 +118,59 @@ object TextFunctions {
     regexp_replace(noIp, phonePattern, "<PHONE>")
   }
 
+  /** The CP1252-as-UTF-8 mojibake table (ftfy's dominant fix class):
+    * each pair is (artifact, intended char). Ordered longest-first so
+    * 3-byte sequences never get half-eaten by their 2-byte prefixes.
+    * Shared verbatim with the DuckDB oracle (SparkEntry generates the
+    * oracle's replace chain from this same list). */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // â€™ -> ’
+    "â€˜" -> "‘", // â€˜ -> ‘
+    "â€œ" -> "“", // â€œ -> “
+    "â€" -> "”", // â€? -> ”
+    "â€“" -> "–", // â€“ -> – (en dash)
+    "â€”" -> "—", // â€” -> — (em dash)
+    "â€¦" -> "…", // â€¦ -> …
+    "Ã©" -> "é",       // Ã© -> é
+    "Ã¨" -> "è",       // Ã¨ -> è
+    "Ã¤" -> "ä",       // Ã¤ -> ä
+    "Ã¶" -> "ö",       // Ã¶ -> ö
+    "Ã¼" -> "ü",       // Ã¼ -> ü
+    "Ã±" -> "ñ",       // Ã± -> ñ
+    "Ã§" -> "ç",       // Ã§ -> ç
+    "Â " -> " ")       // Â +NBSP -> NBSP
+
+  /** C0/C1 control chars minus \t \n \r — crawl streams carry these
+    * from binary-sniffed pages; they are never content. */
+  val controlCharPattern =
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]"
+
+  /** Exotic-whitespace runs (NBSP, en/em/thin spaces, zero-width,
+    * ideographic) — normalized to one plain space. The class carries
+    * LITERAL characters (Scala-source \u escapes resolve at compile
+    * time), not \\u regex escapes: Java regex and DuckDB's RE2 both
+    * match literal code points, while \\uXXXX is Java-only. */
+  val oddWhitespacePattern =
+    "[   -​  　]+"
+
+  /** ftfy-lite text repair for crawled corpora: undo the dominant
+    * CP1252-as-UTF-8 mojibake sequences ([[mojibakeTable]]), strip
+    * control characters, collapse exotic whitespace to plain spaces.
+    * A full ftfy detects arbitrary encoding stacks with a model; this
+    * is the deterministic, engine-portable transform that covers the
+    * overwhelming share of crawl artifacts. Pure codegen'd
+    * replace/regexp chain — runs inside the scan projection, no UDF,
+    * no shuffle. */
+  def fixText(c: Column): Column = {
+    // replace(), not regexp_replace: the artifacts are literal strings
+    val demojibaked = mojibakeTable.foldLeft(c) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good))
+    }
+    regexp_replace(
+      regexp_replace(demojibaked, controlCharPattern, ""),
+      oddWhitespacePattern, " ")
+  }
+
   /** Mean alphanumeric word length, 4 dp (a Gopher-rule quality signal:
     * outlier values flag boilerplate/garbage docs). */
   def meanWordLen(c: Column): Column = {

@@ -100,6 +100,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(num.select(T.numericWordFrac(col("t"))).as[Double].collect()(0) == 0.5)
   }
 
+  test("fixText: mojibake reversal, control strip, whitespace normalization") {
+    // every table entry round-trips artifact -> intended char; the NBSP
+    // entry's intended char is exotic whitespace itself, which the
+    // final normalization pass then turns into a plain space
+    val pairs = T.mojibakeTable.map { case (artifact, intended) =>
+      (s"x${artifact}y", s"x${intended.replace(' ', ' ')}y")
+    }
+    val fixedPairs = pairs.map(_._1).toDF("t")
+      .select(T.fixText(col("t"))).as[String].collect()
+    assert(fixedPairs.toSeq == pairs.map(_._2),
+      s"\n${fixedPairs.toSeq}\n${pairs.map(_._2)}")
+    // the crawl classic, assembled FROM the table's own sides so this
+    // test never depends on invisible literals in this file
+    val m = T.mojibakeTable.map(_.swap).toMap // intended -> artifact
+    val Seq(lq, rq, apos, em, e) =
+      Seq("“", "”", "’", "—", "é")
+    val crawl =
+      s"He said ${m(lq)}no${m(rq)} don${m(apos)}t go ${m(em)} ${m(e)}lite"
+    assert(Seq(Tuple1(crawl)).toDF("t")
+      .select(T.fixText(col("t"))).as[String].collect()(0)
+      == s"He said ${lq}no$rq don${apos}t go $em ${e}lite")
+    // clean text untouched; control chars strip; zero-width/ideographic
+    // whitespace runs collapse to ONE plain space
+    val cases = Seq(
+      "plain ascii text, nothing to fix" -> "plain ascii text, nothing to fix",
+      "abc" -> "abc",
+      "a​　 b" -> "a b")
+    val got = cases.map(_._1).toDF("t")
+      .select(T.fixText(col("t"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2), s"${got.toSeq}")
+  }
+
   test("planeConst is bit-identical to fakeDenseEmbed of the same tag") {
     // hyperplaneSig hands the planes to the plan as driver-computed
     // literals; the DuckDB oracle reproduces the expression form, so the
