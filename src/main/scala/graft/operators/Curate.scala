@@ -520,7 +520,12 @@ object Curate {
       alpha: Double, budget: Long): DataFrame = {
     require(alpha >= 0, "alpha must be non-negative")
     require(budget >= 0, "budget must be non-negative")
-    val sizes = ref.groupBy(col(stratumCol).cast("string").as("stratum"))
+    // NULL strata are OUT of the mixture entirely: applyMixture's inner
+    // join drops their rows, so they must not consume normalizer mass
+    // here either (at alpha=0 a NULL group would add a full 1 to z and
+    // deflate every real stratum's keep fraction below budget)
+    val sizes = ref.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(count(lit(1)).cast("double").as("n"))
     // p_d^alpha / Σ p_e^alpha == n_d^alpha / Σ n_e^alpha (the 1/N^alpha
     // factor cancels), so normalize raw counts directly

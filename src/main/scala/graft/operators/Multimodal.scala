@@ -123,7 +123,11 @@ object Multimodal {
     val width = (dim + bands - 1) / bands // ceil: all bits live in a band
     require((bands - 1) * width < dim,
       s"dim=$dim cannot split into $bands non-empty bands — lower maxHam")
-    val sig = df.select(col(idCol).cast("long").as("id"),
+    // ids compare in their NATIVE type (the simhashPairs convention): a
+    // cast("long") here would turn non-numeric ids into NULLs, the
+    // a.id < b.id predicate would then drop every pair, and the
+    // operator would return empty instead of failing loudly
+    val sig = df.select(col(idCol).as("id"),
       phashBits(col(featuresCol), dim, thresh).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>

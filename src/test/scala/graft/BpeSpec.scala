@@ -124,6 +124,87 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.initialPairs(empty, "text").count() == 0)
   }
 
+  test("trainer tiers are merge-for-merge equal: local finish vs distributed loop") {
+    // same corpus through both tiers: the default (vocab fits the cap →
+    // driver-local merge loop) and localVocabCap=0 (forced distributed)
+    val local = Bpe.train(corpusDf, "text", numMerges = 10)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    val dist = Bpe.train(corpusDf, "text", numMerges = 10, localVocabCap = 0)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(local == dist, s"\nlocal $local\ndist  $dist")
+    // and both match the independent reference
+    assert(local == refTrain(
+      corpusWords.map { case (w, n) => w -> n.toLong }.toMap, 10))
+    // tie-break coverage: the all-singleton corpus (every pair freq 1,
+    // winner decided purely by the lexicographic tie-break) must agree too
+    val ties = Seq((1L, "ab"), (2L, "cd"), (3L, "ef")).toDF("id", "text")
+    val lt = Bpe.train(ties, "text", numMerges = 50, minFreq = 1L)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    val dt = Bpe.train(ties, "text", numMerges = 50, minFreq = 1L,
+        localVocabCap = 0)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(lt == dt, s"\nlocal $lt\ndist  $dt")
+  }
+
+  test("kernel encoder is bit-equal to the fold encoder on randomized rule lists") {
+    val rnd = new scala.util.Random(13L)
+    val words = (0 until 300).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(11)))
+        .map(_ => "abc".charAt(rnd.nextInt(3))).mkString)
+    }
+    val df = words.toDF("id", "text")
+    // rule lists mixing applicable chains and never-applicable pairs —
+    // the dispatch seam (FoldRuleCap) is crossed by the long list
+    val alphabet = Seq("a", "b", "c", "ab", "bc", "aa", "abc", "</w>")
+    (0 until 3).foreach { trial =>
+      val n = Seq(5, 24, 40)(trial)
+      val rules = (0 until n).map { _ =>
+        (alphabet(rnd.nextInt(alphabet.length)),
+          alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val fold = Bpe.encodeFold(df, "text", rules)
+        .select("w", "syms", "n").as[(String, Seq[String], Long)]
+        .collect().toSet
+      val kernel = Bpe.encodeKernel(df, "text", rules)
+        .select("w", "syms", "n").as[(String, Seq[String], Long)]
+        .collect().toSet
+      assert(kernel == fold, s"trial $trial diverged")
+    }
+  }
+
+  test("kernel encoder applies a production-length rule list (600 rules) in one pass") {
+    val rnd = new scala.util.Random(41L)
+    val words = (0 until 400).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(10)))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+    }
+    // chain-aware synthetic rules: later rules may consume earlier
+    // rules' merged symbols, like a real trained list
+    var symbols = Vector("a", "b", "c", "d", "</w>")
+    val rules = (0 until 600).map { _ =>
+      val a = symbols(rnd.nextInt(symbols.length))
+      val b = symbols(rnd.nextInt(symbols.length))
+      if (symbols.length < 40 && (a + b).length <= 8 &&
+        !symbols.contains(a + b)) symbols :+= a + b
+      (a, b)
+    }
+    assert(rules.length > Bpe.FoldRuleCap)
+    def refApply(w: String): Vector[String] =
+      rules.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+        case (s, (a, b)) =>
+          s.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+      }
+    // the public encode dispatches to the kernel above FoldRuleCap
+    val got = Bpe.encode(words.toDF("id", "text"), "text", rules)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    words.map(_._2).distinct.foreach { w =>
+      assert(got(w) == refApply(w), s"word '$w'")
+    }
+  }
+
   test("merge fold matches the reference scan on randomized symbol runs") {
     // overlapping-run cases ("aaa" under (a,a) merges greedily left to
     // right) are where a fold can silently diverge from the published
