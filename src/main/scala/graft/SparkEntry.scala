@@ -281,6 +281,32 @@ object SparkEntry {
     MlEmbed.word2vecDense(t(s, dir, "documents"), "text", dim = 32)
       .select(col("doc_id"), size(col("dense_embedding")).cast("long").as("dim"))
 
+  /** Where q_embed_w2v_avg dumps the fitted word vectors for the
+    * oracle: the fit internals have no SQL form, but given the trained
+    * (word, dim, val) table BOTH engines can read, the per-doc
+    * averaging half of Word2Vec IS SQL — the same hand-off trick as
+    * the q_*_k1 degenerate configs, via a file instead of a formula. */
+  private val W2vAvgVectorsDir = new java.io.File(
+    sys.props("java.io.tmpdir"), "graft_w2v_avg_vectors").getAbsolutePath
+
+  private val W2vAvgDim = 8
+
+  // hash-exact half of Word2Vec: dump the fit's own vectors, emit the
+  // MLlib transform (per-doc token-vector average with an all-token
+  // denominator; a 0-token doc embeds to the zero vector); the oracle
+  // recomputes the average from the dumped table. q_embed_w2v stays
+  // rows-only for the fit internals only.
+  private def qEmbedW2vAvg(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (embedded, vectors) = MlEmbed.word2vecDenseWithVectors(
+      docs, "text", dim = W2vAvgDim)
+    vectors.coalesce(1).write.mode("overwrite").parquet(W2vAvgVectorsDir)
+    embedded.select(col("doc_id"),
+        posexplode(col("dense_embedding")).as(Seq("dim", "val")))
+      .select(col("doc_id"), col("dim").cast("long"),
+        round(col("val"), 4).as("val"))
+  }
+
   private def qIdLookup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val dim = docs.groupBy(col("source")).agg(min(col("doc_id")).as("source_id"))
@@ -1357,6 +1383,7 @@ object SparkEntry {
     "q_embed_tfidf" -> (qEmbedTfidf _),
     "q_embed_tfidf_k1" -> (qEmbedTfidfK1 _),
     "q_embed_w2v" -> (qEmbedW2v _),
+    "q_embed_w2v_avg" -> (qEmbedW2vAvg _),
     "q_sparse_embed" -> (qSparseEmbed _),
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),
@@ -2049,6 +2076,30 @@ object SparkEntry {
         |  CASE WHEN t.tf > 0 AND s.df <> s.n
         |       THEN round(t.tf * ln((s.n + 1.0) / (s.df + 1.0)), 4) END AS tfidf_w
         |FROM tok t CROSS JOIN stats s""".stripMargin,
+
+    // the averaging half of Word2Vec over the dumped fit vectors (same
+    // file the Spark side just wrote — the fit has no SQL form, the
+    // average does): avg = sum(vec(token)) / n_tokens with an ALL-token
+    // denominator (RegexTokenizer lowercases, then [a-z0-9]+); 0-token
+    // docs embed to the zero vector. `+ 0` folds DuckDB's -0.0 to 0.0
+    // (Spark's BigDecimal round never emits -0.0 — the sem_dedup trick)
+    "q_embed_w2v_avg" ->
+      s"""WITH wv AS (SELECT word, dim, val
+        |           FROM '$W2vAvgVectorsDir/*.parquet'),
+        |dims AS (SELECT unnest(generate_series(0, ${W2vAvgDim - 1})) AS dim),
+        |n AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |s AS (SELECT t.doc_id, w.dim, SUM(w.val) AS sv
+        |      FROM tok t JOIN wv w USING (word) GROUP BY 1, 2)
+        |SELECT n.doc_id, d.dim,
+        |  CASE WHEN n.n_tok = 0 THEN 0.0
+        |       ELSE round(COALESCE(s.sv, 0) / n.n_tok, 4) + 0 END AS val
+        |FROM n CROSS JOIN dims d
+        |LEFT JOIN s ON s.doc_id = n.doc_id AND s.dim = d.dim""".stripMargin,
 
     "q_ann_fields" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

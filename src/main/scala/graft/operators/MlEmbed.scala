@@ -52,16 +52,42 @@ object MlEmbed {
     * for the dense_embedding column and the Ann/Dedup cosine operators. */
   def word2vecDense(df: DataFrame, textCol: String, dim: Int = 64,
       seed: Long = 42L, minCount: Int = 1,
-      outCol: String = "dense_embedding"): DataFrame = {
+      outCol: String = "dense_embedding"): DataFrame =
+    word2vecDenseWithVectors(df, textCol, dim, seed, minCount, outCol)._1
+
+  /** [[word2vecDense]] plus the fitted model's own word-vector table,
+    * exploded to (word, dim, val) — the hand-off that makes the
+    * per-doc AVERAGING half of Word2Vec cross-engine checkable: the
+    * fit internals (negative sampling, learning-rate schedule) have no
+    * SQL form, but given the trained vectors, transform() is exactly
+    * `avg over the doc's tokens of vec(token)` with an all-token
+    * denominator (OOV words add nothing but still count — at
+    * minCount=1 there are none). An oracle that reads the dumped
+    * table reproduces the embedding column arithmetic exactly. */
+  def word2vecDenseWithVectors(df: DataFrame, textCol: String,
+      dim: Int = 64, seed: Long = 42L, minCount: Int = 1,
+      outCol: String = "dense_embedding"): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val emptyVecs = Seq.empty[(String, Long, Double)].toDF("word", "dim", "val")
     // Word2Vec.fit requires a non-empty vocabulary
-    if (df.isEmpty) return df.withColumn(outCol, typedlit(Seq.empty[Double]))
+    if (df.isEmpty)
+      return (df.withColumn(outCol, typedlit(Seq.empty[Double])), emptyVecs)
     val toks = tokenizer(textCol).transform(df)
     val model = new Word2Vec().setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize(dim).setSeed(seed).setMinCount(minCount)
       .fit(toks)
-    model.transform(toks)
+    val embedded = model.transform(toks)
       .withColumn(outCol,
         org.apache.spark.ml.functions.vector_to_array(col("__vec")))
       .drop("__toks", "__vec")
+    // getVectors converts the model's float weights to doubles — the
+    // SAME doubles transform() sums, so the dump loses no precision
+    val vectors = model.getVectors
+      .select(col("word"), posexplode(
+        org.apache.spark.ml.functions.vector_to_array(col("vector")))
+        .as(Seq("dim", "val")))
+      .select(col("word"), col("dim").cast("long"), col("val"))
+    (embedded, vectors)
   }
 }
