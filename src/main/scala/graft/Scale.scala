@@ -247,6 +247,53 @@ object Scale {
       "doc_id", "text").filter(col("is_dup")).count())
     report("exact", "dedup_against_index", eq1, eqN)
     println(s"SCALE_APPEND_ROWS exact_query x1=$dup1 x$factor=$dupN")
+
+    // ---- bloom saturation → rebuild recovery ----
+    // Build sized for N docs, append FACTOR salted replicas: the sidecar
+    // now holds (factor+1)·N items at the original N sizing — the
+    // many-append saturation a year of daily ingest produces. Probe with
+    // an ALL-NOVEL batch (replica factor+1: every fp unseen), the worst
+    // case for the prune: a healthy bloom rejects ~everything before the
+    // confirm join; a saturated one passes ~everything through it. The
+    // saturated probe runs TWICE (cold, then warm) so the rebuild
+    // comparison is warm-vs-warm, not a page-cache artifact.
+    val bdir = s"$scaleDir/ex_bloom"
+    Dedup.buildExactIndex(docs, "doc_id", "text", bdir)
+    (1 to factor).foreach { i =>
+      Dedup.appendToExactIndex(spark, bdir, docReplica(docs, i, doff),
+        "doc_id", "text")
+    }
+    def fppEst(): Double = graft.operators.IndexFiles
+      .describeIndex(spark, bdir).filter(col("table") === "bloom")
+      .select("fpp_est").head().getDouble(0)
+    val novel = docReplica(docs, factor + 1, doff)
+    def probeNovel(): (Double, Long) =
+      timed(Dedup.dedupExactAgainstIndex(spark, bdir, novel,
+        "doc_id", "text").filter(col("is_dup")).count())
+    // the prune metric that matters at scale: how much of the novel
+    // batch survives the bloom and pays the confirm join — at 100 TB of
+    // history the confirm join's cost tracks THIS, not the local wall
+    def bloomSurvivors(): Long = {
+      import graft.functions.{TextFunctions => T}
+      import org.apache.spark.sql.graft.{SketchExpressions => SK}
+      val bytes = spark.read.parquet(s"$bdir/bloom").head()
+        .getAs[Array[Byte]]("bloom")
+      novel.select(T.fingerprintMd5(col("text")).as("fp"))
+        .filter(SK.mightContain(lit(bytes), xxhash64(col("fp")))).count()
+    }
+    val fppSat = fppEst()
+    val survSat = bloomSurvivors()
+    probeNovel() // cold discard
+    val (pSat, hitsSat) = probeNovel()
+    val (rb, _) = timed(Dedup.rebuildExactSidecar(spark, bdir))
+    val fppRe = fppEst()
+    val survRe = bloomSurvivors()
+    val (pRe, hitsRe) = probeNovel()
+    require(hitsSat == 0 && hitsRe == 0,
+      s"novel probe found dups ($hitsSat/$hitsRe) — corpus salting broke")
+    println(f"SCALE_BLOOM fpp_sat=$fppSat%.4f,fpp_rebuilt=$fppRe%.4f," +
+      f"confirm_rows_sat=$survSat,confirm_rows_rebuilt=$survRe," +
+      f"probe_sat_s=$pSat%.2f,probe_rebuilt_s=$pRe%.2f,rebuild_s=$rb%.2f")
   }
 
   /** BPE-trainer scale evidence: train the same merge count at 1× and

@@ -638,6 +638,13 @@ object SparkEntry {
     Curate.temperatureMixture(t(s, dir, "documents"), "doc_id", "lang",
       alpha = 0.5, budget = 300)
 
+  // the published form weights by TOKENS: same α, budget as an
+  // expected-token mass — strata of few long docs and many short docs
+  // now hold equal shares at equal token sums
+  private def qTemperatureMixTokens(s: SparkSession, dir: String): DataFrame =
+    Curate.temperatureMixtureTokens(t(s, dir, "documents"), "doc_id",
+      "lang", "text", alpha = 0.5, budgetTokens = 8000)
+
   private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
     Curate.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
 
@@ -742,6 +749,21 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("features")),
       "id", "features", dim = 16, maxHam = 2, thresh = 0.0)
+
+  // media near-dup families end to end (the LAION-style re-encode
+  // collapse): sign-threshold signatures → banded hamming pairs →
+  // connected components → keep the best member per family (max label
+  // as the quality stand-in, ties → min id); singletons survive
+  private def qPhashCluster(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("features"),
+        col("label"))
+    val pairs = Multimodal.phashPairs(media, "id", "features",
+      dim = 16, maxHam = 2, thresh = 0.0).select("id_a", "id_b")
+    Dedup.keepCanonical(media.select("id", "label"),
+        Dedup.dupClusters(pairs), "id", "label")
+      .select(col("id"), col("label").cast("long").as("label"))
+  }
 
   /** The flagship end-to-end curation pipeline — the chain a real
     * pretraining-data run executes, stage outputs feeding stage inputs
@@ -1416,6 +1438,7 @@ object SparkEntry {
     "q_contam_score" -> (qContamScore _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_temperature_mix" -> (qTemperatureMix _),
+    "q_temperature_mix_tokens" -> (qTemperatureMixTokens _),
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_score_buckets" -> (qScoreBuckets _),
     "q_perplexity_buckets" -> (qPerplexityBuckets _),
@@ -1427,6 +1450,7 @@ object SparkEntry {
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
+    "q_phash_cluster" -> (qPhashCluster _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -2332,6 +2356,22 @@ object SparkEntry {
         |FROM documents d JOIN thr t ON CAST(d.lang AS VARCHAR) = t.stratum
         |WHERE ('0x' || substr(md5('23#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < t.keep_ppm""".stripMargin,
 
+    // same arithmetic with n = the stratum's TOKEN sum and a token
+    // budget — the ppm boundary stays integer-exact in both engines
+    "q_temperature_mix_tokens" ->
+      """WITH sizes AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS DOUBLE) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM sizes),
+        |thr AS (
+        |  SELECT stratum,
+        |    CAST(round(LEAST(1.0, 8000 * (pow(n, 0.5) / z.z) / n) * 1000000) AS BIGINT) AS keep_ppm
+        |  FROM sizes, z)
+        |SELECT d.doc_id AS id, t.stratum, t.keep_ppm
+        |FROM documents d JOIN thr t ON CAST(d.lang AS VARCHAR) = t.stratum
+        |WHERE ('0x' || substr(md5('23#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < t.keep_ppm""".stripMargin,
+
     "q_shuffle_shards" ->
       """WITH b AS (
         |  SELECT doc_id AS id,
@@ -2354,6 +2394,28 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
         |FROM sig a JOIN sig b ON a.id < b.id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+
+    // phash families: the same all-pairs hamming graph, components via
+    // the reach CTE, then per-family keep (label desc, id asc) — the
+    // q_dedup_canonical selection retargeted at the media signatures
+    "q_phash_cluster" ->
+      """WITH RECURSIVE sig AS (
+        |  SELECT vec_id AS id,
+        |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 15) AS t(j)) AS sig
+        |  FROM embeddings),
+        |vp AS (SELECT a.id AS id_a, b.id AS id_b
+        |       FROM sig a JOIN sig b ON a.id < b.id
+        |       WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+        |reach AS (SELECT a AS id, a AS r FROM e
+        |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |asg AS (SELECT m.vec_id AS id, m.label, coalesce(cl.cluster_id, m.vec_id) AS c
+        |        FROM embeddings m LEFT JOIN cl ON cl.id = m.vec_id)
+        |SELECT id, CAST(label AS BIGINT) AS label FROM (
+        | SELECT *, row_number() OVER (PARTITION BY c ORDER BY label DESC, id ASC) AS rn FROM asg)
+        |WHERE rn = 1""".stripMargin,
 
     // step-0 BPE pair distribution: word-frequency-weighted adjacent
     // symbol pairs over char-split words + the </w> terminal (left/right

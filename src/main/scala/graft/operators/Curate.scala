@@ -512,12 +512,42 @@ object Curate {
     applyMixture(df, mixtureThresholds(df, stratumCol, alpha, budget),
       idCol, stratumCol, seed)
 
+  /** Token-weighted temperature mixture: the published α-sampling
+    * recipes (XLM's exponential smoothing, the Pile/ROOTS mixture
+    * tables) weight strata by TOKEN mass, not document count — a
+    * stratum of few long documents should hold the same mixture share
+    * as one of many short ones. Identical formula with n_d = the
+    * stratum's token sum and `budgetTokens` an expected-token budget:
+    * q_d ∝ tok_d^alpha, f_d = min(1, budget·q_d / tok_d); admission
+    * stays the per-DOC deterministic hash predicate, so kept token
+    * mass is f_d·tok_d in expectation. Same single-narrow-pass scale
+    * shape as [[temperatureMixture]] — the token sum rides the one
+    * map-side-combined groupBy. */
+  def temperatureMixtureTokens(df: DataFrame, idCol: String,
+      stratumCol: String, textCol: String, alpha: Double,
+      budgetTokens: Long, seed: Int = 23): DataFrame =
+    applyMixture(df,
+      mixtureThresholdsBy(df, stratumCol,
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+          .cast("double"),
+        alpha, budgetTokens),
+      idCol, stratumCol, seed)
+
   /** The (stratum, keep_ppm) threshold table for [[temperatureMixture]],
     * computed from `ref` — exposed separately so the streaming form can
     * pin thresholds to a static history corpus while the batch form
     * derives them from its own input. */
   private[graft] def mixtureThresholds(ref: DataFrame, stratumCol: String,
-      alpha: Double, budget: Long): DataFrame = {
+      alpha: Double, budget: Long): DataFrame =
+    mixtureThresholdsBy(ref, stratumCol, count(lit(1)).cast("double"),
+      alpha, budget)
+
+  /** [[mixtureThresholds]] under an arbitrary stratum-size aggregate —
+    * count(*) for the doc-count mixture, a token sum for the
+    * token-weighted one. The 1/N^alpha normalizer cancellation holds
+    * for any positive size measure. */
+  private[graft] def mixtureThresholdsBy(ref: DataFrame, stratumCol: String,
+      sizeAgg: Column, alpha: Double, budget: Long): DataFrame = {
     require(alpha >= 0, "alpha must be non-negative")
     require(budget >= 0, "budget must be non-negative")
     // NULL strata are OUT of the mixture entirely: applyMixture's inner
@@ -526,7 +556,7 @@ object Curate {
     // deflate every real stratum's keep fraction below budget)
     val sizes = ref.filter(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("stratum"))
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(sizeAgg.as("n"))
     // p_d^alpha / Σ p_e^alpha == n_d^alpha / Σ n_e^alpha (the 1/N^alpha
     // factor cancels), so normalize raw counts directly
     val z = sizes.agg(sum(pow(col("n"), alpha)).as("z"))

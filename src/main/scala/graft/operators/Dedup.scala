@@ -1109,6 +1109,44 @@ object Dedup {
     batchFps.unpersist(); newFps.unpersist(); ()
   }
 
+  /** Set-bit fraction and estimated false-positive rate of a
+    * serialized Bloom sidecar — the saturation telemetry
+    * [[IndexFiles.describeIndex]] surfaces. Deserializes through the
+    * sketch's own reader (version-proof) and reads the public
+    * cardinality/bitSize/expectedFpp surface: fill = set bits / total
+    * bits, fpp_est = fill^k — the probability all k probe bits land on
+    * set positions. One sidecar row, no data scan. */
+  private[operators] def bloomHealth(bytes: Array[Byte]): (Double, Double) = {
+    val bf = bloomOf(bytes)
+    (bf.cardinality().toDouble / bf.bitSize(), bf.expectedFpp())
+  }
+
+  /** Re-size and re-aggregate the Bloom sidecar from the STORED fps —
+    * the maintenance call that closes the append lifecycle. Every
+    * [[appendToExactIndex]] merges its delta sketch at the ORIGINAL
+    * (n_items, num_bits) sizing (the sketch refuses to merge
+    * mismatches), so a year of daily appends quietly saturates the
+    * filter toward always-positive: correctness never breaks (the
+    * probe exact-confirms), but the prune stops pruning and every
+    * probe pays the confirm join. This rebuild is ONE scan of `fps/`
+    * — re-count, re-size for the count at `fpp`, re-aggregate — and
+    * never rewrites the fps themselves. Run it when
+    * [[IndexFiles.describeIndex]]'s fpp_est drifts well above the
+    * stored design fpp. */
+  def rebuildExactSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fpp: Double = 0.01): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    val fps = spark.read.parquet(s"$dir/fps")
+    val n = fps.count()
+    require(n > 0, "rebuildExactSidecar: stored fps table is empty")
+    val bits = bloomBits(spark, n, fpp)
+    IndexFiles.replaceTable(spark, dir, "bloom",
+      fps.agg(SK.bloomAgg(xxhash64(col("fp")), n, bits).as("bloom"))
+        .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+          lit(bits).as("num_bits")),
+      Seq.empty)
+  }
+
   /** Exact-dedup a batch against a persisted [[buildExactIndex]]
     * history WITHOUT joining it against all of history: the Bloom
     * sidecar (meta-sized, embedded as a literal — one codegen'd scalar

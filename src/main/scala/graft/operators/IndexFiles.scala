@@ -321,10 +321,15 @@ private[graft] object IndexFiles {
   /** Describe a persisted index — the Milvus describe_index /
     * get_collection_stats surface over our on-disk layout. One row per
     * stored table (payloads, sidecars, tombstones alike):
-    * (table, files, bytes, rows, kind), plus a `_pending_append` row
-    * when an interrupted append's journal is present (rows = journaled
-    * ids). Row counts come from the parquet footers (a metadata-only
-    * count job), so describing a 100 TB index reads no data pages. */
+    * (table, files, bytes, rows, kind, fill_est, fpp_est), plus a
+    * `_pending_append` row when an interrupted append's journal is
+    * present (rows = journaled ids). Row counts come from the parquet
+    * footers (a metadata-only count job), so describing a 100 TB index
+    * reads no data pages. A Bloom sidecar row additionally reports its
+    * saturation health — fill_est = fraction of set bits, fpp_est =
+    * fill^k — NULL for every other table; a fpp_est well above the
+    * sidecar's stored design fpp means appends have outgrown the
+    * original sizing and [[Dedup.rebuildExactSidecar]] is due. */
   def describeIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, dir)
@@ -332,6 +337,7 @@ private[graft] object IndexFiles {
     require(fs.exists(root), s"index dir $dir does not exist")
     def kindOf(name: String): String = name match {
       case "ids"        => "sidecar"
+      case "bloom"      => "sidecar"
       case "deleted"    => "tombstones"
       case "meta" | "stats" | "centroids" | "codebook" | "codebooks"
                         => "metadata"
@@ -351,8 +357,16 @@ private[graft] object IndexFiles {
       .filter(hasParquet)
     val rows = tables.map { p =>
       val sum = fs.getContentSummary(p)
-      (p.getName, sum.getFileCount, sum.getLength,
-        spark.read.parquet(p.toString).count(), kindOf(p.getName))
+      val df = spark.read.parquet(p.toString)
+      // Bloom sidecar health: one-row read of the serialized sketch
+      val (fill, fppEst): (Option[Double], Option[Double]) =
+        if (p.getName == "bloom" && df.columns.contains("bloom")) {
+          val (f, fpp) = Dedup.bloomHealth(
+            df.select("bloom").head().getAs[Array[Byte]](0))
+          (Some(f), Some(fpp))
+        } else (None, None)
+      (p.getName, sum.getFileCount, sum.getLength, df.count(),
+        kindOf(p.getName), fill, fppEst)
     }
     val journal = new Path(s"$dir/_pending_append")
     val pending =
@@ -361,9 +375,11 @@ private[graft] object IndexFiles {
         val sum = fs.getContentSummary(journal)
         val n = try spark.read.parquet(journal.toString).count()
           catch { case _: Exception => 0L } // empty commit marker (LSH)
-        Seq(("_pending_append", sum.getFileCount, sum.getLength, n, "journal"))
+        Seq(("_pending_append", sum.getFileCount, sum.getLength, n,
+          "journal", None: Option[Double], None: Option[Double]))
       }
-    (rows ++ pending).toDF("table", "files", "bytes", "rows", "kind")
+    (rows ++ pending).toDF("table", "files", "bytes", "rows", "kind",
+      "fill_est", "fpp_est")
   }
 
   /** Drop a persisted index — the Milvus drop_collection surface

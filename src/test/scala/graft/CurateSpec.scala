@@ -396,6 +396,50 @@ class CurateSpec extends SparkSpec {
       all.select("keep_ppm").distinct().as[Long].collect().toSet == Set(1000000L))
   }
 
+  test("temperatureMixtureTokens: token-mass thresholds match the hand formula; NULL strata excluded") {
+    // 'big': 10 docs x 100 tokens = 1000 tokens; 'small': 40 docs x 10
+    // tokens = 400 tokens — doc counts and token masses DISAGREE on
+    // which stratum is larger, so a doc-count mixture would weight
+    // these strata in the opposite order
+    val bigText = Seq.fill(100)("w").mkString(" ")
+    val smallText = Seq.fill(10)("w").mkString(" ")
+    val df = ((0L until 10L).map((_, "big", bigText)) ++
+        (10L until 50L).map((_, "small", smallText)))
+      .toDF("id", "lang", "text")
+    def ppm(alpha: Double, budget: Long): Map[String, Long] = {
+      val z = math.pow(1000, alpha) + math.pow(400, alpha)
+      Map(
+        "big" -> math.rint(math.min(1.0,
+          budget * (math.pow(1000, alpha) / z) / 1000) * 1e6).toLong,
+        "small" -> math.rint(math.min(1.0,
+          budget * (math.pow(400, alpha) / z) / 400) * 1e6).toLong)
+    }
+    for (alpha <- Seq(0.0, 0.5, 1.0); budget <- Seq(300L, 700L)) {
+      val expect = ppm(alpha, budget)
+      val got = Curate.temperatureMixtureTokens(df, "id", "lang", "text",
+          alpha, budget)
+        .select("stratum", "keep_ppm").distinct()
+        .as[(String, Long)].collect().toMap
+      assert(got == expect, s"alpha=$alpha budget=$budget: $got vs $expect")
+    }
+    // alpha=1 natural: every stratum keeps budget/totalTokens
+    val nat = Curate.temperatureMixtureTokens(df, "id", "lang", "text", 1.0, 700)
+      .select("keep_ppm").distinct().as[Long].collect().toSet
+    assert(nat == Set(500000L), s"alpha=1 must flatten to budget/T, got $nat")
+    // NULL strata neither admit nor consume budget mass: with the NULL
+    // rows present, real thresholds are identical to a frame without them
+    val withNull = df.unionByName(
+      Seq((900L, null: String, bigText), (901L, null: String, bigText))
+        .toDF("id", "lang", "text"))
+    val gotNull = Curate.temperatureMixtureTokens(withNull, "id", "lang",
+        "text", 0.5, 700)
+      .select("stratum", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(gotNull == ppm(0.5, 700L), s"NULL strata leaked into z: $gotNull")
+    assert(Curate.temperatureMixtureTokens(withNull, "id", "lang", "text",
+      0.5, 700).filter(col("id") >= 900L).count() == 0)
+  }
+
   test("scoreBuckets: discrete-quantile thresholds match the hand CDF") {
     // hist: 1x3 (f=.3), 2 (f=.4), 3 (f=.5), 4x2 (f=.7), 5x2 (f=.9), 10 (f=1)
     // t(1/3) = 2 (first f >= .3333), t(2/3) = 4

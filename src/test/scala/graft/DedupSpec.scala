@@ -569,4 +569,58 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupExactAgainstIndex(spark, dir, day3, "id", "text")
       .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq == got)
   }
+
+  test("exact index bloom lifecycle: appends saturate, describeIndex sees it, rebuild restores, probes invariant") {
+    import graft.operators.IndexFiles
+    // undersized by design: sized for 2 fps at 1%, then 200 appended —
+    // every append merges at the ORIGINAL sizing, so the fill climbs
+    // toward always-positive (correctness-safe; the prune just dies)
+    val history = Seq((0L, "seed zero"), (1L, "seed one")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exsatl").toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    val batches = (0 until 8).map { b =>
+      (0 until 25).map(j => (100L + b * 25 + j, s"batch $b doc $j payload"))
+        .toDF("id", "text")
+    }
+    batches.foreach(Dedup.appendToExactIndex(spark, dir, _, "id", "text"))
+    def health(d: String): (Double, Double) = {
+      val r = IndexFiles.describeIndex(spark, d)
+        .filter(col("table") === "bloom")
+        .select("fill_est", "fpp_est").head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (fillSat, fppSat) = health(dir)
+    assert(fillSat > 0.9 && fppSat > 0.5,
+      s"expected a saturated sidecar, got fill=$fillSat fpp=$fppSat")
+    // non-bloom rows carry NULL health
+    assert(IndexFiles.describeIndex(spark, dir)
+      .filter(col("table") === "fps" && col("fill_est").isNull &&
+        col("fpp_est").isNull).count() == 1)
+    val probeBatch = Seq(
+      (900L, "seed zero"),             // dup of the original build
+      (901L, "batch 3 doc 7 payload"), // dup of an appended batch
+      (902L, "never seen before")      // novel
+    ).toDF("id", "text")
+    def probe(d: String) =
+      Dedup.dedupExactAgainstIndex(spark, d, probeBatch, "id", "text")
+        .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    val before = probe(dir)
+    assert(before == Seq((900L, Some(0L), true), (901L, Some(182L), true),
+      (902L, None, false)), s"got $before")
+    Dedup.rebuildExactSidecar(spark, dir)
+    val (fillRe, fppRe) = health(dir)
+    assert(fillRe < 0.6 && fppRe < 0.05,
+      s"rebuild did not restore sizing: fill=$fillRe fpp=$fppRe")
+    // sidecar meta re-sized to the STORED fps count; fps untouched
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    assert(meta.getAs[Long]("n_items") == 202L)
+    assert(spark.read.parquet(s"$dir/fps").count() == 202L)
+    // probe results are exactly what they were, and what a fresh build
+    // over the full corpus produces
+    assert(probe(dir) == before)
+    val dirFresh = java.nio.file.Files.createTempDirectory("exfrsh").toString + "/idx"
+    Dedup.buildExactIndex(batches.foldLeft(history)(_ unionByName _),
+      "id", "text", dirFresh)
+    assert(probe(dirFresh) == before)
+  }
 }

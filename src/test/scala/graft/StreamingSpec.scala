@@ -939,5 +939,27 @@ class StreamingSpec extends SparkSpec {
       StreamDrain.requireDrainable(StreamDrain.MaxDrainRows + 1L)
     }
     assert(ex.getMessage.contains("drain feed would collect"))
+    // and through the PUBLIC entry points: an over-cap feed must die in
+    // the guard BEFORE any full collect or streaming query starts — the
+    // limit(cap+1) bound means only cap+1 rows ever reach the driver
+    // (this is the latent-failure probe: the guard wiring, not the
+    // formula, is what could silently rot)
+    val over = spark.range(StreamDrain.MaxDrainRows + 5L)
+      .select(col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + col("id") % 86400).as("ts"),
+        (col("id") % 50).as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamDrain.sessionizeDrained(over)
+    }
+    assert(e1.getMessage.contains("drain feed would collect"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamDrain.windowAggDrained(over)
+    }
+    assert(e2.getMessage.contains("drain feed would collect"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamDrain.asofJoinDrained(over)
+    }
+    assert(e3.getMessage.contains("drain feed would collect"), e3.getMessage)
   }
 }
