@@ -552,6 +552,27 @@ object SparkEntry {
       .otherwise(lit("")),
     when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
 
+  /** v2-pipeline crawl URL: [[synthUrl]]'s cosmetic variation (scheme
+    * case, www, host case, trailing slash, query, fragment), but the
+    * page path makes one doc in five (doc_id%100 < 20, id ≥ 20) a
+    * re-fetch of doc_id-20 — same host by construction (source =
+    * src{id%20}) — so URL dedup drops a crawl-realistic ~20% instead
+    * of the %40 wrap's 92%. */
+  private def synthUrlV2 = {
+    val page = when(col("doc_id") % 100 < 20 && col("doc_id") >= 20,
+      col("doc_id") - 20).otherwise(col("doc_id"))
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+      when(col("doc_id") % 4 === 0, lit("www."))
+        .when(col("doc_id") % 4 === 1, lit("WWW.")).otherwise(lit("")),
+      when(col("doc_id") % 8 < 4, col("source")).otherwise(upper(col("source"))),
+      lit(".com/page/"), page.cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=1"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit("")))
+  }
+
   // URL-level exact dedup: re-fetches of one page under cosmetically
   // different URLs collapse to the min doc_id.
   private def qUrlDedup(s: SparkSession, dir: String): DataFrame =
@@ -829,6 +850,91 @@ object SparkEntry {
     // stage 5: token-budget mixture fill over what survived
     Curate.budgetSample(canonical, "doc_id", "text", "lang",
       Map("en" -> 4000L, "zh" -> 3000L), buckets = 16)
+  }
+
+  /** Inter-stage pin for the flagship pipelines: persist + eager count
+    * (NOT localCheckpoint — a LogicalRDD has no size stats, so every
+    * downstream broadcast semi-join would silently degrade to a
+    * shuffle; measured 2.4× on v1, mechanism pinned in PlanAuditSpec).
+    * Verify/Bench clearCache between queries, so blocks don't outlive
+    * the query. */
+  private def pinned(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** The exact-dedup history index for the v2 pipeline's bloom gate:
+    * "yesterday's crawl" = raw docs 0-49, built once per JVM per data
+    * dir (the persisted-index shape — a real pipeline probes the same
+    * stored index every day, it doesn't rebuild per query). */
+  private def v2HistoryIdx(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_v2_exidx_${dirKey(dir)}") { d =>
+      Dedup.buildExactIndex(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", d)
+    }
+
+  /** The CCNet/RefinedWeb flagship, second generation — the r13/r14
+    * operator crop chained as ONE run, stage outputs feeding stage
+    * inputs: the crawl arrives mojibaked (space → CP1252 artifact,
+    * derived from the shared table IN the query) → fixText repair →
+    * URL-normalized re-fetch collapse → Gopher quality gate →
+    * exact-history Bloom admission gate (drop anything yesterday's
+    * crawl already ingested — docs 0-49 raw, a persisted index) →
+    * reference-trained LM scoring (the EN survivors stand in for
+    * CCNet's Wikipedia) → head/middle/tail by the pool's own xent CDF
+    * → drop the tail, α=0.5 temperature mixture over lang →
+    * deterministic epoch shuffle shards. Output is the training-order
+    * manifest (id, shard, pos) — membership pins every stage.
+    *
+    * Scale shape: every stage is its §2 operator unchanged; the
+    * composition's joins are all broadcast semi/inner joins on doc_id
+    * (inter-stage pins keep real size stats so AQE broadcasts — the
+    * v1 lesson), the bloom gate is a codegen'd scalar predicate +
+    * DPP-pruned confirm, and the only new shuffles are the stages'
+    * own. */
+  private def qCurationPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val m = T.mojibakeTable.map(_.swap).toMap
+    // stage 0+1: corrupt-then-fix (both engines derive the corruption
+    // from the shared table, so the repair verifies as a real
+    // transform): every plain space becomes the CP1252 NBSP artifact
+    // (m keyed by " ", the table's repaired form)
+    val fixed = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"),
+      T.fixText(replace(col("text"), lit(" "), lit(m(" ")))).as("text"))
+    // stage 2: URL-level re-fetch collapse (min doc_id per normalized
+    // URL). synthUrlV2, not synthUrl: the %40 page wrap collapses 92%
+    // of the corpus (the right shape for the ISOLATED url-dedup
+    // query's oracle, wrong for a pipeline that must feed six more
+    // stages) — v2's page path makes one doc in five a re-fetch of
+    // doc_id-20 instead, a crawl-realistic ~20% duplication
+    val d1 = Dedup.dedupByUrl(fixed.withColumn("url", synthUrlV2),
+      "doc_id", "url").drop("url", "url_norm")
+    // stage 3: Gopher quality gate
+    val d2 = pinned(d1.join(
+      Curate.gopherFilter(d1, "doc_id", "text", minWords = 20)
+        .filter(col("pass")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    // stage 4: exact-history bloom admission gate
+    val novel = Dedup.dedupExactAgainstIndex(s, v2HistoryIdx(s, dir),
+        d2, "doc_id", "text")
+      .filter(!col("is_dup")).select(col("id").as("doc_id"))
+    val pool = pinned(d2.join(novel, Seq("doc_id"), "left_semi"))
+    // stage 5: reference-LM scoring (EN survivors = the clean reference)
+    val scored = pinned(Curate.perplexityScoreWith(pool,
+      pool.filter(col("lang") === "en"), "doc_id", "text"))
+    // stage 6: CCNet buckets over the pool's own CDF
+    val bucketed = Curate.scoreBuckets(scored, "id", col("xent"),
+      cuts = Seq(0.3333, 0.6667), labels = Seq("head", "middle", "tail"))
+    // stage 7: drop the tail, α-temperature mixture over lang
+    val keptLang = pinned(bucketed.filter(col("bucket") =!= "tail")
+      .join(pool.select(col("doc_id").as("id"), col("lang")), Seq("id")))
+    val mixed = Curate.temperatureMixture(keptLang, "id", "lang",
+      alpha = 0.5, budget = 60)
+    // stage 8: deterministic epoch shuffle
+    Curate.shuffleShards(mixed, "id", numShards = 8)
   }
 
   // CCNet-style quality signal: bigram cross-entropy of every doc under
@@ -1456,6 +1562,7 @@ object SparkEntry {
     "q_dsir_weight" -> (qDsirWeight _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_curation_pipeline_v2" -> (qCurationPipelineV2 _),
     "q_gopher" -> (qGopher _),
     "q_c4_filter" -> (qC4Filter _),
     "q_url_dedup" -> (qUrlDedup _),
@@ -2517,6 +2624,98 @@ object SparkEntry {
          |SELECT lang, tok, CAST(tf AS BIGINT) AS tf, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, tok ASC) AS BIGINT) AS rank FROM tf)
          |WHERE rank <= 20""".stripMargin,
+
+    // the v2 flagship: every stage's oracle retargeted at the previous
+    // stage's survivor CTE — corrupt+fix (shared mojibake table) →
+    // URL re-fetch collapse (synthUrlV2's -20 page offset) → gopher →
+    // exact-history gate (plain fp join; the bloom is pure pruning;
+    // LEFT JOIN, not NOT IN — a NULL fp must keep the row like Spark's
+    // null-key join does) → reference LM over the EN survivors → CDF
+    // buckets → drop tail → α=0.5 mixture (budget 60, seed 23) →
+    // shuffle shards (seeds 37/38)
+    "q_curation_pipeline_v2" -> {
+      val m2 = T.mojibakeTable.map(_.swap).toMap
+      val corruptV2 = s"replace(text, ' ', '${m2(" ")}')"
+      s"""WITH fx AS (SELECT doc_id, lang, source, n_chars,
+         |  ${fixTextSql(corruptV2)} AS text FROM documents),
+         |un AS (SELECT doc_id,
+         |  regexp_replace(lower(regexp_extract(s4, '^([^/]*)', 1)) ||
+         |    regexp_extract(s4, '^[^/]*(.*)$$', 1), '/+$$', '') AS url_norm
+         |  FROM (SELECT doc_id,
+         |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |     CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+         |     CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 THEN 'WWW.' ELSE '' END ||
+         |     CASE WHEN doc_id % 8 < 4 THEN source ELSE upper(source) END ||
+         |     '.com/page/' || CAST(CASE WHEN doc_id % 100 < 20 AND doc_id >= 20 THEN doc_id - 20 ELSE doc_id END AS VARCHAR) ||
+         |     CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         |     CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=1' ELSE '' END ||
+         |     CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END,
+         |     '#.*$$', ''), '\\?.*$$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+         |     '(?i)^www\\.', '') AS s4
+         |   FROM fx)),
+         |uw AS (SELECT min(doc_id) AS doc_id FROM un GROUP BY url_norm),
+         |d1 AS (SELECT fx.* FROM fx JOIN uw USING (doc_id)),
+         |gw AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |  (length(text) - length(replace(text, '#', ''))) +
+         |    CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS sym
+         | FROM d1),
+         |gok AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |   round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / len(ws), 4) AS mean_word_len,
+         |   round(CAST(sym AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+         |   round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws), 4) AS alpha_ratio,
+         |   CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS stop_hits
+         |  FROM gw WHERE len(ws) > 0)
+         | WHERE n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
+         |   AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2),
+         |d2 AS (SELECT d1.* FROM d1 JOIN gok USING (doc_id)),
+         |hist AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |         FROM documents WHERE doc_id < 50),
+         |d3 AS (SELECT d2.* FROM d2
+         |       LEFT JOIN hist ON md5(trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g'))) = hist.fp
+         |       WHERE hist.fp IS NULL),
+         |n3 AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM d3),
+         |tlr AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM n3 WHERE lang = 'en'),
+         |tkr AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+         |        FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tlr)),
+         |dbr AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tkr GROUP BY 1, 2, 3),
+         |cb AS (SELECT prev, tok, sum(c) AS cb FROM dbr GROUP BY 1, 2),
+         |cu AS (SELECT prev, sum(c) AS cu FROM dbr GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM dbr),
+         |tl AS (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS l FROM n3),
+         |tk AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE l[i-1] END AS prev, l[i] AS tok
+         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM tl)),
+         |db AS (SELECT doc_id, prev, tok, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2, 3),
+         |sc0 AS (SELECT db.doc_id AS id,
+         |  round(sum(c * -ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + 1.0 * v.v))) / sum(c), 4) AS score
+         |  FROM db LEFT JOIN cb USING (prev, tok) LEFT JOIN cu USING (prev) CROSS JOIN v
+         |  GROUP BY db.doc_id),
+         |sc AS (SELECT id, score FROM sc0 WHERE score IS NOT NULL),
+         |histo AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY 1),
+         |nn AS (SELECT SUM(c) AS n FROM histo),
+         |cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) / nn.n AS f FROM histo, nn),
+         |th AS (SELECT MIN(CASE WHEN f >= 0.3333 THEN score END) AS t0,
+         |             MIN(CASE WHEN f >= 0.6667 THEN score END) AS t1 FROM cdf),
+         |kept AS (SELECT sc.id, d3.lang FROM sc JOIN d3 ON d3.doc_id = sc.id, th
+         |         WHERE CASE WHEN sc.score <= th.t0 THEN 'head'
+         |                    WHEN sc.score <= th.t1 THEN 'middle'
+         |                    ELSE 'tail' END <> 'tail'),
+         |sizes AS (SELECT CAST(lang AS VARCHAR) AS stratum, CAST(COUNT(*) AS DOUBLE) AS n
+         |          FROM kept WHERE lang IS NOT NULL GROUP BY 1),
+         |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM sizes),
+         |thr AS (SELECT stratum,
+         |    CAST(round(LEAST(1.0, 60 * (pow(n, 0.5) / z.z) / n) * 1000000) AS BIGINT) AS keep_ppm
+         |  FROM sizes, z),
+         |mix AS (SELECT k.id FROM kept k JOIN thr t ON CAST(k.lang AS VARCHAR) = t.stratum
+         |        WHERE ('0x' || substr(md5('23#' || CAST(k.id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < t.keep_ppm),
+         |sh AS (SELECT id,
+         |    ('0x' || substr(md5('37#' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         |    ('0x' || substr(md5('38#' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS ord
+         |  FROM mix)
+         |SELECT id, shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id) - 1 AS pos
+         |FROM sh""".stripMargin
+    },
 
     "q_pack_sequences" ->
       """WITH tk AS (SELECT doc_id AS id,

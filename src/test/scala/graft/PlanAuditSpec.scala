@@ -170,6 +170,25 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch shuffle must cost exactly one exchange:\n$shufPhys")
   }
 
+  test("curation pipeline v2: pins hold through the chain and the mixture broadcast survives") {
+    // the v1 lesson, asserted on v2: inter-stage persist+count keeps
+    // real size stats flowing, so the LAST segment's plan must read
+    // pinned InMemory frames and still broadcast the mixture
+    // thresholds — a silent pin regression would degrade the join to
+    // a shuffle and show neither marker. (Each earlier segment's
+    // operator shapes — bloom predicate, model broadcasts, semi-joins
+    // — are pinned by their own operator audits; the pins execute them
+    // before this plan is cut.)
+    val df = graft.SparkEntry.queries("q_curation_pipeline_v2")(
+      spark, "/root/testdata/sf0.001")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("InMemoryTableScan"),
+      s"inter-stage pins missing from the final segment:\n$phys")
+    assert(phys.contains("BroadcastHashJoin"),
+      s"mixture thresholds not broadcast in the final segment:\n$phys")
+    assert(df.count() > 0, "v2 pipeline drained to zero rows at sf0.001")
+  }
+
   test("persist+count replaces a join-inflated size estimate with actual bytes; localCheckpoint preserves it") {
     import graft.operators.Dedup
     // the curation flagship pins inter-stage frames with persist+count
