@@ -26,8 +26,9 @@ object Scale {
   /** The bench heavy hitters — the shuffle/join-dominated family where
     * superlinear behavior would hide. */
   val heavy: Seq[String] = Seq(
-    "q_curation_pipeline", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_cluster", "q_dedup_canonical", "q_bm25_index")
+    "q_curation_pipeline", "q_curation_pipeline_v2", "q_dedup_minhash",
+    "q_dedup_ngram", "q_dedup_cluster", "q_dedup_canonical",
+    "q_bm25_index")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head

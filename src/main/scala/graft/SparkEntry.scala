@@ -738,6 +738,19 @@ object SparkEntry {
       .select(col("w"), array_join(col("syms"), " ").as("toks"), col("n"))
   }
 
+  // the tokenizer's deployment surface: per-doc subword streams under
+  // the trained 12-rule chain, symbol ids by lexicographic vocabulary
+  // numbering (engine-portable; HF ships merge-rank ids — any stable
+  // order); same early-stop guard as the chain's other consumers
+  private def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(docs, "text", numMerges = BpeTrainSteps)
+    require(merges.count() == BpeTrainSteps.toLong,
+      s"q_bpe_tokenize degenerate-oracle contract broken: trainer " +
+      "stopped early — the chained-CTE oracle cannot model early stop")
+    Bpe.tokenize(docs, "doc_id", "text", merges)
+  }
+
   // ftfy-lite over a corpus corrupted IN the query: both engines derive
   // the same mojibake (curly-quote wrap + NBSP-artifact spaces) from the
   // shared mojibakeTable, so the fix verifies as a real transform, not a
@@ -1554,6 +1567,7 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_vocab" -> (qBpeVocab _),
+    "q_bpe_tokenize" -> (qBpeTokenize _),
     "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_phash_cluster" -> (qPhashCluster _),
@@ -1679,6 +1693,24 @@ object SparkEntry {
   private def bpeEncodeSql(steps: Int): String =
     s"""WITH ${bpeChain(steps)}
        |SELECT w, trim(replace(s, '\u00bb\u00ab', ' '), '\u00ab\u00bb') AS toks, n FROM w$steps""".stripMargin
+
+  /** Tokenize oracle: the chain's final word forms exploded back onto
+    * each document's word stream (document order, 0-based positions),
+    * symbol ids by lexicographic vocabulary numbering — the same
+    * deterministic assignment the Spark side makes. */
+  private def bpeTokenizeSql(steps: Int): String =
+    s"""WITH ${bpeChain(steps)},
+       |enc AS (SELECT w, regexp_extract_all(s, '«([^»]*)»', 1) AS sy FROM w$steps),
+       |vid AS (SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS sym_id
+       |        FROM (SELECT DISTINCT unnest(sy) AS symbol FROM enc)),
+       |dw AS (SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS wpos, wl[i] AS w
+       |       FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i
+       |             FROM (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS wl FROM ($normDoc)))),
+       |ds AS (SELECT id, wpos, CAST(j - 1 AS BIGINT) AS spos, sy[j] AS symbol
+       |       FROM (SELECT dw.id, dw.wpos, e.sy, unnest(generate_series(1, len(e.sy))) AS j
+       |             FROM dw JOIN enc e USING (w)))
+       |SELECT ds.id, ds.wpos, ds.spos, ds.symbol, vid.sym_id
+       |FROM ds JOIN vid USING (symbol)""".stripMargin
 
   /** fixText oracle expression over SQL fragment `x` — generated from
     * the SAME mojibakeTable / pattern constants the Spark expression
@@ -2543,6 +2575,7 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
     "q_bpe_vocab" -> bpeVocabSql(BpeTrainSteps),
+    "q_bpe_tokenize" -> bpeTokenizeSql(BpeTrainSteps),
 
     // corrupt-then-fix, both halves generated from the shared table
     "q_fix_text" -> {

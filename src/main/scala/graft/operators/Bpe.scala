@@ -271,6 +271,45 @@ object Bpe {
     }
   }
 
+  /** Tokenize documents to subword sequences under an ordered merge
+    * list — the trained tokenizer's deployment surface (what a
+    * pretraining pipeline actually writes: per-doc token streams).
+    * Each doc's words (the engine token contract, document order) are
+    * replaced by their encoded symbol sequences; symbol ids number the
+    * vocabulary in lexicographic order — a deterministic,
+    * engine-portable assignment (HF ships ids by merge rank; any
+    * stable total order works, and lexicographic is the one an oracle
+    * can derive without replaying trainer state). Returns
+    * (id, wpos, spos, symbol, sym_id), 0-based positions.
+    *
+    * Scale shape: the word→syms table is VOCABULARY-sized and
+    * broadcast, the symbol→id table smaller still (its one
+    * unpartitioned numbering window runs on that vocab-bounded frame,
+    * the score_buckets argument); the corpus pass is one narrow
+    * explode + two broadcast joins — no shuffle beyond [[encode]]'s
+    * own word-count groupBy. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = encode(df, textCol, rules).select(col("w"), col("syms"))
+    val vocabIds = enc.select(explode(col("syms")).as("symbol")).distinct()
+      .withColumn("sym_id",
+        row_number().over(Window.orderBy("symbol")).cast("long") - 1)
+    df.select(col(idCol).as("id"),
+        posexplode(T.wsTokens(T.normText(col(textCol)))).as(Seq("wpos", "w")))
+      .join(broadcast(enc), Seq("w"))
+      .select(col("id"), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "symbol")))
+      .join(broadcast(vocabIds), Seq("symbol"))
+      .select(col("id"), col("wpos").cast("long"), col("spos").cast("long"),
+        col("symbol"), col("sym_id"))
+  }
+
+  /** [[tokenize]] under a trained merge-rule frame. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame =
+    tokenize(df, idCol, textCol, collectRules(merges))
+
   /** The production-scale encoder: the full rule list broadcast once,
     * applied per vocabulary word in a single narrow mapPartitions pass
     * (the documented imperative seam — no expression tree to grow, no

@@ -288,6 +288,35 @@ object Curate {
     *
     * Scale shape: pure per-row Catalyst (split + array folds) — zero
     * shuffles, scan speed, whole-stage codegen. */
+  /** [[gopherFilter]]'s composite verdict as ONE Column over the text
+    * — the per-row form a streaming gate filters on directly (no
+    * metrics frame, no join back to the stream, which would be an
+    * unsupported stream-stream join). Thresholds compare the same
+    * 4dp-rounded metrics the frame form emits (bit-identical verdicts,
+    * spec-pinned); a zero-word doc fails — the frame form drops it,
+    * and a gate keeps exactly the `pass` rows either way. */
+  def gopherPassCol(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val ws = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val sym = (length(text) - length(regexp_replace(text, "#", ""))) +
+      floor((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+    val n = size(ws)
+    // nz, not n, as the divisor: under ANSI SQL the ratio subtrees
+    // evaluate even when the n > 0 conjunct is false (no && laziness
+    // in codegen), and a zero-word doc must FAIL the gate, not throw.
+    // The frame form never divides by zero — it filters first.
+    val nz = greatest(n, lit(1))
+    val mwl = round(aggregate(ws, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nz, 4)
+    val sr = round(sym.cast("double") / nz, 4)
+    val ar = round(size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nz, 4)
+    val sh = size(filter(ws, w => lower(w).isin(stop: _*))).cast("long")
+    n > 0 && n.cast("long") >= minWords && n.cast("long") <= maxWords &&
+      mwl >= 3 && mwl <= 10 && sr <= 0.1 && ar >= 0.8 && sh >= 2
+  }
+
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -160,4 +160,68 @@ object StreamCurate {
     val ts = graft.operators.Curate.bucketThresholds(ref, scoreCol, cuts)
     graft.operators.Curate.applyBuckets(stream, idCol, scoreCol, ts, cuts, labels)
   }
+
+  /** The online admission path — the v2 flagship's STATELESS prefix as
+    * one streaming chain, the shape a live crawl ingest runs per
+    * arriving document: fixText repair → Gopher pass gate
+    * ([[graft.operators.Curate.gopherPassCol]], per-row) →
+    * exact-history Bloom admission ([[StreamIngest.admitNovelStream]]:
+    * codegen'd bloom predicate, stream-static DPP-pruned confirm
+    * against the persisted index) → static-reference CDF buckets,
+    * dropping the last label (CCNet's tail) → static-reference
+    * α-temperature mixture admission. `scoreOf` is a per-row scoring
+    * expression applied identically to the stream and to `ref` (token
+    * count here; an LM score needs aggregation and belongs to the
+    * batch form) — both the bucket bar and the mixture sizes pin to
+    * the static `ref` corpus, the deployed-CCNet argument
+    * ([[temperatureMixtureStream]]'s scaladoc): stream-derived
+    * thresholds would re-weight admission per micro-batch.
+    *
+    * NO state store anywhere: every stage is a per-row expression, a
+    * literal threshold, or a stream-static broadcast/pruned join — the
+    * chain plans as one narrow streaming stage, scales to any arrival
+    * rate, and a doc admits identically on the stream and in a batch
+    * rerun (spec'd drained-equals-batch). Returns admitted rows
+    * (id, stratum, keep_ppm, score, bucket). */
+  def curateStream(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, docsStream: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, ref: DataFrame,
+      scoreOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      minWords: Int = 20, cuts: Seq[Double] = Seq(0.3333, 0.6667),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      alpha: Double = 0.5, budget: Long = 100, seed: Int = 23): DataFrame = {
+    import graft.operators.Curate
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts")
+    val fixed = docsStream.withColumn(textCol, T.fixText(col(textCol)))
+    val quality = fixed.filter(Curate.gopherPassCol(col(textCol), minWords))
+    val novel = StreamIngest.admitNovelStream(spark, indexDir, quality, textCol)
+    // bucket bar from the static reference, applied inline so the full
+    // row (stratum included) survives — applyBuckets' projection would
+    // force a stream-stream join to recover it
+    val ts = Curate.bucketThresholds(ref, scoreOf(col(textCol)), cuts)
+    val withScore = novel
+      .withColumn("score", scoreOf(col(textCol)).cast("double"))
+      .filter(col("score").isNotNull)
+    val bucketCol = ts match {
+      case None => lit(null).cast("string")
+      case Some(tv) =>
+        tv.zip(labels.init).foldRight(lit(labels.last)
+            : org.apache.spark.sql.Column) {
+          case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
+        }
+    }
+    val headMiddle = withScore.withColumn("bucket", bucketCol)
+      .filter(col("bucket") =!= labels.last)
+    // mixture admission keeping the full row (applyMixture's
+    // projection shape, inlined for the same reason as the buckets)
+    val thr = Curate.mixtureThresholds(ref, stratumCol, alpha, budget)
+    headMiddle
+      .withColumn("stratum", col(stratumCol).cast("string"))
+      .join(org.apache.spark.sql.functions.broadcast(thr), Seq("stratum"))
+      .filter(H.hash32(seed, col(idCol).cast("string")) % 1000000
+        < col("keep_ppm"))
+      .select(col(idCol).as("id"), col("stratum"), col("keep_ppm"),
+        col("score"), col("bucket"))
+  }
 }

@@ -110,6 +110,31 @@ class BpeSpec extends SparkSpec {
     assert(vocab == expVocab, s"$vocab vs $expVocab")
   }
 
+  test("tokenize: per-doc subword streams match the reference expansion, lexicographic ids") {
+    val rulesDf = Bpe.train(corpusDf, "text", numMerges = 6)
+    val rules = rulesDf.orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val forms = refFinalVocab(
+      corpusWords.map { case (w, n) => w -> n.toLong }.toMap, rules)
+    val idOf = forms.values.flatten.toSet.toSeq.sorted.zipWithIndex.toMap
+    // multi-word docs: word order and both position axes must hold
+    val docs = Seq((1L, "low lower"), (2L, "newest"), (3L, "widest low"))
+      .toDF("id", "text")
+    val got = Bpe.tokenize(docs, "id", "text", rulesDf)
+      .select("id", "wpos", "spos", "symbol", "sym_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2, r._3)).toSeq).toMap
+    val docWords = Map(1L -> Seq("low", "lower"), 2L -> Seq("newest"),
+      3L -> Seq("widest", "low"))
+    docWords.foreach { case (id, words) =>
+      val expect = words.zipWithIndex.flatMap { case (w, wp) =>
+        forms(w).zipWithIndex.map { case (sym, sp) =>
+          (id, wp.toLong, sp.toLong, sym, idOf(sym).toLong) }
+      }
+      assert(got(id) == expect, s"doc $id:\n${got(id)}\nvs\n$expect")
+    }
+  }
+
   test("initialPairs: the step-0 distribution over chars + terminal") {
     val df = Seq((1L, "ab ab b")).toDF("id", "text")
     val got = Bpe.initialPairs(df, "text")

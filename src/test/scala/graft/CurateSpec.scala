@@ -136,6 +136,30 @@ class CurateSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_word_len") == mean)
   }
 
+  test("gopherPassCol: bit-identical verdicts to gopherFilter's pass column") {
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over and that was fine with " +
+        "everyone involved today again tomorrow always maybe certainly done")),
+      (2L, "too few words here"),                      // n_words < 20
+      (3L, ""),                                        // zero words: frame drops it
+      (4L, "   \t  "),                                 // whitespace only
+      (5L, ("### ### ### the and that with be to of have " +
+        "### ### ### ### ### ### ### ### ### ###")),   // symbol-heavy
+      (6L, ("the and that with " +
+        Seq.fill(20)("ab").mkString(" "))),            // short words drag mwl < 3
+      (7L, ("the and that with " +
+        Seq.fill(20)("12345").mkString(" "))))         // numeric: alpha ratio low
+      .toDF("id", "text")
+    val frame = Curate.gopherFilter(docs, "id", "text", minWords = 20)
+      .filter(col("pass")).select("id").as[Long].collect().toSet
+    val colForm = docs
+      .filter(Curate.gopherPassCol(col("text"), minWords = 20))
+      .select("id").as[Long].collect().toSet
+    assert(colForm == frame, s"column $colForm vs frame $frame")
+    // zero-word docs (absent from the frame form) must FAIL the column
+    assert(!colForm.contains(3L) && !colForm.contains(4L))
+  }
+
   test("c4Filter: each line and document rule trips independently") {
     val docs = Seq(
       (1L, "this line ends with a period.\nno terminal punct here\n" +

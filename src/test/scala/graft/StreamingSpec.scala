@@ -214,6 +214,81 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchNovel)
   }
 
+  test("curateStream: drained admissions equal the composed batch chain; every gate bites") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Curate, Dedup}
+    import graft.functions.{TextFunctions => T}
+    import graft.streaming.StreamCurate
+    // originals: gopher-passing docs need >=20 words, mwl in [3,10],
+    // alpha >= 0.8, >=2 stop hits; token counts vary so the ref CDF
+    // splits them across buckets
+    def passText(i: Int): String =
+      ("the quick brown fox jumps over and that was fine with everyone " +
+        "involved today again tomorrow always maybe certainly done " +
+        Seq.fill(i)("extra words arrive here").mkString(" ")).trim
+    val originals: Seq[(Long, String, String)] =
+      (0 until 12).map(i => (100L + i, if (i % 3 == 0) "en" else "de",
+        passText(i))) ++
+      Seq((200L, "en", "too short to pass"),          // gopher kills
+        (201L, "en", passText(2)),                    // replay of 102's text
+        (202L, "de", passText(5)))                    // replay of 105's text
+    // history: the exact (fixed) texts of docs 102/105 — 201/202 replay
+    val history = Seq((1L, passText(2)), (2L, passText(5))).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("curstr").toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    // ref corpus for thresholds: its own spread of the same score
+    val ref = (0 until 12).map(i => (900L + i, if (i % 2 == 0) "en" else "de",
+      passText(i))).toDF("id", "lang", "text")
+    // the stream arrives mojibaked: spaces carry the CP1252 NBSP artifact
+    val m = T.mojibakeTable.map(_.swap).toMap
+    val corrupted = originals.map { case (id, lang, t) =>
+      (id, lang, t.replace(" ", m(" "))) }
+    val scoreOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      T.tokenCount(_)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamCurate.curateStream(spark, dir,
+        mem.toDF().toDF("id", "lang", "text"), "id", "text", "lang", ref,
+        scoreOf, minWords = 20, budget = 8)
+      .writeStream.format("memory").queryName("scurate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(corrupted.take(7): _*)
+    q.processAllAvailable()
+    mem.addData(corrupted.drop(7): _*)
+    q.processAllAvailable()
+    val drained = spark.table("scurate")
+      .select("id", "stratum", "keep_ppm", "score", "bucket")
+      .as[(Long, String, Long, Double, String)].collect().toSet
+    q.stop()
+    // batch equivalent from independent public pieces over the originals
+    val batchDocs = corrupted.toDF("id", "lang", "text")
+      .withColumn("text", T.fixText(col("text")))
+    val quality = batchDocs.join(
+      Curate.gopherFilter(batchDocs, "id", "text", minWords = 20)
+        .filter(col("pass")).select("id"), Seq("id"), "left_semi")
+    val novel = quality.join(
+      Dedup.dedupExactAgainstIndex(spark, dir, quality, "id", "text")
+        .filter(!col("is_dup")).select("id"), Seq("id"), "left_semi")
+    val buckets = StreamCurate.scoreBucketsStream(novel, ref, "id",
+        scoreOf(col("text")), Seq(0.3333, 0.6667),
+        Seq("head", "middle", "tail"))
+      .filter(col("bucket") =!= "tail")
+    val mixture = StreamCurate.temperatureMixtureStream(
+      novel.join(buckets.select("id"), Seq("id"), "left_semi"),
+      ref, "id", "lang", alpha = 0.5, budget = 8)
+    val expected = mixture.join(buckets, Seq("id"))
+      .select("id", "stratum", "keep_ppm", "score", "bucket")
+      .as[(Long, String, Long, Double, String)].collect().toSet
+    assert(drained == expected, s"\ndrained  $drained\nexpected $expected")
+    // every gate bit: the short doc and both replays are out, the tail
+    // never admits, and the set is a non-trivial strict subset
+    val ids = drained.map(_._1)
+    assert(!ids.contains(200L) && !ids.contains(201L) && !ids.contains(202L))
+    assert(drained.map(_._5).subsetOf(Set("head", "middle")),
+      s"tail leaked through: $drained")
+    assert(ids.nonEmpty, "nothing admitted — a gate is over-killing")
+    assert(ids.size < 12, "every doc admitted — no gate actually bit")
+  }
+
   test("packSequencesStream: drained stream equals batch packSequences on the same prefix") {
     implicit val sqlCtx = spark.sqlContext
     val docsSeq = (0L until 20L).map(i =>
