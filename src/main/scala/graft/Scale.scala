@@ -321,6 +321,21 @@ object Scale {
     val (tN, rN) = timed(docsN)
     val (t1, r1) = timed(docs)
     println(f"SCALE_BPE merges=$merges,$t1%.2f,$tN%.2f,${tN / t1}%.2f,$r1,$rN")
+    // tokenize (the deployment pass): train once on the 1× corpus,
+    // apply the SAME rules to both scales — the per-doc expansion is a
+    // narrow broadcast-join pass, so wall should track rows, never the
+    // vocabulary loop. FACTOR× first (cold), same protocol as train.
+    val rules = graft.operators.Bpe.train(docs, "text", merges)
+    def timedTok(df: DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = graft.operators.Bpe.tokenize(df, "doc_id", "text", rules).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (kN, sN) = timedTok(docsN)
+    val (k1, s1) = timedTok(docs)
+    println(f"SCALE_BPE_TOKENIZE $k1%.2f,$kN%.2f,${kN / k1}%.2f,$s1,$sN")
   }
 
   def main(args: Array[String]): Unit = {

@@ -170,6 +170,20 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch shuffle must cost exactly one exchange:\n$shufPhys")
   }
 
+  test("bpe tokenize: both vocabulary tables broadcast — the corpus pass never sort-merges") {
+    import graft.operators.Bpe
+    val docs = (1L to 60L)
+      .map(i => (i, s"alpha beta gamma word$i delta"))
+      .toDF("id", "text")
+    val rules = Seq(("a", "l"), ("al", "p"), ("e", "t"))
+    val phys = Bpe.tokenize(docs, "id", "text", rules)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(phys).size >= 2,
+      s"word→syms / symbol→id tables not broadcast:\n$phys")
+    assert(!phys.contains("SortMergeJoin"),
+      s"corpus pass degraded to a sort-merge join:\n$phys")
+  }
+
   test("curation pipeline v2: pins hold through the chain and the mixture broadcast survives") {
     // the v1 lesson, asserted on v2: inter-stage persist+count keeps
     // real size stats flowing, so the LAST segment's plan must read
