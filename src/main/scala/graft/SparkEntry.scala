@@ -751,6 +751,23 @@ object SparkEntry {
     Bpe.tokenize(docs, "doc_id", "text", merges)
   }
 
+  // training sequences under the TRAINED tokenizer's subword counts —
+  // the artifact a training job memory-maps (a packing budget only
+  // means anything in the tokens the job will actually see); docs with
+  // no words carry no subwords and stay out of the packing, both
+  // engines alike. Same early-stop guard as the chain's consumers.
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.train(docs, "text", numMerges = BpeTrainSteps)
+    require(merges.count() == BpeTrainSteps.toLong,
+      s"q_pack_bpe degenerate-oracle contract broken: trainer stopped " +
+      "early — the chained-CTE oracle cannot model early stop")
+    val counts = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .groupBy("id").agg(count(lit(1)).as("n_bpe"))
+    Curate.packSequencesBy(counts, "id", col("n_bpe"),
+      budget = 2048, shards = 16)
+  }
+
   // ftfy-lite over a corpus corrupted IN the query: both engines derive
   // the same mojibake (curly-quote wrap + NBSP-artifact spaces) from the
   // shared mojibakeTable, so the fix verifies as a real transform, not a
@@ -1568,6 +1585,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_pack_bpe" -> (qPackBpe _),
     "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_phash_cluster" -> (qPhashCluster _),
@@ -2576,6 +2594,25 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
     "q_bpe_vocab" -> bpeVocabSql(BpeTrainSteps),
     "q_bpe_tokenize" -> bpeTokenizeSql(BpeTrainSteps),
+
+    // subword-budget packing: tokenize's per-doc counts pushed through
+    // the pack arithmetic (seed-29 shard hash, per-shard running sum)
+    "q_pack_bpe" ->
+      s"""WITH ${bpeChain(BpeTrainSteps)},
+         |enc AS (SELECT w, regexp_extract_all(s, '«([^»]*)»', 1) AS sy FROM w$BpeTrainSteps),
+         |dw AS (SELECT doc_id AS id, wl[i] AS w
+         |       FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i
+         |             FROM (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS wl FROM ($normDoc)))),
+         |cnt AS (SELECT dw.id, CAST(SUM(len(e.sy)) AS BIGINT) AS n_tok
+         |        FROM dw JOIN enc e USING (w) GROUP BY dw.id),
+         |tk AS (SELECT id, n_tok,
+         |  ('0x' || substr(md5('29#' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+         |  FROM cnt),
+         |c AS (SELECT id, shard, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY shard ORDER BY id ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+         |  FROM tk)
+         |SELECT id, shard, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+         | CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_id FROM c""".stripMargin,
 
     // corrupt-then-fix, both halves generated from the shared table
     "q_fix_text" -> {

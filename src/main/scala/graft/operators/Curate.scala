@@ -461,13 +461,23 @@ object Curate {
     * slice, never a global single-partition sort). Token counts are
     * the whitespace tokenizer's (TextFunctions.tokenCount), codegen'd. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 32, seed: Int = 29): DataFrame =
+    packSequencesBy(df, idCol, T.tokenCount(col(textCol)), budget,
+      shards, seed)
+
+  /** [[packSequences]] under an arbitrary per-row token-count column —
+    * the whitespace contract for raw text, a trained tokenizer's
+    * subword counts once one exists (a packing budget only means
+    * anything in the tokens the training job will actually see; see
+    * q_pack_bpe for the [[Bpe.tokenize]] composition). */
+  def packSequencesBy(df: DataFrame, idCol: String, nTok: Column,
       budget: Int, shards: Int = 32, seed: Int = 29): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val w = Window.partitionBy("shard").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("id"),
-        T.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        nTok.cast("long").as("n_tok"),
         pmod(H.hash32(seed, col(idCol).cast("string")), lit(shards)).as("shard"))
       .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
       .withColumn("seq_id", floor(col("start_tok") / budget))

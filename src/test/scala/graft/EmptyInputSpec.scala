@@ -60,6 +60,29 @@ class EmptyInputSpec extends SparkSpec {
     val noFeats = Seq.empty[(Long, Seq[Double])].toDF("media_id", "features")
     assert(graft.operators.Multimodal.phashPairs(
       noFeats, "media_id", "features", dim = 12, maxHam = 2).count() == 0)
+    // token-weighted mixture: same empty-normalizer escape as the
+    // doc-count form
+    assert(Curate.temperatureMixtureTokens(noDocs, "doc_id", "lang",
+      "text", alpha = 0.5, budgetTokens = 100).count() == 0)
+    // tokenize: empty corpus → empty vocabulary → empty stream; a
+    // non-empty rule list must not change that
+    assert(graft.operators.Bpe.tokenize(noDocs, "doc_id", "text",
+      Seq(("a", "b"))).count() == 0)
+    // rebuilding a sidecar from an empty fps store is a loud error,
+    // not a zero-bit filter that would prune everything
+    val dir = java.nio.file.Files.createTempDirectory("exreb").toString + "/idx"
+    graft.operators.Dedup.buildExactIndex(doc, "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/fps").limit(0)
+      .write.parquet(s"$dir/fps_empty")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/fps"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/fps_empty"),
+      new org.apache.hadoop.fs.Path(s"$dir/fps"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.rebuildExactSidecar(spark, dir)
+    }
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
   }
 
   test("streaming bench drains over an empty events frame") {
