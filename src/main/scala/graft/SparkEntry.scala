@@ -285,8 +285,14 @@ object SparkEntry {
     * oracle: the fit internals have no SQL form, but given the trained
     * (word, dim, val) table BOTH engines can read, the per-doc
     * averaging half of Word2Vec IS SQL — the same hand-off trick as
-    * the q_*_k1 degenerate configs, via a file instead of a formula. */
-  private val W2vAvgVectorsDir = new java.io.File(
+    * the q_*_k1 degenerate configs, via a file instead of a formula.
+    * The dump is keyed PER CORPUS (doc count + total text chars, a
+    * key the oracle re-derives from its own `documents` view) in its
+    * own subdirectory: a fixed path would let a later run at another
+    * scale factor overwrite the vectors between this query's Verify
+    * write and the driver's DuckDB read — order-dependent corruption
+    * the key makes impossible. */
+  private val W2vAvgVectorsBase = new java.io.File(
     sys.props("java.io.tmpdir"), "graft_w2v_avg_vectors").getAbsolutePath
 
   private val W2vAvgDim = 8
@@ -298,9 +304,14 @@ object SparkEntry {
   // rows-only for the fit internals only.
   private def qEmbedW2vAvg(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    val keyRow = docs.agg(count(lit(1)),
+      coalesce(sum(length(col("text"))), lit(0L))).head()
+    val key = s"${keyRow.getLong(0)}_${keyRow.getLong(1)}"
     val (embedded, vectors) = MlEmbed.word2vecDenseWithVectors(
       docs, "text", dim = W2vAvgDim)
-    vectors.coalesce(1).write.mode("overwrite").parquet(W2vAvgVectorsDir)
+    vectors.withColumn("corpus_key", lit(key))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$W2vAvgVectorsBase/$key")
     embedded.select(col("doc_id"),
         posexplode(col("dense_embedding")).as(Seq("dim", "val")))
       .select(col("doc_id"), col("dim").cast("long"),
@@ -2259,14 +2270,20 @@ object SparkEntry {
         |FROM tok t CROSS JOIN stats s""".stripMargin,
 
     // the averaging half of Word2Vec over the dumped fit vectors (same
-    // file the Spark side just wrote — the fit has no SQL form, the
-    // average does): avg = sum(vec(token)) / n_tokens with an ALL-token
-    // denominator (RegexTokenizer lowercases, then [a-z0-9]+); 0-token
-    // docs embed to the zero vector. `+ 0` folds DuckDB's -0.0 to 0.0
-    // (Spark's BigDecimal round never emits -0.0 — the sem_dedup trick)
+    // table the Spark side just wrote, selected by the corpus key this
+    // query re-derives from its own documents view — the fit has no
+    // SQL form, the average does): avg = sum(vec(token)) / n_tokens
+    // with an ALL-token denominator (RegexTokenizer lowercases, then
+    // [a-z0-9]+); 0-token docs embed to the zero vector. `+ 0` folds
+    // DuckDB's -0.0 to 0.0 (Spark's BigDecimal round never emits -0.0
+    // — the sem_dedup trick)
     "q_embed_w2v_avg" ->
       s"""WITH wv AS (SELECT word, dim, val
-        |           FROM '$W2vAvgVectorsDir/*.parquet'),
+        |           FROM '$W2vAvgVectorsBase/*/*.parquet'
+        |           WHERE corpus_key = (
+        |             SELECT CAST(COUNT(*) AS VARCHAR) || '_' ||
+        |                    CAST(COALESCE(SUM(length(text)), 0) AS VARCHAR)
+        |             FROM documents)),
         |dims AS (SELECT unnest(generate_series(0, ${W2vAvgDim - 1})) AS dim),
         |n AS (SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
