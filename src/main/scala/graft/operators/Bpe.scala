@@ -21,16 +21,20 @@ import graft.functions.{TextFunctions => T}
   * — so the merge list is a pure function of the corpus.
   *
   * Scale shape: ONE corpus-wide shuffle total (the word-count groupBy —
-  * map-side combined, output is the VOCABULARY). Every iteration after
-  * that runs on the vocabulary frame: pair explode + groupBy (narrow,
-  * vocab-bounded), a 1-row bounded collect of the winning pair (the
-  * codebook-literal pattern), and a codegen'd aggregate() fold that
-  * rewrites each word's symbol array in place — no UDF, no driver-side
-  * corpus state. Lineage is cut with localCheckpoint every iteration
-  * (vocab-sized blocks, reclaimed by the ContextCleaner); at 100 TB
-  * train on a [[Curate.stratifiedSample]] of the corpus like every
-  * production tokenizer run does — the trainer's cost is then
-  * sample-bounded end to end.
+  * map-side combined, output is the VOCABULARY). Everything after that
+  * is vocabulary-bounded, in one of two tiers ([[train]]'s scaladoc):
+  * the default finishes the merge loop DRIVER-LOCALLY on the collected
+  * vocab (the HF-tokenizers shape — one bounded collect, no per-merge
+  * scheduler round-trips); an over-cap vocabulary falls back to the
+  * distributed loop — pair explode + groupBy per iteration, a 1-row
+  * argmax collect (the codebook-literal pattern), and a codegen'd
+  * aggregate() fold rewriting symbol arrays, lineage cut per
+  * iteration. Encoding dispatches the same way ([[FoldRuleCap]]):
+  * codegen'd folds for short rule lists, a broadcast per-partition
+  * kernel for production-length ones. At 100 TB train on a
+  * [[Curate.stratifiedSample]] of the corpus like every production
+  * tokenizer run does — the trainer's cost is then sample-bounded end
+  * to end.
   */
 object Bpe {
 
