@@ -203,7 +203,7 @@ object Bpe {
     * [[mergePair]] fold, element-for-element equal by construction:
     * append unless the accumulated tail is exactly `a` and the incoming
     * symbol `b`, in which case the tail becomes `a+b`. */
-  private def mergeOnce(s: Array[String], a: String, b: String): Array[String] = {
+  private[graft] def mergeOnce(s: Array[String], a: String, b: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
     var i = 0
     while (i < s.length) {

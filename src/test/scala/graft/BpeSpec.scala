@@ -230,6 +230,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode reconstruction invariant: syms always concatenate back to word + </w>, any rules, either tier") {
+    val rnd = new scala.util.Random(97L)
+    val words = (0 until 150).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+    }
+    val df = words.toDF("id", "text")
+    val alphabet = Seq("a", "b", "c", "d", "ab", "cd", "abc", "</w>", "d</w>")
+    def randomRules(n: Int) = (0 until n).map { _ =>
+      (alphabet(rnd.nextInt(alphabet.length)),
+        alphabet(rnd.nextInt(alphabet.length)))
+    }
+    // 20 rules → fold tier; 120 → kernel tier (FoldRuleCap dispatch)
+    Seq(20, 120).foreach { n =>
+      val got = Bpe.encode(df, "text", randomRules(n))
+        .select("w", "syms").as[(String, Seq[String])].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (w, syms) =>
+        assert(syms.mkString == w + "</w>",
+          s"tier n=$n word '$w' reassembled to '${syms.mkString}'")
+      }
+    }
+  }
+
   test("merge fold matches the reference scan on randomized symbol runs") {
     // overlapping-run cases ("aaa" under (a,a) merges greedily left to
     // right) are where a fold can silently diverge from the published

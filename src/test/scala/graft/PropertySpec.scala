@@ -52,6 +52,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Bpe.mergeOnce: conserves characters, leaves no mergeable pair, idempotent") {
+    import graft.operators.Bpe
+    val symGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "bc"))
+    val ruleGen = Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc"),
+      Gen.oneOf("a", "b", "c", "ab", "bc"))
+    forSamples(Gen.zip(symGen, ruleGen)) { case (symsList, (a, b)) =>
+      val syms = symsList.toArray
+      val out = Bpe.mergeOnce(syms, a, b)
+      // conservation: merging concatenates, never loses or invents
+      assert(out.mkString == syms.mkString, s"(${syms.toSeq}, $a, $b)")
+      // completeness: one greedy pass leaves no adjacent (a, b) — the
+      // merged symbol a+b can never re-expose an (a, b) adjacency
+      // (a+b == a or b needs an empty half), so a second pass is a
+      // no-op and rule order alone determines the final form
+      val pairs = out.zip(out.tail)
+      assert(!pairs.contains((a, b)), s"leftover pair: (${out.toSeq})")
+      assert(Bpe.mergeOnce(out, a, b).toSeq == out.toSeq, "not idempotent")
+    }
+  }
+
   test("stubDecode: deterministic, dimension-exact, bounded") {
     forSamples(Gen.zip(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
         Gen.choose(1, 64))) { case (bytes, dim) =>
