@@ -330,21 +330,66 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(rules.toArray)
     wordCounts(df, textCol).as[(String, Long)].mapPartitions { it =>
       val rs = bc.value
-      it.map { case (w, n) =>
-        var s = w.toCharArray.map(_.toString) :+ EndOfWord
-        var pairs: Set[(String, String)] =
-          (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
-        var i = 0
-        while (i < rs.length && pairs.nonEmpty) {
-          val r = rs(i)
-          if (pairs.contains(r)) {
-            s = mergeOnce(s, r._1, r._2)
-            pairs = (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
-          }
-          i += 1
-        }
-        (w, s, n)
-      }
+      it.map { case (w, n) => (w, applyRules(w, rs), n) }
     }.toDF("w", "syms", "n")
+  }
+
+  /** The per-word imperative kernel both [[encodeKernel]] and the
+    * streaming tokenizer share: char-split + terminal, then each rule
+    * in order via the greedy [[mergeOnce]] scan, skipping rules whose
+    * pair is absent (O(rules) hash probes + O(len²) merge work). */
+  private[graft] def applyRules(w: String,
+      rs: Array[(String, String)]): Array[String] = {
+    var s = w.toCharArray.map(_.toString) :+ EndOfWord
+    var pairs: Set[(String, String)] =
+      (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
+    var i = 0
+    while (i < rs.length && pairs.nonEmpty) {
+      val r = rs(i)
+      if (pairs.contains(r)) {
+        s = mergeOnce(s, r._1, r._2)
+        pairs = (0 until s.length - 1).map(j => (s(j), s(j + 1))).toSet
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Streaming tokenization — [[tokenize]]'s stream-static form for
+    * the online ingest path: the trained rule list broadcasts once and
+    * the kernel applies per arriving word (a narrow mapPartitions —
+    * stateless, no watermark, no state store, composes after
+    * [[graft.streaming.StreamCurate.curateStream]]); symbol ids pin to
+    * the STATIC `ref` corpus's vocabulary (the same
+    * lexicographic numbering the batch form derives from its own
+    * input — stream-derived ids would renumber every micro-batch,
+    * the static-ref argument of the curation streams). A stream
+    * symbol outside the reference vocabulary keeps sym_id NULL —
+    * loud in the data, the signal to retrain/renumber. Works on batch
+    * frames too (it is simply stream-safe). */
+  def tokenizeStream(stream: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)], ref: DataFrame,
+      refTextCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules.toArray)
+    // vocabulary ids from the static reference — bounded, broadcast
+    val vocabIds = encode(ref, refTextCol, rules)
+      .select(explode(col("syms")).as("symbol")).distinct()
+      .withColumn("sym_id",
+        row_number().over(Window.orderBy("symbol")).cast("long") - 1)
+    val words = stream.select(col(idCol).cast("long").as("id"),
+      posexplode(T.wsTokens(T.normText(col(textCol)))).as(Seq("wpos", "w")))
+    val syms = words.as[(Long, Int, String)].mapPartitions { it =>
+      val rs = bc.value
+      it.flatMap { case (id, wpos, w) =>
+        applyRules(w, rs).zipWithIndex.map { case (sym, sp) =>
+          (id, wpos.toLong, sp.toLong, sym) }
+      }
+    }.toDF("id", "wpos", "spos", "symbol")
+    syms.join(broadcast(vocabIds), Seq("symbol"), "left")
+      .select(col("id"), col("wpos"), col("spos"), col("symbol"),
+        col("sym_id"))
   }
 }

@@ -289,6 +289,44 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size < 12, "every doc admitted — no gate actually bit")
   }
 
+  test("tokenizeStream: drained subword streams equal batch tokenize; OOV symbols keep NULL ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val ref = Seq((0L, "low lower newest widest"), (1L, "low newest"))
+      .toDF("id", "text")
+    val rulesDf = Bpe.train(ref, "text", numMerges = 6)
+    val rules = rulesDf.orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    // feed covers exactly the reference's word set (ids must line up
+    // with batch tokenize's own-input numbering) plus one OOV doc
+    val feed = Seq((10L, "low lower"), (11L, "newest widest low"),
+      (12L, "zzz"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.tokenizeStream(mem.toDF().toDF("id", "text"), "id", "text",
+        rules, ref, "text")
+      .writeStream.format("memory").queryName("stok")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(feed.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(feed.drop(2): _*)
+    q.processAllAvailable()
+    val drained = spark.table("stok")
+      .as[(Long, Long, Long, String, Option[Long])].collect().toSet
+    q.stop()
+    // in-vocab docs: bit-equal to the batch form (same word set as the
+    // reference → identical symbol set → identical lexicographic ids)
+    val batch = Bpe.tokenize(feed.take(2).toDF("id", "text"), "id", "text",
+        rules)
+      .as[(Long, Long, Long, String, Option[Long])].collect().toSet
+    assert(drained.filter(_._1 != 12L) == batch,
+      s"\ndrained ${drained.filter(_._1 != 12L)}\nbatch   $batch")
+    // the OOV doc tokenizes (kernel needs no vocabulary) but its
+    // unseen symbols carry NULL ids — loud, never silently renumbered
+    val oov = drained.filter(_._1 == 12L)
+    assert(oov.nonEmpty)
+    assert(oov.filter(_._4 == "z").forall(_._5.isEmpty), s"$oov")
+  }
+
   test("packSequencesStream: drained stream equals batch packSequences on the same prefix") {
     implicit val sqlCtx = spark.sqlContext
     val docsSeq = (0L until 20L).map(i =>
