@@ -29,4 +29,16 @@ class RegistryCountSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql entries without a queries entry: $orphans")
   }
+
+  test("every q_* name cited in SURVEY §2 exists in the registry") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sec2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val cited = "`(q_\\w+)`".r.findAllMatchIn(sec2).map(_.group(1)).toSet
+    val ghosts = cited -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty,
+      s"SURVEY §2 cites queries the registry does not have: $ghosts")
+  }
 }
