@@ -162,6 +162,14 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(mixPhys.contains("BroadcastHashJoin"),
       s"mixture thresholds not broadcast:\n$mixPhys")
+    // token-weighted form: same threshold-broadcast shape — the token
+    // sum rides the stratum groupBy, never a second corpus pass
+    val mixTokPhys = Curate.temperatureMixtureTokens(docs
+        .withColumn("lang", when(col("id") % 3 === 0, "en").otherwise("de")),
+        "id", "lang", "text", alpha = 0.5, budgetTokens = 200)
+      .queryExecution.executedPlan.toString
+    assert(mixTokPhys.contains("BroadcastHashJoin"),
+      s"token-mixture thresholds not broadcast:\n$mixTokPhys")
     // shuffleShards: exactly one exchange (the shard hash partition) —
     // the per-shard rank must reuse it, never add a second shuffle
     val shufPhys = Curate.shuffleShards(docs, "id", numShards = 4)
