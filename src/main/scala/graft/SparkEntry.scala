@@ -812,6 +812,29 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("features")),
       "id", "features", dim = 16, maxHam = 2, thresh = 0.0)
 
+  /** The persisted phash history index for q_phash_index: everything
+    * but the first five assets is "already ingested"; built once per
+    * JVM per data dir (the persisted-index shape). */
+  private def phashIdx(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_phash_idx_${dirKey(dir)}") { d =>
+      Multimodal.buildPhashIndex(
+        t(s, dir, "embeddings").filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("id"), col("embedding").as("features")),
+        "id", "features", d, dim = 16, maxHam = 2, thresh = 0.0)
+    }
+
+  // the media-dedup HISTORY lifecycle: probe the persisted signature
+  // index with a "new crawl" batch (the first five assets under fresh
+  // ids — re-encodes of known media); banding is pure pruning, so the
+  // oracle is the brute batch×history hamming filter
+  private def qPhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val batch = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("id"),
+        col("embedding").as("features"))
+    Multimodal.dedupPhashAgainstIndex(s, phashIdx(s, dir), batch,
+      "id", "features")
+  }
+
   // media near-dup families end to end (the LAION-style re-encode
   // collapse): sign-threshold signatures → banded hamming pairs →
   // connected components → keep the best member per family (max label
@@ -1600,6 +1623,7 @@ object SparkEntry {
     "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_phash_cluster" -> (qPhashCluster _),
+    "q_phash_index" -> (qPhashIndex _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -2568,6 +2592,19 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
         |FROM sig a JOIN sig b ON a.id < b.id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin,
+
+    // batch-vs-history media dedup: the banded index probe is pure
+    // pruning, so the oracle is the brute bipartite hamming filter
+    "q_phash_index" ->
+      """WITH sig AS (
+        |  SELECT vec_id AS id,
+        |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 15) AS t(j)) AS sig
+        |  FROM embeddings),
+        |h AS (SELECT id, sig FROM sig WHERE id >= 5),
+        |b AS (SELECT id + 1000000 AS id_new, sig FROM sig WHERE id < 5)
+        |SELECT b.id_new, h.id AS id_old, bit_count(xor(b.sig, h.sig)) AS hamming
+        |FROM b JOIN h ON bit_count(xor(b.sig, h.sig)) <= 2""".stripMargin,
 
     // phash families: the same all-pairs hamming graph, components via
     // the reach CTE, then per-family keep (label desc, id asc) — the

@@ -115,32 +115,127 @@ object Multimodal {
     * candidates then verify on the codegen'd XOR popcount. Input is an
     * (id, features) frame from [[decodeFeatures]] or any embedder at
     * the same seam. */
-  def phashPairs(df: DataFrame, idCol: String, featuresCol: String,
-      dim: Int, maxHam: Int = 2, thresh: Double = 0.5): DataFrame = {
+  /** Banding parameters shared by [[phashPairs]] and the persisted
+    * index: maxHam+1 bands, ceil width, last band absorbs the
+    * remainder — any pair within maxHam leaves ≥1 band untouched. */
+  private def bandParams(dim: Int, maxHam: Int): (Int, Int) = {
     require(maxHam >= 0, "maxHam must be non-negative")
     val bands = maxHam + 1
     require(dim >= bands, s"need dim >= ${bands} bands (dim=$dim)")
     val width = (dim + bands - 1) / bands // ceil: all bits live in a band
     require((bands - 1) * width < dim,
       s"dim=$dim cannot split into $bands non-empty bands — lower maxHam")
-    // ids compare in their NATIVE type (the simhashPairs convention): a
-    // cast("long") here would turn non-numeric ids into NULLs, the
-    // a.id < b.id predicate would then drop every pair, and the
-    // operator would return empty instead of failing loudly
-    val sig = df.select(col(idCol).as("id"),
+    (bands, width)
+  }
+
+  // ids keep their NATIVE type throughout (the simhashPairs
+  // convention): a cast("long") would turn non-numeric ids into NULLs
+  // and silently empty every downstream join
+  private def signatures(df: DataFrame, idCol: String, featuresCol: String,
+      dim: Int, thresh: Double): DataFrame =
+    df.select(col(idCol).as("id"),
       phashBits(col(featuresCol), dim, thresh).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+
+  private def bandedSigs(sig: DataFrame, dim: Int, bands: Int,
+      width: Int): DataFrame =
+    sig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         val w = math.min(width, dim - b * width) // last band: remainder
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * width).bitwiseAND((1L << w) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+
+  def phashPairs(df: DataFrame, idCol: String, featuresCol: String,
+      dim: Int, maxHam: Int = 2, thresh: Double = 0.5): DataFrame = {
+    val (bands, width) = bandParams(dim, maxHam)
+    val banded = bandedSigs(
+      signatures(df, idCol, featuresCol, dim, thresh), dim, bands, width)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** Persist a perceptual-hash media-dedup HISTORY index — the LAION
+    * lifecycle's missing half: a crawl's media signatures stored once
+    * as the banded key table, so every later batch probes by band-key
+    * join without recomputing (or re-shuffling) history. Layout under
+    * `dir`: `bands/` (id, sig, band, key — bands× rows per asset, four
+    * scalars each), the compact `ids` sidecar (replay guard), and
+    * `meta` (dim, max_ham, thresh — probes and appends derive their
+    * banding from the stored parameters, never from caller arguments
+    * that could drift). */
+  def buildPhashIndex(df: DataFrame, idCol: String, featuresCol: String,
+      dir: String, dim: Int, maxHam: Int = 2, thresh: Double = 0.5): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (bands, width) = bandParams(dim, maxHam)
+    val sig = signatures(df, idCol, featuresCol, dim, thresh).cache()
+    bandedSigs(sig, dim, bands, width)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    IndexFiles.writeIds(sig.select("id").distinct(), dir)
+    sig.unpersist()
+    Seq((dim, maxHam, thresh)).toDF("dim", "max_ham", "thresh")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a batch's signatures to a persisted [[buildPhashIndex]] in
+    * O(batch): banding parameters come from the stored meta, so an
+    * appended index is bit-equal to one rebuilt over the union corpus
+    * (signatures are deterministic in (dim, thresh)). Batch ids must
+    * be disjoint from stored ids (checked against the `ids` sidecar —
+    * a replayed id would pair an asset with itself at hamming 0).
+    * Rides the shared [[IndexFiles.appendStaged]] journal, so a crash
+    * anywhere is repaired by the next append. */
+  def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String,
+      featuresCol: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bands"))
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
+      m.getAs[Int]("max_ham"), m.getAs[Double]("thresh"))
+    val (bands, width) = bandParams(dim, maxHam)
+    val sig = signatures(newDf, idCol, featuresCol, dim, thresh).cache()
+    val batchIds = sig.select("id").distinct()
+    val replayed = IndexFiles.ensureIds(spark, dir,
+        spark.read.parquet(s"$dir/bands").select("id").distinct())
+      .join(broadcast(batchIds), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already " +
+        "exists in the index — a replayed id would self-pair at hamming 0")
+    IndexFiles.appendStaged(spark, dir,
+      Seq(("bands", bandedSigs(sig, dim, bands, width), Seq.empty)),
+      Some(batchIds))
+    sig.unpersist(); ()
+  }
+
+  /** Near-dup media pairs between a NEW batch and the stored history —
+    * [[phashPairs]] with the join flipped batch-vs-index: the batch's
+    * band keys BROADCAST (small by the feature's premise) against the
+    * stored band table, which is scanned in place and never shuffled;
+    * candidates verify on the codegen'd XOR popcount. Exact vs the
+    * brute batch×history hamming filter (banding is the same
+    * pigeonhole). Returns (id_new, id_old, hamming). The batch is NOT
+    * deduped against itself — run [[phashPairs]] on it separately. */
+  def dedupPhashAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String,
+      featuresCol: String): DataFrame = {
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
+      m.getAs[Int]("max_ham"), m.getAs[Double]("thresh"))
+    val (bands, width) = bandParams(dim, maxHam)
+    val nb = bandedSigs(
+      signatures(batch, idCol, featuresCol, dim, thresh), dim, bands, width)
+    broadcast(nb).as("n")
+      .join(spark.read.parquet(s"$dir/bands").as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.id").as("id_new"), col("o.id").as("id_old"),
+        bit_count(col("n.sig").bitwiseXOR(col("o.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHam)
   }

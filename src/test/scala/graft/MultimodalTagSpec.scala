@@ -70,6 +70,57 @@ class MultimodalTagSpec extends SparkSpec {
     }
   }
 
+  test("phash index lifecycle: probe equals brute bipartite; append equals rebuild; replay throws") {
+    // history: 30 assets in 3 families; batch: 6 new assets, 4 of them
+    // re-encodes of history families, 2 novel
+    def payloads(ids: Seq[Long], famOf: Long => String) =
+      ids.map(i => (i, famOf(i).getBytes("UTF-8"), "image"))
+        .toDF("media_id", "payload", "kind")
+    val hist = Multimodal.decodeFeatures(
+      payloads(0L until 30L, i => s"asset-${i % 3}"), "media_id", "payload",
+      dim = 12)
+    val batch = Multimodal.decodeFeatures(
+      payloads(100L until 106L,
+        i => if (i < 104) s"asset-${i % 2}" else s"novel-$i"),
+      "media_id", "payload", dim = 12)
+    val dir = java.nio.file.Files.createTempDirectory("phidx").toString + "/idx"
+    Multimodal.buildPhashIndex(hist, "media_id", "features", dir,
+      dim = 12, maxHam = 2)
+    def probe(d: String) =
+      Multimodal.dedupPhashAgainstIndex(spark, d, batch, "media_id",
+        "features").as[(Long, Long, Int)].collect().toSet
+    val got = probe(dir)
+    // brute bipartite over the same signatures, plain Scala
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Double])].collect().map { case (id, f) =>
+        id -> (0 until 12).map(j => if (f(j) >= 0.5) 1L << j else 0L).sum }
+    val brute = (for {
+      (n, sn) <- sigsOf(batch.select("media_id", "features"))
+      (o, so) <- sigsOf(hist.select("media_id", "features"))
+      h = java.lang.Long.bitCount(sn ^ so) if h <= 2
+    } yield (n, o, h)).toSet
+    assert(got == brute, s"probe ${got.size} vs brute ${brute.size}")
+    // the re-encode batch assets hit their families; novel ones match
+    // nothing at hamming 0 with certainty only if their features differ
+    assert(got.exists(_._1 == 100L) && got.exists(_._1 == 103L))
+    // append == rebuild: extend history by a second day, probe again,
+    // compare with an index built from scratch over the union
+    val day2 = Multimodal.decodeFeatures(
+      payloads(200L until 210L, i => s"asset-${i % 3}"), "media_id",
+      "payload", dim = 12)
+    Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features")
+    val dirFull = java.nio.file.Files.createTempDirectory("phfull").toString + "/idx"
+    Multimodal.buildPhashIndex(
+      hist.unionByName(day2), "media_id", "features", dirFull,
+      dim = 12, maxHam = 2)
+    assert(probe(dir) == probe(dirFull), "appended index != rebuilt index")
+    // replayed ids are rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features")
+    }
+    assert(ex.getMessage.contains("already"), ex.getMessage)
+  }
+
   test("sampleFrames: one frame per everyMs of stub duration") {
     val withMeta = Multimodal.withMetadata(media, "payload", "kind")
     val frames = Multimodal.sampleFrames(withMeta, "media_id", everyMs = 60000L)
