@@ -711,6 +711,56 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_sz"))
   }
 
+  /** Assign a NEW batch to an existing near-dup cluster map WITHOUT
+    * reclustering history — the daily shape for the persisted
+    * [[dupClusters]] assignment table: [[dedupAgainstIndex]] pairs the
+    * batch against the stored minhash index (O(batch), history scanned
+    * in place); each batch doc adopts the MINIMUM cluster label among
+    * its matches, with matched ids resolved through `clusterMap` (ids
+    * the map doesn't know label themselves — the keepCanonical
+    * singleton convention); unmatched docs become singletons under
+    * their own id. Returns (id, cluster_id, n_matched_clusters) for
+    * every batch doc.
+    *
+    * Semantics vs reclustering from scratch: adoption never MERGES two
+    * existing clusters that a new doc bridges — the accepted gap of
+    * every incremental assignment scheme (periodic reclustering closes
+    * it). The gap is VISIBLE, not silent: n_matched_clusters > 1 marks
+    * exactly the bridging docs, so the caller can count them and
+    * schedule the re-cluster when the bridge rate warrants it. Match
+    * exactness is [[dedupAgainstIndex]]'s (banding + exact Jaccard
+    * verify, same tau).
+    *
+    * Scale shape: the pair set is batch-bounded and checkpointed once;
+    * the corpus-sized cluster map is never shuffled — it is scanned
+    * once under a BROADCAST semi filter of the matched old ids, and
+    * the surviving batch-bounded slice broadcasts back into the label
+    * resolution. Per daily batch: O(batch) + one map scan. */
+  def assignToClusters(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, clusterMap: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double = 0.5): DataFrame = {
+    // consumed twice below (semi filter + label join) — materialize the
+    // whole probe pipeline once
+    val pairs = dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+      .select(col("id_new"), col("id_old")).localCheckpoint()
+    val cmSlice = clusterMap
+      .select(col("id").as("id_old"), col("cluster_id"))
+      .join(broadcast(pairs.select("id_old").distinct()),
+        Seq("id_old"), "left_semi")
+    val adopted = pairs
+      .join(broadcast(cmSlice), Seq("id_old"), "left")
+      .select(col("id_new"),
+        coalesce(col("cluster_id"), col("id_old")).as("lbl"))
+      .groupBy("id_new")
+      .agg(min("lbl").as("adopted"),
+        countDistinct("lbl").as("n_matched_clusters"))
+    batch.select(col(idCol).as("id")).distinct()
+      .join(adopted, col("id") === adopted("id_new"), "left")
+      .select(col("id"),
+        coalesce(col("adopted"), col("id")).as("cluster_id"),
+        coalesce(col("n_matched_clusters"), lit(0L)).as("n_matched_clusters"))
+  }
+
   /** Collapse each near-dup cluster to one canonical survivor — the
     * keep-best half of fuzzy dedup (exact dedup keeps min id; curated
     * training sets keep the highest-QUALITY member of each near-dup

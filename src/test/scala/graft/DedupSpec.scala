@@ -390,6 +390,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs() == before, "re-appended doc did not restore its pairs")
   }
 
+  test("assignToClusters: adoption, singletons, map-unknown matches, and visible bridges") {
+    val tA = "alpha pattern repeated words here again and again today"
+    val tB = "totally different beta content with other vocabulary items"
+    val tC = "gamma standalone text never clustered with anything else"
+    val history = Seq((1L, tA), (2L, tA), (3L, tB), (4L, tB), (5L, tC))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("asgn").toString + "/idx"
+    // r=1 banding (12 bands of 1): any shared minhash candidates a pair
+    // — the bridge doc's minhashes are each the min of its two halves'
+    Dedup.buildMinhashIndex(history, "id", "text", dir,
+      w = 8, numHashes = 12, bands = 12)
+    // cluster map from the history's own verified pairs: {1,2} under
+    // label 1, {3,4} under 3; doc 5 is a singleton (absent from the map)
+    val clusterMap = Dedup.dupClusters(
+      Dedup.minhashLsh(history, "id", "text", w = 8, numHashes = 12,
+        bands = 12, tau = 0.3).select("id_a", "id_b"))
+    val batch = Seq(
+      (10L, tA),            // re-crawl of the A family → adopts label 1
+      (11L, "wholly novel content unlike any stored document at all"),
+      (12L, tA + " " + tB), // bridges A and B → adopts min, bridge visible
+      (13L, tC))            // matches a doc the MAP doesn't know → label 5
+      .toDF("id", "text")
+    val got = Dedup.assignToClusters(spark, dir, clusterMap, batch,
+        "id", "text", tau = 0.3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 1L, 1L), (11L, 11L, 0L), (12L, 1L, 2L),
+      (13L, 5L, 1L)), s"got $got")
+  }
+
   test("dedupSegments: only the globally first occurrence of each paragraph survives") {
     val pdocs = Seq(
       (1L, "alpha\nshared one\nbeta"),
