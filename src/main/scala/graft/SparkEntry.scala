@@ -1001,6 +1001,21 @@ object SparkEntry {
     Curate.shuffleShards(mixed, "id", numShards = 8)
   }
 
+  // span-precision contamination: the exact char ranges of each corpus
+  // doc that verbatim-overlap the doc_id<25 benchmark split
+  private def qContamSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.contaminatedSpans(docs.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text")
+  }
+
+  // surgical decontamination: those spans cut out, every doc surviving
+  private def qDecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.removeContaminatedSpans(docs.filter(col("doc_id") >= 25),
+      docs.filter(col("doc_id") < 25), "doc_id", "text")
+  }
+
   // CCNet-style quality signal: bigram cross-entropy of every doc under
   // a model trained on the corpus itself (the head/middle/tail bucketer).
   private def qPerplexity(s: SparkSession, dir: String): DataFrame =
@@ -1606,6 +1621,8 @@ object SparkEntry {
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_contam_score" -> (qContamScore _),
+    "q_contam_spans" -> (qContamSpans _),
+    "q_decontaminate_spans" -> (qDecontaminateSpans _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_temperature_mix_tokens" -> (qTemperatureMixTokens _),
@@ -2518,6 +2535,42 @@ object SparkEntry {
          |b AS (SELECT DISTINCT h FROM s WHERE doc_id < 25)
          |SELECT s.doc_id AS id, count(*) AS hits
          |FROM s JOIN b USING (h) WHERE s.doc_id >= 25 GROUP BY 1""".stripMargin,
+
+    // span-precision contamination: corpus positions whose 13-char
+    // shingle hash appears in the benchmark split, islanded — the
+    // q_repeated_spans machinery with the duplicate set swapped for
+    // the benchmark's shingle set
+    "q_contam_spans" ->
+      s"""WITH sh AS (SELECT doc_id, i, ('0x' || substr(md5(substr(t, CAST(i AS INT), 13)), 1, 8))::BIGINT AS h
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 12)) AS i FROM ($normDoc) WHERE length(t) >= 13)),
+         |bs AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+         |cov AS (SELECT s.doc_id, s.i FROM sh s JOIN bs USING (h) WHERE s.doc_id >= 25),
+         |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g FROM cov)
+         |SELECT doc_id AS id, CAST(min(i) AS BIGINT) AS span_start,
+         | CAST(max(i) + 12 AS BIGINT) AS span_end,
+         | CAST(max(i) - min(i) + 13 AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, g
+         |HAVING max(i) - min(i) + 13 >= 13""".stripMargin,
+
+    // the surgical removal: every corpus doc survives minus the spans
+    // (the q_remove_spans splice, contamination-flagged)
+    "q_decontaminate_spans" ->
+      s"""WITH sh AS (SELECT doc_id, i, ('0x' || substr(md5(substr(t, CAST(i AS INT), 13)), 1, 8))::BIGINT AS h
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 12)) AS i FROM ($normDoc) WHERE length(t) >= 13)),
+         |bs AS (SELECT DISTINCT h FROM sh WHERE doc_id < 25),
+         |cov AS (SELECT s.doc_id, s.i FROM sh s JOIN bs USING (h) WHERE s.doc_id >= 25),
+         |isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g FROM cov),
+         |sp AS (SELECT doc_id, min(i) AS s, max(i) + 12 AS e
+         |       FROM isl GROUP BY doc_id, g HAVING max(i) - min(i) + 13 >= 13),
+         |ch AS (SELECT doc_id, j, substr(t, CAST(j AS INT), 1) AS c
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS j FROM ($normDoc) WHERE doc_id >= 25)),
+         |kept AS (SELECT doc_id, string_agg(c, '' ORDER BY j) AS clean
+         |         FROM ch WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = ch.doc_id AND ch.j BETWEEN sp.s AND sp.e)
+         |         GROUP BY doc_id)
+         |SELECT d.doc_id AS id, coalesce(kept.clean, '') AS clean
+         |FROM ($normDoc) d LEFT JOIN kept USING (doc_id)
+         |WHERE d.doc_id >= 25""".stripMargin,
 
     // the report form: totals + hits + 6dp fraction; hits/n divides the
     // same integers in both engines, so the rounded fraction is exact

@@ -78,6 +78,44 @@ object Curate {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** The char spans of `df` that verbatim-overlap the benchmark — the
+    * SPAN-precision form of contamination: positions whose w-char
+    * shingle (same md5-slice hash space as [[contamination]]) appears
+    * anywhere in `bench`, collapsed to gap-and-island ranges ≥ minLen
+    * chars (default = w: any verbatim benchmark run is a leak).
+    * Returns (id, span_start, span_end, span_len), 1-based inclusive
+    * over the NORMALIZED text.
+    *
+    * Scale shape: the benchmark's shingle-hash set is eval-suite-sized
+    * and broadcasts into a semi filter on the corpus's position
+    * stream; the only wide step is the per-doc island window —
+    * identical to [[Dedup.repeatedSpans]]'s plan with the
+    * corpus-wide duplicate groupBy replaced by the broadcast. */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, w: Int = 13, minLen: Int = 0): DataFrame = {
+    val len = if (minLen <= 0) w else minLen
+    require(w > 0 && len >= w, "need w > 0 and minLen >= w")
+    val flagged = Dedup.shinglePositions(bench, idCol, textCol, w)
+      .select("h").distinct()
+    Dedup.spanIslands(
+      Dedup.shinglePositions(corpus, idCol, textCol, w)
+        .join(broadcast(flagged), Seq("h"), "left_semi"),
+      w, len)
+  }
+
+  /** Surgical decontamination: cut the benchmark-overlapping spans out
+    * of each doc instead of dropping the doc ([[decontaminate]]'s
+    * doc-level form wastes the rest of a long page over one leaked
+    * sentence). Every corpus doc survives with (id, clean) — clean =
+    * normalized text minus the contaminated ranges, '' when fully
+    * covered. The splice is [[Dedup.removeRepeatedSpans]]'s
+    * clamped-cursor aggregate, shared. */
+  def removeContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, w: Int = 13,
+      minLen: Int = 0): DataFrame =
+    Dedup.spliceOutSpans(corpus, idCol, textCol,
+      contaminatedSpans(corpus, bench, idCol, textCol, w, minLen))
+
   /** Deterministic stratified sampling for mixture weighting: keep a row
     * iff hash(seed, id) mod 1e6 falls under its stratum's fraction.
     * `fractions` maps stratum value → keep fraction in [0,1]; strata

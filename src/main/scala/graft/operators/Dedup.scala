@@ -451,13 +451,7 @@ object Dedup {
     * grouping is a per-doc window — doc-bounded, never global. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 13, minLen: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(w > 0 && minLen >= w, "need w > 0 and minLen >= w")
-    val base = spread(df)
-      .select(col(idCol).as("id"), T.normText(col(textCol)).as("t"))
-      // sequence(1, len-w+1) would run DESCENDING for len < w — filter,
-      // don't clamp (a short doc has no w-shingle positions at all)
-      .filter(length(col("t")) >= w)
     // localCheckpointed (not cache()d): the O(total chars) explode+md5
     // stream feeds both the duplicated-hash groupBy and the semi-join
     // probe side, but a CacheManager entry would outlive the call until
@@ -465,16 +459,35 @@ object Dedup {
     // reclaimed by the ContextCleaner once the returned frame is
     // dropped, so repeated calls in a long-lived session don't
     // accumulate storage.
-    val sh = base.select(col("id"),
+    val sh = shinglePositions(df, idCol, textCol, w).localCheckpoint()
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    spanIslands(sh.join(dup, Seq("h"), "left_semi"), w, minLen)
+  }
+
+  /** (id, i, h) shingle-start positions in the md5-slice 32-bit hash
+    * space over normalized text — the position stream [[repeatedSpans]]
+    * and [[graft.operators.Curate.contaminatedSpans]] both island
+    * over. Positions are 1-based; docs shorter than `w` have none. */
+  private[graft] def shinglePositions(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame =
+    spread(df)
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("t"))
+      .filter(length(col("t")) >= w)
+      .select(col("id"),
         explode(sequence(lit(1), length(col("t")) - (w - 1))).as("i"),
         col("t"))
       .select(col("id"), col("i"),
         conv(substring(md5(col("t").substr(col("i"), lit(w))), 1, 8), 16, 10)
           .cast("long").as("h"))
-      .localCheckpoint()
-    val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("h")
-    val cov = sh.join(dup, Seq("h"), "left_semi")
+
+  /** Gap-and-island grouping of flagged shingle positions into char
+    * spans: consecutive start positions collapse (i − row_number is
+    * constant inside a run), each island covers [min i, max i + w − 1].
+    * Shared by [[repeatedSpans]] and the decontamination spans. */
+  private[graft] def spanIslands(cov: DataFrame, w: Int,
+      minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wn = Window.partitionBy("id").orderBy("i")
     cov.withColumn("g", col("i") - row_number().over(wn))
       .groupBy("id", "g")
@@ -500,8 +513,17 @@ object Dedup {
     * codegen'd aggregate() splice — no extra shuffle beyond the span
     * groupBy, no driver-side strings. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 13, minLen: Int = 30): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, w, minLen)
+      w: Int = 13, minLen: Int = 30): DataFrame =
+    spliceOutSpans(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, w, minLen))
+
+  /** The splice half shared with the decontamination spans: delete the
+    * flagged (span_start, span_end) char ranges from each doc's
+    * normalized text and reassemble the rest — the clamped-cursor
+    * aggregate() documented on [[removeRepeatedSpans]]. */
+  private[graft] def spliceOutSpans(df: DataFrame, idCol: String,
+      textCol: String, flaggedSpans: DataFrame): DataFrame = {
+    val spans = flaggedSpans
       .groupBy("id").agg(sort_array(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
     val base = df.select(col(idCol).as("id"), T.normText(col(textCol)).as("t"))

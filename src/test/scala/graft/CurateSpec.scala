@@ -237,6 +237,39 @@ class CurateSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("contaminatedSpans / removeContaminatedSpans: surgical excision, hand-checked") {
+    // bench sentence (>= 13 chars after normText) leaked into doc 10's
+    // middle; doc 11 is a verbatim bench copy; doc 12 is clean
+    val leak = "the secret benchmark answer is forty two"
+    val bench = Seq((1L, leak)).toDF("id", "text")
+    val pre = "perfectly ordinary prefix text "
+    val post = " and an ordinary suffix closes it"
+    val corpus = Seq(
+      (10L, pre + leak + post),
+      (11L, leak),
+      (12L, "completely clean document with no overlap whatsoever"))
+      .toDF("id", "text")
+    val spans = Curate.contaminatedSpans(corpus, bench, "id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 10: a window matches only when it lies ENTIRELY inside the
+    // leak occurrence, so the island is exactly the leak's char range
+    val s10 = (pre.length + 1).toLong
+    val e10 = (pre.length + leak.length).toLong
+    assert(spans == Seq((10L, s10, e10, leak.length.toLong),
+      (11L, 1L, leak.length.toLong, leak.length.toLong)), s"got $spans")
+    val clean = Curate.removeContaminatedSpans(corpus, bench, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(clean(11L) == "", "verbatim bench copy must excise to empty")
+    assert(clean(12L) == "completely clean document with no overlap whatsoever")
+    assert(clean(10L) == pre + post, s"got '${clean(10L)}'")
+    assert(!clean(10L).contains("secret benchmark"))
+    // doc-level consistency: contamination's flagged set == docs with
+    // >= 1 span (minHits = 1, minLen = w)
+    val flagged = Curate.contamination(corpus, bench, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(flagged == spans.map(_._1).toSet)
+  }
+
   test("decontaminate: clean side = corpus minus contaminated") {
     val bench = Seq((100L, "the secret benchmark answer is forty two exactly")).toDF("id", "text")
     val corpus = Seq(
