@@ -249,6 +249,33 @@ object Scale {
     report("exact", "dedup_against_index", eq1, eqN)
     println(s"SCALE_APPEND_ROWS exact_query x1=$dup1 x$factor=$dupN")
 
+    // ---- phash (media signature index) ----
+    // same controls as ivf: identical vectors under disjoint ids at
+    // both scales; the probe batch is fixed, so only the stored band
+    // table grows (and, with replicated vectors, the per-probe match
+    // count — reported)
+    import graft.operators.Multimodal
+    def phFeat(d: DataFrame) = d.select(col("id"), col("v").as("features"))
+    val (ph1, phN) = (s"$scaleDir/ph_x1", s"$scaleDir/ph_x$factor")
+    val (phbN, _) = timed(Multimodal.buildPhashIndex(
+      phFeat(scaledVectors(emb, factor)), "id", "features", phN,
+      dim = 16, maxHam = 2, thresh = 0.0))
+    val (phb1, _) = timed(Multimodal.buildPhashIndex(
+      phFeat(emb), "id", "features", ph1, dim = 16, maxHam = 2, thresh = 0.0))
+    report("phash", "build", phb1, phbN)
+    val (paN, _) = timed(Multimodal.appendToPhashIndex(spark, phN,
+      phFeat(batch), "id", "features"))
+    val (pa1, _) = timed(Multimodal.appendToPhashIndex(spark, ph1,
+      phFeat(batch), "id", "features"))
+    report("phash", "append_same_batch", pa1, paN)
+    val pprobe = phFeat(emb.withColumn("id", col("id") + lit((factor + 2L) * off)))
+    val (pqN, ppN) = timed(Multimodal.dedupPhashAgainstIndex(spark, phN,
+      pprobe, "id", "features").count())
+    val (pq1, pp1) = timed(Multimodal.dedupPhashAgainstIndex(spark, ph1,
+      pprobe, "id", "features").count())
+    report("phash", "dedup_against_index", pq1, pqN)
+    println(s"SCALE_APPEND_ROWS phash_query x1=$pp1 x$factor=$ppN")
+
     // ---- bloom saturation → rebuild recovery ----
     // Build sized for N docs, append FACTOR salted replicas: the sidecar
     // now holds (factor+1)·N items at the original N sizing — the

@@ -277,6 +277,16 @@ object SparkEntry {
         round(element_at(col("sparse_embedding"), lit(0)), 4).as("tfidf_w"))
   }
 
+  // GPT-3-style model-based quality scoring (rows-only: the LBFGS fit
+  // has no SQL form — semantics pinned in MlEmbedSpec): the EN docs
+  // stand in for the curated positives, everything else for raw crawl
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    MlEmbed.qualityClassifier(docs, docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+      .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+  }
+
   private def qEmbedW2v(s: SparkSession, dir: String): DataFrame =
     MlEmbed.word2vecDense(t(s, dir, "documents"), "text", dim = 32)
       .select(col("doc_id"), size(col("dense_embedding")).cast("long").as("dim"))
@@ -1591,6 +1601,7 @@ object SparkEntry {
     "q_embed_tfidf_k1" -> (qEmbedTfidfK1 _),
     "q_embed_w2v" -> (qEmbedW2v _),
     "q_embed_w2v_avg" -> (qEmbedW2vAvg _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_sparse_embed" -> (qSparseEmbed _),
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),

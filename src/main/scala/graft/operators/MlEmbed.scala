@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer, Word2Vec}
 import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.DataFrame
@@ -45,6 +46,49 @@ object MlEmbed {
     idf.transform(withTf)
       .withColumn(outCol, toMap(col("__tfidf")))
       .drop("__toks", "__tf", "__tfidf")
+  }
+
+  /** GPT-3-style model-based quality filtering (Brown et al. 2020
+    * appendix A; CCNet's LM plays the same role): a logistic-regression
+    * classifier over hashed token counts, trained
+    * positives-vs-negatives (the paper used WebText/Wikipedia/books as
+    * positives against raw Common Crawl), then scoring the whole
+    * corpus. Returns `df` plus `quality_prob` — P(positive | doc) —
+    * for downstream thresholding; the published keep rule
+    * (keep if `pareto_draw > 1 − score`) is deterministic here via the
+    * engine-wide hash predicate: compose with
+    * [[Curate.stratifiedSample]]/[[Curate.scoreBuckets]] on the score
+    * column rather than re-inventing RNG.
+    *
+    * Scale shape: both training sides hash to `numFeatures`-bounded
+    * sparse vectors (narrow); the LR fit is MLlib's distributed LBFGS
+    * over the label frame; scoring broadcasts the coefficient vector
+    * and is a narrow per-row transform — the corpus is touched once
+    * for features, once for scores. Fit internals are not
+    * SQL-expressible (rows-only + spec, like the other MLlib fits);
+    * `seed`/fixed iterations keep the fit deterministic for a given
+    * partitioning. */
+  def qualityClassifier(df: DataFrame, positives: DataFrame,
+      negatives: DataFrame, textCol: String,
+      numFeatures: Int = 1 << 18, maxIter: Int = 20,
+      regParam: Double = 1e-3,
+      outCol: String = "quality_prob"): DataFrame = {
+    val tf = new HashingTF().setInputCol("__toks").setOutputCol("__feat")
+      .setNumFeatures(numFeatures)
+    def featurize(d: DataFrame) =
+      tf.transform(tokenizer(textCol).transform(d))
+    val train = featurize(
+      positives.select(col(textCol)).withColumn("__label", lit(1.0))
+        .unionByName(
+          negatives.select(col(textCol)).withColumn("__label", lit(0.0))))
+    val model = new LogisticRegression()
+      .setFeaturesCol("__feat").setLabelCol("__label")
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(train)
+    model.transform(featurize(df))
+      .withColumn(outCol, element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .drop("__toks", "__feat", "rawPrediction", "probability", "prediction")
   }
 
   /** Dense document embeddings from a seeded Word2Vec fit on the corpus

@@ -57,6 +57,33 @@ class MlEmbedSpec extends SparkSpec {
     assert(out(5L).isEmpty) // zero tokens -> empty sparse map, not 0.0
   }
 
+  test("qualityClassifier: separable vocabularies score to the right side of 0.5") {
+    // positives and negatives with disjoint vocabularies; held-out docs
+    // reuse one side's words — the classifier must place them correctly
+    val pos = (0 until 30).map(i =>
+      (i.toLong, "curated encyclopedic prose reads cleanly here"))
+      .toDF("id", "text")
+    val neg = (100 until 130).map(i =>
+      (i.toLong, "spam clickbait garbage listicle noise junk"))
+      .toDF("id", "text")
+    val unseen = Seq(
+      (900L, "encyclopedic prose reads cleanly"),    // positive-side words
+      (901L, "clickbait garbage junk noise"),        // negative-side words
+      (902L, "curated encyclopedic listicle junk"))  // mixed
+      .toDF("id", "text")
+    val scored = MlEmbed.qualityClassifier(unseen, pos, neg, "text",
+        numFeatures = 1 << 12)
+      .select("id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(scored.values.forall(p => p >= 0.0 && p <= 1.0), s"$scored")
+    assert(scored(900L) > 0.5, s"positive-vocab doc scored ${scored(900L)}")
+    assert(scored(901L) < 0.5, s"negative-vocab doc scored ${scored(901L)}")
+    // deterministic: refit on identical data gives identical scores
+    val again = MlEmbed.qualityClassifier(unseen, pos, neg, "text",
+        numFeatures = 1 << 12)
+      .select("id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(again == scored, "refit on identical data must be deterministic")
+  }
+
   test("tfidf embeddings plug into the dedup cosine operator") {
     val emb = MlEmbed.word2vecDense(docs, "text", dim = 16, seed = 7L)
       .select(col("doc_id").as("id"), col("dense_embedding").as("v"))
