@@ -225,6 +225,21 @@ object Bpe {
       .groupBy("symbol").agg(sum("n").as("n"))
   }
 
+  /** Persist a trained merge-rule frame — the tokenizer artifact every
+    * later job (encode, tokenize, token-count budgets) loads instead
+    * of retraining: rule order IS the tokenizer, so the step column
+    * rides along and [[loadMerges]] restores it exactly. One
+    * vocab-bounded file; overwrite = retrain-and-replace. */
+  def saveMerges(merges: DataFrame, dir: String): Unit =
+    merges.select("step", "left", "right", "merged", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a [[saveMerges]] artifact, ordered by step — feed it to any
+    * merges-frame overload. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir).orderBy("step")
+
   private def collectRules(merges: DataFrame): Seq[(String, String)] =
     // bounded by numMerges (the trainer's own argument), never the corpus
     merges.orderBy("step").select("left", "right")

@@ -135,6 +135,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("saveMerges/loadMerges: the persisted tokenizer round-trips rule-for-rule") {
+    val trained = Bpe.train(corpusDf, "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpem").toString + "/merges"
+    Bpe.saveMerges(trained, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded.orderBy("step")
+        .as[(Int, String, String, String, Long)].collect().toSeq ==
+      trained.orderBy("step")
+        .as[(Int, String, String, String, Long)].collect().toSeq)
+    // encoding under the loaded artifact equals encoding under the
+    // in-memory frame — the retrain-free deployment path
+    val a = Bpe.encode(corpusDf, "text", loaded)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    val b = Bpe.encode(corpusDf, "text", trained)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
   test("initialPairs: the step-0 distribution over chars + terminal") {
     val df = Seq((1L, "ab ab b")).toDF("id", "text")
     val got = Bpe.initialPairs(df, "text")
