@@ -73,6 +73,11 @@ object MlEmbed {
       numFeatures: Int = 1 << 18, maxIter: Int = 20,
       regParam: Double = 1e-3,
       outCol: String = "quality_prob"): DataFrame = {
+    // one-class training silently fits a constant scorer — the
+    // misconfiguration is loud instead (both sides are the contract)
+    require(!positives.isEmpty && !negatives.isEmpty,
+      "qualityClassifier needs non-empty positives AND negatives — " +
+      "a one-class fit scores every doc the same")
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("__feat")
       .setNumFeatures(numFeatures)
     def featurize(d: DataFrame) =

@@ -83,6 +83,28 @@ class EmptyInputSpec extends SparkSpec {
       graft.operators.Dedup.rebuildExactSidecar(spark, dir)
     }
     assert(ex.getMessage.contains("empty"), ex.getMessage)
+    // span decontamination: empty corpus → no spans; empty benchmark →
+    // no spans AND every doc survives verbatim (normalized)
+    assert(Curate.contaminatedSpans(noDocs, doc, "doc_id", "text")
+      .count() == 0)
+    assert(Curate.contaminatedSpans(doc, noDocs, "doc_id", "text")
+      .count() == 0)
+    val untouched = Curate.removeContaminatedSpans(doc, noDocs,
+      "doc_id", "text").select("clean").as[String].collect()
+    assert(untouched.toSeq == Seq("some benchmark text here"))
+    // one-class quality-classifier fits are loud, not constant scorers
+    val exQ = intercept[IllegalArgumentException] {
+      graft.operators.MlEmbed.qualityClassifier(doc, doc, noDocs, "text")
+    }
+    assert(exQ.getMessage.contains("non-empty"), exQ.getMessage)
+    // phash index over an empty corpus: probe returns nothing, no crash
+    val phDir = java.nio.file.Files.createTempDirectory("phemp").toString + "/idx"
+    val noFeats2 = Seq.empty[(Long, Seq[Double])].toDF("id", "features")
+    graft.operators.Multimodal.buildPhashIndex(noFeats2, "id", "features",
+      phDir, dim = 12, maxHam = 2)
+    val probe = Seq((1L, Seq.fill(12)(1.0))).toDF("id", "features")
+    assert(graft.operators.Multimodal.dedupPhashAgainstIndex(spark, phDir,
+      probe, "id", "features").count() == 0)
   }
 
   test("streaming bench drains over an empty events frame") {

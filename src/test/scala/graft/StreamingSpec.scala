@@ -289,6 +289,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids.size < 12, "every doc admitted — no gate actually bit")
   }
 
+  test("qualityClassifier runs unchanged on a stream: drained scores equal batch scores") {
+    // the fit runs on STATIC positives/negatives; scoring is a
+    // broadcast-coefficient column transform, so the same call is
+    // stream-safe (the stratifiedSample stateless precedent)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MlEmbed
+    val pos = (0 until 20).map(i =>
+      (i.toLong, "curated encyclopedic prose reads cleanly here"))
+      .toDF("id", "text")
+    val neg = (100 until 120).map(i =>
+      (i.toLong, "spam clickbait garbage listicle noise junk"))
+      .toDF("id", "text")
+    val feed = Seq((900L, "encyclopedic prose cleanly"),
+      (901L, "clickbait junk noise"), (902L, "prose junk"))
+    val mem = MemoryStream[(Long, String)]
+    val q = MlEmbed.qualityClassifier(mem.toDF().toDF("id", "text"),
+        pos, neg, "text", numFeatures = 1 << 12)
+      .select(col("id"), round(col("quality_prob"), 6).as("p"))
+      .writeStream.format("memory").queryName("squal")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(feed: _*)
+    q.processAllAvailable()
+    val drained = spark.table("squal").as[(Long, Double)].collect().toMap
+    q.stop()
+    val batch = MlEmbed.qualityClassifier(feed.toDF("id", "text"),
+        pos, neg, "text", numFeatures = 1 << 12)
+      .select(col("id"), round(col("quality_prob"), 6).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(drained == batch, s"\nstream $drained\nbatch  $batch")
+  }
+
   test("tokenizeStream: drained subword streams equal batch tokenize; OOV symbols keep NULL ids") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bpe
