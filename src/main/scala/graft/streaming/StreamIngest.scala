@@ -204,6 +204,56 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[admitIngestStream]] — append-then-verdict
+    * over the exact-dedup history index, CONVERGENT under re-execution
+    * with no marker protocol: [[graft.operators.Dedup.appendToExactIndex]]
+    * is replay-idempotent by design (replayed fps store nothing and
+    * keep their ORIGINAL keep_id), so the append runs FIRST and the
+    * verdicts read off the post-append index — first_id is then the
+    * canonical keeper of each text (its historic first copy, or the
+    * min batch id for batch-novel texts), which also self-dedups
+    * within the batch. is_dup := first_id ≠ id re-executes to the
+    * SAME ledger in every crash window: crash before the append →
+    * plain re-run; crash between append and verdict write → the
+    * re-run's append is a no-op and the probe reads identical
+    * state; verdict write is an overwrite keyed by batchId. */
+  def applyAdmitBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, admitDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    graft.operators.Dedup.appendToExactIndex(spark, indexDir, batch,
+      idCol, textCol)
+    graft.operators.Dedup
+      .dedupExactAgainstIndex(spark, indexDir, batch, idCol, textCol)
+      .withColumn("is_dup",
+        coalesce(col("first_id") =!= col("id"), lit(false)))
+      .write.mode("overwrite").parquet(s"$admitDir/batch=$batchId")
+  }
+
+  /** Streaming exact-dedup admission ledger — the crawl-ingest
+    * lifecycle ([[graft.operators.Dedup.buildExactIndex]] /
+    * dedupExactAgainstIndex / appendToExactIndex) driven by a stream:
+    * each micro-batch appends itself to the history index and writes
+    * its admission verdicts (id, first_id, is_dup — first_id the
+    * canonical keeper) to `admitDir/batch=<id>`, so batch N+1 rejects
+    * replays of batch N and within-batch duplicates collapse to their
+    * min id. State lives in the index directory, not the state store;
+    * per micro-batch the work is O(batch) + the bloom-pruned
+    * DPP-narrowed confirm. Idempotence needs no batch markers — see
+    * [[applyAdmitBatch]]. */
+  def admitIngestStream(docsStream: DataFrame, indexDir: String,
+      idCol: String, textCol: String, admitDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAdmitBatch(batch, batchId, indexDir, idCol, textCol, admitDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[annIngestStream]], idempotent in batchId —
     * the [[applyDedupBatch]] witness pattern over
     * [[graft.operators.Ann.appendToIvfIndex]]: cells and the ids

@@ -430,6 +430,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => p._1 == 20L && p._2 == 1L))
   }
 
+  test("admitIngestStream: the growing admission ledger; within-batch collapse; replay converges") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val histText = "seen in history before now"
+    val history = Seq((1L, histText), (2L, "other stored document text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sadmitl").toString
+    Dedup.buildExactIndex(history, "doc_id", "text", s"$dir/idx")
+    val b1 = Seq((20L, histText),        // replay of history → dup of 1
+      (21L, "novel text alpha"),         // novel
+      (22L, "novel text alpha"),         // within-batch dup → collapses to 21
+      (23L, "novel text beta"))
+    val b2 = Seq((30L, "novel text alpha"), // dup of PREVIOUS BATCH's 21
+      (31L, "completely fresh gamma"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.admitIngestStream(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", s"$dir/admit", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def ledger() = spark.read.parquet(s"$dir/admit")
+      .select("id", "first_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val got = ledger()
+    assert(got == Set(
+      (20L, 1L, true),   // history replay
+      (21L, 21L, false), // keeper of the within-batch family
+      (22L, 21L, true),  // collapsed onto 21
+      (23L, 23L, false),
+      (30L, 21L, true),  // rejected against the PREVIOUS batch's append
+      (31L, 31L, false)), s"got $got")
+    // replay convergence: re-executing batch 1's micro-batch against
+    // the now-grown index rewrites the identical ledger slice and
+    // leaves the index unchanged (no marker protocol needed)
+    val fpsBefore = spark.read.parquet(s"$dir/idx/fps").count()
+    StreamIngest.applyAdmitBatch(b1.toDF("doc_id", "text"), 0L,
+      s"$dir/idx", "doc_id", "text", s"$dir/admit")
+    assert(ledger() == got, "replayed micro-batch changed the ledger")
+    assert(spark.read.parquet(s"$dir/idx/fps").count() == fpsBefore)
+  }
+
   test("applyDedupBatch: replays are idempotent in every crash window") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
