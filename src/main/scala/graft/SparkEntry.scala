@@ -301,9 +301,16 @@ object SparkEntry {
     * own subdirectory: a fixed path would let a later run at another
     * scale factor overwrite the vectors between this query's Verify
     * write and the driver's DuckDB read — order-dependent corruption
-    * the key makes impossible. */
+    * the key makes impossible. The base dir is additionally PER-JVM
+    * unique: the oracle SQL below interpolates this exact path before
+    * Verify dumps oracle_sql.json, so the driver's DuckDB read sees
+    * only THIS run's dump — a concurrent run (or a stats-colliding
+    * corpus) lives in its own base and can neither vanish files
+    * mid-read nor alias a corpus_key. */
   private val W2vAvgVectorsBase = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft_w2v_avg_vectors").getAbsolutePath
+    sys.props("java.io.tmpdir"),
+    s"graft_w2v_avg_vectors_${java.util.UUID.randomUUID.toString.take(8)}")
+    .getAbsolutePath
 
   private val W2vAvgDim = 8
 

@@ -111,7 +111,12 @@ object Bpe {
     require(numMerges > 0, "numMerges must be positive")
     require(minFreq >= 1, "minFreq must be at least 1")
     val spark = df.sparkSession
+    // persisted across the tier probe: an over-cap vocabulary would
+    // otherwise pay the corpus-wide word-count shuffle twice (once for
+    // the limit(cap+1) probe, again for the distributed loop's seed)
     val wc = wordCounts(df, textCol)
+    val cached = localVocabCap > 0
+    if (cached) wc.persist()
     // ONE bounded collect decides the tier AND feeds it: ≤ cap+1 rows
     // ever reach the driver (limit bounds the fetch itself); one extra
     // row proves the vocabulary is over cap and forces the fallback
@@ -123,8 +128,10 @@ object Bpe {
     val rules =
       if (local.isDefined) trainLocal(local.get, numMerges, minFreq)
       else trainDistributed(
+        // eager localCheckpoint materializes here, so wc is done after
         wc.select(charSymbols(col("w")).as("syms"), col("n")).localCheckpoint(),
         numMerges, minFreq)
+    if (cached) wc.unpersist()
     spark.createDataFrame(rules)
       .toDF("step", "left", "right", "merged", "freq")
   }
@@ -159,28 +166,60 @@ object Bpe {
     * same greedy left-to-right merge as the distributed loop. Symbol
     * comparisons: the word alphabet is `[A-Za-z0-9]+` plus `</w>` —
     * ASCII only — so Java's String ordering coincides with the UTF8
-    * binary ordering the distributed orderBy uses. */
+    * binary ordering the distributed orderBy uses.
+    *
+    * Pair counts are maintained INCREMENTALLY (the pair-presence skip
+    * applyRules/encodeKernel use, at trainer scale): a global pair→count
+    * map plus a pair→word-index posting list, both seeded by one
+    * vocabulary pass; each merge then touches only the words that hold
+    * the winning pair (counts adjusted by dropping the word's old
+    * adjacencies and adding the merged form's) instead of rescanning and
+    * reallocating the whole vocabulary every step — O(init + Σ affected)
+    * rather than O(numMerges × vocab × len). Posting lists are
+    * lazy-deleted: a stale entry (the word lost the pair to an earlier
+    * merge) is re-verified against the live symbols and skipped, so the
+    * count map — the argmax's only input — stays exactly the full
+    * recount at every step, merge-for-merge equal to the distributed
+    * loop. */
   private def trainLocal(wc: Array[(String, Long)], numMerges: Int,
       minFreq: Long): Seq[(Int, String, String, String, Long)] = {
-    val words = wc.map { case (w, n) =>
-      (w.toCharArray.map(_.toString) :+ EndOfWord, n) }
-    var syms: Array[Array[String]] = words.map(_._1)
-    val ns: Array[Long] = words.map(_._2)
+    import scala.collection.mutable.ArrayBuffer
+    val syms: Array[Array[String]] = wc.map { case (w, _) =>
+      w.toCharArray.map(_.toString) :+ EndOfWord }
+    val ns: Array[Long] = wc.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val where = new java.util.HashMap[(String, String), ArrayBuffer[Int]]()
+    def addWord(i: Int, s: Array[String], n: Long): Unit = {
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        counts.merge(p, n, _ + _)
+        where.computeIfAbsent(p, _ => new ArrayBuffer[Int]()) += i
+        j += 1
+      }
+    }
+    def dropWord(s: Array[String], n: Long): Unit = {
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        if (counts.merge(p, -n, _ + _) == 0L) counts.remove(p)
+        j += 1
+      }
+    }
+    def containsPair(s: Array[String], a: String, b: String): Boolean = {
+      var j = 0
+      while (j < s.length - 1) {
+        if (s(j) == a && s(j + 1) == b) return true
+        j += 1
+      }
+      false
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, syms(i), ns(i)); i += 1 }
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val counts = new java.util.HashMap[(String, String), Long]()
-      var i = 0
-      while (i < syms.length) {
-        val s = syms(i); val n = ns(i)
-        var j = 0
-        while (j < s.length - 1) {
-          counts.merge((s(j), s(j + 1)), n, _ + _)
-          j += 1
-        }
-        i += 1
-      }
       // argmax with the distributed loop's tie-break
       var best: ((String, String), Long) = null
       counts.forEach { (p, f) =>
@@ -192,7 +231,18 @@ object Bpe {
       else {
         val ((a, b), f) = best
         rules += ((step, a, b, a + b, f))
-        syms = syms.map(s => mergeOnce(s, a, b))
+        val hits = where.remove((a, b))
+        if (hits != null) hits.foreach { w =>
+          val s = syms(w)
+          // lazy deletion: the posting may predate a merge that already
+          // removed the pair from this word (or list the word twice)
+          if (containsPair(s, a, b)) {
+            dropWord(s, ns(w))
+            val m = mergeOnce(s, a, b)
+            syms(w) = m
+            addWord(w, m, ns(w))
+          }
+        }
         step += 1
       }
     }
@@ -386,23 +436,34 @@ object Bpe {
       rules: Seq[(String, String)], ref: DataFrame,
       refTextCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = stream.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(rules.toArray)
     // vocabulary ids from the static reference — bounded, broadcast
     val vocabIds = encode(ref, refTextCol, rules)
       .select(explode(col("syms")).as("symbol")).distinct()
       .withColumn("sym_id",
         row_number().over(Window.orderBy("symbol")).cast("long") - 1)
-    val words = stream.select(col(idCol).cast("long").as("id"),
+    val words = stream.select(col(idCol).as("id"),
       posexplode(T.wsTokens(T.normText(col(textCol)))).as(Seq("wpos", "w")))
-    val syms = words.as[(Long, Int, String)].mapPartitions { it =>
+    // ids keep their NATIVE type through the kernel (the batch tokenize
+    // and simhashPairs convention — a long cast would silently NULL
+    // non-numeric ids), so the row-typed seam carries the id field as-is
+    val outSchema = StructType(Seq(
+      words.schema("id"),
+      StructField("wpos", LongType, nullable = false),
+      StructField("spos", LongType, nullable = false),
+      StructField("symbol", StringType, nullable = true)))
+    val syms = words.mapPartitions { it =>
       val rs = bc.value
-      it.flatMap { case (id, wpos, w) =>
-        applyRules(w, rs).zipWithIndex.map { case (sym, sp) =>
-          (id, wpos.toLong, sp.toLong, sym) }
+      it.flatMap { r =>
+        val id = r.get(0)
+        val wpos = r.getInt(1).toLong
+        applyRules(r.getString(2), rs).zipWithIndex.map { case (sym, sp) =>
+          Row(id, wpos, sp.toLong, sym) }
       }
-    }.toDF("id", "wpos", "spos", "symbol")
+    }(Encoders.row(outSchema))
     syms.join(broadcast(vocabIds), Seq("symbol"), "left")
       .select(col("id"), col("wpos"), col("spos"), col("symbol"),
         col("sym_id"))

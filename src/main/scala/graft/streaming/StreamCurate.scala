@@ -200,16 +200,17 @@ object StreamCurate {
     // row (stratum included) survives — applyBuckets' projection would
     // force a stream-stream join to recover it
     val ts = Curate.bucketThresholds(ref, scoreOf(col(textCol)), cuts)
+    // an empty reference would yield a NULL bucket and the tail filter
+    // below would silently drop EVERY arriving row — loud instead, the
+    // engine-wide misconfiguration convention
+    require(ts.isDefined,
+      "curateStream needs a non-empty reference corpus for bucket thresholds")
     val withScore = novel
       .withColumn("score", scoreOf(col(textCol)).cast("double"))
       .filter(col("score").isNotNull)
-    val bucketCol = ts match {
-      case None => lit(null).cast("string")
-      case Some(tv) =>
-        tv.zip(labels.init).foldRight(lit(labels.last)
-            : org.apache.spark.sql.Column) {
-          case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
-        }
+    val bucketCol = ts.get.zip(labels.init).foldRight(lit(labels.last)
+        : org.apache.spark.sql.Column) {
+      case ((t, l), acc) => when(col("score") <= t, lit(l)).otherwise(acc)
     }
     val headMiddle = withScore.withColumn("bucket", bucketCol)
       .filter(col("bucket") =!= labels.last)

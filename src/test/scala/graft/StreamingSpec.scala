@@ -358,6 +358,26 @@ class StreamingSpec extends SparkSpec {
     assert(oov.filter(_._4 == "z").forall(_._5.isEmpty), s"$oov")
   }
 
+  test("tokenizeStream: non-numeric ids survive natively (no silent long-cast NULLs)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val ref = Seq(("r0", "low lower")).toDF("id", "text")
+    val rules = Bpe.train(ref, "text", numMerges = 3)
+      .orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val mem = MemoryStream[(String, String)]
+    val q = Bpe.tokenizeStream(mem.toDF().toDF("id", "text"), "id", "text",
+        rules, ref, "text")
+      .writeStream.format("memory").queryName("stokstr")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("doc-a", "low"), ("doc-b", "lower"))
+    q.processAllAvailable()
+    val ids = spark.table("stokstr").select("id")
+      .as[String].collect().toSet
+    q.stop()
+    assert(ids == Set("doc-a", "doc-b"), s"ids lost through the stream seam: $ids")
+  }
+
   test("packSequencesStream: drained stream equals batch packSequences on the same prefix") {
     implicit val sqlCtx = spark.sqlContext
     val docsSeq = (0L until 20L).map(i =>
