@@ -1357,6 +1357,29 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("rrf"), col("rank").cast("long"))
   }
 
+  /** Cross-encoder rerank over hybrid-retrieval survivors — the
+    * reference's /rerank endpoint as the final ordering stage
+    * (m3_server_v2.py:283): first stage is q_hybrid_search's exact RRF
+    * top-10 (dense brute + sparse postings), second stage rescores
+    * those q×10 pairs with the stub M3 cross-encoder (deterministic
+    * md5 per mode, default [0.4, 0.2, 0.4] dense/sparse/colbert
+    * weights) against the documents' text and re-ranks to 5. The
+    * oracle reproduces BOTH stages — fusion candidates and the fused
+    * weighted-mean rerank — bit-for-bit. */
+  private def qRerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val postings = Ingest.sparseTerms(docs, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    val cand = Ann.hybridTopK(corpus(s, dir), queriesSet(s, dir), postings, qpost, k = 10)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val passages = docs.select(col("doc_id").as("id"), col("text").as("ptext"))
+    Ann.rerankTopK(cand, queries, passages, k = 5)
+      .select(col("qid"), col("id"), col("ce_score"), col("rank").cast("long"))
+  }
+
   // Weighted-fusion hybrid (Milvus WeightedRanker): same branches as
   // q_hybrid_search, scores normalized and weight-summed instead of RRF
   private def qHybridWeighted(s: SparkSession, dir: String): DataFrame = {
@@ -1699,6 +1722,7 @@ object SparkEntry {
     "q_sparse_index" -> (qSparseIndex _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
+    "q_rerank" -> (qRerank _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
     "q_hybrid_index" -> (qHybridIndex _),
     "q_hybrid_bm25" -> (qHybridBm25 _),
@@ -2371,6 +2395,28 @@ object SparkEntry {
     // branches are exact and the fused result is the same frame
     "q_hybrid_search" -> hybridRrfSql,
     "q_hybrid_index" -> hybridRrfSql,
+
+    // both rerank stages in SQL: candidates are the full hybrid RRF
+    // fusion (the q_hybrid_search chain as a subquery), then the stub
+    // cross-encoder's three md5 mode scores over query ␟ passage and
+    // the [0.4, 0.2, 0.4]-weighted mean — the m3 rerank formula
+    "q_rerank" ->
+      s"""WITH cand AS (SELECT qid, id FROM ($hybridRrfSql)),
+         |qd AS (SELECT doc_id AS qid, text AS qt FROM documents WHERE doc_id < 5),
+         |pd AS (SELECT doc_id AS id, text AS pt FROM documents),
+         |pairs AS (SELECT c.qid, c.id, qd.qt || chr(31) || pd.pt AS pair
+         |          FROM cand c JOIN qd USING (qid) JOIN pd USING (id)),
+         |modes AS (SELECT qid, id,
+         |  ('0x' || substr(md5('d#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sd,
+         |  ('0x' || substr(md5('s#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS ss,
+         |  ('0x' || substr(md5('c#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sc
+         |  FROM pairs),
+         |scored AS (SELECT qid, id,
+         |  round((0.4 * sd + 0.2 * ss + 0.4 * sc) / (0.4 + 0.2 + 0.4), 6) AS ce_score
+         |  FROM modes)
+         |SELECT qid, id, ce_score, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY ce_score DESC, id ASC) AS BIGINT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
 
     // RRF of the dense branch with a BM25-scored sparse branch — the
     // same dense/fusion CTEs as hybridRrfSql, sparse swapped for the

@@ -802,6 +802,44 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Second-stage cross-encoder rerank — the reference's /rerank
+    * endpoint (baai_m3_simple_server/m3_server_v2.py:283, scoring at
+    * :63-77: BAAI-M3 compute_score over (query, passage) sentence
+    * pairs with weights_for_different_modes colbert+sparse+dense
+    * fusion) as the final ordering stage a reference user runs over
+    * first-stage retrieval survivors ([[hybridTopK]] /
+    * [[searchHybridIndex]] top-k). The pair scoring sits behind
+    * [[Tag.rerankPairs]]' batched per-partition seam (the llm_tag
+    * pattern — a real deployment swaps one HTTP POST per batch and
+    * nothing else changes); the stub is a deterministic md5 function
+    * of each pair per mode, so the whole path is oracle-checkable.
+    *
+    * Inputs: `candidates` (qid, id) — first-stage survivors, q×k'
+    * rows; `queries` (qid, qtext); `passages` (id, ptext) — the
+    * document store. Scale shape: the candidate frame is enriched
+    * with query text by a broadcast join (q rows), then passages
+    * resolve with ONE corpus scan filtered by the broadcast candidate
+    * set (the [[searchWithFields]] shape) — the model seam touches
+    * candidate-count rows only, never the corpus. A candidate id with
+    * no passage row drops (the reference errors on a missing doc; a
+    * consistent store always resolves). Deterministic: 6-dp fused
+    * score, id-ascending ties. */
+  def rerankTopK(candidates: DataFrame, queries: DataFrame,
+      passages: DataFrame, k: Int,
+      weights: Seq[Double] = Tag.RerankWeights,
+      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withQ = candidates.select(col("qid"), col("id"))
+      .join(broadcast(queries.select(col("qid"), col("qtext"))), "qid")
+    val pairs = passages.select(col("id"), col("ptext"))
+      .join(broadcast(withQ), "id")
+      .select(col("qid"), col("id"), col("qtext"), col("ptext"))
+    val scored = Tag.rerankPairs(pairs, weights, batchSize)
+      .withColumn("ce_score", round(col("ce_score"), 6))
+    val w = Window.partitionBy("qid").orderBy(col("ce_score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Two-stage refine search — quantized recall, exact rescore (the
     * Milvus `refine` / faiss rescoring pattern behind SQ/PQ/RaBitQ
     * indexes): stage 1 ranks the whole corpus with [[sq8TopK]]'s

@@ -32,6 +32,67 @@ object Tag {
         labels(math.floorMod(d(0).toInt, labels.size))
     }
 
+  /** Rerank mode-score weights [dense, sparse, colbert] — the
+    * reference's rerank_weights (baai_m3_simple_server/
+    * m3_server_v2.py:24), applied as FlagEmbedding's
+    * weights_for_different_modes: the fused 'colbert+sparse+dense'
+    * score is the weighted mean of the three mode scores. */
+  val RerankWeights: Seq[Double] = Seq(0.4, 0.2, 0.4)
+
+  /** STUB cross-encoder call — one batch of (query, passage) sentence
+    * pairs in, one fused relevance score per pair out (the reference's
+    * m3Wrapper.rerank, m3_server_v2.py:63-77: BAAI-M3 compute_score
+    * with weights_for_different_modes). Deterministic: each mode score
+    * (dense, sparse, colbert) is an exact md5 function of the pair —
+    * tag + '#' + query + U+001F + passage, first 8 hex digits mod
+    * 1000001 over 10⁶ → [0, 1] — so the fused weighted mean is
+    * bit-reproducible in SQL and the whole rerank path oracles like
+    * q_llm_tag; a real client swaps in one HTTP POST per batch here
+    * and nothing else changes. A null query or passage scores null
+    * (md5(NULL) → NULL — row SQL semantics), never a crash. */
+  def stubRerankCall(pairs: Seq[(String, String)],
+      weights: Seq[Double] = RerankWeights): Seq[java.lang.Double] = {
+    require(weights.size == 3, s"need [dense, sparse, colbert] weights, got $weights")
+    val Seq(wd, ws, wc) = weights
+    val denom = wd + ws + wc
+    require(denom > 0, s"rerank weights must not sum to zero: $weights")
+    pairs.map {
+      case (q, p) if q != null && p != null =>
+        val key = q + "\u001f" + p
+        def mode(tag: String): Double = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest((tag + "#" + key).getBytes("UTF-8"))
+          val hex = d.take(4).map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0
+        }
+        java.lang.Double.valueOf(
+          (wd * mode("d") + ws * mode("s") + wc * mode("c")) / denom)
+      case _ => null
+    }
+  }
+
+  /** The batched per-partition pair-scoring seam: (qid, id, query,
+    * passage) rows BY POSITION → fixed-size batches → one
+    * [[stubRerankCall]] per batch → (qid, id, ce_score) with qid/id
+    * keeping their NATIVE types (the tokenizeStream convention — a
+    * cast would silently NULL non-numeric ids). Works on batch and
+    * streaming frames (row-typed mapPartitions, stateless). */
+  def rerankPairs(in: DataFrame, weights: Seq[Double] = RerankWeights,
+      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      in.schema(0), in.schema(1),
+      StructField("ce_score", DoubleType, nullable = true)))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = stubRerankCall(
+          batch.map(r => (r.getString(2), r.getString(3))), weights)
+        batch.iterator.zip(scores.iterator).map { case (r, sc) =>
+          Row(r.get(0), r.get(1), sc) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The batched per-partition model seam over (id, prompt) rows —
     * shared by [[tag]] (bare text prompts) and [[chatTag]] (assembled
     * chat requests). */

@@ -1571,4 +1571,69 @@ class AnnSpec extends SparkSpec {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
+
+  // ---- rerank (the reference's /rerank endpoint, m3_server_v2.py:283) ----
+
+  private lazy val rerankDocs = (1L to 20L)
+    .map(i => (i, s"passage text number $i about topic ${i % 4}"))
+  private lazy val rerankQs = Seq((1L, "what is topic one"), (2L, "tell me topic two"))
+
+  test("rerankTopK: covering candidates reproduce pure stub-fusion ordering") {
+    import graft.operators.Tag
+    val passages = rerankDocs.toDF("id", "ptext")
+    val queries = rerankQs.toDF("qid", "qtext")
+    val allCand = rerankQs.flatMap { case (q, _) => rerankDocs.map(d => (q, d._1)) }
+      .toDF("qid", "id")
+    val got = Ann.rerankTopK(allCand, queries, passages, k = 20)
+      .select("qid", "id", "ce_score", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 40, s"expected 2×20 reranked rows, got ${got.length}")
+    // oracle: score every pair directly with the stub and rank in memory
+    rerankQs.foreach { case (qid, qt) =>
+      val want = rerankDocs.map { case (id, pt) =>
+        val s = Tag.stubRerankCall(Seq((qt, pt))).head.doubleValue
+        // Spark round() semantics: BigDecimal HALF_UP at scale 6
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, s), r) => (qid, id, s, r + 1) }
+      val mine = got.filter(_._1 == qid).sortBy(_._4).toSeq
+      assert(mine == want, s"\nmine $mine\nwant $want")
+    }
+  }
+
+  test("rerankTopK: weights are exercised — single-mode weights rank by that mode alone") {
+    import graft.operators.Tag
+    val passages = rerankDocs.toDF("id", "ptext")
+    val queries = rerankQs.take(1).toDF("qid", "qtext")
+    val cand = rerankDocs.map(d => (1L, d._1)).toDF("qid", "id")
+    def modeScore(tag: String, q: String, p: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((tag + "#" + q + "\u001f" + p).getBytes("UTF-8"))
+      val hex = d.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0
+    }
+    val byMode = Seq("d" -> Seq(1.0, 0.0, 0.0), "s" -> Seq(0.0, 1.0, 0.0),
+      "c" -> Seq(0.0, 0.0, 1.0)).map { case (tag, ws) =>
+      val got = Ann.rerankTopK(cand, queries, passages, k = 20, weights = ws)
+        .orderBy("rank").select("id").as[Long].collect().toSeq
+      val want = rerankDocs
+        .map { case (id, pt) => (id, modeScore(tag, rerankQs.head._2, pt)) }
+        .sortBy { case (id, s) => (-s, id) }.map(_._1)
+      assert(got == want, s"mode $tag: got $got want $want")
+      got
+    }
+    // the three single-mode orderings must not all coincide (md5 modes
+    // are independent), or the weights changed nothing
+    assert(byMode.distinct.size > 1, "single-mode orderings all identical")
+  }
+
+  test("rerankTopK: candidate-bounded — only first-stage survivors are scored") {
+    val passages = rerankDocs.toDF("id", "ptext")
+    val queries = rerankQs.toDF("qid", "qtext")
+    val cand = Seq((1L, 3L), (1L, 7L), (2L, 3L)).toDF("qid", "id")
+    val got = Ann.rerankTopK(cand, queries, passages, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (1L, 7L), (2L, 3L)),
+      s"rerank escaped the candidate set: $got")
+  }
 }
