@@ -287,6 +287,37 @@ object SparkEntry {
       .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
   }
 
+  /** Where q_quality_classifier_score dumps the fitted LR coefficient
+    * table for the oracle — the [[W2vAvgVectorsBase]] hand-off pattern
+    * (per-JVM-unique base + per-corpus key subdirectory; same
+    * concurrency argument). */
+  private val QcCoefBase = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    s"graft_qc_coefs_${java.util.UUID.randomUUID.toString.take(8)}")
+    .getAbsolutePath
+
+  /** Hash-exact half of the quality classifier: dump the fit's own
+    * per-word coefficients ([[MlEmbed.qualityClassifierWithModel]]),
+    * emit the MLlib MARGIN (intercept + coef·hashed-counts — plain
+    * arithmetic; the sigmoid stays out of the hash, see the operator's
+    * scaladoc); the oracle recomputes the margin from the dumped table.
+    * q_quality_classifier stays rows-only for the LBFGS fit internals
+    * only — together the two rows pin everything about the classifier
+    * that CAN be pinned cross-engine. */
+  private def qQualityClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keyRow = docs.agg(count(lit(1)),
+      coalesce(sum(length(col("text"))), lit(0L))).head()
+    val key = s"${keyRow.getLong(0)}_${keyRow.getLong(1)}"
+    val (scored, table) = MlEmbed.qualityClassifierWithModel(docs,
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "text")
+    table.withColumn("corpus_key", lit(key))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$QcCoefBase/$key")
+    scored.select(col("doc_id"), round(col("margin"), 4).as("margin"))
+  }
+
   private def qEmbedW2v(s: SparkSession, dir: String): DataFrame =
     MlEmbed.word2vecDense(t(s, dir, "documents"), "text", dim = 32)
       .select(col("doc_id"), size(col("dense_embedding")).cast("long").as("dim"))
@@ -1632,6 +1663,7 @@ object SparkEntry {
     "q_embed_w2v" -> (qEmbedW2v _),
     "q_embed_w2v_avg" -> (qEmbedW2vAvg _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_quality_classifier_score" -> (qQualityClassifierScore _),
     "q_sparse_embed" -> (qSparseEmbed _),
     "q_id_lookup" -> (qIdLookup _),
     "q_ingest_exists" -> (qIngestExists _),
@@ -2381,6 +2413,31 @@ object SparkEntry {
         |       ELSE round(COALESCE(s.sv, 0) / n.n_tok, 4) + 0 END AS val
         |FROM n CROSS JOIN dims d
         |LEFT JOIN s ON s.doc_id = n.doc_id AND s.dim = d.dim""".stripMargin,
+
+    // the classifier's scoring half (fit stays rows-only): margin =
+    // intercept + Σ count(word)·coef(word) over the dumped per-word
+    // coefficient table — the per-word sum equals MLlib's per-bucket
+    // sparse dot exactly (bucket-sharing words share a coefficient).
+    // Same tokens as RegexTokenizer (lower, [a-z0-9]+); docs with zero
+    // tokens score the bare intercept via the LEFT JOIN.
+    "q_quality_classifier_score" ->
+      s"""WITH cf AS (SELECT word, coef
+         |           FROM '$QcCoefBase/*/*.parquet'
+         |           WHERE corpus_key = (
+         |             SELECT CAST(COUNT(*) AS VARCHAR) || '_' ||
+         |                    CAST(COALESCE(SUM(length(text)), 0) AS VARCHAR)
+         |             FROM documents)),
+         |ic AS (SELECT coef AS b0 FROM cf WHERE word = '__intercept__'),
+         |tok AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |  FROM documents),
+         |tc AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |m AS (SELECT t.doc_id, SUM(t.c * cf.coef) AS dot
+         |      FROM tc t JOIN cf ON t.word = cf.word GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round((SELECT b0 FROM ic) + COALESCE(m.dot, 0), 4) AS margin
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
     "q_ann_fields" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -72,12 +72,47 @@ object MlEmbed {
       negatives: DataFrame, textCol: String,
       numFeatures: Int = 1 << 18, maxIter: Int = 20,
       regParam: Double = 1e-3,
-      outCol: String = "quality_prob"): DataFrame = {
+      outCol: String = "quality_prob"): DataFrame =
+    qualityClassifierWithModel(df, positives, negatives, textCol,
+      numFeatures, maxIter, regParam, outCol)._1
+      .drop("margin")
+
+  /** [[qualityClassifier]] plus the fitted model's own per-WORD
+    * coefficient table — the hand-off that makes the SCORING half of
+    * the classifier cross-engine checkable (the
+    * word2vecDenseWithVectors pattern): the LBFGS fit has no SQL form,
+    * but given the trained coefficients, transform() is exactly
+    * margin = intercept + Σ_tokens coef(bucket(token)) — pure
+    * arithmetic an oracle reading the dumped table reproduces. The
+    * table maps every distinct token of the SCORED corpus to its
+    * hashed bucket's coefficient (two words sharing a bucket share a
+    * coefficient, so the per-word sum equals the per-bucket dot
+    * exactly), plus one `__intercept__` row — a word the `[A-Za-z0-9]+`
+    * tokenizer can never produce. The scored frame carries both
+    * `outCol` (the sigmoid probability) and `margin` (the raw
+    * log-odds): the margin is the hash-exact surface — sigmoid is a
+    * transcendental whose last-ulp behavior differs across libm
+    * implementations (the hybridTopKWeighted arctan argument), while
+    * the margin is plain +/× the oracle reproduces to 4 dp.
+    *
+    * The word→coefficient map is built over the corpus's DISTINCT
+    * tokens only (vocabulary-bounded, not corpus-sized); the
+    * coefficient array broadcasts once and the lookup UDF sits at the
+    * MLlib boundary like tfidfSparse's toMap — HashingTF.indexOf is
+    * the model's own hash, so the table can never drift from what
+    * transform() computed. */
+  def qualityClassifierWithModel(df: DataFrame, positives: DataFrame,
+      negatives: DataFrame, textCol: String,
+      numFeatures: Int = 1 << 18, maxIter: Int = 20,
+      regParam: Double = 1e-3,
+      outCol: String = "quality_prob"): (DataFrame, DataFrame) = {
     // one-class training silently fits a constant scorer — the
     // misconfiguration is loud instead (both sides are the contract)
     require(!positives.isEmpty && !negatives.isEmpty,
       "qualityClassifier needs non-empty positives AND negatives — " +
       "a one-class fit scores every doc the same")
+    val spark = df.sparkSession
+    import spark.implicits._
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("__feat")
       .setNumFeatures(numFeatures)
     def featurize(d: DataFrame) =
@@ -90,10 +125,19 @@ object MlEmbed {
       .setFeaturesCol("__feat").setLabelCol("__label")
       .setMaxIter(maxIter).setRegParam(regParam)
       .fit(train)
-    model.transform(featurize(df))
+    val scored = model.transform(featurize(df))
       .withColumn(outCol, element_at(
         org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .withColumn("margin", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2))
       .drop("__toks", "__feat", "rawPrediction", "probability", "prediction")
+    val bcCoef = spark.sparkContext.broadcast(model.coefficients.toArray)
+    val coefOf = udf((w: String) => bcCoef.value(tf.indexOf(w)))
+    val table = tokenizer(textCol).transform(df.select(col(textCol)))
+      .select(explode(col("__toks")).as("word")).distinct()
+      .withColumn("coef", coefOf(col("word")))
+      .unionByName(Seq(("__intercept__", model.intercept)).toDF("word", "coef"))
+    (scored, table)
   }
 
   /** Dense document embeddings from a seeded Word2Vec fit on the corpus

@@ -91,4 +91,41 @@ class MlEmbedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L))) // the duplicate pair is found
   }
+
+  test("qualityClassifierWithModel: dumped coefficients reproduce the margin; sigmoid(margin) = prob") {
+    val pos = (0 until 30).map(i =>
+      (i.toLong, "curated encyclopedic reference prose quality writing"))
+      .toDF("id", "text")
+    val neg = (100 until 130).map(i =>
+      (i.toLong, "spam clickbait garbage listicle noise junk"))
+      .toDF("id", "text")
+    val score = Seq(
+      (900L, "encyclopedic prose reads cleanly"),
+      (901L, "clickbait garbage junk noise"),
+      (902L, ""))                                    // zero tokens → bare intercept
+      .toDF("id", "text")
+    val (scored, table) = MlEmbed.qualityClassifierWithModel(
+      score, pos, neg, "text", numFeatures = 1 << 12)
+    val rows = scored.select("id", "quality_prob", "margin")
+      .as[(Long, Double, Double)].collect()
+    // margin and probability are the same model surface
+    rows.foreach { case (id, p, m) =>
+      assert(math.abs(p - 1.0 / (1.0 + math.exp(-m))) < 1e-12,
+        s"doc $id: prob $p vs sigmoid($m)")
+    }
+    // recompute each margin from the dumped table by hand — the exact
+    // arithmetic the DuckDB oracle runs
+    val coef = table.as[(String, Double)].collect().toMap
+    val b0 = coef("__intercept__")
+    val byId = rows.map(r => (r._1, r._3)).toMap
+    Seq(900L -> "encyclopedic prose reads cleanly",
+        901L -> "clickbait garbage junk noise",
+        902L -> "").foreach { case (id, text) =>
+      val want = b0 + "[a-z0-9]+".r.findAllIn(text.toLowerCase)
+        .map(coef).sum
+      assert(math.abs(byId(id) - want) < 1e-9,
+        s"doc $id: margin ${byId(id)} vs recomputed $want")
+    }
+    assert(math.abs(byId(902L) - b0) < 1e-12, "empty doc must score the intercept")
+  }
 }
