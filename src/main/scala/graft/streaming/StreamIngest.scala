@@ -513,6 +513,73 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[phashIngestStream]], idempotent in batchId —
+    * the [[applyAnnBatch]] witness pattern over
+    * [[graft.operators.Multimodal.appendToPhashIndex]]: the bands
+    * table and the ids sidecar receive the same id set in one staged
+    * transaction, so equal batch-overlap counts mean the append
+    * completed, all-zero means it never started, anything else is a
+    * mid-append crash. Every batch id is eligible (phashBits signs any
+    * feature vector), so the witness compares against the raw
+    * distinct-id count. */
+  def applyPhashBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, featuresCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // same pre-witness repair as [[applyAnnBatch]]
+    graft.operators.IndexFiles.healAppend(spark, indexDir, Seq("bands"))
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/applied/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.functions.col
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val eligible = batchIds.count()
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    val inBands = overlap(batchIds, bands)
+    val inSidecar = overlap(batchIds, graft.operators.IndexFiles
+      .ensureIds(spark, indexDir, bands.select("id").distinct()))
+    // same stale-marker guard as [[applyDedupBatch]]: a checkpoint reset
+    // recycles batchIds, so the marker is honored only when the payload
+    // witness confirms the batch is actually stored
+    if (fs.exists(marker)) {
+      if (inBands == eligible && inSidecar == eligible) return
+      throw new IllegalStateException(
+        s"batch $batchId carries a replay marker but its signatures are " +
+          s"not stored (bands=$inBands ids=$inSidecar of $eligible " +
+          s"eligible) — a checkpoint reset recycled the batchId against " +
+          s"a live index; wipe $indexDir/applied together with the checkpoint")
+    }
+    if (inBands == 0 && inSidecar == 0)
+      graft.operators.Multimodal.appendToPhashIndex(spark, indexDir,
+        batch, idCol, featuresCol)
+    else if (inBands != eligible || inSidecar != eligible)
+      throw new IllegalStateException(
+        s"batch $batchId inconsistently stored (bands=$inBands " +
+          s"ids=$inSidecar of $eligible eligible) — either a previous " +
+          "append crashed between table writes or a re-delivered batch " +
+          "mixes indexed and new assets; repair before restarting")
+    fs.create(marker, true).close()
+  }
+
+  /** Continuous media ingest into the persisted perceptual-hash index
+    * ([[graft.operators.Multimodal.buildPhashIndex]]) — the daily
+    * media-crawl shape: each micro-batch of (id, features) rows (from
+    * the decodeFeatures seam) is signed and banded through the index's
+    * STORED parameters and appended in O(batch);
+    * [[graft.operators.Multimodal.dedupPhashAgainstIndex]] probes
+    * between micro-batches see everything ingested so far. Same replay
+    * idempotency as [[annIngestStream]]. */
+  def phashIngestStream(mediaStream: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "id",
+      featuresCol: String = "features",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPhashBatch(batch, batchId, indexDir, idCol, featuresCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[lshIngestStream]], idempotent in batchId —
     * the [[applyAnnBatch]] witness pattern over
     * [[graft.operators.Ann.appendToLshIndex]]. LSH stores ONE payload

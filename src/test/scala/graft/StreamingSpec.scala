@@ -807,6 +807,83 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/bits").count() == 95)
   }
 
+  test("phashIngestStream: streamed signatures probe-able at once; replay and crash windows repaired") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    // [0,1] feature vectors so thresh 0.5 splits bits evenly; ids i and
+    // i+1000 share features → guaranteed hamming-0 matches for the probe
+    def feat(i: Long) =
+      Seq.tabulate(dim)(j => (math.sin((i % 1000) * 131 + j * 17) + 1) / 2)
+    val dir = java.nio.file.Files.createTempDirectory("phstream").toString
+    Multimodal.buildPhashIndex((1L to 40L).map(i => (i, feat(i)))
+      .toDF("id", "features"), "id", "features", s"$dir/idx", dim, maxHam = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.phashIngestStream(
+      mem.toDF().toDF("id", "features"), s"$dir/idx", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((41L to 60L).map(i => (i, feat(i))): _*)
+    q.processAllAvailable()
+    mem.addData((61L to 80L).map(i => (i, feat(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // a probe batch re-using streamed assets' features must hit them:
+    // the streamed index equals a sequentially-built one
+    val probe = Seq((1055L, feat(55L)), (1077L, feat(77L)))
+      .toDF("id", "features")
+    val got = Multimodal.dedupPhashAgainstIndex(spark, s"$dir/idx",
+        probe, "id", "features")
+      .select("id_new", "id_old", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1055L, 55L, 0L)) && got.contains((1077L, 77L, 0L)),
+      s"streamed signatures not probe-able: $got")
+    val seqDir = java.nio.file.Files.createTempDirectory("phseq").toString
+    Multimodal.buildPhashIndex((1L to 80L).map(i => (i, feat(i)))
+      .toDF("id", "features"), "id", "features", s"$seqDir/idx", dim, maxHam = 2)
+    val want = Multimodal.dedupPhashAgainstIndex(spark, s"$seqDir/idx",
+        probe, "id", "features")
+      .select("id_new", "id_old", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"\nstreamed $got\nsequential $want")
+    // replay idempotency: marker lost, batch re-applied — no throw, no dups
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/idx/applied/0"), false)
+    graft.streaming.StreamIngest.applyPhashBatch(
+      (41L to 60L).map(i => (i, feat(i))).toDF("id", "features"),
+      0L, s"$dir/idx", "id", "features")
+    assert(spark.read.parquet(s"$dir/idx/ids").count() == 80)
+    // stale marker (checkpoint reset recycling batchId 0 with NEW assets)
+    // fails loudly instead of dropping the batch
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamIngest.applyPhashBatch(
+        (81L to 90L).map(i => (i, feat(i))).toDF("id", "features"),
+        0L, s"$dir/idx", "id", "features")
+    }
+    assert(ex.getMessage.contains("checkpoint reset"), ex.getMessage)
+    // crash window: batch staged + journal committed, move never ran —
+    // the next micro-batch's pre-witness heal rolls it forward
+    val tail = (81L to 90L).map(i => (i, feat(i))).toDF("id", "features")
+    val bands = 3; val width = 6 // maxHam+1 bands, ceil(16/3), last band 4 bits
+    val sig = tail.select(col("id"),
+      Multimodal.phashBits(col("features"), dim, 0.5).as("sig"))
+    sig.select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          val w = math.min(width, dim - b * width)
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * width).bitwiseAND((1L << w) - 1).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .write.parquet(s"$dir/idx/bands/_append_tmp")
+    tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
+    graft.streaming.StreamIngest.applyPhashBatch(
+      (91L to 95L).map(i => (i, feat(i))).toDF("id", "features"),
+      99L, s"$dir/idx", "id", "features")
+    assert(spark.read.parquet(s"$dir/idx/ids").count() == 95,
+      "healed batch missing from the sidecar")
+    assert(spark.read.parquet(s"$dir/idx/bands").select("id").distinct().count() == 95)
+  }
+
   test("lshIngestStream: streamed vectors bucket-searchable at once; replay and crash windows repaired") {
     import graft.operators.Ann
     implicit val sqlCtx = spark.sqlContext
