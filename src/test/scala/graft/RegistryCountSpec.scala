@@ -41,4 +41,28 @@ class RegistryCountSpec extends AnyFunSuite {
     assert(ghosts.isEmpty,
       s"SURVEY §2 cites queries the registry does not have: $ghosts")
   }
+
+  test("SURVEY §2 item numbering is well-formed (no dropped headers)") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sec2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val items = "(?m)^(\\d+)([a-z0-9]*)\\. ".r.findAllMatchIn(sec2)
+      .map(m => (m.group(1).toInt, m.group(2))).toSeq
+    assert(items.nonEmpty, "§2 lost ALL item headers")
+    val plain = items.collect { case (n, "") => n }.toSet
+    // every base number 1..max must exist as a plain header — a dropped
+    // plain header silently merges its body into the previous item
+    val missingPlain = (1 to plain.max).filterNot(plain)
+    assert(missingPlain.isEmpty,
+      s"§2 lost plain item header(s): $missingPlain")
+    // every suffixed item (31a) needs its base (31) — the r14 failure
+    // mode: item 31's header line vanished while 31a survived, leaving
+    // the multimodal body orphaned under 30z
+    val orphans = items.collect {
+      case (n, s) if s.nonEmpty && !plain(n) => s"$n$s" }
+    assert(orphans.isEmpty,
+      s"§2 suffixed items whose base header is gone: $orphans")
+  }
 }
