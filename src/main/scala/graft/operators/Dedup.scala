@@ -783,6 +783,78 @@ object Dedup {
         coalesce(col("n_matched_clusters"), lit(0L)).as("n_matched_clusters"))
   }
 
+  /** The consumer of [[assignToClusters]]' visible bridges — close them
+    * by re-clustering ONLY the components the batch actually bridged,
+    * never the corpus: the incremental answer to "periodic reclustering
+    * closes the adoption gap" that doesn't pay a corpus-wide CC run.
+    *
+    * Probe once (the assignToClusters pair set, O(batch)); docs whose
+    * matches resolve to >1 existing label are the bridges; the TOUCHED
+    * label set is everything a bridge connects. The re-cluster subgraph
+    * is then bounded: the old map's STAR edges (id — cluster_id) for
+    * touched clusters — stars reproduce old connectivity exactly,
+    * because dupClusters labels are member ids — plus the batch's
+    * resolved match edges into touched labels. [[dupClusters]] on that
+    * subgraph yields the merged components with the same min-id labels
+    * a full recluster of the union graph would assign (same nodes, same
+    * connectivity classes). Returns the PATCHED full map
+    * (id, cluster_id) over corpus ∪ batch: untouched old rows pass
+    * through BYTE-IDENTICAL, unbridged batch docs keep their
+    * assignToClusters adoption (singletons under their own id), bridged
+    * components take the re-clustered label.
+    *
+    * Label equivalence with a full recluster assumes batch ids sort
+    * after history ids (the monotone ingest-id convention): otherwise
+    * even a NON-bridging adoption can lower a component's min-id label
+    * — that is assignToClusters' documented adoption semantics, not a
+    * bridge, and this op deliberately preserves it. Like the assigner,
+    * the batch is not deduped against itself.
+    *
+    * Scale shape: pairs/bridges/touched are batch-bounded and
+    * checkpointed once; the corpus map is scanned (never shuffled)
+    * under broadcast touched-label filters — once for the star slice,
+    * once for the untouched pass-through; the CC loop runs on the
+    * bounded subgraph (touched members + batch edges, star diameter 2). */
+  def reclusterBridged(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, clusterMap: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, tau: Double = 0.5): DataFrame = {
+    val pairs = dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
+      .select(col("id_new"), col("id_old")).localCheckpoint()
+    val cm = clusterMap.select(col("id"), col("cluster_id"))
+    val cmSlice = cm.select(col("id").as("id_old"), col("cluster_id"))
+      .join(broadcast(pairs.select("id_old").distinct()),
+        Seq("id_old"), "left_semi")
+    val resolved = pairs.join(broadcast(cmSlice), Seq("id_old"), "left")
+      .select(col("id_new"),
+        coalesce(col("cluster_id"), col("id_old")).as("lbl"))
+      .distinct().localCheckpoint()
+    val bridgeIds = resolved.groupBy("id_new")
+      .agg(countDistinct("lbl").as("__n")).filter(col("__n") > 1)
+      .select("id_new")
+    val touched = resolved
+      .join(broadcast(bridgeIds), Seq("id_new"), "left_semi")
+      .select("lbl").distinct().localCheckpoint()
+    // every batch doc's adoption (the assignToClusters formula)
+    val adopted = resolved.groupBy("id_new").agg(min("lbl").as("adopted"))
+    val batchAssigned = batch.select(col(idCol).as("id")).distinct()
+      .join(adopted, col("id") === adopted("id_new"), "left")
+      .select(col("id"), coalesce(col("adopted"), col("id")).as("cluster_id"))
+    if (touched.isEmpty) return cm.unionByName(batchAssigned)
+    val oldStars = cm.join(broadcast(touched),
+        cm("cluster_id") === touched("lbl"), "left_semi")
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    val batchEdges = resolved
+      .join(broadcast(touched), Seq("lbl"), "left_semi")
+      .select(col("id_new").as("id_a"), col("lbl").as("id_b"))
+    val patch = dupClusters(oldStars.unionByName(batchEdges))
+      .select(col("id"), col("cluster_id"))
+    val untouchedOld = cm.join(broadcast(touched),
+      cm("cluster_id") === touched("lbl"), "left_anti")
+    val unpatchedBatch = batchAssigned
+      .join(patch.select("id"), Seq("id"), "left_anti")
+    untouchedOld.unionByName(unpatchedBatch).unionByName(patch)
+  }
+
   /** Collapse each near-dup cluster to one canonical survivor — the
     * keep-best half of fuzzy dedup (exact dedup keeps min id; curated
     * training sets keep the highest-QUALITY member of each near-dup

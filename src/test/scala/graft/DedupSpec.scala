@@ -419,6 +419,57 @@ class DedupSpec extends SparkSpec {
       (13L, 5L, 1L)), s"got $got")
   }
 
+  test("reclusterBridged: patched map equals full recluster; untouched clusters byte-identical") {
+    val tA = "alpha pattern repeated words here again and again today"
+    val tB = "totally different beta content with other vocabulary items"
+    val tC = "gamma standalone text never clustered with anything else"
+    val tD = "delta family boilerplate copied verbatim across mirror sites"
+    val history = Seq((1L, tA), (2L, tA), (3L, tB), (4L, tB), (5L, tC),
+      (6L, tD), (7L, tD)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rebr").toString + "/idx"
+    Dedup.buildMinhashIndex(history, "id", "text", dir,
+      w = 8, numHashes = 12, bands = 12)
+    val histPairs = Dedup.minhashLsh(history, "id", "text", w = 8,
+      numHashes = 12, bands = 12, tau = 0.3).select("id_a", "id_b")
+    val clusterMap = Dedup.dupClusters(histPairs)
+    val batch = Seq(
+      (10L, tA),            // plain adoption into the A family
+      (11L, "wholly novel content unlike any stored document at all"),
+      (12L, tA + " " + tB), // bridges A and B
+      (13L, tC))            // matches a doc the map doesn't know
+      .toDF("id", "text")
+    val patched = Dedup.reclusterBridged(spark, dir, clusterMap, batch,
+        "id", "text", tau = 0.3)
+      .as[(Long, Long)].collect().toMap
+    // full recluster over the same graph the incremental scheme sees:
+    // history pairs + batch-vs-history probe pairs
+    val crossPairs = Dedup.dedupAgainstIndex(spark, dir, batch,
+        "id", "text", tau = 0.3)
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    val full = Dedup.dupClusters(histPairs.unionByName(crossPairs))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    // compare as label FUNCTIONS (absent id = singleton under own id —
+    // the keepCanonical convention)
+    val allIds = (1L to 7L) ++ Seq(10L, 11L, 12L, 13L)
+    allIds.foreach { id =>
+      assert(patched.getOrElse(id, id) == full.getOrElse(id, id),
+        s"id $id: patched ${patched.get(id)} vs full ${full.get(id)}")
+    }
+    // the bridge actually merged: A{1,2} and B{3,4} share label 1 now
+    assert(Seq(1L, 2L, 3L, 4L, 10L, 12L).forall(patched(_) == 1L), s"$patched")
+    assert(patched(13L) == 5L && patched(11L) == 11L)
+    // untouched cluster {6,7} passes through byte-identical to the map
+    val before = clusterMap.select("id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    Seq(6L, 7L).foreach(id => assert(patched(id) == before(id)))
+    // no-bridge batch degenerates to the plain adoption union
+    val quiet = Seq((20L, tD)).toDF("id", "text")
+    val q = Dedup.reclusterBridged(spark, dir, clusterMap, quiet,
+        "id", "text", tau = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(q(20L) == 6L && q(1L) == before(1L) && q(3L) == before(3L), s"$q")
+  }
+
   test("dedupSegments: only the globally first occurrence of each paragraph survives") {
     val pdocs = Seq(
       (1L, "alpha\nshared one\nbeta"),
