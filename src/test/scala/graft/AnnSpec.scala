@@ -1195,6 +1195,48 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("aliases: blue-green swap over the sparse/BM25 index family") {
+    import graft.operators.Aliases
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("aliassp").toString
+    val reg = s"$root/aliases"
+    // blue: half the corpus; green: the full "re-crawl" — the swap must
+    // make doc 60 (green-only) findable through the SAME alias
+    def postings(n: Long) = (1L to n).flatMap(i =>
+      Seq((i, i % 7, 2.0), (i, i % 5 + 100, 1.0), (i, 777L, 1.0)))
+      .toDF("id", "term", "w")
+    Ann.buildSparseIndex(postings(30L), s"$root/blue", buckets = 8)
+    Ann.buildSparseIndex(postings(60L), s"$root/green", buckets = 8)
+    Aliases.createAlias(spark, reg, "sparse_prod", s"$root/blue")
+    val qterms = Seq((1L, 60L % 7, 2.0), (1L, 60L % 5 + 100, 1.0))
+      .toDF("qid", "term", "qw")
+    def searchVia(bm25: Boolean) = {
+      val dir = Aliases.resolveAlias(spark, reg, "sparse_prod")
+      if (bm25) Ann.searchSparseIndexBm25(spark, dir,
+        qterms.select("qid", "term").distinct(), k = 60)
+      else Ann.searchSparseIndex(spark, dir, qterms, k = 60)
+    }
+    val blueIds = searchVia(bm25 = false).select("id").as[Long].collect().toSet
+    assert(blueIds.nonEmpty && !blueIds.contains(60L),
+      s"blue index must not know doc 60: $blueIds")
+    // the swap: weight-sum AND BM25 searches resolve to green — BM25
+    // exercises the doclens/stats sidecars through the alias too
+    Aliases.alterAlias(spark, reg, "sparse_prod", s"$root/green")
+    val greenIds = searchVia(bm25 = false).select("id").as[Long].collect().toSet
+    assert(greenIds.contains(60L), s"swap did not repoint: $greenIds")
+    val bm25Ids = searchVia(bm25 = true).select("id").as[Long].collect().toSet
+    assert(bm25Ids.contains(60L), s"BM25 path did not repoint: $bm25Ids")
+    // green results equal a direct (alias-free) search — the resolver
+    // adds no behavior, only indirection
+    val direct = Ann.searchSparseIndex(spark, s"$root/green", qterms, k = 60)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val aliased = searchVia(bm25 = false)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(aliased == direct, "aliased search diverged from direct search")
+  }
+
   test("describeIndex + dropIndex: stats name every stored table; drop removes the index") {
     import graft.operators.IndexFiles
     val dir = java.nio.file.Files.createTempDirectory("descidx").toString + "/idx"
