@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** The bench heavy hitters — the shuffle/join-dominated family where
-    * superlinear behavior would hide. */
+    * superlinear behavior would hide. The span family (r15) joins them:
+    * gap-and-island windows per doc whose claim is flat per char. */
   val heavy: Seq[String] = Seq(
     "q_curation_pipeline", "q_curation_pipeline_v2", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_cluster", "q_dedup_canonical",
-    "q_bm25_index")
+    "q_bm25_index", "q_repeated_spans", "q_contam_spans")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
@@ -397,8 +398,21 @@ object Scale {
     val nScaled = Tables.load(spark, scaleDir, "documents").count()
     println(s"SCALE_CORPUS base=$nBase scaled=$nScaled factor=$factor")
 
+    // local-iteration escape hatch (the Bench SPARK_GRAFT_ONLY shape):
+    // measure a subset of the heavy family without re-running the rest;
+    // unknown names are fatal, not silently dropped
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case None => heavy
+      case Some(names) =>
+        val unknown = names.diff(heavy.toSet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SCALE_ONLY names not in Scale.heavy: ${unknown.toSeq.sorted.mkString(", ")}")
+        heavy.filter(names.contains)
+    }
+
     def run(dir: String, label: String): Seq[(String, Double, Long)] =
-      heavy.map { name =>
+      selected.map { name =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
