@@ -29,6 +29,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.ivfTopK(noVecs, someQs, k = 5, nlist = 4).count() == 0)
   }
 
+  test("rerank over empty candidates / empty passages") {
+    val noCand = Seq.empty[(Long, Long)].toDF("qid", "id")
+    val qs = Seq((1L, "query text")).toDF("qid", "qtext")
+    val ps = Seq((2L, "passage text")).toDF("id", "ptext")
+    assert(Ann.rerankTopK(noCand, qs, ps, k = 5).count() == 0)
+    val noPs = Seq.empty[(Long, String)].toDF("id", "ptext")
+    val cand = Seq((1L, 2L)).toDF("qid", "id")
+    assert(Ann.rerankTopK(cand, qs, noPs, k = 5).count() == 0)
+    // null text scores null (SQL md5 semantics), never a crash
+    assert(graft.operators.Tag.stubRerankCall(Seq((null, "p"), ("q", null)))
+      .forall(_ == null))
+  }
+
   test("ivfTopK: corpus smaller than nlist falls back to exact scan") {
     val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
     val out = Ann.ivfTopK(tiny, someQs, k = 5, nlist = 16)

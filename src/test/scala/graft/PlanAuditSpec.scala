@@ -178,6 +178,22 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch shuffle must cost exactly one exchange:\n$shufPhys")
   }
 
+  test("rerankTopK: candidate enrichment broadcasts — the passage corpus never shuffles") {
+    val cand = Seq((1L, 3L), (1L, 7L), (2L, 3L)).toDF("qid", "id")
+    val queries = Seq((1L, "q one"), (2L, "q two")).toDF("qid", "qtext")
+    val passages = (1L to 40L).map(i => (i, s"passage $i")).toDF("id", "ptext")
+    val phys = Ann.rerankTopK(cand, queries, passages, k = 2)
+      .queryExecution.executedPlan.toString
+    // both the query-text join (q rows) and the candidate join (q×k'
+    // rows) must be broadcast hash joins: the corpus-sized passage scan
+    // stays in place, filtered by the broadcast candidate set — the
+    // docstring's one-scan claim
+    assert("BroadcastHashJoin".r.findAllIn(phys).size >= 2,
+      s"rerank joins not broadcast:\n$phys")
+    assert(!phys.contains("SortMergeJoin"),
+      s"rerank shuffles a side it promised to broadcast:\n$phys")
+  }
+
   test("bpe tokenize: both vocabulary tables broadcast — the corpus pass never sort-merges") {
     import graft.operators.Bpe
     val docs = (1L to 60L)
