@@ -1411,6 +1411,26 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("ce_score"), col("rank").cast("long"))
   }
 
+  /** [[qRerank]] in its PRODUCTION form — first stage through the
+    * PERSISTED hybrid indexes (IVF at full probe + bucket-pruned
+    * sparse, both exact: the q_hybrid_index argument), second stage
+    * the same stub cross-encoder rerank. Shares q_rerank's oracle
+    * verbatim: the two queries must produce the identical frame, which
+    * can only happen if the whole persisted composition loses
+    * nothing. */
+  private def qRerankIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    val cand = Ann.searchHybridIndex(s, hybIvfIdx(s, dir), sparseIdx(s, dir),
+      queriesSet(s, dir), qpost, k = 10, nprobe = 16)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val passages = docs.select(col("doc_id").as("id"), col("text").as("ptext"))
+    Ann.rerankTopK(cand, queries, passages, k = 5)
+      .select(col("qid"), col("id"), col("ce_score"), col("rank").cast("long"))
+  }
+
   // Weighted-fusion hybrid (Milvus WeightedRanker): same branches as
   // q_hybrid_search, scores normalized and weight-summed instead of RRF
   private def qHybridWeighted(s: SparkSession, dir: String): DataFrame = {
@@ -1755,6 +1775,7 @@ object SparkEntry {
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_rerank" -> (qRerank _),
+    "q_rerank_index" -> (qRerankIndex _),
     "q_hybrid_weighted" -> (qHybridWeighted _),
     "q_hybrid_index" -> (qHybridIndex _),
     "q_hybrid_bm25" -> (qHybridBm25 _),
@@ -1914,6 +1935,28 @@ object SparkEntry {
        |SELECT qid, id, rrf, rank FROM (
        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank FROM f)
        |WHERE rank <= 10""".stripMargin
+
+  // Both rerank stages in SQL: candidates are the full hybrid RRF
+  // fusion (the q_hybrid_search chain as a subquery), then the stub
+  // cross-encoder's three md5 mode scores over query ␟ passage and
+  // the [0.4, 0.2, 0.4]-weighted mean — the m3 rerank formula.
+  private lazy val rerankSql =
+    s"""WITH cand AS (SELECT qid, id FROM ($hybridRrfSql)),
+       |qd AS (SELECT doc_id AS qid, text AS qt FROM documents WHERE doc_id < 5),
+       |pd AS (SELECT doc_id AS id, text AS pt FROM documents),
+       |pairs AS (SELECT c.qid, c.id, qd.qt || chr(31) || pd.pt AS pair
+       |          FROM cand c JOIN qd USING (qid) JOIN pd USING (id)),
+       |modes AS (SELECT qid, id,
+       |  ('0x' || substr(md5('d#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sd,
+       |  ('0x' || substr(md5('s#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS ss,
+       |  ('0x' || substr(md5('c#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sc
+       |  FROM pairs),
+       |scored AS (SELECT qid, id,
+       |  round((0.4 * sd + 0.2 * ss + 0.4 * sc) / (0.4 + 0.2 + 0.4), 6) AS ce_score
+       |  FROM modes)
+       |SELECT qid, id, ce_score, rank FROM (
+       | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY ce_score DESC, id ASC) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 5""".stripMargin
 
   private val shingle8 =
     s"""SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
@@ -2453,27 +2496,12 @@ object SparkEntry {
     "q_hybrid_search" -> hybridRrfSql,
     "q_hybrid_index" -> hybridRrfSql,
 
-    // both rerank stages in SQL: candidates are the full hybrid RRF
-    // fusion (the q_hybrid_search chain as a subquery), then the stub
-    // cross-encoder's three md5 mode scores over query ␟ passage and
-    // the [0.4, 0.2, 0.4]-weighted mean — the m3 rerank formula
-    "q_rerank" ->
-      s"""WITH cand AS (SELECT qid, id FROM ($hybridRrfSql)),
-         |qd AS (SELECT doc_id AS qid, text AS qt FROM documents WHERE doc_id < 5),
-         |pd AS (SELECT doc_id AS id, text AS pt FROM documents),
-         |pairs AS (SELECT c.qid, c.id, qd.qt || chr(31) || pd.pt AS pair
-         |          FROM cand c JOIN qd USING (qid) JOIN pd USING (id)),
-         |modes AS (SELECT qid, id,
-         |  ('0x' || substr(md5('d#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sd,
-         |  ('0x' || substr(md5('s#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS ss,
-         |  ('0x' || substr(md5('c#' || pair), 1, 8))::BIGINT % 1000001 / 1000000.0 AS sc
-         |  FROM pairs),
-         |scored AS (SELECT qid, id,
-         |  round((0.4 * sd + 0.2 * ss + 0.4 * sc) / (0.4 + 0.2 + 0.4), 6) AS ce_score
-         |  FROM modes)
-         |SELECT qid, id, ce_score, rank FROM (
-         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY ce_score DESC, id ASC) AS BIGINT) AS rank FROM scored)
-         |WHERE rank <= 5""".stripMargin,
+    // both rerank stages in SQL — shared by q_rerank (in-memory first
+    // stage) and q_rerank_index (persisted full-probe first stage):
+    // both are exact, so the two registered queries must produce the
+    // identical frame (the q_hybrid_search/q_hybrid_index precedent)
+    "q_rerank" -> rerankSql,
+    "q_rerank_index" -> rerankSql,
 
     // RRF of the dense branch with a BM25-scored sparse branch — the
     // same dense/fusion CTEs as hybridRrfSql, sparse swapped for the
