@@ -65,20 +65,22 @@ object Multimodal {
     * peak decoder memory exactly like `mapInPandas` batch shaping. */
   def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
       dim: Int = 16, batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
+    val in = df.select(col(idCol), col(binCol))
+    // ids keep their NATIVE type through the seam (the signatures
+    // convention — a long cast would silently NULL non-numeric ids);
+    // row-typed mapPartitions, so the seam is also stream-safe
     val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
+      in.schema(0).copy(name = "media_id"),
       StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    val in = df.select(col(idCol).cast("long"), col(binCol))
-    val rdd = in.rdd.mapPartitions { it =>
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // one "decoder call" per batch — the external-library seam
         batch.iterator.map { r =>
-          Row(r.getLong(0), stubDecode(r.getAs[Array[Byte]](1), dim).toSeq)
+          Row(r.get(0), stubDecode(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Stub resize: a real implementation decodes + scales pixels; the

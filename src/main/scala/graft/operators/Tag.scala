@@ -95,26 +95,28 @@ object Tag {
 
   /** The batched per-partition model seam over (id, prompt) rows —
     * shared by [[tag]] (bare text prompts) and [[chatTag]] (assembled
-    * chat requests). */
+    * chat requests). Ids keep their NATIVE type through the seam (the
+    * engine-wide convention — a long cast would silently NULL
+    * non-numeric ids); row-typed mapPartitions, so the seam is also
+    * stream-safe. */
   private def tagPrompts(in: DataFrame, batchSize: Int): DataFrame = {
-    val spark = in.sparkSession
+    import org.apache.spark.sql.Encoders
     val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      in.schema(0).copy(name = "id"),
       StructField("label", StringType, nullable = false)))
-    val rdd = in.rdd.mapPartitions { it =>
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(_.getString(1))
         val tags = stubModelCall(texts)
-        batch.iterator.zip(tags.iterator).map { case (r, tg) => Row(r.getLong(0), tg) }
+        batch.iterator.zip(tags.iterator).map { case (r, tg) => Row(r.get(0), tg) }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Tag each row's `textCol` with a label via the batched model seam. */
   def tag(df: DataFrame, idCol: String, textCol: String,
       batchSize: Int = 32): DataFrame =
-    tagPrompts(df.select(col(idCol).cast("long"), col(textCol)), batchSize)
+    tagPrompts(df.select(col(idCol), col(textCol)), batchSize)
 
   /** The (role, content) message array for one chat call — the
     * reference's request assembly (qwen_api.py:29-41) as a pure Catalyst
@@ -166,7 +168,7 @@ object Tag {
     val hist = historyCol.map(col)
       .getOrElse(lit(null).cast("array<struct<q:string,a:string>>"))
     tagPrompts(
-      df.select(col(idCol).cast("long"),
+      df.select(col(idCol),
         chatDigestInput(chatMessages(col(queryCol), sys, hist)).as("prompt")),
       batchSize)
   }
