@@ -139,6 +139,20 @@ class MultimodalTagSpec extends SparkSpec {
     assert(Tag.labels.contains(out(2L)))
   }
 
+  test("tag and decode seams keep non-numeric ids natively (no silent long-cast NULLs)") {
+    val sdocs = Seq(("doc-a", "alpha text"), ("doc-b", "beta text"))
+      .toDF("id", "text")
+    val tagged = Tag.tag(sdocs, "id", "text")
+      .select("id").as[String].collect().toSet
+    assert(tagged == Set("doc-a", "doc-b"), s"tag seam lost ids: $tagged")
+    val smedia = Seq(("asset-1", "bytes one"), ("asset-2", "bytes two"))
+      .toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val decoded = Multimodal.decodeFeatures(smedia, "id", "payload", dim = 4)
+      .select("media_id").as[String].collect().toSet
+    assert(decoded == Set("asset-1", "asset-2"), s"decode seam lost ids: $decoded")
+  }
+
   test("Tag.chatMessages: assembly follows the reference's rules") {
     import org.apache.spark.sql.functions.{col, lit}
     val rows = Seq(
