@@ -358,6 +358,24 @@ class StreamingSpec extends SparkSpec {
     assert(oov.filter(_._4 == "z").forall(_._5.isEmpty), s"$oov")
   }
 
+  test("Tag.tag runs unchanged on a stream: drained labels equal batch labels") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Tag
+    val feed = Seq((1L, "alpha news story"), (2L, "beta tech report"),
+      (3L, "gamma finance note"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Tag.tag(mem.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("stag")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(feed: _*)
+    q.processAllAvailable()
+    val drained = spark.table("stag").as[(Long, String)].collect().toMap
+    q.stop()
+    val batch = Tag.tag(feed.toDF("id", "text"), "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(drained == batch, s"\nstream $drained\nbatch  $batch")
+  }
+
   test("tokenizeStream: non-numeric ids survive natively (no silent long-cast NULLs)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Bpe
