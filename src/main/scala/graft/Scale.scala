@@ -411,7 +411,15 @@ object Scale {
         heavy.filter(names.contains)
     }
 
-    def run(dir: String, label: String): Seq[(String, Double, Long)] =
+    def run(dir: String, label: String, parts: Int): Seq[(String, Double, Long)] = {
+      // shuffle partitions sized to the point's data — the SURVEY §5
+      // sizing rule made operational: a 100× corpus through the graded
+      // 32 partitions packs ~7M shingle rows per aggregation task and
+      // OOMs the 8g heap (measured r15); growing partitions with the
+      // data is exactly what a production job does, and each point
+      // paying its own (data-proportional) partition count is the
+      // honest comparison
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       selected.map { name =>
         spark.catalog.clearCache()
         System.gc()
@@ -421,12 +429,16 @@ object Scale {
         println(f"SCALE_Q $label $name%-22s ${sec}%8.2f s  $rows%9d rows")
         (name, sec, rows)
       }
+    }
 
     // scaled first so the 1× point doesn't donate page-cache/JIT warmth
     // it wouldn't have in a cold bench run; within a point the order is
     // the bench's own (alphabetical-ish via `heavy`)
-    val scaled = run(scaleDir, s"x$factor")
-    val base = run(baseDir, "x1")
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val scaledPartitions =
+      math.min(512, basePartitions * math.max(1, factor / 10))
+    val scaled = run(scaleDir, s"x$factor", scaledPartitions)
+    val base = run(baseDir, "x1", basePartitions)
     println("SCALE_TABLE query,base_s,scaled_s,ratio,base_rows,scaled_rows")
     base.zip(scaled).foreach { case ((n, bs, br), (_, ss, sr)) =>
       println(f"SCALE_ROW $n,$bs%.2f,$ss%.2f,${ss / bs}%.2f,$br,$sr")

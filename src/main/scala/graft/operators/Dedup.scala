@@ -452,14 +452,17 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 13, minLen: Int = 30): DataFrame = {
     require(w > 0 && minLen >= w, "need w > 0 and minLen >= w")
-    // localCheckpointed (not cache()d): the O(total chars) explode+md5
-    // stream feeds both the duplicated-hash groupBy and the semi-join
-    // probe side, but a CacheManager entry would outlive the call until
-    // someone clears the cache — RDD-level checkpoint blocks are
-    // reclaimed by the ContextCleaner once the returned frame is
-    // dropped, so repeated calls in a long-lived session don't
-    // accumulate storage.
-    val sh = shinglePositions(df, idCol, textCol, w).localCheckpoint()
+    // The O(total chars) explode+md5 stream feeds both the
+    // duplicated-hash groupBy and the semi-join probe side, and is
+    // deliberately NOT materialized (no cache, no localCheckpoint):
+    // storing a corpus-sized position stream is the wrong trade at
+    // scale — measured r15, the checkpointed blocks evict storage into
+    // execution's share and OOM the 100× aggregation, while
+    // recomputing the stream is narrow scan+codegen work (no shuffle
+    // below it) that two consumers repeat for free relative to the
+    // shuffles above. At 100 TB you re-derive positions; you never
+    // hold them.
+    val sh = shinglePositions(df, idCol, textCol, w)
     val dup = sh.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("h")
     spanIslands(sh.join(dup, Seq("h"), "left_semi"), w, minLen)
