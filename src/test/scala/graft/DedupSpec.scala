@@ -468,6 +468,12 @@ class DedupSpec extends SparkSpec {
         "id", "text", tau = 0.3)
       .as[(Long, Long)].collect().toMap
     assert(q(20L) == 6L && q(1L) == before(1L) && q(3L) == before(3L), s"$q")
+    // empty batch: the map passes through unchanged, no crash
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val e = Dedup.reclusterBridged(spark, dir, clusterMap, empty,
+        "id", "text", tau = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(e == before, s"empty batch perturbed the map: $e vs $before")
   }
 
   test("dedupSegments: only the globally first occurrence of each paragraph survives") {

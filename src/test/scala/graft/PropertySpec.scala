@@ -91,6 +91,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Tag.stubRerankCall: total, bounded, deterministic, weight-linear") {
+    val pairGen = Gen.zip(
+      Gen.oneOf(textGen, Gen.const(null: String)),
+      Gen.oneOf(textGen, Gen.const(null: String)))
+    forSamples(Gen.listOf(pairGen), n = 150) { batch =>
+      val out = Tag.stubRerankCall(batch)
+      assert(out.length == batch.length)
+      batch.zip(out).foreach {
+        case ((q, p), s) if q != null && p != null =>
+          // weighted mean of [0,1] mode scores stays in [0,1]
+          assert(s != null && s >= 0.0 && s <= 1.0, s"score $s out of range")
+        case (_, s) => assert(s == null, "null text must score null")
+      }
+      // deterministic: same batch, same scores
+      assert(Tag.stubRerankCall(batch) == out)
+      // weight linearity: the fused score is the weighted mean of the
+      // three single-mode scores
+      val d = Tag.stubRerankCall(batch, Seq(1.0, 0.0, 0.0))
+      val sp = Tag.stubRerankCall(batch, Seq(0.0, 1.0, 0.0))
+      val c = Tag.stubRerankCall(batch, Seq(0.0, 0.0, 1.0))
+      batch.indices.filter(i => out(i) != null).foreach { i =>
+        val mean = (0.4 * d(i) + 0.2 * sp(i) + 0.4 * c(i)) / (0.4 + 0.2 + 0.4)
+        assert(math.abs(out(i) - mean) < 1e-15, s"fused ${out(i)} vs $mean")
+      }
+    }
+  }
+
   test("planeConst: stable values in [-1, 1], distinct across plane families") {
     forSamples(Gen.zip(Gen.choose(0, 63), Gen.choose(1, 128)), n = 100) {
       case (p, dim) =>
