@@ -29,7 +29,7 @@ object Scale {
   val heavy: Seq[String] = Seq(
     "q_curation_pipeline", "q_curation_pipeline_v2", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_cluster", "q_dedup_canonical",
-    "q_bm25_index", "q_repeated_spans", "q_contam_spans")
+    "q_bm25_index", "q_repeated_spans", "q_contam_spans", "q_rerank")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
@@ -394,6 +394,16 @@ object Scale {
 
     scaledDocuments(Tables.load(spark, baseDir, "documents"), factor)
       .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+    // the embeddings table scales alongside (verbatim vectors, offset
+    // ids — aligned with the doc replicas' id offsets since both id
+    // domains match), so vector-reading heavy queries (q_rerank) can
+    // run against the scaled dir too
+    scaledVectors(Tables.load(spark, baseDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          col("label")),
+        factor)
+      .select(col("id").as("vec_id"), col("v").as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
     val nBase = Tables.load(spark, baseDir, "documents").count()
     val nScaled = Tables.load(spark, scaleDir, "documents").count()
     println(s"SCALE_CORPUS base=$nBase scaled=$nScaled factor=$factor")
