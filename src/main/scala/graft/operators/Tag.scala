@@ -56,12 +56,14 @@ object Tag {
     val Seq(wd, ws, wc) = weights
     val denom = wd + ws + wc
     require(denom > 0, s"rerank weights must not sum to zero: $weights")
+    // one digest instance per call — digest() resets it, so the three
+    // mode hashes per pair reuse it instead of allocating 3×|batch|
+    val md = java.security.MessageDigest.getInstance("MD5")
     pairs.map {
       case (q, p) if q != null && p != null =>
         val key = q + "\u001f" + p
         def mode(tag: String): Double = {
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest((tag + "#" + key).getBytes("UTF-8"))
+          val d = md.digest((tag + "#" + key).getBytes("UTF-8"))
           val hex = d.take(4).map("%02x".format(_)).mkString
           (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0
         }
