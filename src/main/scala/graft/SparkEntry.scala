@@ -494,6 +494,15 @@ object SparkEntry {
     Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", w = 8, tau = 0.5,
       maxDf = Some(100))
 
+  // Asymmetric containment (Broder c = |A∩B|/|A|) over the SAME capped
+  // shingle space as q_dedup_ngram — the subset-duplicate catcher
+  // symmetric Jaccard structurally misses. tau=0.4 keeps partial
+  // containments in the graded output, not just the c=1.0 exact-subset
+  // families.
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      w = 8, tau = 0.4, maxDf = Some(100))
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
@@ -1232,6 +1241,21 @@ object SparkEntry {
     Dedup.dedupLinesInDoc(pdocs, "doc_id", "text")
   }
 
+  // Cross-doc line-frequency filter on a constructed 3-line text (the
+  // q_dedup_lines trick — the corpus has no natural newlines): line 1
+  // is the doc's first 60 chars (hot exactly when docs share prefixes,
+  // i.e. the near-dup families), line 2 alternates a corpus-wide
+  // boilerplate footer (df ≈ half the corpus → always dropped) with a
+  // per-doc md5 (df = 1 → always kept), line 3 is chars 61-120.
+  private def qDedupLinesCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pdocs = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 60), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("boilerplate footer line"))
+          .otherwise(md5(col("doc_id").cast("string"))), lit("\n"),
+        substring(col("text"), 61, 60)).as("text"))
+    Dedup.dedupLinesAcrossDocs(pdocs, "doc_id", "text", minDf = 2)
+  }
+
   // Milvus range search: radius < score <= range_filter, capped at limit
   private def qAnnRange(s: SparkSession, dir: String): DataFrame =
     Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
@@ -1700,7 +1724,9 @@ object SparkEntry {
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
+    "q_dedup_lines_corpus" -> (qDedupLinesCorpus _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
@@ -2342,6 +2368,17 @@ object SparkEntry {
          |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
          |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""".stripMargin,
+
+    // containment: the quadratic all-ordered-pairs definition verbatim —
+    // the Spark side's prefix filter + exact verify must reproduce it
+    "q_dedup_containment" ->
+      s"""WITH sh AS ($shingle8Capped),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sa.sz, 4) AS containment
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a
+         |WHERE round(CAST(i AS DOUBLE) / sa.sz, 4) >= 0.4""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $minhashCandCtes
@@ -3143,6 +3180,22 @@ object SparkEntry {
         |f AS (SELECT doc_id, seg, min(i) AS i FROM e GROUP BY 1, 2)
         |SELECT doc_id AS id, string_agg(seg, chr(10) ORDER BY i) AS clean
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    // cross-doc line-frequency filter over the synthesized 3-line doc:
+    // drop lines present in >= 2 DISTINCT docs, reassemble survivors in
+    // order; every doc keeps a row (clean = '' when fully boilerplate)
+    "q_dedup_lines_corpus" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'boilerplate footer line' ELSE md5(CAST(doc_id AS VARCHAR)) END
+        |  || chr(10) || substr(text, 61, 60) AS t FROM documents),
+        |e AS (SELECT doc_id, i, segs[i] AS line
+        |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i
+        |            FROM (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d))),
+        |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM e) GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, i, line FROM e WHERE line NOT IN (SELECT line FROM hot)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(r.clean, '') AS clean
+        |FROM d LEFT JOIN r ON r.doc_id = d.doc_id""".stripMargin,
 
     // budget sampling: the oracle's single per-stratum running sum
     // equals the distributed bucket-offset + local-window form by

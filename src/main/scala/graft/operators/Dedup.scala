@@ -115,6 +115,45 @@ object Dedup {
             .otherwise(concat(acc, array(x)))),
         sep).as("clean"))
 
+  /** CORPUS-WIDE boilerplate-line removal — the cross-doc companion of
+    * [[dedupLinesInDoc]] (the C4 / MassiveText-style line-frequency
+    * filter): drop every line that occurs in at least `minDf` DISTINCT
+    * docs, keep the rest in original order, one (id, clean) row per
+    * input doc (clean = '' when every line was boilerplate). DOCUMENT
+    * frequency, not occurrence count: a line repeated inside one doc
+    * is intra-doc structure ([[dedupLinesInDoc]]'s job), not corpus
+    * boilerplate — nav bars, cookie banners and footers are boilerplate
+    * precisely because they recur ACROSS pages.
+    *
+    * Scale shape: lines collapse to xxhash64 longs before any shuffle
+    * (the [[shingleSetHashed]] discipline), the df groupBy is map-side
+    * combined on 8-byte keys, and the anti-join back keys on the hash.
+    * The hot set is NOT assumed broadcastable (at minDf = 2 it can be
+    * half the distinct lines), so the anti-join is left to shuffle —
+    * still 8-byte keys, O(total lines). The rebuild is one per-doc
+    * groupBy carrying (pos, line) structs — no window, no driver
+    * state, O(surviving text) once. */
+  def dedupLinesAcrossDocs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
+    val d = spread(df)
+    val l = d.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val hot = l.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    val rebuilt = l.join(hot, Seq("h"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("clean"))
+    d.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .na.fill("", Seq("clean"))
+      .select("id", "clean")
+  }
+
   /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops
     * shingles occurring in more than maxDf docs (stopword-shingles add
     * candidates without discriminating — the classic LSH hot-key cap,
@@ -220,6 +259,94 @@ object Dedup {
       positionalFilter: Boolean = false): DataFrame = {
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
     verifyJaccard(ppjoinCandidates(sh, tau, positionalFilter), sh, "sh", tau)
+  }
+
+  /** Exact n-gram CONTAINMENT near-dup pairs — Broder's asymmetric
+    * companion to [[ngramJaccard]]: c(A,B) = |A∩B| / |A| over the same
+    * (capped) shingle-hash sets, emitted as ordered rows
+    * (id_a CONTAINED-IN id_b, containment >= tau, id_a != id_b).
+    * Symmetric Jaccard structurally misses subset duplicates — a short
+    * doc quoted whole inside a long one has j ≈ |A|/|B| → 0 while
+    * c(A,B) = 1 — and subset duplication (aggregator pages wrapping a
+    * feed item, quote-expansions, boilerplate-wrapped reposts) is a
+    * standard web-corpus leak that Jaccard-only dedup ships to
+    * training.
+    *
+    * Candidate generation is a prefix filter that depends only on the
+    * CONTAINED side: c(A,B) >= tau forces |A∩B| >= ceil(tau·|A|), so by
+    * pigeonhole B holds at least one of A's first
+    * |A| − ceil(tau·|A|) + 1 shingles in the global rarest-first order
+    * (df asc, hash asc — a total order independent of the pair). Only
+    * those prefixes probe the full inverted index; rarest-first means
+    * each probing shingle's fan-out is its (small) df, and the hot
+    * shingles that would fan out quadratically sort into suffixes and
+    * never probe. The size filter |B| >= ceil(tau·|A|) (provable from
+    * the intersection bound) prunes further — deliberately NO upper
+    * bound on |B|: asymmetric containment is exactly the regime where
+    * the container is much larger. The exact verify keeps the output
+    * identical to the quadratic all-ordered-pairs definition over the
+    * same sets, so the SQL oracle is that definition verbatim.
+    *
+    * Scale shape: [[ngramJaccard]]'s — shingle/df/window shuffles are
+    * O(total shingles) on 8-byte hashes, candidate fan-out is
+    * Σ_prefix df(h) (maxDf-capped), the verify is candidate-pruned.
+    * Nothing is all-pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
+    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id")
+    // cached: both candidate-join sides (A-prefix and full index) read
+    // this, and recomputing it re-runs the df join + two windows
+    val ranked = sh.join(dfs, "sh")
+      .select(col("id"), col("sh"),
+        row_number().over(wDoc.orderBy(col("df").asc, col("sh").asc)).as("pos"),
+        count(lit(1)).over(wDoc).as("sz"))
+      .cache()
+    // −ε inside ceil(): the same double-rounding guard as
+    // ppjoinCandidates — a prefix one short of the provable bound
+    // silently drops true pairs
+    val prefix = ranked
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select("id", "sh", "sz")
+    // explicit aliases: both sides share `ranked`'s lineage, and
+    // unaliased prefix("sh") === index("sh") resolves to the SAME
+    // attribute — a trivially-true predicate that silently degrades
+    // the candidate join to the size-filtered cross product
+    val cand = prefix.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+          col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    verifyContainment(cand, sh, tau)
+  }
+
+  /** Exact-containment verification — [[verifyJaccard]]'s shape with
+    * the asymmetric |A| denominator: shingle sets candidate-pruned by a
+    * broadcast semi-join, intersection by equi-join on the hash,
+    * c = inter / sz_a with the −ε prune before the 4-digit round the
+    * oracle shares. Docs with zero shingles never reach the division:
+    * they have no prefix rows, so they never appear as id_a. */
+  private def verifyContainment(candRaw: DataFrame, sh: DataFrame,
+      tau: Double): DataFrame = {
+    val cand = candRaw.cache()
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(broadcast(candIds), Seq("id"), "left_semi").cache()
+    val sizes = shc.groupBy("id").agg(count(lit(1)).as("sz"))
+    val interCnt = cand.join(shc.as("sa"), col("id_a") === col("sa.id"))
+      .join(shc.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    cand.join(interCnt, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .withColumn("raw", col("inter").cast("double") / col("sz_a"))
+      .filter(col("raw") >= tau - 1e-4)
+      .withColumn("containment", round(col("raw"), 4))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
   }
 
   /** PPJoin prefix-filtered candidate pairs over (id, sh) shingle

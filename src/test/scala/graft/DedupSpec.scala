@@ -709,4 +709,74 @@ class DedupSpec extends SparkSpec {
       "id", "text", dirFresh)
     assert(probe(dirFresh) == before)
   }
+
+  test("containmentPairs: catches the subset duplicate symmetric Jaccard misses") {
+    // doc 1 is quoted VERBATIM inside doc 2, which is ~6x longer — the
+    // aggregator-wraps-a-feed-item shape. Containment of 1-in-2 is 1.0;
+    // Jaccard is ~|A|/|B| and sits far below the same threshold.
+    val quoted = "the short original post whose every shingle reappears"
+    val wrapper = "aggregator header navigation text goes first here " +
+      quoted + " then a long tail of site chrome related links comment " +
+      "threads advertising blocks and footer paragraphs that dwarf the " +
+      "original quoted material by a factor of several in raw length " +
+      "so the symmetric measure dilutes toward zero as the page grows"
+    val docs = Seq((1L, quoted), (2L, wrapper),
+      (3L, "an unrelated document sharing nothing with either of them"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", w = 8, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(c == Seq((1L, 2L, 1.0)), s"got $c") // ordered: 1 in 2, never 2 in 1
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.9)
+    assert(j.isEmpty, "jaccard at the same threshold should miss the subset pair")
+  }
+
+  test("containmentPairs: equals the all-ordered-pairs definition (incl. maxDf cap)") {
+    // seeded corpus with partial overlaps and a hot shared suffix so the
+    // maxDf cap and the partial-containment (<1.0) regime are exercised
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(30)}").mkString(" ")
+    val base = (1L to 12L).map(i => (i, words(25) + " common shared tail across docs"))
+    val subset = Seq((21L, base(0)._2.substring(0, 80)),
+      (22L, base(1)._2.substring(20, 110)))
+    val docs = (base ++ subset).toDF("doc_id", "text")
+    val tau = 0.5; val cap = Some(8)
+    val sh = Dedup.shingleSetHashed(docs, "doc_id", "text", 8, cap)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .withColumn("containment", round(col("i").cast("double") / col("sz_a"), 4))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 8, tau, cap)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got.nonEmpty && got.exists(_._3 < 1.0),
+      s"corpus should produce partial containments: $got")
+    assert(got == brute, s"prefix-filtered result diverged from definition:\n$got\nvs\n$brute")
+  }
+
+  test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "other line\nBOILER\nmore text"),   // BOILER df=2 -> dropped
+      (3L, "solo\nsolo\nunique three"),        // same-doc repeat: df=1 -> KEPT twice
+      (4L, "BOILER"),                          // fully boilerplate -> ''
+      (5L, "")                                 // empty line: df(='' )? only doc 5 -> kept
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(docs, "id", "text", minDf = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "keep one\nkeep two",
+      2L -> "other line\nmore text",
+      3L -> "solo\nsolo\nunique three",
+      4L -> "",
+      5L -> ""), s"got $out")
+    // raising minDf above any df keeps everything verbatim
+    val loose = Dedup.dedupLinesAcrossDocs(docs, "id", "text", minDf = 99)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) == "keep one\nBOILER\nkeep two" && loose(4L) == "BOILER")
+  }
 }

@@ -21,6 +21,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.minhashLsh(noDocs, "doc_id", "text").count() == 0)
     assert(Dedup.simhashPairs(noDocs, "doc_id", "text").count() == 0)
     assert(Dedup.embeddingCosine(noVecs, "id", "v", tau = 0.5).count() == 0)
+    assert(Dedup.containmentPairs(noDocs, "doc_id", "text", tau = 0.5).count() == 0)
+    assert(Dedup.dedupLinesAcrossDocs(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("ann family over an empty corpus (incl. IVF's KMeans guard)") {
