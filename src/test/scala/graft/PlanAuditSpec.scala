@@ -194,6 +194,21 @@ class PlanAuditSpec extends SparkSpec {
       s"rerank shuffles a side it promised to broadcast:\n$phys")
   }
 
+  test("containmentPairs: candidate join is an equi-join on the shingle hash, never a nested loop") {
+    // the regression this pins: both candidate-join sides derive from
+    // one `ranked` lineage, and an unaliased sh === sh resolves to the
+    // same attribute — Catalyst folds it to `true`, the only remaining
+    // predicates are inequalities, and the join silently becomes a
+    // nested-loop cross product (output still exact thanks to the
+    // verify, so ONLY the plan shape catches it)
+    val docs = (1L to 30L).map(i => (i, s"document number $i with some shared filler text"))
+      .toDF("doc_id", "text")
+    val phys = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"containment candidate join degenerated to a non-equi join:\n$phys")
+  }
+
   test("bpe tokenize: both vocabulary tables broadcast — the corpus pass never sort-merges") {
     import graft.operators.Bpe
     val docs = (1L to 60L)
