@@ -503,6 +503,18 @@ object SparkEntry {
     Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
       w = 8, tau = 0.4, maxDf = Some(100))
 
+  // The containment family's dedup DECISION: survivors after dropping
+  // every doc tau-contained in a strictly larger doc (equal sizes keep
+  // the min id). tau=0.8 — the decision threshold is deliberately
+  // higher than the pairs query's 0.4: you REPORT 40% overlap, you
+  // only DROP a doc that is mostly inside another. (Also the cheap
+  // regime: prefix length is (1−tau)·|A|+1, so 0.8 probes ~20% of
+  // each doc's shingles vs 0.4's ~60%.)
+  private def qDedupDropContained(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropContained(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, tau = 0.8, maxDf = Some(100))
+      .select(col("doc_id").as("id"))
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
@@ -1727,6 +1739,7 @@ object SparkEntry {
     "q_dedup_lines_corpus" -> (qDedupLinesCorpus _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_containment" -> (qDedupContainment _),
+    "q_dedup_drop_contained" -> (qDedupDropContained _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
@@ -2379,6 +2392,20 @@ object SparkEntry {
          |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / sa.sz, 4) AS containment
          |FROM inter JOIN sz sa ON sa.doc_id = id_a
          |WHERE round(CAST(i AS DOUBLE) / sa.sz, 4) >= 0.4""".stripMargin,
+
+    // survivors of the greedy keep-the-container decision: dropped =
+    // tau-contained in a strictly larger set (ties keep the min id)
+    "q_dedup_drop_contained" ->
+      s"""WITH sh AS ($shingle8Capped),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT id_a FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE round(CAST(i AS DOUBLE) / sa.sz, 4) >= 0.8
+         |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a)))
+         |SELECT doc_id AS id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_a FROM dropped)""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $minhashCandCtes

@@ -293,9 +293,16 @@ object Dedup {
     * Nothing is all-pairs. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
+    containmentPairsFrom(sh, tau)
+  }
+
+  /** [[containmentPairs]] over an already-built (id, sh) shingle-hash
+    * set — split out so [[dropContained]] reuses one cached set for
+    * both the pair generation and the canonical-container sizes. */
+  private[graft] def containmentPairsFrom(sh: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
-    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id")
     // cached: both candidate-join sides (A-prefix and full index) read
@@ -320,6 +327,36 @@ object Dedup {
           col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     verifyContainment(cand, sh, tau)
+  }
+
+  /** The dedup DECISION on top of [[containmentPairs]] — greedy
+    * keep-the-container: a doc is dropped when it is tau-contained in
+    * a STRICTLY LARGER doc (shingle-set size; equal sizes — mutual
+    * containment, e.g. exact duplicates — keep the min id), everything
+    * else survives with its original columns. Deterministic: the drop
+    * predicate depends only on pair-local sizes and ids, never on
+    * visit order. Greedy in the standard sense: if A ⊆ B ⊆ C, A is
+    * judged against B directly (c(A,C) ≥ tau is NOT implied), so a
+    * drop-chain can remove A and B while keeping only C — the usual
+    * containment-dedup approximation, documented rather than hidden.
+    *
+    * Scale shape: [[containmentPairsFrom]]'s plan plus one size join
+    * on the PAIR set (tiny next to the corpus) and a left-anti back to
+    * the docs — no new corpus-sized shuffle beyond the shared shingle
+    * set, which is built and cached ONCE for both stages. */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
+    val pairs = containmentPairsFrom(sh, tau)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dropped = pairs
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+      .select(col("id_a")).distinct()
+    spread(df).join(dropped.withColumnRenamed("id_a", idCol),
+      Seq(idCol), "left_anti")
   }
 
   /** Exact-containment verification — [[verifyJaccard]]'s shape with

@@ -758,6 +758,26 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"prefix-filtered result diverged from definition:\n$got\nvs\n$brute")
   }
 
+  test("dropContained: container survives, contained drops, exact-dup ties keep min id") {
+    val quoted = "the short original post whose every shingle reappears"
+    val wrapper = "aggregator header navigation text goes first here " +
+      quoted + " then a long tail of site chrome related links comment " +
+      "threads advertising blocks and footer paragraphs beyond it all"
+    val docs = Seq(
+      (1L, quoted),            // contained in 2 -> dropped
+      (2L, wrapper),           // the container -> kept
+      (5L, "twin document with identical shingle structure"),
+      (4L, "twin document with identical shingle structure"), // exact dup of 5: min id 4 kept
+      (9L, "an unrelated document sharing nothing with anything else")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "doc_id", "text", w = 8, tau = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 9L), s"got $kept")
+    // survivors keep their original columns verbatim
+    val cols = Dedup.dropContained(docs, "doc_id", "text", w = 8, tau = 0.9).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
     val docs = Seq(
       (1L, "keep one\nBOILER\nkeep two"),
