@@ -1268,6 +1268,25 @@ object SparkEntry {
     Dedup.dedupLinesAcrossDocs(pdocs, "doc_id", "text", minDf = 2)
   }
 
+  // The persisted line-df index path over the SAME synthesized 3-line
+  // text: odd docs are the crawl history, even docs the arriving batch.
+  // The batch verdict counts history df + within-batch df, so it equals
+  // the whole-corpus batch operator restricted to even ids — which is
+  // exactly the oracle (the q_dedup_lines_corpus SQL + a parity filter).
+  private def qDedupLinesIndex(s: SparkSession, dir: String): DataFrame = {
+    val pdocs = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 60), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("boilerplate footer line"))
+          .otherwise(md5(col("doc_id").cast("string"))), lit("\n"),
+        substring(col("text"), 61, 60)).as("text"))
+    val idx = buildOnce(s"/tmp/graft_linedf_idx_${dirKey(dir)}") { d =>
+      Dedup.buildLineDfIndex(pdocs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", d)
+    }
+    Dedup.lineDfAgainstIndex(s, idx,
+      pdocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", minDf = 2)
+  }
+
   // Milvus range search: radius < score <= range_filter, capped at limit
   private def qAnnRange(s: SparkSession, dir: String): DataFrame =
     Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
@@ -1737,6 +1756,7 @@ object SparkEntry {
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_lines_corpus" -> (qDedupLinesCorpus _),
+    "q_dedup_lines_index" -> (qDedupLinesIndex _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_drop_contained" -> (qDedupDropContained _),
@@ -3223,6 +3243,22 @@ object SparkEntry {
         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean FROM kept GROUP BY doc_id)
         |SELECT d.doc_id AS id, coalesce(r.clean, '') AS clean
         |FROM d LEFT JOIN r ON r.doc_id = d.doc_id""".stripMargin,
+
+    // the index path: history (odd docs) df + batch (even docs) df is
+    // whole-corpus df, so the oracle is the corpus filter + parity cut
+    "q_dedup_lines_index" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 60) || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'boilerplate footer line' ELSE md5(CAST(doc_id AS VARCHAR)) END
+        |  || chr(10) || substr(text, 61, 60) AS t FROM documents),
+        |e AS (SELECT doc_id, i, segs[i] AS line
+        |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i
+        |            FROM (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d))),
+        |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM e) GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, i, line FROM e WHERE line NOT IN (SELECT line FROM hot)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(r.clean, '') AS clean
+        |FROM d LEFT JOIN r ON r.doc_id = d.doc_id
+        |WHERE d.doc_id % 2 = 0""".stripMargin,
 
     // budget sampling: the oracle's single per-stratum running sum
     // equals the distributed bucket-offset + local-window form by

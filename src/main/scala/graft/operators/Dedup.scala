@@ -137,21 +137,165 @@ object Dedup {
       minDf: Int = 2, sep: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
     val d = spread(df)
-    val l = d.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "line")))
-      .withColumn("h", xxhash64(col("line")))
+    val l = lineRows(d, idCol, textCol, sep)
     val hot = l.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("h")
-    val rebuilt = l.join(hot, Seq("h"), "left_anti")
-      .groupBy("id")
+    rebuildFromLines(d, idCol, l.join(hot, Seq("h"), "left_anti"), sep)
+  }
+
+  /** (id, pos, line, h) rows: sep-delimited lines exploded with their
+    * in-doc position and xxhash64 — the line-space twin of
+    * [[shingleSetHashed]]'s discipline (8-byte hashes carry every
+    * downstream shuffle; the line STRING rides along only where the
+    * rebuild needs it). Shared by [[dedupLinesAcrossDocs]] and the
+    * persisted line-df index family. */
+  private def lineRows(d: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    d.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+
+  /** Reassemble surviving (id, pos, line) rows into (id, clean) —
+    * every doc of `d` keeps a row, '' when nothing survived. One
+    * per-doc groupBy over (pos, line) structs: no window, no driver
+    * state, O(surviving text). */
+  private def rebuildFromLines(d: DataFrame, idCol: String,
+      kept: DataFrame, sep: String): DataFrame = {
+    val rebuilt = kept.groupBy("id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), sep).as("clean"))
     d.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
       .na.fill("", Seq("clean"))
       .select("id", "clean")
+  }
+
+  /** Directory fan-out bound for the line-df index's hash buckets. */
+  private val LineDfBuckets = 64
+
+  /** Per-batch (h, df, src, hb) document-frequency INCREMENTS for the
+    * line-df index: df counts DISTINCT docs per line hash within this
+    * batch; readers SUM across src segments. Increments — not
+    * read-modify-write counters — are what make appends O(batch) blind
+    * writes with the staged-append crash protocol. */
+  private def lineDfIncrements(batch: DataFrame, idCol: String,
+      textCol: String, sep: String, src: String): DataFrame =
+    lineRows(spread(batch), idCol, textCol, sep)
+      .select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .withColumn("src", lit(src))
+      .withColumn("hb", pmod(col("h"), lit(LineDfBuckets.toLong)).cast("int"))
+
+  /** Persist a corpus line document-frequency index — the daily-crawl
+    * form of [[dedupLinesAcrossDocs]]: boilerplate is defined by how
+    * often a line recurs across the WHOLE crawl history, not within
+    * one batch, so the df counts must outlive any single run.
+    * `dir/lines` holds (h, df) increments partitioned by (src, hb):
+    * src tags the contributing batch (replay detection is a partition
+    * listing, and a re-staged src REPLACES its own rows — idempotence
+    * by construction), hb bounds file counts per segment. `dir/bloom`
+    * is the same membership sidecar as the exact index's: most lines
+    * of a fresh batch are NOVEL (bloom-negative) and never touch
+    * history at all — the probe's history scan is reserved for the
+    * recurring minority. Increments are never compacted in place;
+    * probes sum them, and the bloom rebuild story is
+    * [[rebuildExactSidecar]]'s (same telemetry, same maintenance
+    * call shape) if a year of appends saturates it. */
+  def buildLineDfIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, sep: String = "\n", fpp: Double = 0.01): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    val inc = lineDfIncrements(df, idCol, textCol, sep, "base").persist()
+    val n = inc.count()
+    require(n > 0, "buildLineDfIndex: input corpus is empty")
+    val bits = bloomBits(s, n, fpp)
+    inc.repartition(col("hb"))
+      .write.partitionBy("src", "hb").mode("overwrite").parquet(s"$dir/lines")
+    inc.agg(SK.bloomAgg(col("h"), n, bits).as("bloom"))
+      .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+        lit(bits).as("num_bits"))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+    inc.unpersist(); ()
+  }
+
+  /** Append one batch's df increments under its own `src` tag in
+    * O(batch). A src already present in the committed index is a
+    * REPLAY: the append is skipped entirely (its increments are
+    * already summed — re-adding would double-count df, the increment
+    * store's one non-idempotent failure mode, which the src listing
+    * turns into a no-op instead). The bloom delta merges every batch
+    * hash — set bits are idempotent, so replay protection matters only
+    * for the counts. */
+  def appendToLineDfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      src: String, sep: String = "\n"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
+    IndexFiles.healAppend(spark, dir, Seq("lines"))
+    val replayed = !spark.read.parquet(s"$dir/lines")
+      .filter(col("src") === src).isEmpty
+    if (replayed) return
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
+      meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
+    val inc = lineDfIncrements(batch, idCol, textCol, sep, src).persist()
+    if (inc.count() > 0) {
+      val delta = inc.agg(SK.bloomAgg(col("h"), items, bits).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+      val merged = bloomOf(bytes)
+      merged.mergeInPlace(bloomOf(delta))
+      import spark.implicits._
+      IndexFiles.replaceTable(spark, dir, "bloom",
+        Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
+          .toDF("bloom", "n_items", "fpp", "num_bits"),
+        Seq.empty)
+      IndexFiles.appendStaged(spark, dir,
+        Seq(("lines", inc.repartition(col("hb")), Seq("src", "hb"))), None)
+    }
+    inc.unpersist(); ()
+  }
+
+  /** Filter a batch's boilerplate lines against the persisted history:
+    * a line is dropped when (its DISTINCT-doc count within this batch)
+    * + (its summed history df) reaches `minDf` — i.e. the verdict for
+    * batch i under sequential feeding equals [[dedupLinesAcrossDocs]]
+    * over batches 1..i restricted to batch i's docs (already-emitted
+    * docs are never retro-edited; verdicts are per arrival time, the
+    * streaming-curation contract). The probe never joins all of
+    * history: bloom-NEGATIVE batch lines (the novel majority of a real
+    * crawl) skip it entirely, and the history scan for the positive
+    * minority is a broadcast-semi-pruned (h, df) column read whose
+    * shuffle carries only matching hashes. `excludeSrc` removes one
+    * src segment's rows from the history sum — how a replayed
+    * micro-batch avoids counting its own earlier append
+    * ([[graft.streaming.StreamIngest.applyLineDfBatch]]). */
+  def lineDfAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, sep: String = "\n",
+      excludeSrc: Option[String] = None): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every line: $minDf")
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    val bytes = spark.read.parquet(s"$dir/bloom").head()
+      .getAs[Array[Byte]]("bloom")
+    val d = spread(batch)
+    val l = lineRows(d, idCol, textCol, sep)
+    val batchDf = l.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("bdf"))
+    val cand = batchDf
+      .filter(SK.mightContain(lit(bytes), col("h"))).select("h")
+    val hist = spark.read.parquet(s"$dir/lines")
+    val histScan = excludeSrc match {
+      case Some(s0) => hist.filter(col("src") =!= s0)
+      case None => hist
+    }
+    val histDf = histScan.join(broadcast(cand), Seq("h"), "left_semi")
+      .groupBy("h").agg(sum(col("df")).as("hdf"))
+    val hot = batchDf.join(histDf, Seq("h"), "left")
+      .na.fill(0L, Seq("hdf"))
+      .filter(col("bdf") + col("hdf") >= minDf).select("h")
+    rebuildFromLines(d, idCol, l.join(hot, Seq("h"), "left_anti"), sep)
   }
 
   /** Distinct (id, shingle) pairs over normalized text. `maxDf` drops

@@ -254,6 +254,58 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[lineDfIngestStream]], idempotent in batchId
+    * across every crash window WITHOUT markers: the batch's verdict is
+    * computed with its own src segment EXCLUDED from the history sum
+    * (so it reads identically whether or not the append already
+    * committed), the clean output overwrites its own `batch=<id>`
+    * directory, and the append itself is a replay no-op once its src
+    * partition is committed
+    * ([[graft.operators.Dedup.appendToLineDfIndex]]). Filter-then-
+    * append order means batch i's own lines never count toward batch
+    * i's history — its within-batch df is counted in-flight instead,
+    * which is what makes the drained outputs equal the batch operator
+    * over the prefix union (the DedupSpec sequential contract). The
+    * idempotence window is the ENGINE's: Structured Streaming only
+    * re-delivers the most recent uncommitted batch, before any later
+    * batch runs — re-applying an ANCIENT batch after later appends is
+    * out of contract (later df would legitimately drop more lines). */
+  def applyLineDfBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, textCol: String, outDir: String,
+      minDf: Int = 2, sep: String = "\n"): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.IndexFiles.healAppend(spark, indexDir, Seq("lines"))
+    val src = s"b$batchId"
+    graft.operators.Dedup
+      .lineDfAgainstIndex(spark, indexDir, batch, idCol, textCol, minDf,
+        sep, excludeSrc = Some(src))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    graft.operators.Dedup.appendToLineDfIndex(spark, indexDir, batch,
+      idCol, textCol, src, sep)
+  }
+
+  /** Streaming corpus-boilerplate filter — the daily-crawl lifecycle
+    * of [[graft.operators.Dedup.buildLineDfIndex]]: each micro-batch
+    * is cleaned against the accumulated line document frequencies
+    * (history df + within-batch df ≥ minDf drops the line), writes
+    * (id, clean) to `outDir/batch=<id>`, then appends its own df
+    * increments under its src tag. State lives in the index directory,
+    * not the state store; per micro-batch the work is O(batch) + the
+    * bloom-pruned history sum for the recurring minority of lines. */
+  def lineDfIngestStream(docsStream: DataFrame, indexDir: String,
+      idCol: String, textCol: String, outDir: String,
+      checkpointDir: String, minDf: Int = 2, sep: String = "\n",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLineDfBatch(batch, batchId, indexDir, idCol, textCol,
+          outDir, minDf, sep)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[annIngestStream]], idempotent in batchId —
     * the [[applyDedupBatch]] witness pattern over
     * [[graft.operators.Ann.appendToIvfIndex]]: cells and the ids

@@ -778,6 +778,41 @@ class DedupSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("line-df index: sequential feeding equals the batch operator over each prefix union") {
+    val history = Seq((1L, "alpha\nfooter"), (2L, "beta\nunique2"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "gamma\nfooter"),  // footer: hist 1 + batch 1 -> dropped
+      (11L, "alpha\ndelta"))              // alpha crosses with history -> dropped
+      .toDF("doc_id", "text")
+    val b2 = Seq((20L, "gamma\nepsilon"), // gamma: b1's append + this batch -> dropped
+      (21L, "zeta\nzeta two"),
+      (22L, "dup\nxx"), (23L, "dup\nyy")) // within-batch boilerplate alone
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("linedf").toString + "/idx"
+    Dedup.buildLineDfIndex(history, "doc_id", "text", dir)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toMap
+    val out1 = m(Dedup.lineDfAgainstIndex(spark, dir, b1, "doc_id", "text"))
+    Dedup.appendToLineDfIndex(spark, dir, b1, "doc_id", "text", "s1")
+    val out2 = m(Dedup.lineDfAgainstIndex(spark, dir, b2, "doc_id", "text"))
+    Dedup.appendToLineDfIndex(spark, dir, b2, "doc_id", "text", "s2")
+    def ref(union: org.apache.spark.sql.DataFrame, ids: Seq[Long]) =
+      m(Dedup.dedupLinesAcrossDocs(union, "doc_id", "text")
+        .filter(col("id").isin(ids: _*)))
+    assert(out1 == ref(history.unionByName(b1), Seq(10L, 11L)), s"got $out1")
+    assert(out2 == ref(history.unionByName(b1).unionByName(b2),
+      Seq(20L, 21L, 22L, 23L)), s"got $out2")
+    // the crossings the corpus plants, by hand
+    assert(out1 == Map(10L -> "gamma", 11L -> "delta"))
+    assert(out2 == Map(20L -> "epsilon", 21L -> "zeta\nzeta two",
+      22L -> "xx", 23L -> "yy"))
+    // replayed append of a committed src is a strict no-op
+    val before = spark.read.parquet(s"$dir/lines").count()
+    Dedup.appendToLineDfIndex(spark, dir, b1, "doc_id", "text", "s1")
+    assert(spark.read.parquet(s"$dir/lines").count() == before,
+      "replayed src append double-counted df increments")
+  }
+
   test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
     val docs = Seq(
       (1L, "keep one\nBOILER\nkeep two"),
