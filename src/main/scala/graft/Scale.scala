@@ -278,6 +278,39 @@ object Scale {
     report("phash", "dedup_against_index", pq1, pqN)
     println(s"SCALE_APPEND_ROWS phash_query x1=$pp1 x$factor=$ppN")
 
+    // ---- line-df (corpus boilerplate index) ----
+    // Text synthesized to 3 lines (the q_dedup_lines_* construction).
+    // The LITERAL footer line stays corpus-wide hot at any scale (the
+    // recurring minority the bloom routes to the history sum); the
+    // salted prefix/suffix and md5 lines are novel per replica — so
+    // the probe's bloom-positive set is history-hit-sized while the
+    // stored increments grow FACTOR×. Batch = salted replica (novel
+    // lines + the hot footer); probe = unsalted id-offset copy whose
+    // prefix/suffix lines match exactly replica 0's history entries at
+    // BOTH scales (identical hit set; only the index grew).
+    def lined(d: DataFrame) = d.select(col("doc_id"),
+      concat(substring(col("text"), 1, 60), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("boilerplate footer line"))
+          .otherwise(md5(col("doc_id").cast("string"))), lit("\n"),
+        substring(col("text"), 61, 60)).as("text"))
+    val (ld1, ldN) = (s"$scaleDir/ld_x1", s"$scaleDir/ld_x$factor")
+    val (lbN, _) = timed(Dedup.buildLineDfIndex(
+      lined(scaledDocuments(docs, factor)), "doc_id", "text", ldN))
+    val (lb1, _) = timed(Dedup.buildLineDfIndex(
+      lined(docs), "doc_id", "text", ld1))
+    report("linedf", "build", lb1, lbN)
+    val (laN, _) = timed(Dedup.appendToLineDfIndex(spark, ldN,
+      lined(mbatch), "doc_id", "text", "s1"))
+    val (la1, _) = timed(Dedup.appendToLineDfIndex(spark, ld1,
+      lined(mbatch), "doc_id", "text", "s1"))
+    report("linedf", "append_same_batch", la1, laN)
+    val (lqN, lrN) = timed(Dedup.lineDfAgainstIndex(spark, ldN,
+      lined(probe), "doc_id", "text").count())
+    val (lq1, lr1) = timed(Dedup.lineDfAgainstIndex(spark, ld1,
+      lined(probe), "doc_id", "text").count())
+    report("linedf", "filter_against_index", lq1, lqN)
+    println(s"SCALE_APPEND_ROWS linedf_filter x1=$lr1 x$factor=$lrN")
+
     // ---- bloom saturation → rebuild recovery ----
     // Build sized for N docs, append FACTOR salted replicas: the sidecar
     // now holds (factor+1)·N items at the original N sizing — the
