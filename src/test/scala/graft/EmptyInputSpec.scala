@@ -23,6 +23,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.embeddingCosine(noVecs, "id", "v", tau = 0.5).count() == 0)
     assert(Dedup.containmentPairs(noDocs, "doc_id", "text", tau = 0.5).count() == 0)
     assert(Dedup.dedupLinesAcrossDocs(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dropContained(noDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("line-df index over empty batches: filter yields nothing, append is a clean no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("eldidx").toString + "/idx"
+    val history = Seq((1L, "alpha\nfooter")).toDF("doc_id", "text")
+    graft.operators.Dedup.buildLineDfIndex(history, "doc_id", "text", dir)
+    assert(graft.operators.Dedup
+      .lineDfAgainstIndex(spark, dir, noDocs, "doc_id", "text").count() == 0)
+    val before = spark.read.parquet(s"$dir/lines").count()
+    graft.operators.Dedup
+      .appendToLineDfIndex(spark, dir, noDocs, "doc_id", "text", "s0")
+    assert(spark.read.parquet(s"$dir/lines").count() == before)
+    // and the index still probes correctly afterwards
+    val out = graft.operators.Dedup.lineDfAgainstIndex(spark, dir,
+        Seq((9L, "gamma\nfooter")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(9L -> "gamma"), s"got $out")
   }
 
   test("ann family over an empty corpus (incl. IVF's KMeans guard)") {
