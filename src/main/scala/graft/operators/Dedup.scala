@@ -200,9 +200,10 @@ object Dedup {
     * of a fresh batch are NOVEL (bloom-negative) and never touch
     * history at all — the probe's history scan is reserved for the
     * recurring minority. Increments are never compacted in place;
-    * probes sum them, and the bloom rebuild story is
-    * [[rebuildExactSidecar]]'s (same telemetry, same maintenance
-    * call shape) if a year of appends saturates it. */
+    * probes sum them, and when a long append run saturates the
+    * sidecar, [[rebuildLineDfSidecar]] re-sizes it from the stored
+    * increments (same telemetry via [[IndexFiles.describeIndex]],
+    * same maintenance shape as [[rebuildExactSidecar]]). */
   def buildLineDfIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, sep: String = "\n", fpp: Double = 0.01): Unit = {
     val s = df.sparkSession
@@ -255,6 +256,30 @@ object Dedup {
         Seq(("lines", inc.repartition(col("hb")), Seq("src", "hb"))), None)
     }
     inc.unpersist(); ()
+  }
+
+  /** Re-size and re-aggregate the line-df Bloom sidecar from the
+    * STORED increments — [[rebuildExactSidecar]]'s maintenance call
+    * for this family: every append merges its delta at the ORIGINAL
+    * (n_items, num_bits) sizing, so a long run of daily appends
+    * saturates the filter toward always-positive. Correctness never
+    * breaks (the probe sums actual stored df), but every batch line
+    * then pays the history sum. One scan of `lines/` over DISTINCT
+    * hashes; the increments themselves are never rewritten. Run when
+    * [[IndexFiles.describeIndex]]'s fpp_est drifts well above the
+    * stored design fpp. */
+  def rebuildLineDfSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fpp: Double = 0.01): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("lines"))
+    val hs = spark.read.parquet(s"$dir/lines").select("h").distinct()
+    val n = hs.count()
+    require(n > 0, "rebuildLineDfSidecar: stored lines table is empty")
+    val bits = bloomBits(spark, n, fpp)
+    IndexFiles.replaceTable(spark, dir, "bloom",
+      hs.agg(SK.bloomAgg(col("h"), n, bits).as("bloom"))
+        .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+          lit(bits).as("num_bits")),
+      Seq.empty)
   }
 
   /** Filter a batch's boilerplate lines against the persisted history:

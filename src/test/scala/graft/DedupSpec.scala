@@ -811,6 +811,20 @@ class DedupSpec extends SparkSpec {
     Dedup.appendToLineDfIndex(spark, dir, b1, "doc_id", "text", "s1")
     assert(spark.read.parquet(s"$dir/lines").count() == before,
       "replayed src append double-counted df increments")
+    // sidecar maintenance: describeIndex surfaces bloom health for this
+    // family too, and the rebuild re-sizes to the stored distinct-hash
+    // count while leaving every verdict invariant
+    val health = graft.operators.IndexFiles.describeIndex(spark, dir)
+      .filter(col("table") === "bloom")
+    assert(health.count() == 1 && !health.select("fpp_est").head().isNullAt(0))
+    Dedup.rebuildLineDfSidecar(spark, dir)
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    val distinctH = spark.read.parquet(s"$dir/lines")
+      .select("h").distinct().count()
+    assert(meta.getAs[Long]("n_items") == distinctH)
+    val out2Re = m(Dedup.lineDfAgainstIndex(spark, dir, b2, "doc_id", "text",
+      excludeSrc = Some("s2")))
+    assert(out2Re == out2, "sidecar rebuild changed a verdict")
   }
 
   test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
