@@ -1253,20 +1253,22 @@ object SparkEntry {
     Dedup.dedupLinesInDoc(pdocs, "doc_id", "text")
   }
 
-  // Cross-doc line-frequency filter on a constructed 3-line text (the
-  // q_dedup_lines trick — the corpus has no natural newlines): line 1
-  // is the doc's first 60 chars (hot exactly when docs share prefixes,
-  // i.e. the near-dup families), line 2 alternates a corpus-wide
-  // boilerplate footer (df ≈ half the corpus → always dropped) with a
-  // per-doc md5 (df = 1 → always kept), line 3 is chars 61-120.
-  private def qDedupLinesCorpus(s: SparkSession, dir: String): DataFrame = {
-    val pdocs = t(s, dir, "documents").select(col("doc_id"),
+  /** The synthesized 3-line document both line-corpus queries (and
+    * their oracles) agree on — the q_dedup_lines trick, since the
+    * corpus has no natural newlines: line 1 is the doc's first 60
+    * chars (hot exactly when docs share prefixes, i.e. the near-dup
+    * families), line 2 alternates a corpus-wide boilerplate footer
+    * (df ≈ half the corpus → always dropped) with a per-doc md5
+    * (df = 1 → always kept), line 3 is chars 61-120. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
       concat(substring(col("text"), 1, 60), lit("\n"),
         when(col("doc_id") % 2 === 0, lit("boilerplate footer line"))
           .otherwise(md5(col("doc_id").cast("string"))), lit("\n"),
         substring(col("text"), 61, 60)).as("text"))
-    Dedup.dedupLinesAcrossDocs(pdocs, "doc_id", "text", minDf = 2)
-  }
+
+  private def qDedupLinesCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLinesAcrossDocs(linedDocs(s, dir), "doc_id", "text", minDf = 2)
 
   // The persisted line-df index path over the SAME synthesized 3-line
   // text: odd docs are the crawl history, even docs the arriving batch.
@@ -1274,11 +1276,7 @@ object SparkEntry {
   // the whole-corpus batch operator restricted to even ids — which is
   // exactly the oracle (the q_dedup_lines_corpus SQL + a parity filter).
   private def qDedupLinesIndex(s: SparkSession, dir: String): DataFrame = {
-    val pdocs = t(s, dir, "documents").select(col("doc_id"),
-      concat(substring(col("text"), 1, 60), lit("\n"),
-        when(col("doc_id") % 2 === 0, lit("boilerplate footer line"))
-          .otherwise(md5(col("doc_id").cast("string"))), lit("\n"),
-        substring(col("text"), 61, 60)).as("text"))
+    val pdocs = linedDocs(s, dir)
     val idx = buildOnce(s"/tmp/graft_linedf_idx_${dirKey(dir)}") { d =>
       Dedup.buildLineDfIndex(pdocs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", d)

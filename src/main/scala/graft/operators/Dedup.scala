@@ -195,7 +195,9 @@ object Dedup {
     * `dir/lines` holds (h, df) increments partitioned by (src, hb):
     * src tags the contributing batch (replay detection is a partition
     * listing, and a re-staged src REPLACES its own rows — idempotence
-    * by construction), hb bounds file counts per segment. `dir/bloom`
+    * by construction); hb spreads each segment across parallel
+    * writers, so a crawl-scale day (10⁹ distinct lines) lands as 64
+    * bounded files instead of one monolith. `dir/bloom`
     * is the same membership sidecar as the exact index's: most lines
     * of a fresh batch are NOVEL (bloom-negative) and never touch
     * history at all — the probe's history scan is reserved for the
