@@ -311,6 +311,34 @@ object Scale {
     report("linedf", "filter_against_index", lq1, lqN)
     println(s"SCALE_APPEND_ROWS linedf_filter x1=$lr1 x$factor=$lrN")
 
+    // ---- containment (admitted-corpus shingle index) ----
+    // Same controls as minhash: append batch = salted replica FACTOR
+    // (disjoint vocabulary → novel shingles, novel ids — the id guard
+    // admits it all), probe = an unsalted id-offset copy of the base
+    // docs — every probe doc is an exact copy of a replica-0 history
+    // doc (equal-size containment, history wins the tie), so the
+    // verdict hit-set is identical at both scales and only the stored
+    // shingle scan behind the broadcast candidate join grew.
+    val (c1, cN) = (s"$scaleDir/ct_x1", s"$scaleDir/ct_x$factor")
+    val (cbN, _) = timed(Dedup.buildContainmentIndex(
+      scaledDocuments(docs, factor), "doc_id", "text", cN, maxDf = Some(100)))
+    val (cb1, _) = timed(Dedup.buildContainmentIndex(
+      docs, "doc_id", "text", c1, maxDf = Some(100)))
+    report("containment", "build", cb1, cbN)
+    val (caN, _) = timed(Dedup.appendToContainmentIndex(spark, cN,
+      mbatch, "doc_id", "text", "s1"))
+    val (ca1, _) = timed(Dedup.appendToContainmentIndex(spark, c1,
+      mbatch, "doc_id", "text", "s1"))
+    report("containment", "append_same_batch", ca1, caN)
+    val (cqN, crN) = timed(Dedup.dropContainedAgainstIndex(spark, cN,
+        probe, "doc_id", "text", tau = 0.8)
+      .filter(col("is_contained")).count())
+    val (cq1, cr1) = timed(Dedup.dropContainedAgainstIndex(spark, c1,
+        probe, "doc_id", "text", tau = 0.8)
+      .filter(col("is_contained")).count())
+    report("containment", "drop_against_index", cq1, cqN)
+    println(s"SCALE_APPEND_ROWS containment_query x1=$cr1 x$factor=$crN")
+
     // ---- bloom saturation → rebuild recovery ----
     // Build sized for N docs, append FACTOR salted replicas: the sidecar
     // now holds (factor+1)·N items at the original N sizing — the

@@ -515,6 +515,21 @@ object SparkEntry {
         w = 8, tau = 0.8, maxDf = Some(100))
       .select(col("doc_id").as("id"))
 
+  // The containment family's daily-crawl form: evens are the admitted
+  // history (persisted index, built once per JVM), odds the incoming
+  // batch. Verdict per batch doc: tau-contained in an equal-or-larger
+  // history doc (arrival wins ties) or dropContained-style within the
+  // batch; container_id = largest winning container, ties min id.
+  private def qDedupContainedIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_contain_idx_${dirKey(dir)}") { d =>
+      Dedup.buildContainmentIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", d, w = 8, maxDf = Some(100))
+    }
+    Dedup.dropContainedAgainstIndex(s, idx,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tau = 0.8)
+  }
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
@@ -1758,6 +1773,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_drop_contained" -> (qDedupDropContained _),
+    "q_dedup_contained_index" -> (qDedupContainedIndex _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
@@ -2424,6 +2440,45 @@ object SparkEntry {
          |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a)))
          |SELECT doc_id AS id FROM documents
          |WHERE doc_id NOT IN (SELECT id_a FROM dropped)""".stripMargin,
+
+    // daily-crawl containment admission: history = evens (slice-capped
+    // shingles, the index's build-time cap), batch = odds (batch-local
+    // cap). History containers win ties (arrival order); batch
+    // containers follow dropContained's strict-or-min-id rule. The
+    // winning container is the largest, ties min id, pooled across both.
+    "q_dedup_contained_index" ->
+      s"""WITH nd AS ($normDoc),
+         |hist AS (SELECT doc_id, t FROM nd WHERE doc_id % 2 = 0),
+         |bat AS (SELECT doc_id, t FROM nd WHERE doc_id % 2 = 1),
+         |shh0 AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM hist)),
+         |shh AS (SELECT s.doc_id, s.sh FROM shh0 s
+         |  JOIN (SELECT sh FROM shh0 GROUP BY sh HAVING count(*) <= 100) k ON s.sh = k.sh),
+         |shb0 AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS sh
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM bat)),
+         |shb AS (SELECT s.doc_id, s.sh FROM shb0 s
+         |  JOIN (SELECT sh FROM shb0 GROUP BY sh HAVING count(*) <= 100) k ON s.sh = k.sh),
+         |szh AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |szb AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY doc_id),
+         |interH AS (SELECT b.doc_id AS id_a, h.doc_id AS id_b, count(*) AS i
+         |  FROM shb b JOIN shh h ON b.sh = h.sh GROUP BY 1, 2),
+         |interB AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shb a JOIN shb b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT i.id_a, i.id_b, sb.sz AS sz_b FROM interH i
+         |    JOIN szb sa ON sa.doc_id = i.id_a JOIN szh sb ON sb.doc_id = i.id_b
+         |    WHERE round(CAST(i.i AS DOUBLE) / sa.sz, 4) >= 0.8 AND sb.sz >= sa.sz
+         |  UNION ALL
+         |  SELECT i.id_a, i.id_b, sb.sz FROM interB i
+         |    JOIN szb sa ON sa.doc_id = i.id_a JOIN szb sb ON sb.doc_id = i.id_b
+         |    WHERE round(CAST(i.i AS DOUBLE) / sa.sz, 4) >= 0.8
+         |      AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND i.id_b < i.id_a))),
+         |best AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY sz_b DESC, id_b ASC) AS rn
+         |  FROM drops) WHERE rn = 1)
+         |SELECT b.doc_id AS id, (best.id_b IS NOT NULL) AS is_contained,
+         |  best.id_b AS container_id
+         |FROM bat b LEFT JOIN best ON best.id_a = b.doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $minhashCandCtes

@@ -557,6 +557,293 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Directory fan-out bound for the containment index's hash buckets. */
+  private val ContainmentBuckets = 64
+
+  /** Contained-side prefix rows (id, sh, sz) over an (id, sh) shingle
+    * set: each doc's first |A| − ceil(tau·|A|) + 1 shingles in
+    * frame-local rarest-first order (df asc, hash asc). The pigeonhole
+    * bound ([[containmentPairs]]) holds for ANY fixed total order —
+    * rarest-first is purely a fan-out optimization — so ranking by the
+    * probe frame's own df (instead of a global df the index would have
+    * to maintain) stays exact while keeping the probe self-contained.
+    * Not shared with [[containmentPairsFrom]]: that path caches the
+    * full ranked set because its candidate join reads BOTH the prefix
+    * and the complete index side from one plan; here the index side is
+    * the stored table, and only the prefix is ever computed. */
+  private def containedPrefixRows(sh: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id")
+    sh.join(dfs, "sh")
+      .select(col("id"), col("sh"),
+        row_number().over(wDoc.orderBy(col("df").asc, col("sh").asc)).as("pos"),
+        count(lit(1)).over(wDoc).as("sz"))
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select("id", "sh", "sz")
+  }
+
+  /** Per-batch (id, sh, src, hb) shingle rows + (id, sz, src) sizes for
+    * the containment index. The maxDf hot-shingle cap is BATCH-LOCAL
+    * (each slice caps by its own df), mirroring how build caps over its
+    * own corpus — the documented cap semantics of the persisted form. */
+  private def containmentRows(batch: DataFrame, idCol: String,
+      textCol: String, w: Int, maxDf: Option[Int],
+      src: String): (DataFrame, DataFrame) = {
+    val sh = shingleSetHashed(batch, idCol, textCol, w, maxDf)
+      .withColumn("src", lit(src))
+      .withColumn("hb", pmod(col("sh"), lit(ContainmentBuckets.toLong)).cast("int"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .withColumn("src", lit(src))
+    (sh, sizes)
+  }
+
+  /** Persist a containment-dedup history index — the daily-crawl form
+    * of [[dropContained]]: "is this new doc mostly inside a doc we
+    * already admitted?" answered without joining the batch against all
+    * of history's text.
+    *
+    * Layout under `dir`:
+    *  - `shingles/` — (id, sh) rows, hive-partitioned by (src, hb):
+    *    src tags the contributing batch (replay exclusion for the
+    *    streaming driver; idempotent re-appends), hb = sh mod 64
+    *    spreads each segment across bounded files;
+    *  - `sizes/`   — (id, sz) per stored doc, partitioned by src — the
+    *    container-side size the probe's candidate filter and tie rule
+    *    read without re-aggregating history;
+    *  - `bloom/`   — one row: a Bloom filter over the DISTINCT stored
+    *    shingle hashes. A fresh crawl batch's prefix shingles are
+    *    mostly NOVEL; bloom-negative prefixes are certain to match
+    *    nothing and never probe history at all, which keeps the
+    *    broadcast candidate set to the recurring minority;
+    *  - `ids/`     — the standard sidecar ([[IndexFiles]]): every
+    *    admitted doc id (including zero-shingle docs), the O(docs)
+    *    replay guard appends read instead of the shingle payload.
+    *
+    * The maxDf cap applies to the corpus this call sees (and each
+    * append's cap to its own batch) — a frame-local cap, same as every
+    * sibling's documented semantics. */
+  def buildContainmentIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 8, maxDf: Option[Int] = None,
+      fpp: Double = 0.01): Unit = {
+    val s = df.sparkSession
+    import s.implicits._
+    val (sh, sizes) = containmentRows(spread(df), idCol, textCol, w, maxDf, "base")
+    val shc = sh.persist()
+    val distinctSh = shc.select("sh").distinct().persist()
+    val n = distinctSh.count()
+    require(n > 0,
+      "buildContainmentIndex: no shingles — corpus empty or every doc shorter than w")
+    val bits = bloomBits(s, n, fpp)
+    shc.repartition(col("hb"))
+      .write.partitionBy("src", "hb").mode("overwrite").parquet(s"$dir/shingles")
+    sizes.write.partitionBy("src").mode("overwrite").parquet(s"$dir/sizes")
+    // meta pins the shingle space: a probe/append re-deriving shingles
+    // under a different (w, maxDf) would match NOTHING and silently
+    // admit every duplicate — the minhash-index convention, stored so
+    // readers can never disagree with the build
+    Seq((w, maxDf.getOrElse(-1))).toDF("w", "max_df")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    distinctSh.agg(SK.bloomAgg(col("sh"), n, bits).as("bloom"))
+      .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+        lit(bits).as("num_bits"))
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+    IndexFiles.writeIds(spread(df).select(col(idCol).as("id")).distinct(), dir)
+    distinctSh.unpersist(); shc.unpersist(); ()
+  }
+
+  /** The stored (w, maxDf) shingle-space parameters. */
+  private def containmentMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Option[Int]) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("w"), Option(m.getAs[Int]("max_df")).filter(_ >= 0))
+  }
+
+  /** Append one batch's admitted docs to the containment index in
+    * O(batch). The guard is ID-level (the [[IndexFiles]] sidecar):
+    * already-stored ids are dropped from the batch — re-appending them
+    * would double their shingle rows and corrupt every future
+    * intersection count — so a replayed batch (or a partial overlap)
+    * degrades to appending only its genuinely new docs, and a full
+    * replay is a no-op. Crash ordering matches [[appendToExactIndex]]:
+    * the bloom delta merges BEFORE the payload append (a crash between
+    * leaves harmless extra bits; the reverse could leave stored
+    * shingles the bloom misses — prefixes wrongly pruned, duplicates
+    * admitted); the payload itself rides [[IndexFiles.appendStaged]]'s
+    * journal, which also extends the ids sidecar. */
+  def appendToContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      src: String): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
+    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    val (w, maxDf) = containmentMeta(spark, dir)
+    val stored = IndexFiles.ensureIds(spark, dir,
+      spark.read.parquet(s"$dir/shingles").select("id").distinct())
+    val fresh = spread(batch).select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(stored, Seq("id"), "left_anti").persist()
+    if (fresh.isEmpty) { fresh.unpersist(); return }
+    val (sh, sizes) = containmentRows(fresh, "id", "text", w, maxDf, src)
+    val shc = sh.persist()
+    val batchSh = shc.select("sh").distinct().persist()
+    if (batchSh.count() > 0) {
+      val meta = spark.read.parquet(s"$dir/bloom").head()
+      val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
+        meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
+      val delta = batchSh.agg(SK.bloomAgg(col("sh"), items, bits).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+      val merged = bloomOf(bytes)
+      merged.mergeInPlace(bloomOf(delta))
+      import spark.implicits._
+      IndexFiles.replaceTable(spark, dir, "bloom",
+        Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
+          .toDF("bloom", "n_items", "fpp", "num_bits"),
+        Seq.empty)
+    }
+    IndexFiles.appendStaged(spark, dir,
+      Seq(("shingles", shc.repartition(col("hb")), Seq("src", "hb")),
+        ("sizes", sizes, Seq("src"))),
+      Some(fresh.select("id").distinct()))
+    batchSh.unpersist(); shc.unpersist(); fresh.unpersist(); ()
+  }
+
+  /** Re-size and re-aggregate the containment Bloom sidecar from the
+    * STORED shingles — [[rebuildExactSidecar]]'s maintenance call for
+    * this family (appends merge deltas at the original sizing; a long
+    * run saturates the filter toward always-positive; correctness never
+    * breaks — the probe exact-verifies — but the prune stops pruning).
+    * One distinct-hash scan of `shingles/`; payload never rewritten. */
+  def rebuildContainmentSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fpp: Double = 0.01): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    val hs = spark.read.parquet(s"$dir/shingles").select("sh").distinct()
+    val n = hs.count()
+    require(n > 0, "rebuildContainmentSidecar: stored shingle table is empty")
+    val bits = bloomBits(spark, n, fpp)
+    IndexFiles.replaceTable(spark, dir, "bloom",
+      hs.agg(SK.bloomAgg(col("sh"), n, bits).as("bloom"))
+        .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
+          lit(bits).as("num_bits")),
+      Seq.empty)
+  }
+
+  /** Containment-dedup a batch against the persisted history: one
+    * verdict row per batch doc — (id, is_contained, container_id),
+    * container_id the winning container (largest shingle set, ties min
+    * id; NULL for survivors). A batch doc is contained when it is
+    * tau-contained in (a) a history doc of EQUAL OR LARGER size —
+    * arrival order wins ties: the history doc was admitted first — or
+    * (b) a batch doc under [[dropContained]]'s own rule (strictly
+    * larger, or equal size with smaller id). Already-admitted history
+    * docs are never retro-dropped (verdicts are per arrival time, the
+    * streaming-curation contract); when ids are assigned in arrival
+    * order this equals [[dropContained]] over history ∪ batch
+    * restricted to the batch's docs. The greedy-chain caveat of
+    * [[dropContained]] carries over: a doc is judged against what was
+    * ADMITTED, so a container that was itself dropped earlier no
+    * longer drops its sub-docs.
+    *
+    * Scale shape: the batch's prefix rows (|batch| × (1−tau) of its
+    * shingles) are bloom-pruned to history-recurring hashes and
+    * BROADCAST against the stored shingle scan — history is never
+    * shuffled; the exact verify joins only candidate docs' rows
+    * (broadcast-semi pruned on both sides). Per batch: O(batch) +
+    * one history scan with a map-side hash probe. `excludeSrc` removes
+    * one src segment from history — how a replayed micro-batch avoids
+    * judging itself against its own earlier append
+    * ([[graft.streaming.StreamIngest.applyContainmentBatch]]). */
+  def dropContainedAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.8, excludeSrc: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    val (w, maxDf) = containmentMeta(spark, dir)
+    val bytes = spark.read.parquet(s"$dir/bloom").head()
+      .getAs[Array[Byte]]("bloom")
+    val d = spread(batch)
+    val shB = shingleSetHashed(d, idCol, textCol, w, maxDf).persist()
+    // within-batch decision — dropContained's rule over the batch alone
+    val szB = shB.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dropsB = containmentPairsFrom(shB, tau)
+      .join(szB.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(szB.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+      .select("id_a", "id_b", "sz_b")
+    // history candidates: bloom-pruned contained-side prefixes vs the
+    // stored shingle scan (batch side broadcast — history not shuffled)
+    val prefix = containedPrefixRows(shB, tau)
+      .filter(SK.mightContain(lit(bytes), col("sh")))
+    // tombstoned docs ([[deleteFromContainmentIndex]]) neither
+    // candidate nor verify — bit-equal to the physically compacted index
+    val histAll = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/shingles"))
+    val hist = excludeSrc.map(s0 => histAll.filter(col("src") =!= s0))
+      .getOrElse(histAll)
+    val sizesAll = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/sizes"))
+    val histSizes = excludeSrc.map(s0 => sizesAll.filter(col("src") =!= s0))
+      .getOrElse(sizesAll)
+    // sz_b >= sz_a is the arrival tie rule AND subsumes the provable
+    // candidate bound sz_b >= ceil(tau·sz_a) (tau <= 1)
+    val cand = hist.join(
+        broadcast(prefix.select(col("id").as("id_a"), col("sh"),
+          col("sz").as("sz_a"))), Seq("sh"))
+      .select(col("id_a"), col("id").as("id_b"), col("sz_a")).distinct()
+      .join(histSizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("sz_b") >= col("sz_a"))
+      .persist()
+    val aIds = cand.select(col("id_a").as("id")).distinct()
+    val bIds = cand.select(col("id_b").as("id")).distinct()
+    val shA = shB.join(broadcast(aIds), Seq("id"), "left_semi")
+    val shH = hist.select("id", "sh").join(broadcast(bIds), Seq("id"), "left_semi")
+    val inter = cand.join(shA.as("sa"), col("id_a") === col("sa.id"))
+      .join(shH.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // same −ε + 4dp round discipline as verifyContainment — the oracle
+    // shares the rounded comparison
+    val histDrops = cand.join(inter, Seq("id_a", "id_b"))
+      .withColumn("raw", col("inter").cast("double") / col("sz_a"))
+      .filter(col("raw") >= tau - 1e-4)
+      .withColumn("c", round(col("raw"), 4)).filter(col("c") >= tau)
+      .select("id_a", "id_b", "sz_b")
+    val best = dropsB.unionByName(histDrops)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("sz_b").desc, col("id_b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("container_id"))
+    d.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id"), col("container_id").isNotNull.as("is_contained"),
+        col("container_id"))
+  }
+
+  /** Tombstone docs out of the containment index — the shared delete
+    * model ([[IndexFiles.writeTombstones]], the takedown path of an
+    * admitted corpus): O(batch), no rewrite;
+    * [[dropContainedAgainstIndex]] stops matching them immediately;
+    * [[compactContainmentIndex]] purges them physically. Tombstoned
+    * ids stay in the ids sidecar until compaction, so re-appending a
+    * deleted doc is blocked until its rows are actually gone (the
+    * minhash-index contract). */
+  def deleteFromContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir,
+      Map("shingles" -> Seq("src", "hb"), "sizes" -> Seq("src")))
+
+  /** Repair an interrupted containment-index append without appending
+    * a new batch — idempotent no-op on a healthy index (probes refuse
+    * a pending journal; something read-write must run the repair). */
+  def healContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes")); ()
+  }
+
   /** PPJoin prefix-filtered candidate pairs over (id, sh) shingle
     * hashes — [[ngramJaccard]]'s generation stage, exposed so specs can
     * measure the candidate-set size each filter variant produces. */

@@ -306,6 +306,63 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[containmentIngestStream]], idempotent in
+    * batchId without markers — [[applyLineDfBatch]]'s shape over the
+    * containment family: verdicts are computed with the batch's own src
+    * segment EXCLUDED from history (identical whether or not the append
+    * already committed), the verdict frame overwrites its own
+    * `batch=<id>` directory, and the append is id-guarded
+    * ([[graft.operators.Dedup.appendToContainmentIndex]] drops
+    * already-admitted ids), so a full replay appends nothing. Only
+    * SURVIVORS are appended: the index is the admitted corpus, so a
+    * doc is judged against what was actually kept — the greedy-chain
+    * semantics [[graft.operators.Dedup.dropContainedAgainstIndex]]
+    * documents. Same engine-bounded idempotence window as the line-df
+    * driver: only the most recent uncommitted batch is ever
+    * re-delivered. */
+  def applyContainmentBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, idCol: String, textCol: String, outDir: String,
+      tau: Double = 0.8): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.IndexFiles.healAppend(spark, indexDir,
+      Seq("shingles", "sizes"))
+    val src = s"b$batchId"
+    graft.operators.Dedup.dropContainedAgainstIndex(spark, indexDir, batch,
+        idCol, textCol, tau, excludeSrc = Some(src))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    import org.apache.spark.sql.functions.col
+    val survivors = batch.join(
+      spark.read.parquet(s"$outDir/batch=$batchId")
+        .filter(!col("is_contained"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    graft.operators.Dedup.appendToContainmentIndex(spark, indexDir,
+      survivors, idCol, textCol, src)
+  }
+
+  /** Streaming containment admission — the daily-crawl lifecycle of
+    * [[graft.operators.Dedup.buildContainmentIndex]]: each micro-batch
+    * is judged against the admitted history (is this doc tau-contained
+    * in a kept doc?), writes its verdict rows (id, is_contained,
+    * container_id) to `outDir/batch=<id>`, then appends its survivors
+    * under its src tag. State lives in the index directory, not the
+    * state store; per micro-batch the work is O(batch) + one
+    * bloom-pruned history scan with the batch's prefix hashes
+    * broadcast. */
+  def containmentIngestStream(docsStream: DataFrame, indexDir: String,
+      idCol: String, textCol: String, outDir: String,
+      checkpointDir: String, tau: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyContainmentBatch(batch, batchId, indexDir, idCol, textCol,
+          outDir, tau)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[annIngestStream]], idempotent in batchId —
     * the [[applyDedupBatch]] witness pattern over
     * [[graft.operators.Ann.appendToIvfIndex]]: cells and the ids

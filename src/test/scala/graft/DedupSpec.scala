@@ -827,6 +827,84 @@ class DedupSpec extends SparkSpec {
     assert(out2Re == out2, "sidecar rebuild changed a verdict")
   }
 
+  test("containment index: probe equals batch-restricted dropContained on monotone ids; lifecycle holds") {
+    val history = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "totally different maritime navigation content here")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (201L, "beta gamma delta epsilon zeta"),   // substring of 100 -> dropped
+      (203L, "completely novel text about cooking recipes and baking"),
+      (205L, "twin text that matches its sibling exactly"),
+      (207L, "twin text that matches its sibling exactly"), // equal-size twin: min id 205 kept
+      (209L, "novel text about cooking"),        // substring of 203 (same batch) -> dropped
+      (211L, "totally different maritime navigation content here") // exact copy of history 102: arrival tie -> dropped
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("containidx").toString + "/idx"
+    Dedup.buildContainmentIndex(history, "doc_id", "text", dir)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Boolean, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val out1 = m(Dedup.dropContainedAgainstIndex(spark, dir, b1,
+      "doc_id", "text", tau = 0.8))
+    assert(out1 == Map(
+      201L -> ((true, Some(100L))), 203L -> ((false, None)),
+      205L -> ((false, None)), 207L -> ((true, Some(205L))),
+      209L -> ((true, Some(203L))), 211L -> ((true, Some(102L)))), s"got $out1")
+    // with ids assigned in arrival order, the verdict set equals
+    // dropContained over history ∪ batch restricted to the batch
+    val unionDropped = {
+      val union = history.unionByName(b1)
+      val kept = Dedup.dropContained(union, "doc_id", "text", tau = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      b1.select("doc_id").as[Long].collect().toSet -- kept
+    }
+    assert(out1.filter(_._2._1).keySet == unionDropped)
+    // survivors-only append; a second batch is judged against them
+    val survivors = b1.filter(col("doc_id").isin(203L, 205L))
+    Dedup.appendToContainmentIndex(spark, dir, survivors, "doc_id", "text", "s1")
+    val b2 = Seq(
+      (301L, "text about cooking recipes"),      // inside appended survivor 203
+      (305L, "entirely fresh subject matter with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out2 = m(Dedup.dropContainedAgainstIndex(spark, dir, b2,
+      "doc_id", "text", tau = 0.8))
+    assert(out2 == Map(301L -> ((true, Some(203L))),
+      305L -> ((false, None))), s"got $out2")
+    // replayed append is an id-guarded no-op
+    val before = spark.read.parquet(s"$dir/shingles").count()
+    Dedup.appendToContainmentIndex(spark, dir, survivors, "doc_id", "text", "s1b")
+    assert(spark.read.parquet(s"$dir/shingles").count() == before,
+      "replayed append doubled shingle rows")
+    // sidecar telemetry + rebuild leaves every verdict invariant
+    val health = graft.operators.IndexFiles.describeIndex(spark, dir)
+    assert(health.filter(col("table") === "bloom")
+      .select("fpp_est").head().getDouble(0) > 0)
+    assert(Set("shingles", "sizes", "ids").subsetOf(
+      health.select("table").as[String].collect().toSet))
+    Dedup.rebuildContainmentSidecar(spark, dir)
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    assert(meta.getAs[Long]("n_items") ==
+      spark.read.parquet(s"$dir/shingles").select("sh").distinct().count())
+    assert(m(Dedup.dropContainedAgainstIndex(spark, dir, b2,
+      "doc_id", "text", tau = 0.8)) == out2, "sidecar rebuild changed a verdict")
+    // takedown path: tombstone history container 100 — probes stop
+    // matching it immediately; compaction purges physically with the
+    // same verdicts (extra bloom bits only cost verified-away candidates)
+    val probe401 = Seq((401L, "beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Dedup.deleteFromContainmentIndex(spark, dir, Seq(100L).toDF("id"))
+    val afterDel = m(Dedup.dropContainedAgainstIndex(spark, dir, probe401,
+      "doc_id", "text", tau = 0.8))
+    assert(afterDel == Map(401L -> ((false, None))), s"got $afterDel")
+    Dedup.compactContainmentIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("id") === 100L).count() == 0, "compaction left dead rows")
+    assert(m(Dedup.dropContainedAgainstIndex(spark, dir, probe401,
+      "doc_id", "text", tau = 0.8)) == afterDel,
+      "compaction changed a verdict")
+  }
+
   test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
     val docs = Seq(
       (1L, "keep one\nBOILER\nkeep two"),

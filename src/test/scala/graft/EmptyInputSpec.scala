@@ -43,6 +43,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(out == Map(9L -> "gamma"), s"got $out")
   }
 
+  test("containment index over empty batches: probe yields nothing, append is a clean no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ecidx").toString + "/idx"
+    val history = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    graft.operators.Dedup.buildContainmentIndex(history, "doc_id", "text", dir)
+    assert(graft.operators.Dedup
+      .dropContainedAgainstIndex(spark, dir, noDocs, "doc_id", "text").count() == 0)
+    val before = spark.read.parquet(s"$dir/shingles").count()
+    graft.operators.Dedup
+      .appendToContainmentIndex(spark, dir, noDocs, "doc_id", "text", "s0")
+    assert(spark.read.parquet(s"$dir/shingles").count() == before)
+    // and the index still probes correctly afterwards
+    val out = graft.operators.Dedup.dropContainedAgainstIndex(spark, dir,
+        Seq((9L, "beta gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(out == Seq((9L, true, Some(1L))), s"got $out")
+  }
+
   test("ann family over an empty corpus (incl. IVF's KMeans guard)") {
     assert(Ann.bruteForceTopK(noVecs, someQs, k = 5).count() == 0)
     assert(Ann.lshTopK(noVecs, someQs, k = 5, dim = 2).count() == 0)

@@ -209,6 +209,26 @@ class PlanAuditSpec extends SparkSpec {
       s"containment candidate join degenerated to a non-equi join:\n$phys")
   }
 
+  test("containment index probe: batch side broadcast against the stored scan, never a nested loop") {
+    val history = (1L to 40L)
+      .map(i => (i, s"history document number $i with some shared filler text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pacontain").toString + "/idx"
+    graft.operators.Dedup.buildContainmentIndex(history, "doc_id", "text", dir)
+    val batch = (101L to 110L)
+      .map(i => (i, s"history document number ${i - 100} with some"))
+      .toDF("doc_id", "text")
+    val phys = graft.operators.Dedup
+      .dropContainedAgainstIndex(spark, dir, batch, "doc_id", "text", tau = 0.8)
+      .queryExecution.executedPlan.toString
+    // candidate generation and both verify semi-prunes ride broadcasts:
+    // the stored shingle table is scanned in place, never shuffled
+    assert("BroadcastHashJoin".r.findAllIn(phys).size >= 2,
+      s"containment probe joins not broadcast:\n$phys")
+    assert(!phys.contains("NestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"containment probe degenerated to a non-equi join:\n$phys")
+  }
+
   test("bpe tokenize: both vocabulary tables broadcast — the corpus pass never sort-merges") {
     import graft.operators.Bpe
     val docs = (1L to 60L)

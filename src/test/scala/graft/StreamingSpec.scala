@@ -1305,4 +1305,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/lines").count() == rowsBefore,
       "replayed micro-batch double-counted df increments")
   }
+
+  test("containmentIngestStream: streamed verdicts equal sequential admission; latest-batch replay is idempotent") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (102L, "totally different maritime navigation content here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("scontain").toString
+    Dedup.buildContainmentIndex(history, "doc_id", "text", s"$dir/idx")
+    val b1 = Seq(
+      (201L, "beta gamma delta epsilon zeta"),   // inside history 100 -> dropped
+      (203L, "completely novel text about cooking recipes and baking"),
+      (205L, "novel text about cooking"))        // inside same-batch 203 -> dropped
+    val b2 = Seq(
+      (301L, "text about cooking recipes"),      // inside batch-1 SURVIVOR 203
+      (303L, "beta gamma delta"),                // inside history 100 still
+      (305L, "entirely fresh subject matter with no overlap at all"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.containmentIngestStream(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", "doc_id", "text", s"$dir/verdicts", s"$dir/ckpt",
+      tau = 0.8,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def verdicts() = spark.read.parquet(s"$dir/verdicts")
+      .select("id", "is_contained", "container_id")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = verdicts()
+    assert(got == Map(
+      201L -> ((true, Some(100L))), 203L -> ((false, None)),
+      205L -> ((true, Some(203L))),
+      301L -> ((true, Some(203L))), 303L -> ((true, Some(100L))),
+      305L -> ((false, None))), s"got $got")
+    // only survivors were admitted: the index's ids are history + kept
+    val ids = spark.read.parquet(s"$dir/idx/ids")
+      .as[Long].collect().toSet
+    assert(ids == Set(100L, 102L, 203L, 305L), s"got $ids")
+    // engine replay window: re-deliver the LATEST batch — verdicts
+    // rewrite identically, the id-guarded append adds nothing
+    val rowsBefore = spark.read.parquet(s"$dir/idx/shingles").count()
+    StreamIngest.applyContainmentBatch(b2.toDF("doc_id", "text"), 1L,
+      s"$dir/idx", "doc_id", "text", s"$dir/verdicts", tau = 0.8)
+    assert(verdicts() == got, "replayed micro-batch changed a verdict")
+    assert(spark.read.parquet(s"$dir/idx/shingles").count() == rowsBefore,
+      "replayed micro-batch re-appended shingle rows")
+  }
 }
