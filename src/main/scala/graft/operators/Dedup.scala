@@ -1603,6 +1603,140 @@ object Dedup {
       .drop("__salt", "__r1")
   }
 
+  /** Initialize an EMPTY per-domain admission ledger — the streaming
+    * form of [[capPerDomain]] needs history that outlives any one
+    * batch, and unlike the shingle/line families there is no sketch to
+    * size, so day 0 starts from nothing and every batch (including the
+    * first) flows through [[capAgainstLedger]] identically.
+    *
+    * Layout under `dir`:
+    *  - `counts/`   — (domain, cnt) ADMISSION increments, partitioned
+    *    by src (one segment per batch). Probes SUM per domain — the
+    *    line-df increment model, so appends stay O(batch) blind writes
+    *    and the probe's history read is a domain-pruned count table,
+    *    never the admitted id rows;
+    *  - `admitted/` — (id, domain) per admitted doc, partitioned by
+    *    src: the admitted-corpus registry (audit, rebuild source); no
+    *    probe reads it;
+    *  - `meta/`     — the cap `n`, pinned at init so every batch is
+    *    judged against one budget (a probe under a different n would
+    *    silently re-litigate history's admissions). */
+  def initDomainCapLedger(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): Unit = {
+    require(n > 0, "domain cap n must be positive")
+    import spark.implicits._
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$dir/meta")
+    Seq.empty[(String, Long, String)].toDF("domain", "cnt", "src")
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/counts")
+    // the registry pins id to STRING at init (appends from any batch
+    // id type unify into one stored schema; no probe ever reads this
+    // table, so the native-type convention applies to the VERDICT
+    // frames, which do keep the batch's own id type)
+    Seq.empty[(String, String, String)].toDF("id", "domain", "src")
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/admitted")
+  }
+
+  /** The ledger's pinned cap. */
+  private def domainCapN(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head().getAs[Int]("n")
+
+  /** The counts table read under its FIXED schema — a fresh ledger's
+    * partitioned dir holds no data files yet (nothing to infer from),
+    * and the probe must not fail on day 0. */
+  private def domainCapCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema("domain STRING, cnt BIGINT, src STRING")
+      .parquet(s"$dir/counts")
+
+  /** Judge one batch against the admission ledger: a batch doc is
+    * admitted when its domain's budget still has room, first-come
+    * first-admitted — history spends the budget in arrival order, and
+    * within the batch the same (quality desc nulls-last, id asc) order
+    * as [[capPerDomain]] decides who gets the remaining slots. One
+    * verdict row per batch doc: (id, domain, admitted, admitted_rank),
+    * admitted_rank the doc's 1-based position in its domain's
+    * admission history (prior + in-batch rank; NULL for rejects) — so
+    * under deterministic sequential feeding the admitted set equals
+    * one global per-domain rank over (arrival batch, quality desc,
+    * id asc) capped at n, which is what the oracle recomputes.
+    *
+    * Scale shape: the in-batch rank is [[capPerDomain]]'s two-stage
+    * salted window (stage 1 prunes each salt subgroup to n — any
+    * admitted doc has in-batch domain rank ≤ n since prior ≥ 0, so the
+    * prune is exact for the admission decision); the history read is
+    * the counts table domain-semi-pruned to the batch's own domains
+    * and summed map-side. Admitted id rows are never scanned.
+    * `excludeSrc` removes one src segment from the sum — the replayed
+    * micro-batch reading history as of BEFORE its own append
+    * ([[graft.streaming.StreamIngest.applyDomainCapBatch]]). */
+  def capAgainstLedger(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, urlCol: String,
+      qualityCol: String, salt: Int = 16,
+      excludeSrc: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = domainCapN(spark, dir)
+    val order = Seq(col("__q").desc_nulls_last, col("id").asc)
+    val w1 = Window.partitionBy("domain", "__salt").orderBy(order: _*)
+    val w2 = Window.partitionBy("domain").orderBy(order: _*)
+    val dom = spread(batch)
+      .withColumn("domain", registeredDomain(col(urlCol)))
+      .select(col(idCol).as("id"), col("domain"),
+        col(qualityCol).as("__q"))
+    // stage 1 prunes each salt subgroup to n BEFORE the per-domain
+    // window (capPerDomain's skew proof: any admissible doc — prior
+    // ≥ 0, so in-batch rank ≤ n — survives its subgroup's top n); the
+    // exact rank then orders ≤ salt·n rows per domain, and the pruned
+    // majority rejoin as verdict rows with no rank
+    val top = dom
+      .withColumn("__salt",
+        pmod(H.hash32(59, col("id").cast("string")), lit(salt)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("__rank", row_number().over(w2).cast("long"))
+      .select("id", "__rank")
+    val ranked = dom.join(top, Seq("id"), "left")
+      .select(col("id"), col("domain"), col("__rank"))
+    val doms = ranked.select("domain").distinct()
+    val all = domainCapCounts(spark, dir)
+    val scan = excludeSrc.map(s0 => all.filter(col("src") =!= s0))
+      .getOrElse(all)
+    val prior = scan.join(broadcast(doms), Seq("domain"), "left_semi")
+      .groupBy("domain").agg(sum(col("cnt")).as("prior"))
+    ranked.join(prior, Seq("domain"), "left")
+      .na.fill(0L, Seq("prior"))
+      .withColumn("admitted_rank",
+        when(col("__rank") + col("prior") <= n, col("__rank") + col("prior")))
+      .select(col("id"), col("domain"),
+        col("admitted_rank").isNotNull.as("admitted"), col("admitted_rank"))
+  }
+
+  /** Append one batch's admission verdicts (the [[capAgainstLedger]]
+    * frame, or any (id, domain, admitted) frame) under its `src` tag in
+    * O(batch): rejects are filtered out, counts increment per domain,
+    * admitted ids land in the registry. A src already committed is a
+    * REPLAY and the append is a no-op (re-adding would double-spend the
+    * domain budgets — the increment store's one non-idempotent failure
+    * mode, same guard as [[appendToLineDfIndex]]). */
+  def appendToDomainCapLedger(spark: org.apache.spark.sql.SparkSession,
+      dir: String, verdicts: DataFrame, src: String): Unit = {
+    require(src.nonEmpty, "append src must be a non-empty tag")
+    IndexFiles.healAppend(spark, dir, Seq("counts", "admitted"))
+    val replayed = !domainCapCounts(spark, dir)
+      .filter(col("src") === src).isEmpty
+    if (replayed) return
+    val adm = verdicts.filter(col("admitted"))
+      .select(col("id").cast("string").as("id"), col("domain")).persist()
+    if (!adm.isEmpty) {
+      val inc = adm.groupBy("domain").agg(count(lit(1)).as("cnt"))
+        .withColumn("src", lit(src))
+      IndexFiles.appendStaged(spark, dir,
+        Seq(("counts", inc, Seq("src")),
+          ("admitted", adm.withColumn("src", lit(src)), Seq("src"))),
+        None)
+    }
+    adm.unpersist(); ()
+  }
+
   /** Persist a minhash dedup index: band signatures + shingle-hash sets
     * for an ingested corpus, so the NEXT batch dedups against history
     * without recomputing it — the production daily-ingest shape (new

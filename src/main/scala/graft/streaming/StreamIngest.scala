@@ -363,6 +363,58 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[domainCapIngestStream]], idempotent in
+    * batchId without markers — [[applyLineDfBatch]]'s shape over the
+    * per-domain admission ledger: verdicts are judged with the batch's
+    * own src segment EXCLUDED from the budget sums (identical whether
+    * or not the append already committed), the verdict frame
+    * overwrites its own `batch=<id>` directory, and the append is a
+    * src-listing replay no-op
+    * ([[graft.operators.Dedup.appendToDomainCapLedger]]). Judge-then-
+    * append order means a batch never spends its own budget before
+    * ranking itself — which is what makes the drained verdicts equal
+    * the sequential [[graft.operators.Dedup.capAgainstLedger]] chain.
+    * Same engine-bounded idempotence window as every sibling: only the
+    * most recent uncommitted batch is ever re-delivered. */
+  def applyDomainCapBatch(batch: DataFrame, batchId: Long,
+      ledgerDir: String, idCol: String, urlCol: String,
+      qualityCol: String, outDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.IndexFiles.healAppend(spark, ledgerDir,
+      Seq("counts", "admitted"))
+    val src = s"b$batchId"
+    val verdicts = graft.operators.Dedup.capAgainstLedger(spark,
+      ledgerDir, batch, idCol, urlCol, qualityCol,
+      excludeSrc = Some(src))
+    verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    graft.operators.Dedup.appendToDomainCapLedger(spark, ledgerDir,
+      spark.read.parquet(s"$outDir/batch=$batchId"), src)
+  }
+
+  /** Streaming per-domain admission quota — the crawl-ingest lifecycle
+    * of [[graft.operators.Dedup.capPerDomain]]: each micro-batch is
+    * judged against the accumulated per-domain budgets (first-come
+    * first-admitted across batches; quality-ranked within the batch),
+    * writes its verdicts (id, domain, admitted, admitted_rank) to
+    * `outDir/batch=<id>`, then spends its admitted slots under its src
+    * tag. State lives in the ledger directory, not the state store;
+    * per micro-batch the work is O(batch) + one domain-pruned sum over
+    * the counts table — admitted id rows are never scanned. Start from
+    * [[graft.operators.Dedup.initDomainCapLedger]]. */
+  def domainCapIngestStream(docsStream: DataFrame, ledgerDir: String,
+      idCol: String, urlCol: String, qualityCol: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDomainCapBatch(batch, batchId, ledgerDir, idCol, urlCol,
+          qualityCol, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[annIngestStream]], idempotent in batchId —
     * the [[applyDedupBatch]] witness pattern over
     * [[graft.operators.Ann.appendToIvfIndex]]: cells and the ids

@@ -584,6 +584,55 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("domain-cap ledger: budgets span batches, in-batch quality order, replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("domcap").toString
+    Dedup.initDomainCapLedger(spark, dir, n = 2)
+    def vmap(v: org.apache.spark.sql.DataFrame) =
+      v.select("id", "admitted", "admitted_rank")
+        .as[(Long, Boolean, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch 0: a.com over cap (3 docs, quality picks 2), b.org under
+    val b0 = Seq((1L, "http://a.com/x", 10L), (2L, "http://a.com/y", 30L),
+      (3L, "http://a.com/z", 20L), (4L, "http://b.org/p", 5L))
+      .toDF("id", "url", "q")
+    val v0 = Dedup.capAgainstLedger(spark, dir, b0, "id", "url", "q")
+    assert(vmap(v0) == Map(
+      1L -> ((false, None)), 2L -> ((true, Some(1L))),
+      3L -> ((true, Some(2L))), 4L -> ((true, Some(1L)))),
+      s"got ${vmap(v0)}")
+    Dedup.appendToDomainCapLedger(spark, dir, v0, "s0")
+    // batch 1: a.com saturated (even at top quality), b.org one slot —
+    // in-batch quality decides who takes it
+    val b1 = Seq((5L, "http://a.com/new", 99L), (6L, "http://b.org/q", 1L),
+      (7L, "http://b.org/r", 2L)).toDF("id", "url", "q")
+    val v1 = Dedup.capAgainstLedger(spark, dir, b1, "id", "url", "q")
+    // materialized BEFORE the append: v1 is lazy and judges without
+    // excludeSrc, so re-collecting it post-append would see its own
+    // spend — exactly the hazard excludeSrc exists to close
+    val m1 = vmap(v1)
+    assert(m1 == Map(
+      5L -> ((false, None)), 6L -> ((false, None)),
+      7L -> ((true, Some(2L)))), s"got $m1")
+    Dedup.appendToDomainCapLedger(spark, dir, v1, "s1")
+    def totals() = spark.read.parquet(s"$dir/counts")
+      .groupBy("domain").agg(sum("cnt").as("c"))
+      .as[(String, Long)].collect().toMap
+    val t = totals()
+    assert(t == Map("a.com" -> 2L, "b.org" -> 2L), s"got $t")
+    // committed-src replay is a no-op (budgets would double-spend)
+    Dedup.appendToDomainCapLedger(spark, dir, v1, "s1")
+    assert(totals() == t, "replayed src re-spent domain budgets")
+    // excludeSrc reads history as of before the batch's own append:
+    // post-append re-judgement reproduces the verdicts bit-for-bit
+    val v1b = Dedup.capAgainstLedger(spark, dir, b1, "id", "url", "q",
+      excludeSrc = Some("s1"))
+    assert(vmap(v1b) == m1, "excludeSrc did not mask own append")
+    // salt fan-out never changes the verdict
+    val v1c = Dedup.capAgainstLedger(spark, dir, b1, "id", "url", "q",
+      salt = 1, excludeSrc = Some("s1"))
+    assert(vmap(v1c) == m1, "salt changed admission")
+  }
+
   test("exact index: bloom-pruned probe equals the plain history join, bloom only prunes") {
     val history = Seq(
       (10L, "the quick brown fox"),

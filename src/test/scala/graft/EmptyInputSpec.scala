@@ -60,6 +60,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(out == Seq((9L, true, Some(1L))), s"got $out")
   }
 
+  test("domain-cap ledger over an empty batch: no verdicts, append spends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("edcidx").toString + "/led"
+    graft.operators.Dedup.initDomainCapLedger(spark, dir, n = 2)
+    val noUrls = Seq.empty[(Long, String, Long)].toDF("doc_id", "url", "q")
+    val v = graft.operators.Dedup.capAgainstLedger(spark, dir, noUrls,
+      "doc_id", "url", "q")
+    assert(v.count() == 0)
+    graft.operators.Dedup.appendToDomainCapLedger(spark, dir, v, "s0")
+    assert(spark.read.schema("domain STRING, cnt BIGINT, src STRING")
+      .parquet(s"$dir/counts").count() == 0)
+    // a doc batch still admits normally against the untouched ledger
+    val v2 = graft.operators.Dedup.capAgainstLedger(spark, dir,
+      Seq((9L, "http://a.com/x", 1L)).toDF("doc_id", "url", "q"),
+      "doc_id", "url", "q")
+      .as[(Long, String, Boolean, Option[Long])].collect().toSeq
+    assert(v2 == Seq((9L, "a.com", true, Some(1L))), s"got $v2")
+  }
+
   test("ann family over an empty corpus (incl. IVF's KMeans guard)") {
     assert(Ann.bruteForceTopK(noVecs, someQs, k = 5).count() == 0)
     assert(Ann.lshTopK(noVecs, someQs, k = 5, dim = 2).count() == 0)

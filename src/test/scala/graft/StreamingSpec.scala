@@ -1354,4 +1354,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/shingles").count() == rowsBefore,
       "replayed micro-batch re-appended shingle rows")
   }
+
+  test("domainCapIngestStream: streamed verdicts equal sequential admission; latest-batch replay is idempotent") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sdomcap").toString
+    Dedup.initDomainCapLedger(spark, s"$dir/ledger", n = 2)
+    val b1 = Seq((1L, "http://a.com/x", 10L), (2L, "http://a.com/y", 30L),
+      (3L, "http://a.com/z", 20L), (4L, "http://b.org/p", 5L))
+    val b2 = Seq((5L, "http://a.com/new", 99L), (6L, "http://b.org/q", 1L),
+      (7L, "http://b.org/r", 2L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamIngest.domainCapIngestStream(
+      mem.toDF().toDF("id", "url", "q"), s"$dir/ledger", "id", "url", "q",
+      s"$dir/verdicts", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def verdicts() = spark.read.parquet(s"$dir/verdicts")
+      .select("id", "admitted", "admitted_rank")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = verdicts()
+    // batch 1 spends a.com's whole budget (quality order); batch 2's
+    // 99-quality a.com doc still bounces — first-come across batches —
+    // and b.org's last slot goes to the better in-batch doc
+    assert(got == Map(
+      1L -> ((false, None)), 2L -> ((true, Some(1L))),
+      3L -> ((true, Some(2L))), 4L -> ((true, Some(1L))),
+      5L -> ((false, None)), 6L -> ((false, None)),
+      7L -> ((true, Some(2L)))), s"got $got")
+    // engine replay window: re-deliver the LATEST batch — verdicts
+    // rewrite identically, the src-guarded append spends nothing
+    val before = spark.read.parquet(s"$dir/ledger/counts")
+      .agg(sum("cnt")).as[Long].head()
+    StreamIngest.applyDomainCapBatch(b2.toDF("id", "url", "q"), 1L,
+      s"$dir/ledger", "id", "url", "q", s"$dir/verdicts")
+    assert(verdicts() == got, "replayed micro-batch changed a verdict")
+    assert(spark.read.parquet(s"$dir/ledger/counts")
+      .agg(sum("cnt")).as[Long].head() == before,
+      "replayed micro-batch re-spent budgets")
+  }
 }
