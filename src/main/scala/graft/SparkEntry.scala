@@ -886,6 +886,20 @@ object SparkEntry {
       budget = 2048, shards = 16)
   }
 
+  // Tokenizer drift check: rules + vocabulary trained on the EVEN docs
+  // only, the whole corpus tokenized under them — odd docs' symbols
+  // outside the even vocabulary count as OOV. Same early-stop guard as
+  // the chain's other consumers.
+  private def qBpeCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val merges = Bpe.train(ref, "text", numMerges = BpeTrainSteps)
+    require(merges.count() == BpeTrainSteps.toLong,
+      s"q_bpe_coverage degenerate-oracle contract broken: trainer " +
+      "stopped early — the chained-CTE oracle cannot model early stop")
+    Bpe.coverage(docs, "doc_id", "text", merges, ref, "text")
+  }
+
   // ftfy-lite over a corpus corrupted IN the query: both engines derive
   // the same mojibake (curly-quote wrap + NBSP-artifact spaces) from the
   // shared mojibakeTable, so the fix verifies as a real transform, not a
@@ -1143,6 +1157,20 @@ object SparkEntry {
   private def qHoldoutSplit(s: SparkSession, dir: String): DataFrame =
     Curate.holdoutSplit(t(s, dir, "documents"), "source", testFrac = 0.2)
       .select("doc_id", "source", "split")
+
+  // Snapshot diff: new = old minus every 7th doc, every 5th doc's text
+  // touched, 100 fresh ids added — the incremental-crawl triage that
+  // decides what re-enters the pipeline.
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    Curate.corpusDiff(docs, newSnap, "doc_id", "text")
+  }
 
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
@@ -1826,6 +1854,7 @@ object SparkEntry {
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_tokenize" -> (qBpeTokenize _),
     "q_pack_bpe" -> (qPackBpe _),
+    "q_bpe_coverage" -> (qBpeCoverage _),
     "q_fix_text" -> (qFixText _),
     "q_phash_dedup" -> (qPhashDedup _),
     "q_phash_cluster" -> (qPhashCluster _),
@@ -1842,6 +1871,7 @@ object SparkEntry {
     "q_domain_cap" -> (qDomainCap _),
     "q_domain_cap_ledger" -> (qDomainCapLedger _),
     "q_holdout_split" -> (qHoldoutSplit _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -1925,10 +1955,10 @@ object SparkEntry {
     * reference. The Spark query carries a loud guard: the chain cannot
     * model early stop, so a corpus that goes dry before the last step
     * fails the contract instead of hash-mismatching. */
-  private def bpeChain(steps: Int): String = {
+  private def bpeChain(steps: Int, src: String = normDoc): String = {
     val init =
       s"""w0 AS MATERIALIZED (SELECT w, '\u00ab' || regexp_replace(w, '(.)', '\\1\u00bb\u00ab', 'g') || '</w>\u00bb' AS s, n
-         |  FROM (SELECT w, COUNT(*) AS n FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc)) GROUP BY w))""".stripMargin
+         |  FROM (SELECT w, COUNT(*) AS n FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($src)) GROUP BY w))""".stripMargin
     val rounds = (1 to steps).map { k =>
       s"""m$k AS MATERIALIZED (
          |  SELECT l, r, CAST(SUM(n) AS BIGINT) AS freq FROM (
@@ -1973,6 +2003,34 @@ object SparkEntry {
        |             FROM dw JOIN enc e USING (w)))
        |SELECT ds.id, ds.wpos, ds.spos, ds.symbol, vid.sym_id
        |FROM ds JOIN vid USING (symbol)""".stripMargin
+
+  /** Coverage oracle: the TRAIN chain runs over the even docs only
+    * (w_k / m_k — [[bpeChain]] with a filtered source), a parallel
+    * APPLY chain replays each round's winning rule over the WHOLE
+    * corpus's distinct words (a_k — same replace mechanics the
+    * tokenize oracle uses), vocabulary = the trained chain's final
+    * symbol set, OOV = applied symbols outside it. */
+  private def bpeCoverageSql(steps: Int): String = {
+    val applyRounds = (1 to steps).map { k =>
+      s"a$k AS MATERIALIZED (SELECT w, replace(s, '\u00ab' || m.l || '\u00bb\u00ab' || m.r || '\u00bb', '\u00ab' || m.l || m.r || '\u00bb') AS s FROM a${k - 1}, m$k m)"
+    }.mkString(",\n")
+    s"""WITH ${bpeChain(steps, s"$normDoc WHERE doc_id % 2 = 0")},
+       |a0 AS MATERIALIZED (SELECT DISTINCT w, '\u00ab' || regexp_replace(w, '(.)', '\\1\u00bb\u00ab', 'g') || '</w>\u00bb' AS s
+       |  FROM (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS w FROM ($normDoc))),
+       |$applyRounds,
+       |vocab AS (SELECT DISTINCT unnest(regexp_extract_all(s, '\u00ab([^\u00bb]*)\u00bb', 1)) AS symbol FROM w$steps),
+       |enc AS (SELECT w, unnest(regexp_extract_all(s, '\u00ab([^\u00bb]*)\u00bb', 1)) AS symbol FROM a$steps),
+       |dw AS (SELECT doc_id AS id, wl[i] AS w
+       |       FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i
+       |             FROM (SELECT doc_id, regexp_extract_all(t, '[A-Za-z0-9]+') AS wl FROM ($normDoc)))),
+       |ds AS (SELECT dw.id, enc.symbol FROM dw JOIN enc USING (w)),
+       |cov AS (SELECT ds.id, count(*) AS n_sub,
+       |          sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |        FROM ds LEFT JOIN vocab v USING (symbol) GROUP BY ds.id)
+       |SELECT id, CAST(n_sub AS BIGINT) AS n_subwords,
+       |  CAST(n_oov AS BIGINT) AS n_oov,
+       |  round(CAST(n_oov AS DOUBLE) / n_sub, 4) AS oov_rate FROM cov""".stripMargin
+  }
 
   /** fixText oracle expression over SQL fragment `x` — generated from
     * the SAME mojibakeTable / pattern constants the Spark expression
@@ -3011,6 +3069,7 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
     "q_bpe_vocab" -> bpeVocabSql(BpeTrainSteps),
     "q_bpe_tokenize" -> bpeTokenizeSql(BpeTrainSteps),
+    "q_bpe_coverage" -> bpeCoverageSql(BpeTrainSteps),
 
     // subword-budget packing: tokenize's per-doc counts pushed through
     // the pack arithmetic (seed-29 shard hash, per-shard running sum)
@@ -3077,6 +3136,25 @@ object SparkEntry {
         |  CASE WHEN ('0x' || substr(md5('17#' || source), 1, 8))::BIGINT % 1000000 < 0.2 * 1000000.0
         |       THEN 'test' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+
+    // snapshot diff under the exact-dedup text identity (normalized
+    // text compare = fingerprint compare): full outer join on id over
+    // the same synthesized new snapshot the Spark side builds
+    "q_corpus_diff" ->
+      s"""WITH o AS ($normDoc),
+         |nn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM nn)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.t <> n.t THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
     // normalized lowercase text (the dedup-side tokenizer) — mirrors

@@ -468,4 +468,29 @@ object Bpe {
       .select(col("id"), col("wpos"), col("spos"), col("symbol"),
         col("sym_id"))
   }
+
+  /** Tokenizer-coverage report: per-doc subword and OOV counts when a
+    * corpus is tokenized under merge rules whose VOCABULARY came from a
+    * reference corpus — the health metric a tokenizer deployment reads
+    * before a training run (a rising oov_rate means the corpus drifted
+    * from what the tokenizer was trained on; retrain or renumber).
+    * A subword is OOV when [[tokenizeStream]]'s reference-vocabulary
+    * join leaves its sym_id NULL — i.e. the symbol never occurs in the
+    * encoded reference. Returns (id, n_subwords, n_oov, oov_rate
+    * rounded 4dp) for every doc with at least one word (zero-word docs
+    * carry no subwords, same as tokenize itself).
+    *
+    * Scale shape: inherits tokenizeStream's — rules and the reference
+    * vocabulary broadcast (both bounded by the trainer's own
+    * arguments, never the corpus), the corpus pass is one
+    * mapPartitions + a map-side-combined groupBy on id. */
+  def coverage(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, ref: DataFrame, refTextCol: String): DataFrame =
+    tokenizeStream(df, idCol, textCol, collectRules(merges), ref,
+      refTextCol)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_subwords"),
+        sum(when(col("sym_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_subwords"), 4))
 }

@@ -754,4 +754,36 @@ object Curate {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
       .select("id", "shard", "pos")
   }
+
+  /** Snapshot diff between two corpus versions keyed by id — the
+    * incremental-pipeline primitive ("what changed since the last
+    * crawl?") that decides which docs re-enter the embed/dedup/index
+    * stages instead of reprocessing the whole corpus. One row per id
+    * present in EITHER snapshot: status `added` (new only), `removed`
+    * (old only), `changed` (both, normalized-text fingerprint
+    * differs), `unchanged`. Same text identity as [[Dedup.exact]]
+    * (md5 over normText), so "changed" means exactly "the exact-dedup
+    * layer would treat it as a different text".
+    *
+    * Contract: `idCol` unique within each snapshot (it is the join
+    * key; duplicate ids would cross-product).
+    *
+    * Scale shape: each side collapses to (id, 16-byte fp) at scan
+    * time — the full-outer join shuffles fingerprints, never text,
+    * and both snapshot scans prune to two columns. At 100 TB this is
+    * two column-pruned scans + one join on the id key; if snapshots
+    * are stored bucketed by id the shuffle disappears entirely. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      T.fingerprintMd5(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      T.fingerprintMd5(col(textCol)).as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -581,4 +581,23 @@ class CurateSpec extends SparkSpec {
       .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
     assert(out.find(_._1 == 0L).get._2 == md % 8, "hash space drifted")
   }
+
+  test("corpusDiff: added/removed/changed/unchanged under the exact-dedup identity") {
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"),
+      (4L, "  Spacing   And Case  ")).toDF("id", "text")
+    val neu = Seq((1L, "alpha beta"),          // byte-identical
+      (2L, "gamma delta REVISED"),             // changed
+      (4L, "spacing and case"),                // normalizes EQUAL -> unchanged
+      (5L, "brand new doc")).toDF("id", "text")// added; 3 removed
+    val out = Curate.corpusDiff(old, neu, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), s"got $out")
+    // empty sides degrade to all-removed / all-added
+    val none = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Curate.corpusDiff(old, none, "id", "text")
+      .filter(col("status") =!= "removed").count() == 0)
+    assert(Curate.corpusDiff(none, neu, "id", "text")
+      .filter(col("status") =!= "added").count() == 0)
+  }
 }
