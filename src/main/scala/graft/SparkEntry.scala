@@ -1172,6 +1172,27 @@ object SparkEntry {
     Curate.corpusDiff(docs, newSnap, "doc_id", "text")
   }
 
+  // The diff's consumer: same old/new mutation as q_corpus_diff PLUS
+  // two twin replicas per low doc (same fresh text, different ids) so
+  // every action fires: the +1M adds collide with history
+  // (skip_duplicate), the +2M/+3M twins collide with each other
+  // (smallest id upserts, the other skips), changed docs upsert or
+  // fail quality, removed docs delete.
+  private def qCrawlTriage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") < 30)
+      .withColumn("text", concat(col("text"), lit(" fresh twin")))
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 2000000L))
+      .unionByName(twins.withColumn("doc_id", col("doc_id") + 3000000L))
+    Curate.crawlTriage(docs, newSnap, "doc_id", "text", minWords = 20)
+  }
+
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
 
@@ -1872,6 +1893,7 @@ object SparkEntry {
     "q_domain_cap_ledger" -> (qDomainCapLedger _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_diff" -> (qCorpusDiff _),
+    "q_crawl_triage" -> (qCrawlTriage _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -3155,6 +3177,51 @@ object SparkEntry {
          |       WHEN o.t <> n.t THEN 'changed'
          |       ELSE 'unchanged' END AS status
          |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // the diff's consumer: quality gate = the q_gopher expression
+    // (minWords 20), dedup identity = the normalized text itself
+    // (string equality == fingerprint equality), history anti-join +
+    // within-batch min-id winner
+    "q_crawl_triage" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |nn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM base WHERE doc_id % 7 <> 0
+         |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 2000000, text || ' fresh twin' FROM base WHERE doc_id < 30
+         |  UNION ALL SELECT doc_id + 3000000, text || ' fresh twin' FROM base WHERE doc_id < 30),
+         |o AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM base),
+         |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM nn),
+         |w AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0) AS ws,
+         |  (length(text) - length(replace(text, '#', ''))) +
+         |    CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS sym
+         | FROM nn),
+         |p AS (SELECT doc_id, (len(ws) > 0 AND len(ws) >= 20 AND len(ws) <= 100000
+         |  AND round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum') AS DOUBLE) / greatest(len(ws), 1), 4) BETWEEN 3 AND 10
+         |  AND round(CAST(sym AS DOUBLE) / greatest(len(ws), 1), 4) <= 0.1
+         |  AND round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(ws), 1), 4) >= 0.8
+         |  AND len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) >= 2) AS pass
+         | FROM w),
+         |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS id, n.fp AS fpn,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS status
+         | FROM o FULL JOIN n ON o.doc_id = n.doc_id),
+         |re AS (SELECT d.id, d.fpn FROM d JOIN p ON p.doc_id = d.id
+         |       WHERE d.status IN ('added','changed') AND p.pass),
+         |up AS (SELECT re.id FROM re
+         |       JOIN (SELECT fpn, min(id) AS wid FROM re GROUP BY fpn) w2
+         |         ON re.fpn = w2.fpn AND re.id = w2.wid
+         |       WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.fp = re.fpn))
+         |SELECT d.id, d.status,
+         |  CASE WHEN d.status = 'unchanged' THEN 'skip_unchanged'
+         |       WHEN d.status = 'removed' THEN 'delete'
+         |       WHEN NOT p.pass THEN 'skip_quality'
+         |       WHEN up.id IS NOT NULL THEN 'upsert'
+         |       ELSE 'skip_duplicate' END AS action
+         |FROM d LEFT JOIN p ON p.doc_id = d.id LEFT JOIN up ON up.id = d.id""".stripMargin,
 
     // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
     // normalized lowercase text (the dedup-side tokenizer) — mirrors

@@ -786,4 +786,69 @@ object Curate {
           .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Daily-crawl triage: the action plan [[corpusDiff]] exists to feed.
+    * Per id in either snapshot, decide what the downstream
+    * embed/dedup/index stages should DO with it:
+    *
+    *   - `unchanged` → `skip_unchanged` (already indexed; nothing moves)
+    *   - `removed`   → `delete` (tombstone the index entry)
+    *   - `added`/`changed` re-enter the pipeline and run two gates, in
+    *     pipeline order:
+    *     1. quality — [[gopherPassCol]] over the NEW text; fail →
+    *        `skip_quality` (a changed doc that degraded below the bar
+    *        is not re-indexed — its stale entry is the operator's
+    *        caller's retention decision, same as the reference's
+    *        upsert-only ingest);
+    *     2. exact dedup under the [[Dedup.exact]] text identity —
+    *        `skip_duplicate` when the new fingerprint already exists
+    *        anywhere in the OLD snapshot (history collision), or when
+    *        another re-entering doc with the same fingerprint has a
+    *        smaller id (within-batch collision; smallest id wins, the
+    *        exact-dedup convention);
+    *     survivors → `upsert`.
+    *
+    * Returns (id, status, action), one row per id in either snapshot.
+    * Contract: `idCol` unique within each snapshot.
+    *
+    * Scale shape: text is read exactly once per side and never
+    * shuffled — both fingerprints and the quality verdict are computed
+    * at scan time, so every join moves (id, 16-byte fp, bool) rows.
+    * The history-dup check is a fingerprint anti-join (never a
+    * broadcast of the corpus); the batch-winner groupBy is map-side
+    * combined on the fingerprint key. At 100 TB: two column-pruned
+    * scans + three narrow joins on id/fp keys, each AQE-eligible. */
+  def crawlTriage(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      T.fingerprintMd5(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      T.fingerprintMd5(col(textCol)).as("__fp_new"),
+      gopherPassCol(col(textCol), minWords, maxWords).as("__pass"))
+    val diff = o.join(n, Seq("id"), "full_outer")
+      .select(col("id"), col("__fp_new"), col("__pass"),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    val reenter = diff
+      .filter(col("status").isin("added", "changed") && col("__pass"))
+      .select("id", "__fp_new")
+    val winners = reenter.groupBy("__fp_new")
+      .agg(min(col("id")).as("__win_id"))
+    val upserts = reenter
+      .join(o.select(col("__fp_old").as("__fp_new")), Seq("__fp_new"),
+        "left_anti")
+      .join(winners, Seq("__fp_new"))
+      .filter(col("id") === col("__win_id"))
+      .select(col("id"), lit(true).as("__upsert"))
+    diff.join(upserts, Seq("id"), "left_outer")
+      .select(col("id"), col("status"),
+        when(col("status") === "unchanged", lit("skip_unchanged"))
+          .when(col("status") === "removed", lit("delete"))
+          .when(!col("__pass"), lit("skip_quality"))
+          .when(col("__upsert").isNotNull, lit("upsert"))
+          .otherwise(lit("skip_duplicate")).as("action"))
+  }
 }

@@ -600,4 +600,44 @@ class CurateSpec extends SparkSpec {
     assert(Curate.corpusDiff(none, neu, "id", "text")
       .filter(col("status") =!= "added").count() == 0)
   }
+
+  test("crawlTriage: every action fires, gates in pipeline order") {
+    val good = "the words and the cat sat with that dog of mine here" // passes gopher@10
+    val old = Seq(
+      (1L, good),                       // will be unchanged
+      (2L, good + " old form"),         // will change, stays good
+      (3L, good + " doomed"),           // will be removed
+      (4L, good + " survivor")          // history fp for the added dup
+    ).toDF("id", "text")
+    val neu = Seq(
+      (1L, good),                       // unchanged -> skip_unchanged
+      (2L, good + " new form"),         // changed, passes -> upsert
+      (4L, good + " survivor"),         // unchanged
+      (5L, good + " survivor"),         // added, fp IN history -> skip_duplicate
+      (6L, "### #### #####"),           // added, fails quality -> skip_quality
+      (7L, good + " twin pair"),        // added, batch twin, min id -> upsert
+      (8L, good + " twin pair"),        // added, batch twin loser -> skip_duplicate
+      (9L, good + "   TWIN  pair")      // normalizes EQUAL to 7/8 -> loser too
+    ).toDF("id", "text")
+    val out = Curate.crawlTriage(old, neu, "id", "text", minWords = 10)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ("unchanged", "skip_unchanged"),
+      2L -> ("changed", "upsert"),
+      3L -> ("removed", "delete"),
+      4L -> ("unchanged", "skip_unchanged"),
+      5L -> ("added", "skip_duplicate"),
+      6L -> ("added", "skip_quality"),
+      7L -> ("added", "upsert"),
+      8L -> ("added", "skip_duplicate"),
+      9L -> ("added", "skip_duplicate")), s"got $out")
+    // quality gate runs BEFORE dedup: a bad-quality doc whose fp is in
+    // history reports skip_quality, not skip_duplicate
+    val old2 = Seq((1L, "### #### #####")).toDF("id", "text")
+    val neu2 = Seq((2L, "### #### #####")).toDF("id", "text")
+    val a2 = Curate.crawlTriage(old2, neu2, "id", "text", minWords = 10)
+      .filter(col("id") === 2L).select("action").as[String].head()
+    assert(a2 == "skip_quality")
+  }
 }
