@@ -30,7 +30,7 @@ object Scale {
     "q_curation_pipeline", "q_curation_pipeline_v2", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_containment", "q_dedup_cluster",
     "q_dedup_canonical", "q_bm25_index", "q_repeated_spans",
-    "q_contam_spans", "q_rerank")
+    "q_contam_spans", "q_rerank", "q_crawl_triage")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
@@ -426,6 +426,20 @@ object Scale {
     val (kN, sN) = timedTok(docsN)
     val (k1, s1) = timedTok(docs)
     println(f"SCALE_BPE_TOKENIZE $k1%.2f,$kN%.2f,${kN / k1}%.2f,$s1,$sN")
+    // coverage (the drift report): tokenizer FIXED (1× rules + 1×
+    // reference vocabulary), corpus scales — the deployment shape
+    // where a yesterday-trained tokenizer audits today's crawl
+    def timedCov(df: DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = Bpe.coverage(df, "doc_id", "text", rules, docs, "text")
+        .count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (cN, vN) = timedCov(docsN)
+    val (c1, v1) = timedCov(docs)
+    println(f"SCALE_BPE_COVERAGE $c1%.2f,$cN%.2f,${cN / c1}%.2f,$v1,$vN")
   }
 
   def main(args: Array[String]): Unit = {
