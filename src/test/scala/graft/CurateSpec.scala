@@ -640,4 +640,75 @@ class CurateSpec extends SparkSpec {
       .filter(col("id") === 2L).select("action").as[String].head()
     assert(a2 == "skip_quality")
   }
+
+  test("crawlTriage drives the IVF index lifecycle: patched equals brute force over the action-applied corpus") {
+    import graft.operators.Ann
+    // deterministic per-text embedding (spec-local stand-in for the
+    // embed stage): 4 dims off the text hash, never zero-norm
+    def vec(text: String): Seq[Double] = {
+      val h = text.hashCode
+      (0 until 4).map(k => 1.0 + ((h >> (k * 8)) & 0xff) / 255.0)
+    }
+    def good(i: Int) =
+      s"the cat and dog sit here with that word token$i inside"
+    val oldDocs = (1 to 40).map(i => (i.toLong, good(i))).toDF("id", "text")
+    val embed = udf((t: String) => vec(t))
+    def embedded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), embed(col("text")).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("triageivf")
+      .toString + "/idx"
+    Ann.buildIvfIndex(embedded(oldDocs), dir, nlist = 4)
+
+    // day-1 snapshot: removals, good/bad/dup changes, good/dup adds
+    val newDocs = (
+      (1 to 34).map { i =>
+        val t = if (i <= 3) good(i + 100)       // changed, good -> upsert
+          else if (i == 4) "### #### #####"     // changed, bad -> skip_quality
+          else if (i == 5) good(6)              // changed, dup of 6 -> skip_duplicate
+          else good(i)                          // unchanged (35..40 removed)
+        (i.toLong, t)
+      } ++ Seq(
+        (50L, good(50)),                        // added -> upsert
+        (51L, good(2)),                         // added, history dup -> skip
+        (52L, good(200)), (53L, good(200)),     // batch twins: 52 wins
+        (54L, "## ###"))                        // added, bad -> skip_quality
+    ).toDF("id", "text")
+
+    val plan = Curate.crawlTriage(oldDocs, newDocs, "id", "text",
+      minWords = 5)
+    val acts = plan.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert((35 to 40).forall(i => acts(i.toLong) == "delete"))
+    assert(Seq(1L, 2L, 3L, 50L, 52L).forall(acts(_) == "upsert"), s"got $acts")
+    assert(acts(4L) == "skip_quality" && acts(5L) == "skip_duplicate" &&
+      acts(51L) == "skip_duplicate" && acts(53L) == "skip_duplicate")
+
+    // apply the plan to the persisted index: tombstone deletes, upsert
+    // survivors re-embedded from the NEW text
+    val deletes = plan.filter(col("action") === "delete").select("id")
+    val upserts = plan.filter(col("action") === "upsert")
+      .join(newDocs, Seq("id"))
+    Ann.deleteFromIvfIndex(spark, dir, deletes)
+    Ann.upsertIntoIvfIndex(spark, dir, embedded(upserts))
+
+    // expected corpus after the actions: old entries minus deletes,
+    // upsert ids carrying their new text's vector (skip_* keep stale)
+    val expected = embedded(oldDocs)
+      .join(deletes.unionByName(upserts.select("id")), Seq("id"),
+        "left_anti")
+      .unionByName(embedded(upserts))
+    val qs = Seq((1L, vec(good(101))), (2L, vec(good(50))),
+      (3L, vec(good(38)))).toDF("qid", "qv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val patched = canon(Ann.searchIvfIndex(spark, dir, qs, k = 5,
+      nprobe = 4))
+    val brute = canon(Ann.bruteForceTopK(expected, qs, k = 5))
+    assert(patched == brute && patched.nonEmpty,
+      "patched index diverged from brute force over the action-applied corpus")
+    // deleted ids are unreachable; an upserted add is reachable
+    assert(!patched.exists(h => h._2 >= 35L && h._2 <= 40L))
+    assert(patched.exists(_._2 == 50L))
+  }
 }
