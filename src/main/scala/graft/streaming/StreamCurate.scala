@@ -225,4 +225,46 @@ object StreamCurate {
       .select(col(idCol).as("id"), col("stratum"), col("keep_ppm"),
         col("score"), col("bucket"))
   }
+
+  /** Streaming twin of [[graft.operators.Curate.crawlTriage]]: crawl
+    * docs arrive as a stream and are triaged against a STATIC previous
+    * snapshot. Emits the batch operator's (id, status, action) for
+    * every ARRIVING doc — `removed` is structurally unavailable on a
+    * stream (detecting absence needs the full new snapshot; run the
+    * batch operator, or a reconciliation pass, for deletions) and so
+    * is the within-batch smallest-id-wins tie-break (cross-doc state;
+    * that durable form is [[StreamIngest.admitIngestStream]]'s job —
+    * pipe the upserts through the admission ledger for exactly-once
+    * admission across triggers).
+    *
+    * Stateless: fingerprint + quality verdict are per-row expressions;
+    * the id lookup and the history-fingerprint lookup are stream-static
+    * left joins against the old snapshot — no state store, any arrival
+    * rate, and a twin-free doc triages identically here and in the
+    * batch operator (spec'd drained-equals-batch). */
+  def triageStream(docsStream: DataFrame, idCol: String, textCol: String,
+      oldSnap: DataFrame, oldIdCol: String, oldTextCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    import graft.operators.Curate
+    val old = oldSnap.select(col(oldIdCol).as("id"),
+      T.fingerprintMd5(col(oldTextCol)).as("__fp_old"))
+    val hist = oldSnap
+      .select(T.fingerprintMd5(col(oldTextCol)).as("__fp_new")).distinct()
+      .withColumn("__in_hist", lit(true))
+    docsStream.select(col(idCol).as("id"),
+        T.fingerprintMd5(col(textCol)).as("__fp_new"),
+        Curate.gopherPassCol(col(textCol), minWords, maxWords)
+          .as("__pass"))
+      .join(old, Seq("id"), "left_outer")
+      .join(hist, Seq("__fp_new"), "left_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("id"), col("status"),
+        when(col("status") === "unchanged", lit("skip_unchanged"))
+          .when(!col("__pass"), lit("skip_quality"))
+          .when(col("__in_hist").isNotNull, lit("skip_duplicate"))
+          .otherwise(lit("upsert")).as("action"))
+  }
 }

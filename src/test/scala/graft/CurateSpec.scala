@@ -711,4 +711,39 @@ class CurateSpec extends SparkSpec {
     assert(!patched.exists(h => h._2 >= 35L && h._2 <= 40L))
     assert(patched.exists(_._2 == 50L))
   }
+
+  test("triageStream: arriving docs triage like batch crawlTriage") {
+    import graft.streaming.StreamCurate
+    implicit val sqlCtx = spark.sqlContext
+    def good(i: Int) =
+      s"the cat and dog sit here with that word token$i inside"
+    val old = (1 to 20).map(i => (i.toLong, good(i))).toDF("id", "text")
+    // twin-free arriving snapshot: unchanged, changed-good,
+    // changed-bad, changed-to-history-dup, added-good, added-dup,
+    // added-bad (no within-batch twins — the ledger's job, see scaladoc)
+    val arriving = Seq(
+      (1L, good(1)), (2L, good(102)), (3L, "## ###"), (4L, good(5)),
+      (30L, good(30)), (31L, good(7)), (32L, "# ##"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamCurate.triageStream(mem.toDF().toDF("id", "text"),
+        "id", "text", old, "id", "text", minWords = 5)
+      .writeStream.format("memory").queryName("triage_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(arriving.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(arriving.drop(4): _*)
+    q.processAllAvailable()
+    val got = spark.table("triage_stream")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    q.stop()
+    val batch = Curate.crawlTriage(old, arriving.toDF("id", "text"),
+        "id", "text", minWords = 5)
+      .filter(col("status") =!= "removed")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.map(r => r._1 -> r._3).toMap == Map(
+      1L -> "skip_unchanged", 2L -> "upsert", 3L -> "skip_quality",
+      4L -> "skip_duplicate", 30L -> "upsert", 31L -> "skip_duplicate",
+      32L -> "skip_quality"))
+  }
 }

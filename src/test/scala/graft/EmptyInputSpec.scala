@@ -258,4 +258,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.semDedup(noVecs, "vec_id", "embedding",
       k = 1, tau = 0.4, trainCap = 1000L).count() == 0)
   }
+
+  test("crawl triage and tokenizer coverage over empty inputs") {
+    import graft.operators.{Bpe, Curate}
+    val none = Seq.empty[(Long, String)].toDF("id", "text")
+    val some = Seq((1L, "the cat and dog sit here with that word inside"))
+      .toDF("id", "text")
+    // empty new snapshot: everything deletes; empty old: adds triage
+    // on their own merits; both empty: empty plan
+    assert(Curate.crawlTriage(some, none, "id", "text", minWords = 5)
+      .filter(col("action") =!= "delete").count() == 0)
+    val addOnly = Curate.crawlTriage(none, some, "id", "text",
+      minWords = 5).as[(Long, String, String)].collect().toSeq
+    assert(addOnly == Seq((1L, "added", "upsert")), s"got $addOnly")
+    assert(Curate.crawlTriage(none, none, "id", "text").count() == 0)
+    // coverage over an empty corpus / under an empty-vocabulary ref:
+    // zero-word docs carry no subwords; an empty reference makes every
+    // subword OOV (rate 1.0) — drift maximal, loudly visible
+    val merges = Bpe.train(some, "text", numMerges = 2)
+    assert(Bpe.coverage(none, "id", "text", merges, some, "text")
+      .count() == 0)
+    val allOov = Bpe.coverage(some, "id", "text", merges, none, "text")
+      .select("oov_rate").as[Double].collect()
+    assert(allOov.toSeq == Seq(1.0), s"got ${allOov.toSeq}")
+  }
 }
