@@ -284,6 +284,26 @@ object Dedup {
       Seq.empty)
   }
 
+  /** Retire one appended segment from the line-df history — the
+    * rolling-window form ("boilerplate df over the last N crawl days"):
+    * when day k lands, day k−N retires, so a line's history df is
+    * always the window sum and long-dead boilerplate stops suppressing
+    * fresh lines. Drops the segment's partition directories
+    * (O(segment), no surviving increment rewritten) and rebuilds the
+    * Bloom sidecar from the survivors — which also UNSATURATES it, so
+    * the window's steady state never degrades the prune the way an
+    * ever-growing history would. The retired src becomes appendable
+    * again (re-crawl semantics). A crash between the delete and the
+    * sidecar rebuild leaves a stale-superset bloom — extra false
+    * positives, never a wrong verdict; re-run [[rebuildLineDfSidecar]]
+    * to finish. */
+  def retireLineDfSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, fpp: Double = 0.01): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("lines"))
+    IndexFiles.retireSrcPartitions(spark, dir, Seq("lines"), src)
+    rebuildLineDfSidecar(spark, dir, fpp)
+  }
+
   /** Filter a batch's boilerplate lines against the persisted history:
     * a line is dropped when (its DISTINCT-doc count within this batch)
     * + (its summed history df) reaches `minDf` — i.e. the verdict for
@@ -725,6 +745,36 @@ object Dedup {
         .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
           lit(bits).as("num_bits")),
       Seq.empty)
+  }
+
+  /** Rewrite the containment ids sidecar from the stored sizes table —
+    * the O(index) maintenance scan [[retireContainmentSrc]] uses after
+    * dropping a segment (and the recovery call for a crash that left
+    * the sidecar stale). Zero-shingle docs leave no sizes row, so the
+    * rebuilt sidecar may re-admit them — harmless by construction:
+    * they have no payload rows to double. */
+  def rebuildContainmentIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.replaceTable(spark, dir, "ids",
+      spark.read.parquet(s"$dir/sizes").select("id").distinct(), Seq.empty)
+
+  /** Retire one appended segment from the containment history — the
+    * rolling-window form: only the last N crawl days can claim to
+    * contain a new doc, and a doc retired with its day becomes
+    * re-admittable on a later crawl. Drops the segment's shingle and
+    * size partitions (O(segment)), rewrites the ids sidecar from the
+    * survivors, and rebuilds (and thereby unsaturates) the Bloom
+    * sidecar. Crash windows are all safe-stale, never wrong: after the
+    * partition delete, an orphaned sizes/ids/bloom entry can only
+    * suppress re-appends or admit extra bloom candidates (the probe
+    * exact-verifies against stored shingles, which are gone); finish
+    * with [[rebuildContainmentIds]] + [[rebuildContainmentSidecar]]. */
+  def retireContainmentSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, fpp: Double = 0.01): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    IndexFiles.retireSrcPartitions(spark, dir, Seq("shingles", "sizes"), src)
+    rebuildContainmentIds(spark, dir)
+    rebuildContainmentSidecar(spark, dir, fpp)
   }
 
   /** Containment-dedup a batch against the persisted history: one
@@ -1735,6 +1785,22 @@ object Dedup {
         None)
     }
     adm.unpersist(); ()
+  }
+
+  /** Retire one appended segment from the domain-cap ledger — the
+    * rolling-window form: a domain's budget regenerates as its oldest
+    * crawl day ages out (per-domain caps over the last N days, not
+    * forever), and the day's rows leave the admitted registry. Drops
+    * the segment's counts and admitted partitions wherever present
+    * (a zero-admission day has no directories in either — still loud
+    * on a tag never appended). No survivor requirement: ledger readers
+    * pass explicit schemas, so an emptied ledger reads as zero counts
+    * — the init state. The retired src becomes appendable again. */
+  def retireDomainCapSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("counts", "admitted"))
+    IndexFiles.retireSrcPartitions(spark, dir, Seq("counts", "admitted"),
+      src, requireSurvivor = false)
   }
 
   /** Persist a minhash dedup index: band signatures + shingle-hash sets

@@ -152,6 +152,58 @@ private[graft] object IndexFiles {
   def writeIds(ids: DataFrame, dir: String): Unit =
     ids.write.mode("overwrite").parquet(s"$dir/ids")
 
+  /** Delete one src segment's hive partitions from src-partitioned
+    * payload tables — the rolling-window retirement primitive (a
+    * bounded-history crawl pipeline retires day k−N when day k lands;
+    * also the takedown path for a whole contributed batch). O(segment
+    * listing): partition directories are removed, no surviving row is
+    * rewritten. Callers heal their family first and rebuild their
+    * sidecars after (the family wrappers in [[graft.operators.Dedup]]
+    * do both). Loud on a typo'd tag: the src must be present in at
+    * least one named table. With `requireSurvivor` (families whose
+    * readers infer schema from the stored files), refuses to delete
+    * the last remaining segment of any table — retiring everything is
+    * [[dropIndex]]-and-rebuild's job. */
+  def retireSrcPartitions(spark: SparkSession, dir: String,
+      tables: Seq[String], src: String,
+      requireSurvivor: Boolean = true): Unit = {
+    require(src.matches("[A-Za-z0-9._\\-]+"),
+      s"src tag '$src' is not a plain partition value — retire by the " +
+        "exact tag the append used")
+    val fs = fsOf(spark, dir)
+    val present = tables.filter(t =>
+      fs.exists(new Path(s"$dir/$t/src=$src")))
+    require(present.nonEmpty,
+      s"src '$src' not present in any of [${tables.mkString(", ")}] " +
+        s"under $dir — nothing to retire")
+    present.foreach { t =>
+      if (requireSurvivor) {
+        val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("src=") &&
+            st.getPath.getName != s"src=$src")
+        require(others,
+          s"retiring src '$src' would empty $dir/$t — drop and rebuild " +
+            "the index instead")
+      }
+      require(fs.delete(new Path(s"$dir/$t/src=$src"), true),
+        s"delete $dir/$t/src=$src failed")
+    }
+    // Deleting a partition directory that a later append may RE-CREATE
+    // under the same path is the one lifecycle where stale captured
+    // listings can resurface: a still-registered cached plan fragment
+    // over this index (a probe's internal persist) sameResult-matches
+    // a post-retire query — the index path and schema compare equal,
+    // and a rebuilt-then-re-merged bloom can be byte-identical — and
+    // recomputing it replays the PRE-retire file listing captured in
+    // its relation (FileNotFound at best, resurrected rows at worst).
+    // Appends never hit this (they only create new files). Drop the
+    // session's dataset cache and the shared listing cache outright;
+    // retirement is rare maintenance, the blunt flush is fine.
+    spark.catalog.clearCache()
+    org.apache.spark.sql.graft.FsCache.invalidate(spark)
+    refresh(spark, dir)
+  }
+
   /** Fail fast when an interrupted append's journal is pending. The
     * journal's existence means the move phase may have landed only part
     * of the batch's files, so a payload read can be TORN — a doc scored

@@ -975,4 +975,81 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(loose(1L) == "keep one\nBOILER\nkeep two" && loose(4L) == "BOILER")
   }
+
+  test("rolling-window retirement: a retired segment stops counting, re-admits, and regrows budgets") {
+    // line-df: gamma's history df comes only from segment s1
+    val histL = Seq((1L, "alpha\nfooter"), (2L, "beta\nunique2"))
+      .toDF("doc_id", "text")
+    val s1L = Seq((10L, "gamma\nfooter"), (11L, "gamma\nother"))
+      .toDF("doc_id", "text")
+    val dirL = java.nio.file.Files.createTempDirectory("ldret")
+      .toString + "/idx"
+    Dedup.buildLineDfIndex(histL, "doc_id", "text", dirL)
+    Dedup.appendToLineDfIndex(spark, dirL, s1L, "doc_id", "text", "s1")
+    val probeL = Seq((30L, "gamma\nnovel")).toDF("doc_id", "text")
+    def mL() = Dedup.lineDfAgainstIndex(spark, dirL, probeL,
+      "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(mL() == Map(30L -> "novel"), "gamma should be boilerplate with s1 live")
+    Dedup.retireLineDfSrc(spark, dirL, "s1")
+    assert(mL() == Map(30L -> "gamma\nnovel"),
+      "retired segment still contributed to the history df")
+    // sidecar re-sized to the survivors (unsaturation is part of retire)
+    assert(spark.read.parquet(s"$dirL/bloom").head().getAs[Long]("n_items")
+      == spark.read.parquet(s"$dirL/lines").select("h").distinct().count())
+    // the retired src is appendable again (re-crawl), restoring the df
+    Dedup.appendToLineDfIndex(spark, dirL, s1L, "doc_id", "text", "s1")
+    assert(mL() == Map(30L -> "novel"), "re-appended segment not counted")
+    // typo'd tag and emptying the table are loud
+    intercept[IllegalArgumentException] {
+      Dedup.retireLineDfSrc(spark, dirL, "never-appended") }
+    Dedup.retireLineDfSrc(spark, dirL, "s1")
+    intercept[IllegalArgumentException] {
+      Dedup.retireLineDfSrc(spark, dirL, "base") }
+
+    // containment: the only container of the probe lives in segment s1
+    val histC = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val s1C = Seq(
+      (203L, "completely novel text about cooking recipes and baking"))
+      .toDF("doc_id", "text")
+    val dirC = java.nio.file.Files.createTempDirectory("ctret")
+      .toString + "/idx"
+    Dedup.buildContainmentIndex(histC, "doc_id", "text", dirC)
+    Dedup.appendToContainmentIndex(spark, dirC, s1C, "doc_id", "text", "s1")
+    val probeC = Seq((301L, "text about cooking recipes"))
+      .toDF("doc_id", "text")
+    def mC() = Dedup.dropContainedAgainstIndex(spark, dirC, probeC,
+      "doc_id", "text", tau = 0.8)
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mC() == Map(301L -> ((true, Some(203L)))))
+    Dedup.retireContainmentSrc(spark, dirC, "s1")
+    assert(mC() == Map(301L -> ((false, None))),
+      "retired container still claimed the probe")
+    // ids sidecar rebuilt from survivors: 203 is re-admittable
+    assert(spark.read.parquet(s"$dirC/ids").as[Long].collect().toSet
+      == Set(100L))
+    assert(spark.read.parquet(s"$dirC/bloom").head().getAs[Long]("n_items")
+      == spark.read.parquet(s"$dirC/shingles").select("sh").distinct().count())
+    Dedup.appendToContainmentIndex(spark, dirC, s1C, "doc_id", "text", "s1")
+    assert(mC() == Map(301L -> ((true, Some(203L)))),
+      "re-appended segment not judged against")
+
+    // domain-cap ledger: a.com's budget regenerates when s0 ages out
+    val dirD = java.nio.file.Files.createTempDirectory("dcret").toString
+    Dedup.initDomainCapLedger(spark, dirD, n = 2)
+    val b0 = Seq((1L, "http://a.com/x", 10L), (2L, "http://a.com/y", 20L))
+      .toDF("id", "url", "q")
+    Dedup.appendToDomainCapLedger(spark, dirD,
+      Dedup.capAgainstLedger(spark, dirD, b0, "id", "url", "q"), "s0")
+    val b1 = Seq((5L, "http://a.com/new", 99L)).toDF("id", "url", "q")
+    def admitted() = Dedup.capAgainstLedger(spark, dirD, b1,
+      "id", "url", "q").select("admitted").as[Boolean].head()
+    assert(!admitted(), "a.com should be saturated before retirement")
+    Dedup.retireDomainCapSrc(spark, dirD, "s0")
+    assert(admitted(), "retired segment still spent the domain budget")
+    intercept[IllegalArgumentException] {
+      Dedup.retireDomainCapSrc(spark, dirD, "s0") } // already gone: loud
+  }
 }
