@@ -313,4 +313,34 @@ class PlanAuditSpec extends SparkSpec {
       phys.replaceAll("\\s", "").contains("GreaterThan(id,100"),
       s"id cursor not pushed to the scan:\n$phys")
   }
+
+  test("crawlTriage: text never crosses a join, and the plan is partitioning-invariant") {
+    import graft.operators.Curate
+    // repartition: a Seq-backed LocalRelation would constant-fold the
+    // whole triage away and hide the joins from the plan
+    val old = (1 to 30).map(i => (i.toLong, s"the old doc body number $i with that text"))
+      .toDF("id", "text").repartition(4)
+    val neu = (5 to 35).map(i => (i.toLong, s"the new doc body number $i with that text"))
+      .toDF("id", "text").repartition(3)
+    val out = Curate.crawlTriage(old, neu, "id", "text", minWords = 3)
+    val plan = out.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size >= 3,
+      s"expected the diff/history-anti/winner joins, got ${joins.size}:\n$plan")
+    // the scale claim made checkable: every join input is already
+    // reduced to id/fingerprint/verdict columns — the text is consumed
+    // at scan time and never shuffles
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(!side.output.exists(_.name == "text"),
+          s"text column crosses a join:\n$plan")
+      }
+    }
+    val base = out.as[(Long, String, String)].collect().toSet
+    val rep = Curate.crawlTriage(old.repartition(11), neu.repartition(2),
+        "id", "text", minWords = 3)
+      .as[(Long, String, String)].collect().toSet
+    assert(base == rep, "triage verdicts changed under repartitioning")
+  }
 }
