@@ -2002,7 +2002,15 @@ object Dedup {
     * The bloom only PRUNES — [[dedupExactAgainstIndex]] exact-confirms
     * every positive against `fps`, so results are exact at any fpp;
     * past the sizing capacity the filter saturates and merely prunes
-    * less. One shuffle on the 128-bit fp at any scale. */
+    * less. One shuffle on the 128-bit fp at any scale.
+    *
+    * Rolling-window note: this family deliberately has NO
+    * retire-by-src (unlike [[retireLineDfSrc]] and siblings) —
+    * first-occurrence collapse stores a re-seen fingerprint only under
+    * its first batch, so dropping that batch would forget texts later
+    * batches still contain. Bounded-history exact dedup is a REBUILD
+    * from the windowed corpus: one shuffle over 16-byte fps, cheap at
+    * any scale, and the semantics stay exact. */
   def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, fpp: Double = 0.01): Unit = {
     val s = df.sparkSession
