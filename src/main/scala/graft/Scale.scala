@@ -339,6 +339,19 @@ object Scale {
     report("containment", "drop_against_index", cq1, cqN)
     println(s"SCALE_APPEND_ROWS containment_query x1=$cr1 x$factor=$crN")
 
+    // ---- retirement (rolling-window maintenance) ----
+    // Drop the s1 segment just appended to both scales: the partition
+    // delete is O(segment listing); the wall is dominated by the
+    // sidecar rebuilds (one distinct scan of the SURVIVING index — the
+    // honest O(index) cost, billed here as such; containment also
+    // rewrites its ids sidecar)
+    val (lrtN, _) = timed(Dedup.retireLineDfSrc(spark, ldN, "s1"))
+    val (lrt1, _) = timed(Dedup.retireLineDfSrc(spark, ld1, "s1"))
+    report("linedf", "retire_src", lrt1, lrtN)
+    val (crtN, _) = timed(Dedup.retireContainmentSrc(spark, cN, "s1"))
+    val (crt1, _) = timed(Dedup.retireContainmentSrc(spark, c1, "s1"))
+    report("containment", "retire_src", crt1, crtN)
+
     // ---- bloom saturation → rebuild recovery ----
     // Build sized for N docs, append FACTOR salted replicas: the sidecar
     // now holds (factor+1)·N items at the original N sizing — the

@@ -1158,18 +1158,28 @@ object SparkEntry {
     Curate.holdoutSplit(t(s, dir, "documents"), "source", testFrac = 0.2)
       .select("doc_id", "source", "split")
 
-  // Snapshot diff: new = old minus every 7th doc, every 5th doc's text
-  // touched, 100 fresh ids added — the incremental-crawl triage that
-  // decides what re-enters the pipeline.
-  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
-    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+  // Snapshot mutation shared by the incremental-crawl queries: new =
+  // old minus every 7th doc, every 5th doc's text touched, 100 fresh
+  // ids added.
+  private def mutatedSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
           .otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") < 100)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    Curate.corpusDiff(docs, newSnap, "doc_id", "text")
+
+  // Snapshot diff — the incremental-crawl triage's primitive.
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Curate.corpusDiff(docs, mutatedSnapshot(docs), "doc_id", "text")
+  }
+
+  // Token-distribution drift across the same mutation — the monitoring
+  // twin of the diff (what did the crawl re-weight?).
+  private def qTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Stats.tokenDrift(docs, mutatedSnapshot(docs), "text", k = 20)
   }
 
   // The diff's consumer: same old/new mutation as q_corpus_diff PLUS
@@ -1894,6 +1904,7 @@ object SparkEntry {
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_crawl_triage" -> (qCrawlTriage _),
+    "q_token_drift" -> (qTokenDrift _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -3222,6 +3233,35 @@ object SparkEntry {
          |       WHEN up.id IS NOT NULL THEN 'upsert'
          |       ELSE 'skip_duplicate' END AS action
          |FROM d LEFT JOIN p ON p.doc_id = d.id LEFT JOIN up ON up.id = d.id""".stripMargin,
+
+    // token-distribution drift over the same mutation: per-side exact
+    // top-20 (tf desc, tok asc), relative frequencies rounded 6dp,
+    // missing side = 0; UNION dedups the key set like the distinct
+    "q_token_drift" ->
+      s"""WITH o AS ($normDoc),
+         |nn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM nn),
+         |tko AS (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM o),
+         |tkn AS (SELECT unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok FROM n),
+         |fo AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf_old FROM tko GROUP BY tok),
+         |fn AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf_new FROM tkn GROUP BY tok),
+         |keys AS (SELECT tok FROM (SELECT tok FROM fo ORDER BY tf_old DESC, tok ASC LIMIT 20)
+         |         UNION
+         |         SELECT tok FROM (SELECT tok FROM fn ORDER BY tf_new DESC, tok ASC LIMIT 20)),
+         |tot AS (SELECT (SELECT coalesce(sum(tf_old), 0) FROM fo) AS t_old,
+         |               (SELECT coalesce(sum(tf_new), 0) FROM fn) AS t_new),
+         |p AS (SELECT k.tok, coalesce(fo.tf_old, 0) AS tf_old,
+         |        coalesce(fn.tf_new, 0) AS tf_new,
+         |        round(CAST(coalesce(fo.tf_old, 0) AS DOUBLE) / CAST(greatest(t_old, 1) AS DOUBLE), 6) AS p_old,
+         |        round(CAST(coalesce(fn.tf_new, 0) AS DOUBLE) / CAST(greatest(t_new, 1) AS DOUBLE), 6) AS p_new
+         |      FROM keys k LEFT JOIN fo USING (tok) LEFT JOIN fn USING (tok), tot)
+         |SELECT tok, tf_old, tf_new, p_old, p_new,
+         |  round(p_new - p_old, 6) AS delta FROM p""".stripMargin,
 
     // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
     // normalized lowercase text (the dedup-side tokenizer) — mirrors

@@ -57,4 +57,23 @@ class StatsSpec extends SparkSpec {
     assert(out == Set(("a", "x", 3L, 1L), ("a", "y", 3L, 2L), ("b", "q", 2L, 1L)),
       s"got $out")
   }
+
+  test("tokenDrift: per-side top-k union, 6dp frequency shift, missing side = 0") {
+    val old = Seq((1L, "a a b c"), (2L, "b a")).toDF("id", "text")
+    val neu = Seq((3L, "a b b d")).toDF("id", "text")
+    // k=1: top-old = a (3), top-new = b (2) -> keys {a, b}
+    val out = Stats.tokenDrift(old, neu, "text", k = 1)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out == Map(
+      "a" -> ((3L, 1L, 0.5, 0.25, -0.25)),
+      "b" -> ((2L, 2L, 0.333333, 0.5, 0.166667))), s"got $out")
+    // one empty side: keys come from the other; freqs degrade to 0
+    val vsEmpty = Stats.tokenDrift(old,
+        Seq.empty[(Long, String)].toDF("id", "text"), "text", k = 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._5, r._6))).toMap
+    assert(vsEmpty == Map("a" -> ((0L, 0.0, -0.5)),
+      "b" -> ((0L, 0.0, -0.333333))), s"got $vsEmpty")
+  }
 }
