@@ -599,6 +599,23 @@ class CurateSpec extends SparkSpec {
       .filter(col("status") =!= "removed").count() == 0)
     assert(Curate.corpusDiff(none, neu, "id", "text")
       .filter(col("status") =!= "added").count() == 0)
+    // algebra: diff(a, a) is all-unchanged; swapping sides swaps
+    // added/removed and preserves changed/unchanged
+    assert(Curate.corpusDiff(old, old, "id", "text")
+      .filter(col("status") =!= "unchanged").count() == 0)
+    val fwd = Curate.corpusDiff(old, neu, "id", "text")
+      .as[(Long, String)].collect().toMap
+    val bwd = Curate.corpusDiff(neu, old, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fwd.keySet == bwd.keySet)
+    fwd.foreach { case (id, st) =>
+      val expect = st match {
+        case "added" => "removed"
+        case "removed" => "added"
+        case other => other
+      }
+      assert(bwd(id) == expect, s"id $id: $st fwd but ${bwd(id)} bwd")
+    }
   }
 
   test("crawlTriage: every action fires, gates in pipeline order") {

@@ -75,5 +75,13 @@ class StatsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._3, r._5, r._6))).toMap
     assert(vsEmpty == Map("a" -> ((0L, 0.0, -0.5)),
       "b" -> ((0L, 0.0, -0.333333))), s"got $vsEmpty")
+    // plan pin: each side's top-k is a TakeOrdered, never a full sort
+    // (repartition so the LocalRelation doesn't constant-fold it away)
+    val phys = Stats.tokenDrift(old.repartition(3), neu.repartition(2),
+      "text", k = 1).queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrdered:\n$phys")
+    assert(!phys.contains("Sort ["), // no global sort anywhere else
+      s"unexpected full sort in the drift plan:\n$phys")
   }
 }
