@@ -2064,8 +2064,10 @@ object Dedup {
       .persist()
     val positives = batchFps
       .filter(SK.mightContain(lit(bytes), xxhash64(col("fp"))))
+    // replay check against the LIVE rows: a tombstoned text reads as
+    // absent, so its re-ingest stores a fresh row under the new id
     val replayed = positives
-      .join(spark.read.parquet(s"$dir/fps").select("pfx", "fp"), Seq("pfx", "fp"),
+      .join(liveExactFps(spark, dir).select("pfx", "fp"), Seq("pfx", "fp"),
         "left_semi")
     val newFps = batchFps.join(replayed, Seq("pfx", "fp"), "left_anti").persist()
     val added = newFps.count()
@@ -2113,7 +2115,7 @@ object Dedup {
   def rebuildExactSidecar(spark: org.apache.spark.sql.SparkSession,
       dir: String, fpp: Double = 0.01): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("fps"))
-    val fps = spark.read.parquet(s"$dir/fps")
+    val fps = liveExactFps(spark, dir)
     val n = fps.count()
     require(n > 0, "rebuildExactSidecar: stored fps table is empty")
     val bits = bloomBits(spark, n, fpp)
@@ -2122,6 +2124,82 @@ object Dedup {
         .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
           lit(bits).as("num_bits")),
       Seq.empty)
+  }
+
+  /** The exact index's (fp, keep_id) tombstone set — None when no
+    * delete has ever run. Keyed by the PAIR, not the fingerprint
+    * alone: a text re-admitted after its takedown gets a fresh live
+    * row under a new keep_id that the old tombstone must not touch. */
+  private[graft] def exactTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.schema("fp STRING, keep_id BIGINT")
+        .parquet(p.toString))
+    else None
+  }
+
+  /** Stored fps minus tombstoned rows — what every reader treats as
+    * "the history". The tombstone set is takedown-sized, so the
+    * anti-join broadcasts. */
+  private[graft] def liveExactFps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val fps = spark.read.parquet(s"$dir/fps")
+    exactTombstones(spark, dir) match {
+      case Some(dead) =>
+        fps.join(broadcast(dead), Seq("fp", "keep_id"), "left_anti")
+      case None => fps
+    }
+  }
+
+  /** Tombstone texts out of the exact-dedup history — the takedown
+    * path the fingerprint store was missing (every sibling index has
+    * one; here "forget this text" means future identical texts are
+    * ADMITTED again, the un-dedup a legal removal implies). Tombstones
+    * are the (fp, keep_id) pairs RESOLVED against the stored rows at
+    * delete time — O(takedown batch), no partition rewritten; probes
+    * and appends treat tombstoned rows as absent immediately;
+    * [[compactExactIndex]] purges them physically. A re-appended text
+    * gets a new live row (new keep_id) the old tombstone cannot match;
+    * re-appending the exact same (text, keep_id) stays blocked until
+    * compaction, the sibling families' documented contract. The bloom
+    * sidecar keeps the dead fps' bits — harmless false positives the
+    * confirm join removes — until [[rebuildExactSidecar]]. */
+  def deleteFromExactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, texts: DataFrame, textCol: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    val target = texts
+      .select(T.fingerprintMd5(col(textCol)).as("fp")).distinct()
+      .withColumn("pfx", substring(col("fp"), 1, 2))
+    val dead = spark.read.parquet(s"$dir/fps")
+      .join(broadcast(target.select("pfx", "fp")), Seq("pfx", "fp"),
+        "left_semi")
+      .select("fp", "keep_id")
+    if (!dead.isEmpty)
+      dead.write.mode("append").parquet(s"$dir/deleted_fps")
+  }
+
+  /** Physically purge tombstoned fingerprints: rewrite `fps/` without
+    * the dead rows (staged swap — no crash window loses data), drop
+    * the tombstone table, and flush the session caches (the swap
+    * re-creates partition directories under their old paths — the
+    * retirement lesson). Bit-equal probe results before and after;
+    * purged (text, keep_id) pairs become re-appendable. Run with
+    * [[rebuildExactSidecar]] on schedule. */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    exactTombstones(spark, dir).foreach { _ =>
+      IndexFiles.replaceTable(spark, dir, "fps",
+        liveExactFps(spark, dir), Seq("pfx"))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.FsCache.invalidate(spark)
+      IndexFiles.refresh(spark, dir)
+    }
   }
 
   /** Exact-dedup a batch against a persisted [[buildExactIndex]]
@@ -2146,10 +2224,18 @@ object Dedup {
     val positives = probe
       .filter(SK.mightContain(lit(bytes), xxhash64(col("fp"))))
       .withColumn("pfx", substring(col("fp"), 1, 2))
-    val confirmed = positives.join(
-        spark.read.parquet(s"$dir/fps")
-          .select(col("pfx"), col("fp"), col("keep_id").as("first_id")),
-        Seq("pfx", "fp"))
+    // tombstone filter sits AFTER the confirm join (on its k-sized
+    // output), so the fps scan stays a bare LogicalRelation and dynamic
+    // partition pruning keeps narrowing it to the probe's fp prefixes
+    val confirmed = exactTombstones(spark, dir).foldLeft(
+        positives.join(
+          spark.read.parquet(s"$dir/fps")
+            .select(col("pfx"), col("fp"), col("keep_id").as("first_id")),
+          Seq("pfx", "fp"))) { (c, dead) =>
+        c.join(broadcast(dead
+            .select(col("fp"), col("keep_id").as("first_id"))),
+          Seq("fp", "first_id"), "left_anti")
+      }
       .select(col("id"), col("first_id"))
     probe.select("id").join(confirmed, Seq("id"), "left")
       .select(col("id"), col("first_id"), col("first_id").isNotNull.as("is_dup"))

@@ -63,7 +63,9 @@ object StreamIngest {
     import org.apache.spark.sql.graft.{SketchExpressions => SK}
     val bytes = spark.read.parquet(s"$indexDir/bloom")
       .head().getAs[Array[Byte]]("bloom")
-    val fps = spark.read.parquet(s"$indexDir/fps")
+    // live rows only: tombstoned texts ([[graft.operators.Dedup
+    // .deleteFromExactIndex]]) read as never-stored, like the batch probe
+    val fps = graft.operators.Dedup.liveExactFps(spark, indexDir)
       .select(col("pfx").as("__pfx"), col("fp").as("__fp"),
         col("keep_id").as("__hist_id"))
     val probed = docsStream.withColumn("__fp",

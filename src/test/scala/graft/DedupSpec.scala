@@ -976,6 +976,51 @@ class DedupSpec extends SparkSpec {
     assert(loose(1L) == "keep one\nBOILER\nkeep two" && loose(4L) == "BOILER")
   }
 
+  test("exact-index takedown: tombstoned texts re-admit, re-ingests go live, compact purges") {
+    val history = Seq((10L, "the quick brown fox"), (13L, "lorem ipsum dolor"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exdel")
+      .toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    def probe(rows: (Long, String)*) =
+      Dedup.dedupExactAgainstIndex(spark, dir, rows.toSeq.toDF("id", "text"),
+          "id", "text")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(probe((20L, "the quick brown fox"))
+      == Map(20L -> ((Some(10L), true))))
+    // takedown resolves through normalization; the text reads unseen
+    Dedup.deleteFromExactIndex(spark, dir,
+      Seq("THE  QUICK  Brown fox ").toDF("text"), "text")
+    assert(probe((20L, "the quick brown fox"))
+      == Map(20L -> ((None, false))), "tombstoned text still matched")
+    assert(probe((21L, "lorem ipsum dolor"))
+      == Map(21L -> ((Some(13L), true))), "unrelated fp lost")
+    // re-ingest under a new id: a fresh LIVE row the tombstone misses
+    Dedup.appendToExactIndex(spark, dir,
+      Seq((30L, "the quick brown fox")).toDF("id", "text"), "id", "text")
+    assert(probe((20L, "the quick brown fox"))
+      == Map(20L -> ((Some(30L), true))), "re-ingested text not matched live")
+    assert(spark.read.parquet(s"$dir/fps")
+      .filter(col("keep_id").isin(10L, 30L)).count() == 2,
+      "expected dead + live rows before compaction")
+    // sidecar rebuild sizes to the LIVE rows only
+    Dedup.rebuildExactSidecar(spark, dir)
+    assert(spark.read.parquet(s"$dir/bloom").head()
+      .getAs[Long]("n_items") == 2L)
+    // compaction purges the dead row, drops the tombstones, and leaves
+    // every verdict invariant
+    Dedup.compactExactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/fps").count() == 2)
+    assert(!new java.io.File(s"$dir/deleted_fps").exists())
+    assert(probe((20L, "the quick brown fox"), (22L, "wholly novel words"))
+      == Map(20L -> ((Some(30L), true)), 22L -> ((None, false))))
+    // a takedown matching nothing stored is a no-op (no tombstone table)
+    Dedup.deleteFromExactIndex(spark, dir,
+      Seq("never stored anywhere").toDF("text"), "text")
+    assert(!new java.io.File(s"$dir/deleted_fps").exists())
+  }
+
   test("rolling-window retirement: a retired segment stops counting, re-admits, and regrows budgets") {
     // line-df: gamma's history df comes only from segment s1
     val histL = Seq((1L, "alpha\nfooter"), (2L, "beta\nunique2"))

@@ -212,6 +212,20 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text")
       .filter(!col("is_dup")).select("id").as[Long].collect().toSet
     assert(got == batchNovel)
+    // takedown flows through the stream's static side: a tombstoned
+    // history text admits on a fresh stream
+    graft.operators.Dedup.deleteFromExactIndex(spark, dir,
+      Seq("seen before alpha").toDF("text"), "text")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamIngest.admitNovelStream(spark, dir,
+        mem2.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("sadmit2")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData((30L, "seen before alpha"), (31L, "seen before beta"))
+    q2.processAllAvailable()
+    val got2 = spark.table("sadmit2").select("doc_id").as[Long].collect().toSet
+    q2.stop()
+    assert(got2 == Set(30L), s"tombstoned text should admit, beta not: $got2")
   }
 
   test("curateStream: drained admissions equal the composed batch chain; every gate bites") {
