@@ -707,6 +707,30 @@ object SparkEntry {
         col("admitted_rank"))
   }
 
+  // Rolling-window budget regeneration, oracle-checked: batches 0-3
+  // spend under the greedy chain, batch 0's segment retires, and its
+  // own docs return as a fresh crawl — admitted iff the domain still
+  // has slots after batches 1-3's (immutable) admissions, rank
+  // continuing from those survivors' count.
+  private def qDomainCapRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("url", synthUrl)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_domret_").toString
+    val led = s"$base/ledger"
+    val out = s"$base/out"
+    Dedup.initDomainCapLedger(s, led, n = 3)
+    (0L to 3L).foreach { b =>
+      graft.streaming.StreamIngest.applyDomainCapBatch(
+        docs.filter(col("doc_id") % 4 === b), b, led, "doc_id", "url",
+        "n_chars", out)
+    }
+    Dedup.retireDomainCapSrc(s, led, "b0")
+    Dedup.capAgainstLedger(s, led, docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "url", "n_chars")
+      .select(col("id"), col("domain"), col("admitted"),
+        col("admitted_rank"))
+  }
+
   // ---- training-data curation ---------------------------------------------
 
   // Benchmark decontamination: docs 0-24 stand in for the held-out eval
@@ -1901,6 +1925,7 @@ object SparkEntry {
     "q_url_dedup" -> (qUrlDedup _),
     "q_domain_cap" -> (qDomainCap _),
     "q_domain_cap_ledger" -> (qDomainCapLedger _),
+    "q_domain_cap_retire" -> (qDomainCapRetire _),
     "q_holdout_split" -> (qHoldoutSplit _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_crawl_triage" -> (qCrawlTriage _),
@@ -3498,6 +3523,36 @@ object SparkEntry {
          | FROM d)
          |SELECT doc_id AS id, domain, (rnk <= 3) AS admitted,
          |  CASE WHEN rnk <= 3 THEN rnk END AS admitted_rank FROM r""".stripMargin,
+
+    // budget regeneration: the chain's admissions from batches 1-3 are
+    // immutable (rnk computed over ALL four batches — batch 0's
+    // spending shaped them), batch 0's segment retires, and its docs
+    // re-judge against the surviving per-domain counts
+    "q_domain_cap_retire" ->
+      s"""WITH n AS ($urlNormDoc),
+         |h AS (SELECT doc_id, n_chars,
+         |  regexp_replace(regexp_extract(url_norm, '^([^/]*)', 1), ':\\d+$$', '') AS host
+         | FROM n),
+         |d AS (SELECT doc_id, n_chars,
+         |  CASE WHEN regexp_matches(host, '\\.')
+         |       THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |       ELSE host END AS domain
+         | FROM h),
+         |r AS (SELECT doc_id, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY doc_id % 4 ASC, n_chars DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rnk
+         | FROM d),
+         |c AS (SELECT domain, CAST(count(*) AS BIGINT) AS taken
+         |      FROM r WHERE rnk <= 3 AND doc_id % 4 <> 0 GROUP BY domain),
+         |p AS (SELECT doc_id, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS BIGINT) AS brnk
+         | FROM d WHERE doc_id % 4 = 0)
+         |SELECT p.doc_id AS id, p.domain,
+         |  (p.brnk + coalesce(c.taken, 0) <= 3) AS admitted,
+         |  CASE WHEN p.brnk + coalesce(c.taken, 0) <= 3
+         |       THEN p.brnk + coalesce(c.taken, 0) END AS admitted_rank
+         |FROM p LEFT JOIN c USING (domain)""".stripMargin,
 
     // within-doc line dedup over the same synthesized 3-segment doc:
     // group to first occurrence per (doc, segment), reassemble in order
