@@ -1406,6 +1406,37 @@ object SparkEntry {
       pdocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", minDf = 2)
   }
 
+  // Rolling-window retirement, oracle-checked with the index oracle
+  // VERBATIM: build on odds, append evens as s1, retire s1 — the probe
+  // must then answer exactly like the never-appended index.
+  private def qDedupLinesRetire(s: SparkSession, dir: String): DataFrame = {
+    val pdocs = linedDocs(s, dir)
+    val idx = buildOnce(s"/tmp/graft_linedf_ret_${dirKey(dir)}") { d =>
+      Dedup.buildLineDfIndex(pdocs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", d)
+      Dedup.appendToLineDfIndex(s, d,
+        pdocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "s1")
+      Dedup.retireLineDfSrc(s, d, "s1")
+    }
+    Dedup.lineDfAgainstIndex(s, idx,
+      pdocs.filter(col("doc_id") % 2 === 0), "doc_id", "text", minDf = 2)
+  }
+
+  // Takedown, oracle-checked: the full corpus is history, every 3rd
+  // doc's TEXT is tombstoned, then id-offset copies of every doc
+  // probe — dups only against the surviving fingerprints.
+  private def qExactTakedown(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_exdel_idx_${dirKey(dir)}") { d =>
+      Dedup.buildExactIndex(docs, "doc_id", "text", d)
+      Dedup.deleteFromExactIndex(s, d,
+        docs.filter(col("doc_id") % 3 === 0).select("text"), "text")
+    }
+    Dedup.dedupExactAgainstIndex(s, idx,
+      docs.withColumn("doc_id", col("doc_id") + 500000L),
+      "doc_id", "text")
+  }
+
   // Milvus range search: radius < score <= range_filter, capped at limit
   private def qAnnRange(s: SparkSession, dir: String): DataFrame =
     Ann.rangeSearch(corpus(s, dir), queriesSet(s, dir), radius = 0.1,
@@ -1872,10 +1903,12 @@ object SparkEntry {
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_bloom" -> (qDedupBloom _),
+    "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_dedup_lines_corpus" -> (qDedupLinesCorpus _),
     "q_dedup_lines_index" -> (qDedupLinesIndex _),
+    "q_dedup_lines_retire" -> (qDedupLinesRetire _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_drop_contained" -> (qDedupDropContained _),
@@ -1997,6 +2030,22 @@ object SparkEntry {
       | FROM documents)""".stripMargin
   private val normDoc =
     "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents"
+  /** line-df corpus filter + parity cut — shared VERBATIM by the index
+    * probe and the retire probe (retiring the appended segment must
+    * restore exactly the never-appended index's answers). */
+  private val linesIndexOracle =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 60) || chr(10) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'boilerplate footer line' ELSE md5(CAST(doc_id AS VARCHAR)) END
+      |  || chr(10) || substr(text, 61, 60) AS t FROM documents),
+      |e AS (SELECT doc_id, i, segs[i] AS line
+      |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i
+      |            FROM (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d))),
+      |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM e) GROUP BY line HAVING count(*) >= 2),
+      |kept AS (SELECT doc_id, i, line FROM e WHERE line NOT IN (SELECT line FROM hot)),
+      |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id AS id, coalesce(r.clean, '') AS clean
+      |FROM d LEFT JOIN r ON r.doc_id = d.doc_id
+      |WHERE d.doc_id % 2 = 0""".stripMargin
   // (doc_id, tok) exploded whitespace tokens over normalized text — the
   // cross-engine tokenizer contract (mirrors TextFunctions.wsTokens over
   // normText); ONE definition for every oracle that tokenizes.
@@ -3583,19 +3632,25 @@ object SparkEntry {
 
     // the index path: history (odd docs) df + batch (even docs) df is
     // whole-corpus df, so the oracle is the corpus filter + parity cut
-    "q_dedup_lines_index" ->
-      """WITH d AS (SELECT doc_id, substr(text, 1, 60) || chr(10) ||
-        |  CASE WHEN doc_id % 2 = 0 THEN 'boilerplate footer line' ELSE md5(CAST(doc_id AS VARCHAR)) END
-        |  || chr(10) || substr(text, 61, 60) AS t FROM documents),
-        |e AS (SELECT doc_id, i, segs[i] AS line
-        |      FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i
-        |            FROM (SELECT doc_id, string_split(t, chr(10)) AS segs FROM d))),
-        |hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM e) GROUP BY line HAVING count(*) >= 2),
-        |kept AS (SELECT doc_id, i, line FROM e WHERE line NOT IN (SELECT line FROM hot)),
-        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id AS id, coalesce(r.clean, '') AS clean
-        |FROM d LEFT JOIN r ON r.doc_id = d.doc_id
-        |WHERE d.doc_id % 2 = 0""".stripMargin,
+    "q_dedup_lines_index" -> linesIndexOracle,
+
+    // retirement restores EXACTLY the never-appended index: build on
+    // odds + append evens + retire evens must probe like build-on-odds
+    // alone — the same oracle, verbatim
+    "q_dedup_lines_retire" -> linesIndexOracle,
+
+    // fingerprint takedown: live history = the first-occurrence fp
+    // table minus every text a %3 doc carries; id-offset copies of all
+    // docs probe against it
+    "q_exact_takedown" ->
+      s"""WITH nrm AS ($normDoc),
+         |fps AS (SELECT t, min(doc_id) AS keep_id FROM nrm GROUP BY t),
+         |dead AS (SELECT DISTINCT t FROM nrm WHERE doc_id % 3 = 0),
+         |live AS (SELECT fps.t, fps.keep_id FROM fps
+         |         WHERE fps.t NOT IN (SELECT t FROM dead))
+         |SELECT n.doc_id + 500000 AS id, live.keep_id AS first_id,
+         |  (live.keep_id IS NOT NULL) AS is_dup
+         |FROM nrm n LEFT JOIN live ON n.t = live.t""".stripMargin,
 
     // budget sampling: the oracle's single per-stratum running sum
     // equals the distributed bucket-offset + local-window form by
