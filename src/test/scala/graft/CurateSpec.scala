@@ -729,6 +729,75 @@ class CurateSpec extends SparkSpec {
     assert(patched.exists(_._2 == 50L))
   }
 
+  test("crawlTriage: model-based check on a seeded random mutation") {
+    // independent Scala reimplementation of the triage over a random
+    // old→new mutation: removals, good/bad changes, history-dup and
+    // twin adds, all seeded — catches rule drift the hand cases miss
+    val rnd = new scala.util.Random(7)
+    def goodText(i: Int) =
+      s"the cat and dog sit here with that word token$i inside"
+    val old = (1 to 60).map(i => (i.toLong, goodText(i)))
+    val neu = old.flatMap { case (id, t) =>
+      rnd.nextInt(6) match {
+        case 0 => None                                        // removed
+        case 1 => Some((id, goodText(rnd.nextInt(200) + 300)))// changed good
+        case 2 => Some((id, "### ## #"))                      // changed bad
+        case _ => Some((id, t))                               // unchanged
+      }
+    } ++ (1 to 25).map { j =>
+      val id = 1000L + j
+      rnd.nextInt(3) match {
+        case 0 => (id, goodText(rnd.nextInt(60) + 1))   // history dup-ish
+        case 1 => (id, goodText(rnd.nextInt(6) + 500))  // fresh, twins likely
+        case _ => (id, "## #")                          // bad quality
+      }
+    }
+    def fp(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    def pass(t: String): Boolean = { // gopherPassCol over these texts:
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+      val mwl = ws.map(_.length).sum.toDouble / math.max(ws.length, 1)
+      ws.length >= 5 && mwl >= 3 && mwl <= 10 &&
+        (!t.contains("#")) && // our corpora: symbols appear only in bad docs
+        ws.count(w => stop(w.toLowerCase)) >= 2
+    }
+    val neuMap = neu.toMap
+    val oldFp = old.toMap.map { case (id, t) => id -> fp(t) }
+    val newFp = neuMap.map { case (id, t) => id -> fp(t) }
+    val histFps = oldFp.values.toSet
+    val status = (oldFp.keySet ++ newFp.keySet).map { id =>
+      id -> ((oldFp.get(id), newFp.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      })
+    }.toMap
+    val reenter = newFp.keySet.filter(id =>
+      Set("added", "changed")(status(id)) && pass(neuMap(id)))
+    val winner = reenter.groupBy(newFp).map { case (f, ids) => f -> ids.min }
+    val expect = status.map { case (id, st) =>
+      id -> ((st, st match {
+        case "unchanged" => "skip_unchanged"
+        case "removed" => "delete"
+        case _ if !pass(neuMap(id)) => "skip_quality"
+        case _ if !histFps(newFp(id)) && winner(newFp(id)) == id => "upsert"
+        case _ => "skip_duplicate"
+      }))
+    }
+    val got = Curate.crawlTriage(old.toDF("id", "text"),
+        neu.toDF("id", "text"), "id", "text", minWords = 5)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expect, {
+      val bad = got.keySet.filter(k => got(k) != expect(k))
+      s"diverged on ${bad.toSeq.sorted.map(k => s"$k got ${got(k)} want ${expect(k)}")}"
+    })
+    // the mutation actually exercised every action
+    assert(got.values.map(_._2).toSet == Set("skip_unchanged", "delete",
+      "skip_quality", "skip_duplicate", "upsert"))
+  }
+
   test("triageStream: arriving docs triage like batch crawlTriage") {
     import graft.streaming.StreamCurate
     implicit val sqlCtx = spark.sqlContext
