@@ -1227,6 +1227,13 @@ object SparkEntry {
     Curate.crawlTriage(docs, newSnap, "doc_id", "text", minWords = 20)
   }
 
+  // The mixture TABLE (per-lang tokens -> alpha-weights -> epochs)
+  // rather than the mixture FILTER — alpha 0.5, 2M-token budget, so
+  // small langs upsample past 1 epoch and big ones subsample.
+  private def qEpochPlan(s: SparkSession, dir: String): DataFrame =
+    Curate.epochPlan(t(s, dir, "documents"), "lang", "text",
+      alpha = 0.5, budgetTokens = 2000000L)
+
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
 
@@ -1963,6 +1970,7 @@ object SparkEntry {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_crawl_triage" -> (qCrawlTriage _),
     "q_token_drift" -> (qTokenDrift _),
+    "q_epoch_plan" -> (qEpochPlan _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -3336,6 +3344,22 @@ object SparkEntry {
          |      FROM keys k LEFT JOIN fo USING (tok) LEFT JOIN fn USING (tok), tot)
          |SELECT tok, tf_old, tf_new, p_old, p_new,
          |  round(p_new - p_old, 6) AS delta FROM p""".stripMargin,
+
+    // the mixture table: alpha-weights over per-lang token mass
+    // (q_tokens' raw-text tokenizer), budget-scaled plans, epochs =
+    // rounded-plan / mass at 4dp
+    "q_epoch_plan" ->
+      """WITH s AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens
+        | FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM s)
+        |SELECT stratum, n_docs, n_tokens,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight,
+        |  CAST(round(2000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z) AS BIGINT) AS planned_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(CAST(round(2000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z) AS DOUBLE) / n_tokens, 4)
+        |  END AS epochs
+        |FROM s, z""".stripMargin,
 
     // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
     // normalized lowercase text (the dedup-side tokenizer) — mirrors

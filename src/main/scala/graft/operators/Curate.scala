@@ -787,6 +787,43 @@ object Curate {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** The per-stratum training-budget table — the "mixture table" a
+    * training run is configured from (LLaMA/DoReMi style: source,
+    * tokens, sampling weight, epochs): α-temperature weights over
+    * per-stratum token mass and a total token budget, emitting the
+    * implied epochs per source — epochs > 1 means the stratum repeats
+    * (upsampling), < 1 means subsampling. Same weight arithmetic and
+    * NULL-stratum exclusion as [[temperatureMixtureTokens]] (n^α/Σn^α);
+    * where the mixture operator FILTERS docs to meet the plan, this
+    * emits the plan itself. Returns (stratum, n_docs, n_tokens,
+    * weight 6dp, planned_tokens, epochs 4dp; epochs NULL for a
+    * zero-token stratum).
+    *
+    * Scale shape: one map-side-combined groupBy to stratum granularity,
+    * then single-row-broadcast normalizer arithmetic — nothing scales
+    * with anything but the stratum count. */
+  def epochPlan(df: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0, "alpha must be non-negative")
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val sizes = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col(textCol))).cast("long").as("n_tokens"))
+    val z = sizes.agg(sum(pow(col("n_tokens"), alpha)).as("__z"))
+    sizes.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(pow(col("n_tokens"), alpha) / col("__z"), 6))
+      .withColumn("planned_tokens",
+        round(lit(budgetTokens.toDouble) *
+          pow(col("n_tokens"), alpha) / col("__z")).cast("long"))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0,
+          round(col("planned_tokens").cast("double") / col("n_tokens"), 4)))
+      .select("stratum", "n_docs", "n_tokens", "weight",
+        "planned_tokens", "epochs")
+  }
+
   /** Daily-crawl triage: the action plan [[corpusDiff]] exists to feed.
     * Per id in either snapshot, decide what the downstream
     * embed/dedup/index stages should DO with it:

@@ -729,6 +729,25 @@ class CurateSpec extends SparkSpec {
     assert(patched.exists(_._2 == 50L))
   }
 
+  test("epochPlan: hand-checkable mixture table; null and empty strata handled") {
+    val docs = Seq(
+      (1L, "a", "one two three four"),          // 4 tokens
+      (2L, "b", "one two three four"), (3L, "b", "one two three four"),
+      (4L, "b", "one two three four"), (5L, "b", "one two three four"),
+      (6L, null.asInstanceOf[String], "ignored entirely"),
+      (7L, "c", "   ")                          // zero tokens
+    ).toDF("id", "lang", "text")
+    val out = Curate.epochPlan(docs, "lang", "text",
+        alpha = 0.5, budgetTokens = 60L)
+      .as[(String, Long, Long, Double, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // sqrt masses: a=2, b=4, c=0 -> z=6; weights 1/3, 2/3, 0
+    assert(out("a") == (("a", 1L, 4L, 0.333333, 20L, Some(5.0))), out("a"))
+    assert(out("b") == (("b", 4L, 16L, 0.666667, 40L, Some(2.5))), out("b"))
+    assert(out("c") == (("c", 1L, 0L, 0.0, 0L, None)), out("c"))
+    assert(!out.contains(null), "null stratum must be out of the mixture")
+  }
+
   test("crawlTriage: model-based check on a seeded random mutation") {
     // independent Scala reimplementation of the triage over a random
     // old→new mutation: removals, good/bad changes, history-dup and
