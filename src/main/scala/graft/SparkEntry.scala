@@ -1234,6 +1234,15 @@ object SparkEntry {
     Curate.epochPlan(t(s, dir, "documents"), "lang", "text",
       alpha = 0.5, budgetTokens = 2000000L)
 
+  // The plan materialized: one row per pass of each doc — whole epochs
+  // plus the hash-admitted fractional pass.
+  private def qEpochApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.applyEpochPlan(docs, "doc_id", "lang",
+      Curate.epochPlan(docs, "lang", "text", alpha = 0.5,
+        budgetTokens = 2000000L))
+  }
+
   private def qCorpusStats(s: SparkSession, dir: String): DataFrame =
     Stats.corpusStatsExact(t(s, dir, "documents"), "lang", "text")
 
@@ -1971,6 +1980,7 @@ object SparkEntry {
     "q_crawl_triage" -> (qCrawlTriage _),
     "q_token_drift" -> (qTokenDrift _),
     "q_epoch_plan" -> (qEpochPlan _),
+    "q_epoch_apply" -> (qEpochApply _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_top_tokens" -> (qTopTokens _),
     "q_ann_topk" -> (qAnnTopk _),
@@ -3360,6 +3370,30 @@ object SparkEntry {
         |    round(CAST(round(2000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z) AS DOUBLE) / n_tokens, 4)
         |  END AS epochs
         |FROM s, z""".stripMargin,
+
+    // the plan materialized: floor(epochs) passes per doc + one more
+    // when the seed-41 hash admits the ppm fraction; epochs<1 strata
+    // subsample, zero-token strata emit nothing
+    "q_epoch_apply" ->
+      """WITH s AS (SELECT lang AS stratum,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens
+        | FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM s),
+        |e AS (SELECT stratum, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(CAST(CAST(round(2000000 * pow(CAST(n_tokens AS DOUBLE), 0.5) / z) AS BIGINT) AS DOUBLE) / n_tokens, 4)
+        |  END AS epochs
+        | FROM s, z),
+        |p AS (SELECT stratum, CAST(floor(epochs) AS INT) AS fullp,
+        |  CAST(round((epochs - floor(epochs)) * 1000000.0) AS BIGINT) AS frac_ppm
+        | FROM e WHERE epochs IS NOT NULL),
+        |j AS (SELECT d.doc_id, d.lang AS stratum, p.fullp +
+        |  CASE WHEN ('0x' || substr(md5('41#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < p.frac_ppm
+        |       THEN 1 ELSE 0 END AS n
+        | FROM documents d JOIN p ON p.stratum = d.lang)
+        |SELECT doc_id AS id, stratum,
+        |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS epoch
+        |FROM j WHERE n > 0""".stripMargin,
 
     // n_tok over raw text (the q_tokens tokenizer); vocabulary over the
     // normalized lowercase text (the dedup-side tokenizer) — mirrors

@@ -824,6 +824,43 @@ object Curate {
         "planned_tokens", "epochs")
   }
 
+  /** Materialize an [[epochPlan]]: the repeated-corpus realization a
+    * training reader consumes — one (id, stratum, epoch) row per PASS
+    * of each doc. Every doc in a planned stratum appears
+    * floor(epochs) times (epoch 0..floor−1); the fractional remainder
+    * is admitted by the deterministic hash predicate
+    * ([[stratifiedSample]]'s mechanics, integer ppm threshold so the
+    * boundary is engine-exact), gaining one extra pass. epochs < 1
+    * degrades to pure subsampling (only the admitted fraction appears,
+    * once); a NULL-epochs stratum (zero tokens) emits nothing. Compose
+    * with [[shuffleShards]] / [[packSequencesBy]] keyed on (id, epoch)
+    * for the physical layout.
+    *
+    * Scale shape: the plan broadcasts (stratum-count rows); the corpus
+    * pass is one scan + an explode bounded by the stratum's epoch
+    * count — the output size IS the plan's token budget, the honest
+    * cost of upsampling. */
+  def applyEpochPlan(df: DataFrame, idCol: String, stratumCol: String,
+      plan: DataFrame, seed: Int = 41): DataFrame = {
+    val p = plan.filter(col("epochs").isNotNull)
+      .select(col("stratum"),
+        floor(col("epochs")).cast("int").as("__full"),
+        round((col("epochs") - floor(col("epochs"))) * 1000000.0)
+          .cast("long").as("__frac_ppm"))
+    df.select(col(idCol).as("id"),
+        col(stratumCol).cast("string").as("stratum"))
+      .join(broadcast(p), Seq("stratum"))
+      .withColumn("__n", col("__full") +
+        (H.hash32(seed, col("id").cast("string")) % 1000000 <
+          col("__frac_ppm")).cast("int"))
+      // filter BEFORE the explode: sequence(0, -1) would DESCEND, not
+      // come back empty
+      .filter(col("__n") > 0)
+      .select(col("id"), col("stratum"),
+        explode(sequence(lit(0), col("__n") - 1)).as("__e"))
+      .select(col("id"), col("stratum"), col("__e").cast("long").as("epoch"))
+  }
+
   /** Daily-crawl triage: the action plan [[corpusDiff]] exists to feed.
     * Per id in either snapshot, decide what the downstream
     * embed/dedup/index stages should DO with it:

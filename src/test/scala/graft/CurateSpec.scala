@@ -748,6 +748,37 @@ class CurateSpec extends SparkSpec {
     assert(!out.contains(null), "null stratum must be out of the mixture")
   }
 
+  test("applyEpochPlan: whole passes + hash-admitted fractional pass, model-checked") {
+    val docs = Seq(
+      (1L, "a", "one two three four"),
+      (2L, "b", "one two three four"), (3L, "b", "one two three four"),
+      (4L, "b", "one two three four"), (5L, "b", "one two three four"),
+      (6L, null.asInstanceOf[String], "ignored"),
+      (7L, "c", "   ")).toDF("id", "lang", "text")
+    // plan from the sibling test: a -> 5.0 epochs, b -> 2.5, c -> NULL
+    val plan = Curate.epochPlan(docs, "lang", "text",
+      alpha = 0.5, budgetTokens = 60L)
+    val out = Curate.applyEpochPlan(docs, "id", "lang", plan)
+      .as[(Long, String, Long)].collect()
+    // model: the md5 ppm hash decides b's fractional 3rd pass
+    def ppm(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"41#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16) % 1000000L
+    val expect = (Seq(1L).flatMap(id => (0L until 5L).map(e => (id, "a", e))) ++
+      Seq(2L, 3L, 4L, 5L).flatMap { id =>
+        val n = 2L + (if (ppm(id) < 500000L) 1L else 0L)
+        (0L until n).map(e => (id, "b", e))
+      }).toSet
+    assert(out.toSet == expect, s"got ${out.toSet} want $expect")
+    // every doc of b got 2 or 3 passes; c and the null stratum none
+    assert(!out.exists(r => r._2 == "c"))
+    // epochs dense from 0 per doc
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+  }
+
   test("crawlTriage: model-based check on a seeded random mutation") {
     // independent Scala reimplementation of the triage over a random
     // old→new mutation: removals, good/bad changes, history-dup and
