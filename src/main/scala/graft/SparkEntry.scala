@@ -1216,12 +1216,7 @@ object SparkEntry {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val twins = docs.filter(col("doc_id") < 30)
       .withColumn("text", concat(col("text"), lit(" fresh twin")))
-    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
-          .otherwise(col("text")))
-      .unionByName(docs.filter(col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val newSnap = mutatedSnapshot(docs)
       .unionByName(twins.withColumn("doc_id", col("doc_id") + 2000000L))
       .unionByName(twins.withColumn("doc_id", col("doc_id") + 3000000L))
     Curate.crawlTriage(docs, newSnap, "doc_id", "text", minWords = 20)

@@ -775,15 +775,22 @@ object Curate {
     * are stored bucketed by id the shuffle disappears entirely. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // presence is keyed on explicit markers, NOT fingerprint nullness:
+    // a NULL-text row is PRESENT (its fp is NULL) — inferring absence
+    // from the fp would call a removed NULL-text doc "added" and issue
+    // no delete for it. The text comparison is null-safe for the same
+    // reason (NULL text vs real text = changed; NULL vs NULL = same).
     val o = oldDf.select(col(idCol).as("id"),
-      T.fingerprintMd5(col(textCol)).as("__fp_old"))
+      T.fingerprintMd5(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol).as("id"),
-      T.fingerprintMd5(col(textCol)).as("__fp_new"))
+      T.fingerprintMd5(col(textCol)).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_new").isNull, lit("removed"))
-          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__fp_old") <=> col("__fp_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 
@@ -885,27 +892,40 @@ object Curate {
     * Returns (id, status, action), one row per id in either snapshot.
     * Contract: `idCol` unique within each snapshot.
     *
-    * Scale shape: text is read exactly once per side and never
-    * shuffled — both fingerprints and the quality verdict are computed
-    * at scan time, so every join moves (id, 16-byte fp, bool) rows.
+    * Scale shape: text never shuffles — fingerprints and the quality
+    * verdict are computed at scan time, so every join moves
+    * (id, 16-byte fp, bool) rows. The diff frame is persisted (it
+    * feeds both the re-enter path and the final action join — one
+    * o⋈n execution, not two); the old snapshot is scanned twice
+    * (once into the diff, once for the history-fingerprint anti-join
+    * — both passes column-pruned to id+text), the new snapshot once.
     * The history-dup check is a fingerprint anti-join (never a
     * broadcast of the corpus); the batch-winner groupBy is map-side
-    * combined on the fingerprint key. At 100 TB: two column-pruned
-    * scans + three narrow joins on id/fp keys, each AQE-eligible. */
+    * combined on the fingerprint key. */
   def crawlTriage(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
+    // same presence-marker + null-safe-compare discipline as
+    // [[corpusDiff]]; a NULL-text doc FAILS quality (coalesce false)
+    // rather than null-propagating past the skip_quality branch
     val o = oldDf.select(col(idCol).as("id"),
-      T.fingerprintMd5(col(textCol)).as("__fp_old"))
+      T.fingerprintMd5(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol).as("id"),
       T.fingerprintMd5(col(textCol)).as("__fp_new"),
-      gopherPassCol(col(textCol), minWords, maxWords).as("__pass"))
+      coalesce(gopherPassCol(col(textCol), minWords, maxWords),
+        lit(false)).as("__pass"),
+      lit(true).as("__in_new"))
+    // pinned: the diff frame feeds BOTH the re-enter path and the final
+    // action join — without the persist the o⋈n full outer (and both
+    // text scans behind it) would execute twice
     val diff = o.join(n, Seq("id"), "full_outer")
       .select(col("id"), col("__fp_new"), col("__pass"),
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_new").isNull, lit("removed"))
-          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__fp_old") <=> col("__fp_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
+      .persist()
     val reenter = diff
       .filter(col("status").isin("added", "changed") && col("__pass"))
       .select("id", "__fp_new")

@@ -298,10 +298,12 @@ object Dedup {
     * positives, never a wrong verdict; re-run [[rebuildLineDfSidecar]]
     * to finish. */
   def retireLineDfSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, fpp: Double = 0.01): Unit = {
+      dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("lines"))
-    IndexFiles.retireSrcPartitions(spark, dir, Seq("lines"), src)
-    rebuildLineDfSidecar(spark, dir, fpp)
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("lines"), src,
+        strict = strict))
+      rebuildLineDfSidecar(spark, dir, fpp)
   }
 
   /** Filter a batch's boilerplate lines against the persisted history:
@@ -770,11 +772,14 @@ object Dedup {
     * exact-verifies against stored shingles, which are gone); finish
     * with [[rebuildContainmentIds]] + [[rebuildContainmentSidecar]]. */
   def retireContainmentSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, fpp: Double = 0.01): Unit = {
+      dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
-    IndexFiles.retireSrcPartitions(spark, dir, Seq("shingles", "sizes"), src)
-    rebuildContainmentIds(spark, dir)
-    rebuildContainmentSidecar(spark, dir, fpp)
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("shingles", "sizes"),
+        src, strict = strict)) {
+      rebuildContainmentIds(spark, dir)
+      rebuildContainmentSidecar(spark, dir, fpp)
+    }
   }
 
   /** Containment-dedup a batch against the persisted history: one
@@ -1797,10 +1802,10 @@ object Dedup {
     * pass explicit schemas, so an emptied ledger reads as zero counts
     * — the init state. The retired src becomes appendable again. */
   def retireDomainCapSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String): Unit = {
+      dir: String, src: String, strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("counts", "admitted"))
     IndexFiles.retireSrcPartitions(spark, dir, Seq("counts", "admitted"),
-      src, requireSurvivor = false)
+      src, requireSurvivor = false, strict = strict); ()
   }
 
   /** Persist a minhash dedup index: band signatures + shingle-hash sets
@@ -2023,6 +2028,13 @@ object Dedup {
       .persist()
     val n = fps.count()
     require(n > 0, "buildExactIndex: input corpus is empty")
+    // a rebuild starts a fresh history: a previous generation's
+    // tombstones must not outlive it — keep_id is deterministic
+    // (min id per fp), so a stale pair would silently re-kill a text
+    // the new windowed corpus legitimately contains
+    val delp = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
+    delp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(delp, true)
     val bits = bloomBits(s, n, fpp)
     fps.repartition(col("pfx"))
       .write.partitionBy("pfx").mode("overwrite").parquet(s"$dir/fps")
@@ -2070,6 +2082,19 @@ object Dedup {
       .join(liveExactFps(spark, dir).select("pfx", "fp"), Seq("pfx", "fp"),
         "left_semi")
     val newFps = batchFps.join(replayed, Seq("pfx", "fp"), "left_anti").persist()
+    // a new row whose (fp, keep_id) matches an existing tombstone would
+    // be dead on arrival — every probe still reports the text absent,
+    // and compaction would purge the row, not resurrect it. Loud, like
+    // the sibling families' "blocked until compaction" contract.
+    exactTombstones(spark, dir).foreach { dead =>
+      val doa = newFps.join(broadcast(dead), Seq("fp", "keep_id"))
+        .limit(1).collect()
+      require(doa.isEmpty,
+        s"batch re-ingests a taken-down (text, keep_id) pair (keep_id " +
+          s"${doa.headOption.map(_.getAs[Long]("keep_id")).orNull}) — the " +
+          "tombstone would kill the new row on arrival; run " +
+          "compactExactIndex first, or re-ingest under a new id")
+    }
     val added = newFps.count()
     if (added > 0) {
       val delta = newFps
@@ -2172,12 +2197,15 @@ object Dedup {
     val target = texts
       .select(T.fingerprintMd5(col(textCol)).as("fp")).distinct()
       .withColumn("pfx", substring(col("fp"), 1, 2))
+    // persisted: the emptiness probe and the write must not each pay
+    // the fps-scan semi-join
     val dead = spark.read.parquet(s"$dir/fps")
       .join(broadcast(target.select("pfx", "fp")), Seq("pfx", "fp"),
         "left_semi")
-      .select("fp", "keep_id")
+      .select("fp", "keep_id").persist()
     if (!dead.isEmpty)
       dead.write.mode("append").parquet(s"$dir/deleted_fps")
+    dead.unpersist(); ()
   }
 
   /** Physically purge tombstoned fingerprints: rewrite `fps/` without
@@ -2191,6 +2219,12 @@ object Dedup {
       dir: String): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("fps"))
     exactTombstones(spark, dir).foreach { _ =>
+      // a takedown covering EVERY stored fingerprint would swap in an
+      // empty table no reader can schema-infer — the requireSurvivor
+      // guard of the sibling families, loud instead of bricked
+      require(!liveExactFps(spark, dir).isEmpty,
+        s"compacting $dir would empty fps/ (the takedown covers every " +
+          "stored fingerprint) — drop and rebuild the index instead")
       IndexFiles.replaceTable(spark, dir, "fps",
         liveExactFps(spark, dir), Seq("pfx"))
       val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")

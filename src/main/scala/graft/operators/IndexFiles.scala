@@ -159,23 +159,30 @@ private[graft] object IndexFiles {
     * listing): partition directories are removed, no surviving row is
     * rewritten. Callers heal their family first and rebuild their
     * sidecars after (the family wrappers in [[graft.operators.Dedup]]
-    * do both). Loud on a typo'd tag: the src must be present in at
-    * least one named table. With `requireSurvivor` (families whose
+    * do both). With `strict` (the default), a src present in no named
+    * table is loud — the typo guard; pass strict = false from a
+    * scheduled rolling-window job, where an absent segment is the
+    * normal footprint of a ZERO-YIELD day (every family's append
+    * writes no partitions for an empty batch) and must retire as a
+    * no-op, not a crash. With `requireSurvivor` (families whose
     * readers infer schema from the stored files), refuses to delete
     * the last remaining segment of any table — retiring everything is
     * [[dropIndex]]-and-rebuild's job. */
   def retireSrcPartitions(spark: SparkSession, dir: String,
       tables: Seq[String], src: String,
-      requireSurvivor: Boolean = true): Unit = {
+      requireSurvivor: Boolean = true,
+      strict: Boolean = true): Boolean = {
     require(src.matches("[A-Za-z0-9._\\-]+"),
       s"src tag '$src' is not a plain partition value — retire by the " +
         "exact tag the append used")
     val fs = fsOf(spark, dir)
     val present = tables.filter(t =>
       fs.exists(new Path(s"$dir/$t/src=$src")))
+    if (present.isEmpty && !strict) return false
     require(present.nonEmpty,
       s"src '$src' not present in any of [${tables.mkString(", ")}] " +
-        s"under $dir — nothing to retire")
+        s"under $dir — nothing to retire (a zero-yield day's segment " +
+        "writes no partitions; retire it with strict = false)")
     present.foreach { t =>
       if (requireSurvivor) {
         val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
@@ -202,6 +209,7 @@ private[graft] object IndexFiles {
     spark.catalog.clearCache()
     org.apache.spark.sql.graft.FsCache.invalidate(spark)
     refresh(spark, dir)
+    true
   }
 
   /** Fail fast when an interrupted append's journal is pending. The
@@ -366,6 +374,13 @@ private[graft] object IndexFiles {
         fs.delete(new Path(s"$dir/ids_staging"), true)
       }
       fs.delete(new Path(s"$dir/deleted"), true)
+      // compaction rewrites payload tables under their live paths —
+      // the delete-then-recreate shape where a cached plan fragment
+      // can replay a pre-compact listing (the retirement lesson; here
+      // the bloom sidecar is UNCHANGED by the purge, so a pre-compact
+      // fragment sameResult-matches a post-compact query). Flush.
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graft.FsCache.invalidate(spark)
       refresh(spark, dir)
     }
   }

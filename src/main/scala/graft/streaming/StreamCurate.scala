@@ -246,20 +246,23 @@ object StreamCurate {
       oldSnap: DataFrame, oldIdCol: String, oldTextCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     import graft.operators.Curate
+    // presence marker + null-safe compare + coalesce-false quality —
+    // the batch operator's NULL-text discipline, kept in lockstep
     val old = oldSnap.select(col(oldIdCol).as("id"),
-      T.fingerprintMd5(col(oldTextCol)).as("__fp_old"))
+      T.fingerprintMd5(col(oldTextCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val hist = oldSnap
       .select(T.fingerprintMd5(col(oldTextCol)).as("__fp_new")).distinct()
       .withColumn("__in_hist", lit(true))
     docsStream.select(col(idCol).as("id"),
         T.fingerprintMd5(col(textCol)).as("__fp_new"),
-        Curate.gopherPassCol(col(textCol), minWords, maxWords)
-          .as("__pass"))
+        coalesce(Curate.gopherPassCol(col(textCol), minWords, maxWords),
+          lit(false)).as("__pass"))
       .join(old, Seq("id"), "left_outer")
       .join(hist, Seq("__fp_new"), "left_outer")
       .withColumn("status",
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(!(col("__fp_old") <=> col("__fp_new")), lit("changed"))
           .otherwise(lit("unchanged")))
       .select(col("id"), col("status"),
         when(col("status") === "unchanged", lit("skip_unchanged"))

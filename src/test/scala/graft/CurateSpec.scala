@@ -616,6 +616,19 @@ class CurateSpec extends SparkSpec {
       }
       assert(bwd(id) == expect, s"id $id: $st fwd but ${bwd(id)} bwd")
     }
+    // NULL text is PRESENCE, not absence: status keys on the row, the
+    // compare is null-safe
+    val oldN = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val neuN = Seq((1L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val dn = Curate.corpusDiff(oldN, neuN, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(dn == Map(1L -> "changed", 2L -> "removed", 3L -> "added"),
+      s"got $dn")
+    assert(Curate.corpusDiff(oldN, oldN, "id", "text")
+      .filter(col("status") =!= "unchanged").count() == 0,
+      "NULL-vs-NULL text must compare unchanged")
   }
 
   test("crawlTriage: every action fires, gates in pipeline order") {
@@ -656,6 +669,16 @@ class CurateSpec extends SparkSpec {
     val a2 = Curate.crawlTriage(old2, neu2, "id", "text", minWords = 10)
       .filter(col("id") === 2L).select("action").as[String].head()
     assert(a2 == "skip_quality")
+    // NULL text: present (never 'removed'/'added' by fp nullness) and
+    // FAILS quality rather than null-propagating past the branch
+    val old3 = Seq((1L, good)).toDF("id", "text")
+    val neu3 = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val t3 = Curate.crawlTriage(old3, neu3, "id", "text", minWords = 10)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(t3 == Map(1L -> (("changed", "skip_quality")),
+      2L -> (("added", "skip_quality"))), s"got $t3")
   }
 
   test("crawlTriage drives the IVF index lifecycle: patched equals brute force over the action-applied corpus") {

@@ -1019,6 +1019,35 @@ class DedupSpec extends SparkSpec {
     Dedup.deleteFromExactIndex(spark, dir,
       Seq("never stored anywhere").toDF("text"), "text")
     assert(!new java.io.File(s"$dir/deleted_fps").exists())
+    // re-ingesting a taken-down (text, keep_id) PAIR before compaction
+    // is loud — the row would be dead on arrival
+    Dedup.deleteFromExactIndex(spark, dir,
+      Seq("lorem ipsum dolor").toDF("text"), "text")
+    val doa = intercept[IllegalArgumentException] {
+      Dedup.appendToExactIndex(spark, dir,
+        Seq((13L, "lorem ipsum dolor")).toDF("id", "text"), "id", "text")
+    }
+    assert(doa.getMessage.contains("taken-down"), doa.getMessage)
+    // a REBUILD starts a fresh history: stale tombstones must not
+    // re-kill texts the new corpus legitimately contains
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    assert(!new java.io.File(s"$dir/deleted_fps").exists(),
+      "rebuild left the previous generation's tombstones")
+    assert(probe((21L, "lorem ipsum dolor"))
+      == Map(21L -> ((Some(13L), true))))
+    // compacting a takedown that covers EVERY stored fp is loud, not a
+    // bricked empty table
+    val dir2 = java.nio.file.Files.createTempDirectory("exdel2")
+      .toString + "/idx"
+    Dedup.buildExactIndex(Seq((1L, "only text")).toDF("id", "text"),
+      "id", "text", dir2)
+    Dedup.deleteFromExactIndex(spark, dir2,
+      Seq("only text").toDF("text"), "text")
+    val emptied = intercept[IllegalArgumentException] {
+      Dedup.compactExactIndex(spark, dir2)
+    }
+    assert(emptied.getMessage.contains("drop and rebuild"),
+      emptied.getMessage)
   }
 
   test("rolling-window retirement: a retired segment stops counting, re-admits, and regrows budgets") {
@@ -1096,5 +1125,12 @@ class DedupSpec extends SparkSpec {
     assert(admitted(), "retired segment still spent the domain budget")
     intercept[IllegalArgumentException] {
       Dedup.retireDomainCapSrc(spark, dirD, "s0") } // already gone: loud
+    // strict = false: a zero-yield day's absent segment retires as a
+    // no-op — the scheduled rolling-window job never crashes on it
+    Dedup.retireDomainCapSrc(spark, dirD, "s0", strict = false)
+    Dedup.retireLineDfSrc(spark, dirL, "zero-yield-day", strict = false)
+    Dedup.retireContainmentSrc(spark, dirC, "zero-yield-day",
+      strict = false)
+    assert(admitted(), "strict=false no-op changed ledger state")
   }
 }
