@@ -871,6 +871,60 @@ class CurateSpec extends SparkSpec {
       "skip_quality", "skip_duplicate", "upsert"))
   }
 
+  test("crawlTriage drives the exact-dedup history: takedown + upsert keep the gate consistent") {
+    import graft.operators.Dedup
+    def good(i: Int) =
+      s"the cat and dog sit here with that word token$i inside"
+    val old = (1 to 20).map(i => (i.toLong, good(i))).toDF("id", "text")
+    val neu = ((1 to 16).map { i =>
+      (i.toLong, if (i <= 3) good(i + 100) else good(i)) // 1-3 changed
+    } ++ Seq((30L, good(30)), (31L, good(5)))).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("triageex")
+      .toString + "/idx"
+    Dedup.buildExactIndex(old, "id", "text", dir)
+    val plan = Curate.crawlTriage(old, neu, "id", "text", minWords = 5)
+    // apply: removed docs and changed-upserts' OLD texts leave the
+    // history (takedown); upserts' NEW texts enter it
+    val upserts = plan.filter(col("action") === "upsert")
+    val staleTexts = plan
+      .filter(col("action") === "delete" ||
+        (col("action") === "upsert" && col("status") === "changed"))
+      .join(old, Seq("id")).select("text")
+    Dedup.deleteFromExactIndex(spark, dir, staleTexts, "text")
+    Dedup.appendToExactIndex(spark, dir,
+      upserts.join(neu, Seq("id")).select("id", "text"), "id", "text")
+    // day-3 probes under fresh ids
+    val day3 = Seq(
+      (101L, good(17)),   // removed doc's text -> novel again
+      (102L, good(1)),    // changed doc 1's OLD text -> novel
+      (103L, good(101)),  // its NEW text -> dup of 1
+      (104L, good(5)),    // untouched history -> dup of 5
+      (105L, good(30)),   // added upsert -> dup of 30
+      (106L, good(999))   // never seen -> novel
+    ).toDF("id", "text")
+    def verdicts(d: String) =
+      Dedup.dedupExactAgainstIndex(spark, d, day3, "id", "text")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = verdicts(dir)
+    assert(got == Map(
+      101L -> ((None, false)), 102L -> ((None, false)),
+      103L -> ((Some(1L), true)), 104L -> ((Some(5L), true)),
+      105L -> ((Some(30L), true)), 106L -> ((None, false))), s"got $got")
+    // equivalently: a fresh index over the action-applied corpus gives
+    // the same verdicts (the patched gate IS the new corpus's gate)
+    val applied = old
+      .join(plan.filter(col("action") === "delete" ||
+          (col("action") === "upsert" && col("status") === "changed"))
+        .select("id"), Seq("id"), "left_anti")
+      .unionByName(upserts.join(neu, Seq("id")).select("id", "text"))
+    val fresh = java.nio.file.Files.createTempDirectory("triageex2")
+      .toString + "/idx"
+    Dedup.buildExactIndex(applied, "id", "text", fresh)
+    assert(verdicts(fresh) == got,
+      "patched gate diverged from a rebuild on the action-applied corpus")
+  }
+
   test("triageStream: arriving docs triage like batch crawlTriage") {
     import graft.streaming.StreamCurate
     implicit val sqlCtx = spark.sqlContext
