@@ -936,7 +936,8 @@ class CurateSpec extends SparkSpec {
     // added-bad (no within-batch twins — the ledger's job, see scaladoc)
     val arriving = Seq(
       (1L, good(1)), (2L, good(102)), (3L, "## ###"), (4L, good(5)),
-      (30L, good(30)), (31L, good(7)), (32L, "# ##"))
+      (30L, good(30)), (31L, good(7)), (32L, "# ##"),
+      (5L, null.asInstanceOf[String])) // NULL text: changed, fails quality
     val mem = MemoryStream[(Long, String)]
     val q = StreamCurate.triageStream(mem.toDF().toDF("id", "text"),
         "id", "text", old, "id", "text", minWords = 5)
@@ -957,6 +958,8 @@ class CurateSpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._3).toMap == Map(
       1L -> "skip_unchanged", 2L -> "upsert", 3L -> "skip_quality",
       4L -> "skip_duplicate", 30L -> "upsert", 31L -> "skip_duplicate",
-      32L -> "skip_quality"))
+      32L -> "skip_quality", 5L -> "skip_quality"))
+    assert(got.find(_._1 == 5L).get._2 == "changed",
+      "NULL arriving text for a known id must read changed, not added/unchanged")
   }
 }
