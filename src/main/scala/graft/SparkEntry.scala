@@ -1206,6 +1206,15 @@ object SparkEntry {
     Stats.tokenDrift(docs, mutatedSnapshot(docs), "text", k = 20)
   }
 
+  // Per-doc n-gram novelty across the same mutation: the appended
+  // ' updated' suffix contributes only a handful of fresh shingles, so
+  // changed docs score low while nothing scores for unchanged... every
+  // doc reports (copies of old docs score 0).
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Stats.noveltyScore(mutatedSnapshot(docs), docs, "doc_id", "text")
+  }
+
   // The diff's consumer: same old/new mutation as q_corpus_diff PLUS
   // two twin replicas per low doc (same fresh text, different ids) so
   // every action fires: the +1M adds collide with history
@@ -1974,6 +1983,7 @@ object SparkEntry {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_crawl_triage" -> (qCrawlTriage _),
     "q_token_drift" -> (qTokenDrift _),
+    "q_novelty" -> (qNovelty _),
     "q_epoch_plan" -> (qEpochPlan _),
     "q_epoch_apply" -> (qEpochApply _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -3349,6 +3359,29 @@ object SparkEntry {
          |      FROM keys k LEFT JOIN fo USING (tok) LEFT JOIN fn USING (tok), tot)
          |SELECT tok, tf_old, tf_new, p_old, p_new,
          |  round(p_new - p_old, 6) AS delta FROM p""".stripMargin,
+
+    // per-doc shingle novelty vs the pre-mutation snapshot: distinct
+    // 13-char shingle hashes of each new doc absent from ALL old docs
+    "q_novelty" ->
+      s"""WITH o AS ($normDoc),
+         |nn AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+         |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM nn),
+         |so AS (SELECT DISTINCT ('0x' || substr(md5(substr(t, i, 13)), 1, 8))::BIGINT AS h
+         |  FROM (SELECT t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM o)),
+         |sn AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(t, i, 13)), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-12, 1))) AS i FROM n)),
+         |g AS (SELECT sn.doc_id, count(*) AS n_shingles,
+         |        sum(CASE WHEN so.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |      FROM sn LEFT JOIN so ON sn.h = so.h GROUP BY sn.doc_id)
+         |SELECT doc_id AS id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_novel AS BIGINT) AS n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty_rate
+         |FROM g""".stripMargin,
 
     // the mixture table: alpha-weights over per-lang token mass
     // (q_tokens' raw-text tokenizer), budget-scaled plans, epochs =

@@ -103,6 +103,33 @@ object Stats {
     * never a corpus sort; the final joins are k-bounded and the two
     * total counts ride single-row broadcasts. Nothing in the plan
     * scales with anything but vocabulary size. */
+  /** Per-doc n-gram novelty against a previous snapshot — the crawl
+    * monitor [[graft.operators.Curate.corpusDiff]] can't give: the
+    * exact diff says WHICH docs changed; novelty says how much
+    * genuinely NEW n-gram mass each doc carries (a re-crawl that
+    * lightly rewrites boilerplate scores near 0 even though every doc
+    * reads "changed"). One row per new-side doc: (id, n_shingles,
+    * n_novel, novelty_rate 4dp) over distinct w-char shingles (the
+    * dedup families' md5-slice hash space) absent from the ENTIRE old
+    * snapshot.
+    *
+    * Scale shape: both sides collapse to distinct 32-bit shingle
+    * hashes at scan (text never shuffles); the old side pre-collapses
+    * to its distinct hash set — the join is bounded by distinct-
+    * shingle cardinality, the dedup shuffle's own shape. */
+  def noveltyScore(newDf: DataFrame, oldDf: DataFrame, idCol: String,
+      textCol: String, w: Int = 13): DataFrame = {
+    val ns = Dedup.shingleHashSet(newDf, idCol, textCol, w, None)
+    val os = Dedup.shingleHashSet(oldDf, idCol, textCol, w, None)
+      .select("h").distinct().withColumn("__seen", lit(true))
+    ns.join(os, Seq("h"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       k: Int = 100): DataFrame = {
     // each side feeds its top-k AND the key join — cached so the scan +

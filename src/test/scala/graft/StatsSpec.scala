@@ -58,6 +58,25 @@ class StatsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("noveltyScore: fresh shingle fraction vs the whole old snapshot") {
+    val old = Seq((1L, "abcdefgh"), (2L, "stuvwxyz")).toDF("id", "text")
+    val neu = Seq(
+      (1L, "abcdefgh"),   // verbatim re-crawl -> 0.0
+      (3L, "stuvwxyz"),   // new id, old content (ANY old doc) -> 0.0
+      (4L, "qqqqrrrr"),   // wholly fresh -> 1.0
+      (5L, "abcdefghij")  // extends doc 1: shingles abcd..efgh seen,
+    ).toDF("id", "text")  // fghi/ghij/hijk... novel
+    val out = Stats.noveltyScore(neu, old, "id", "text", w = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 0L, 0.0)), out(1L))
+    assert(out(3L) == ((5L, 0L, 0.0)), out(3L))
+    assert(out(4L)._3 == 1.0, out(4L))
+    // doc 5: 7 shingles of "abcdefghij"; abcd..efgh (5) seen, fghi,
+    // ghij novel
+    assert(out(5L) == ((7L, 2L, 0.2857)), out(5L))
+  }
+
   test("tokenDrift: per-side top-k union, 6dp frequency shift, missing side = 0") {
     val old = Seq((1L, "a a b c"), (2L, "b a")).toDF("id", "text")
     val neu = Seq((3L, "a b b d")).toDF("id", "text")
