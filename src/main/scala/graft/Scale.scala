@@ -215,9 +215,9 @@ object Scale {
     report("minhash", "build", mb1, mbN)
     val mbatch = docReplica(docs, factor, doff)
     val (maN, _) = timed(
-      Dedup.appendToMinhashIndex(spark, mN, mbatch, "doc_id", "text"))
+      Dedup.appendToMinhashIndex(spark, mN, mbatch, "doc_id", "text", "s1"))
     val (ma1, _) = timed(
-      Dedup.appendToMinhashIndex(spark, m1, mbatch, "doc_id", "text"))
+      Dedup.appendToMinhashIndex(spark, m1, mbatch, "doc_id", "text", "s1"))
     report("minhash", "append_same_batch", ma1, maN)
     val probe = docs.withColumn("doc_id", col("doc_id") + lit((factor + 1L) * doff))
     val (mqN, pN) = timed(
@@ -266,9 +266,9 @@ object Scale {
       phFeat(emb), "id", "features", ph1, dim = 16, maxHam = 2, thresh = 0.0))
     report("phash", "build", phb1, phbN)
     val (paN, _) = timed(Multimodal.appendToPhashIndex(spark, phN,
-      phFeat(batch), "id", "features"))
+      phFeat(batch), "id", "features", "s1"))
     val (pa1, _) = timed(Multimodal.appendToPhashIndex(spark, ph1,
-      phFeat(batch), "id", "features"))
+      phFeat(batch), "id", "features", "s1"))
     report("phash", "append_same_batch", pa1, paN)
     val pprobe = phFeat(emb.withColumn("id", col("id") + lit((factor + 2L) * off)))
     val (pqN, ppN) = timed(Multimodal.dedupPhashAgainstIndex(spark, phN,
@@ -351,6 +351,102 @@ object Scale {
     val (crtN, _) = timed(Dedup.retireContainmentSrc(spark, cN, "s1"))
     val (crt1, _) = timed(Dedup.retireContainmentSrc(spark, c1, "s1"))
     report("containment", "retire_src", crt1, crtN)
+    // minhash/phash (r16): same protocol — drop the s1 segment appended
+    // above at both scales; the partition delete is O(segment listing),
+    // the wall is the ids-sidecar rebuild (one distinct scan of the
+    // surviving payload — the honest O(index) cost, billed as such)
+    val (mrtN, _) = timed(Dedup.retireMinhashSrc(spark, mN, "s1"))
+    val (mrt1, _) = timed(Dedup.retireMinhashSrc(spark, m1, "s1"))
+    report("minhash", "retire_src", mrt1, mrtN)
+    val (prtN, _) = timed(Multimodal.retirePhashSrc(spark, phN, "s1"))
+    val (prt1, _) = timed(Multimodal.retirePhashSrc(spark, ph1, "s1"))
+    report("phash", "retire_src", prt1, prtN)
+    // retired survivors answer identically to the never-appended index:
+    // the probe hit-sets measured above must reproduce exactly
+    val mrq = Dedup.dedupAgainstIndex(spark, mN, probe, "doc_id", "text").count()
+    require(mrq == pN, s"minhash retire changed the probe hit-set: $mrq != $pN")
+    val prq = Multimodal.dedupPhashAgainstIndex(spark, phN, pprobe,
+      "id", "features").count()
+    require(prq == ppN, s"phash retire changed the probe hit-set: $prq != $ppN")
+
+    // ---- exact takedown (tombstone → probe → compact), r16 ----
+    // Tombstone every 3rd replica-0 TEXT at both scales: the delete is
+    // O(tombstoned fps) — no payload rewrite — so its wall must be
+    // ~flat in stored-history size; the probe's dup hit-set shrinks to
+    // the surviving fps IDENTICALLY at both scales (the probe only
+    // ever matches replica-0 fps); compaction is the honest O(index)
+    // rewrite, billed as such; the post-compact probe must reproduce
+    // the tombstoned verdicts bit-for-bit.
+    val delTexts = docs.filter(col("doc_id") % 3 === 0).select("text")
+    val (tdN, _) = timed(
+      Dedup.deleteFromExactIndex(spark, eN, delTexts, "text"))
+    val (td1, _) = timed(
+      Dedup.deleteFromExactIndex(spark, e1, delTexts, "text"))
+    report("exact", "takedown_tombstone", td1, tdN)
+    val (tqN, tdupN) = timed(Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    val (tq1, tdup1) = timed(Dedup.dedupExactAgainstIndex(spark, e1, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    report("exact", "probe_after_takedown", tq1, tqN)
+    println(s"SCALE_APPEND_ROWS exact_takedown_probe x1=$tdup1 x$factor=$tdupN")
+    require(tdup1 == tdupN,
+      s"takedown verdicts diverged across scales: $tdup1 != $tdupN")
+    require(tdup1 < dup1,
+      s"takedown removed nothing from the probe hit-set ($tdup1 vs $dup1)")
+    val (tcN, _) = timed(Dedup.compactExactIndex(spark, eN))
+    val (tc1, _) = timed(Dedup.compactExactIndex(spark, e1))
+    report("exact", "compact_after_takedown", tc1, tcN)
+    val postCompact = Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count()
+    require(postCompact == tdupN,
+      s"compaction changed takedown verdicts: $postCompact != $tdupN")
+
+    // ---- domain-cap ledger (per-domain admission budgets), r16 ----
+    // 50 domains derive from doc_id; replica i > 0 SALTS its domains
+    // (the vocabulary-salting control): the probe's domains live only
+    // in segment s0, so its verdicts are IDENTICAL at both scales while
+    // the stored counts table holds FACTOR× segments — what grows is
+    // exactly what the domain-semi-pruned probe must NOT pay for.
+    def urled(d: DataFrame, salt: Int) = d.select(
+      col("doc_id").as("id"),
+      concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+        lit(if (salt == 0) "" else s"x$salt"), lit(".com/p"),
+        col("doc_id")).as("url"),
+      (col("doc_id") % 1000L).as("q"))
+    val capN = (docs.count() / 50L + 3L).toInt
+    val (g1, gN) = (s"$scaleDir/dc_x1", s"$scaleDir/dc_x$factor")
+    Dedup.initDomainCapLedger(spark, g1, capN)
+    Dedup.initDomainCapLedger(spark, gN, capN)
+    (0 until factor).foreach { i =>
+      val seg = urled(docReplica(docs, i, doff), i)
+      val v = Dedup.capAgainstLedger(spark, gN, seg, "id", "url", "q")
+      Dedup.appendToDomainCapLedger(spark, gN, v, s"s$i")
+      if (i == 0) Dedup.appendToDomainCapLedger(spark, g1,
+        Dedup.capAgainstLedger(spark, g1, seg, "id", "url", "q"), "s0")
+    }
+    val dcProbe = urled(
+      docs.withColumn("doc_id", col("doc_id") + lit((factor + 1L) * doff)), 0)
+    val (dpN, admN) = timed(Dedup.capAgainstLedger(spark, gN, dcProbe,
+      "id", "url", "q").filter(col("admitted")).count())
+    val (dp1, adm1) = timed(Dedup.capAgainstLedger(spark, g1, dcProbe,
+      "id", "url", "q").filter(col("admitted")).count())
+    report("domaincap", "probe_against_ledger", dp1, dpN)
+    println(s"SCALE_APPEND_ROWS domaincap_probe x1=$adm1 x$factor=$admN")
+    require(adm1 == admN,
+      s"ledger verdicts diverged across scales: $adm1 != $admN")
+    val (daN, _) = timed(Dedup.appendToDomainCapLedger(spark, gN,
+      Dedup.capAgainstLedger(spark, gN, dcProbe, "id", "url", "q"), "probe"))
+    val (da1, _) = timed(Dedup.appendToDomainCapLedger(spark, g1,
+      Dedup.capAgainstLedger(spark, g1, dcProbe, "id", "url", "q"), "probe"))
+    report("domaincap", "append_verdicts", da1, daN)
+    val (drtN, _) = timed(Dedup.retireDomainCapSrc(spark, gN, "probe"))
+    val (drt1, _) = timed(Dedup.retireDomainCapSrc(spark, g1, "probe"))
+    report("domaincap", "retire_src", drt1, drtN)
+    val regrown = Dedup.capAgainstLedger(spark, gN, dcProbe,
+      "id", "url", "q").filter(col("admitted")).count()
+    require(regrown == admN,
+      s"retiring the probe segment did not regenerate its budget: " +
+        s"$regrown != $admN")
 
     // ---- bloom saturation → rebuild recovery ----
     // Build sized for N docs, append FACTOR salted replicas: the sidecar

@@ -534,6 +534,38 @@ object SparkEntry {
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
 
+  // The persisted minhash history lifecycle: odd docs are the stored
+  // crawl history, even docs the arriving batch. With maxDf = None the
+  // probe is exactly the cross-parity banded-candidate + exact-Jaccard
+  // filter (the append/build docstring contract), which IS the oracle.
+  private def qDedupMinhashIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_minhash_idx_${dirKey(dir)}") { d =>
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", d)
+    }
+    Dedup.dedupAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", tau = 0.5)
+  }
+
+  // Rolling-window retirement over the minhash history, oracle-checked
+  // with the index oracle VERBATIM: build on odds, append the evens as
+  // segment s1, retire s1 — the probe must then answer exactly like
+  // the never-appended index (and the evens, being retired, are valid
+  // probe ids again).
+  private def qDedupMinhashRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_minhash_ret_${dirKey(dir)}") { d =>
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", d)
+      Dedup.appendToMinhashIndex(s, d, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "s1")
+      Dedup.retireMinhashSrc(s, d, "s1")
+    }
+    Dedup.dedupAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", tau = 0.5)
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHam = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
@@ -980,6 +1012,31 @@ object SparkEntry {
       "id", "features")
   }
 
+  // Rolling-window retirement for the phash media index, oracle-checked
+  // with the q_phash_index oracle VERBATIM: an extra day's segment
+  // (re-encodes under +2M ids, disjoint from both history and probe)
+  // appends and retires, so the probe must answer exactly like the
+  // never-appended index.
+  private def qPhashRetire(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "embeddings")
+    val idx = buildOnce(s"/tmp/graft_phash_ret_${dirKey(dir)}") { d =>
+      Multimodal.buildPhashIndex(
+        media.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("id"), col("embedding").as("features")),
+        "id", "features", d, dim = 16, maxHam = 2, thresh = 0.0)
+      Multimodal.appendToPhashIndex(s, d,
+        media.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 2000000L).as("id"),
+            col("embedding").as("features")),
+        "id", "features", "s1")
+      Multimodal.retirePhashSrc(s, d, "s1")
+    }
+    val batch = media.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("id"),
+        col("embedding").as("features"))
+    Multimodal.dedupPhashAgainstIndex(s, idx, batch, "id", "features")
+  }
+
   // media near-dup families end to end (the LAION-style re-encode
   // collapse): sign-threshold signatures → banded hamming pairs →
   // connected components → keep the best member per family (max label
@@ -1341,6 +1398,36 @@ object SparkEntry {
   private def qAnnPq(s: SparkSession, dir: String): DataFrame =
     Ann.pqTopK(corpus(s, dir), queriesSet(s, dir), k = 10, m = 8, ksub = 16)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  /** Where q_ann_pq_adc dumps the trained PQ codebooks for the oracle —
+    * the [[W2vAvgVectorsBase]] hand-off pattern: the k-means fit has no
+    * SQL form, but given the trained (sub, code, d, val) table both
+    * engines can read, the encode argmin and the LUT-sum ADC scoring
+    * ARE SQL — so full-ksub ADC arithmetic gets a hash-exact check
+    * (q_ann_pq's k=1 degenerate covered only the collapsed form). Keyed
+    * per corpus (count + id sum, re-derived by the SQL) under a per-JVM
+    * base; same concurrency story as the w2v dump. */
+  private val PqAdcCodebooksBase = new java.io.File(
+    sys.props("java.io.tmpdir"),
+    s"graft_pq_adc_codebooks_${java.util.UUID.randomUUID.toString.take(8)}")
+    .getAbsolutePath
+
+  private def qAnnPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val keyRow = emb.agg(count(lit(1)),
+      coalesce(sum(col("vec_id")), lit(0L))).head()
+    val key = s"${keyRow.getLong(0)}_${keyRow.getLong(1)}"
+    val (topk, cbOpt) = Ann.pqTopKWithCodebooks(corpus(s, dir),
+      queriesSet(s, dir), k = 10, m = 8, ksub = 16, metric = "ip")
+    val cb = cbOpt.getOrElse(throw new IllegalStateException(
+      "q_ann_pq_adc degenerate-oracle contract broken: the corpus no " +
+        "longer exceeds one codebook and PQ fell back to brute force — " +
+        "the ADC oracle cannot model that"))
+    cb.withColumn("corpus_key", lit(key))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$PqAdcCodebooksBase/$key")
+    topk.select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
 
   /** The trainCap-covers-everything contract every k=1 degenerate oracle
     * rests on: the k-means "sample" must BE the population (sample mean
@@ -1934,6 +2021,8 @@ object SparkEntry {
     "q_dedup_drop_contained" -> (qDedupDropContained _),
     "q_dedup_contained_index" -> (qDedupContainedIndex _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_index" -> (qDedupMinhashIndex _),
+    "q_dedup_minhash_retire" -> (qDedupMinhashRetire _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
@@ -1967,6 +2056,7 @@ object SparkEntry {
     "q_phash_dedup" -> (qPhashDedup _),
     "q_phash_cluster" -> (qPhashCluster _),
     "q_phash_index" -> (qPhashIndex _),
+    "q_phash_retire" -> (qPhashRetire _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -1998,6 +2088,7 @@ object SparkEntry {
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_adc" -> (qAnnPqAdc _),
     "q_ann_pq_k1" -> (qAnnPqK1 _),
     "q_ann_ivf_pq_k1" -> (qAnnIvfPqK1 _),
     "q_ann_range" -> (qAnnRange _),
@@ -2264,12 +2355,33 @@ object SparkEntry {
   // oracles — ONE definition, because the signature layout and the
   // seed//3 band id are cross-engine contracts (a stale copy of this
   // chain is exactly how the CAST-rounds band bug hid in r2).
-  private val minhashSigCtes =
-    s"""sh AS ($shingleHash8Capped),
+  private def minhashSigCtesFrom(shSql: String) =
+    s"""sh AS ($shSql),
        |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
        |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
        |sig AS (SELECT doc_id, CAST(seed // 3 AS INT) AS band,
        |        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig FROM mh GROUP BY doc_id, band)""".stripMargin
+  private val minhashSigCtes = minhashSigCtesFrom(shingleHash8Capped)
+  // The persisted-index probe oracle: the SAME signature chain, but
+  // UNCAPPED (maxDf = None is the exactness condition of
+  // dedupAgainstIndex) and with candidates restricted cross-parity —
+  // even docs (the batch) against odd docs (the stored history).
+  // Shared VERBATIM by q_dedup_minhash_index and q_dedup_minhash_retire:
+  // retiring the appended segment must leave the index answering
+  // exactly like one that never saw it.
+  private val minhashIndexOracle =
+    s"""WITH ${minhashSigCtesFrom(shingleHash8)},
+       |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+       |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_new, c.id_old, count(*) AS i
+       |          FROM cand c JOIN sh a ON a.doc_id = c.id_new JOIN sh b ON b.doc_id = c.id_old AND a.h = b.h
+       |          GROUP BY 1, 2)
+       |SELECT c.id_new, c.id_old, round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
+       |FROM cand c LEFT JOIN inter i ON i.id_new = c.id_new AND i.id_old = c.id_old
+       | JOIN sz sa ON sa.doc_id = c.id_new JOIN sz sb ON sb.doc_id = c.id_old
+       |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5""".stripMargin
   // ... plus banded candidates and their exact-Jaccard ingredients.
   private val minhashCandCtes =
     s"""$minhashSigCtes,
@@ -2286,6 +2398,17 @@ object SparkEntry {
       |          UNION SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
       |SELECT id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_sz
       |FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  // one definition for q_phash_index and q_phash_retire (see above)
+  private val phashIndexOracle =
+    """WITH sig AS (
+      |  SELECT vec_id AS id,
+      |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+      |     FROM generate_series(0, 15) AS t(j)) AS sig
+      |  FROM embeddings),
+      |h AS (SELECT id, sig FROM sig WHERE id >= 5),
+      |b AS (SELECT id + 1000000 AS id_new, sig FROM sig WHERE id < 5)
+      |SELECT b.id_new, h.id AS id_old, bit_count(xor(b.sig, h.sig)) AS hamming
+      |FROM b JOIN h ON bit_count(xor(b.sig, h.sig)) <= 2""".stripMargin
   private val reformatSql =
     "'[标题]:' || substr(text, 1, 40) || chr(10) || '[时间]:2025-08-12' || chr(10) || '[来源]:' || source || chr(10) || chr(10) || text"
   private val cleanTitleSql =
@@ -2692,6 +2815,9 @@ object SparkEntry {
          |  best.id_b AS container_id
          |FROM bat b LEFT JOIN best ON best.id_a = b.doc_id""".stripMargin,
 
+    "q_dedup_minhash_index" -> minhashIndexOracle,
+    "q_dedup_minhash_retire" -> minhashIndexOracle,
+
     "q_dedup_minhash" ->
       s"""WITH $minhashCandCtes
          |SELECT c.id_a, c.id_b, round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) AS jaccard
@@ -2942,6 +3068,40 @@ object SparkEntry {
     // per-subspace expansion Spark evaluates, just re-associated over
     // the full vector. Scores tie across ids, so rank is the id order —
     // the score VALUE carries the cross-engine arithmetic check.
+    // full-ksub ADC through the dumped-codebook hand-off: the fit has
+    // no SQL form, but given the trained (sub, code, d, val) table the
+    // encode (argmin c2 − 2·dot, ties → smaller code) and the LUT-sum
+    // ip scoring are recomputed here from scratch — m=8 subspaces,
+    // dsub = dim/8, both rounded/ranked exactly as the Spark side
+    "q_ann_pq_adc" ->
+      s"""WITH cb AS (SELECT sub, code, d, val
+         |  FROM '$PqAdcCodebooksBase/*/*.parquet'
+         |  WHERE corpus_key = (
+         |    SELECT CAST(COUNT(*) AS VARCHAR) || '_' ||
+         |           CAST(COALESCE(SUM(vec_id), 0) AS VARCHAR)
+         |    FROM embeddings)),
+         |cd AS (SELECT e.vec_id AS id, cb.sub, cb.code,
+         |         sum(cb.val * cb.val) AS c2,
+         |         sum(cb.val * e.embedding[cb.sub * (len(e.embedding) // 8) + cb.d + 1]) AS dt
+         |       FROM embeddings e CROSS JOIN cb
+         |       GROUP BY 1, 2, 3),
+         |codes AS (SELECT id, sub, code FROM (
+         |    SELECT id, sub, code, row_number() OVER (
+         |      PARTITION BY id, sub ORDER BY c2 - 2*dt ASC, code ASC) AS rn
+         |    FROM cd) WHERE rn = 1),
+         |lut AS (SELECT e.vec_id AS qid, cb.sub, cb.code,
+         |         sum(cb.val * e.embedding[cb.sub * (len(e.embedding) // 8) + cb.d + 1]) AS dt
+         |       FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 5
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT l.qid, c.id, round(sum(l.dt), 4) + 0 AS score
+         |       FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |       GROUP BY 1, 2)
+         |SELECT qid, id, score, rank FROM (
+         |  SELECT qid, id, score, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
+
     "q_ann_pq_k1" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |comp AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
@@ -3146,16 +3306,11 @@ object SparkEntry {
 
     // batch-vs-history media dedup: the banded index probe is pure
     // pruning, so the oracle is the brute bipartite hamming filter
-    "q_phash_index" ->
-      """WITH sig AS (
-        |  SELECT vec_id AS id,
-        |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
-        |     FROM generate_series(0, 15) AS t(j)) AS sig
-        |  FROM embeddings),
-        |h AS (SELECT id, sig FROM sig WHERE id >= 5),
-        |b AS (SELECT id + 1000000 AS id_new, sig FROM sig WHERE id < 5)
-        |SELECT b.id_new, h.id AS id_old, bit_count(xor(b.sig, h.sig)) AS hamming
-        |FROM b JOIN h ON bit_count(xor(b.sig, h.sig)) <= 2""".stripMargin,
+    "q_phash_index" -> phashIndexOracle,
+
+    // retirement leaves the index answering like one that never saw
+    // the appended segment — the q_phash_index oracle VERBATIM
+    "q_phash_retire" -> phashIndexOracle,
 
     // phash families: the same all-pairs hamming graph, components via
     // the reach CTE, then per-family keep (label desc, id asc) — the

@@ -344,6 +344,7 @@ object Ann {
       buckets: Int = 256): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val s = postings.sparkSession
+    IndexFiles.clearTombstones(s, dir)
     import s.implicits._
     Dedup.spread(postings)
       .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
@@ -552,6 +553,7 @@ object Ann {
   def buildBinaryIndex(corpus: DataFrame, dir: String, dim: Int): Unit = {
     requireBatchDim(corpus, "v", dim)
     val s = corpus.sparkSession
+    IndexFiles.clearTombstones(s, dir)
     import s.implicits._
     Dedup.spread(corpus)
       .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
@@ -932,6 +934,7 @@ object Ann {
       planes: Int = 8, tables: Int = 1): Unit = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val s = corpus.sparkSession
+    IndexFiles.clearTombstones(s, dir)
     import s.implicits._
     lshBuckets(corpus, dim, planes, tables)
       .write.mode("overwrite").partitionBy("tbl", "sig")
@@ -1221,6 +1224,7 @@ object Ann {
     * nlist-row codebook. */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
       seed: Long = 42L, trainCap: Long = -1L): Unit = {
+    IndexFiles.clearTombstones(corpus.sparkSession, dir)
     val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
@@ -1438,6 +1442,7 @@ object Ann {
     * and [[retrainIvfIndex]] that). */
   def buildIvfSq8Index(corpus: DataFrame, dir: String, nlist: Int = 16,
       seed: Long = 42L, trainCap: Long = -1L): Unit = {
+    IndexFiles.clearTombstones(corpus.sparkSession, dir)
     val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
@@ -1933,27 +1938,43 @@ object Ann {
     * broadcast-array mapPartitions variant before going there. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, metric: String = "ip", seed: Long = 42L,
-      trainCap: Long = -1L): DataFrame = {
+      trainCap: Long = -1L): DataFrame =
+    pqTopKWithCodebooks(corpus, queries, k, m, ksub, metric, seed,
+      trainCap)._1
+
+  /** [[pqTopK]] plus the TRAINED codebooks flattened to
+    * (sub, code, d, val) rows — the cross-engine hand-off that makes
+    * full-ksub ADC scoring hash-exact (the w2v-vectors trick): the
+    * k-means fit itself has no SQL form, but given the trained table
+    * both engines can read, the encode (argmin ||sub − C||², ties →
+    * smaller code) and the LUT-sum scoring ARE plain SQL. None on the
+    * brute-force fallbacks (empty corpus / corpus no bigger than one
+    * codebook), where nothing was trained. */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, metric: String = "ip", seed: Long = 42L,
+      trainCap: Long = -1L): (DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(metric == "ip" || metric == "l2",
       s"pq supports ip|l2, got $metric")
     // ksub=1 is the cross-engine oracle degenerate: one centroid per
     // subspace = the subspace mean of the training sample (k-means with
     // one center converges in one step), codes are all zero, and the ADC
-    // score collapses to a closed form plain SQL can reproduce — the
-    // only way the ADC arithmetic gets a hash-exact check. Real indexes
-    // use ksub in [2,256].
+    // score collapses to a closed form plain SQL can reproduce. With
+    // the codebook hand-off above, full ksub is ALSO hash-exact — only
+    // the fit itself stays rows-only. Real indexes use ksub in [2,256].
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
     val c0 = Dedup.spread(corpus).withColumn("v", col("v").cast("array<double>"))
     val firstRow = c0.select(col("v")).take(1)
-    if (firstRow.isEmpty) return bruteForceTopK(corpus, queries, k, metric)
+    if (firstRow.isEmpty)
+      return (bruteForceTopK(corpus, queries, k, metric), None)
     val dim = firstRow.head.getSeq[Double](0).length
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sample = hashSample(c0.select(col("id"), col("v")), "v",
       effectiveCap(trainCap, ksub), dim)
     // a corpus no bigger than one codebook gains nothing from PQ — and
     // k-means can't seed ksub distinct centers. Scan it exactly.
-    if (sample.length <= ksub) return bruteForceTopK(corpus, queries, k, metric)
+    if (sample.length <= ksub)
+      return (bruteForceTopK(corpus, queries, k, metric), None)
     val cbs = trainPq(sample, m, ksub, seed)
     val codes = c0.select(col("id"), pqCodes(col("v"), cbs).as("codes"))
     val q = queries
@@ -1965,7 +1986,15 @@ object Ann {
           zip_with(col("codes"), col("lut"), (cd, row) => element_at(row, cd + 1)),
           lit(0.0), (a, x) => a + x), 4).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val cbDf = cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (x, d) => (j, ci, d, x) } }
+    }.toSeq.toDF("sub", "code", "d", "val")
+    (topk, Some(cbDf))
   }
 
   /** IVF-PQ: the coarse quantizer of [[ivfTopK]] over the residual
@@ -2068,6 +2097,7 @@ object Ann {
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
       trainCap: Long = -1L): Unit = {
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    IndexFiles.clearTombstones(corpus.sparkSession, dir)
     val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))

@@ -905,6 +905,16 @@ object Curate {
   def crawlTriage(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
+    val (out, pins) = crawlTriagePlan(oldDf, newDf, idCol, textCol,
+      minWords, maxWords)
+    CacheLifecycle.handOff(out, pins)
+  }
+
+  /** [[crawlTriage]] BEFORE the cache hand-off — the un-materialized
+    * plan plus its pinned internals, for plan-shape specs. */
+  private[graft] def crawlTriagePlan(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String, minWords: Int,
+      maxWords: Int): (DataFrame, Seq[DataFrame]) = {
     // same presence-marker + null-safe-compare discipline as
     // [[corpusDiff]]; a NULL-text doc FAILS quality (coalesce false)
     // rather than null-propagating past the skip_quality branch
@@ -918,7 +928,8 @@ object Curate {
       lit(true).as("__in_new"))
     // pinned: the diff frame feeds BOTH the re-enter path and the final
     // action join — without the persist the o⋈n full outer (and both
-    // text scans behind it) would execute twice
+    // text scans behind it) would execute twice; released at the
+    // hand-off below, the returned frame is the caller's release handle
     val diff = o.join(n, Seq("id"), "full_outer")
       .select(col("id"), col("__fp_new"), col("__pass"),
         when(col("__in_old").isNull, lit("added"))
@@ -937,12 +948,13 @@ object Curate {
       .join(winners, Seq("__fp_new"))
       .filter(col("id") === col("__win_id"))
       .select(col("id"), lit(true).as("__upsert"))
-    diff.join(upserts, Seq("id"), "left_outer")
+    (diff.join(upserts, Seq("id"), "left_outer")
       .select(col("id"), col("status"),
         when(col("status") === "unchanged", lit("skip_unchanged"))
           .when(col("status") === "removed", lit("delete"))
           .when(!col("__pass"), lit("skip_quality"))
           .when(col("__upsert").isNotNull, lit("upsert"))
-          .otherwise(lit("skip_duplicate")).as("action"))
+          .otherwise(lit("skip_duplicate")).as("action")),
+      Seq(diff))
   }
 }

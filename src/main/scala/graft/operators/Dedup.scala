@@ -483,17 +483,34 @@ object Dedup {
     * Scale shape: [[ngramJaccard]]'s — shingle/df/window shuffles are
     * O(total shingles) on 8-byte hashes, candidate fan-out is
     * Σ_prefix df(h) (maxDf-capped), the verify is candidate-pruned.
-    * Nothing is all-pairs. */
+    * Nothing is all-pairs.
+    *
+    * Cache lifecycle: the result is materialized at call time and
+    * returned persisted; every internal cache is already released —
+    * `.unpersist()` on the returned frame is the caller's one-call
+    * cleanup ([[CacheLifecycle]]). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
+    val (pairs, pins) = containmentPairsPlan(df, idCol, textCol, w, tau, maxDf)
+    CacheLifecycle.handOff(pairs, pins)
+  }
+
+  /** [[containmentPairs]] BEFORE the cache hand-off — the
+    * un-materialized plan plus its pinned internals, for plan-shape
+    * specs (a handed-off frame reads as one InMemoryRelation leaf). */
+  private[graft] def containmentPairsPlan(df: DataFrame, idCol: String,
+      textCol: String, w: Int, tau: Double,
+      maxDf: Option[Int]): (DataFrame, Seq[DataFrame]) = {
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
-    containmentPairsFrom(sh, tau)
+    val (pairs, pins) = containmentPairsFrom(sh, tau)
+    (pairs, sh +: pins)
   }
 
   /** [[containmentPairs]] over an already-built (id, sh) shingle-hash
     * set — split out so [[dropContained]] reuses one cached set for
     * both the pair generation and the canonical-container sizes. */
-  private[graft] def containmentPairsFrom(sh: DataFrame, tau: Double): DataFrame = {
+  private[graft] def containmentPairsFrom(sh: DataFrame,
+      tau: Double): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -519,7 +536,8 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
           col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    verifyContainment(cand, sh, tau)
+    val (verified, pins) = verifyContainment(cand, sh, tau)
+    (verified, ranked +: pins)
   }
 
   /** The dedup DECISION on top of [[containmentPairs]] — greedy
@@ -536,11 +554,12 @@ object Dedup {
     * Scale shape: [[containmentPairsFrom]]'s plan plus one size join
     * on the PAIR set (tiny next to the corpus) and a left-anti back to
     * the docs — no new corpus-sized shuffle beyond the shared shingle
-    * set, which is built and cached ONCE for both stages. */
+    * set, which is built and cached ONCE for both stages. Returned
+    * persisted with internals released ([[CacheLifecycle]]). */
   def dropContained(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
-    val pairs = containmentPairsFrom(sh, tau)
+    val (pairs, pins) = containmentPairsFrom(sh, tau)
     val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dropped = pairs
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -548,8 +567,10 @@ object Dedup {
       .filter(col("sz_b") > col("sz_a") ||
         (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
       .select(col("id_a")).distinct()
-    spread(df).join(dropped.withColumnRenamed("id_a", idCol),
-      Seq(idCol), "left_anti")
+    CacheLifecycle.handOff(
+      spread(df).join(dropped.withColumnRenamed("id_a", idCol),
+        Seq(idCol), "left_anti"),
+      sh +: pins)
   }
 
   /** Exact-containment verification — [[verifyJaccard]]'s shape with
@@ -559,7 +580,7 @@ object Dedup {
     * oracle shares. Docs with zero shingles never reach the division:
     * they have no prefix rows, so they never appear as id_a. */
   private def verifyContainment(candRaw: DataFrame, sh: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double): (DataFrame, Seq[DataFrame]) = {
     val cand = candRaw.cache()
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
@@ -569,7 +590,7 @@ object Dedup {
       .join(shc.as("sb"),
         col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(interCnt, Seq("id_a", "id_b"), "left")
+    val out = cand.join(interCnt, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .withColumn("raw", col("inter").cast("double") / col("sz_a"))
@@ -577,6 +598,7 @@ object Dedup {
       .withColumn("containment", round(col("raw"), 4))
       .filter(col("containment") >= tau)
       .select("id_a", "id_b", "containment")
+    (out, Seq(cand, shc))
   }
 
   /** Directory fan-out bound for the containment index's hash buckets. */
@@ -650,6 +672,10 @@ object Dedup {
       fpp: Double = 0.01): Unit = {
     val s = df.sparkSession
     import s.implicits._
+    // a rebuild starts a fresh history: a prior generation's tombstones
+    // must not outlive it, or rebuilt docs with recycled ids silently
+    // stop matching as containers (the buildExactIndex deleted_fps rule)
+    IndexFiles.clearTombstones(s, dir)
     val (sh, sizes) = containmentRows(spread(df), idCol, textCol, w, maxDf, "base")
     val shc = sh.persist()
     val distinctSh = shc.select("sh").distinct().persist()
@@ -806,10 +832,24 @@ object Dedup {
     * one history scan with a map-side hash probe. `excludeSrc` removes
     * one src segment from history — how a replayed micro-batch avoids
     * judging itself against its own earlier append
-    * ([[graft.streaming.StreamIngest.applyContainmentBatch]]). */
+    * ([[graft.streaming.StreamIngest.applyContainmentBatch]]).
+    * Returned persisted with internals released ([[CacheLifecycle]]) —
+    * the streaming driver unpersists it per micro-batch. */
   def dropContainedAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.8, excludeSrc: Option[String] = None): DataFrame = {
+    val (verdicts, pins) =
+      dropContainedAgainstIndexPlan(spark, dir, batch, idCol, textCol, tau,
+        excludeSrc)
+    CacheLifecycle.handOff(verdicts, pins)
+  }
+
+  /** [[dropContainedAgainstIndex]] BEFORE the cache hand-off — see
+    * [[containmentPairsPlan]]. */
+  private[graft] def dropContainedAgainstIndexPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      tau: Double, excludeSrc: Option[String]): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
     IndexFiles.requireNoPendingAppend(spark, dir)
@@ -820,7 +860,8 @@ object Dedup {
     val shB = shingleSetHashed(d, idCol, textCol, w, maxDf).persist()
     // within-batch decision — dropContained's rule over the batch alone
     val szB = shB.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dropsB = containmentPairsFrom(shB, tau)
+    val (pairsB, pinsB) = containmentPairsFrom(shB, tau)
+    val dropsB = pairsB
       .join(szB.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(szB.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .filter(col("sz_b") > col("sz_a") ||
@@ -869,9 +910,10 @@ object Dedup {
         Window.partitionBy("id_a").orderBy(col("sz_b").desc, col("id_b").asc)))
       .filter(col("rn") === 1)
       .select(col("id_a").as("id"), col("id_b").as("container_id"))
-    d.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+    (d.select(col(idCol).as("id")).join(best, Seq("id"), "left")
       .select(col("id"), col("container_id").isNotNull.as("is_contained"),
-        col("container_id"))
+        col("container_id")),
+      Seq(shB, cand) ++ pinsB)
   }
 
   /** Tombstone docs out of the containment index — the shared delete
@@ -1751,13 +1793,22 @@ object Dedup {
       .select("id", "__rank")
     val ranked = dom.join(top, Seq("id"), "left")
       .select(col("id"), col("domain"), col("__rank"))
-    val doms = ranked.select("domain").distinct()
+    // NULL-domain docs (unparseable URLs) are one budget group like in
+    // capPerDomain's window, but an equi-join on domain would never
+    // match their stored counts — the budget would silently reset
+    // every batch. Join through a sentinel key instead (a \u0001
+    // control char cannot occur in a registered domain); the verdict
+    // keeps domain NULL.
+    val dk = coalesce(col("domain"), lit("\u0001null"))
+    val doms = ranked.select(dk.as("__dk")).distinct()
     val all = domainCapCounts(spark, dir)
     val scan = excludeSrc.map(s0 => all.filter(col("src") =!= s0))
       .getOrElse(all)
-    val prior = scan.join(broadcast(doms), Seq("domain"), "left_semi")
-      .groupBy("domain").agg(sum(col("cnt")).as("prior"))
-    ranked.join(prior, Seq("domain"), "left")
+    val prior = scan.withColumn("__dk", dk)
+      .join(broadcast(doms), Seq("__dk"), "left_semi")
+      .groupBy("__dk").agg(sum(col("cnt")).as("prior"))
+    ranked.withColumn("__dk", dk).join(prior, Seq("__dk"), "left")
+      .drop("__dk")
       .na.fill(0L, Seq("prior"))
       .withColumn("admitted_rank",
         when(col("__rank") + col("prior") <= n, col("__rank") + col("prior")))
@@ -1808,12 +1859,32 @@ object Dedup {
       src, requireSurvivor = false, strict = strict); ()
   }
 
+  private val MinhashBuckets = 64
+
+  /** Tag one minhash segment's sig rows with its `src` and spread them
+    * across [[MinhashBuckets]] hash buckets so every segment lands as
+    * a bounded file set regardless of batch size (the line-df/
+    * containment layout). Signatures are strings — bucket their
+    * 64-bit hash; shingle rows bucket on the hash value itself. */
+  private def tagMinhashSigs(sigs: DataFrame, src: String): DataFrame =
+    sigs.withColumn("src", lit(src))
+      .withColumn("hb",
+        pmod(xxhash64(col("sig")), lit(MinhashBuckets.toLong)).cast("int"))
+
+  private def tagMinhashShingles(sh: DataFrame, src: String): DataFrame =
+    sh.withColumn("src", lit(src))
+      .withColumn("hb", pmod(col("h"), lit(MinhashBuckets.toLong)).cast("int"))
+
   /** Persist a minhash dedup index: band signatures + shingle-hash sets
     * for an ingested corpus, so the NEXT batch dedups against history
     * without recomputing it — the production daily-ingest shape (new
     * docs vs stored index, no corpus self-join). `dir/sigs` holds
     * (id, band, sig), `dir/shingles` holds (id, h) for the exact
-    * verify, `dir/meta` records (w, numHashes, bands, maxDf) so
+    * verify — both hive-partitioned by (src, hb): src tags the
+    * contributing batch (build = "base", each append its own tag), so
+    * [[retireMinhashSrc]] can age a segment out as an O(segment)
+    * partition drop; hb spreads each segment across bounded files.
+    * `dir/meta` records (w, numHashes, bands, maxDf) so
     * [[dedupAgainstIndex]] is self-describing. */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, w: Int = 8, numHashes: Int = 12, bands: Int = 4,
@@ -1821,10 +1892,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val s = df.sparkSession
     import s.implicits._
+    // a rebuild starts a fresh history — a prior generation's
+    // tombstones must not outlive it (the buildExactIndex rule)
+    IndexFiles.clearTombstones(s, dir)
     val sh = shingleHashSet(df, idCol, textCol, w, maxDf).cache()
-    bandSignatures(minhashes(sh, numHashes), bands, numHashes / bands)
-      .write.mode("overwrite").parquet(s"$dir/sigs")
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    tagMinhashSigs(
+        bandSignatures(minhashes(sh, numHashes), bands, numHashes / bands),
+        "base")
+      .repartition(col("hb"))
+      .write.partitionBy("src", "hb").mode("overwrite").parquet(s"$dir/sigs")
+    tagMinhashShingles(sh, "base").repartition(col("hb"))
+      .write.partitionBy("src", "hb").mode("overwrite").parquet(s"$dir/shingles")
     // compact id sidecar: the append-time replayed-id guard reads this
     // (O(docs) rows) instead of the doc-shingle table (many× docs rows)
     IndexFiles.writeIds(sh.select("id").distinct(), dir)
@@ -1834,17 +1912,19 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Append an ingested batch to a persisted minhash index: the batch's
-    * band signatures and shingle sets extend `dir/sigs` and
-    * `dir/shingles`, computed through the parameters stored in the
-    * index's own meta. Signatures are deterministic in
-    * (w, numHashes, bands), so with maxDf = None a later
-    * [[dedupAgainstIndex]] over the appended index is bit-equal to the
-    * same call against an index rebuilt on the union corpus. With a df
-    * cap the batch caps against its OWN document frequencies — the
-    * same caveat (and the same price of not revisiting history) as
-    * [[dedupAgainstIndex]]. Per batch the work is O(batch); stored
-    * signatures are never read back, re-shuffled, or rewritten.
+  /** Append an ingested batch to a persisted minhash index under its
+    * own `src` tag: the batch's band signatures and shingle sets extend
+    * `dir/sigs` and `dir/shingles` as one (src, hb)-partitioned
+    * segment, computed through the parameters stored in the index's
+    * own meta. Signatures are deterministic in (w, numHashes, bands),
+    * so with maxDf = None a later [[dedupAgainstIndex]] over the
+    * appended index is bit-equal to the same call against an index
+    * rebuilt on the union corpus. With a df cap the batch caps against
+    * its OWN document frequencies — the same caveat (and the same
+    * price of not revisiting history) as [[dedupAgainstIndex]]. Per
+    * batch the work is O(batch); stored signatures are never read
+    * back, re-shuffled, or rewritten, and the src tag is what
+    * [[retireMinhashSrc]] later drops in O(segment).
     * Batch ids must be disjoint from stored ids (checked — a replayed
     * id would double-count its shingles in the Jaccard verify). The
     * guard reads the compact `dir/ids` sidecar ([[IndexFiles]]) —
@@ -1855,7 +1935,10 @@ object Dedup {
     * table-writes window the streaming witnesses used to flag is now
     * repaired by the next append instead of needing manual repair. */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, newDf: DataFrame, idCol: String, textCol: String): Unit = {
+      dir: String, newDf: DataFrame, idCol: String, textCol: String,
+      src: String): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
     val m = spark.read.parquet(s"$dir/meta").head()
     val (w, numHashes, bands) =
@@ -1871,11 +1954,48 @@ object Dedup {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would corrupt the Jaccard verify")
     IndexFiles.appendStaged(spark, dir, Seq(
-      ("sigs", bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands),
-        Nil),
-      ("shingles", newSh, Nil)),
+      ("sigs", tagMinhashSigs(
+          bandSignatures(minhashes(newSh, numHashes), bands, numHashes / bands),
+          src).repartition(col("hb")),
+        Seq("src", "hb")),
+      ("shingles", tagMinhashShingles(newSh, src).repartition(col("hb")),
+        Seq("src", "hb"))),
       Some(batchIds))
     newSh.unpersist()
+  }
+
+  /** Rewrite the minhash ids sidecar from the stored shingle table —
+    * the O(index) maintenance scan [[retireMinhashSrc]] uses after
+    * dropping a segment (and the recovery call for a crash that left
+    * the sidecar stale). Reads only the id column off the partitioned
+    * payload. */
+  def rebuildMinhashIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.replaceTable(spark, dir, "ids",
+      spark.read.parquet(s"$dir/shingles").select("id").distinct(), Seq.empty)
+
+  /** Retire one appended segment from the minhash history — the
+    * rolling-window form ("near-dup dedup against the last N crawl
+    * days"): when day k lands, day k−N retires, its signature and
+    * shingle partitions drop in O(segment) with no surviving row
+    * rewritten, and its docs become re-admittable on a later crawl.
+    * The ids sidecar rebuilds from the survivors; tombstones whose ids
+    * left with the segment are pruned (a stale tombstone would
+    * otherwise silently kill a later re-ingest of the same id — the
+    * rebuild-generation hazard). Survivor verdicts are bit-equal to an
+    * index that never saw the segment: signatures are deterministic
+    * and segments never mix partitions. `strict = false` makes an
+    * absent segment a no-op (a zero-yield day appends no partitions —
+    * every doc shorter than w — and the scheduled window job must not
+    * crash on it). */
+  def retireMinhashSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("sigs", "shingles"),
+        src, strict = strict)) {
+      rebuildMinhashIds(spark, dir)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
   }
 
   /** The distinct doc ids a persisted minhash index currently covers —
@@ -1899,7 +2019,7 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     IndexFiles.compact(spark, dir,
-      Map("sigs" -> Seq.empty[String], "shingles" -> Seq.empty[String]))
+      Map("sigs" -> Seq("src", "hb"), "shingles" -> Seq("src", "hb")))
 
   /** Repair an interrupted append without appending a new batch — see
     * [[graft.operators.Ann.healSparseIndex]] for the rationale
@@ -1936,8 +2056,25 @@ object Dedup {
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
+    // an all-short-doc build writes (src, hb)-partitioned tables with
+    // ZERO partition directories — no schema to infer; synthesize the
+    // empty payloads with the batch's id type (probe returns empty)
+    import org.apache.spark.sql.types._
+    def readOrEmpty(path: String, fields: Seq[StructField]): DataFrame =
+      try spark.read.parquet(path).select(fields.map(f => col(f.name)): _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(StructField("id", newDf.schema(idCol).dataType)
+              +: fields.filter(_.name != "id")))
+      }
+    // project the (src, hb) partition columns away: the verify union
+    // pairs these rows with the batch's bare (id, h) shape
     val oldSh = IndexFiles.dropTombstones(spark, dir,
-      spark.read.parquet(s"$dir/shingles"))
+      readOrEmpty(s"$dir/shingles", Seq(StructField("id", NullType),
+        StructField("h", LongType))))
     val replayed = newSh.select("id").distinct()
       .join(IndexFiles.storedIds(spark, dir, oldSh.select("id").distinct()),
         "id").limit(1).collect()
@@ -1948,7 +2085,8 @@ object Dedup {
     // tombstoned docs ([[deleteFromMinhashIndex]]) neither candidate
     // nor verify — bit-equal to the physically compacted index
     val oldSig = IndexFiles.dropTombstones(spark, dir,
-      spark.read.parquet(s"$dir/sigs"))
+      readOrEmpty(s"$dir/sigs", Seq(StructField("id", NullType),
+        StructField("band", IntegerType), StructField("sig", StringType))))
     val cand = oldSig.as("o").join(broadcast(newSig.as("n")),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(col("n.id").as("id_a"), col("o.id").as("id_b"))

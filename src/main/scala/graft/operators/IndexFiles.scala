@@ -183,15 +183,19 @@ private[graft] object IndexFiles {
       s"src '$src' not present in any of [${tables.mkString(", ")}] " +
         s"under $dir — nothing to retire (a zero-yield day's segment " +
         "writes no partitions; retire it with strict = false)")
+    // validate EVERY table's survivor condition before deleting ANY
+    // partition — a require tripping after earlier tables were already
+    // deleted would abort mid-retire and leave the family partially
+    // retired (orphaned sibling rows, sidecar rebuilds never reached)
+    if (requireSurvivor) present.foreach { t =>
+      val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("src=") &&
+          st.getPath.getName != s"src=$src")
+      require(others,
+        s"retiring src '$src' would empty $dir/$t — drop and rebuild " +
+          "the index instead")
+    }
     present.foreach { t =>
-      if (requireSurvivor) {
-        val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("src=") &&
-            st.getPath.getName != s"src=$src")
-        require(others,
-          s"retiring src '$src' would empty $dir/$t — drop and rebuild " +
-            "the index instead")
-      }
       require(fs.delete(new Path(s"$dir/$t/src=$src"), true),
         s"delete $dir/$t/src=$src failed")
     }
@@ -265,6 +269,30 @@ private[graft] object IndexFiles {
       .write.mode("append").parquet(s"$dir/deleted")
     refresh(ids.sparkSession, dir)
   }
+
+  /** Drop the tombstone table outright — called at the head of every
+    * index BUILD: a rebuild starts a fresh history, and a prior
+    * generation's tombstones must not outlive it (ids are commonly
+    * recycled across rebuilds, so a stale `deleted` row would silently
+    * anti-join a legitimately re-indexed doc out of every search —
+    * the buildExactIndex `deleted_fps` lesson, uniform here). */
+  def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    fsOf(spark, dir).delete(new Path(s"$dir/deleted"), true); ()
+  }
+
+  /** Shrink the tombstone table to ids still present in the ids
+    * sidecar — the retirement companion of [[clearTombstones]]: a
+    * segment drop takes its docs' payload rows AND sidecar entries
+    * away, so a tombstone left behind would outlive the rows it
+    * killed and silently anti-join a later re-ingest of the same id.
+    * Call AFTER the sidecar rebuild. No-op when nothing was ever
+    * deleted. */
+  def pruneTombstones(spark: SparkSession, dir: String): Unit =
+    tombstones(spark, dir).foreach { dead =>
+      replaceTable(spark, dir, "deleted",
+        dead.join(spark.read.parquet(s"$dir/ids"), Seq("id"), "left_semi"),
+        Seq.empty)
+    }
 
   /** The tombstone set, None when none were ever written. */
   def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {

@@ -171,14 +171,28 @@ object Multimodal {
     * `meta` (dim, max_ham, thresh — probes and appends derive their
     * banding from the stored parameters, never from caller arguments
     * that could drift). */
+  private val PhashBuckets = 64
+
+  /** Tag one segment's banded rows with its `src` and spread them
+    * across [[PhashBuckets]] key buckets, so every segment lands as a
+    * bounded file set and [[retirePhashSrc]] can drop it as a
+    * partition listing (the minhash/line-df segment layout). */
+  private def tagBands(banded: DataFrame, src: String): DataFrame =
+    banded.withColumn("src", lit(src))
+      .withColumn("hb", pmod(col("key"), lit(PhashBuckets.toLong)).cast("int"))
+
   def buildPhashIndex(df: DataFrame, idCol: String, featuresCol: String,
       dir: String, dim: Int, maxHam: Int = 2, thresh: Double = 0.5): Unit = {
     val s = df.sparkSession
     import s.implicits._
+    // a rebuild starts a fresh history — a prior generation's
+    // tombstones must not outlive it (the buildExactIndex rule)
+    IndexFiles.clearTombstones(s, dir)
     val (bands, width) = bandParams(dim, maxHam)
     val sig = signatures(df, idCol, featuresCol, dim, thresh).cache()
-    bandedSigs(sig, dim, bands, width)
-      .write.mode("overwrite").parquet(s"$dir/bands")
+    tagBands(bandedSigs(sig, dim, bands, width), "base")
+      .repartition(col("hb"))
+      .write.partitionBy("src", "hb").mode("overwrite").parquet(s"$dir/bands")
     IndexFiles.writeIds(sig.select("id").distinct(), dir)
     sig.unpersist()
     Seq((dim, maxHam, thresh)).toDF("dim", "max_ham", "thresh")
@@ -195,7 +209,9 @@ object Multimodal {
     * anywhere is repaired by the next append. */
   def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDf: DataFrame, idCol: String,
-      featuresCol: String): Unit = {
+      featuresCol: String, src: String): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("bands"))
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
@@ -210,9 +226,60 @@ object Multimodal {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already " +
         "exists in the index — a replayed id would self-pair at hamming 0")
     IndexFiles.appendStaged(spark, dir,
-      Seq(("bands", bandedSigs(sig, dim, bands, width), Seq.empty)),
+      Seq(("bands", tagBands(bandedSigs(sig, dim, bands, width), src)
+        .repartition(col("hb")), Seq("src", "hb"))),
       Some(batchIds))
     sig.unpersist(); ()
+  }
+
+  /** Rewrite the phash ids sidecar from the stored band table — the
+    * O(index) maintenance scan [[retirePhashSrc]] uses after dropping
+    * a segment (and the recovery call for a stale-sidecar crash). */
+  def rebuildPhashIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.replaceTable(spark, dir, "ids",
+      spark.read.parquet(s"$dir/bands").select("id").distinct(), Seq.empty)
+
+  /** Retire one appended segment from the phash media history — the
+    * rolling-window form ("media near-dup against the last N crawl
+    * days"): the segment's band partitions drop in O(segment) with no
+    * surviving row rewritten, the ids sidecar rebuilds from the
+    * survivors, tombstones whose ids left with the segment are pruned
+    * (a stale tombstone would silently kill a later re-ingest of the
+    * same id), and the retired assets become re-appendable. Survivor
+    * verdicts are bit-equal to an index that never saw the segment —
+    * signatures are deterministic in (dim, thresh) and segments never
+    * mix partitions. `strict = false` makes an absent segment a no-op
+    * (the scheduled window job must not crash on a zero-yield day). */
+  def retirePhashSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bands"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("bands"), src,
+        strict = strict)) {
+      rebuildPhashIds(spark, dir)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
+  }
+
+  /** Tombstone assets out of the phash index — the shared delete model
+    * ([[IndexFiles.writeTombstones]], the takedown path for media): 
+    * O(batch), no rewrite; [[dedupPhashAgainstIndex]] stops matching
+    * them immediately; [[compactPhashIndex]] purges them physically
+    * and re-opens the ids for append (blocked before compaction). */
+  def deleteFromPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit =
+    IndexFiles.writeTombstones(ids, dir)
+
+  def compactPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    IndexFiles.compact(spark, dir, Map("bands" -> Seq("src", "hb")))
+
+  /** Repair an interrupted append without appending a new batch —
+    * idempotent no-op on a healthy index (probes refuse a pending
+    * journal; something read-write must run the repair). */
+  def healPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bands")); ()
   }
 
   /** Near-dup media pairs between a NEW batch and the stored history —
@@ -233,8 +300,27 @@ object Multimodal {
     val (bands, width) = bandParams(dim, maxHam)
     val nb = bandedSigs(
       signatures(batch, idCol, featuresCol, dim, thresh), dim, bands, width)
+    // an empty-corpus build writes a (src, hb)-partitioned table with
+    // ZERO partition directories — nothing to infer a schema from;
+    // synthesize the empty payload with the batch's own id type so the
+    // probe returns empty instead of crashing
+    val stored = try spark.read.parquet(s"$dir/bands")
+        .select("id", "sig", "band", "key")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(new java.util.ArrayList[Row](),
+            StructType(Seq(
+              StructField("id", batch.schema(idCol).dataType),
+              StructField("sig", LongType),
+              StructField("band", IntegerType),
+              StructField("key", LongType))))
+      }
+    // tombstoned assets neither candidate nor verify — bit-equal to
+    // the compacted index; partition cols projected away at the scan
     broadcast(nb).as("n")
-      .join(spark.read.parquet(s"$dir/bands").as("o"),
+      .join(IndexFiles.dropTombstones(spark, dir, stored).as("o"),
         col("n.band") === col("o.band") && col("n.key") === col("o.key"))
       .select(col("n.id").as("id_new"), col("o.id").as("id_old"),
         bit_count(col("n.sig").bitwiseXOR(col("o.sig"))).as("hamming"))

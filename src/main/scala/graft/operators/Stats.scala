@@ -87,22 +87,6 @@ object Stats {
       .join(vocab, groupCol)
   }
 
-  /** Token-distribution drift between two corpus snapshots — the
-    * monitoring scan next to [[graft.operators.Curate.corpusDiff]] in
-    * an incremental pipeline ("today's crawl re-weighted which
-    * words?"): one row per token in EITHER side's exact top-k —
-    * (tok, tf_old, tf_new, p_old, p_new, delta), relative frequencies
-    * and their shift rounded 6dp (missing side counts as 0). A big
-    * |delta| on a head token flags a source-mix change or boilerplate
-    * surge before it reaches training; [[graft.operators.Bpe.coverage]]
-    * is the tokenizer-side view of the same drift.
-    *
-    * Scale shape: both frequency tables are vocabulary-bounded
-    * groupBys with full map-side combine (the [[topTokens]] argument);
-    * top-k is a TakeOrdered (deterministic ties: tf desc, tok asc),
-    * never a corpus sort; the final joins are k-bounded and the two
-    * total counts ride single-row broadcasts. Nothing in the plan
-    * scales with anything but vocabulary size. */
   /** Per-doc n-gram novelty against a previous snapshot — the crawl
     * monitor [[graft.operators.Curate.corpusDiff]] can't give: the
     * exact diff says WHICH docs changed; novelty says how much
@@ -130,11 +114,27 @@ object Stats {
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring scan next to [[graft.operators.Curate.corpusDiff]] in
+    * an incremental pipeline ("today's crawl re-weighted which
+    * words?"): one row per token in EITHER side's exact top-k —
+    * (tok, tf_old, tf_new, p_old, p_new, delta), relative frequencies
+    * and their shift rounded 6dp (missing side counts as 0). A big
+    * |delta| on a head token flags a source-mix change or boilerplate
+    * surge before it reaches training; [[graft.operators.Bpe.coverage]]
+    * is the tokenizer-side view of the same drift.
+    *
+    * Scale shape: both frequency tables are vocabulary-bounded
+    * groupBys with full map-side combine (the [[topTokens]] argument);
+    * top-k is a TakeOrdered (deterministic ties: tf desc, tok asc),
+    * never a corpus sort; the final joins are k-bounded and the two
+    * total counts ride single-row broadcasts. Nothing in the plan
+    * scales with anything but vocabulary size. */
   def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       k: Int = 100): DataFrame = {
     // each side feeds its top-k AND the key join — cached so the scan +
-    // tokenization run once per side (session clears per the Dedup
-    // caching contract, same as corpusStatsExact)
+    // tokenization run once per side; both caches release at hand-off
+    // (the result is k-bounded, so the returned handle is tiny)
     def freq(df: DataFrame) = df
       .select(explode(T.wsTokens(T.normText(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
@@ -148,16 +148,18 @@ object Stats {
       .distinct()
     val totO = fo.agg(coalesce(sum("tf"), lit(0L)).as("__tot_old"))
     val totN = fn.agg(coalesce(sum("tf"), lit(0L)).as("__tot_new"))
-    keys
-      .join(fo.withColumnRenamed("tf", "tf_old"), Seq("tok"), "left")
-      .join(fn.withColumnRenamed("tf", "tf_new"), Seq("tok"), "left")
-      .na.fill(0L, Seq("tf_old", "tf_new"))
-      .crossJoin(broadcast(totO)).crossJoin(broadcast(totN))
-      .select(col("tok"), col("tf_old"), col("tf_new"),
-        round(col("tf_old").cast("double") /
-          greatest(col("__tot_old"), lit(1L)), 6).as("p_old"),
-        round(col("tf_new").cast("double") /
-          greatest(col("__tot_new"), lit(1L)), 6).as("p_new"))
-      .withColumn("delta", round(col("p_new") - col("p_old"), 6))
+    CacheLifecycle.handOff(
+      keys
+        .join(fo.withColumnRenamed("tf", "tf_old"), Seq("tok"), "left")
+        .join(fn.withColumnRenamed("tf", "tf_new"), Seq("tok"), "left")
+        .na.fill(0L, Seq("tf_old", "tf_new"))
+        .crossJoin(broadcast(totO)).crossJoin(broadcast(totN))
+        .select(col("tok"), col("tf_old"), col("tf_new"),
+          round(col("tf_old").cast("double") /
+            greatest(col("__tot_old"), lit(1L)), 6).as("p_old"),
+          round(col("tf_new").cast("double") /
+            greatest(col("__tot_new"), lit(1L)), 6).as("p_new"))
+        .withColumn("delta", round(col("p_new") - col("p_old"), 6)),
+      Seq(fo, fn))
   }
 }

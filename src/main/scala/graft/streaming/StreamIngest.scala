@@ -158,7 +158,8 @@ object StreamIngest {
         .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       graft.operators.Dedup
-        .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol)
+        .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol,
+          s"b$batchId")
     } else if (inSigs == eligible && inShingles == eligible
         && inSidecar == eligible) {
       // append completed; the marker crash-window is fine ONLY if the
@@ -330,9 +331,13 @@ object StreamIngest {
     graft.operators.IndexFiles.healAppend(spark, indexDir,
       Seq("shingles", "sizes"))
     val src = s"b$batchId"
-    graft.operators.Dedup.dropContainedAgainstIndex(spark, indexDir, batch,
-        idCol, textCol, tau, excludeSrc = Some(src))
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val verdicts = graft.operators.Dedup.dropContainedAgainstIndex(spark,
+      indexDir, batch, idCol, textCol, tau, excludeSrc = Some(src))
+    verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    // the verdict frame is the operator's cache hand-off handle
+    // ([[graft.operators.CacheLifecycle]]); release it per micro-batch
+    // or a long-running stream pins one verdict frame per trigger
+    verdicts.unpersist()
     import org.apache.spark.sql.functions.col
     val survivors = batch.join(
       spark.read.parquet(s"$outDir/batch=$batchId")
@@ -713,7 +718,7 @@ object StreamIngest {
     }
     if (inBands == 0 && inSidecar == 0)
       graft.operators.Multimodal.appendToPhashIndex(spark, indexDir,
-        batch, idCol, featuresCol)
+        batch, idCol, featuresCol, s"b$batchId")
     else if (inBands != eligible || inSidecar != eligible)
       throw new IllegalStateException(
         s"batch $batchId inconsistently stored (bands=$inBands " +

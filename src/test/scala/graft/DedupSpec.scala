@@ -338,7 +338,7 @@ class DedupSpec extends SparkSpec {
       (21L, "entirely new prose about volcano geology and ash plumes " * 4)
     ).toDF("doc_id", "text")
     Dedup.buildMinhashIndex(docs, "doc_id", "text", dirApp)
-    Dedup.appendToMinhashIndex(spark, dirApp, extra, "doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, dirApp, extra, "doc_id", "text", "s1")
     Dedup.buildMinhashIndex(docs.union(extra), "doc_id", "text", dirFull)
     // with maxDf = None the append docstring promises dedupAgainstIndex
     // over the appended index is bit-equal to the union-rebuilt index
@@ -358,7 +358,8 @@ class DedupSpec extends SparkSpec {
     // replaying an already-indexed id must fail fast, not corrupt the index
     val err = intercept[IllegalArgumentException] {
       Dedup.appendToMinhashIndex(spark, dirApp,
-        Seq((3L, "whatever text")).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((3L, "whatever text")).toDF("doc_id", "text"), "doc_id", "text",
+        "s2")
     }
     assert(err.getMessage.contains("already exists"), err.getMessage)
   }
@@ -380,13 +381,13 @@ class DedupSpec extends SparkSpec {
     // still replay-guarded before compaction; re-openable after
     intercept[IllegalArgumentException] {
       Dedup.appendToMinhashIndex(spark, dir,
-        Seq((2L, "whatever")).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((2L, "whatever")).toDF("doc_id", "text"), "doc_id", "text", "s1")
     }
     Dedup.compactMinhashIndex(spark, dir)
     assert(pairs() == tombstoned, "compaction changed dedup pairs")
     assert(!new java.io.File(s"$dir/deleted").exists())
     Dedup.appendToMinhashIndex(spark, dir,
-      docs.filter(col("doc_id") === 2L), "doc_id", "text")
+      docs.filter(col("doc_id") === 2L), "doc_id", "text", "s2")
     assert(pairs() == before, "re-appended doc did not restore its pairs")
   }
 
@@ -631,6 +632,22 @@ class DedupSpec extends SparkSpec {
     val v1c = Dedup.capAgainstLedger(spark, dir, b1, "id", "url", "q",
       salt = 1, excludeSrc = Some("s1"))
     assert(vmap(v1c) == m1, "salt changed admission")
+    // NULL-domain docs (unparseable/absent URLs) are ONE budget group
+    // whose spend must persist across batches: an equi-join on domain
+    // would never match their stored counts and silently regenerate
+    // the budget every batch
+    val dirN = java.nio.file.Files.createTempDirectory("domcapn").toString
+    Dedup.initDomainCapLedger(spark, dirN, n = 1)
+    val n0 = Seq((1L, null.asInstanceOf[String], 10L),
+      (2L, null.asInstanceOf[String], 5L)).toDF("id", "url", "q")
+    val vn0 = Dedup.capAgainstLedger(spark, dirN, n0, "id", "url", "q")
+    assert(vmap(vn0) == Map(1L -> ((true, Some(1L))), 2L -> ((false, None))),
+      s"got ${vmap(vn0)}")
+    Dedup.appendToDomainCapLedger(spark, dirN, vn0, "s0")
+    val n1 = Seq((3L, null.asInstanceOf[String], 99L)).toDF("id", "url", "q")
+    assert(vmap(Dedup.capAgainstLedger(spark, dirN, n1, "id", "url", "q"))
+      == Map(3L -> ((false, None))),
+      "NULL-domain budget silently reset across batches")
   }
 
   test("exact index: bloom-pruned probe equals the plain history join, bloom only prunes") {
@@ -952,6 +969,16 @@ class DedupSpec extends SparkSpec {
     assert(m(Dedup.dropContainedAgainstIndex(spark, dir, probe401,
       "doc_id", "text", tau = 0.8)) == afterDel,
       "compaction changed a verdict")
+    // an in-place REBUILD starts a fresh history: a prior generation's
+    // tombstone must not survive to anti-join a rebuilt doc (with a
+    // recycled id) out of the container set — the buildExactIndex rule
+    Dedup.deleteFromContainmentIndex(spark, dir, Seq(100L).toDF("id"))
+    Dedup.buildContainmentIndex(history, "doc_id", "text", dir)
+    assert(!new java.io.File(s"$dir/deleted").exists(),
+      "rebuild left the previous generation's tombstones")
+    assert(m(Dedup.dropContainedAgainstIndex(spark, dir, probe401,
+      "doc_id", "text", tau = 0.8)) == Map(401L -> ((true, Some(100L)))),
+      "rebuilt doc 100 no longer matches as a container")
   }
 
   test("dedupLinesAcrossDocs: doc-frequency boilerplate dropped, intra-doc repeats kept") {
@@ -1109,6 +1136,47 @@ class DedupSpec extends SparkSpec {
     Dedup.appendToContainmentIndex(spark, dirC, s1C, "doc_id", "text", "s1")
     assert(mC() == Map(301L -> ((true, Some(203L)))),
       "re-appended segment not judged against")
+
+    // minhash: the probe's only near-dup lives in segment s1; after
+    // retirement the index must answer bit-equal to one that never saw
+    // it, the retired doc must re-append cleanly, and a tombstone whose
+    // doc left with the segment must not survive to kill the re-ingest
+    val dirM = java.nio.file.Files.createTempDirectory("mhret")
+      .toString + "/idx"
+    val dirMBase = java.nio.file.Files.createTempDirectory("mhretb")
+      .toString + "/idx"
+    // doc 3 (near-dup of the probe) stays, so the post-retire compare
+    // is non-vacuous: survivor pairs must match bit-for-bit
+    val histM = docs.filter(col("doc_id") >= 3L)
+    val s1M = Seq((20L, base.replace("quick", "rapid")))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(histM, "doc_id", "text", dirM)
+    Dedup.appendToMinhashIndex(spark, dirM, s1M, "doc_id", "text", "s1")
+    val probeM = Seq((30L, base)).toDF("doc_id", "text")
+    def pairsM(d: String) =
+      Dedup.dedupAgainstIndex(spark, d, probeM, "doc_id", "text", tau = 0.5)
+        .select("id_new", "id_old", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(pairsM(dirM).exists(_._2 == 20L), "appended segment not matched")
+    Dedup.deleteFromMinhashIndex(spark, dirM, Seq(20L).toDF("id"))
+    Dedup.retireMinhashSrc(spark, dirM, "s1")
+    Dedup.buildMinhashIndex(histM, "doc_id", "text", dirMBase)
+    assert(pairsM(dirM) == pairsM(dirMBase),
+      "retired minhash index != never-appended index")
+    assert(spark.read.parquet(s"$dirM/ids").as[Long].collect().toSet
+      == Set(3L, 4L, 5L), "ids sidecar not rebuilt from survivors")
+    assert(pairsM(dirM).exists(_._2 == 3L),
+      "survivor near-dup pair lost in retirement")
+    // the segment's tombstone left with it — re-append restores matches
+    Dedup.appendToMinhashIndex(spark, dirM, s1M, "doc_id", "text", "s1")
+    assert(pairsM(dirM).exists(_._2 == 20L),
+      "re-appended doc unmatched — a stale tombstone outlived the retire")
+    intercept[IllegalArgumentException] {
+      Dedup.retireMinhashSrc(spark, dirM, "never-appended") }
+    Dedup.retireMinhashSrc(spark, dirM, "never-appended", strict = false)
+    Dedup.retireMinhashSrc(spark, dirM, "s1")
+    intercept[IllegalArgumentException] {
+      Dedup.retireMinhashSrc(spark, dirM, "base") }
 
     // domain-cap ledger: a.com's budget regenerates when s0 ages out
     val dirD = java.nio.file.Files.createTempDirectory("dcret").toString

@@ -108,7 +108,8 @@ class MultimodalTagSpec extends SparkSpec {
     val day2 = Multimodal.decodeFeatures(
       payloads(200L until 210L, i => s"asset-${i % 3}"), "media_id",
       "payload", dim = 12)
-    Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features")
+    Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features",
+      "d2")
     val dirFull = java.nio.file.Files.createTempDirectory("phfull").toString + "/idx"
     Multimodal.buildPhashIndex(
       hist.unionByName(day2), "media_id", "features", dirFull,
@@ -116,9 +117,73 @@ class MultimodalTagSpec extends SparkSpec {
     assert(probe(dir) == probe(dirFull), "appended index != rebuilt index")
     // replayed ids are rejected loudly
     val ex = intercept[IllegalArgumentException] {
-      Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features")
+      Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features",
+        "d3")
     }
     assert(ex.getMessage.contains("already"), ex.getMessage)
+  }
+
+  test("retirePhashSrc + phash takedown: segment drops, survivors bit-equal, tombstones prune with it") {
+    def payloads(ids: Seq[Long], famOf: Long => String) =
+      ids.map(i => (i, famOf(i).getBytes("UTF-8"), "image"))
+        .toDF("media_id", "payload", "kind")
+    val hist = Multimodal.decodeFeatures(
+      payloads(0L until 30L, i => s"asset-${i % 3}"), "media_id", "payload",
+      dim = 12)
+    val day2 = Multimodal.decodeFeatures(
+      payloads(200L until 206L, i => s"asset-${i % 3}"), "media_id",
+      "payload", dim = 12)
+    val batch = Multimodal.decodeFeatures(
+      payloads(100L until 104L, i => s"asset-${i % 2}"), "media_id",
+      "payload", dim = 12)
+    val dir = java.nio.file.Files.createTempDirectory("phret").toString + "/idx"
+    val dirBase = java.nio.file.Files.createTempDirectory("phretb").toString + "/idx"
+    Multimodal.buildPhashIndex(hist, "media_id", "features", dir,
+      dim = 12, maxHam = 2)
+    Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features",
+      "d2")
+    def probe(d: String) =
+      Multimodal.dedupPhashAgainstIndex(spark, d, batch, "media_id",
+        "features").as[(Long, Long, Int)].collect().toSet
+    assert(probe(dir).exists(_._2 >= 200L), "appended segment not matched")
+    // tombstone an asset INSIDE the doomed segment (201 is family
+    // asset-0, matched by probe 100/102): the tombstone must leave
+    // with it, or a later re-append of the same id is silently dead
+    Multimodal.deleteFromPhashIndex(spark, dir, Seq(201L).toDF("id"))
+    Multimodal.retirePhashSrc(spark, dir, "d2")
+    Multimodal.buildPhashIndex(hist, "media_id", "features", dirBase,
+      dim = 12, maxHam = 2)
+    assert(probe(dir) == probe(dirBase),
+      "retired phash index != never-appended index")
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect().toSet
+      == (0L until 30L).toSet, "ids sidecar not rebuilt from survivors")
+    Multimodal.appendToPhashIndex(spark, dir, day2, "media_id", "features",
+      "d2")
+    assert(probe(dir).exists(_._2 == 201L),
+      "re-appended asset unmatched — a stale tombstone outlived the retire")
+    // plain takedown: tombstoned asset stops matching instantly; the id
+    // re-opens only after physical compaction (202 is family asset-1,
+    // matched by probe 101/103)
+    Multimodal.deleteFromPhashIndex(spark, dir, Seq(202L).toDF("id"))
+    assert(!probe(dir).exists(_._2 == 202L), "deleted asset still matches")
+    intercept[IllegalArgumentException] {
+      Multimodal.appendToPhashIndex(spark, dir,
+        day2.filter(col("media_id") === 202L), "media_id", "features", "d4")
+    }
+    Multimodal.compactPhashIndex(spark, dir)
+    assert(!probe(dir).exists(_._2 == 202L), "compaction resurrected the asset")
+    Multimodal.appendToPhashIndex(spark, dir,
+      day2.filter(col("media_id") === 202L), "media_id", "features", "d5")
+    assert(probe(dir).exists(_._2 == 202L),
+      "re-ingest after compaction did not restore matches")
+    // typo'd tag loud; zero-yield day a no-op; emptying blocked
+    intercept[IllegalArgumentException] {
+      Multimodal.retirePhashSrc(spark, dir, "never-appended") }
+    Multimodal.retirePhashSrc(spark, dir, "never-appended", strict = false)
+    Multimodal.retirePhashSrc(spark, dir, "d2")
+    Multimodal.retirePhashSrc(spark, dir, "d5")
+    intercept[IllegalArgumentException] {
+      Multimodal.retirePhashSrc(spark, dir, "base") }
   }
 
   test("sampleFrames: one frame per everyMs of stub duration") {

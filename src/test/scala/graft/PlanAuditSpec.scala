@@ -203,8 +203,13 @@ class PlanAuditSpec extends SparkSpec {
     // verify, so ONLY the plan shape catches it)
     val docs = (1L to 30L).map(i => (i, s"document number $i with some shared filler text"))
       .toDF("doc_id", "text")
-    val phys = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.5)
-      .queryExecution.executedPlan.toString
+    // the Plan variant: the public operator hands off a materialized
+    // cache, which reads as one InMemoryRelation leaf — the join shape
+    // being pinned is only visible pre-materialization
+    val (out, pins) = graft.operators.Dedup.containmentPairsPlan(
+      docs, "doc_id", "text", 8, 0.5, None)
+    val phys = out.queryExecution.executedPlan.toString
+    pins.foreach(_.unpersist())
     assert(!phys.contains("NestedLoopJoin") && !phys.contains("CartesianProduct"),
       s"containment candidate join degenerated to a non-equi join:\n$phys")
   }
@@ -218,9 +223,10 @@ class PlanAuditSpec extends SparkSpec {
     val batch = (101L to 110L)
       .map(i => (i, s"history document number ${i - 100} with some"))
       .toDF("doc_id", "text")
-    val phys = graft.operators.Dedup
-      .dropContainedAgainstIndex(spark, dir, batch, "doc_id", "text", tau = 0.8)
-      .queryExecution.executedPlan.toString
+    val (out, pins) = graft.operators.Dedup.dropContainedAgainstIndexPlan(
+      spark, dir, batch, "doc_id", "text", 0.8, None)
+    val phys = out.queryExecution.executedPlan.toString
+    pins.foreach(_.unpersist())
     // candidate generation and both verify semi-prunes ride broadcasts:
     // the stored shingle table is scanned in place, never shuffled
     assert("BroadcastHashJoin".r.findAllIn(phys).size >= 2,
@@ -322,7 +328,7 @@ class PlanAuditSpec extends SparkSpec {
       .toDF("id", "text").repartition(4)
     val neu = (5 to 35).map(i => (i.toLong, s"the new doc body number $i with that text"))
       .toDF("id", "text").repartition(3)
-    val out = Curate.crawlTriage(old, neu, "id", "text", minWords = 3)
+    val (out, pins) = Curate.crawlTriagePlan(old, neu, "id", "text", 3, 100000)
     val plan = out.queryExecution.optimizedPlan
     val joins = plan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
@@ -338,9 +344,11 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
     val base = out.as[(Long, String, String)].collect().toSet
+    pins.foreach(_.unpersist())
     val rep = Curate.crawlTriage(old.repartition(11), neu.repartition(2),
-        "id", "text", minWords = 3)
-      .as[(Long, String, String)].collect().toSet
-    assert(base == rep, "triage verdicts changed under repartitioning")
+      "id", "text", minWords = 3)
+    assert(base == rep.as[(Long, String, String)].collect().toSet,
+      "triage verdicts changed under repartitioning")
+    rep.unpersist()
   }
 }

@@ -65,4 +65,27 @@ class RegistryCountSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"§2 suffixed items whose base header is gone: $orphans")
   }
+
+  test("every 'item <N>' cross-reference in SURVEY resolves to a §2 header") {
+    // the r15 failure mode: item 19e's HEADER merged into 19d's last
+    // line, so the numbering checks above (plain continuity + suffixed
+    // bases) stayed green while SURVEY.md:1608 cited a header that no
+    // longer existed. Cross-references are written when the header is,
+    // so resolving them against the actual header set catches a lost
+    // suffixed header too.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sec2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val headers = "(?m)^(\\d+[a-z0-9]*)\\. ".r.findAllMatchIn(sec2)
+      .map(_.group(1)).toSet
+    val cited = "item (\\d+[a-z0-9]*)".r.findAllMatchIn(survey)
+      .map(_.group(1)).toSet
+    val dangling = cited -- headers
+    assert(dangling.isEmpty,
+      s"SURVEY cites §2 item(s) with no matching header: $dangling — " +
+        "a header line was probably lost in an edit (merged into the " +
+        "previous item's body)")
+  }
 }

@@ -469,7 +469,8 @@ class StreamingSpec extends SparkSpec {
       val pairs = Dedup.dedupAgainstIndex(spark, s"$bDir/idx", df, "doc_id", "text")
         .select("id_new", "id_old", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
-      Dedup.appendToMinhashIndex(spark, s"$bDir/idx", df, "doc_id", "text")
+      Dedup.appendToMinhashIndex(spark, s"$bDir/idx", df, "doc_id", "text",
+        s"s${batch.head._1}")
       pairs
     }
     val expected = run(b1) ++ run(b2)
@@ -562,8 +563,10 @@ class StreamingSpec extends SparkSpec {
     assert(mism.getMessage.contains("ledger mismatch"), mism.getMessage)
     // a GENUINE half-append (id present in sigs, absent from shingles
     // and the sidecar — a crash between the table writes) fails loudly
+    // the half-append lands in the payload's (src, hb) partition
+    // layout, as a real crashed append would
     Seq((99L, 0, "fake-sig")).toDF("id", "band", "sig")
-      .write.mode("append").parquet(s"$dir/idx/sigs")
+      .write.mode("append").parquet(s"$dir/idx/sigs/src=ghost/hb=0")
     val half = intercept[IllegalStateException] {
       StreamIngest.applyDedupBatch(
         Seq((99L, "brand new doc " * 8)).toDF("doc_id", "text"),
@@ -905,8 +908,10 @@ class StreamingSpec extends SparkSpec {
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * width).bitwiseAND((1L << w) - 1).as("key"))
         }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-      .write.parquet(s"$dir/idx/bands/_append_tmp")
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"),
+        lit("b98").as("src"),
+        pmod(col("bk.key"), lit(64L)).cast("int").as("hb"))
+      .write.partitionBy("src", "hb").parquet(s"$dir/idx/bands/_append_tmp")
     tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
     graft.streaming.StreamIngest.applyPhashBatch(
       (91L to 95L).map(i => (i, feat(i))).toDF("id", "features"),
