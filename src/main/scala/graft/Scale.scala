@@ -361,13 +361,19 @@ object Scale {
     val (prtN, _) = timed(Multimodal.retirePhashSrc(spark, phN, "s1"))
     val (prt1, _) = timed(Multimodal.retirePhashSrc(spark, ph1, "s1"))
     report("phash", "retire_src", prt1, prtN)
-    // retired survivors answer identically to the never-appended index:
-    // the probe hit-sets measured above must reproduce exactly
+    // retired survivors answer identically to the never-appended index.
+    // minhash: the salted s1 replica matched nothing, so the hit-set is
+    // unchanged. phash: s1 was a VERBATIM vector copy, so at both
+    // scales it contributed exactly the base corpus's match count —
+    // pp1/2, since the x1 pre-retire index was base + s1 (a doubling) —
+    // and retiring it removes exactly that share.
     val mrq = Dedup.dedupAgainstIndex(spark, mN, probe, "doc_id", "text").count()
     require(mrq == pN, s"minhash retire changed the probe hit-set: $mrq != $pN")
     val prq = Multimodal.dedupPhashAgainstIndex(spark, phN, pprobe,
       "id", "features").count()
-    require(prq == ppN, s"phash retire changed the probe hit-set: $prq != $ppN")
+    require(prq == ppN - pp1 / 2,
+      s"phash retire did not drop exactly the s1 segment's matches: " +
+        s"$prq != $ppN - ${pp1 / 2}")
 
     // ---- exact takedown (tombstone → probe → compact), r16 ----
     // Tombstone every 3rd replica-0 TEXT at both scales: the delete is

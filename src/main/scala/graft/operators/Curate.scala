@@ -928,8 +928,8 @@ object Curate {
       lit(true).as("__in_new"))
     // pinned: the diff frame feeds BOTH the re-enter path and the final
     // action join — without the persist the o⋈n full outer (and both
-    // text scans behind it) would execute twice; released at the
-    // hand-off below, the returned frame is the caller's release handle
+    // text scans behind it) would execute twice; registered at the
+    // hand-off below so CacheLifecycle.release(result) frees it
     val diff = o.join(n, Seq("id"), "full_outer")
       .select(col("id"), col("__fp_new"), col("__pass"),
         when(col("__in_old").isNull, lit("added"))

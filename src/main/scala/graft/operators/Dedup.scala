@@ -485,10 +485,9 @@ object Dedup {
     * Σ_prefix df(h) (maxDf-capped), the verify is candidate-pruned.
     * Nothing is all-pairs.
     *
-    * Cache lifecycle: the result is materialized at call time and
-    * returned persisted; every internal cache is already released —
-    * `.unpersist()` on the returned frame is the caller's one-call
-    * cleanup ([[CacheLifecycle]]). */
+    * Cache lifecycle: internal frames stay pinned while the returned
+    * plan is in use — [[CacheLifecycle.release]] on the returned frame
+    * is the caller's one-call cleanup once it is fully consumed. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
     val (pairs, pins) = containmentPairsPlan(df, idCol, textCol, w, tau, maxDf)
@@ -554,8 +553,8 @@ object Dedup {
     * Scale shape: [[containmentPairsFrom]]'s plan plus one size join
     * on the PAIR set (tiny next to the corpus) and a left-anti back to
     * the docs — no new corpus-sized shuffle beyond the shared shingle
-    * set, which is built and cached ONCE for both stages. Returned
-    * persisted with internals released ([[CacheLifecycle]]). */
+    * set, which is built and cached ONCE for both stages. Release the
+    * internals with [[CacheLifecycle.release]] when done. */
   def dropContained(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, tau: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
@@ -833,8 +832,8 @@ object Dedup {
     * one src segment from history — how a replayed micro-batch avoids
     * judging itself against its own earlier append
     * ([[graft.streaming.StreamIngest.applyContainmentBatch]]).
-    * Returned persisted with internals released ([[CacheLifecycle]]) —
-    * the streaming driver unpersists it per micro-batch. */
+    * Release the internals with [[CacheLifecycle.release]] when done —
+    * the streaming driver does so per micro-batch. */
   def dropContainedAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.8, excludeSrc: Option[String] = None): DataFrame = {

@@ -133,8 +133,8 @@ object Stats {
   def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       k: Int = 100): DataFrame = {
     // each side feeds its top-k AND the key join — cached so the scan +
-    // tokenization run once per side; both caches release at hand-off
-    // (the result is k-bounded, so the returned handle is tiny)
+    // tokenization run once per side; registered at the hand-off so
+    // CacheLifecycle.release(result) frees both
     def freq(df: DataFrame) = df
       .select(explode(T.wsTokens(T.normText(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))

@@ -334,10 +334,10 @@ object StreamIngest {
     val verdicts = graft.operators.Dedup.dropContainedAgainstIndex(spark,
       indexDir, batch, idCol, textCol, tau, excludeSrc = Some(src))
     verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    // the verdict frame is the operator's cache hand-off handle
-    // ([[graft.operators.CacheLifecycle]]); release it per micro-batch
-    // or a long-running stream pins one verdict frame per trigger
-    verdicts.unpersist()
+    // release the operator's internal caches per micro-batch
+    // ([[graft.operators.CacheLifecycle]]) — a long-running stream
+    // would otherwise pin one verdict plan's internals per trigger
+    graft.operators.CacheLifecycle.release(verdicts)
     import org.apache.spark.sql.functions.col
     val survivors = batch.join(
       spark.read.parquet(s"$outDir/batch=$batchId")

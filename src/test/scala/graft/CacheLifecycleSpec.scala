@@ -4,12 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Curate, Dedup, Stats}
 
 /** The cache-release contract ([[graft.operators.CacheLifecycle]]):
-  * operators whose plans pin internal frames must release them at
-  * hand-off, leaving the RETURNED (persisted) frame as the only
-  * net-new pinned artifact — and unpersisting that handle must empty
-  * the slate completely. Without this a long-lived session (the
-  * streaming drivers' natural host) accumulates caller-unreachable
-  * pinned RDDs across calls. */
+  * operators whose plans pin internal frames register them against the
+  * returned frame, and `CacheLifecycle.release(out)` after full
+  * consumption must empty the slate completely. Without this a
+  * long-lived session (the streaming drivers' natural host)
+  * accumulates caller-unreachable pinned RDDs across calls. */
 class CacheLifecycleSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,11 +20,10 @@ class CacheLifecycleSpec extends SparkSpec {
     val before = pinned
     val out = op
     out.count() // fully consume the operator's output
-    out.unpersist(blocking = true)
+    graft.operators.CacheLifecycle.release(out)
     val leaked = pinned -- before
     assert(leaked.isEmpty,
-      s"$name left ${leaked.size} pinned RDD(s) after its handle was " +
-        s"released: $leaked")
+      s"$name left ${leaked.size} pinned RDD(s) after release: $leaked")
   }
 
   test("handOff operators leave no pinned RDDs once their handle is released") {
