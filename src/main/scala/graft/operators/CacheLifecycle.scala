@@ -29,10 +29,18 @@ object CacheLifecycle {
     new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
   /** Register `internals` as the pinned frames behind `result` and
-    * return `result` — the operator-side half of the contract. */
+    * return `result` — the operator-side half of the contract.
+    * ABSORBING: any pins already registered on an internal frame (a
+    * helper like shingleSetHashed caching inside its own return)
+    * transfer to `result`, so one [[release]] at the operator surface
+    * frees the whole chain. Note `df.cache()`/`df.persist()` return
+    * the SAME instance, so registrations survive caller-side
+    * re-caching of a handed-off frame. */
   private[graft] def handOff(result: DataFrame,
       internals: Seq[DataFrame]): DataFrame = {
-    pins.put(result, internals)
+    val absorbed = internals.flatMap(f => Option(pins.remove(f))
+      .getOrElse(Seq.empty))
+    pins.put(result, internals ++ absorbed)
     result
   }
 

@@ -84,12 +84,14 @@ object Dedup {
     // every occurrence into one task.
     val firsts = segs.groupBy("k")
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    segs.join(firsts, "k")
-      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
-      .groupBy("id")
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
-          s => s.getField("seg")), sep).as("text"))
+    CacheLifecycle.handOff(
+      segs.join(firsts, "k")
+        .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+        .groupBy("id")
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg")), sep).as("text")),
+      Seq(segs))
   }
 
   /** Within-doc segment dedup (the RefinedWeb/line-dedup preprocessing
@@ -297,6 +299,14 @@ object Dedup {
     * sidecar rebuild leaves a stale-superset bloom — extra false
     * positives, never a wrong verdict; re-run [[rebuildLineDfSidecar]]
     * to finish. */
+  /** Retire every appended line-df segment but the newest `keep` —
+    * the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retireLineDfWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "lines", keep,
+      src => retireLineDfSrc(spark, dir, src, fpp))
+
   def retireLineDfSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
@@ -365,7 +375,8 @@ object Dedup {
         val cached = s.cache()
         val hot = cached.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > m).select("sh")
-        cached.join(broadcast(hot), Seq("sh"), "left_anti")
+        CacheLifecycle.handOff(
+          cached.join(broadcast(hot), Seq("sh"), "left_anti"), Seq(cached))
     }
   }
 
@@ -388,7 +399,8 @@ object Dedup {
         val cached = s.cache()
         val hot = cached.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > m).select("sh")
-        cached.join(broadcast(hot), Seq("sh"), "left_anti")
+        CacheLifecycle.handOff(
+          cached.join(broadcast(hot), Seq("sh"), "left_anti"), Seq(cached))
     }
   }
 
@@ -400,9 +412,11 @@ object Dedup {
     * Exact: intersection counted by equi-join on the shingle hash, union
     * derived from per-doc set sizes, filter on round(j, 4) >= tau. */
   private def verifyJaccard(candRaw: DataFrame, sh: DataFrame, hCol: String,
-      tau: Double): DataFrame = {
+      tau: Double): (DataFrame, Seq[DataFrame]) = {
     // cand feeds the id-set, the intersection join, and the final pair
-    // join — uncached, the (expensive) candidate self-join would run 3×
+    // join — uncached, the (expensive) candidate self-join would run 3×.
+    // (cache() returns the same instance, so pins registered on candRaw
+    // — e.g. ppjoinCandidates' prefix — survive onto cand.)
     val cand = candRaw.cache()
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
@@ -412,7 +426,7 @@ object Dedup {
       .join(shc.as("sb"),
         col("id_b") === col("sb.id") && col(s"sa.$hCol") === col(s"sb.$hCol"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand.join(interCnt, Seq("id_a", "id_b"), "left")
+    val out = cand.join(interCnt, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -422,6 +436,7 @@ object Dedup {
       .withColumn("jaccard", round(col("raw"), 4))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+    (out, Seq(cand, shc))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= tau),
@@ -451,7 +466,9 @@ object Dedup {
       w: Int = 8, tau: Double = 0.6, maxDf: Option[Int] = None,
       positionalFilter: Boolean = false): DataFrame = {
     val sh = shingleSetHashed(df, idCol, textCol, w, maxDf).cache()
-    verifyJaccard(ppjoinCandidates(sh, tau, positionalFilter), sh, "sh", tau)
+    val (pairs, pins) =
+      verifyJaccard(ppjoinCandidates(sh, tau, positionalFilter), sh, "sh", tau)
+    CacheLifecycle.handOff(pairs, sh +: pins)
   }
 
   /** Exact n-gram CONTAINMENT near-dup pairs — Broder's asymmetric
@@ -796,6 +813,14 @@ object Dedup {
     * suppress re-appends or admit extra bloom candidates (the probe
     * exact-verifies against stored shingles, which are gone); finish
     * with [[rebuildContainmentIds]] + [[rebuildContainmentSidecar]]. */
+  /** Retire every appended containment segment but the newest `keep` —
+    * the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retireContainmentWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "shingles", keep,
+      src => retireContainmentSrc(spark, dir, src, fpp))
+
   def retireContainmentSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
@@ -979,9 +1004,11 @@ object Dedup {
       lengthCond &&
         lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= alpha
     else lengthCond
-    prefix.as("a").join(prefix.as("b"), cond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    CacheLifecycle.handOff(
+      prefix.as("a").join(prefix.as("b"), cond)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct(),
+      Seq(prefix))
   }
 
   /** Universal-hash family prime (largest prime < 2^32): affine rehash
@@ -1009,7 +1036,10 @@ object Dedup {
         val cached = s.cache()
         val hot = cached.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > m).select("h")
-        cached.join(broadcast(hot), Seq("h"), "left_anti")
+        // the hot-shingle cut reads the cache twice — registered so a
+        // downstream operator's release frees it ([[CacheLifecycle]])
+        CacheLifecycle.handOff(
+          cached.join(broadcast(hot), Seq("h"), "left_anti"), Seq(cached))
     }
   }
 
@@ -1063,7 +1093,8 @@ object Dedup {
       .distinct()
     // verify candidates with exact jaccard from the shingle-hash sets,
     // restricted to candidate docs first (broadcast semi-join)
-    verifyJaccard(cand, sh, "h", tau)
+    val (pairs, pins) = verifyJaccard(cand, sh, "h", tau)
+    CacheLifecycle.handOff(pairs, Seq(sh, sig) ++ pins)
   }
 
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·
@@ -1099,13 +1130,15 @@ object Dedup {
           shiftright(col("simhash"), b * width).bitwiseAND((1L << width) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHam)
+    CacheLifecycle.handOff(
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHam),
+      Seq(s))
   }
 
   /** Embedding-cosine near-dup pairs (exact): all pairs with
@@ -1851,6 +1884,15 @@ object Dedup {
     * on a tag never appended). No survivor requirement: ledger readers
     * pass explicit schemas, so an emptied ledger reads as zero counts
     * — the init state. The retired src becomes appendable again. */
+  /** Retire every appended ledger segment but the newest `keep` —
+    * the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. Ledger segments are all appends (init
+    * writes no src partitions), so `keep` counts crawl days. */
+  def retireDomainCapWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "counts", keep,
+      src => retireDomainCapSrc(spark, dir, src))
+
   def retireDomainCapSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("counts", "admitted"))
@@ -1987,6 +2029,14 @@ object Dedup {
     * absent segment a no-op (a zero-yield day appends no partitions —
     * every doc shorter than w — and the scheduled window job must not
     * crash on it). */
+  /** Retire every appended minhash segment but the newest `keep` —
+    * the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retireMinhashWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "sigs", keep,
+      src => retireMinhashSrc(spark, dir, src))
+
   def retireMinhashSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
@@ -2092,8 +2142,11 @@ object Dedup {
       .distinct()
     // verify against the union of both shingle stores: id_a resolves in
     // the new batch, id_b in the index
-    verifyJaccard(cand, newSh.union(oldSh), "h", tau)
-      .withColumnRenamed("id_a", "id_new").withColumnRenamed("id_b", "id_old")
+    val (pairs, pins) = verifyJaccard(cand, newSh.union(oldSh), "h", tau)
+    CacheLifecycle.handOff(
+      pairs.withColumnRenamed("id_a", "id_new")
+        .withColumnRenamed("id_b", "id_old"),
+      Seq(newSh) ++ pins)
   }
 
   // ---- exact-dedup history index (Bloom-pruned admission) ---------------

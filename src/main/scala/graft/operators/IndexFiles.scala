@@ -216,6 +216,42 @@ private[graft] object IndexFiles {
     true
   }
 
+  /** The src segment tags currently present in `table` under `dir` —
+    * the rolling-window driver's view of its own history (a hive
+    * partition listing; no data read). Sorted ascending, so
+    * chronologically-named tags (ISO dates, zero-padded sequence
+    * numbers) come back oldest-first. */
+  def listSrcs(spark: SparkSession, dir: String,
+      table: String): Seq[String] = {
+    val p = new Path(s"$dir/$table")
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("src="))
+      .map(_.getPath.getName.stripPrefix("src="))
+      .sorted
+  }
+
+  /** Retire every APPENDED segment except the newest `keep` — the
+    * scheduled rolling-window maintenance call ("near-dup/boilerplate
+    * history = the last N crawl days") expressed over the family's own
+    * single-segment retire. Tags sort lexically, so date-named tags
+    * age out oldest-first; the build segment ("base") is never
+    * retired — drop-and-rebuild is its lifecycle. Returns the retired
+    * tags (empty when the window already fits — the idempotent
+    * steady-state of a daily job). Each doomed segment retires through
+    * `retire` (the family wrapper), paying that family's sidecar
+    * rebuild per segment — fine at the one-segment-per-day steady
+    * state; a bulk catch-up can rebuild once afterwards instead. */
+  def retireWindow(spark: SparkSession, dir: String, table: String,
+      keep: Int, retire: String => Unit): Seq[String] = {
+    require(keep >= 0, s"keep must be non-negative: $keep")
+    val doomed = listSrcs(spark, dir, table).filterNot(_ == "base")
+      .dropRight(keep)
+    doomed.foreach(retire)
+    doomed
+  }
+
   /** Fail fast when an interrupted append's journal is pending. The
     * journal's existence means the move phase may have landed only part
     * of the batch's files, so a payload read can be TORN — a doc scored

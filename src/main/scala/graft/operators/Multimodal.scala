@@ -251,6 +251,14 @@ object Multimodal {
     * signatures are deterministic in (dim, thresh) and segments never
     * mix partitions. `strict = false` makes an absent segment a no-op
     * (the scheduled window job must not crash on a zero-yield day). */
+  /** Retire every appended phash segment but the newest `keep` — the
+    * scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retirePhashWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "bands", keep,
+      src => retirePhashSrc(spark, dir, src))
+
   def retirePhashSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("bands"))

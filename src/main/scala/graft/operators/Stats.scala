@@ -29,8 +29,8 @@ object Stats {
     * truth. Groups whose docs are all empty report vocab 0. */
   def corpusStatsExact(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     // feeds both the vocab branch and the stats branch — cached so the
-    // scan + double tokenization run once (session clears per the
-    // Dedup caching contract)
+    // scan + double tokenization run once; registered so
+    // CacheLifecycle.release(result) frees it
     val perDoc = df.select(col(groupCol),
       T.tokenCount(col(textCol)).cast("long").as("ntok"),
       T.wsTokens(T.normText(col(textCol))).as("toks"))
@@ -39,15 +39,17 @@ object Stats {
       .select(col(groupCol), explode_outer(col("toks")).as("tok"))
       .groupBy(col(groupCol))
       .agg(count_distinct(col("tok")).as("vocab"))
-    perDoc.groupBy(col(groupCol))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("ntok")).as("n_tokens"),
-        round(avg(col("ntok")), 4).as("mean_tokens"),
-        min(col("ntok")).as("min_tokens"),
-        max(col("ntok")).as("max_tokens"))
-      .join(vocab, Seq(groupCol), "left")
-      .na.fill(0, Seq("vocab"))
+    CacheLifecycle.handOff(
+      perDoc.groupBy(col(groupCol))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          round(avg(col("ntok")), 4).as("mean_tokens"),
+          min(col("ntok")).as("min_tokens"),
+          max(col("ntok")).as("max_tokens"))
+        .join(vocab, Seq(groupCol), "left")
+        .na.fill(0, Seq("vocab")),
+      Seq(perDoc))
   }
 
   /** Top-k most frequent tokens per group — the heavy-hitters scan that

@@ -54,5 +54,34 @@ class CacheLifecycleSpec extends SparkSpec {
       Dedup.dropContainedAgainstIndex(spark, dir,
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tau = 0.8)
     }
+    // the jaccard family — with maxDf set, so the shingle helpers'
+    // INTERNAL hot-cut caches must transfer through the absorption
+    // chain (helper → operator surface) and release with the rest
+    assertReleased("ngramJaccard (capped)") {
+      Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.5,
+        maxDf = Some(100))
+    }
+    assertReleased("minhashLsh (capped)") {
+      Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.5,
+        maxDf = Some(100))
+    }
+    assertReleased("dedupSegments") {
+      Dedup.dedupSegments(docs, "doc_id", "text", sep = " ")
+    }
+    assertReleased("simhashPairs") {
+      Dedup.simhashPairs(docs, "doc_id", "text")
+    }
+    assertReleased("corpusStatsExact") {
+      Stats.corpusStatsExact(docs.withColumn("g", col("doc_id") % 2),
+        "g", "text")
+    }
+    val mhDir = java.nio.file.Files.createTempDirectory("clmh")
+      .toString + "/idx"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", mhDir)
+    assertReleased("dedupAgainstIndex") {
+      Dedup.dedupAgainstIndex(spark, mhDir,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }
   }
 }

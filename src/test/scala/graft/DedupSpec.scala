@@ -1077,6 +1077,41 @@ class DedupSpec extends SparkSpec {
       emptied.getMessage)
   }
 
+  test("retire*Window: oldest segments age out lexically, base survives, steady state is a no-op") {
+    val docs0 = Seq((1L, "alpha\nfooter"), (2L, "beta\nunique2"))
+      .toDF("doc_id", "text")
+    def day(i: Int) = Seq((10L + i, s"gamma$i\nfooter"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ldwin")
+      .toString + "/idx"
+    Dedup.buildLineDfIndex(docs0, "doc_id", "text", dir)
+    Seq(1, 2, 3).foreach(i =>
+      Dedup.appendToLineDfIndex(spark, dir, day(i), "doc_id", "text", s"d$i"))
+    // keep the newest 2 appended days: only d1 ages out
+    assert(Dedup.retireLineDfWindow(spark, dir, keep = 2) == Seq("d1"))
+    // steady state: the window already fits — scheduled job no-ops
+    assert(Dedup.retireLineDfWindow(spark, dir, keep = 2).isEmpty)
+    // keep = 0 empties the appended history; base is never touched
+    assert(Dedup.retireLineDfWindow(spark, dir, keep = 0) == Seq("d2", "d3"))
+    val probe = Seq((30L, "alpha\nnovel")).toDF("doc_id", "text")
+    assert(Dedup.lineDfAgainstIndex(spark, dir, probe, "doc_id", "text")
+      .as[(Long, String)].collect().toMap == Map(30L -> "novel"),
+      "base segment's df lost after windowing")
+    // same driver shape over the minhash family
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val mdir = java.nio.file.Files.createTempDirectory("mhwin")
+      .toString + "/idx"
+    Dedup.buildMinhashIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", mdir)
+    Seq(1, 2).foreach(i => Dedup.appendToMinhashIndex(spark, mdir,
+      Seq((10L + i, base.replace("quick", s"rapid$i")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"d$i"))
+    assert(Dedup.retireMinhashWindow(spark, mdir, keep = 1) == Seq("d1"))
+    assert(spark.read.parquet(s"$mdir/ids").as[Long].collect().toSet
+      == Set(1L, 12L), "window retire did not rebuild the ids sidecar")
+  }
+
   test("rolling-window retirement: a retired segment stops counting, re-admits, and regrows budgets") {
     // line-df: gamma's history df comes only from segment s1
     val histL = Seq((1L, "alpha\nfooter"), (2L, "beta\nunique2"))
