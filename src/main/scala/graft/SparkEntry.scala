@@ -1224,6 +1224,23 @@ object SparkEntry {
       docs.filter(col("doc_id") < 25), "doc_id", "text")
   }
 
+  // Semantic contamination: vectors 0-4 stand in for the eval suite's
+  // embeddings; every other vector reports its nearest benchmark mate.
+  private def qSemContam(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Curate.semanticContamination(e.filter(col("vec_id") >= 5),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding")
+  }
+
+  // The clean side: corpus vectors whose nearest benchmark cosine stays
+  // under tau (paraphrase-level leakage the n-gram screen can't see).
+  private def qDecontaminateSem(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Curate.decontaminateSemantic(e.filter(col("vec_id") >= 5),
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", tau = 0.35)
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+  }
+
   // CCNet-style quality signal: bigram cross-entropy of every doc under
   // a model trained on the corpus itself (the head/middle/tail bucketer).
   private def qPerplexity(s: SparkSession, dir: String): DataFrame =
@@ -2043,6 +2060,8 @@ object SparkEntry {
     "q_contam_score" -> (qContamScore _),
     "q_contam_spans" -> (qContamSpans _),
     "q_decontaminate_spans" -> (qDecontaminateSpans _),
+    "q_sem_contam" -> (qSemContam _),
+    "q_decontaminate_sem" -> (qDecontaminateSem _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_temperature_mix_tokens" -> (qTemperatureMixTokens _),
@@ -3235,6 +3254,32 @@ object SparkEntry {
          |SELECT d.doc_id AS id, coalesce(kept.clean, '') AS clean
          |FROM ($normDoc) d LEFT JOIN kept USING (doc_id)
          |WHERE d.doc_id >= 25""".stripMargin,
+
+    // semantic contamination: per corpus vector, the nearest benchmark
+    // vector by rounded cosine, ties to the smallest bench id (the
+    // engine-portable argmax). `+ 0` normalizes DuckDB's IEEE -0.0
+    // (Spark's BigDecimal round always yields 0.0).
+    "q_sem_contam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0),
+        |p AS (SELECT c.vec_id AS id, b.vec_id AS bench_id,
+        |        round(list_cosine_similarity(c.v, b.v), 4) + 0 AS cos
+        |      FROM e c, e b WHERE c.vec_id >= 5 AND b.vec_id < 5)
+        |SELECT id, bench_id, cos FROM (
+        |  SELECT id, bench_id, cos,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, bench_id ASC) AS rn
+        |  FROM p) WHERE rn = 1""".stripMargin,
+
+    // the clean side: corpus vectors whose nearest benchmark cosine
+    // stays under 0.35 (zero-norm corpus rows match nothing and stay)
+    "q_decontaminate_sem" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0),
+        |hit AS (SELECT DISTINCT c.vec_id FROM e c, e b
+        |        WHERE c.vec_id >= 5 AND b.vec_id < 5
+        |          AND round(list_cosine_similarity(c.v, b.v), 4) >= 0.35)
+        |SELECT vec_id, CAST(label AS INT) AS label FROM embeddings
+        |WHERE vec_id >= 5 AND vec_id NOT IN (SELECT vec_id FROM hit)""".stripMargin,
 
     // the report form: totals + hits + 6dp fraction; hits/n divides the
     // same integers in both engines, so the rounded fraction is exact

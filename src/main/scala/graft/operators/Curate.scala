@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
 
 /** Training-data curation operators: the corpus-level steps a pipeline
   * runs between raw ingest and training-example emission — benchmark
@@ -115,6 +115,54 @@ object Curate {
       minLen: Int = 0): DataFrame =
     Dedup.spliceOutSpans(corpus, idCol, textCol,
       contaminatedSpans(corpus, bench, idCol, textCol, w, minLen))
+
+  /** Embedding-space contamination report — the SEMANTIC form of
+    * [[contamination]]: per corpus doc, the nearest benchmark doc by
+    * cosine and that similarity (rounded to 4 decimals). Catches
+    * paraphrased / translated / re-templated eval leakage the verbatim
+    * n-gram screen can't see (SemDeDup's observation, pointed at
+    * decontamination). Ties on the rounded cosine break to the
+    * smallest bench id, so the argmax is engine-portable. Zero-norm
+    * vectors are skipped on both sides (cosine undefined); a corpus
+    * doc reports only if some benchmark cosine exists.
+    *
+    * Scale shape: benchmark suites are tiny by definition, so the
+    * benchmark side BROADCASTS and the corpus streams through one
+    * narrow codegen'd pass (per-pair dot products never leave the
+    * task); the per-doc argmax is a map-side-combined struct-max, so
+    * the only shuffle carries ONE row per corpus doc — (id, bench_id,
+    * cos) — regardless of benchmark size. Norms are computed once per
+    * vector before the join, as in [[Dedup.embeddingCosine]]. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    def prep(df: DataFrame, as: String) = df.select(
+        col(idCol).as(as), col(vecCol).cast("array<double>").as(s"v_$as"))
+      .withColumn(s"nrm_$as", V.norm2(col(s"v_$as")))
+      .filter(col(s"nrm_$as") > 0)
+    // round per pair (not on the max) so rounded ties break identically
+    // in every engine; the benchmark side is small, so the BigDecimal
+    // round stays O(corpus × |bench|) with a tiny constant
+    prep(corpus, "id").crossJoin(broadcast(prep(bench, "bench_id")))
+      .select(col("id"), col("bench_id"),
+        round(V.dot(col("v_id"), col("v_bench_id")) /
+          (col("nrm_id") * col("nrm_bench_id")), 4).as("cos"))
+      .groupBy("id")
+      .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("id"), (-col("m.nb")).as("bench_id"),
+        col("m.cos").as("cos"))
+  }
+
+  /** The clean side of the semantic screen: corpus minus docs whose
+    * nearest benchmark cosine reaches `tau`. Same anti-join shape as
+    * [[decontaminate]] — no broadcast hint; AQE broadcasts the
+    * (usually small) contaminated id set. Zero-norm corpus docs have
+    * no defined similarity and are KEPT (they can't match anything). */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame =
+    corpus.join(
+      semanticContamination(corpus, bench, idCol, vecCol)
+        .filter(col("cos") >= tau).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Deterministic stratified sampling for mixture weighting: keep a row
     * iff hash(seed, id) mod 1e6 falls under its stratum's fraction.

@@ -962,4 +962,35 @@ class CurateSpec extends SparkSpec {
     assert(got.find(_._1 == 5L).get._2 == "changed",
       "NULL arriving text for a known id must read changed, not added/unchanged")
   }
+
+  test("semanticContamination: hand-checked argmax, tie-break, zero-norm skip; clean+flagged partition") {
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0)),
+      (102L, Seq(0.0, 0.0, 0.0))  // zero-norm benchmark row: skipped
+    ).toDF("id", "v")
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.0, 0.0)),   // cos 1.0 to 100
+      (2L, Seq(1.0, 1.0, 0.0)),   // 0.7071 to BOTH → tie → bench 100
+      (3L, Seq(0.0, 0.0, 5.0)),   // orthogonal: 0.0 to both → tie → 100
+      (4L, Seq(0.0, 0.0, 0.0)),   // zero-norm corpus doc: no report
+      (5L, Seq(-1.0, 0.0, 0.0))   // -1.0 to 100, 0.0 to 101 → argmax 101
+    ).toDF("id", "v")
+    val rep = Curate.semanticContamination(corpus, bench, "id", "v")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep == Map(
+      1L -> (100L, 1.0), 2L -> (100L, 0.7071),
+      3L -> (100L, 0.0), 5L -> (101L, 0.0)), s"got $rep")
+    // clean side at tau 0.7: 1 and 2 drop; the zero-norm doc 4 is KEPT
+    val clean = Curate.decontaminateSemantic(corpus, bench, "id", "v", 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(clean == Set(3L, 4L, 5L), s"got $clean")
+    // flagged + clean partition the corpus at every tau
+    Seq(-1.1, 0.0, 0.5, 1.1).foreach { tau =>
+      val flagged = rep.filter(_._2._2 >= tau).keySet
+      val kept = Curate.decontaminateSemantic(corpus, bench, "id", "v", tau)
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 4L, 5L) -- flagged, s"tau=$tau: $kept")
+    }
+  }
 }
