@@ -374,6 +374,23 @@ object Scale {
     require(prq == ppN - pp1 / 2,
       s"phash retire did not drop exactly the s1 segment's matches: " +
         s"$prq != $ppN - ${pp1 / 2}")
+    // IVF (r16): retire the "ingest" segment the appends above created
+    // at both scales — same O(segment listing) delete + O(survivors)
+    // ids-sidecar rebuild protocol as the text families; the vector
+    // store ages out a crawl day without touching surviving cells
+    val (irtN, _) = timed(Ann.retireIvfSrc(spark, dN, "ingest"))
+    val (irt1, _) = timed(Ann.retireIvfSrc(spark, d1, "ingest"))
+    report("ivf", "retire_src", irt1, irtN)
+    // survivors answer exactly like the never-appended index: the x1
+    // build corpus alone, at full probe = exact brute force over it
+    val ivfGot = Ann.searchIvfIndex(spark, d1, qs, k = 10, nprobe = 16)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfWant = Ann.bruteForceTopK(emb, qs, k = 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(ivfGot == ivfWant,
+      "IVF retire changed the survivor ranking vs the never-appended corpus")
 
     // ---- exact takedown (tombstone → probe → compact), r16 ----
     // Tombstone every 3rd replica-0 TEXT at both scales: the delete is
@@ -406,6 +423,18 @@ object Scale {
       "doc_id", "text").filter(col("is_dup")).count()
     require(postCompact == tdupN,
       s"compaction changed takedown verdicts: $postCompact != $tdupN")
+    // exact retire (r16): drop the salted "ingest" segment appended
+    // above at both scales — O(segment) partition drop + the bloom
+    // rebuild from survivors (the unsaturation cost, billed here);
+    // the probe only ever matches base fps, so its hit-set must be
+    // unchanged by the retirement
+    val (ertN, _) = timed(Dedup.retireExactSrc(spark, eN, "ingest"))
+    val (ert1, _) = timed(Dedup.retireExactSrc(spark, e1, "ingest"))
+    report("exact", "retire_src", ert1, ertN)
+    val postRetire = Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count()
+    require(postRetire == tdupN,
+      s"exact retire changed the probe hit-set: $postRetire != $tdupN")
 
     // ---- domain-cap ledger (per-domain admission budgets), r16 ----
     // 50 domains derive from doc_id; replica i > 0 SALTS its domains

@@ -487,6 +487,27 @@ object SparkEntry {
     Dedup.dedupExactAgainstIndex(s, idx, batch, "doc_id", "text")
   }
 
+  // Rolling-window retirement over the exact history, oracle-checked
+  // with the q_dedup_bloom oracle VERBATIM: build on the even half,
+  // append the probe batch itself as segment d1, retire d1 — every
+  // fp whose FIRST sighting was d1 leaves with it, so the probe must
+  // answer exactly like the never-appended index (bloom rebuilt from
+  // survivors, tombstone table untouched by absence).
+  private def qExactRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def batch = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val idx = buildOnce(s"/tmp/graft_exact_ret_${dirKey(dir)}") { d =>
+      Dedup.buildExactIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", d)
+      Dedup.appendToExactIndex(s, d, batch, "doc_id", "text", "d1")
+      Dedup.retireExactSrc(s, d, "d1")
+    }
+    Dedup.dedupExactAgainstIndex(s, idx, batch, "doc_id", "text")
+  }
+
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
   // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
   // dedup signal but produce >99% of the inverted-index join's pairs.
@@ -1847,6 +1868,25 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** Rolling-window retirement over the persisted IVF index, oracle-
+    * checked against the never-appended brute force VERBATIM: build on
+    * the even half, append the odd half as segment d1, retire d1 — the
+    * full-probe search must then answer exactly like an index that
+    * never saw the segment (the q_dedup_minhash_retire pattern on the
+    * vector store: a crawl day ages out of the embedding index in
+    * O(segment), with the ids sidecar and tombstones following). */
+  private def qAnnIvfRetire(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildOnce(s"/tmp/graft_ivf_ret_${dirKey(dir)}") { d =>
+      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0), d,
+        nlist = 16)
+      Ann.appendToIvfIndex(s, d,
+        corpus(s, dir).filter(col("id") % 2 === 1), "d1")
+      Ann.retireIvfSrc(s, d, "d1")
+    }
+    Ann.searchIvfIndex(s, idx, queriesSet(s, dir), k = 10, nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   /** Collection aliases end to end — the Milvus blue-green swap
     * (Aliases.scala): build a STALE half-corpus "blue" IVF index and a
     * full-corpus "green" one, point `prod` at blue, then alterAlias to
@@ -2033,6 +2073,7 @@ object SparkEntry {
     "q_pipeline_full" -> (qPipelineFull _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_bloom" -> (qDedupBloom _),
+    "q_exact_retire" -> (qExactRetire _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -2122,6 +2163,7 @@ object SparkEntry {
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_partitions" -> (qAnnPartitions _),
     "q_ann_ivf_filtered" -> (qAnnIvfFiltered _),
+    "q_ann_ivf_retire" -> (qAnnIvfRetire _),
     "q_alias" -> (qAlias _),
     "q_ann_binary" -> (qAnnBinary _),
     "q_ann_binary_index" -> (qAnnBinaryIndex _),
@@ -2758,6 +2800,19 @@ object SparkEntry {
 
     // the bloom is pure pruning — the oracle is the plain history join
     "q_dedup_bloom" ->
+      s"""WITH n AS ($normDoc),
+         |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
+         |      WHERE doc_id % 2 = 0 GROUP BY 1),
+         |b AS (SELECT doc_id AS id, t FROM n WHERE doc_id % 2 = 1
+         |      UNION ALL
+         |      SELECT doc_id + 1000000 AS id, t FROM n WHERE doc_id % 10 = 0)
+         |SELECT b.id, h.first_id, h.first_id IS NOT NULL AS is_dup
+         |FROM b LEFT JOIN h ON md5(b.t) = h.fp""".stripMargin,
+
+    // the retire witness shares the q_dedup_bloom oracle VERBATIM:
+    // appending the batch as segment d1 then retiring d1 must leave
+    // the history answering exactly like one that never saw it
+    "q_exact_retire" ->
       s"""WITH n AS ($normDoc),
          |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
          |      WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -4215,6 +4270,18 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+        |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, c)
+        |SELECT qid, id, score, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // segment retirement on the vector store: the odd half appended as
+    // its own segment then retired — full probe must equal brute force
+    // over the never-appended (even) corpus
+    "q_ann_ivf_retire" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
         |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, c)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)

@@ -348,7 +348,9 @@ object Ann {
     import s.implicits._
     Dedup.spread(postings)
       .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src", "tbucket")
+      .parquet(s"$dir/postings")
     Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$dir/meta")
     IndexFiles.writeIds(
       s.read.parquet(s"$dir/postings").select("id").distinct(), dir)
@@ -364,9 +366,12 @@ object Ann {
     * backfill) path; appends extend doclens incrementally instead. */
   private def writeBm25Sidecars(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    // a doc's postings live in exactly one segment (ids are disjoint
+    // across appends), so doclens inherits postings' src partitioning
+    // and retires with it
     spark.read.parquet(s"$dir/postings")
-      .groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+      .groupBy("id", "src").agg(sum(col("w")).as("dl"))
+      .write.mode("overwrite").partitionBy("src").parquet(s"$dir/doclens")
     refreshSparseStats(spark, dir)
   }
 
@@ -412,7 +417,9 @@ object Ann {
     * one batch stale, healed by the next mutation (or the tombstone
     * path, which ignores the stats file). */
   def appendToSparseIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     // a rolled-forward batch extended doclens, so the derived stats file
     // must refresh NOW — the append below may legitimately throw (e.g.
     // a replayed id) and must not leave stats stale behind healed data
@@ -433,12 +440,44 @@ object Ann {
     // batch's own doc lengths extend doclens O(batch)
     IndexFiles.appendStaged(spark, dir, Seq(
       ("postings", Dedup.spread(batch)
-        .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int")),
-        Seq("tbucket")),
-      ("doclens", batch.groupBy("id").agg(sum(col("w")).as("dl")), Nil)),
+        .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
+        .withColumn("src", lit(src)),
+        Seq("src", "tbucket")),
+      ("doclens", batch.groupBy("id").agg(sum(col("w")).as("dl"))
+        .withColumn("src", lit(src)), Seq("src"))),
       Some(batchIds))
     refreshSparseStats(spark, dir)
   }
+
+  /** [[retireIvfSrc]] for the sparse inverted index — the segment's
+    * posting and doclen partitions drop in O(segment); the 1-row
+    * global stats re-derive from the surviving doclens (O(docs) of two
+    * columns), so BM25's N/avgdl forget the segment immediately; the
+    * ids sidecar rebuilds and departed ids' tombstones are pruned.
+    * Survivor scores are bit-equal to an index that never saw the
+    * segment: df/tf come only from stored posting rows and segments
+    * never mix partitions. */
+  def retireSparseSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    healSparseIndex(spark, dir)
+    val tables =
+      if (hasBm25Sidecars(spark, dir)) Seq("postings", "doclens")
+      else Seq("postings")
+    if (IndexFiles.retireSrcPartitions(spark, dir, tables, src,
+        strict = strict)) {
+      IndexFiles.replaceTable(spark, dir, "ids",
+        spark.read.parquet(s"$dir/postings").select("id").distinct(),
+        Seq.empty)
+      IndexFiles.pruneTombstones(spark, dir)
+      if (hasBm25Sidecars(spark, dir)) refreshSparseStats(spark, dir)
+    }
+  }
+
+  /** [[retireIvfWindow]] for the sparse inverted index. */
+  def retireSparseWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "postings", keep,
+      src => retireSparseSrc(spark, dir, src))
 
   /** Search a persisted sparse index; same results as [[sparseTopK]]
     * over the full postings (scores only involve terms both sides
@@ -468,7 +507,7 @@ object Ann {
     val typed: Seq[Any] = if (bIsInt) wanted else wanted.map(_.toLong)
     val pruned = (if (wanted.isEmpty) raw.filter(lit(false))
                   else raw.filter(col("tbucket").isin(typed: _*)))
-      .drop("tbucket")
+      .drop("tbucket", "src")
     IndexFiles.dropTombstones(spark, dir, pruned)
   }
 
@@ -497,7 +536,7 @@ object Ann {
     val p = prunedSparsePostings(spark, dir, queryTerms)
       .withColumnRenamed("w", "tf")
     val dl = IndexFiles.dropTombstones(spark, dir,
-      spark.read.parquet(s"$dir/doclens"))
+      spark.read.parquet(s"$dir/doclens").drop("src"))
     val stats =
       if (IndexFiles.tombstones(spark, dir).isDefined)
         dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
@@ -557,7 +596,8 @@ object Ann {
     import s.implicits._
     Dedup.spread(corpus)
       .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
-      .write.mode("overwrite").parquet(s"$dir/bits")
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src").parquet(s"$dir/bits")
     Seq(dim).toDF("dim").write.mode("overwrite").parquet(s"$dir/meta")
     IndexFiles.writeIds(
       s.read.parquet(s"$dir/bits").select("id").distinct(), dir)
@@ -583,7 +623,9 @@ object Ann {
     * `dir/ids` sidecar — [[hammingRank]] has no per-id collapse, so a
     * replayed id would surface twice in any ranking it reaches). */
   def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("bits"))
     val dim = spark.read.parquet(s"$dir/meta").head().getInt(0)
     requireBatchDim(batch, "v", dim)
@@ -597,9 +639,29 @@ object Ann {
         "in the index — replayed ids would duplicate search hits")
     IndexFiles.appendStaged(spark, dir, Seq(
       ("bits", Dedup.spread(batch)
-        .select(col("id"), V.binarizeSign(col("v"), dim).as("cb")), Nil)),
+        .select(col("id"), V.binarizeSign(col("v"), dim).as("cb"))
+        .withColumn("src", lit(src)), Seq("src"))),
       Some(batchIds))
   }
+
+  /** [[retireIvfSrc]] for the BIN_FLAT index — same O(segment) drop,
+    * sidecar rebuild, and tombstone prune over the bits table. */
+  def retireBinarySrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("bits"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("bits"), src,
+        strict = strict)) {
+      IndexFiles.replaceTable(spark, dir, "ids",
+        spark.read.parquet(s"$dir/bits").select("id").distinct(), Seq.empty)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
+  }
+
+  /** [[retireIvfWindow]] for the BIN_FLAT index. */
+  def retireBinaryWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "bits", keep,
+      src => retireBinarySrc(spark, dir, src))
 
   /** Tombstone / purge for the BIN_FLAT index — same model as
     * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the bits table. */
@@ -609,7 +671,7 @@ object Ann {
 
   def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("bits" -> Nil))
+    IndexFiles.compact(spark, dir, Map("bits" -> Seq("src")))
 
   /** Hybrid dense+sparse search with reciprocal-rank fusion — the
     * "Hybrid" in the reference's Knowledge1024Hybrid collection
@@ -937,7 +999,8 @@ object Ann {
     IndexFiles.clearTombstones(s, dir)
     import s.implicits._
     lshBuckets(corpus, dim, planes, tables)
-      .write.mode("overwrite").partitionBy("tbl", "sig")
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src", "tbl", "sig")
       .parquet(s"$dir/buckets")
     Seq((dim, planes, tables)).toDF("dim", "planes", "tables")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -958,7 +1021,9 @@ object Ann {
     * is not atomic under job failure — at production scale write
     * through a staging dir (or a table format) and move on success. */
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     // crash-safe with a marker-only journal (no ids sidecar to extend):
     // a job failure anywhere leaves a state the next append repairs
     IndexFiles.healAppend(spark, dir, Seq("buckets"))
@@ -967,9 +1032,37 @@ object Ann {
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
     requireBatchDim(batch, "v", dim)
     IndexFiles.appendStaged(spark, dir, Seq(
-      ("buckets", lshBuckets(batch, dim, planes, tables), Seq("tbl", "sig"))),
+      ("buckets", lshBuckets(batch, dim, planes, tables)
+        .withColumn("src", lit(src)), Seq("src", "tbl", "sig"))),
       None)
   }
+
+  /** [[retireIvfSrc]] for the LSH index — O(segment) bucket-partition
+    * drop. LSH keeps no ids sidecar, so the tombstone prune filters
+    * `dir/deleted` against the surviving buckets' id column directly
+    * (one column of the history — retire is rare maintenance; a stale
+    * tombstone would otherwise silently hide a later re-append of the
+    * departed id). */
+  def retireLshSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("buckets"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("buckets"), src,
+        strict = strict)) {
+      IndexFiles.tombstones(spark, dir).foreach { dead =>
+        IndexFiles.replaceTable(spark, dir, "deleted",
+          dead.join(
+            spark.read.parquet(s"$dir/buckets").select("id").distinct(),
+            Seq("id"), "left_semi"),
+          Seq.empty)
+      }
+    }
+  }
+
+  /** [[retireIvfWindow]] for the LSH index. */
+  def retireLshWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "buckets", keep,
+      src => retireLshSrc(spark, dir, src))
 
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
     * build's parameters (read from the index's own metadata). The
@@ -1020,7 +1113,7 @@ object Ann {
 
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("buckets" -> Seq("tbl", "sig")))
+    IndexFiles.compact(spark, dir, Map("buckets" -> Seq("src", "tbl", "sig")))
 
   /** Fail fast when an appended batch's vectors don't match the stored
     * index's dimension — a mismatch would SILENTLY corrupt the index
@@ -1218,17 +1311,25 @@ object Ann {
   /** Persist a trained IVF index — the Milvus create_index + load
     * lifecycle (vector_database/milvus_connector.py:118-160): build
     * once, search many times without re-training or re-assigning.
-    * Layout: `dir/cells` holds (id, v) parquet PARTITIONED BY cell, so
-    * a search's cell filter prunes to the probed ~nprobe/nlist of the
-    * files at the scan (no full-corpus read); `dir/centroids` holds the
-    * nlist-row codebook. */
+    * Layout: `dir/cells` holds (id, v) parquet PARTITIONED BY
+    * (src, cell): `cell` is what a search's probe filter prunes on
+    * (the scan opens ~nprobe/nlist of the files — src is a wildcard
+    * level above it, pruning is unaffected), and `src` is the
+    * SEGMENT tag [[retireIvfSrc]] later drops in O(segment) — the
+    * build lands as segment "base", each append as its own tag, so a
+    * daily embedding crawl ages out of the vector store exactly like
+    * the dedup histories (the rotating-segment design of the
+    * reference's load_data/parquet_manager.py:38-). `dir/centroids`
+    * holds the nlist-row codebook. */
   def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
       seed: Long = 42L, trainCap: Long = -1L): Unit = {
     IndexFiles.clearTombstones(corpus.sparkSession, dir)
     val (cells, centroids) = ivfFit(corpus, nlist, seed, trainCap)
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
-    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    cells.withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src", "cell")
+      .parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     // compact id sidecar for the append-time replayed-id guard: read the
     // ids back off the just-written cells (column-pruned, no re-assignment)
@@ -1257,9 +1358,17 @@ object Ann {
     * batch — O(stored docs) of bare ids, independent of the cell
     * table's width; pre-sidecar indexes are backfilled on first append.
     * Crash-safe via [[IndexFiles.appendStaged]]: a job failure anywhere
-    * leaves a state the next append repairs completely. */
+    * leaves a state the next append repairs completely.
+    *
+    * `src` tags the batch as its own retireable segment
+    * ([[retireIvfSrc]]); a daily pipeline passes the crawl date. The
+    * default collects untagged appends into one "ingest" segment —
+    * existing callers keep working, and that segment retires as a
+    * unit (or never, matching the pre-segmented behavior). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("cells"))
     val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
@@ -1276,10 +1385,44 @@ object Ann {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
         "in the index — replayed ids would duplicate search hits")
     IndexFiles.appendStaged(spark, dir, Seq(
-      ("cells", b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell")),
-        Seq("cell"))),
+      ("cells", b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
+        .withColumn("src", lit(src)),
+        Seq("src", "cell"))),
       Some(batchIds))
   }
+
+  /** Retire one appended segment from a persisted IVF index — the
+    * rolling-window form for the VECTOR store ("search the last N
+    * crawl days' embeddings"): the segment's cell partitions drop in
+    * O(segment) with no surviving row rewritten, the ids sidecar
+    * rebuilds from the survivors, and tombstones whose ids left with
+    * the segment are pruned (a stale tombstone would otherwise
+    * silently kill a later re-ingest of the same id). Survivor
+    * rankings are bit-equal to an index that never saw the segment:
+    * cell assignment is deterministic in the stored codebook and
+    * segments never mix partitions. The "base" build segment never
+    * retires ([[IndexFiles.retireSrcPartitions]] refuses to empty the
+    * table); re-training is its lifecycle. `strict = false` makes an
+    * absent segment a no-op (a zero-yield day appends no partitions;
+    * the scheduled window job must not crash on it). */
+  def retireIvfSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("cells"), src,
+        strict = strict)) {
+      IndexFiles.replaceTable(spark, dir, "ids",
+        spark.read.parquet(s"$dir/cells").select("id").distinct(), Seq.empty)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
+  }
+
+  /** Retire every appended IVF segment but the newest `keep` — the
+    * scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retireIvfWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "cells", keep,
+      src => retireIvfSrc(spark, dir, src))
 
   /** Delete ids from a persisted IVF index by TOMBSTONE — the Milvus
     * delete model (milvus_connector.py:190-198 delete-by-expr; Milvus
@@ -1307,43 +1450,43 @@ object Ann {
     * stored. Previously deleted-but-not-compacted ids upsert cleanly:
     * the purge clears their tombstones, the append re-admits them. */
   def upsertIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
     healIvfIndex(spark, dir)
     upsertVia(spark, dir, batch, indexedIds(spark, dir),
       () => compactIvfIndex(spark, dir),
-      b => appendToIvfIndex(spark, dir, b))
+      b => appendToIvfIndex(spark, dir, b, src))
   }
 
   /** [[upsertIntoIvfIndex]] for the sparse inverted index — same
     * purge-then-append contract over postings/doclens/stats. */
   def upsertIntoSparseIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
     healSparseIndex(spark, dir)
     upsertVia(spark, dir, batch,
       indexedIds(spark, dir, payload = "postings"),
       () => compactSparseIndex(spark, dir),
-      b => appendToSparseIndex(spark, dir, b))
+      b => appendToSparseIndex(spark, dir, b, src))
   }
 
   /** [[upsertIntoIvfIndex]] for the BIN_FLAT index. */
   def upsertIntoBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
     healBinaryIndex(spark, dir)
     upsertVia(spark, dir, batch,
       indexedIds(spark, dir, payload = "bits"),
       () => compactBinaryIndex(spark, dir),
-      b => appendToBinaryIndex(spark, dir, b))
+      b => appendToBinaryIndex(spark, dir, b, src))
   }
 
   /** [[upsertIntoIvfIndex]] for the IVF-PQ index — replacements are
     * re-encoded through the STORED codebooks like any append. */
   def upsertIntoIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
     healIvfPqIndex(spark, dir)
     upsertVia(spark, dir, batch,
       indexedIds(spark, dir, payload = "codes"),
       () => compactIvfPqIndex(spark, dir),
-      b => appendToIvfPqIndex(spark, dir, b))
+      b => appendToIvfPqIndex(spark, dir, b, src))
   }
 
   /** The shared upsert body: tombstone + purge the batch's stored ids,
@@ -1369,7 +1512,7 @@ object Ann {
     * re-train on schedule if the surviving distribution drifts. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("cells" -> Seq("cell")))
+    IndexFiles.compact(spark, dir, Map("cells" -> Seq("src", "cell")))
 
   /** Re-train a persisted IVF index in place — the missing half of the
     * documented append-between-retrains lifecycle ([[appendToIvfIndex]]:
@@ -1395,7 +1538,10 @@ object Ann {
     IndexFiles.healAppend(spark, dir, Seq("cells"))
     IndexFiles.requireLiveTable(spark, dir, "cells")
     IndexFiles.requireLiveTable(spark, dir, "centroids")
-    val stored = spark.read.parquet(s"$dir/cells").select(col("id"), col("v"))
+    // keep each row's src: a retrain re-assigns cells but must not
+    // merge retirement segments (the window keeps aging correctly)
+    val stored = spark.read.parquet(s"$dir/cells")
+      .select(col("id"), col("v"), col("src"))
     val k =
       if (nlist > 0) nlist
       else spark.read.parquet(s"$dir/centroids").count().toInt
@@ -1413,8 +1559,9 @@ object Ann {
     // them then under-probes (documented above) instead of ranking
     // probes against centroids no cell is grouped by
     IndexFiles.replaceTable(spark, dir, "cells",
-      stored.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell")),
-      Seq("cell"))
+      stored.select(col("id"), col("v"), col("src"),
+        cellOf(col("v"), cb).as("cell")),
+      Seq("src", "cell"))
     val s = spark
     import s.implicits._
     IndexFiles.replaceTable(spark, dir, "centroids",
@@ -1447,7 +1594,9 @@ object Ann {
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
     cells.select(col("id"), V.quantizeSq8(col("v")).as("cz"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src", "cell")
+      .parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val spark = corpus.sparkSession
     IndexFiles.writeIds(spark.read.parquet(s"$dir/cells").select("id"), dir)
@@ -1460,7 +1609,9 @@ object Ann {
     * (per-row scales, so append-then-search is bit-equal to
     * rebuild-then-search — spec-pinned). */
   def appendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("cells"))
     val cb = spark.read.parquet(s"$dir/centroids").orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
@@ -1478,9 +1629,29 @@ object Ann {
         "in the index — replayed ids would duplicate search hits")
     IndexFiles.appendStaged(spark, dir, Seq(
       ("cells", b.select(col("id"), V.quantizeSq8(col("v")).as("cz"),
-        cellOf(col("v"), cb).as("cell")), Seq("cell"))),
+        cellOf(col("v"), cb).as("cell")).withColumn("src", lit(src)),
+        Seq("src", "cell"))),
       Some(batchIds))
   }
+
+  /** [[retireIvfSrc]] for the IVF_SQ8 index — same O(segment) drop,
+    * sidecar rebuild, and tombstone prune over the code cells. */
+  def retireIvfSq8Src(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("cells"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("cells"), src,
+        strict = strict)) {
+      IndexFiles.replaceTable(spark, dir, "ids",
+        spark.read.parquet(s"$dir/cells").select("id").distinct(), Seq.empty)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
+  }
+
+  /** [[retireIvfWindow]] for the IVF_SQ8 index. */
+  def retireIvfSq8Window(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "cells", keep,
+      src => retireIvfSq8Src(spark, dir, src))
 
   /** Search a persisted IVF_SQ8 index: probe the nprobe nearest cells
     * (same static literal partition pruning as [[searchIvfIndex]] —
@@ -1549,7 +1720,7 @@ object Ann {
     * quantized cells. */
   def compactIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    IndexFiles.compact(spark, dir, Map("cells" -> Seq("cell")))
+    IndexFiles.compact(spark, dir, Map("cells" -> Seq("src", "cell")))
 
   /** See [[healSparseIndex]]. */
   def healIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
@@ -1561,11 +1732,11 @@ object Ann {
     * re-quantized and re-assigned through the stored codebook like any
     * append. */
   def upsertIntoIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
     healIvfSq8Index(spark, dir)
     upsertVia(spark, dir, batch, indexedIds(spark, dir),
       () => compactIvfSq8Index(spark, dir),
-      b => appendToIvfSq8Index(spark, dir, b))
+      b => appendToIvfSq8Index(spark, dir, b, src))
   }
 
   /** `_retrain_pending` marks an IVF-PQ retrain in flight. Unlike the
@@ -1642,14 +1813,20 @@ object Ann {
     val cbArr = centroids.orderBy("cell").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
     val allCells = c.select(col("id"), col("v"), cellOf(col("v"), cbArr).as("cell"))
+    // each re-encoded row keeps its stored src: a retrain re-fits
+    // codebooks but must not merge retirement segments (replaceTable
+    // stages the new files while the old ones are still readable, so
+    // this self-join is consistent)
+    val srcOf = spark.read.parquet(s"$dir/codes").select(col("id"), col("src"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$dir/$RetrainMarker")
     fs.create(marker, true).close()
     IndexFiles.replaceTable(spark, dir, "codes",
       pqResiduals(allCells, centroids)
-        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes")),
-      Seq("cell"))
+        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
+        .join(srcOf, "id"),
+      Seq("src", "cell"))
     IndexFiles.replaceTable(spark, dir, "centroids", centroids, Nil)
     val s = spark
     import s.implicits._
@@ -1670,7 +1847,7 @@ object Ann {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     requireNoPendingRetrain(spark, dir)
-    IndexFiles.compact(spark, dir, Map("codes" -> Seq("cell")))
+    IndexFiles.compact(spark, dir, Map("codes" -> Seq("src", "cell")))
   }
 
   /** Tombstone / purge for the sparse inverted index — a deleted doc's
@@ -1729,8 +1906,9 @@ object Ann {
     val hasDoclens =
       dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dlPath)
     IndexFiles.compact(spark, dir,
-      if (hasDoclens) Map("postings" -> Seq("tbucket"), "doclens" -> Nil)
-      else Map("postings" -> Seq("tbucket")))
+      if (hasDoclens)
+        Map("postings" -> Seq("src", "tbucket"), "doclens" -> Seq("src"))
+      else Map("postings" -> Seq("src", "tbucket")))
     // the purge shrank doclens — re-derive the 1-row global stats
     if (hadTombstones && hasDoclens) refreshSparseStats(spark, dir)
   }
@@ -2108,7 +2286,9 @@ object Ann {
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed ksub=$ksub vectors to index"))
     res.select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      .withColumn("src", lit("base"))
+      .write.mode("overwrite").partitionBy("src", "cell")
+      .parquet(s"$dir/codes")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val s = corpus.sparkSession
     import s.implicits._
@@ -2178,7 +2358,9 @@ object Ann {
     * compact `dir/ids` sidecar, crash-safe via
     * [[IndexFiles.appendStaged]]. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): Unit = {
+      dir: String, batch: DataFrame, src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     requireNoPendingRetrain(spark, dir)
     IndexFiles.healAppend(spark, dir, Seq("codes"))
     val centroids = spark.read.parquet(s"$dir/centroids")
@@ -2200,8 +2382,31 @@ object Ann {
     val cells = b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
     IndexFiles.appendStaged(spark, dir, Seq(
       ("codes", pqResiduals(cells, centroids)
-        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes")),
-        Seq("cell"))),
+        .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
+        .withColumn("src", lit(src)),
+        Seq("src", "cell"))),
       Some(batchIds))
   }
+
+  /** [[retireIvfSrc]] for the IVF-PQ index — same O(segment) drop,
+    * sidecar rebuild, and tombstone prune over the code cells; both
+    * codebooks are untouched (codes of surviving segments stay
+    * decodable — nothing is re-encoded). */
+  def retireIvfPqSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, strict: Boolean = true): Unit = {
+    requireNoPendingRetrain(spark, dir)
+    IndexFiles.healAppend(spark, dir, Seq("codes"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("codes"), src,
+        strict = strict)) {
+      IndexFiles.replaceTable(spark, dir, "ids",
+        spark.read.parquet(s"$dir/codes").select("id").distinct(), Seq.empty)
+      IndexFiles.pruneTombstones(spark, dir)
+    }
+  }
+
+  /** [[retireIvfWindow]] for the IVF-PQ index. */
+  def retireIvfPqWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "codes", keep,
+      src => retireIvfPqSrc(spark, dir, src))
 }

@@ -2226,8 +2226,8 @@ object Dedup {
     delp.getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(delp, true)
     val bits = bloomBits(s, n, fpp)
-    fps.repartition(col("pfx"))
-      .write.partitionBy("pfx").mode("overwrite").parquet(s"$dir/fps")
+    fps.repartition(col("pfx")).withColumn("src", lit("base"))
+      .write.partitionBy("src", "pfx").mode("overwrite").parquet(s"$dir/fps")
     fps.agg(SK.bloomAgg(xxhash64(col("fp")), n, bits).as("bloom"))
       .select(col("bloom"), lit(n).as("n_items"), lit(fpp).as("fpp"),
         lit(bits).as("num_bits"))
@@ -2253,7 +2253,10 @@ object Dedup {
     * — the sketch derives its hash count from that pair and refuses to
     * merge mismatches. */
   def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, newDf: DataFrame, idCol: String, textCol: String): Unit = {
+      dir: String, newDf: DataFrame, idCol: String, textCol: String,
+      src: String = "ingest"): Unit = {
+    require(src.nonEmpty && src != "base",
+      s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, Seq("fps"))
     val meta = spark.read.parquet(s"$dir/bloom").head()
     val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
@@ -2298,10 +2301,49 @@ object Dedup {
           .toDF("bloom", "n_items", "fpp", "num_bits"),
         Seq.empty)
       IndexFiles.appendStaged(spark, dir,
-        Seq(("fps", newFps.repartition(col("pfx")), Seq("pfx"))), None)
+        Seq(("fps", newFps.repartition(col("pfx"))
+          .withColumn("src", lit(src)), Seq("src", "pfx"))), None)
     }
     batchFps.unpersist(); newFps.unpersist(); ()
   }
+
+  /** Retire one appended segment from the exact-dedup history — the
+    * rolling-window form for the fingerprint store: the segment's
+    * (src, pfx) partitions drop in O(segment), the Bloom sidecar
+    * REBUILDS from the survivors (it UNSATURATES — retired bits leave
+    * the filter, the [[rebuildLineDfSidecar]] property), and
+    * tombstones whose (fp, keep_id) left with the segment are pruned
+    * (a stale pair would silently re-kill a later re-ingest of the
+    * same text — the rebuild-generation hazard). An fp first stored
+    * in an OLDER segment is untouched: appends store only fps history
+    * lacked, so each fingerprint lives in exactly the segment of its
+    * first occurrence, and retiring day k−N re-admits precisely the
+    * texts whose first sighting aged out. `strict = false` makes an
+    * absent segment a no-op (zero-yield days append no partitions). */
+  def retireExactSrc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit = {
+    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("fps"), src,
+        strict = strict)) {
+      exactTombstones(spark, dir).foreach { dead =>
+        IndexFiles.replaceTable(spark, dir, "deleted_fps",
+          dead.join(spark.read.parquet(s"$dir/fps")
+              .select("fp", "keep_id"),
+            Seq("fp", "keep_id"), "left_semi"),
+          Seq.empty)
+      }
+      rebuildExactSidecar(spark, dir, fpp)
+    }
+  }
+
+  /** Retire every appended exact-history segment but the newest `keep`
+    * — the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
+    * returns the retired tags. */
+  def retireExactWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
+    IndexFiles.retireWindow(spark, dir, "fps", keep,
+      src => retireExactSrc(spark, dir, src, fpp))
 
   /** Set-bit fraction and estimated false-positive rate of a
     * serialized Bloom sidecar — the saturation telemetry
@@ -2416,7 +2458,7 @@ object Dedup {
         s"compacting $dir would empty fps/ (the takedown covers every " +
           "stored fingerprint) — drop and rebuild the index instead")
       IndexFiles.replaceTable(spark, dir, "fps",
-        liveExactFps(spark, dir), Seq("pfx"))
+        liveExactFps(spark, dir), Seq("src", "pfx"))
       val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)

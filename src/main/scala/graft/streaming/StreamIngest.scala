@@ -225,8 +225,11 @@ object StreamIngest {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // per-batch src segment — a streamed day retires through
+    // [[graft.operators.Dedup.retireExactSrc]]; a replayed batch's
+    // re-append stores nothing, so no duplicate segment appears
     graft.operators.Dedup.appendToExactIndex(spark, indexDir, batch,
-      idCol, textCol)
+      idCol, textCol, s"b$batchId")
     graft.operators.Dedup
       .dedupExactAgainstIndex(spark, indexDir, batch, idCol, textCol)
       .withColumn("is_dup",
@@ -462,7 +465,11 @@ object StreamIngest {
           s"wipe $indexDir/applied together with the checkpoint")
     }
     if (inCells == 0 && inSidecar == 0)
-      graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch)
+      // per-batch src segment, like [[applyPhashBatch]]: a streamed day
+      // retires in O(segment) through [[graft.operators.Ann
+      // .retireIvfSrc]] exactly like a batch-appended one
+      graft.operators.Ann.appendToIvfIndex(spark, indexDir, batch,
+        s"b$batchId")
     else if (inCells != eligible || inSidecar != eligible)
       throw new IllegalStateException(
         s"batch $batchId inconsistently stored (cells=$inCells " +
@@ -532,7 +539,10 @@ object StreamIngest {
           "with the checkpoint")
     }
     if (inPostings == 0 && inDoclens == 0 && inSidecar == 0)
-      graft.operators.Ann.appendToSparseIndex(spark, indexDir, batch)
+      // per-batch src segment, like [[applyPhashBatch]] — streamed days
+      // retire through [[graft.operators.Ann.retireSparseSrc]]
+      graft.operators.Ann.appendToSparseIndex(spark, indexDir, batch,
+        s"b$batchId")
     else if (inPostings != eligible || inDoclens != eligible
         || inSidecar != eligible)
       throw new IllegalStateException(
@@ -593,7 +603,9 @@ object StreamIngest {
           s"wipe $indexDir/applied together with the checkpoint")
     }
     if (inCodes == 0 && inSidecar == 0)
-      graft.operators.Ann.appendToIvfPqIndex(spark, indexDir, batch)
+      // per-batch src segment — retires via retireIvfPqSrc
+      graft.operators.Ann.appendToIvfPqIndex(spark, indexDir, batch,
+        s"b$batchId")
     else if (inCodes != eligible || inSidecar != eligible)
       throw new IllegalStateException(
         s"batch $batchId inconsistently stored (codes=$inCodes " +
@@ -654,7 +666,9 @@ object StreamIngest {
           s"wipe $indexDir/applied together with the checkpoint")
     }
     if (inBits == 0 && inSidecar == 0)
-      graft.operators.Ann.appendToBinaryIndex(spark, indexDir, batch)
+      // per-batch src segment — retires via retireBinarySrc
+      graft.operators.Ann.appendToBinaryIndex(spark, indexDir, batch,
+        s"b$batchId")
     else if (inBits != eligible || inSidecar != eligible)
       throw new IllegalStateException(
         s"batch $batchId inconsistently stored (bits=$inBits " +
@@ -784,7 +798,9 @@ object StreamIngest {
           s"wipe $indexDir/applied together with the checkpoint")
     }
     if (inBuckets == 0)
-      graft.operators.Ann.appendToLshIndex(spark, indexDir, batch)
+      // per-batch src segment — retires via retireLshSrc
+      graft.operators.Ann.appendToLshIndex(spark, indexDir, batch,
+        s"b$batchId")
     else if (inBuckets != eligible)
       throw new IllegalStateException(
         s"batch $batchId inconsistently stored (buckets=$inBuckets of " +

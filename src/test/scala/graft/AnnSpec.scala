@@ -120,8 +120,8 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id", "score", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(persisted == direct && persisted.nonEmpty, "index round-trip changed results")
-    // layout: tbl=<t>/sig=<s> partition directories
-    val tbls = new java.io.File(s"$dir/buckets").listFiles()
+    // layout: src=<seg>/tbl=<t>/sig=<s> partition directories
+    val tbls = new java.io.File(s"$dir/buckets/src=base").listFiles()
       .filter(_.getName.startsWith("tbl=")).map(_.getName).sorted
     assert(tbls.toSeq == Seq("tbl=0", "tbl=1"), s"got ${tbls.toSeq}")
     // empty query set -> empty result, not a failure
@@ -139,8 +139,9 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id", "score", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(persisted == direct, "index round-trip changed results")
-    // layout: one subdirectory per cell, so a probe's filter prunes files
-    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+    // layout: one subdirectory per cell under the build's src segment,
+    // so a probe's filter prunes files (src is a wildcard level above)
+    val cellDirs = new java.io.File(s"$dir/cells/src=base").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName)
     assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
   }
@@ -202,6 +203,169 @@ class AnnSpec extends SparkSpec {
     // empty batch is a no-op
     Ann.appendToIvfIndex(spark, dir, corpus.filter(lit(false)))
     assert(spark.read.parquet(s"$dir/cells").count() == 200)
+  }
+
+  test("retireIvfSrc / retireIvfWindow: segment drop bit-equal to a never-appended index; sidecar + tombstones follow") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfret").toString + "/idx"
+    def fullSearch() = Ann.searchIvfIndex(spark, dir, qs, k = 10, nprobe = 8)
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def brute(pred: org.apache.spark.sql.Column) =
+      Ann.bruteForceTopK(corpus.filter(pred), qs, k = 10)
+        .select("qid", "id", "score", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    Ann.buildIvfIndex(corpus.filter(col("id") <= 100), dir, nlist = 8)
+    Ann.appendToIvfIndex(spark, dir,
+      corpus.filter(col("id") > 100 && col("id") <= 150), "d1")
+    Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") > 150), "d2")
+    assert(new java.io.File(s"$dir/cells/src=base").isDirectory &&
+      new java.io.File(s"$dir/cells/src=d1").isDirectory)
+    // tombstone one base id and one d1 id before the segment ages out
+    Ann.deleteFromIvfIndex(spark, dir, Seq(10L, 120L).toDF("id"))
+    Ann.retireIvfSrc(spark, dir, "d1")
+    // survivor ranking = brute force over (base ∪ d2) minus the LIVE
+    // tombstone (10); the retired segment's rows are simply gone
+    assert(fullSearch() ==
+      brute((col("id") <= 100 || col("id") > 150) && col("id") =!= 10L),
+      "post-retire ranking != never-appended index over the survivors")
+    // the ids sidecar rebuilt from survivors and 120's tombstone left
+    // with its segment — the retired doc is re-admittable immediately
+    Ann.appendToIvfIndex(spark, dir, corpus.filter(col("id") === 120L), "d3")
+    assert(fullSearch() == brute(
+      (col("id") <= 100 || col("id") > 150 || col("id") === 120L) &&
+        col("id") =!= 10L),
+      "re-ingested retired id did not surface")
+    // zero-yield day: strict = false retires an absent segment as a no-op
+    Ann.retireIvfSrc(spark, dir, "nothing-here", strict = false)
+    // strict retire of an absent segment is loud (the typo guard)
+    val gone = intercept[IllegalArgumentException] {
+      Ann.retireIvfSrc(spark, dir, "d1")
+    }
+    assert(gone.getMessage.contains("nothing to retire"), gone.getMessage)
+    // rolling window: keep the newest appended segment — d2 ages out,
+    // base never does; the steady state is a no-op
+    assert(Ann.retireIvfWindow(spark, dir, keep = 1) == Seq("d2"))
+    assert(Ann.retireIvfWindow(spark, dir, keep = 1).isEmpty)
+    assert(fullSearch() == brute(
+      (col("id") <= 100 || col("id") === 120L) && col("id") =!= 10L))
+    // a retrain re-assigns cells but keeps segments intact (the window
+    // keeps aging correctly afterwards) and full probe stays exact
+    Ann.retrainIvfIndex(spark, dir)
+    assert(graft.operators.IndexFiles.listSrcs(spark, dir, "cells")
+      == Seq("base", "d3"))
+    assert(fullSearch() == brute(
+      (col("id") <= 100 || col("id") === 120L) && col("id") =!= 10L),
+      "retrain changed full-probe results or lost segments")
+  }
+
+  test("retire siblings: SQ8, PQ, and binary segments age out bit-equal to never-appended indexes") {
+    val half = corpus.filter(col("id") <= 100)
+    val d1 = corpus.filter(col("id") > 100 && col("id") <= 150)
+    val d2 = corpus.filter(col("id") > 150)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // IVF_SQ8: full probe after retiring d1 == sq8TopK over half ∪ d2
+    val sq8 = java.nio.file.Files.createTempDirectory("sq8ret").toString + "/idx"
+    Ann.buildIvfSq8Index(half, sq8, nlist = 8)
+    Ann.appendToIvfSq8Index(spark, sq8, d1, "d1")
+    Ann.appendToIvfSq8Index(spark, sq8, d2, "d2")
+    Ann.retireIvfSq8Src(spark, sq8, "d1")
+    assert(rows(Ann.searchIvfSq8Index(spark, sq8, qs, k = 10, nprobe = 8))
+      == rows(Ann.sq8TopK(half.union(d2), qs, k = 10)),
+      "SQ8 post-retire ranking != never-appended survivors")
+    assert(Ann.retireIvfSq8Window(spark, sq8, keep = 0) == Seq("d2"))
+    assert(rows(Ann.searchIvfSq8Index(spark, sq8, qs, k = 10, nprobe = 8))
+      == rows(Ann.sq8TopK(half, qs, k = 10)))
+    // IVF-PQ: the sibling index built on the SAME seeded half trains
+    // identical codebooks, so append-d2-only search is the verbatim
+    // never-appended witness for retire-d1
+    val pqA = java.nio.file.Files.createTempDirectory("pqretA").toString + "/idx"
+    val pqB = java.nio.file.Files.createTempDirectory("pqretB").toString + "/idx"
+    Ann.buildIvfPqIndex(half, pqA, nlist = 8, m = 4, ksub = 16)
+    Ann.buildIvfPqIndex(half, pqB, nlist = 8, m = 4, ksub = 16)
+    Ann.appendToIvfPqIndex(spark, pqA, d1, "d1")
+    Ann.appendToIvfPqIndex(spark, pqA, d2, "d2")
+    Ann.appendToIvfPqIndex(spark, pqB, d2, "d2")
+    Ann.retireIvfPqSrc(spark, pqA, "d1")
+    assert(rows(Ann.searchIvfPqIndex(spark, pqA, qs, k = 10, nprobe = 8))
+      == rows(Ann.searchIvfPqIndex(spark, pqB, qs, k = 10, nprobe = 8)),
+      "PQ post-retire ranking != never-appended sibling")
+    // a retired PQ doc is re-admittable and a retrain keeps segments
+    Ann.appendToIvfPqIndex(spark, pqA, corpus.filter(col("id") === 120L), "d3")
+    Ann.retrainIvfPqIndex(spark, pqA, half.union(d2)
+      .union(corpus.filter(col("id") === 120L)))
+    assert(graft.operators.IndexFiles.listSrcs(spark, pqA, "codes")
+      == Seq("base", "d2", "d3"), "PQ retrain lost segment tags")
+    assert(Ann.retireIvfPqWindow(spark, pqA, keep = 1) == Seq("d2"))
+    // BIN_FLAT: post-retire search == binaryTopK over the survivors
+    val bin = java.nio.file.Files.createTempDirectory("binret").toString + "/idx"
+    Ann.buildBinaryIndex(half, bin, dim = 16)
+    Ann.appendToBinaryIndex(spark, bin, d1, "d1")
+    Ann.appendToBinaryIndex(spark, bin, d2, "d2")
+    Ann.retireBinarySrc(spark, bin, "d1")
+    val gotB = Ann.searchBinaryIndex(spark, bin, qs, k = 10)
+      .select("qid", "id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val expB = Ann.binaryTopK(half.union(d2), qs, k = 10, dim = 16)
+      .select("qid", "id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(gotB == expB, "binary post-retire ranking != never-appended survivors")
+    assert(Ann.retireBinaryWindow(spark, bin, keep = 1).isEmpty &&
+      Ann.retireBinaryWindow(spark, bin, keep = 0) == Seq("d2"))
+  }
+
+  test("retireSparseSrc / retireLshSrc: segments age out; BM25 stats forget the segment; LSH tombstones prune") {
+    val postings = (1 to 60).flatMap(i =>
+      Seq((i.toLong, i.toLong % 7, 2.0), (i.toLong, (i + 1).toLong % 7, 1.0)))
+      .toDF("id", "term", "w")
+    val qterms = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0))
+      .toDF("qid", "term", "qw")
+    val half = postings.filter(col("id") <= 30)
+    val d1 = postings.filter(col("id") > 30 && col("id") <= 45)
+    val d2 = postings.filter(col("id") > 45)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("spret").toString + "/idx"
+    Ann.buildSparseIndex(half, dir, buckets = 8)
+    Ann.appendToSparseIndex(spark, dir, d1, "d1")
+    Ann.appendToSparseIndex(spark, dir, d2, "d2")
+    Ann.retireSparseSrc(spark, dir, "d1")
+    // weight-sum AND BM25 searches equal the never-appended survivors —
+    // BM25's df/N/avgdl must all have forgotten the retired segment
+    val surv = half.union(d2)
+    assert(rows(Ann.searchSparseIndex(spark, dir, qterms, k = 5))
+      == rows(Ann.sparseTopK(surv, qterms, k = 5)),
+      "sparse post-retire ranking != never-appended survivors")
+    assert(rows(Ann.searchSparseIndexBm25(spark, dir, qterms, k = 5))
+      == rows(Ann.bm25TopK(surv.withColumnRenamed("w", "tf"), qterms, k = 5)),
+      "BM25 post-retire ranking != never-appended survivors (stale stats?)")
+    // retired ids re-admit; the window driver ages out the oldest
+    Ann.appendToSparseIndex(spark, dir, d1, "d3")
+    assert(Ann.retireSparseWindow(spark, dir, keep = 1) == Seq("d2"))
+    assert(rows(Ann.searchSparseIndexBm25(spark, dir, qterms, k = 5))
+      == rows(Ann.bm25TopK(half.union(d1).withColumnRenamed("w", "tf"),
+        qterms, k = 5)))
+    // LSH: retire drops the segment and prunes tombstones of departed
+    // ids against the surviving buckets (no ids sidecar)
+    val lsh = java.nio.file.Files.createTempDirectory("lshret").toString + "/idx"
+    val halfV = corpus.filter(col("id") <= 100)
+    val d1V = corpus.filter(col("id") > 100 && col("id") <= 150)
+    Ann.buildLshIndex(halfV, lsh, dim = 16, planes = 4, tables = 2)
+    Ann.appendToLshIndex(spark, lsh, d1V, "d1")
+    Ann.deleteFromLshIndex(spark, lsh, Seq(10L, 120L).toDF("id"))
+    Ann.retireLshSrc(spark, lsh, "d1")
+    assert(rows(Ann.searchLshIndex(spark, lsh, qs, k = 10))
+      == rows(Ann.lshTopK(halfV.filter(col("id") =!= 10L), qs, k = 10,
+        dim = 16, planes = 4, tables = 2)),
+      "LSH post-retire ranking != never-appended survivors minus tombstone")
+    // 120 left with its segment, so its tombstone was pruned and the id
+    // re-appends cleanly; 10's tombstone survived the retire
+    val deleted = spark.read.parquet(s"$lsh/deleted").as[Long].collect().toSet
+    assert(deleted == Set(10L), s"tombstones after retire: $deleted")
+    // only base remains — the window driver's steady state is a no-op
+    assert(Ann.retireLshWindow(spark, lsh, keep = 0).isEmpty)
   }
 
   test("deleteFromIvfIndex + compactIvfIndex: tombstones hide rows; compaction purges and re-opens ids") {
@@ -415,9 +579,10 @@ class AnnSpec extends SparkSpec {
     assertPruned(Ann.searchIvfSq8Index(spark, dir,
         qs.filter(col("qid") === 1L), k = 5, nprobe = 2),
       dataCol = "cz", partCol = "cell", maxParts = 2)
-    // the cells store quantized structs, not raw vectors
+    // the cells store quantized structs, not raw vectors (src is the
+    // r16 retirement-segment partition column)
     val cellSchema = spark.read.parquet(s"$dir/cells").schema
-    assert(cellSchema.fieldNames.toSet == Set("id", "cz", "cell"),
+    assert(cellSchema.fieldNames.toSet == Set("id", "cz", "src", "cell"),
       s"unexpected cell columns: ${cellSchema.fieldNames.toSeq}")
   }
 
@@ -736,7 +901,9 @@ class AnnSpec extends SparkSpec {
     Ann.buildSparseIndex(postings.filter(col("id") <= 25L), dir1, buckets = 8)
     Seq((999L, 999L, 9.0)).toDF("id", "term", "w")
       .withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
-      .write.partitionBy("tbucket").parquet(s"$dir1/postings/_append_tmp")
+      .withColumn("src", lit("x1"))
+      .write.partitionBy("src", "tbucket")
+      .parquet(s"$dir1/postings/_append_tmp")
     Ann.appendToSparseIndex(spark, dir1, postings.filter(col("id") > 25L))
     assert(res(dir1) == want, "rolled-back staging leaked into results")
     assert(!fsFor(dir1).exists(
@@ -749,9 +916,12 @@ class AnnSpec extends SparkSpec {
     Ann.buildSparseIndex(postings.filter(col("id") <= 25L), dir2, buckets = 8)
     val mid = postings.filter(col("id") > 25L && col("id") <= 40L)
     mid.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
-      .write.partitionBy("tbucket").parquet(s"$dir2/postings/_append_tmp")
+      .withColumn("src", lit("mid"))
+      .write.partitionBy("src", "tbucket")
+      .parquet(s"$dir2/postings/_append_tmp")
     mid.groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.parquet(s"$dir2/doclens/_append_tmp")
+      .withColumn("src", lit("mid"))
+      .write.partitionBy("src").parquet(s"$dir2/doclens/_append_tmp")
     mid.select("id").distinct().write.parquet(s"$dir2/_pending_append")
     Ann.appendToSparseIndex(spark, dir2, postings.filter(col("id") > 40L))
     assert(res(dir2) == want, "rolled-forward batch missing from results")
@@ -767,9 +937,12 @@ class AnnSpec extends SparkSpec {
     Ann.buildSparseIndex(postings.filter(col("id") <= 40L), dir3, buckets = 8)
     val tail = postings.filter(col("id") > 40L)
     tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
-      .write.mode("append").partitionBy("tbucket").parquet(s"$dir3/postings")
+      .withColumn("src", lit("tail"))
+      .write.mode("append").partitionBy("src", "tbucket")
+      .parquet(s"$dir3/postings")
     tail.groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.mode("append").parquet(s"$dir3/doclens")
+      .withColumn("src", lit("tail"))
+      .write.mode("append").partitionBy("src").parquet(s"$dir3/doclens")
     tail.select("id").distinct().write.parquet(s"$dir3/_pending_append")
     spark.catalog.refreshByPath(dir3)
     assert(ids(dir3) == (1L to 40L).toSet) // stale before the heal
@@ -901,9 +1074,12 @@ class AnnSpec extends SparkSpec {
     // crash window: batch fully staged + journal committed, move never ran
     val tail = postings.filter(col("id") > 30L)
     tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
-      .write.partitionBy("tbucket").parquet(s"$dir/postings/_append_tmp")
+      .withColumn("src", lit("tail"))
+      .write.partitionBy("src", "tbucket")
+      .parquet(s"$dir/postings/_append_tmp")
     tail.groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.parquet(s"$dir/doclens/_append_tmp")
+      .withColumn("src", lit("tail"))
+      .write.partitionBy("src").parquet(s"$dir/doclens/_append_tmp")
     tail.select("id").distinct().write.parquet(s"$dir/_pending_append")
     // a compact that swapped tables without healing would delete the
     // staged batch with the old table dir, then the next heal would
@@ -1542,8 +1718,9 @@ class AnnSpec extends SparkSpec {
       .select("qid", "id", "score", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(persisted == direct && persisted.nonEmpty, "round trip changed results")
-    // cell-partitioned code layout, raw vectors nowhere in the index
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+    // cell-partitioned code layout (under the build's src segment),
+    // raw vectors nowhere in the index
+    val cellDirs = new java.io.File(s"$dir/codes/src=base").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName)
     assert(cellDirs.length == 8, s"got ${cellDirs.toSeq}")
     assert(!spark.read.parquet(s"$dir/codes").columns.contains("v"))

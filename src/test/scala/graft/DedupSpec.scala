@@ -1003,6 +1003,52 @@ class DedupSpec extends SparkSpec {
     assert(loose(1L) == "keep one\nBOILER\nkeep two" && loose(4L) == "BOILER")
   }
 
+  test("retireExactSrc / retireExactWindow: a segment's first-sightings re-admit; bloom and tombstones follow") {
+    val history = Seq((10L, "alpha text"), (11L, "beta text"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("exret")
+      .toString + "/idx"
+    Dedup.buildExactIndex(history, "id", "text", dir)
+    Dedup.appendToExactIndex(spark,
+      dir, Seq((20L, "gamma text"), (21L, "alpha text")).toDF("id", "text"),
+      "id", "text", "d1")
+    Dedup.appendToExactIndex(spark,
+      dir, Seq((30L, "delta text")).toDF("id", "text"), "id", "text", "d2")
+    def probe(rows: (Long, String)*) =
+      Dedup.dedupExactAgainstIndex(spark, dir, rows.toSeq.toDF("id", "text"),
+          "id", "text")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> r._2).toMap
+    // tombstone one base text and the d1 first-sighting before retiring
+    Dedup.deleteFromExactIndex(spark, dir,
+      Seq("beta text", "gamma text").toDF("text"), "text")
+    Dedup.retireExactSrc(spark, dir, "d1")
+    // gamma's FIRST sighting lived in d1 → re-admittable (and its
+    // tombstone left with it); alpha's first sighting is base — the d1
+    // re-ingest stored nothing, so alpha still matches; beta's
+    // tombstone survives (its row is stored in base)
+    assert(probe((40L, "gamma text"), (41L, "alpha text"),
+      (42L, "beta text"), (43L, "delta text"))
+      == Map(40L -> None, 41L -> Some(10L), 42L -> None, 43L -> Some(30L)))
+    val dead = spark.read.parquet(s"$dir/deleted_fps")
+      .select("keep_id").as[Long].collect().toSet
+    assert(dead == Set(11L), s"tombstones after retire: $dead")
+    // the bloom rebuilt to the live survivor count (it UNSATURATED)
+    assert(spark.read.parquet(s"$dir/bloom").head()
+      .getAs[Long]("n_items") == 2L, "bloom not rebuilt from live survivors")
+    // re-appending the retired text stores a fresh first-sighting
+    Dedup.appendToExactIndex(spark,
+      dir, Seq((50L, "gamma text")).toDF("id", "text"), "id", "text", "d3")
+    assert(probe((40L, "gamma text")) == Map(40L -> Some(50L)))
+    // window: keep the newest appended segment — d2 ages out; steady
+    // state is a no-op; zero-yield strict=false no-op
+    assert(Dedup.retireExactWindow(spark, dir, keep = 1) == Seq("d2"))
+    assert(Dedup.retireExactWindow(spark, dir, keep = 1).isEmpty)
+    Dedup.retireExactSrc(spark, dir, "never-there", strict = false)
+    assert(probe((43L, "delta text"), (40L, "gamma text"))
+      == Map(43L -> None, 40L -> Some(50L)))
+  }
+
   test("exact-index takedown: tombstoned texts re-admit, re-ingests go live, compact purges") {
     val history = Seq((10L, "the quick brown fox"), (13L, "lorem ipsum dolor"))
       .toDF("id", "text")

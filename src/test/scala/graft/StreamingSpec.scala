@@ -727,9 +727,12 @@ class StreamingSpec extends SparkSpec {
     // the next micro-batch's pre-witness heal rolls it forward
     val tail = post(81L, 90L).toDF("id", "term", "w")
     tail.withColumn("tbucket", pmod(col("term"), lit(8)).cast("int"))
-      .write.partitionBy("tbucket").parquet(s"$dir/idx/postings/_append_tmp")
+      .withColumn("src", lit("b98"))
+      .write.partitionBy("src", "tbucket")
+      .parquet(s"$dir/idx/postings/_append_tmp")
     tail.groupBy("id").agg(sum(col("w")).as("dl"))
-      .write.parquet(s"$dir/idx/doclens/_append_tmp")
+      .withColumn("src", lit("b98"))
+      .write.partitionBy("src").parquet(s"$dir/idx/doclens/_append_tmp")
     tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
     graft.streaming.StreamIngest.applySparseBatch(
       post(91L, 95L).toDF("id", "term", "w"), 99L, s"$dir/idx")
@@ -833,7 +836,8 @@ class StreamingSpec extends SparkSpec {
     val tail = (81L to 90L).map(i => (i, vec(i))).toDF("id", "v")
     tail.select(col("id"), graft.functions.VectorFunctions
         .binarizeSign(col("v"), dim).as("cb"))
-      .write.parquet(s"$dir/idx/bits/_append_tmp")
+      .withColumn("src", lit("b98"))
+      .write.partitionBy("src").parquet(s"$dir/idx/bits/_append_tmp")
     tail.select("id").distinct().write.parquet(s"$dir/idx/_pending_append")
     graft.streaming.StreamIngest.applyBinaryBatch(
       (91L to 95L).map(i => (i, vec(i))).toDF("id", "v"), 99L, s"$dir/idx")
