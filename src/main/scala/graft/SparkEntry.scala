@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
-import graft.operators.{Aliases, Ann, Bpe, Chunker, Collections, Curate, Dedup, Ingest, MlEmbed, Multimodal, Stats, Tag}
+import graft.operators.{Aliases, Ann, Bpe, Chunker, Collections, Curate, Dedup, Ingest, Maintenance, MlEmbed, Multimodal, Stats, Tag}
 import graft.sources.JsonlSource
 import graft.streaming.Events
 
@@ -506,6 +506,32 @@ object SparkEntry {
       Dedup.retireExactSrc(s, d, "d1")
     }
     Dedup.dedupExactAgainstIndex(s, idx, batch, "doc_id", "text")
+  }
+
+  // The composed nightly-maintenance driver over two live families:
+  // build + append two segments each, run ONE Maintenance.nightly with
+  // keep=1, and return the audit report — deterministic (tags and
+  // windows are static), so the oracle is a literal table. The report
+  // is written inside the memoized build (the mutation must run once
+  // per JVM) and read back — the q_ann_pq_adc file-hand-off pattern.
+  private def qMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_maint_${dirKey(dir)}") { r =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      Dedup.buildLineDfIndex(docs.filter(col("doc_id") < 20),
+        "doc_id", "text", s"$r/lines")
+      Seq(20, 40).foreach(lo => Dedup.appendToLineDfIndex(s, s"$r/lines",
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20),
+        "doc_id", "text", s"d$lo"))
+      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0),
+        s"$r/ivf", nlist = 16)
+      Seq(1L, 3L).foreach(m => Ann.appendToIvfIndex(s, s"$r/ivf",
+        corpus(s, dir).filter(col("id") % 4 === m), s"d$m"))
+      Maintenance.nightly(s, Seq(
+          (s"$r/lines", "linedf", 1), (s"$r/ivf", "ivf", 1)))
+        .select(col("family"), col("keep"), col("tag"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
+    }
+    s.read.parquet(s"$root/report")
   }
 
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
@@ -2074,6 +2100,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_exact_retire" -> (qExactRetire _),
+    "q_maintenance" -> (qMaintenance _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -2808,6 +2835,12 @@ object SparkEntry {
          |      SELECT doc_id + 1000000 AS id, t FROM n WHERE doc_id % 10 = 0)
          |SELECT b.id, h.first_id, h.first_id IS NOT NULL AS is_dup
          |FROM b LEFT JOIN h ON md5(b.t) = h.fp""".stripMargin,
+
+    // the nightly driver's audit report is fully determined by the
+    // static segment tags and windows — a literal table is the oracle
+    "q_maintenance" ->
+      """SELECT * FROM (VALUES ('linedf', 1, 'd20'), ('ivf', 1, 'd1'))
+        |AS t(family, keep, tag)""".stripMargin,
 
     // the retire witness shares the q_dedup_bloom oracle VERBATIM:
     // appending the batch as segment d1 then retiring d1 must leave
