@@ -488,19 +488,22 @@ object SparkEntry {
   }
 
   // Rolling-window retirement over the exact history, oracle-checked
-  // with the q_dedup_bloom oracle VERBATIM: build on the even half,
-  // append the probe batch itself as segment d1, retire d1 — every
-  // fp whose FIRST sighting was d1 leaves with it, so the probe must
-  // answer exactly like the never-appended index (bloom rebuilt from
-  // survivors, tombstone table untouched by absence).
+  // with the never-appended probe: build on one quarter, append the
+  // probe batch itself as segment d1, retire d1 — every fp whose FIRST
+  // sighting was d1 leaves with it, so the probe must answer exactly
+  // like the never-appended index (bloom rebuilt from survivors,
+  // tombstone table untouched by absence). Quarter-corpus slices for
+  // the same reason as the minhash retire queries: the lifecycle
+  // (build+append+retire) is billed to one bench query and half-corpus
+  // slices double the bill for no extra evidence.
   private def qExactRetire(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def batch = docs.filter(col("doc_id") % 2 === 1)
+    def batch = docs.filter(col("doc_id") % 4 === 1)
       .select(col("doc_id"), col("text"))
-      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     val idx = buildOnce(s"/tmp/graft_exact_ret_${dirKey(dir)}") { d =>
-      Dedup.buildExactIndex(docs.filter(col("doc_id") % 2 === 0),
+      Dedup.buildExactIndex(docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "text", d)
       Dedup.appendToExactIndex(s, d, batch, "doc_id", "text", "d1")
       Dedup.retireExactSrc(s, d, "d1")
@@ -522,10 +525,12 @@ object SparkEntry {
       Seq(20, 40).foreach(lo => Dedup.appendToLineDfIndex(s, s"$r/lines",
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20),
         "doc_id", "text", s"d$lo"))
-      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0),
+      // small slices — the query witnesses the DRIVER's dispatch and
+      // report, not index scale (SCALE.md carries the retire ratios)
+      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 8 === 0),
         s"$r/ivf", nlist = 16)
       Seq(1L, 3L).foreach(m => Ann.appendToIvfIndex(s, s"$r/ivf",
-        corpus(s, dir).filter(col("id") % 4 === m), s"d$m"))
+        corpus(s, dir).filter(col("id") % 16 === m), s"d$m"))
       Maintenance.nightly(s, Seq(
           (s"$r/lines", "linedf", 1), (s"$r/ivf", "ivf", 1)))
         .select(col("family"), col("keep"), col("tag"))
@@ -2842,16 +2847,16 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('linedf', 1, 'd20'), ('ivf', 1, 'd1'))
         |AS t(family, keep, tag)""".stripMargin,
 
-    // the retire witness shares the q_dedup_bloom oracle VERBATIM:
-    // appending the batch as segment d1 then retiring d1 must leave
-    // the history answering exactly like one that never saw it
+    // the retire witness: appending the batch as segment d1 then
+    // retiring d1 must leave the history answering exactly like one
+    // that never saw it — the q_dedup_bloom oracle shape on quarters
     "q_exact_retire" ->
       s"""WITH n AS ($normDoc),
          |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
-         |      WHERE doc_id % 2 = 0 GROUP BY 1),
-         |b AS (SELECT doc_id AS id, t FROM n WHERE doc_id % 2 = 1
+         |      WHERE doc_id % 4 = 0 GROUP BY 1),
+         |b AS (SELECT doc_id AS id, t FROM n WHERE doc_id % 4 = 1
          |      UNION ALL
-         |      SELECT doc_id + 1000000 AS id, t FROM n WHERE doc_id % 10 = 0)
+         |      SELECT doc_id + 1000000 AS id, t FROM n WHERE doc_id % 20 = 0)
          |SELECT b.id, h.first_id, h.first_id IS NOT NULL AS is_dup
          |FROM b LEFT JOIN h ON md5(b.t) = h.fp""".stripMargin,
 
