@@ -42,4 +42,71 @@ class MaintenanceSpec extends SparkSpec {
       "containment", "minhash", "domain_cap", "phash", "ivf", "ivf_sq8",
       "ivf_pq", "sparse", "binary", "lsh"))
   }
+
+  test("whole-store nightly: every registered family builds, appends two segments, and ages the older one out") {
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("maintall").toString
+    val sent = "the quick brown fox jumps over the lazy dog again and again "
+    def docs(lo: Long) = (lo until lo + 8).map(i =>
+      (i, s"line-one $i\n${sent * 3} $i")).toDF("doc_id", "text")
+    val vecs = (1 to 120).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    def vslice(lo: Long, n: Long) =
+      vecs.filter(col("id") >= lo && col("id") < lo + n)
+    def postings(lo: Long) = (lo until lo + 8).flatMap(i =>
+      Seq((i, i % 5, 2.0), (i, (i + 1) % 5, 1.0))).toDF("id", "term", "w")
+    def verdicts(lo: Long) = (lo until lo + 4).map(i =>
+      (i, s"dom${i % 2}.com", true)).toDF("id", "domain", "admitted")
+    def feats(lo: Long) = (lo until lo + 8).map(i =>
+      (i, Seq.tabulate(12)(j => (i * 7 + j) % 3 / 2.0))).toDF("id", "features")
+
+    Dedup.buildExactIndex(docs(0), "doc_id", "text", s"$root/exact")
+    Dedup.buildLineDfIndex(docs(0), "doc_id", "text", s"$root/linedf")
+    Dedup.buildContainmentIndex(docs(0), "doc_id", "text", s"$root/containment")
+    Dedup.buildMinhashIndex(docs(0), "doc_id", "text", s"$root/minhash")
+    Dedup.initDomainCapLedger(spark, s"$root/domain_cap", n = 100)
+    Multimodal.buildPhashIndex(feats(0), "id", "features", s"$root/phash",
+      dim = 12)
+    Ann.buildIvfIndex(vslice(1, 40), s"$root/ivf", nlist = 4)
+    Ann.buildIvfSq8Index(vslice(1, 40), s"$root/ivf_sq8", nlist = 4)
+    Ann.buildIvfPqIndex(vslice(1, 40), s"$root/ivf_pq", nlist = 4,
+      m = 4, ksub = 4)
+    Ann.buildSparseIndex(postings(0), s"$root/sparse", buckets = 4)
+    Ann.buildBinaryIndex(vslice(1, 40), s"$root/binary", dim = 8)
+    Ann.buildLshIndex(vslice(1, 40), s"$root/lsh", dim = 8, planes = 4)
+
+    Seq("d1", "d2").zipWithIndex.foreach { case (tag, k) =>
+      val lo = 100L * (k + 1)
+      Dedup.appendToExactIndex(spark, s"$root/exact", docs(lo),
+        "doc_id", "text", tag)
+      Dedup.appendToLineDfIndex(spark, s"$root/linedf", docs(lo),
+        "doc_id", "text", tag)
+      Dedup.appendToContainmentIndex(spark, s"$root/containment", docs(lo),
+        "doc_id", "text", tag)
+      Dedup.appendToMinhashIndex(spark, s"$root/minhash", docs(lo),
+        "doc_id", "text", tag)
+      Dedup.appendToDomainCapLedger(spark, s"$root/domain_cap",
+        verdicts(lo), tag)
+      Multimodal.appendToPhashIndex(spark, s"$root/phash", feats(lo),
+        "id", "features", tag)
+      Ann.appendToIvfIndex(spark, s"$root/ivf", vslice(41 + 40 * k, 20), tag)
+      Ann.appendToIvfSq8Index(spark, s"$root/ivf_sq8",
+        vslice(41 + 40 * k, 20), tag)
+      Ann.appendToIvfPqIndex(spark, s"$root/ivf_pq",
+        vslice(41 + 40 * k, 20), tag)
+      Ann.appendToSparseIndex(spark, s"$root/sparse", postings(lo), tag)
+      Ann.appendToBinaryIndex(spark, s"$root/binary",
+        vslice(41 + 40 * k, 20), tag)
+      Ann.appendToLshIndex(spark, s"$root/lsh", vslice(41 + 40 * k, 20), tag)
+    }
+    val specs = Maintenance.families.keys.toSeq.sorted
+      .map(f => (s"$root/$f", f, 1))
+    val got = Maintenance.nightly(spark, specs)
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(got == specs.map { case (d, f, k) => (d, f, k, "d1") },
+      s"one oldest segment per family expected, got $got")
+    // the second nightly is the steady state: nothing left to age out
+    assert(Maintenance.nightly(spark, specs).isEmpty)
+  }
 }
