@@ -339,6 +339,34 @@ object Scale {
     report("containment", "drop_against_index", cq1, cqN)
     println(s"SCALE_APPEND_ROWS containment_query x1=$cr1 x$factor=$crN")
 
+    // ---- sparse/BM25 (text inverted index), r16 ----
+    // Same controls as minhash: the append batch's postings come from
+    // SALTED replica docs (novel terms, novel ids), the probe's query
+    // terms from five base docs — matches land only on replica-0
+    // postings, so the weight-sum hit-set is identical at both scales
+    // and only the bucket-pruned posting scan behind it grew.
+    def posts(d: DataFrame) = graft.operators.Ingest
+      .sparseTerms(d, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val (sp1, spN) = (s"$scaleDir/sp_x1", s"$scaleDir/sp_x$factor")
+    val (sbN, _) = timed(Ann.buildSparseIndex(
+      posts(scaledDocuments(docs, factor)), spN, buckets = 32))
+    val (sb1, _) = timed(Ann.buildSparseIndex(posts(docs), sp1, buckets = 32))
+    report("sparse", "build", sb1, sbN)
+    val (saN, _) = timed(Ann.appendToSparseIndex(spark, spN,
+      posts(mbatch), "s1"))
+    val (sa1, _) = timed(Ann.appendToSparseIndex(spark, sp1,
+      posts(mbatch), "s1"))
+    report("sparse", "append_same_batch", sa1, saN)
+    val sqterms = posts(docs.filter(col("doc_id") < 5))
+      .select(col("id").as("qid"), col("term"), col("w").as("qw"))
+    val (sqN, shN) = timed(
+      Ann.searchSparseIndex(spark, spN, sqterms, k = 10).count())
+    val (sq1, sh1) = timed(
+      Ann.searchSparseIndex(spark, sp1, sqterms, k = 10).count())
+    report("sparse", "search_weight_sum", sq1, sqN)
+    println(s"SCALE_APPEND_ROWS sparse_search x1=$sh1 x$factor=$shN")
+
     // ---- retirement (rolling-window maintenance) ----
     // Drop the s1 segment just appended to both scales: the partition
     // delete is O(segment listing); the wall is dominated by the
@@ -381,6 +409,15 @@ object Scale {
     val (irtN, _) = timed(Ann.retireIvfSrc(spark, dN, "ingest"))
     val (irt1, _) = timed(Ann.retireIvfSrc(spark, d1, "ingest"))
     report("ivf", "retire_src", irt1, irtN)
+    // sparse (r16): the salted s1 segment matched nothing, so the
+    // weight-sum hit-set must be unchanged after retiring it; the wall
+    // is the ids-sidecar rebuild + BM25 stats re-derivation
+    val (srtN, _) = timed(Ann.retireSparseSrc(spark, spN, "s1"))
+    val (srt1, _) = timed(Ann.retireSparseSrc(spark, sp1, "s1"))
+    report("sparse", "retire_src", srt1, srtN)
+    val srq = Ann.searchSparseIndex(spark, spN, sqterms, k = 10).count()
+    require(srq == shN,
+      s"sparse retire changed the weight-sum hit-set: $srq != $shN")
     // survivors answer exactly like the never-appended index: the x1
     // build corpus alone, at full probe = exact brute force over it
     val ivfGot = Ann.searchIvfIndex(spark, d1, qs, k = 10, nprobe = 16)

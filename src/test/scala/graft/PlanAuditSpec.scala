@@ -178,6 +178,30 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch shuffle must cost exactly one exchange:\n$shufPhys")
   }
 
+  test("semanticContamination: benchmark broadcasts; the only exchange carries one row per corpus doc") {
+    import graft.operators.Curate
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    val bench = (100L to 104L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    val phys = Curate.semanticContamination(corpus, bench, "id", "v")
+      .queryExecution.executedPlan.toString
+    // the eval suite arrives via a broadcast cross join — per-pair dot
+    // products never leave the corpus task
+    assert(phys.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side is not broadcast:\n$phys")
+    // the per-doc argmax is a map-side-combined struct-max (struct max
+    // plans as partial+final SortAggregate): exactly one SHUFFLE
+    // exchange, fed by the partial aggregate — it carries one narrow
+    // row per corpus doc regardless of benchmark size
+    assert("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
+      s"argmax must cost exactly one shuffle:\n$phys")
+    assert(phys.contains("partial_max"),
+      s"argmax must be map-side combined:\n$phys")
+  }
+
   test("rerankTopK: candidate enrichment broadcasts — the passage corpus never shuffles") {
     val cand = Seq((1L, 3L), (1L, 7L), (2L, 3L)).toDF("qid", "id")
     val queries = Seq((1L, "q one"), (2L, "q two")).toDF("qid", "qtext")
