@@ -459,18 +459,12 @@ object Ann {
     * never mix partitions. */
   def retireSparseSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit = {
-    healSparseIndex(spark, dir)
-    val tables =
-      if (hasBm25Sidecars(spark, dir)) Seq("postings", "doclens")
-      else Seq("postings")
-    if (IndexFiles.retireSrcPartitions(spark, dir, tables, src,
-        strict = strict)) {
-      IndexFiles.replaceTable(spark, dir, "ids",
-        spark.read.parquet(s"$dir/postings").select("id").distinct(),
-        Seq.empty)
-      IndexFiles.pruneTombstones(spark, dir)
-      if (hasBm25Sidecars(spark, dir)) refreshSparseStats(spark, dir)
-    }
+    healSparseIndex(spark, dir) // stats-aware heal before the generic one
+    val bm25 = hasBm25Sidecars(spark, dir)
+    IndexFiles.retireSegment(spark, dir,
+      if (bm25) Seq("postings", "doclens") else Seq("postings"),
+      src, strict, idsFrom = Some("postings"),
+      after = () => if (bm25) refreshSparseStats(spark, dir))
   }
 
   /** [[retireIvfWindow]] for the sparse inverted index. */
@@ -647,15 +641,9 @@ object Ann {
   /** [[retireIvfSrc]] for the BIN_FLAT index — same O(segment) drop,
     * sidecar rebuild, and tombstone prune over the bits table. */
   def retireBinarySrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("bits"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("bits"), src,
-        strict = strict)) {
-      IndexFiles.replaceTable(spark, dir, "ids",
-        spark.read.parquet(s"$dir/bits").select("id").distinct(), Seq.empty)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
-  }
+      dir: String, src: String, strict: Boolean = true): Unit =
+    IndexFiles.retireSegment(spark, dir, Seq("bits"), src, strict,
+      idsFrom = Some("bits"))
 
   /** [[retireIvfWindow]] for the BIN_FLAT index. */
   def retireBinaryWindow(spark: org.apache.spark.sql.SparkSession,
@@ -1406,15 +1394,9 @@ object Ann {
     * absent segment a no-op (a zero-yield day appends no partitions;
     * the scheduled window job must not crash on it). */
   def retireIvfSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("cells"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("cells"), src,
-        strict = strict)) {
-      IndexFiles.replaceTable(spark, dir, "ids",
-        spark.read.parquet(s"$dir/cells").select("id").distinct(), Seq.empty)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
-  }
+      dir: String, src: String, strict: Boolean = true): Unit =
+    IndexFiles.retireSegment(spark, dir, Seq("cells"), src, strict,
+      idsFrom = Some("cells"))
 
   /** Retire every appended IVF segment but the newest `keep` — the
     * scheduled rolling-window call ([[IndexFiles.retireWindow]]);
@@ -1637,15 +1619,9 @@ object Ann {
   /** [[retireIvfSrc]] for the IVF_SQ8 index — same O(segment) drop,
     * sidecar rebuild, and tombstone prune over the code cells. */
   def retireIvfSq8Src(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("cells"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("cells"), src,
-        strict = strict)) {
-      IndexFiles.replaceTable(spark, dir, "ids",
-        spark.read.parquet(s"$dir/cells").select("id").distinct(), Seq.empty)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
-  }
+      dir: String, src: String, strict: Boolean = true): Unit =
+    IndexFiles.retireSegment(spark, dir, Seq("cells"), src, strict,
+      idsFrom = Some("cells"))
 
   /** [[retireIvfWindow]] for the IVF_SQ8 index. */
   def retireIvfSq8Window(spark: org.apache.spark.sql.SparkSession,
@@ -2395,13 +2371,8 @@ object Ann {
   def retireIvfPqSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit = {
     requireNoPendingRetrain(spark, dir)
-    IndexFiles.healAppend(spark, dir, Seq("codes"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("codes"), src,
-        strict = strict)) {
-      IndexFiles.replaceTable(spark, dir, "ids",
-        spark.read.parquet(s"$dir/codes").select("id").distinct(), Seq.empty)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
+    IndexFiles.retireSegment(spark, dir, Seq("codes"), src, strict,
+      idsFrom = Some("codes"))
   }
 
   /** [[retireIvfWindow]] for the IVF-PQ index. */

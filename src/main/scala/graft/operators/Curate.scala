@@ -141,15 +141,19 @@ object Curate {
       .filter(col(s"nrm_$as") > 0)
     // round per pair (not on the max) so rounded ties break identically
     // in every engine; the benchmark side is small, so the BigDecimal
-    // round stays O(corpus × |bench|) with a tiny constant
+    // round stays O(corpus × |bench|) with a tiny constant. The argmax
+    // negates the COSINE (always a double) and takes the struct MIN —
+    // max cos, ties to the smallest bench id — so the tie-break works
+    // for ANY orderable id type (negating the id column would NULL out
+    // string ids, or throw under ANSI).
     prep(corpus, "id").crossJoin(broadcast(prep(bench, "bench_id")))
       .select(col("id"), col("bench_id"),
         round(V.dot(col("v_id"), col("v_bench_id")) /
           (col("nrm_id") * col("nrm_bench_id")), 4).as("cos"))
       .groupBy("id")
-      .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
-      .select(col("id"), (-col("m.nb")).as("bench_id"),
-        col("m.cos").as("cos"))
+      .agg(min(struct((-col("cos")).as("nc"), col("bench_id"))).as("m"))
+      .select(col("id"), col("m.bench_id").as("bench_id"),
+        (-col("m.nc")).as("cos"))
   }
 
   /** The clean side of the semantic screen: corpus minus docs whose

@@ -2038,14 +2038,9 @@ object Dedup {
       src => retireMinhashSrc(spark, dir, src))
 
   def retireMinhashSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("sigs", "shingles"),
-        src, strict = strict)) {
-      rebuildMinhashIds(spark, dir)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
-  }
+      dir: String, src: String, strict: Boolean = true): Unit =
+    IndexFiles.retireSegment(spark, dir, Seq("sigs", "shingles"), src,
+      strict, idsFrom = Some("shingles"))
 
   /** The distinct doc ids a persisted minhash index currently covers —
     * the compact sidecar when present, else the shingle table's id
@@ -2106,24 +2101,15 @@ object Dedup {
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
     val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).cache()
     // an all-short-doc build writes (src, hb)-partitioned tables with
-    // ZERO partition directories — no schema to infer; synthesize the
-    // empty payloads with the batch's id type (probe returns empty)
+    // ZERO partition directories — [[IndexFiles.readOrEmpty]]
+    // synthesizes the empty payloads with the batch's id type (probe
+    // returns empty). The (src, hb) partition columns project away:
+    // the verify union pairs these rows with the batch's bare (id, h)
     import org.apache.spark.sql.types._
-    def readOrEmpty(path: String, fields: Seq[StructField]): DataFrame =
-      try spark.read.parquet(path).select(fields.map(f => col(f.name)): _*)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            StructType(StructField("id", newDf.schema(idCol).dataType)
-              +: fields.filter(_.name != "id")))
-      }
-    // project the (src, hb) partition columns away: the verify union
-    // pairs these rows with the batch's bare (id, h) shape
     val oldSh = IndexFiles.dropTombstones(spark, dir,
-      readOrEmpty(s"$dir/shingles", Seq(StructField("id", NullType),
-        StructField("h", LongType))))
+      IndexFiles.readOrEmpty(spark, s"$dir/shingles", StructType(Seq(
+        StructField("id", newDf.schema(idCol).dataType),
+        StructField("h", LongType)))))
     val replayed = newSh.select("id").distinct()
       .join(IndexFiles.storedIds(spark, dir, oldSh.select("id").distinct()),
         "id").limit(1).collect()
@@ -2134,8 +2120,9 @@ object Dedup {
     // tombstoned docs ([[deleteFromMinhashIndex]]) neither candidate
     // nor verify — bit-equal to the physically compacted index
     val oldSig = IndexFiles.dropTombstones(spark, dir,
-      readOrEmpty(s"$dir/sigs", Seq(StructField("id", NullType),
-        StructField("band", IntegerType), StructField("sig", StringType))))
+      IndexFiles.readOrEmpty(spark, s"$dir/sigs", StructType(Seq(
+        StructField("id", newDf.schema(idCol).dataType),
+        StructField("band", IntegerType), StructField("sig", StringType)))))
     val cand = oldSig.as("o").join(broadcast(newSig.as("n")),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(col("n.id").as("id_a"), col("o.id").as("id_b"))

@@ -218,9 +218,16 @@ private[graft] object IndexFiles {
 
   /** The src segment tags currently present in `table` under `dir` —
     * the rolling-window driver's view of its own history (a hive
-    * partition listing; no data read). Sorted ascending, so
-    * chronologically-named tags (ISO dates, zero-padded sequence
-    * numbers) come back oldest-first. */
+    * partition listing; no data read). Sorted ascending in NATURAL
+    * order — digit runs compare numerically — so every tag scheme this
+    * engine generates or documents comes back oldest-first: ISO dates
+    * (digit runs are equal-width, natural = lexical), zero-padded
+    * sequence numbers, AND the streaming drivers' unpadded per-batch
+    * tags (`b2` < `b10`, where plain lexical sorting would retire the
+    * NEWEST segments once ten batches exist). Mixing naming schemes in
+    * one index (e.g. date tags plus default-"ingest" batch appends) is
+    * the caller's responsibility — the window can only order what one
+    * scheme makes comparable. */
   def listSrcs(spark: SparkSession, dir: String,
       table: String): Seq[String] = {
     val p = new Path(s"$dir/$table")
@@ -229,14 +236,91 @@ private[graft] object IndexFiles {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("src="))
       .map(_.getPath.getName.stripPrefix("src="))
-      .sorted
+      .sorted(naturalOrdering)
   }
+
+  /** The shared segment-retire protocol the id-guarded families run:
+    * heal → drop the src partitions → rebuild the ids sidecar from
+    * `idsFrom`'s surviving id column → prune tombstones of departed
+    * ids → family hook (stats refresh etc.). A protocol fix lands
+    * here ONCE; the per-family wrappers keep their own docstrings and
+    * any family-specific pre/post steps (exact's bloom rebuild and
+    * pair-keyed tombstones, LSH's sidecar-less prune, the dedup
+    * families' bloom/df sidecar rebuilds stay custom). */
+  def retireSegment(spark: SparkSession, dir: String,
+      tables: Seq[String], src: String, strict: Boolean,
+      idsFrom: Option[String], after: () => Unit = () => ()): Unit = {
+    healAppend(spark, dir, tables)
+    if (retireSrcPartitions(spark, dir, tables, src, strict = strict)) {
+      idsFrom.foreach { t =>
+        replaceTable(spark, dir, "ids",
+          spark.read.parquet(s"$dir/$t").select("id").distinct(), Seq.empty)
+      }
+      pruneTombstones(spark, dir)
+      after()
+    }
+  }
+
+  /** Read a payload table projected to `schema`'s columns, or
+    * synthesize an EMPTY frame with that schema when the table has
+    * ZERO partition directories (an all-filtered build legitimately
+    * writes a partitioned table with no partitions — nothing to infer
+    * a schema from; the caller supplies the batch-derived id type).
+    * Partition columns are projected away either way. */
+  def readOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try spark.read.parquet(path).select(
+      schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+
+  /** Natural (human) ordering: split into digit / non-digit runs,
+    * compare digit runs as integers (shorter-after-stripping-zeros
+    * first; equal values fall back to the lexical form so ordering is
+    * total), non-digit runs lexically. */
+  private[graft] val naturalOrdering: Ordering[String] =
+    new Ordering[String] {
+      private def chunks(s: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          val digit = s.charAt(i).isDigit
+          var j = i
+          while (j < s.length && s.charAt(j).isDigit == digit) j += 1
+          out += s.substring(i, j)
+          i = j
+        }
+        out.result()
+      }
+      def compare(a: String, b: String): Int = {
+        val (ca, cb) = (chunks(a), chunks(b))
+        var i = 0
+        while (i < ca.length && i < cb.length) {
+          val (x, y) = (ca(i), cb(i))
+          val c =
+            if (x.nonEmpty && y.nonEmpty &&
+                x.charAt(0).isDigit && y.charAt(0).isDigit) {
+              val n = BigInt(x).compare(BigInt(y))
+              if (n != 0) n else x.compareTo(y)
+            } else x.compareTo(y)
+          if (c != 0) return c
+          i += 1
+        }
+        ca.length - cb.length
+      }
+    }
 
   /** Retire every APPENDED segment except the newest `keep` — the
     * scheduled rolling-window maintenance call ("near-dup/boilerplate
     * history = the last N crawl days") expressed over the family's own
-    * single-segment retire. Tags sort lexically, so date-named tags
-    * age out oldest-first; the build segment ("base") is never
+    * single-segment retire. Tags sort in [[listSrcs]]'s NATURAL order
+    * (digit runs numeric), so date-named tags AND the streaming
+    * drivers' unpadded b<batchId> tags age out oldest-first; the
+    * build segment ("base") is never
     * retired — drop-and-rebuild is its lifecycle. Returns the retired
     * tags (empty when the window already fits — the idempotent
     * steady-state of a daily job). Each doomed segment retires through

@@ -260,14 +260,9 @@ object Multimodal {
       src => retirePhashSrc(spark, dir, src))
 
   def retirePhashSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("bands"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("bands"), src,
-        strict = strict)) {
-      rebuildPhashIds(spark, dir)
-      IndexFiles.pruneTombstones(spark, dir)
-    }
-  }
+      dir: String, src: String, strict: Boolean = true): Unit =
+    IndexFiles.retireSegment(spark, dir, Seq("bands"), src, strict,
+      idsFrom = Some("bands"))
 
   /** Tombstone assets out of the phash index — the shared delete model
     * ([[IndexFiles.writeTombstones]], the takedown path for media): 
@@ -309,22 +304,17 @@ object Multimodal {
     val nb = bandedSigs(
       signatures(batch, idCol, featuresCol, dim, thresh), dim, bands, width)
     // an empty-corpus build writes a (src, hb)-partitioned table with
-    // ZERO partition directories — nothing to infer a schema from;
-    // synthesize the empty payload with the batch's own id type so the
-    // probe returns empty instead of crashing
-    val stored = try spark.read.parquet(s"$dir/bands")
-        .select("id", "sig", "band", "key")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-          import org.apache.spark.sql.types._
-          spark.createDataFrame(new java.util.ArrayList[Row](),
-            StructType(Seq(
-              StructField("id", batch.schema(idCol).dataType),
-              StructField("sig", LongType),
-              StructField("band", IntegerType),
-              StructField("key", LongType))))
-      }
+    // ZERO partition directories — [[IndexFiles.readOrEmpty]]
+    // synthesizes the empty payload with the batch's own id type so
+    // the probe returns empty instead of crashing
+    val stored = {
+      import org.apache.spark.sql.types._
+      IndexFiles.readOrEmpty(spark, s"$dir/bands", StructType(Seq(
+        StructField("id", batch.schema(idCol).dataType),
+        StructField("sig", LongType),
+        StructField("band", IntegerType),
+        StructField("key", LongType))))
+    }
     // tombstoned assets neither candidate nor verify — bit-equal to
     // the compacted index; partition cols projected away at the scan
     broadcast(nb).as("n")

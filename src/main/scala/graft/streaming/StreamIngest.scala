@@ -154,9 +154,14 @@ object StreamIngest {
     if (inSigs == 0 && inShingles == 0 && inSidecar == 0) {
       // fresh batch: pairs first (the guard requires the batch
       // absent), then append, then the marker
-      graft.operators.Dedup
+      val pairs = graft.operators.Dedup
         .dedupAgainstIndex(spark, indexDir, batch, idCol, textCol, tau)
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      // per-trigger release of the probe's pinned internals (batch
+      // shingles + verify caches) — the applyContainmentBatch rule; a
+      // long-lived stream must not accumulate three pinned datasets
+      // per micro-batch
+      graft.operators.CacheLifecycle.release(pairs)
       graft.operators.Dedup
         .appendToMinhashIndex(spark, indexDir, batch, idCol, textCol,
           s"b$batchId")

@@ -992,5 +992,14 @@ class CurateSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet
       assert(kept == Set(1L, 2L, 3L, 4L, 5L) -- flagged, s"tau=$tau: $kept")
     }
+    // STRING ids: the tie-break negates the cosine, never the id
+    // column, so arbitrary id types keep the deterministic
+    // smallest-bench-id argmax (an id negation would NULL these out)
+    val benchS = Seq(("urn:b2", Seq(1.0, 0.0, 0.0)),
+      ("urn:b1", Seq(0.0, 1.0, 0.0))).toDF("id", "v")
+    val corpusS = Seq(("doc-x", Seq(1.0, 1.0, 0.0))).toDF("id", "v")
+    val repS = Curate.semanticContamination(corpusS, benchS, "id", "v")
+      .as[(String, String, Double)].collect().toSeq
+    assert(repS == Seq(("doc-x", "urn:b1", 0.7071)), s"got $repS")
   }
 }

@@ -43,6 +43,33 @@ class MaintenanceSpec extends SparkSpec {
       "ivf_pq", "sparse", "binary", "lsh"))
   }
 
+  test("rolling windows order segments NATURALLY: unpadded b10 is newer than b2, never retired first") {
+    // the streaming drivers tag per-batch segments b0, b1, ..., b10 —
+    // a plain lexical sort would place b10 before b2 and the window
+    // would retire the NEWEST crawl batches while keeping stale ones
+    val ord = graft.operators.IndexFiles.naturalOrdering
+    assert(Seq("b10", "b2", "b1", "b0", "b11").sorted(ord)
+      == Seq("b0", "b1", "b2", "b10", "b11"))
+    // equal-width digit runs (ISO dates, zero-padded) stay lexical
+    assert(Seq("2026-01-10", "2026-01-02", "2025-12-31").sorted(ord)
+      == Seq("2025-12-31", "2026-01-02", "2026-01-10"))
+    assert(ord.compare("d02", "d2") != 0, "ordering must stay total")
+    // end to end: eleven unpadded segments, keep the newest two
+    val dir = java.nio.file.Files.createTempDirectory("natord")
+      .toString + "/idx"
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs.filter(col("id") <= 18), dir, nlist = 4)
+    (0 to 10).foreach(b => Ann.appendToIvfIndex(spark, dir,
+      vecs.filter(col("id") === (19 + b).toLong), s"b$b"))
+    assert(Ann.retireIvfWindow(spark, dir, keep = 2)
+      == (0 to 8).map(b => s"b$b"),
+      "window must retire b0..b8 and keep b9, b10 — the newest two")
+    assert(graft.operators.IndexFiles.listSrcs(spark, dir, "cells")
+      == Seq("b9", "b10", "base").sorted(ord))
+  }
+
   test("whole-store nightly: every registered family builds, appends two segments, and ages the older one out") {
     import graft.operators.Multimodal
     val root = java.nio.file.Files.createTempDirectory("maintall").toString

@@ -198,7 +198,7 @@ class PlanAuditSpec extends SparkSpec {
     // row per corpus doc regardless of benchmark size
     assert("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
       s"argmax must cost exactly one shuffle:\n$phys")
-    assert(phys.contains("partial_max"),
+    assert(phys.contains("partial_min"),
       s"argmax must be map-side combined:\n$phys")
   }
 
