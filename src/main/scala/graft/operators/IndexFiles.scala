@@ -323,7 +323,13 @@ private[graft] object IndexFiles {
     * build segment ("base") is never
     * retired — drop-and-rebuild is its lifecycle. Returns the retired
     * tags (empty when the window already fits — the idempotent
-    * steady-state of a daily job). Each doomed segment retires through
+    * steady-state of a daily job). While a STREAMING driver feeds the
+    * index, keep >= 1 is the floor: the latest per-batch segment must
+    * stay inside the window until its checkpoint commits — a crash
+    * replay of a batch whose segment was retired fails LOUDLY (the
+    * replay marker survives but the payload is gone, the
+    * checkpoint-reset signature) instead of silently resurrecting the
+    * retired segment. Each doomed segment retires through
     * `retire` (the family wrapper), paying that family's sidecar
     * rebuild per segment — fine at the one-segment-per-day steady
     * state; a bulk catch-up can rebuild once afterwards instead. */

@@ -630,6 +630,17 @@ class StreamingSpec extends SparkSpec {
     StreamIngest.applyAnnBatch(
       (61L to 70L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/ann")
     assert(spark.read.parquet(s"$dir/ann/cells").count() == 70)
+    // retiring a segment whose checkpoint hasn't committed is the same
+    // signature: the marker survives, the payload is gone, and a crash
+    // replay of that batch fails LOUDLY instead of silently
+    // resurrecting the retired segment — the retireWindow scaladoc's
+    // keep >= 1 floor for live streams
+    Ann.retireIvfSrc(spark, s"$dir/ann", "b0")
+    val exRet = intercept[IllegalStateException] {
+      StreamIngest.applyAnnBatch(
+        (61L to 70L).map(i => (i, vec(i))).toDF("id", "v"), 0L, s"$dir/ann")
+    }
+    assert(exRet.getMessage.contains("checkpoint reset"), exRet.getMessage)
   }
 
   test("annIngestStream: streamed batches land in the stored-codebook cells; search sees them") {
