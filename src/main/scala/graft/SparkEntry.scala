@@ -1749,6 +1749,28 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  // Rolling-window retirement over the sparse text index, oracle-checked
+  // with the never-appended weight-sum: build on the even half's
+  // postings, append the odd half as segment d1, retire d1 — the
+  // bucket-pruned search must answer exactly like an index that never
+  // held the segment (ids sidecar rebuilt, BM25 stats re-derived).
+  private def qSparseRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def postsOf(d: DataFrame) = Ingest.sparseTerms(d, Seq("doc_id"), "text")
+      .select(col("doc_id").as("id"), col("term"), col("weight").as("w"))
+    val idx = buildOnce(s"/tmp/graft_sparse_ret_${dirKey(dir)}") { d =>
+      Ann.buildSparseIndex(postsOf(docs.filter(col("doc_id") % 2 === 0)), d,
+        buckets = 32)
+      Ann.appendToSparseIndex(s, d,
+        postsOf(docs.filter(col("doc_id") % 2 === 1)), "d1")
+      Ann.retireSparseSrc(s, d, "d1")
+    }
+    val qterms = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
+      .select(col("doc_id").as("qid"), col("term"), col("weight").as("qw"))
+    Ann.searchSparseIndex(s, idx, qterms, k = 10)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   /** BM25 through the PERSISTED sparse index ([[sparseIdx]], shared
     * build), searched BM25-scored off the doclens/stats sidecars.
     * Hash-exact against the q_bm25 oracle — the cross-engine proof
@@ -2203,6 +2225,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_bm25_index" -> (qBm25Index _),
     "q_sparse_index" -> (qSparseIndex _),
+    "q_sparse_retire" -> (qSparseRetire _),
     "q_ann_fields" -> (qAnnFields _),
     "q_hybrid_search" -> (qHybridSearch _),
     "q_rerank" -> (qRerank _),
@@ -4401,6 +4424,21 @@ object SparkEntry {
          |qt AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
          |s AS (SELECT qt.qid, post.doc_id AS id, round(sum(post.w * qt.qw), 4) AS score
          |      FROM post JOIN qt USING (term) GROUP BY 1, 2)
+         |SELECT qid, id, score, rank FROM (
+         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
+         |WHERE rank <= 10""".stripMargin,
+
+    // the sparse retire witness: history = even-doc postings only; the
+    // appended-then-retired odd segment must leave no trace in scores
+    "q_sparse_retire" ->
+      s"""WITH post AS (SELECT doc_id, ('0x' || substr(md5('11#' || tok), 1, 8))::BIGINT % 262144 AS term,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |         FROM ($tokDoc)
+         |         GROUP BY doc_id, term),
+         |qt AS (SELECT doc_id AS qid, term, w AS qw FROM post WHERE doc_id < 5),
+         |h AS (SELECT * FROM post WHERE doc_id % 2 = 0),
+         |s AS (SELECT qt.qid, h.doc_id AS id, round(sum(h.w * qt.qw), 4) AS score
+         |      FROM h JOIN qt USING (term) GROUP BY 1, 2)
          |SELECT qid, id, score, rank FROM (
          | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
          |WHERE rank <= 10""".stripMargin,
