@@ -1413,6 +1413,36 @@ object SparkEntry {
         planes = 6, tables = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
 
+  /** Recall@k of the LSH index vs exact brute force — the index-tuning
+    * report, hash-exact because BOTH sides are: the plane components
+    * are md5-derived driver literals the oracle reproduces (the
+    * q_ann_lsh CTEs) and brute force is the q_ann_topk scan. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Ann.recallAtK(
+      Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64,
+        planes = 6, tables = 4),
+      Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10),
+      k = 10)
+
+  /** DPR-style hard negatives: the 10 nearest corpus vectors per
+    * anchor that stay BELOW the near-dup bar (0.35 on this corpus —
+    * just under the q_dedup_cosine tau, so "hard" here means the
+    * near-miss band that teaches a bi-encoder the most). */
+  private def qMineNegatives(s: SparkSession, dir: String): DataFrame =
+    Ann.mineHardNegatives(corpus(s, dir), queriesSet(s, dir), k = 10,
+      dupThreshold = 0.35)
+      .select(col("qid"), col("id"), col("score"), col("neg_rank"))
+
+  /** Contrastive triplets over the first 20 vectors as anchors: the
+    * nearest neighbor >= 0.35 is the positive (most but NOT all
+    * anchors have one — the drop rule is exercised on this corpus),
+    * the 5 nearest below it are the negatives. */
+  private def qTriplets(s: SparkSession, dir: String): DataFrame =
+    Ann.contrastiveTriplets(corpus(s, dir),
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      negK = 5, posThreshold = 0.35, negThreshold = 0.35)
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
@@ -2202,6 +2232,9 @@ object SparkEntry {
     "q_ann_ip" -> (qAnnIp _),
     "q_ann_l2" -> (qAnnL2 _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_mine_negatives" -> (qMineNegatives _),
+    "q_triplets" -> (qTriplets _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_full" -> (qAnnIvfFull _),
     "q_ann_ivf_pq" -> (qAnnIvfPq _),
@@ -4449,6 +4482,32 @@ object SparkEntry {
     // scores collapsed with max before the final rank — mirrors
     // Ann.lshTopK(tables=4, planes=6, dim=64, k=10) step for step
     "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_recall" -> annRecallOracleSql,
+
+    "q_mine_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+        |      FROM q JOIN e ON e.vec_id != q.qid)
+        |SELECT qid, id, score, neg_rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
+        | FROM p WHERE score < 0.35)
+        |WHERE neg_rank <= 10""".stripMargin,
+
+    "q_triplets" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+        |      FROM q JOIN e ON e.vec_id != q.qid),
+        |pos AS (SELECT qid, id AS pos_id, score AS pos_score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |        FROM p WHERE score >= 0.35),
+        |neg AS (SELECT qid, id AS neg_id, score AS neg_score,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
+        |        FROM p WHERE score < 0.35)
+        |SELECT pos.qid AS qid, pos_id, pos_score, neg_id, neg_score, neg_rank
+        |FROM pos JOIN neg ON pos.qid = neg.qid
+        |WHERE rn = 1 AND neg_rank <= 5""".stripMargin,
 
     "q_sessionize" -> sessionizeOracleSql,
 
@@ -4558,6 +4617,24 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
         |WHERE rank <= 10""".stripMargin
+
+  /** Recall@k needs BOTH searches in SQL: the LSH side is the whole
+    * [[annLshOracleSql]] nested as a CTE (one source of truth for the
+    * plane recipe), the exact side is the q_ann_topk scan. */
+  private val annRecallOracleSql =
+    // margin char is '!': the embedded LSH SQL has continuation lines
+    // starting with '||' (string concat) that '|'.stripMargin would eat
+    s"""WITH lsh AS ($annLshOracleSql),
+      !e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      !brute AS (SELECT qid, id FROM (
+      ! SELECT q.vec_id AS qid, c.vec_id AS id,
+      !  row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rank
+      ! FROM e2 q, e2 c WHERE q.vec_id < 5) WHERE rank <= 10)
+      !SELECT b.qid AS qid, CAST(count(*) AS BIGINT) AS exact_n,
+      ! CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      ! round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+      !FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.id = b.id
+      !GROUP BY b.qid""".stripMargin('!')
 
   private val eventWindowOracleSql =
       """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,

@@ -2380,4 +2380,97 @@ object Ann {
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "codes", keep,
       src => retireIvfPqSrc(spark, dir, src))
+
+  // ---- index evaluation & contrastive mining -----------------------------
+
+  /** Recall@k report — the tuning loop every ANN deployment runs
+    * (sweep nprobe/nlist/planes until recall clears the bar; the
+    * reference's Milvus indexes expose exactly these knobs,
+    * milvus_connector.py:176-188 search_params). `approx` and `exact`
+    * are result frames in this module's (qid, id, rank) shape; the
+    * report is per-query: hits = |approx∩exact| within rank <= k,
+    * recall = hits / |exact| (|exact| < k when the corpus is smaller
+    * than k). Queries the approximate side lost entirely (no bucket
+    * collision in LSH, say) still report, with recall 0 — a silent
+    * inner join would hide exactly the failures the sweep looks for.
+    * Pure composition: two per-qid set aggregates and one join of
+    * |queries|-row frames — cost is the two searches, the report adds
+    * nothing corpus-sized at any scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .groupBy(col("qid")).agg(collect_set(col("id")).as("a_ids"))
+    val e = exact.filter(col("rank") <= k)
+      .groupBy(col("qid")).agg(collect_set(col("id")).as("e_ids"))
+    val hits = when(col("a_ids").isNull, lit(0))
+      .otherwise(size(array_intersect(col("a_ids"), col("e_ids"))))
+    e.join(a, Seq("qid"), "left")
+      .select(col("qid"),
+        size(col("e_ids")).cast("long").as("exact_n"),
+        hits.cast("long").as("n_hits"),
+        round(hits.cast("double") / size(col("e_ids")), 4).as("recall"))
+  }
+
+  /** Contrastive hard-negative mining — the training-data half of an
+    * embedding pipeline (the reference SERVES embedding models,
+    * embedding/tei_embedding.py; improving them needs exactly these
+    * pairs): for each anchor, the k most-similar corpus rows BELOW the
+    * duplicate threshold — near misses, the negatives that teach a
+    * bi-encoder the most (DPR, Karpukhin et al. 2020). Self-pairs are
+    * excluded when anchors come from the corpus; pairs at or above
+    * `dupThreshold` are positives/duplicates, not negatives. Same
+    * scan shape as [[bruteForceTopK]]: anchors broadcast, corpus
+    * scanned once, only (qid, id, score) pairs reach the per-anchor
+    * rank window. */
+  def mineHardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      dupThreshold: Double, metric: String = "cosine",
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    val pairs = scoredPairs(corpus, anchors, metric)
+    val noSelf = if (excludeSelf) pairs.filter(col("id") =!= col("qid")) else pairs
+    noSelf.filter(col("score") < dupThreshold)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
+
+  /** Contrastive triplets (anchor, positive, hard negatives): the
+    * nearest non-self neighbor at or above `posThreshold` is the
+    * positive; the `negK` nearest below `negThreshold` are the
+    * negatives; anchors lacking a positive are dropped (nothing to
+    * contrast against). ONE scored scan and ONE shuffle: because the
+    * per-anchor window orders by score desc, positives form a PREFIX
+    * of the rank order — the positive, if any, is rank 1 — and a
+    * running conditional count ranks the negatives in the same window
+    * pass; a second whole-partition window over the <= negK+1
+    * surviving rows pins the positive onto its negatives without
+    * re-partitioning (both windows share the qid exchange). */
+  def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
+      negK: Int, posThreshold: Double, negThreshold: Double,
+      metric: String = "cosine"): DataFrame = {
+    require(negThreshold <= posThreshold,
+      s"negThreshold $negThreshold must be <= posThreshold $posThreshold " +
+      "(the band between them is neither positive nor negative)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    val isNeg = col("score") < negThreshold
+    val ranked = scoredPairs(corpus, anchors, metric)
+      .filter(col("id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("neg_rank",
+        sum(when(isNeg, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kept = ranked.filter(
+      (col("rank") === 1 && col("score") >= posThreshold) ||
+      (isNeg && col("neg_rank") <= negK))
+    val wq = Window.partitionBy("qid")
+    val posCase = when(col("score") >= posThreshold, col("id"))
+    kept
+      .withColumn("pos_id", max(posCase).over(wq))
+      .withColumn("pos_score",
+        max(when(col("score") >= posThreshold, col("score"))).over(wq))
+      .filter(isNeg && col("pos_id").isNotNull)
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("id").as("neg_id"), col("score").as("neg_score"),
+        col("neg_rank"))
+  }
 }

@@ -53,6 +53,99 @@ class AnnSpec extends SparkSpec {
     assert(rMulti >= rSingle, s"multi $rMulti worse than single $rSingle")
   }
 
+  test("recallAtK: identical results score 1.0; disjoint score 0 and still report") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+    val perfect = Ann.recallAtK(exact, exact, k = 10)
+      .select("qid", "exact_n", "n_hits", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(perfect.length == 5)
+    assert(perfect.forall { case (_, n, h, r) => n == 10 && h == 10 && r == 1.0 })
+    // an approx side that found NOTHING for any query must still yield
+    // one row per query (recall 0), not silently drop them
+    val empty = exact.filter(lit(false))
+    val lost = Ann.recallAtK(empty, exact, k = 10)
+      .select("qid", "n_hits", "recall").as[(Long, Long, Double)].collect()
+    assert(lost.length == 5 && lost.forall { case (_, h, r) => h == 0 && r == 0.0 })
+  }
+
+  test("recallAtK: only ranks <= k count on either side") {
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+    // approx = the exact TAIL (ranks 6..10 re-ranked 1..5): half the set
+    val tail = exact.filter(col("rank") > 5)
+      .withColumn("rank", col("rank") - 5)
+    val half = Ann.recallAtK(tail, exact, k = 10)
+      .select("qid", "n_hits", "recall").as[(Long, Long, Double)].collect()
+    assert(half.forall { case (_, h, r) => h == 5 && r == 0.5 })
+  }
+
+  test("mineHardNegatives: below-threshold, never self, ranks contiguous") {
+    val dupT = 0.9
+    val out = Ann.mineHardNegatives(corpus, qs, k = 7, dupThreshold = dupT)
+      .select("qid", "id", "score", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, i, s, _) => i != q && s < dupT })
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 7)
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // negatives are the TOP of the sub-threshold band: nothing below
+    // the worst mined negative may outscore it (per anchor)
+    val all = Ann.mineHardNegatives(corpus, qs, k = 1000, dupThreshold = dupT)
+      .select("qid", "score").as[(Long, Double)].collect()
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val mined = rows.map(_._3).min
+      val unmined = all.filter(_._1 == q).map(_._2).sorted(Ordering[Double].reverse)
+        .drop(rows.length)
+      assert(unmined.forall(_ <= mined))
+    }
+  }
+
+  test("contrastiveTriplets: pos clears the bar, negs sit below, no-positive anchors drop") {
+    val posT = 0.9; val negT = 0.5
+    val out = Ann.contrastiveTriplets(corpus, qs, negK = 5,
+        posThreshold = posT, negThreshold = negT)
+      .select("qid", "pos_id", "pos_score", "neg_id", "neg_score", "neg_rank")
+      .as[(Long, Long, Double, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, p, ps, n, ns, _) =>
+      p != q && n != q && ps >= posT && ns < negT })
+    // one positive per anchor; <= negK negatives, ranks contiguous
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => (r._2, r._3)).distinct.length == 1)
+      assert(rows.length <= 5)
+      assert(rows.map(_._6).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // equals the two-pass composition: best positive joined to the
+    // hard negatives mined at the same bar
+    val negs = Ann.mineHardNegatives(corpus, qs, k = 5, dupThreshold = negT)
+    // bruteForceTopK keeps self at rank 1 (queries ARE corpus rows here),
+    // so the best non-self is within the top 2
+    val bestPos = Ann.bruteForceTopK(corpus, qs, k = 2)
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(min(struct(negate(col("score")).as("ns"), col("id").as("id"))).as("b"))
+      .select(col("qid"), col("b.id").as("pos_id"),
+        negate(col("b.ns")).as("pos_score"))
+      .filter(col("pos_score") >= posT)
+    val composed = bestPos.join(negs, "qid")
+      .select(col("qid"), col("pos_id"), col("pos_score"),
+        col("id").as("neg_id"), col("score").as("neg_score"), col("neg_rank"))
+      .as[(Long, Long, Double, Long, Double, Long)].collect().toSet
+    assert(out.toSet == composed)
+  }
+
+  test("contrastiveTriplets: a no-negative anchor yields nothing; bad thresholds fail fast") {
+    // negThreshold so low nothing qualifies -> empty output, not an error
+    val none = Ann.contrastiveTriplets(corpus, qs, negK = 3,
+      posThreshold = 0.9, negThreshold = -2.0)
+    assert(none.count() == 0)
+    intercept[IllegalArgumentException] {
+      Ann.contrastiveTriplets(corpus, qs, negK = 3,
+        posThreshold = 0.3, negThreshold = 0.6)
+    }
+  }
+
   test("ivfTopK: self-match survives coarse quantization probes") {
     val out = Ann.ivfTopK(corpus, qs, k = 10, nlist = 8, nprobe = 4)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect()

@@ -84,6 +84,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Ann.ivfTopK(noVecs, someQs, k = 5, nlist = 4).count() == 0)
   }
 
+  test("recall/mining over empty inputs") {
+    val noRes = Seq.empty[(Long, Long, Double, Long)]
+      .toDF("qid", "id", "score", "rank")
+    // approx empty, exact empty -> empty report (nothing to recall)
+    assert(Ann.recallAtK(noRes, noRes, k = 5).count() == 0)
+    assert(Ann.mineHardNegatives(noVecs, someQs, k = 5,
+      dupThreshold = 0.5).count() == 0)
+    assert(Ann.contrastiveTriplets(noVecs, someQs, negK = 5,
+      posThreshold = 0.5, negThreshold = 0.5).count() == 0)
+  }
+
   test("rerank over empty candidates / empty passages") {
     val noCand = Seq.empty[(Long, Long)].toDF("qid", "id")
     val qs = Seq((1L, "query text")).toDF("qid", "qtext")

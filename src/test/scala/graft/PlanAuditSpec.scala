@@ -202,6 +202,27 @@ class PlanAuditSpec extends SparkSpec {
       s"argmax must be map-side combined:\n$phys")
   }
 
+  test("contrastiveTriplets: anchors broadcast; both windows share ONE qid exchange") {
+    import graft.operators.Ann
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    val anchors = (1L to 5L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("qid", "qv")
+    val phys = Ann.contrastiveTriplets(corpus, anchors, negK = 3,
+        posThreshold = 0.9, negThreshold = 0.5)
+      .queryExecution.executedPlan.toString
+    // the anchor set rides a broadcast — the corpus scan never shuffles
+    assert(phys.contains("BroadcastNestedLoopJoin"),
+      s"anchor side is not broadcast:\n$phys")
+    // rank + running-negative-count + the positive pin are three window
+    // functions over the SAME qid partitioning: one shuffle total —
+    // a second exchange would mean the positive join re-partitioned
+    assert("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
+      s"triplets must cost exactly one shuffle:\n$phys")
+  }
+
   test("rerankTopK: candidate enrichment broadcasts — the passage corpus never shuffles") {
     val cand = Seq((1L, 3L), (1L, 7L), (2L, 3L)).toDF("qid", "id")
     val queries = Seq((1L, "q one"), (2L, "q two")).toDF("qid", "qtext")
