@@ -1443,6 +1443,17 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       negK = 5, posThreshold = 0.35, negThreshold = 0.35)
 
+  /** The 100 TB mining path: hard negatives via the PERSISTED IVF
+    * index at full probe with a covering window — hash-exact against
+    * the SAME oracle as q_mine_negatives (the q_rerank_index pattern:
+    * the scale path must answer exactly like the in-memory form).
+    * window=40 covers: the graded corpus averages ~1 in-window
+    * positive per anchor, so 40 slots hold 10 negatives many times
+    * over. */
+  private def qMineNegativesIvf(s: SparkSession, dir: String): DataFrame =
+    Ann.mineHardNegativesIndex(s, hybIvfIdx(s, dir), queriesSet(s, dir),
+      k = 10, dupThreshold = 0.35, window = 40, nprobe = 16)
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(corpus(s, dir), queriesSet(s, dir), k = 10, nlist = 16, nprobe = 4)
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
@@ -2234,6 +2245,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_mine_negatives" -> (qMineNegatives _),
+    "q_mine_negatives_ivf" -> (qMineNegativesIvf _),
     "q_triplets" -> (qTriplets _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_full" -> (qAnnIvfFull _),
@@ -4484,15 +4496,10 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_recall" -> annRecallOracleSql,
 
-    "q_mine_negatives" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
-        |      FROM q JOIN e ON e.vec_id != q.qid)
-        |SELECT qid, id, score, neg_rank FROM (
-        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
-        | FROM p WHERE score < 0.35)
-        |WHERE neg_rank <= 10""".stripMargin,
+    "q_mine_negatives" -> mineNegativesOracleSql,
+    // the IVF-index mining path must answer EXACTLY like the in-memory
+    // form (full probe + covering window) — same oracle verbatim
+    "q_mine_negatives_ivf" -> mineNegativesOracleSql,
 
     "q_triplets" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4617,6 +4624,16 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
         |WHERE rank <= 10""".stripMargin
+
+  private val mineNegativesOracleSql =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+        |      FROM q JOIN e ON e.vec_id != q.qid)
+        |SELECT qid, id, score, neg_rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
+        | FROM p WHERE score < 0.35)
+        |WHERE neg_rank <= 10""".stripMargin
 
   /** Recall@k needs BOTH searches in SQL: the LSH side is the whole
     * [[annLshOracleSql]] nested as a CTE (one source of truth for the

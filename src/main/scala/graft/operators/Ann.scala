@@ -458,12 +458,18 @@ object Ann {
     * segment: df/tf come only from stored posting rows and segments
     * never mix partitions. */
   def retireSparseSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
+      dir: String, src: String, strict: Boolean = true): Unit =
+    retireSparseSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireSparseSrc]]: one heal, one drop pass, one stats
+    * refresh for the whole doomed set ([[IndexFiles.retireSegments]]). */
+  def retireSparseSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit = {
     healSparseIndex(spark, dir) // stats-aware heal before the generic one
     val bm25 = hasBm25Sidecars(spark, dir)
-    IndexFiles.retireSegment(spark, dir,
+    IndexFiles.retireSegments(spark, dir,
       if (bm25) Seq("postings", "doclens") else Seq("postings"),
-      src, strict, idsFrom = Some("postings"),
+      srcs, strict, idsFrom = Some("postings"),
       after = () => if (bm25) refreshSparseStats(spark, dir))
   }
 
@@ -471,7 +477,7 @@ object Ann {
   def retireSparseWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "postings", keep,
-      src => retireSparseSrc(spark, dir, src))
+      srcs => retireSparseSrcs(spark, dir, srcs))
 
   /** Search a persisted sparse index; same results as [[sparseTopK]]
     * over the full postings (scores only involve terms both sides
@@ -642,14 +648,19 @@ object Ann {
     * sidecar rebuild, and tombstone prune over the bits table. */
   def retireBinarySrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit =
-    IndexFiles.retireSegment(spark, dir, Seq("bits"), src, strict,
+    retireBinarySrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireBinarySrc]] ([[IndexFiles.retireSegments]]). */
+  def retireBinarySrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit =
+    IndexFiles.retireSegments(spark, dir, Seq("bits"), srcs, strict,
       idsFrom = Some("bits"))
 
   /** [[retireIvfWindow]] for the BIN_FLAT index. */
   def retireBinaryWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "bits", keep,
-      src => retireBinarySrc(spark, dir, src))
+      srcs => retireBinarySrcs(spark, dir, srcs))
 
   /** Tombstone / purge for the BIN_FLAT index — same model as
     * [[deleteFromIvfIndex]] / [[compactIvfIndex]] over the bits table. */
@@ -1032,9 +1043,15 @@ object Ann {
     * tombstone would otherwise silently hide a later re-append of the
     * departed id). */
   def retireLshSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
+      dir: String, src: String, strict: Boolean = true): Unit =
+    retireLshSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireLshSrc]]: one heal, one drop pass, one tombstone
+    * prune over the surviving buckets. */
+  def retireLshSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("buckets"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("buckets"), src,
+    if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("buckets"), srcs,
         strict = strict)) {
       IndexFiles.tombstones(spark, dir).foreach { dead =>
         IndexFiles.replaceTable(spark, dir, "deleted",
@@ -1050,7 +1067,7 @@ object Ann {
   def retireLshWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "buckets", keep,
-      src => retireLshSrc(spark, dir, src))
+      srcs => retireLshSrcs(spark, dir, srcs))
 
   /** Search a persisted LSH index; same results as [[lshTopK]] with the
     * build's parameters (read from the index's own metadata). The
@@ -1395,16 +1412,22 @@ object Ann {
     * the scheduled window job must not crash on it). */
   def retireIvfSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit =
-    IndexFiles.retireSegment(spark, dir, Seq("cells"), src, strict,
+    retireIvfSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireIvfSrc]] ([[IndexFiles.retireSegments]]). */
+  def retireIvfSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit =
+    IndexFiles.retireSegments(spark, dir, Seq("cells"), srcs, strict,
       idsFrom = Some("cells"))
 
   /** Retire every appended IVF segment but the newest `keep` — the
     * scheduled rolling-window call ([[IndexFiles.retireWindow]]);
-    * returns the retired tags. */
+    * returns the retired tags (the whole set retires in ONE bulk
+    * call: one heal, one sidecar rebuild). */
   def retireIvfWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "cells", keep,
-      src => retireIvfSrc(spark, dir, src))
+      srcs => retireIvfSrcs(spark, dir, srcs))
 
   /** Delete ids from a persisted IVF index by TOMBSTONE — the Milvus
     * delete model (milvus_connector.py:190-198 delete-by-expr; Milvus
@@ -1620,14 +1643,19 @@ object Ann {
     * sidecar rebuild, and tombstone prune over the code cells. */
   def retireIvfSq8Src(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit =
-    IndexFiles.retireSegment(spark, dir, Seq("cells"), src, strict,
+    retireIvfSq8Srcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireIvfSq8Src]] ([[IndexFiles.retireSegments]]). */
+  def retireIvfSq8Srcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit =
+    IndexFiles.retireSegments(spark, dir, Seq("cells"), srcs, strict,
       idsFrom = Some("cells"))
 
   /** [[retireIvfWindow]] for the IVF_SQ8 index. */
   def retireIvfSq8Window(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "cells", keep,
-      src => retireIvfSq8Src(spark, dir, src))
+      srcs => retireIvfSq8Srcs(spark, dir, srcs))
 
   /** Search a persisted IVF_SQ8 index: probe the nprobe nearest cells
     * (same static literal partition pruning as [[searchIvfIndex]] —
@@ -2369,9 +2397,14 @@ object Ann {
     * codebooks are untouched (codes of surviving segments stay
     * decodable — nothing is re-encoded). */
   def retireIvfPqSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
+      dir: String, src: String, strict: Boolean = true): Unit =
+    retireIvfPqSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireIvfPqSrc]] ([[IndexFiles.retireSegments]]). */
+  def retireIvfPqSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit = {
     requireNoPendingRetrain(spark, dir)
-    IndexFiles.retireSegment(spark, dir, Seq("codes"), src, strict,
+    IndexFiles.retireSegments(spark, dir, Seq("codes"), srcs, strict,
       idsFrom = Some("codes"))
   }
 
@@ -2379,7 +2412,7 @@ object Ann {
   def retireIvfPqWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "codes", keep,
-      src => retireIvfPqSrc(spark, dir, src))
+      srcs => retireIvfPqSrcs(spark, dir, srcs))
 
   // ---- index evaluation & contrastive mining -----------------------------
 
@@ -2431,6 +2464,32 @@ object Ann {
     noSelf.filter(col("score") < dupThreshold)
       .withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= k)
+  }
+
+  /** [[mineHardNegatives]] against the persisted IVF index — how a
+    * 100 TB deployment mines: the ANN search bounds the scanned corpus
+    * to the probed cells (~nprobe/nlist of the store) and a candidate
+    * window of `window` hits per anchor replaces the corpus scan;
+    * negatives re-rank within it. `window` must cover each anchor's
+    * in-window positives plus k — a crowded near-dup neighborhood eats
+    * candidate slots, so size it at k + the expected duplicate count
+    * (at FULL probe with a covering window the result equals the
+    * brute-force [[mineHardNegatives]] exactly; at partial probe it
+    * inherits IVF's recall contract). */
+  def mineHardNegativesIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, anchors: DataFrame, k: Int, dupThreshold: Double,
+      window: Int, nprobe: Int = 4, metric: String = "cosine",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(window >= k,
+      s"window $window < k $k can never yield k negatives")
+    import org.apache.spark.sql.expressions.Window
+    val hits = searchIvfIndex(spark, dir, anchors, window, nprobe, metric)
+    val base = if (excludeSelf) hits.filter(col("id") =!= col("qid")) else hits
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
+    base.filter(col("score") < dupThreshold)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col("id"), col("score"), col("neg_rank"))
   }
 
   /** Contrastive triplets (anchor, positive, hard negatives): the

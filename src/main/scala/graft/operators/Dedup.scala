@@ -305,13 +305,20 @@ object Dedup {
   def retireLineDfWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "lines", keep,
-      src => retireLineDfSrc(spark, dir, src, fpp))
+      srcs => retireLineDfSrcs(spark, dir, srcs, fpp))
 
   def retireLineDfSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit =
+    retireLineDfSrcs(spark, dir, Seq(src), fpp, strict)
+
+  /** Bulk [[retireLineDfSrc]]: one heal, one drop pass, ONE bloom
+    * sidecar rebuild for the whole doomed set. */
+  def retireLineDfSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("lines"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("lines"), src,
+    if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("lines"), srcs,
         strict = strict))
       rebuildLineDfSidecar(spark, dir, fpp)
   }
@@ -819,14 +826,21 @@ object Dedup {
   def retireContainmentWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "shingles", keep,
-      src => retireContainmentSrc(spark, dir, src, fpp))
+      srcs => retireContainmentSrcs(spark, dir, srcs, fpp))
 
   def retireContainmentSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit =
+    retireContainmentSrcs(spark, dir, Seq(src), fpp, strict)
+
+  /** Bulk [[retireContainmentSrc]]: one heal, one drop pass, one
+    * ids + bloom sidecar rebuild for the whole doomed set. */
+  def retireContainmentSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("shingles", "sizes"),
-        src, strict = strict)) {
+    if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("shingles", "sizes"),
+        srcs, strict = strict)) {
       rebuildContainmentIds(spark, dir)
       rebuildContainmentSidecar(spark, dir, fpp)
     }
@@ -1891,13 +1905,19 @@ object Dedup {
   def retireDomainCapWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "counts", keep,
-      src => retireDomainCapSrc(spark, dir, src))
+      srcs => retireDomainCapSrcs(spark, dir, srcs))
 
   def retireDomainCapSrc(spark: org.apache.spark.sql.SparkSession,
-      dir: String, src: String, strict: Boolean = true): Unit = {
+      dir: String, src: String, strict: Boolean = true): Unit =
+    retireDomainCapSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireDomainCapSrc]]: one heal, one drop pass (no
+    * sidecars to rebuild — the ledger reads sum what remains). */
+  def retireDomainCapSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("counts", "admitted"))
-    IndexFiles.retireSrcPartitions(spark, dir, Seq("counts", "admitted"),
-      src, requireSurvivor = false, strict = strict); ()
+    IndexFiles.retireSrcsPartitions(spark, dir, Seq("counts", "admitted"),
+      srcs, requireSurvivor = false, strict = strict); ()
   }
 
   private val MinhashBuckets = 64
@@ -2035,11 +2055,16 @@ object Dedup {
   def retireMinhashWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "sigs", keep,
-      src => retireMinhashSrc(spark, dir, src))
+      srcs => retireMinhashSrcs(spark, dir, srcs))
 
   def retireMinhashSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit =
-    IndexFiles.retireSegment(spark, dir, Seq("sigs", "shingles"), src,
+    retireMinhashSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retireMinhashSrc]] ([[IndexFiles.retireSegments]]). */
+  def retireMinhashSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit =
+    IndexFiles.retireSegments(spark, dir, Seq("sigs", "shingles"), srcs,
       strict, idsFrom = Some("shingles"))
 
   /** The distinct doc ids a persisted minhash index currently covers —
@@ -2309,9 +2334,16 @@ object Dedup {
     * absent segment a no-op (zero-yield days append no partitions). */
   def retireExactSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, fpp: Double = 0.01,
+      strict: Boolean = true): Unit =
+    retireExactSrcs(spark, dir, Seq(src), fpp, strict)
+
+  /** Bulk [[retireExactSrc]]: one heal, one drop pass, one pair-keyed
+    * tombstone prune, ONE bloom rebuild for the whole doomed set. */
+  def retireExactSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
     IndexFiles.healAppend(spark, dir, Seq("fps"))
-    if (IndexFiles.retireSrcPartitions(spark, dir, Seq("fps"), src,
+    if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("fps"), srcs,
         strict = strict)) {
       exactTombstones(spark, dir).foreach { dead =>
         IndexFiles.replaceTable(spark, dir, "deleted_fps",
@@ -2326,11 +2358,11 @@ object Dedup {
 
   /** Retire every appended exact-history segment but the newest `keep`
     * — the scheduled rolling-window call ([[IndexFiles.retireWindow]]);
-    * returns the retired tags. */
+    * returns the retired tags (one bulk retire: one bloom rebuild). */
   def retireExactWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int, fpp: Double = 0.01): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "fps", keep,
-      src => retireExactSrc(spark, dir, src, fpp))
+      srcs => retireExactSrcs(spark, dir, srcs, fpp))
 
   /** Set-bit fraction and estimated false-positive rate of a
     * serialized Bloom sidecar — the saturation telemetry

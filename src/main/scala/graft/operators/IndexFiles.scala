@@ -171,34 +171,57 @@ private[graft] object IndexFiles {
   def retireSrcPartitions(spark: SparkSession, dir: String,
       tables: Seq[String], src: String,
       requireSurvivor: Boolean = true,
+      strict: Boolean = true): Boolean =
+    retireSrcsPartitions(spark, dir, tables, Seq(src),
+      requireSurvivor = requireSurvivor, strict = strict)
+
+  /** The BULK form of [[retireSrcPartitions]]: the whole doomed set is
+    * validated BEFORE anything is deleted — every src's presence under
+    * `strict`, and the survivor condition against the set as a whole
+    * (a table must keep at least one partition NOT in `srcs`; the
+    * sequential loop's weaker per-segment check could retire half a
+    * catch-up backlog and then refuse, leaving a partial window). One
+    * cache flush for the lot. Returns true when anything dropped. */
+  def retireSrcsPartitions(spark: SparkSession, dir: String,
+      tables: Seq[String], srcs: Seq[String],
+      requireSurvivor: Boolean = true,
       strict: Boolean = true): Boolean = {
-    require(src.matches("[A-Za-z0-9._\\-]+"),
+    srcs.foreach(src => require(src.matches("[A-Za-z0-9._\\-]+"),
       s"src tag '$src' is not a plain partition value — retire by the " +
-        "exact tag the append used")
+        "exact tag the append used"))
+    require(srcs.distinct.size == srcs.size,
+      s"duplicate src tags in ${srcs.mkString(", ")}")
     val fs = fsOf(spark, dir)
-    val present = tables.filter(t =>
-      fs.exists(new Path(s"$dir/$t/src=$src")))
-    if (present.isEmpty && !strict) return false
-    require(present.nonEmpty,
-      s"src '$src' not present in any of [${tables.mkString(", ")}] " +
-        s"under $dir — nothing to retire (a zero-yield day's segment " +
-        "writes no partitions; retire it with strict = false)")
-    // validate EVERY table's survivor condition before deleting ANY
-    // partition — a require tripping after earlier tables were already
-    // deleted would abort mid-retire and leave the family partially
-    // retired (orphaned sibling rows, sidecar rebuilds never reached)
-    if (requireSurvivor) present.foreach { t =>
-      val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("src=") &&
-          st.getPath.getName != s"src=$src")
-      require(others,
-        s"retiring src '$src' would empty $dir/$t — drop and rebuild " +
-          "the index instead")
+    val presentBy = srcs.map(src => src ->
+      tables.filter(t => fs.exists(new Path(s"$dir/$t/src=$src"))))
+    presentBy.foreach { case (src, present) =>
+      require(present.nonEmpty || !strict,
+        s"src '$src' not present in any of [${tables.mkString(", ")}] " +
+          s"under $dir — nothing to retire (a zero-yield day's segment " +
+          "writes no partitions; retire it with strict = false)")
     }
-    present.foreach { t =>
+    val live = presentBy.filter(_._2.nonEmpty)
+    if (live.isEmpty) return false
+    // validate EVERY table's survivor condition before deleting ANY
+    // partition — a require tripping after earlier tables (or earlier
+    // segments) were already deleted would abort mid-retire and leave
+    // the family partially retired (orphaned sibling rows, sidecar
+    // rebuilds never reached)
+    if (requireSurvivor) {
+      val doomed = live.map { case (src, _) => s"src=$src" }.toSet
+      live.flatMap(_._2).distinct.foreach { t =>
+        val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("src=") &&
+            !doomed.contains(st.getPath.getName))
+        require(others,
+          s"retiring src(s) ${live.map(_._1).mkString(", ")} would " +
+            s"empty $dir/$t — drop and rebuild the index instead")
+      }
+    }
+    live.foreach { case (src, present) => present.foreach { t =>
       require(fs.delete(new Path(s"$dir/$t/src=$src"), true),
         s"delete $dir/$t/src=$src failed")
-    }
+    } }
     // Deleting a partition directory that a later append may RE-CREATE
     // under the same path is the one lifecycle where stale captured
     // listings can resurface: a still-registered cached plan fragment
@@ -249,9 +272,21 @@ private[graft] object IndexFiles {
     * families' bloom/df sidecar rebuilds stay custom). */
   def retireSegment(spark: SparkSession, dir: String,
       tables: Seq[String], src: String, strict: Boolean,
+      idsFrom: Option[String], after: () => Unit = () => ()): Unit =
+    retireSegments(spark, dir, tables, Seq(src), strict, idsFrom, after)
+
+  /** The BULK form of [[retireSegment]] — the whole doomed set drops
+    * under one heal / one sidecar rebuild / one tombstone prune / one
+    * family hook. A rolling window catching up on N backlogged
+    * segments pays the per-retire Spark jobs ONCE instead of N times
+    * (the per-segment loop's rebuild cost is quadratic in backlog:
+    * each rebuild rescans the surviving history). */
+  def retireSegments(spark: SparkSession, dir: String,
+      tables: Seq[String], srcs: Seq[String], strict: Boolean,
       idsFrom: Option[String], after: () => Unit = () => ()): Unit = {
+    if (srcs.isEmpty) return
     healAppend(spark, dir, tables)
-    if (retireSrcPartitions(spark, dir, tables, src, strict = strict)) {
+    if (retireSrcsPartitions(spark, dir, tables, srcs, strict = strict)) {
       idsFrom.foreach { t =>
         replaceTable(spark, dir, "ids",
           spark.read.parquet(s"$dir/$t").select("id").distinct(), Seq.empty)
@@ -329,16 +364,19 @@ private[graft] object IndexFiles {
     * replay of a batch whose segment was retired fails LOUDLY (the
     * replay marker survives but the payload is gone, the
     * checkpoint-reset signature) instead of silently resurrecting the
-    * retired segment. Each doomed segment retires through
-    * `retire` (the family wrapper), paying that family's sidecar
-    * rebuild per segment — fine at the one-segment-per-day steady
-    * state; a bulk catch-up can rebuild once afterwards instead. */
+    * retired segment. The doomed segments retire through `retire`
+    * (the family's BULK wrapper) in ONE call: a catch-up backlog of N
+    * segments pays one heal, one partition-drop validation pass, and
+    * one sidecar rebuild — not N rebuilds each rescanning the
+    * survivors. The whole set is survivor-validated before anything
+    * deletes, so a window that would empty a table refuses up front
+    * (atomic) instead of retiring half the backlog first. */
   def retireWindow(spark: SparkSession, dir: String, table: String,
-      keep: Int, retire: String => Unit): Seq[String] = {
+      keep: Int, retire: Seq[String] => Unit): Seq[String] = {
     require(keep >= 0, s"keep must be non-negative: $keep")
     val doomed = listSrcs(spark, dir, table).filterNot(_ == "base")
       .dropRight(keep)
-    doomed.foreach(retire)
+    if (doomed.nonEmpty) retire(doomed)
     doomed
   }
 

@@ -257,11 +257,16 @@ object Multimodal {
   def retirePhashWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] =
     IndexFiles.retireWindow(spark, dir, "bands", keep,
-      src => retirePhashSrc(spark, dir, src))
+      srcs => retirePhashSrcs(spark, dir, srcs))
 
   def retirePhashSrc(spark: org.apache.spark.sql.SparkSession,
       dir: String, src: String, strict: Boolean = true): Unit =
-    IndexFiles.retireSegment(spark, dir, Seq("bands"), src, strict,
+    retirePhashSrcs(spark, dir, Seq(src), strict)
+
+  /** Bulk [[retirePhashSrc]] ([[IndexFiles.retireSegments]]). */
+  def retirePhashSrcs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, srcs: Seq[String], strict: Boolean = true): Unit =
+    IndexFiles.retireSegments(spark, dir, Seq("bands"), srcs, strict,
       idsFrom = Some("bands"))
 
   /** Tombstone assets out of the phash index — the shared delete model

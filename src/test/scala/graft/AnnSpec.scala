@@ -101,6 +101,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("mineHardNegativesIndex: full probe + covering window equals brute-force mining") {
+    val dir = java.nio.file.Files.createTempDirectory("mineivf").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 4)
+    val brute = Ann.mineHardNegatives(corpus, qs, k = 7, dupThreshold = 0.9)
+      .select("qid", "id", "score", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaIdx = Ann.mineHardNegativesIndex(spark, dir, qs, k = 7,
+        dupThreshold = 0.9, window = 40, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIdx == brute)
+    intercept[IllegalArgumentException] {
+      Ann.mineHardNegativesIndex(spark, dir, qs, k = 7,
+        dupThreshold = 0.9, window = 3)
+    }
+  }
+
   test("contrastiveTriplets: pos clears the bar, negs sit below, no-positive anchors drop") {
     val posT = 0.9; val negT = 0.5
     val out = Ann.contrastiveTriplets(corpus, qs, negK = 5,

@@ -70,6 +70,70 @@ class MaintenanceSpec extends SparkSpec {
       == Seq("b9", "b10", "base").sorted(ord))
   }
 
+  test("bulk window retirement equals sequential per-segment retires; refusal is atomic") {
+    val rootA = java.nio.file.Files.createTempDirectory("bulkA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("bulkB").toString
+    def docs(lo: Long) = (lo until lo + 6).map(i =>
+      (i, s"line-$i\nshared-footer")).toDF("doc_id", "text")
+    val vecs = (1 to 90).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    def vslice(lo: Long, n: Long) =
+      vecs.filter(col("id") >= lo && col("id") < lo + n)
+    Seq(rootA, rootB).foreach { root =>
+      Dedup.buildLineDfIndex(docs(0), "doc_id", "text", s"$root/lines")
+      Dedup.buildExactIndex(docs(0), "doc_id", "text", s"$root/exact")
+      Ann.buildIvfIndex(vslice(1, 30), s"$root/ivf", nlist = 4)
+      Seq("d1", "d2", "d3").zipWithIndex.foreach { case (tag, k) =>
+        val lo = 100L * (k + 1)
+        Dedup.appendToLineDfIndex(spark, s"$root/lines", docs(lo),
+          "doc_id", "text", tag)
+        Dedup.appendToExactIndex(spark, s"$root/exact", docs(lo),
+          "doc_id", "text", tag)
+        Ann.appendToIvfIndex(spark, s"$root/ivf",
+          vslice(31 + 20 * k, 20), tag)
+      }
+    }
+    // A: the per-segment path, one retire at a time (the pre-bulk
+    // protocol); B: the window's single bulk call
+    Seq("d1", "d2").foreach { tag =>
+      Dedup.retireLineDfSrc(spark, s"$rootA/lines", tag)
+      Dedup.retireExactSrc(spark, s"$rootA/exact", tag)
+      Ann.retireIvfSrc(spark, s"$rootA/ivf", tag)
+    }
+    assert(Dedup.retireLineDfWindow(spark, s"$rootB/lines", keep = 1)
+      == Seq("d1", "d2"))
+    assert(Dedup.retireExactWindow(spark, s"$rootB/exact", keep = 1)
+      == Seq("d1", "d2"))
+    assert(Ann.retireIvfWindow(spark, s"$rootB/ivf", keep = 1)
+      == Seq("d1", "d2"))
+    // stored payloads identical...
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$rootA/lines/lines") == rows(s"$rootB/lines/lines"))
+    assert(rows(s"$rootA/exact/fps") == rows(s"$rootB/exact/fps"))
+    assert(rows(s"$rootA/ivf/cells") == rows(s"$rootB/ivf/cells"))
+    assert(rows(s"$rootA/ivf/ids") == rows(s"$rootB/ivf/ids"))
+    // ...and so is observable behavior through the rebuilt sidecars
+    val probe = docs(300)
+    def verdict(root: String) = Dedup.lineDfAgainstIndex(spark,
+      s"$root/lines", probe, "doc_id", "text", minDf = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(verdict(rootA) == verdict(rootB))
+    def exactVerdict(root: String) = Dedup.dedupExactAgainstIndex(spark,
+      s"$root/exact", docs(100).union(docs(300)), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(exactVerdict(rootA) == exactVerdict(rootB))
+    // refusal is ATOMIC: a doomed set that would empty the table
+    // refuses BEFORE deleting anything (the sequential loop would have
+    // dropped the first segment and then crashed mid-window)
+    intercept[IllegalArgumentException] {
+      Dedup.retireLineDfSrcs(spark, s"$rootB/lines", Seq("d3", "base"))
+    }
+    assert(graft.operators.IndexFiles.listSrcs(spark, s"$rootB/lines",
+      "lines") == Seq("base", "d3"),
+      "atomic refusal must leave every doomed segment in place")
+  }
+
   test("whole-store nightly: every registered family builds, appends two segments, and ages the older one out") {
     import graft.operators.Multimodal
     val root = java.nio.file.Files.createTempDirectory("maintall").toString
