@@ -623,6 +623,70 @@ object Scale {
     println(f"SCALE_BPE_COVERAGE $c1%.2f,$cN%.2f,${cN / c1}%.2f,$v1,$vN")
   }
 
+  /** Bulk-vs-sequential window retirement walls — the catch-up-backlog
+    * measurement behind the r16 bulk retire protocol: build two
+    * IDENTICAL stores per family, append `nSegs` daily segments to
+    * each, then age all but the newest out (a) one retire*Src call per
+    * segment — the pre-bulk protocol, each call paying its own heal +
+    * sidecar rebuild over the survivors — and (b) the window's single
+    * bulk call. Survivor payloads are asserted IDENTICAL before any
+    * wall is reported (a fast wrong answer is not a result). Families:
+    * line-df (bloom sidecar rebuild — the expensive one) and IVF (ids
+    * sidecar). */
+  def bulkRetireBench(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, nSegs: Int): Unit = {
+    import graft.operators.{Ann, Dedup}
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    val docs = Tables.load(spark, baseDir, "documents")
+    val vecs = Tables.load(spark, baseDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("bulkret").toString
+    val tags = (1 to nSegs).map(i => f"d$i%02d")
+    val doomed = tags.dropRight(1)
+    Seq("seq", "bulk").foreach { m =>
+      Dedup.buildLineDfIndex(docs.filter(col("doc_id") % (nSegs + 1) === 0),
+        "doc_id", "text", s"$root/$m/lines")
+      tags.zipWithIndex.foreach { case (tag, i) =>
+        Dedup.appendToLineDfIndex(spark, s"$root/$m/lines",
+          docs.filter(col("doc_id") % (nSegs + 1) === (i + 1)),
+          "doc_id", "text", tag)
+      }
+      Ann.buildIvfIndex(vecs.filter(col("id") % (nSegs + 1) === 0),
+        s"$root/$m/ivf", nlist = 8)
+      tags.zipWithIndex.foreach { case (tag, i) =>
+        Ann.appendToIvfIndex(spark, s"$root/$m/ivf",
+          vecs.filter(col("id") % (nSegs + 1) === (i + 1)), tag)
+      }
+    }
+    val linedfSeq = timed {
+      doomed.foreach(t => Dedup.retireLineDfSrc(spark, s"$root/seq/lines", t))
+    }
+    val linedfBulk = timed {
+      require(Dedup.retireLineDfWindow(spark, s"$root/bulk/lines",
+        keep = 1) == doomed)
+    }
+    require(rows(s"$root/seq/lines/lines") == rows(s"$root/bulk/lines/lines"),
+      "bulk line-df retirement diverged from sequential")
+    val ivfSeq = timed {
+      doomed.foreach(t => Ann.retireIvfSrc(spark, s"$root/seq/ivf", t))
+    }
+    val ivfBulk = timed {
+      require(Ann.retireIvfWindow(spark, s"$root/bulk/ivf", keep = 1)
+        == doomed)
+    }
+    require(rows(s"$root/seq/ivf/cells") == rows(s"$root/bulk/ivf/cells") &&
+      rows(s"$root/seq/ivf/ids") == rows(s"$root/bulk/ivf/ids"),
+      "bulk IVF retirement diverged from sequential")
+    println(f"SCALE_BULKRETIRE linedf segs=${doomed.size} " +
+      f"seq=$linedfSeq%.2f bulk=$linedfBulk%.2f")
+    println(f"SCALE_BULKRETIRE ivf segs=${doomed.size} " +
+      f"seq=$ivfSeq%.2f bulk=$ivfBulk%.2f")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -643,9 +707,14 @@ object Scale {
         bpeLifecycle(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("bulkretire") =>
+        bulkRetireBench(spark, baseDir, factor)
+        spark.stop()
+        return
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
-          s"unknown SPARK_GRAFT_SCALE_MODE=$other (expected heavy|append|stream|bpe)")
+          s"unknown SPARK_GRAFT_SCALE_MODE=$other " +
+            "(expected heavy|append|stream|bpe|bulkretire)")
       case _ => ()
     }
 
