@@ -586,6 +586,20 @@ object SparkEntry {
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
       w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100))
 
+  /** Banding-recall report: the graded minhash configuration
+    * (12 hashes / 4 bands) against the exact ngram-Jaccard ground
+    * truth over the SAME capped 32-bit shingle space — the tuning
+    * number a deployment sweeps bands against before committing at
+    * corpus scale. Both sides are the hash-exact q_dedup_minhash /
+    * q_dedup_ngram pipelines, so the one-row report is hash-exact
+    * too (precision pins at 1.0: minhashLsh exact-verifies). */
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairRecall(
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, tau = 0.5, maxDf = Some(100)),
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100)))
+
   // The persisted minhash history lifecycle: doc_id ≡ 1 (mod 4) docs
   // are the stored crawl history, ≡ 2 (mod 4) the arriving batch —
   // quarter slices, because the exactness condition (maxDf = None, the
@@ -2180,6 +2194,7 @@ object SparkEntry {
     "q_dedup_drop_contained" -> (qDedupDropContained _),
     "q_dedup_contained_index" -> (qDedupContainedIndex _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_minhash_index" -> (qDedupMinhashIndex _),
     "q_dedup_minhash_retire" -> (qDedupMinhashRetire _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -3010,6 +3025,28 @@ object SparkEntry {
          |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
          | JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
          |WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5""".stripMargin,
+
+    // banding recall: found = the q_dedup_minhash result (banded
+    // candidates, exact-verified); exact = ALL pairs >= tau in the
+    // same capped hash space (the q_dedup_ngram result re-expressed
+    // over the minhash CTEs' hashed shingles)
+    "q_dedup_recall" ->
+      s"""WITH $minhashCandCtes,
+         |found AS (SELECT c.id_a, c.id_b
+         | FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         | JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         | WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
+         |interall AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         | FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT ia.id_a, ia.id_b FROM interall ia
+         | JOIN sz sa ON sa.doc_id = ia.id_a JOIN sz sb ON sb.doc_id = ia.id_b
+         | WHERE round(CAST(ia.i AS DOUBLE) / (sa.sz + sb.sz - ia.i), 4) >= 0.5)
+         |SELECT CAST(count(e.id_a) AS BIGINT) AS n_exact,
+         | CAST(count(f.id_a) AS BIGINT) AS n_found,
+         | CAST(sum(CASE WHEN e.id_a IS NOT NULL AND f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | round(CAST(sum(CASE WHEN e.id_a IS NOT NULL AND f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(f.id_a), 4) AS precision,
+         | round(CAST(sum(CASE WHEN e.id_a IS NOT NULL AND f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(e.id_a), 4) AS recall
+         |FROM exact e FULL JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf

@@ -1111,6 +1111,32 @@ object Dedup {
     CacheLifecycle.handOff(pairs, Seq(sh, sig) ++ pins)
   }
 
+  /** Pair-set precision/recall report — the dedup-tuning twin of
+    * [[graft.operators.Ann.recallAtK]]: compare an approximate pair
+    * finder's output against the exact ground truth and report ONE
+    * row (n_exact, n_found, n_hit, precision, recall). The sweep
+    * every banded dedup runs before committing numHashes/bands (or
+    * simhash's maxHam) at corpus scale: recall is the fraction of
+    * true pairs at least one band caught; precision < 1 flags a
+    * finder whose proxy metric admits non-duplicates (this engine's
+    * [[minhashLsh]] exact-verifies candidates, so its precision is
+    * 1.0 by construction — spec'd). Both inputs are (id_a, id_b, …)
+    * pair frames; one full-outer join on the pair key, one global
+    * aggregate — nothing corpus-sized beyond the finders themselves. */
+  def pairRecall(exact: DataFrame, found: DataFrame): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
+    val f = found.select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
+    e.join(f, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("f"), lit(0L))).as("n_found"),
+        sum(when(col("e").isNotNull && col("f").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_found"), col("n_hit"),
+        round(col("n_hit") / col("n_found"), 4).as("precision"),
+        round(col("n_hit") / col("n_exact"), 4).as("recall"))
+  }
+
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·
     * (bit b of hash60(token) ? +1 : −1). Pure expressions + one groupBy. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -24,6 +24,34 @@ class DedupSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"unexpected shuffle:\n$phys")
   }
 
+  test("pairRecall: counts hits against ground truth; minhashLsh precision is 1.0 by construction") {
+    // hand frames: exact = 4 pairs, found = 3 (2 hits + 1 spurious)
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val found = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecall(exact, found)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq((4L, 3L, 2L, 0.6667, 0.5)), s"got ${r.toSeq}")
+    // integration: the engine's minhashLsh exact-verifies candidates,
+    // so against the same-space exact Jaccard its precision is 1.0 and
+    // n_found <= n_exact whatever the banding
+    val phrase = "the quick brown fox jumps over the lazy dog near the bank "
+    val docs = (1 to 12).map { i =>
+      val tail = if (i % 3 == 0) s"suffix $i distinct tail content here"
+                 else s"shared ending block"
+      (i.toLong, phrase * 3 + tail)
+    }.toDF("doc_id", "text")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
+    val mined = Dedup.minhashLsh(docs, "doc_id", "text", w = 8,
+      numHashes = 12, bands = 2, tau = 0.5)
+    val rep = Dedup.pairRecall(truth, mined)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(rep._1 > 0, "fixture must have true pairs")
+    assert(rep._2 == rep._3, s"spurious pairs from a verified finder: $rep")
+    assert(rep._4 == 1.0, s"precision must pin at 1.0: $rep")
+    assert(rep._5 <= 1.0 && rep._5 > 0.0)
+  }
+
   test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {
     // docs 1 and 2 share one exact 45-char phrase with DIFFERING boundary
     // chars (x|y vs q|z), so the islands cover exactly the phrase; doc 3
