@@ -1126,7 +1126,7 @@ object Dedup {
   def pairRecall(exact: DataFrame, found: DataFrame): DataFrame = {
     val e = exact.select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
     val f = found.select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
-    e.join(f, Seq("id_a", "id_b"), "full_outer")
+    val report = e.join(f, Seq("id_a", "id_b"), "full_outer")
       .agg(
         sum(coalesce(col("e"), lit(0L))).as("n_exact"),
         sum(coalesce(col("f"), lit(0L))).as("n_found"),
@@ -1135,6 +1135,9 @@ object Dedup {
       .select(col("n_exact"), col("n_found"), col("n_hit"),
         round(col("n_hit") / col("n_found"), 4).as("precision"),
         round(col("n_hit") / col("n_exact"), 4).as("recall"))
+    // absorb the finders' internal cache pins (minhashLsh's shingle/
+    // signature caches): one release at the report frees the chain
+    CacheLifecycle.handOff(report, Seq(exact, found))
   }
 
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·

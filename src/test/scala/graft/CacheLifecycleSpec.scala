@@ -65,6 +65,15 @@ class CacheLifecycleSpec extends SparkSpec {
       Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.5,
         maxDf = Some(100))
     }
+    // composition: pairRecall ABSORBS both finders' pins — one release
+    // at the report frees the whole chain
+    assertReleased("pairRecall over two capped finders") {
+      Dedup.pairRecall(
+        Dedup.ngramJaccard(docs, "doc_id", "text", tau = 0.5,
+          maxDf = Some(100)),
+        Dedup.minhashLsh(docs, "doc_id", "text", tau = 0.5,
+          maxDf = Some(100)))
+    }
     assertReleased("dedupSegments") {
       Dedup.dedupSegments(docs, "doc_id", "text", sep = " ")
     }
