@@ -539,6 +539,35 @@ object SparkEntry {
     s.read.parquet(s"$root/report")
   }
 
+  /** Ratio-triggered compaction, end to end: tombstone a known
+    * fraction of an IVF index (16 of 64 ids) and the exact history
+    * (10 of 40 fps), then drive [[Maintenance.nightlyCompact]] through
+    * its three states — measured-but-below-threshold, due (compaction
+    * runs, tombstones purge), and the post-compaction steady state.
+    * Fixed id ranges make the fractions sf-invariant literals; the
+    * exact side's fraction is recomputed by the oracle from the
+    * documents table (distinct normalized-text fingerprints). */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_compact_${dirKey(dir)}") { r =>
+      val vecs = corpus(s, dir).filter(col("id") < 64)
+      Ann.buildIvfIndex(vecs, s"$r/ivf", nlist = 8)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      Dedup.buildExactIndex(docs, "doc_id", "text", s"$r/exact")
+      Ann.deleteFromIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") < 16).select("id"))
+      Dedup.deleteFromExactIndex(s, s"$r/exact",
+        docs.filter(col("doc_id") < 10), "text")
+      def run(phase: String, thr: Double) =
+        Maintenance.nightlyCompact(s, Seq(
+            (s"$r/ivf", "ivf", thr), (s"$r/exact", "exact", thr)))
+          .select(lit(phase).as("phase"), col("family"),
+            col("fraction"), col("compacted"))
+      run("below", 0.5).union(run("due", 0.2)).union(run("after", 0.2))
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
+    }
+    s.read.parquet(s"$root/report")
+  }
+
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
   // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
   // dedup signal but produce >99% of the inverted-index join's pairs.
@@ -2183,6 +2212,7 @@ object SparkEntry {
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_exact_retire" -> (qExactRetire _),
     "q_maintenance" -> (qMaintenance _),
+    "q_compaction" -> (qCompaction _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -2929,6 +2959,22 @@ object SparkEntry {
     "q_maintenance" ->
       """SELECT * FROM (VALUES ('linedf', 1, 'd20'), ('ivf', 1, 'd1'))
         |AS t(family, keep, tag)""".stripMargin,
+
+    // compaction audit: IVF fraction is the 16/64 literal; the exact
+    // side's is recomputed from the documents table (distinct
+    // normalized-text fps, the q_dedup_exact identity)
+    "q_compaction" ->
+      s"""WITH n AS ($normDoc),
+         |ex AS (SELECT round(
+         |  CAST((SELECT count(DISTINCT md5(t)) FROM n WHERE doc_id < 10) AS DOUBLE) /
+         |       (SELECT count(DISTINCT md5(t)) FROM n WHERE doc_id < 40), 4) AS f)
+         |SELECT phase, family, fraction, compacted FROM (
+         | SELECT 'below' AS phase, 'ivf' AS family, 0.25 AS fraction, false AS compacted
+         | UNION ALL SELECT 'below', 'exact', (SELECT f FROM ex), false
+         | UNION ALL SELECT 'due', 'ivf', 0.25, true
+         | UNION ALL SELECT 'due', 'exact', (SELECT f FROM ex), true
+         | UNION ALL SELECT 'after', 'ivf', 0.0, false
+         | UNION ALL SELECT 'after', 'exact', 0.0, false)""".stripMargin,
 
     // the retire witness: appending the batch as segment d1 then
     // retiring d1 must leave the history answering exactly like one

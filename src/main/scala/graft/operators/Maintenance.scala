@@ -56,4 +56,86 @@ object Maintenance {
         .map(tag => (dir, family, keep, tag))
     }.toDF("dir", "family", "keep", "tag")
   }
+
+  /** Every family with a tombstone model: its physical-compaction
+    * entry plus (tombstoneTable, liveTable, livePayload) — what
+    * [[tombstoneFraction]] reads. line-df and domain-cap are absent by
+    * design (no delete model: their histories mutate only by segment
+    * retirement). */
+  val compactors: Map[String,
+      ((SparkSession, String) => Unit, String, String)] =
+    Map(
+      "exact" -> (((s, d) => Dedup.compactExactIndex(s, d),
+        "deleted_fps", "fps")),
+      "containment" -> (((s, d) => Dedup.compactContainmentIndex(s, d),
+        "deleted", "shingles")),
+      "minhash" -> (((s, d) => Dedup.compactMinhashIndex(s, d),
+        "deleted", "shingles")),
+      "phash" -> (((s, d) => Multimodal.compactPhashIndex(s, d),
+        "deleted", "bands")),
+      "ivf" -> (((s, d) => Ann.compactIvfIndex(s, d), "deleted", "cells")),
+      "ivf_sq8" -> (((s, d) => Ann.compactIvfSq8Index(s, d),
+        "deleted", "cells")),
+      "ivf_pq" -> (((s, d) => Ann.compactIvfPqIndex(s, d),
+        "deleted", "codes")),
+      "sparse" -> (((s, d) => Ann.compactSparseIndex(s, d),
+        "deleted", "postings")),
+      "binary" -> (((s, d) => Ann.compactBinaryIndex(s, d),
+        "deleted", "bits")),
+      "lsh" -> (((s, d) => Ann.compactLshIndex(s, d),
+        "deleted", "buckets")))
+
+  /** Fraction of an index's live identity set currently tombstoned —
+    * the compaction trigger a scheduled job thresholds on (Milvus's
+    * own compaction heuristic shape: deletes accumulate as tombstone
+    * segments until a ratio trips a rewrite). Exact counts both sides
+    * of the fp table; the id families count the tombstone set against
+    * the ids sidecar (falling back to the payload's distinct ids for
+    * pre-sidecar indexes). 0.0 when nothing is tombstoned — including
+    * when the tombstone table does not exist. */
+  def tombstoneFraction(spark: SparkSession, dir: String,
+      family: String): Double = {
+    val (_, deadTable, liveTable) = compactors.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"family $family has no tombstone model — " +
+          s"expected one of ${compactors.keys.toSeq.sorted.mkString(", ")}"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$deadTable")))
+      return 0.0
+    val dead = spark.read.parquet(s"$dir/$deadTable").count()
+    if (dead == 0L) return 0.0
+    val live =
+      if (family == "exact") spark.read.parquet(s"$dir/$liveTable").count()
+      else IndexFiles.storedIds(spark, dir,
+        spark.read.parquet(s"$dir/$liveTable").select("id").distinct())
+        .count()
+    if (live == 0L) 1.0 else dead.toDouble / live
+  }
+
+  /** The compaction half of the scheduled nightly: `specs` = (indexDir,
+    * family, threshold) — compact when [[tombstoneFraction]] reaches
+    * the threshold (Milvus-style ratio trigger; 0.0 compacts on any
+    * tombstone at all, large values effectively disable). Unknown families are loud BEFORE any
+    * compaction runs, like [[nightly]]. Returns one row per spec:
+    * (dir, family, fraction, compacted) — the audit trail records the
+    * measured fraction that drove each decision. Compaction is the one
+    * honest O(index) rewrite, so the threshold is the knob that
+    * amortizes it: a 100 TB store compacts an index when takedowns
+    * have actually accumulated, not on every nightly. */
+  def nightlyCompact(spark: SparkSession,
+      specs: Seq[(String, String, Double)]): DataFrame = {
+    import spark.implicits._
+    val unknown = specs.map(_._2).filterNot(compactors.contains).distinct
+    require(unknown.isEmpty,
+      s"unknown compaction families ${unknown.mkString(", ")} — " +
+        s"expected one of ${compactors.keys.toSeq.sorted.mkString(", ")}")
+    specs.map { case (dir, family, threshold) =>
+      require(threshold >= 0.0, s"negative threshold $threshold for $dir")
+      val frac = tombstoneFraction(spark, dir, family)
+      val due = frac > 0.0 && frac >= threshold
+      if (due) compactors(family)._1(spark, dir)
+      (dir, family, math.rint(frac * 10000) / 10000, due)
+    }.toDF("dir", "family", "fraction", "compacted")
+  }
 }

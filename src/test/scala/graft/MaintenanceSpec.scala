@@ -134,6 +134,68 @@ class MaintenanceSpec extends SparkSpec {
       "atomic refusal must leave every doomed segment in place")
   }
 
+  test("nightlyCompact: ratio-triggered physical compaction with an audited fraction") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs, s"$root/ivf", nlist = 4)
+    val docs = (1L to 12L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    Dedup.buildExactIndex(docs, "doc_id", "text", s"$root/exact")
+    // nothing tombstoned: fractions 0, nothing compacts
+    val clean = Maintenance.nightlyCompact(spark, Seq(
+        (s"$root/ivf", "ivf", 0.2), (s"$root/exact", "exact", 0.2)))
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(clean == Seq((s"$root/ivf", "ivf", 0.0, false),
+      (s"$root/exact", "exact", 0.0, false)), s"got $clean")
+    // tombstone 10 of 30 ids (1/3) and 3 of 12 fps (1/4)
+    Ann.deleteFromIvfIndex(spark, s"$root/ivf",
+      vecs.filter(col("id") <= 10).select("id"))
+    Dedup.deleteFromExactIndex(spark, s"$root/exact",
+      docs.filter(col("doc_id") <= 3), "text")
+    val searchPre = Ann.searchIvfIndex(spark, s"$root/ivf",
+        vecs.limit(3).select(col("id").as("qid"), col("v").as("qv")),
+        k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // thresholds above the fractions: measured, reported, NOT compacted
+    val below = Maintenance.nightlyCompact(spark, Seq(
+        (s"$root/ivf", "ivf", 0.5), (s"$root/exact", "exact", 0.5)))
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(below == Seq((s"$root/ivf", "ivf", 0.3333, false),
+      (s"$root/exact", "exact", 0.25, false)), s"got $below")
+    assert(graft.operators.IndexFiles
+      .tombstones(spark, s"$root/ivf").isDefined)
+    // thresholds at/below the fractions: compaction runs, tombstones
+    // purge, and the post-compaction search equals the tombstone-
+    // filtered pre-compaction one
+    val due = Maintenance.nightlyCompact(spark, Seq(
+        (s"$root/ivf", "ivf", 0.25), (s"$root/exact", "exact", 0.25)))
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(due == Seq((s"$root/ivf", "ivf", 0.3333, true),
+      (s"$root/exact", "exact", 0.25, true)), s"got $due")
+    assert(graft.operators.IndexFiles
+      .tombstones(spark, s"$root/ivf").isEmpty)
+    val searchPost = Ann.searchIvfIndex(spark, s"$root/ivf",
+        vecs.limit(3).select(col("id").as("qid"), col("v").as("qv")),
+        k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(searchPost == searchPre,
+      "compaction changed what searches see")
+    // steady state: fraction back to 0
+    val after = Maintenance.nightlyCompact(spark, Seq(
+        (s"$root/ivf", "ivf", 0.25)))
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(after == Seq((s"$root/ivf", "ivf", 0.0, false)))
+    // unknown family loud BEFORE anything compacts
+    intercept[IllegalArgumentException] {
+      Maintenance.nightlyCompact(spark, Seq((s"$root/ivf", "nope", 0.1)))
+    }
+    // every tombstone-model family is registered (linedf/domain_cap
+    // excluded by design)
+    assert(Maintenance.compactors.keySet ==
+      Maintenance.families.keySet -- Set("linedf", "domain_cap"))
+  }
+
   test("whole-store nightly: every registered family builds, appends two segments, and ages the older one out") {
     import graft.operators.Multimodal
     val root = java.nio.file.Files.createTempDirectory("maintall").toString
