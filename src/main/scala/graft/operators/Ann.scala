@@ -2496,13 +2496,17 @@ object Ann {
     * nearest non-self neighbor at or above `posThreshold` is the
     * positive; the `negK` nearest below `negThreshold` are the
     * negatives; anchors lacking a positive are dropped (nothing to
-    * contrast against). ONE scored scan and ONE shuffle: because the
-    * per-anchor window orders by score desc, positives form a PREFIX
-    * of the rank order — the positive, if any, is rank 1 — and a
-    * running conditional count ranks the negatives in the same window
-    * pass; a second whole-partition window over the <= negK+1
-    * surviving rows pins the positive onto its negatives without
-    * re-partitioning (both windows share the qid exchange). */
+    * contrast against). Two PRUNED window passes joined on the anchor
+    * — deliberately NOT one combined window: each branch's plain
+    * `row_number <= k` filter is what lets Catalyst infer a
+    * WindowGroupLimit, the map-side top-k prune that caps every
+    * partition's contribution at k rows per anchor BEFORE the
+    * shuffle. A single-window formulation (running conditional counts
+    * pinning both arms in one pass) defeats that inference and ships
+    * the WHOLE per-anchor pair list — the corpus — into one sort task
+    * per anchor (measured: no WindowGroupLimit in its plan). Two
+    * broadcast-anchor corpus scans whose shuffles carry O(k) rows per
+    * anchor beat one scan whose shuffle carries the corpus. */
   def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
       negK: Int, posThreshold: Double, negThreshold: Double,
       metric: String = "cosine"): DataFrame = {
@@ -2511,25 +2515,20 @@ object Ann {
       "(the band between them is neither positive nor negative)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    val isNeg = col("score") < negThreshold
-    val ranked = scoredPairs(corpus, anchors, metric)
+    val pairs = scoredPairs(corpus, anchors, metric)
       .filter(col("id") =!= col("qid"))
-      .withColumn("rank", row_number().over(w))
-      .withColumn("neg_rank",
-        sum(when(isNeg, 1L).otherwise(0L))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val kept = ranked.filter(
-      (col("rank") === 1 && col("score") >= posThreshold) ||
-      (isNeg && col("neg_rank") <= negK))
-    val wq = Window.partitionBy("qid")
-    val posCase = when(col("score") >= posThreshold, col("id"))
-    kept
-      .withColumn("pos_id", max(posCase).over(wq))
-      .withColumn("pos_score",
-        max(when(col("score") >= posThreshold, col("score"))).over(wq))
-      .filter(isNeg && col("pos_id").isNotNull)
+    val pos = pairs.filter(col("score") >= posThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select(col("qid"), col("id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = pairs.filter(col("score") < negThreshold)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= negK)
+      .select(col("qid"), col("id").as("neg_id"),
+        col("score").as("neg_score"), col("neg_rank"))
+    pos.join(neg, "qid")
       .select(col("qid"), col("pos_id"), col("pos_score"),
-        col("id").as("neg_id"), col("score").as("neg_score"),
-        col("neg_rank"))
+        col("neg_id"), col("neg_score"), col("neg_rank"))
   }
 }

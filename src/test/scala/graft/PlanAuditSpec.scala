@@ -202,7 +202,7 @@ class PlanAuditSpec extends SparkSpec {
       s"argmax must be map-side combined:\n$phys")
   }
 
-  test("contrastiveTriplets: anchors broadcast; both windows share ONE qid exchange") {
+  test("contrastive mining: anchors broadcast; every rank branch keeps the map-side WindowGroupLimit prune") {
     import graft.operators.Ann
     val corpus = (1L to 40L).map(i =>
       (i, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
@@ -216,11 +216,19 @@ class PlanAuditSpec extends SparkSpec {
     // the anchor set rides a broadcast — the corpus scan never shuffles
     assert(phys.contains("BroadcastNestedLoopJoin"),
       s"anchor side is not broadcast:\n$phys")
-    // rank + running-negative-count + the positive pin are three window
-    // functions over the SAME qid partitioning: one shuffle total —
-    // a second exchange would mean the positive join re-partitioned
-    assert("Exchange hashpartitioning".r.findAllIn(phys).size == 1,
-      s"triplets must cost exactly one shuffle:\n$phys")
+    // BOTH rank branches (positive rn<=1, negative neg_rank<=negK) must
+    // carry Catalyst's WindowGroupLimit — the map-side top-k prune that
+    // caps every partition at k rows per anchor before the shuffle. A
+    // combined-window formulation loses this and ships the whole
+    // per-anchor pair list (the corpus) into one sort task per anchor.
+    assert("WindowGroupLimit".r.findAllIn(phys).size >= 2,
+      s"triplets lost the map-side top-k prune:\n$phys")
+    // mineHardNegatives keeps the same prune
+    val mine = Ann.mineHardNegatives(corpus, anchors, k = 3,
+        dupThreshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(mine.contains("WindowGroupLimit"),
+      s"mineHardNegatives lost the map-side top-k prune:\n$mine")
   }
 
   test("rerankTopK: candidate enrichment broadcasts — the passage corpus never shuffles") {
