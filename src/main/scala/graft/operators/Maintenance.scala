@@ -135,7 +135,11 @@ object Maintenance {
       val frac = tombstoneFraction(spark, dir, family)
       val due = frac > 0.0 && frac >= threshold
       if (due) compactors(family)._1(spark, dir)
-      (dir, family, math.rint(frac * 10000) / 10000, due)
+      // HALF_UP like Spark's and DuckDB's round(), NOT math.rint's
+      // half-even — the audited fraction must hash-match the oracle
+      val frac4 = BigDecimal(frac)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (dir, family, frac4, due)
     }.toDF("dir", "family", "fraction", "compacted")
   }
 }
