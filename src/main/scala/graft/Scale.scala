@@ -30,7 +30,8 @@ object Scale {
     "q_curation_pipeline", "q_curation_pipeline_v2", "q_dedup_minhash",
     "q_dedup_ngram", "q_dedup_containment", "q_dedup_cluster",
     "q_dedup_canonical", "q_bm25_index", "q_repeated_spans",
-    "q_contam_spans", "q_rerank", "q_crawl_triage")
+    "q_contam_spans", "q_rerank", "q_crawl_triage",
+    "q_mine_negatives", "q_triplets", "q_dedup_recall")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
