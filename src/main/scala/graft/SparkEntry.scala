@@ -1486,6 +1486,17 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       negK = 5, posThreshold = 0.35, negThreshold = 0.35)
 
+  /** The packaged tuning loop over the persisted full-corpus IVF
+    * index: sweep nprobe 1,2,4,… until mean recall@10 vs the index's
+    * own full probe clears 0.95. Rows-only (the sweep's recall values
+    * are k-means-dependent); the recall arithmetic is the hash-exact
+    * q_ann_recall mechanism, and the sweep's invariants (doubling
+    * steps, monotone recall, stop-at-first-clear, full probe = 1.0)
+    * are spec-pinned in AnnSpec. */
+  private def qAnnTune(s: SparkSession, dir: String): DataFrame =
+    Ann.tuneNprobe(s, hybIvfIdx(s, dir), queriesSet(s, dir), k = 10,
+      targetRecall = 0.95)
+
   /** The 100 TB mining path: hard negatives via the PERSISTED IVF
     * index at full probe with a covering window — hash-exact against
     * the SAME oracle as q_mine_negatives (the q_rerank_index pattern:
@@ -2289,6 +2300,7 @@ object SparkEntry {
     "q_ann_l2" -> (qAnnL2 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_tune" -> (qAnnTune _),
     "q_mine_negatives" -> (qMineNegatives _),
     "q_mine_negatives_ivf" -> (qMineNegativesIvf _),
     "q_triplets" -> (qTriplets _),

@@ -2466,6 +2466,48 @@ object Ann {
       .filter(col("neg_rank") <= k)
   }
 
+  /** Recall-driven nprobe tuning over a persisted IVF index — the
+    * loop [[recallAtK]] exists to drive, packaged: sweep nprobe
+    * doubling from 1, scoring each step's MEAN recall@k against the
+    * index's own full probe (exact over the indexed corpus by the
+    * q_ann_ivf_full property), and stop at the first step that clears
+    * `targetRecall` (that step's row is included; the sweep also
+    * stops at nprobe = nlist, where recall is 1.0 by construction).
+    * Returns the audit table (nprobe, mean_recall, meets_target) —
+    * the evidence behind a deployment's chosen nprobe, not just the
+    * number. Driver-side loop bounded by log2(nlist) steps, each a
+    * probed search of q×k rows; the full-probe reference is computed
+    * ONCE. Deterministic (seeded k-means, deterministic ranking) but
+    * k-means-dependent — rows-only at the oracle; the recall
+    * arithmetic itself is the hash-exact q_ann_recall mechanism. */
+  def tuneNprobe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, targetRecall: Double,
+      metric: String = "cosine"): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]: $targetRecall")
+    import spark.implicits._
+    val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+    val exact = searchIvfIndex(spark, dir, queries, k, nprobe = nlist,
+      metric)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+    var np = 1
+    var done = false
+    while (!done) {
+      val probe = math.min(np, nlist)
+      val approx = searchIvfIndex(spark, dir, queries, k, nprobe = probe,
+        metric)
+      val mean = recallAtK(approx, exact, k)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val mean4 = BigDecimal(mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val meets = mean4 >= targetRecall
+      rows += ((probe, mean4, meets))
+      done = meets || probe == nlist
+      np *= 2
+    }
+    rows.toSeq.toDF("nprobe", "mean_recall", "meets_target")
+  }
+
   /** [[mineHardNegatives]] against the persisted IVF index — how a
     * 100 TB deployment mines: the ANN search bounds the scanned corpus
     * to the probed cells (~nprobe/nlist of the store) and a candidate

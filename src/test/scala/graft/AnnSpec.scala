@@ -101,6 +101,30 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("tuneNprobe: doubling sweep, monotone recall, stops at first clear, full probe hits 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("tune").toString + "/idx"
+    Ann.buildIvfIndex(corpus, dir, nlist = 8)
+    val sweep = Ann.tuneNprobe(spark, dir, qs, k = 10, targetRecall = 1.0)
+      .as[(Int, Double, Boolean)].collect().toSeq
+    assert(sweep.nonEmpty)
+    // nprobe doubles from 1 (capped at nlist)
+    assert(sweep.map(_._1) == Seq(1, 2, 4, 8).take(sweep.length), s"$sweep")
+    // probing more cells only ADDS candidates: recall monotone
+    assert(sweep.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)), s"recall not monotone: $sweep")
+    // only the LAST row may clear the target (stop-at-first-clear)
+    assert(sweep.init.forall(!_._3), s"$sweep")
+    // at full probe the index answers itself exactly
+    assert(sweep.last._2 == 1.0 && sweep.last._3, s"$sweep")
+    // a target the first step already clears yields a one-row sweep
+    // (every anchor is a corpus row, so nprobe=1 finds at least itself)
+    assert(Ann.tuneNprobe(spark, dir, qs, k = 10,
+      targetRecall = 0.01).count() == 1)
+    intercept[IllegalArgumentException] {
+      Ann.tuneNprobe(spark, dir, qs, k = 10, targetRecall = 0.0)
+    }
+  }
+
   test("mineHardNegativesIndex: full probe + covering window equals brute-force mining") {
     val dir = java.nio.file.Files.createTempDirectory("mineivf").toString + "/idx"
     Ann.buildIvfIndex(corpus, dir, nlist = 4)
