@@ -1497,6 +1497,46 @@ object SparkEntry {
     Ann.tuneNprobe(s, hybIvfIdx(s, dir), queriesSet(s, dir), k = 10,
       targetRecall = 0.95)
 
+  /** Flagship composition: the engine GENERATES the contrastive
+    * training set for its own embedder — the feedback loop a real
+    * embedding pipeline closes (the reference SERVES embedding
+    * models; this is where their next version's data comes from).
+    * Chain: embed every doc through the reference's embedding seam
+    * (the deterministic fakeDenseEmbed stub, dim 16) → mine triplets
+    * over the embedded corpus (anchors = first 20 docs; nearest
+    * neighbor >= 0.65 is the positive, 3 nearest below are the
+    * negatives; no-positive anchors drop) → attach the three training
+    * texts (the tiny triplet set broadcasts against the corpus — the
+    * text table is never shuffled) → deterministic shard/pos for the
+    * training reader (the shuffle_shards recipe keyed by the
+    * qid:neg_id row identity). Hash-exact end to end: every stage is
+    * SQL-mirrored. */
+  private def qContrastivePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = docs.select(col("doc_id").as("id"),
+      V.fakeDenseEmbed(col("text"), 16).as("v"))
+    val anchors = emb.filter(col("id") < 20)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val trip = Ann.contrastiveTriplets(emb, anchors, negK = 3,
+      posThreshold = 0.65, negThreshold = 0.65)
+    val shards = Curate.shuffleShards(
+      trip.select(concat_ws(":", col("qid"), col("neg_id")).as("row_id")),
+      "row_id", numShards = 4)
+      .select(split(col("id"), ":").getItem(0).cast("long").as("qid"),
+        split(col("id"), ":").getItem(1).cast("long").as("neg_id"),
+        col("shard").cast("long"), col("pos"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    def attach(df: DataFrame, key: String, as: String) =
+      texts.select(col("doc_id").as(key), col("text").as(as))
+        .join(broadcast(df), key)
+    attach(attach(attach(
+        trip.join(broadcast(shards), Seq("qid", "neg_id")),
+        "qid", "anchor_text"), "pos_id", "pos_text"), "neg_id", "neg_text")
+      .select(col("qid"), col("pos_id"), col("neg_id"), col("neg_rank"),
+        col("anchor_text"), col("pos_text"), col("neg_text"),
+        col("shard"), col("pos"))
+  }
+
   /** The 100 TB mining path: hard negatives via the PERSISTED IVF
     * index at full probe with a covering window — hash-exact against
     * the SAME oracle as q_mine_negatives (the q_rerank_index pattern:
@@ -2302,6 +2342,7 @@ object SparkEntry {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_tune" -> (qAnnTune _),
     "q_mine_negatives" -> (qMineNegatives _),
+    "q_contrastive_pipeline" -> (qContrastivePipeline _),
     "q_mine_negatives_ivf" -> (qMineNegativesIvf _),
     "q_triplets" -> (qTriplets _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -4592,6 +4633,39 @@ object SparkEntry {
     "q_ann_recall" -> annRecallOracleSql,
 
     "q_mine_negatives" -> mineNegativesOracleSql,
+
+    // the contrastive flagship: fake-embed all docs, mine triplets over
+    // the embedded corpus, attach texts, deterministic shard/pos (the
+    // shuffle_shards md5 recipe keyed by "qid:neg_id")
+    "q_contrastive_pipeline" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |e AS (SELECT doc_id, [ (('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || text), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0
+        |       FOR j IN generate_series(0, 15) ] AS v FROM d),
+        |q AS (SELECT doc_id AS qid, v AS qv FROM e WHERE doc_id < 20),
+        |p AS (SELECT qid, e.doc_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+        |      FROM q JOIN e ON e.doc_id != q.qid),
+        |pp AS (SELECT qid, id AS pos_id,
+        |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+        |       FROM p WHERE score >= 0.65),
+        |nn AS (SELECT qid, id AS neg_id,
+        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
+        |       FROM p WHERE score < 0.65),
+        |trip AS (SELECT pp.qid AS qid, pos_id, neg_id, neg_rank
+        |         FROM pp JOIN nn ON pp.qid = nn.qid WHERE rn = 1 AND neg_rank <= 3),
+        |sh AS (SELECT qid, neg_id,
+        |  CAST(qid AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR) AS row_id,
+        |  ('0x' || substr(md5('37#' || CAST(qid AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard,
+        |  ('0x' || substr(md5('38#' || CAST(qid AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)), 1, 8))::BIGINT AS ord
+        |  FROM trip)
+        |SELECT t.qid, t.pos_id, t.neg_id, t.neg_rank,
+        |  da.text AS anchor_text, dp.text AS pos_text, dn.text AS neg_text,
+        |  sh.shard,
+        |  CAST(row_number() OVER (PARTITION BY sh.shard ORDER BY sh.ord, sh.row_id) - 1 AS BIGINT) AS pos
+        |FROM trip t
+        |JOIN sh ON sh.qid = t.qid AND sh.neg_id = t.neg_id
+        |JOIN d da ON da.doc_id = t.qid
+        |JOIN d dp ON dp.doc_id = t.pos_id
+        |JOIN d dn ON dn.doc_id = t.neg_id""".stripMargin,
     // the IVF-index mining path must answer EXACTLY like the in-memory
     // form (full probe + covering window) — same oracle verbatim
     "q_mine_negatives_ivf" -> mineNegativesOracleSql,
