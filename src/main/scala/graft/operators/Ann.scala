@@ -2486,6 +2486,8 @@ object Ann {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1]: $targetRecall")
     import spark.implicits._
+    require(!queries.isEmpty,
+      "cannot tune nprobe on zero queries — recall is undefined")
     val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
     val exact = searchIvfIndex(spark, dir, queries, k, nprobe = nlist,
       metric)

@@ -1126,12 +1126,14 @@ object Dedup {
   def pairRecall(exact: DataFrame, found: DataFrame): DataFrame = {
     val e = exact.select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
     val f = found.select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
+    // outer coalesce: sum over ZERO rows (two empty finders) is null,
+    // and the report must read 0 there, not null
     val report = e.join(f, Seq("id_a", "id_b"), "full_outer")
       .agg(
-        sum(coalesce(col("e"), lit(0L))).as("n_exact"),
-        sum(coalesce(col("f"), lit(0L))).as("n_found"),
-        sum(when(col("e").isNotNull && col("f").isNotNull, 1L)
-          .otherwise(0L)).as("n_hit"))
+        coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("f"), lit(0L))), lit(0L)).as("n_found"),
+        coalesce(sum(when(col("e").isNotNull && col("f").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_found"), col("n_hit"),
         round(col("n_hit") / col("n_found"), 4).as("precision"),
         round(col("n_hit") / col("n_exact"), 4).as("recall"))

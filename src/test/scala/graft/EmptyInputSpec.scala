@@ -93,6 +93,21 @@ class EmptyInputSpec extends SparkSpec {
       dupThreshold = 0.5).count() == 0)
     assert(Ann.contrastiveTriplets(noVecs, someQs, negK = 5,
       posThreshold = 0.5, negThreshold = 0.5).count() == 0)
+    // two empty finders -> a single all-zero report row, never nulls
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val rep = graft.operators.Dedup.pairRecall(noPairs, noPairs)
+      .select("n_exact", "n_found", "n_hit")
+      .as[(Long, Long, Long)].collect()
+    assert(rep.toSeq == Seq((0L, 0L, 0L)))
+    // tuning on zero queries is loud, not an NPE mid-sweep
+    val dir = java.nio.file.Files.createTempDirectory("tune0").toString + "/i"
+    val tiny = (1L to 8L).map(i =>
+      (i, Seq(math.sin(i * 3.0), math.cos(i * 3.0)))).toDF("id", "v")
+    Ann.buildIvfIndex(tiny, dir, nlist = 2)
+    intercept[IllegalArgumentException] {
+      Ann.tuneNprobe(spark, dir, someQs.filter(lit(false)), k = 3,
+        targetRecall = 0.9)
+    }
   }
 
   test("rerank over empty candidates / empty passages") {
