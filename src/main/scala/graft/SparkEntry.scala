@@ -1525,13 +1525,8 @@ object SparkEntry {
       .select(split(col("id"), ":").getItem(0).cast("long").as("qid"),
         split(col("id"), ":").getItem(1).cast("long").as("neg_id"),
         col("shard").cast("long"), col("pos"))
-    val texts = docs.select(col("doc_id"), col("text"))
-    def attach(df: DataFrame, key: String, as: String) =
-      texts.select(col("doc_id").as(key), col("text").as(as))
-        .join(broadcast(df), key)
-    attach(attach(attach(
-        trip.join(broadcast(shards), Seq("qid", "neg_id")),
-        "qid", "anchor_text"), "pos_id", "pos_text"), "neg_id", "neg_text")
+    Ann.attachTripletTexts(
+        trip.join(broadcast(shards), Seq("qid", "neg_id")), docs)
       .select(col("qid"), col("pos_id"), col("neg_id"), col("neg_rank"),
         col("anchor_text"), col("pos_text"), col("neg_text"),
         col("shard"), col("pos"))

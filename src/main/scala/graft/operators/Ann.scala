@@ -2536,6 +2536,23 @@ object Ann {
       .select(col("qid"), col("id"), col("score"), col("neg_rank"))
   }
 
+  /** Attach the training texts to mined triplets — the export stage
+    * between [[contrastiveTriplets]] and a training reader: each of
+    * the three id columns (qid, pos_id, neg_id) resolves to its text.
+    * The triplet set is tiny by the mining premise (anchors × negK),
+    * so it BROADCASTS three times against the corpus — the text table
+    * is scanned, never shuffled, the only plan shape that survives a
+    * 100 TB corpus (plan-pinned in spec). Output: the triplet columns
+    * plus (anchor_text, pos_text, neg_text). */
+  def attachTripletTexts(triplets: DataFrame, texts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def attach(df: DataFrame, key: String, as: String) =
+      texts.select(col(idCol).as(key), col(textCol).as(as))
+        .join(broadcast(df), key)
+    attach(attach(attach(triplets, "qid", "anchor_text"),
+      "pos_id", "pos_text"), "neg_id", "neg_text")
+  }
+
   /** Contrastive triplets (anchor, positive, hard negatives): the
     * nearest non-self neighbor at or above `posThreshold` is the
     * positive; the `negK` nearest below `negThreshold` are the

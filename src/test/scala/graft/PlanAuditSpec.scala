@@ -229,6 +229,17 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(mine.contains("WindowGroupLimit"),
       s"mineHardNegatives lost the map-side top-k prune:\n$mine")
+    // the export stage: the triplet set broadcasts three times against
+    // the text table — the corpus is scanned, never sort-merge-joined
+    val texts = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val attach = Ann.attachTripletTexts(
+        Ann.contrastiveTriplets(corpus, anchors, negK = 3,
+          posThreshold = 0.9, negThreshold = 0.5), texts)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(attach).size >= 3,
+      s"triplet attaches must broadcast:\n$attach")
+    assert(!attach.contains("SortMergeJoin"),
+      s"the text table must never shuffle into a sort-merge join:\n$attach")
   }
 
   test("rerankTopK: candidate enrichment broadcasts — the passage corpus never shuffles") {
