@@ -31,7 +31,8 @@ object Scale {
     "q_dedup_ngram", "q_dedup_containment", "q_dedup_cluster",
     "q_dedup_canonical", "q_bm25_index", "q_repeated_spans",
     "q_contam_spans", "q_rerank", "q_crawl_triage",
-    "q_mine_negatives", "q_triplets", "q_dedup_recall")
+    "q_mine_negatives", "q_triplets", "q_dedup_recall",
+    "q_contrastive_pipeline")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
