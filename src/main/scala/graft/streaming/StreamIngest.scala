@@ -265,6 +265,45 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** One micro-batch of [[mineIngestStream]]: the arriving anchors get
+    * their hard negatives from the persisted IVF index
+    * ([[graft.operators.Ann.mineHardNegativesIndex]]). STATELESS — the
+    * index is read-only here (the ann ingest stream owns writes), so a
+    * re-executed batch recomputes the identical result and the
+    * batch-keyed overwrite needs no marker protocol. */
+  def applyMineBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      k: Int, dupThreshold: Double, window: Int, nprobe: Int,
+      outDir: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Ann.mineHardNegativesIndex(batch.sparkSession,
+        indexDir, batch, k, dupThreshold, window, nprobe)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Streaming hard-negative mining — the training-set side of a live
+    * pipeline: as anchor vectors arrive (a fresh crawl's embeddings, a
+    * user-query log), each micro-batch mines its DPR-style negatives
+    * against the persisted IVF index and lands them under
+    * `outDir/batch=<id>` for the training reader. Anchors are (qid,
+    * qv) rows. Per micro-batch the work is the probed index search —
+    * O(batch × nprobe/nlist of the store) — and nothing is stateful:
+    * every crash window re-executes to identical output
+    * ([[applyMineBatch]]). Compose with [[annIngestStream]] on the
+    * same index to mine against a corpus that is itself growing
+    * (each batch mines against the index AS OF its trigger). */
+  def mineIngestStream(anchorsStream: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, k: Int,
+      dupThreshold: Double, window: Int, nprobe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    anchorsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMineBatch(batch, batchId, indexDir, k, dupThreshold,
+          window, nprobe, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** One micro-batch of [[lineDfIngestStream]], idempotent in batchId
     * across every crash window WITHOUT markers: the batch's verdict is
     * computed with its own src segment EXCLUDED from the history sum

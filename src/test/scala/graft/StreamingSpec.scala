@@ -643,6 +643,44 @@ class StreamingSpec extends SparkSpec {
     assert(exRet.getMessage.contains("checkpoint reset"), exRet.getMessage)
   }
 
+  test("mineIngestStream: streamed anchors equal the batch mining; replay is idempotent") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val corpus = (1L to 80L).map(i => (i, vec(i))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("minestream").toString
+    Ann.buildIvfIndex(corpus, s"$dir/idx", nlist = 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.mineIngestStream(
+      mem.toDF().toDF("qid", "qv"), s"$dir/idx", s"$dir/out", s"$dir/ckpt",
+      k = 5, dupThreshold = 0.9, window = 30, nprobe = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData((1L to 3L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    mem.addData((4L to 6L).map(i => (i, vec(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // union of the streamed batches == one batch mining of all anchors
+    // (per-anchor independence — the mining is stateless by design)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("qid", "id", "score", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val anchors = (1L to 6L).map(i => (i, vec(i))).toDF("qid", "qv")
+    val direct = Ann.mineHardNegativesIndex(spark, s"$dir/idx", anchors,
+        k = 5, dupThreshold = 0.9, window = 30, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(streamed == direct, "drained mining diverged from batch")
+    // replay: re-applying a batch overwrites to the identical output
+    graft.streaming.StreamIngest.applyMineBatch(
+      (1L to 3L).map(i => (i, vec(i))).toDF("qid", "qv"), 0L,
+      s"$dir/idx", k = 5, dupThreshold = 0.9, window = 30, nprobe = 4,
+      s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out")
+      .select("qid", "id", "score", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet == direct)
+  }
+
   test("annIngestStream: streamed batches land in the stored-codebook cells; search sees them") {
     import graft.operators.Ann
     implicit val sqlCtx = spark.sqlContext
