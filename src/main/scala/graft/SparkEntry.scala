@@ -1467,6 +1467,15 @@ object SparkEntry {
       Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10),
       k = 10)
 
+  /** MRR of the LSH index vs exact brute force — recallAtK's
+    * order-sensitive sibling over the same hash-exact sides. */
+  private def qAnnMrr(s: SparkSession, dir: String): DataFrame =
+    Ann.mrrAtK(
+      Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64,
+        planes = 6, tables = 4),
+      Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10),
+      k = 10)
+
   /** DPR-style hard negatives: the 10 nearest corpus vectors per
     * anchor that stay BELOW the near-dup bar (0.35 on this corpus —
     * just under the q_dedup_cosine tau, so "hard" here means the
@@ -2335,6 +2344,7 @@ object SparkEntry {
     "q_ann_l2" -> (qAnnL2 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_mrr" -> (qAnnMrr _),
     "q_ann_tune" -> (qAnnTune _),
     "q_mine_negatives" -> (qMineNegatives _),
     "q_contrastive_pipeline" -> (qContrastivePipeline _),
@@ -4626,6 +4636,7 @@ object SparkEntry {
     // Ann.lshTopK(tables=4, planes=6, dim=64, k=10) step for step
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_recall" -> annRecallOracleSql,
+    "q_ann_mrr" -> annMrrOracleSql,
 
     "q_mine_negatives" -> mineNegativesOracleSql,
 
@@ -4816,6 +4827,25 @@ object SparkEntry {
       ! round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
       !FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.id = b.id
       !GROUP BY b.qid""".stripMargin('!')
+
+  /** MRR oracle — same nested-LSH + brute construction as
+    * [[annRecallOracleSql]], graded on WHERE the first true neighbor
+    * landed in the approximate list. */
+  private val annMrrOracleSql =
+    s"""WITH lsh AS ($annLshOracleSql),
+      !e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      !brute AS (SELECT qid, id FROM (
+      ! SELECT q.vec_id AS qid, c.vec_id AS id,
+      !  row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rank
+      ! FROM e2 q, e2 c WHERE q.vec_id < 5) WHERE rank <= 10),
+      !fh AS (SELECT l.qid AS qid, min(l.rank) AS first_hit
+      !       FROM lsh l JOIN brute b ON b.qid = l.qid AND b.id = l.id
+      !       GROUP BY 1)
+      !SELECT q.qid AS qid,
+      ! CAST(coalesce(fh.first_hit, 0) AS BIGINT) AS first_hit,
+      ! round(coalesce(CAST(1.0 AS DOUBLE) / fh.first_hit, 0.0), 4) AS rr
+      !FROM (SELECT DISTINCT qid FROM brute) q
+      !LEFT JOIN fh ON fh.qid = q.qid""".stripMargin('!')
 
   private val eventWindowOracleSql =
       """SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) AS bucket, event_type,

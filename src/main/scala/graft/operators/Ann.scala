@@ -2466,6 +2466,27 @@ object Ann {
       .filter(col("neg_rank") <= k)
   }
 
+  /** Mean-reciprocal-rank report — [[recallAtK]]'s order-sensitive
+    * sibling: recall ignores WHERE in the approximate list the true
+    * neighbors landed, MRR grades it (the metric retrieval evals pair
+    * with recall). Per query: rr = 1/rank of the FIRST approximate hit
+    * that belongs to the exact top-k (0.0 when none does — reported,
+    * not dropped, like recallAtK's lost queries). Same composition
+    * cost: one semi-join of the k-bounded result frames, one per-qid
+    * min, one left join. */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k).select(col("qid"), col("id"),
+      col("rank"))
+    val e = exact.filter(col("rank") <= k).select(col("qid"), col("id"))
+    val firstHit = a.join(e, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(min(col("rank")).as("first_hit"))
+    e.select(col("qid")).distinct()
+      .join(firstHit, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("first_hit"), lit(0)).cast("long")
+          .as("first_hit"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 4).as("rr"))
+  }
+
   /** Recall-driven nprobe tuning over a persisted IVF index — the
     * loop [[recallAtK]] exists to drive, packaged: sweep nprobe
     * doubling from 1, scoring each step's MEAN recall@k against the

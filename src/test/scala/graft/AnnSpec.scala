@@ -78,6 +78,25 @@ class AnnSpec extends SparkSpec {
     assert(half.forall { case (_, h, r) => h == 5 && r == 0.5 })
   }
 
+  test("mrrAtK: first true hit's rank graded; lost queries report 0; rank>k ignored") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("qid", "id", "rank")
+    // qid 1: first true neighbor surfaces at approx rank 2 -> rr 0.5;
+    // qid 2: nothing relevant in the approx list -> rr 0; the rank-99
+    // hit for qid 2 sits beyond k and must not count
+    val approx = Seq((1L, 99L, 1L), (1L, 11L, 2L), (1L, 10L, 3L),
+        (2L, 98L, 1L), (2L, 20L, 99L))
+      .toDF("qid", "id", "rank")
+    val byQ = Ann.mrrAtK(approx, exact, k = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byQ == Map(1L -> ((2L, 0.5)), 2L -> ((0L, 0.0))), s"got $byQ")
+    // identical sides: every rr is 1.0
+    val perfect = Ann.mrrAtK(exact, exact, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(perfect.forall(r => r._2 == 1L && r._3 == 1.0))
+  }
+
   test("mineHardNegatives: below-threshold, never self, ranks contiguous") {
     val dupT = 0.9
     val out = Ann.mineHardNegatives(corpus, qs, k = 7, dupThreshold = dupT)
