@@ -1495,6 +1495,14 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       negK = 5, posThreshold = 0.35, negThreshold = 0.35)
 
+  /** The multi-positive (InfoNCE-batch) triplet form: posK=2 — every
+    * anchor's two nearest positives each pair with its 3 negatives. */
+  private def qTripletsMulti(s: SparkSession, dir: String): DataFrame =
+    Ann.contrastiveTriplets(corpus(s, dir),
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      negK = 3, posThreshold = 0.35, negThreshold = 0.35, posK = 2)
+
   /** The packaged tuning loop over the persisted full-corpus IVF
     * index: sweep nprobe 1,2,4,… until mean recall@10 vs the index's
     * own full probe clears 0.95. Rows-only (the sweep's recall values
@@ -2350,6 +2358,7 @@ object SparkEntry {
     "q_contrastive_pipeline" -> (qContrastivePipeline _),
     "q_mine_negatives_ivf" -> (qMineNegativesIvf _),
     "q_triplets" -> (qTriplets _),
+    "q_triplets_multi" -> (qTripletsMulti _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_full" -> (qAnnIvfFull _),
     "q_ann_ivf_pq" -> (qAnnIvfPq _),
@@ -4676,20 +4685,10 @@ object SparkEntry {
     // form (full probe + covering window) — same oracle verbatim
     "q_mine_negatives_ivf" -> mineNegativesOracleSql,
 
-    "q_triplets" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-        |p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
-        |      FROM q JOIN e ON e.vec_id != q.qid),
-        |pos AS (SELECT qid, id AS pos_id, score AS pos_score,
-        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
-        |        FROM p WHERE score >= 0.35),
-        |neg AS (SELECT qid, id AS neg_id, score AS neg_score,
-        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
-        |        FROM p WHERE score < 0.35)
-        |SELECT pos.qid AS qid, pos_id, pos_score, neg_id, neg_score, neg_rank
-        |FROM pos JOIN neg ON pos.qid = neg.qid
-        |WHERE rn = 1 AND neg_rank <= 5""".stripMargin,
+    "q_triplets" -> tripletsOracleSql(posK = 1, negK = 5),
+    // the multi-positive (InfoNCE-batch) form: posK x negK rows per
+    // surviving anchor, same thresholds
+    "q_triplets_multi" -> tripletsOracleSql(posK = 2, negK = 3),
 
     "q_sessionize" -> sessionizeOracleSql,
 
@@ -4799,6 +4798,23 @@ object SparkEntry {
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM cand)
         |WHERE rank <= 10""".stripMargin
+
+  /** One oracle for both triplet forms — posK/negK are the only
+    * degrees of freedom (thresholds/anchors fixed by the queries). */
+  private def tripletsOracleSql(posK: Int, negK: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      !q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      !p AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score
+      !      FROM q JOIN e ON e.vec_id != q.qid),
+      !pos AS (SELECT qid, id AS pos_id, score AS pos_score,
+      !        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS pos_rank
+      !        FROM p WHERE score >= 0.35),
+      !neg AS (SELECT qid, id AS neg_id, score AS neg_score,
+      !        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS neg_rank
+      !        FROM p WHERE score < 0.35)
+      !SELECT pos.qid AS qid, pos_id, pos_score, pos_rank, neg_id, neg_score, neg_rank
+      !FROM pos JOIN neg ON pos.qid = neg.qid
+      !WHERE pos_rank <= $posK AND neg_rank <= $negK""".stripMargin('!')
 
   private val mineNegativesOracleSql =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

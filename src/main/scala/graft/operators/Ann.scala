@@ -2574,9 +2574,11 @@ object Ann {
       "pos_id", "pos_text"), "neg_id", "neg_text")
   }
 
-  /** Contrastive triplets (anchor, positive, hard negatives): the
-    * nearest non-self neighbor at or above `posThreshold` is the
-    * positive; the `negK` nearest below `negThreshold` are the
+  /** Contrastive triplets (anchor, positives, hard negatives): the
+    * `posK` nearest non-self neighbors at or above `posThreshold` are
+    * the positives (posK = 1 is the classic triplet; > 1 the
+    * multi-positive InfoNCE-batch form — every positive pairs with
+    * every negative); the `negK` nearest below `negThreshold` are the
     * negatives; anchors lacking a positive are dropped (nothing to
     * contrast against). Two PRUNED window passes joined on the anchor
     * — deliberately NOT one combined window: each branch's plain
@@ -2591,26 +2593,30 @@ object Ann {
     * anchor beat one scan whose shuffle carries the corpus. */
   def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
       negK: Int, posThreshold: Double, negThreshold: Double,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine", posK: Int = 1): DataFrame = {
     require(negThreshold <= posThreshold,
       s"negThreshold $negThreshold must be <= posThreshold $posThreshold " +
       "(the band between them is neither positive nor negative)")
+    require(posK >= 1, s"posK must be >= 1, got $posK")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
     val pairs = scoredPairs(corpus, anchors, metric)
       .filter(col("id") =!= col("qid"))
+    // posK > 1 is the multi-positive (InfoNCE-batch) form: the posK
+    // nearest qualifying neighbors each pair with all negK negatives
+    // (posK × negK rows per surviving anchor)
     val pos = pairs.filter(col("score") >= posThreshold)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1)
+      .withColumn("pos_rank", row_number().over(w).cast("long"))
+      .filter(col("pos_rank") <= posK)
       .select(col("qid"), col("id").as("pos_id"),
-        col("score").as("pos_score"))
+        col("score").as("pos_score"), col("pos_rank"))
     val neg = pairs.filter(col("score") < negThreshold)
       .withColumn("neg_rank", row_number().over(w).cast("long"))
       .filter(col("neg_rank") <= negK)
       .select(col("qid"), col("id").as("neg_id"),
         col("score").as("neg_score"), col("neg_rank"))
     pos.join(neg, "qid")
-      .select(col("qid"), col("pos_id"), col("pos_score"),
+      .select(col("qid"), col("pos_id"), col("pos_score"), col("pos_rank"),
         col("neg_id"), col("neg_score"), col("neg_rank"))
   }
 }

@@ -194,6 +194,33 @@ class AnnSpec extends SparkSpec {
     assert(out.toSet == composed)
   }
 
+  test("contrastiveTriplets posK>1: every positive pairs with every negative") {
+    val posT = 0.9; val negT = 0.5
+    val out = Ann.contrastiveTriplets(corpus, qs, negK = 4,
+        posThreshold = posT, negThreshold = negT, posK = 2)
+      .select("qid", "pos_id", "pos_rank", "neg_id", "neg_rank")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val poss = rows.map(r => (r._2, r._3)).distinct
+      val negs = rows.map(r => (r._4, r._5)).distinct
+      assert(poss.length <= 2 && negs.length <= 4)
+      assert(poss.map(_._2).sorted.toSeq == (1L to poss.length).toSeq)
+      // full cross: posK x negK rows per anchor
+      assert(rows.length == poss.length * negs.length)
+    }
+    // posK=1 restricted to its columns equals the classic form
+    val multi1 = Ann.contrastiveTriplets(corpus, qs, negK = 4,
+        posThreshold = posT, negThreshold = negT, posK = 1)
+      .select("qid", "pos_id", "neg_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val classic = Ann.contrastiveTriplets(corpus, qs, negK = 4,
+        posThreshold = posT, negThreshold = negT)
+      .select("qid", "pos_id", "neg_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(multi1 == classic)
+  }
+
   test("contrastiveTriplets: a no-negative anchor yields nothing; bad thresholds fail fast") {
     // negThreshold so low nothing qualifies -> empty output, not an error
     val none = Ann.contrastiveTriplets(corpus, qs, negK = 3,
