@@ -2517,8 +2517,11 @@ object Ann {
     var done = false
     while (!done) {
       val probe = math.min(np, nlist)
-      val approx = searchIvfIndex(spark, dir, queries, k, nprobe = probe,
-        metric)
+      // the full-probe step IS the reference frame — reuse it instead
+      // of paying the sweep's most expensive search twice
+      val approx =
+        if (probe == nlist) exact
+        else searchIvfIndex(spark, dir, queries, k, nprobe = probe, metric)
       val mean = recallAtK(approx, exact, k)
         .agg(avg(col("recall"))).head().getDouble(0)
       val mean4 = BigDecimal(mean)
@@ -2593,15 +2596,19 @@ object Ann {
     * anchor beat one scan whose shuffle carries the corpus. */
   def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
       negK: Int, posThreshold: Double, negThreshold: Double,
-      metric: String = "cosine", posK: Int = 1): DataFrame = {
+      metric: String = "cosine", posK: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
     require(negThreshold <= posThreshold,
       s"negThreshold $negThreshold must be <= posThreshold $posThreshold " +
       "(the band between them is neither positive nor negative)")
     require(posK >= 1, s"posK must be >= 1, got $posK")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id").asc)
-    val pairs = scoredPairs(corpus, anchors, metric)
-      .filter(col("id") =!= col("qid"))
+    // excludeSelf = false when anchor qids live in a DIFFERENT id
+    // namespace than the corpus (an external query log): a numeric
+    // collision there is a coincidence, not a self-pair
+    val all = scoredPairs(corpus, anchors, metric)
+    val pairs = if (excludeSelf) all.filter(col("id") =!= col("qid")) else all
     // posK > 1 is the multi-positive (InfoNCE-batch) form: the posK
     // nearest qualifying neighbors each pair with all negK negatives
     // (posK × negK rows per surviving anchor)

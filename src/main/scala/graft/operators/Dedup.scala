@@ -1124,10 +1124,16 @@ object Dedup {
     * pair frames; one full-outer join on the pair key, one global
     * aggregate — nothing corpus-sized beyond the finders themselves. */
   def pairRecall(exact: DataFrame, found: DataFrame): DataFrame = {
-    val e = exact.select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
-    val f = found.select(col("id_a"), col("id_b")).withColumn("f", lit(1L))
+    // distinct BEFORE the join: a banded finder can emit the same pair
+    // through several bands — duplicate rows would multiply join rows
+    // and inflate every count (including the GROUND TRUTH's)
+    val e = exact.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("e", lit(1L))
+    val f = found.select(col("id_a"), col("id_b")).distinct()
+      .withColumn("f", lit(1L))
     // outer coalesce: sum over ZERO rows (two empty finders) is null,
-    // and the report must read 0 there, not null
+    // and the counts must read 0 there, not null; a zero denominator
+    // makes its ratio explicitly NULL (undefined), never NaN
     val report = e.join(f, Seq("id_a", "id_b"), "full_outer")
       .agg(
         coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("n_exact"),
@@ -1135,8 +1141,12 @@ object Dedup {
         coalesce(sum(when(col("e").isNotNull && col("f").isNotNull, 1L)
           .otherwise(0L)), lit(0L)).as("n_hit"))
       .select(col("n_exact"), col("n_found"), col("n_hit"),
-        round(col("n_hit") / col("n_found"), 4).as("precision"),
-        round(col("n_hit") / col("n_exact"), 4).as("recall"))
+        when(col("n_found") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit") / col("n_found"), 4))
+          .as("precision"),
+        when(col("n_exact") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hit") / col("n_exact"), 4))
+          .as("recall"))
     // absorb the finders' internal cache pins (minhashLsh's shingle/
     // signature caches): one release at the report frees the chain
     CacheLifecycle.handOff(report, Seq(exact, found))

@@ -192,8 +192,20 @@ private[graft] object IndexFiles {
     require(srcs.distinct.size == srcs.size,
       s"duplicate src tags in ${srcs.mkString(", ")}")
     val fs = fsOf(spark, dir)
+    // ONE listing per table feeds both the presence map and the
+    // survivor check — per-src fs.exists probes would cost
+    // |srcs|×|tables| metadata round trips, the exact backlog case
+    // the bulk form is for
+    val srcsOf: Map[String, Set[String]] = tables.map { t =>
+      val p = new Path(s"$dir/$t")
+      t -> (if (!fs.exists(p)) Set.empty[String]
+            else fs.listStatus(p).iterator
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("src="))
+              .map(_.getPath.getName.stripPrefix("src=")).toSet)
+    }.toMap
     val presentBy = srcs.map(src => src ->
-      tables.filter(t => fs.exists(new Path(s"$dir/$t/src=$src"))))
+      tables.filter(t => srcsOf(t).contains(src)))
     presentBy.foreach { case (src, present) =>
       require(present.nonEmpty || !strict,
         s"src '$src' not present in any of [${tables.mkString(", ")}] " +
@@ -208,12 +220,9 @@ private[graft] object IndexFiles {
     // the family partially retired (orphaned sibling rows, sidecar
     // rebuilds never reached)
     if (requireSurvivor) {
-      val doomed = live.map { case (src, _) => s"src=$src" }.toSet
+      val doomed = live.map(_._1).toSet
       live.flatMap(_._2).distinct.foreach { t =>
-        val others = fs.listStatus(new Path(s"$dir/$t")).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("src=") &&
-            !doomed.contains(st.getPath.getName))
-        require(others,
+        require(srcsOf(t).exists(s => !doomed.contains(s)),
           s"retiring src(s) ${live.map(_._1).mkString(", ")} would " +
             s"empty $dir/$t — drop and rebuild the index instead")
       }

@@ -103,7 +103,11 @@ object Maintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$deadTable")))
       return 0.0
-    val dead = spark.read.parquet(s"$dir/$deadTable").count()
+    // DISTINCT: delete entries append per-batch-distinct rows, so a
+    // re-issued takedown list duplicates tombstones — raw row counts
+    // would inflate the fraction (past 1.0, even) and trigger rewrites
+    // that are not due
+    val dead = spark.read.parquet(s"$dir/$deadTable").distinct().count()
     if (dead == 0L) return 0.0
     val live =
       if (family == "exact") spark.read.parquet(s"$dir/$liveTable").count()
@@ -130,15 +134,22 @@ object Maintenance {
     require(unknown.isEmpty,
       s"unknown compaction families ${unknown.mkString(", ")} — " +
         s"expected one of ${compactors.keys.toSeq.sorted.mkString(", ")}")
-    specs.map { case (dir, family, threshold) =>
+    // every spec validated BEFORE anything compacts — a bad threshold
+    // mid-list must not leave the store half-compacted with the audit
+    // of the applied half never returned (the nightly() contract)
+    specs.foreach { case (dir, _, threshold) =>
       require(threshold >= 0.0, s"negative threshold $threshold for $dir")
+    }
+    specs.map { case (dir, family, threshold) =>
       val frac = tombstoneFraction(spark, dir, family)
-      val due = frac > 0.0 && frac >= threshold
-      if (due) compactors(family)._1(spark, dir)
       // HALF_UP like Spark's and DuckDB's round(), NOT math.rint's
-      // half-even — the audited fraction must hash-match the oracle
+      // half-even — the audited fraction must hash-match the oracle.
+      // The decision compares the SAME rounded value the audit row
+      // records, so the report always explains the decision.
       val frac4 = BigDecimal(frac)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val due = frac4 > 0.0 && frac4 >= threshold
+      if (due) compactors(family)._1(spark, dir)
       (dir, family, frac4, due)
     }.toDF("dir", "family", "fraction", "compacted")
   }

@@ -268,9 +268,16 @@ object StreamIngest {
   /** One micro-batch of [[mineIngestStream]]: the arriving anchors get
     * their hard negatives from the persisted IVF index
     * ([[graft.operators.Ann.mineHardNegativesIndex]]). STATELESS — the
-    * index is read-only here (the ann ingest stream owns writes), so a
-    * re-executed batch recomputes the identical result and the
-    * batch-keyed overwrite needs no marker protocol. */
+    * index is read-only here, so the batch-keyed overwrite needs no
+    * marker protocol. Replay contract, precisely: while the index is
+    * unchanged across the replay window, a re-executed batch
+    * recomputes the IDENTICAL result (spec'd); if a concurrent
+    * [[annIngestStream]] grew the index in between, the replay mines
+    * against the index AS OF the replay — a fresher, not torn, result
+    * (the overwrite replaces the whole batch partition atomically per
+    * read). Acceptable for training-set enrichment; a consumer that
+    * must never observe two versions of one batch should snapshot
+    * `outDir` rather than read it live. */
   def applyMineBatch(batch: DataFrame, batchId: Long, indexDir: String,
       k: Int, dupThreshold: Double, window: Int, nprobe: Int,
       outDir: String): Unit = {
