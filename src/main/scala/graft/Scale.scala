@@ -32,7 +32,7 @@ object Scale {
     "q_dedup_canonical", "q_bm25_index", "q_repeated_spans",
     "q_contam_spans", "q_rerank", "q_crawl_triage",
     "q_mine_negatives", "q_triplets", "q_dedup_recall",
-    "q_contrastive_pipeline")
+    "q_contrastive_pipeline", "q_embed_drift")
 
   private def maxIdOffset(df: DataFrame, idCol: String, what: String): Long = {
     val maxId = df.agg(max(col(idCol))).head
@@ -689,6 +689,50 @@ object Scale {
       f"seq=$ivfSeq%.2f bulk=$ivfBulk%.2f")
   }
 
+  /** Snapshot/restore cost at two stored-index sizes, against the only
+    * alternative recovery path (a full rebuild): build IVF on the base
+    * and factor× vector sets, time snapshotIndex / restoreIndex at
+    * each, and assert the restored search answers EXACTLY like the
+    * pre-snapshot one after a takedown+compaction mutated the live
+    * index. Both snapshot and restore are O(index bytes) by design —
+    * the honest claim is the ratio TO REBUILD at the same size, not a
+    * flat wall. */
+  def snapshotBench(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int): Unit = {
+    import graft.operators.{Ann, Maintenance}
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val emb = Tables.load(spark, baseDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def point(label: String, vecs: DataFrame): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("snapbench").toString
+      val pinned = vecs.persist()
+      val n = pinned.count()
+      val tBuild = timed(Ann.buildIvfIndex(pinned, s"$root/ivf", nlist = 64))
+      val qs = pinned.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      def search() = Ann.searchIvfIndex(spark, s"$root/ivf", qs, k = 10,
+        nprobe = 8).collect().map(_.toString).sorted.toSeq
+      val before = search()
+      val tSnap = timed(Maintenance.snapshotIndex(spark, s"$root/ivf",
+        s"$root/bak"))
+      Ann.deleteFromIvfIndex(spark, s"$root/ivf",
+        pinned.filter(col("id") % 4 === 0).select("id"))
+      Ann.compactIvfIndex(spark, s"$root/ivf")
+      require(search() != before, "mutation did not change the search")
+      val tRestore = timed(Maintenance.restoreIndex(spark, s"$root/bak",
+        s"$root/ivf"))
+      require(search() == before,
+        s"$label: restored search diverged from the snapshot point")
+      pinned.unpersist()
+      println(f"SCALE_SNAPSHOT $label n=$n build=$tBuild%.2f " +
+        f"snapshot=$tSnap%.2f restore=$tRestore%.2f verdicts=identical")
+    }
+    point("x1", emb)
+    point(s"x$factor", scaledVectors(emb, factor))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -713,10 +757,14 @@ object Scale {
         bulkRetireBench(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("snapshot") =>
+        snapshotBench(spark, baseDir, factor)
+        spark.stop()
+        return
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
           s"unknown SPARK_GRAFT_SCALE_MODE=$other " +
-            "(expected heavy|append|stream|bpe|bulkretire)")
+            "(expected heavy|append|stream|bpe|bulkretire|snapshot)")
       case _ => ()
     }
 

@@ -568,6 +568,38 @@ object SparkEntry {
     s.read.parquet(s"$root/report")
   }
 
+  /** Snapshot/restore, witnessed the strongest way a search index can:
+    * build IVF on the full corpus, snapshot, then mutate the live index
+    * in BOTH directions (append a shifted-id segment, tombstone the
+    * first 16 ids, physically compact — the cells files are rewritten)
+    * and restore. The full-probe search over the restored index must
+    * answer exactly like the never-mutated one, so the oracle is the
+    * plain brute-force SQL verbatim: a restore that leaks any
+    * post-snapshot state — a missing tombstoned id, a surviving
+    * appended row — hash-mismatches. */
+  private def qIndexSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_snap_${dirKey(dir)}") { r =>
+      val vecs = corpus(s, dir)
+      Ann.buildIvfIndex(vecs, s"$r/ivf", nlist = 16)
+      // overwrite: buildOnce memoizes per JVM, but the scratch root
+      // outlives the JVM — a later run (the driver's separate Verify
+      // and Bench JVMs) rebuilds over a disk-persisted backup, and the
+      // default would refuse it
+      Maintenance.snapshotIndex(s, s"$r/ivf", s"$r/backup",
+        overwrite = true)
+      Ann.appendToIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") < 32)
+          .select((col("id") + 1000000L).as("id"), col("v")), "d1")
+      Ann.deleteFromIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") < 16).select("id"))
+      Ann.compactIvfIndex(s, s"$r/ivf")
+      Maintenance.restoreIndex(s, s"$r/backup", s"$r/ivf")
+    }
+    Ann.searchIvfIndex(s, s"$root/ivf", queriesSet(s, dir), k = 10,
+        nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+  }
+
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
   // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
   // dedup signal but produce >99% of the inverted-index join's pairs.
@@ -1390,6 +1422,28 @@ object SparkEntry {
     Stats.noveltyScore(mutatedSnapshot(docs), docs, "doc_id", "text")
   }
 
+  /** The embedding snapshot mutation behind both drift queries: drop
+    * every 7th vector, double-weight the first 50 — a re-crawl that
+    * re-mixes sources without touching any component values, so the
+    * drift is pure re-weighting (the oracle mirrors the set algebra,
+    * no float arithmetic crosses engines). */
+  private def mutatedVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 7 =!= 0)
+      .unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+
+  // Embedding-space drift across the vector-side mutation — the
+  // semantic monitor next to q_token_drift's lexical one.
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    Stats.embeddingDrift(e, mutatedVecs(e), "embedding")
+  }
+
+  private def qEmbedDriftSummary(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    Stats.embeddingDriftSummary(e, mutatedVecs(e), "embedding")
+  }
+
   // The diff's consumer: same old/new mutation as q_corpus_diff PLUS
   // two twin replicas per low doc (same fresh text, different ids) so
   // every action fires: the +1M adds collide with history
@@ -2015,6 +2069,25 @@ object SparkEntry {
       idx => Ann.buildIvfIndex(corpus(s, dir), idx, nlist = 16)
     }
 
+  /** Cluster-balanced downsample through the shared persisted IVF
+    * index (rows-only: cells come from the k-means fit; the per-cell
+    * cap, determinism, and prune shape are pinned in AnnSpec and the
+    * k1 companion is hash-exact). */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    Ann.clusterBalancedSample(s, hybIvfIdx(s, dir), perCell = 10)
+
+  /** nlist=1 degenerate: every non-zero-norm vector lands in cell 0,
+    * so the sample is exactly the md5-rank top-perCell over the
+    * non-zero corpus — pure SQL. Cross-engine-verifies the membership
+    * rule (zero-norm excluded at fit), the hash ranking, and the
+    * per-cell cap that the real nlist composes. */
+  private def qClusterSampleK1(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildOnce(s"/tmp/graft_ivf1_idx_${dirKey(dir)}") { d =>
+      Ann.buildIvfIndex(corpus(s, dir), d, nlist = 1)
+    }
+    Ann.clusterBalancedSample(s, idx, perCell = 40)
+  }
+
   private def qHybridIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val qpost = Ingest.sparseTerms(docs.filter(col("doc_id") < 5), Seq("doc_id"), "text")
@@ -2276,6 +2349,7 @@ object SparkEntry {
     "q_exact_retire" -> (qExactRetire _),
     "q_maintenance" -> (qMaintenance _),
     "q_compaction" -> (qCompaction _),
+    "q_index_snapshot" -> (qIndexSnapshot _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -2343,6 +2417,8 @@ object SparkEntry {
     "q_crawl_triage" -> (qCrawlTriage _),
     "q_token_drift" -> (qTokenDrift _),
     "q_novelty" -> (qNovelty _),
+    "q_embed_drift" -> (qEmbedDrift _),
+    "q_embed_drift_summary" -> (qEmbedDriftSummary _),
     "q_epoch_plan" -> (qEpochPlan _),
     "q_epoch_apply" -> (qEpochApply _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -2361,6 +2437,8 @@ object SparkEntry {
     "q_triplets_multi" -> (qTripletsMulti _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_full" -> (qAnnIvfFull _),
+    "q_cluster_sample" -> (qClusterSample _),
+    "q_cluster_sample_k1" -> (qClusterSampleK1 _),
     "q_ann_ivf_pq" -> (qAnnIvfPq _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
@@ -3900,6 +3978,46 @@ object SparkEntry {
          |  round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty_rate
          |FROM g""".stripMargin,
 
+    // per-dimension centroid drift across the vector-side mutation:
+    // pure re-weighting (drop %7, double-weight <50), so both engines
+    // average the SAME component multiset — only sum order differs,
+    // absorbed by the 6dp round. `+ 0` everywhere a rounded value can
+    // be a tiny negative: the q_sem_dedup_k1 -0.0 lesson
+    "q_embed_drift" ->
+      """WITH o AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 <> 0
+        |      UNION ALL
+        |      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 50),
+        |om AS (SELECT dim, avg(x) AS m FROM (
+        |        SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM o) GROUP BY dim),
+        |nm AS (SELECT dim, avg(x) AS m FROM (
+        |        SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM n) GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, round(om.m, 6) + 0 AS mean_old,
+        |  round(nm.m, 6) + 0 AS mean_new, round(nm.m - om.m, 6) + 0 AS delta
+        |FROM om JOIN nm USING (dim)""".stripMargin,
+
+    // the one-row dashboard: counts, mean norms, centroid cosine
+    "q_embed_drift_summary" ->
+      """WITH o AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 <> 0
+        |      UNION ALL
+        |      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 50),
+        |os AS (SELECT CAST(count(*) AS BIGINT) AS n_old,
+        |         avg(sqrt(list_sum(list_transform(v, x -> x*x)))) AS nrm FROM o),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |         avg(sqrt(list_sum(list_transform(v, x -> x*x)))) AS nrm FROM n),
+        |oc AS (SELECT list(m ORDER BY dim) AS c FROM (
+        |        SELECT dim, avg(x) AS m FROM (
+        |          SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM o) GROUP BY dim)),
+        |nc AS (SELECT list(m ORDER BY dim) AS c FROM (
+        |        SELECT dim, avg(x) AS m FROM (
+        |          SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM n) GROUP BY dim))
+        |SELECT os.n_old, ns.n_new,
+        |  round(os.nrm, 6) + 0 AS mean_norm_old, round(ns.nrm, 6) + 0 AS mean_norm_new,
+        |  round(ns.nrm - os.nrm, 6) + 0 AS norm_delta,
+        |  round(list_cosine_similarity(oc.c, nc.c), 6) + 0 AS centroid_cos
+        |FROM os, ns, oc, nc""".stripMargin,
+
     // the mixture table: alpha-weights over per-lang token mass
     // (q_tokens' raw-text tokenizer), budget-scaled plans, epochs =
     // rounded-plan / mass at 4dp
@@ -4573,6 +4691,24 @@ object SparkEntry {
     // swap that failed to repoint away from the half-corpus blue index
     // could not hash-match
     "q_alias" -> ivfFullProbeOracleSql,
+
+    // full-probe search over the RESTORED index — must equal the
+    // never-mutated index, i.e. plain brute force: any leaked
+    // post-snapshot state (appended +1M ids, missing tombstoned ids)
+    // hash-mismatches
+    "q_index_snapshot" -> ivfFullProbeOracleSql,
+
+    // nlist=1 cluster sample: cell 0 holds every non-zero-norm vector,
+    // so the sample is the md5-rank top-40 over that set — the same
+    // seeded-hash mirror as the stratified/holdout oracles
+    "q_cluster_sample_k1" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nz AS (SELECT id FROM e WHERE sqrt(list_sum(list_transform(v, x -> x*x))) > 0),
+        |r AS (SELECT id, CAST(0 AS INT) AS cell,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5('29#' || CAST(id AS VARCHAR)), 1, 8))::BIGINT ASC,
+        |    id ASC) AS BIGINT) AS rank FROM nz)
+        |SELECT id, cell, rank FROM r WHERE rank <= 40""".stripMargin,
 
     "q_ann_binary" -> annBinaryOracleSql,
 

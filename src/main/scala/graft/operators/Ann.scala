@@ -1990,6 +1990,40 @@ object Ann {
     probeAndRank(scoped, probes, k, metric)
   }
 
+  /** Cluster-balanced downsample through the persisted IVF index's own
+    * cell assignment — the geometry-aware sibling of
+    * [[graft.operators.Curate.stratifiedSample]]: metadata strata
+    * (lang, source) cannot see REDUNDANCY, but the index's cells can —
+    * a crawl whose mass piles into one region of embedding space (a
+    * template family, a boilerplate cluster) keeps at most `perCell`
+    * rows per cell, so dense regions stop crowding out the tails in a
+    * token-budgeted diet (the cluster-then-sample half of the SemDeDup
+    * recipe, reusing the codebook the store already trained instead of
+    * clustering again). Selection is the engine-stable md5 hash rank —
+    * no RNG, deterministic under re-runs and repartitioning, ties on
+    * id — and tombstoned ids never surface. Returns (id, cell, rank).
+    *
+    * Scale shape: a per-cell window over the cells table — the key
+    * space is nlist values, and the plain `row_number <= perCell`
+    * filter lets Catalyst infer a WindowGroupLimit, so every input
+    * partition is capped at perCell rows per cell BEFORE the exchange
+    * (the contrastiveTriplets prune); nothing here reads vectors. */
+  def clusterBalancedSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String, perCell: Int, seed: Int = 29): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    IndexFiles.requireNoPendingAppend(spark, dir)
+    IndexFiles.requireLiveTable(spark, dir, "cells")
+    val live = IndexFiles.dropTombstones(spark, dir,
+      spark.read.parquet(s"$dir/cells")
+        .select(col("id"), col("cell").cast("int").as("cell")))
+    val w = Window.partitionBy("cell").orderBy(
+      graft.functions.HashFunctions.hash32(seed, col("id").cast("string")).asc,
+      col("id").asc)
+    live.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCell)
+  }
+
   /** Plain L2 Lloyd's k-means (k-means++ seeding, MEAN centroids, no
     * normalization) over an in-memory sample — the per-subspace PQ
     * trainer. [[sphericalKMeans]] unit-normalizes its centroids, which

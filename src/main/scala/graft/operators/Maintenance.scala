@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scheduled index maintenance — the ONE nightly call a long-lived
@@ -152,5 +153,127 @@ object Maintenance {
       if (due) compactors(family)._1(spark, dir)
       (dir, family, frac4, due)
     }.toDF("dir", "family", "fraction", "compacted")
+  }
+
+  // ---- point-in-time snapshot / restore ----------------------------------
+
+  private val ManifestName = "_snapshot_manifest"
+  private val RestoreTmp = "__restore_tmp"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Every data file under `root`, recursively, as (relative path,
+    * length) — the manifest's integrity unit. The manifest itself and
+    * restore scratch are never data. */
+  private def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[(String, Long)] = {
+    val prefix = fs.makeQualified(root).toString + "/"
+    val out = Seq.newBuilder[(String, Long)]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) { if (name != RestoreTmp) walk(st.getPath) }
+      else if (name != ManifestName) {
+        val full = fs.makeQualified(st.getPath).toString
+        require(full.startsWith(prefix), s"file $full outside $prefix")
+        out += ((full.stripPrefix(prefix), st.getLen))
+      }
+    }
+    walk(root)
+    out.result()
+  }
+
+  private def copyTree(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, srcRoot: String, dstRoot: String,
+      files: Seq[(String, Long)]): Unit =
+    files.foreach { case (rel, _) =>
+      val dst = new Path(s"$dstRoot/$rel")
+      fs.mkdirs(dst.getParent)
+      require(FileUtil.copy(fs, new Path(s"$srcRoot/$rel"), fs, dst,
+        false, spark.sparkContext.hadoopConfiguration),
+        s"copy $srcRoot/$rel -> $dst failed")
+    }
+
+  /** Point-in-time backup of a persisted index directory — the call a
+    * scheduled driver makes BEFORE the risky mutations ([[nightly]]
+    * retirement, [[nightlyCompact]]'s physical rewrites, a bulk
+    * takedown): the one recovery primitive that makes every later
+    * mistake reversible. Family-agnostic: the whole tree is copied
+    * verbatim — payload tables WITH their partition directories,
+    * sidecars, tombstones, even a pending append journal (a restored
+    * journal heals exactly like a crashed one, so the snapshot point
+    * may sit anywhere in the append protocol). The manifest (file
+    * count + total bytes) is written LAST and is the commit point: a
+    * snapshot without one is an interrupted copy and [[restoreIndex]]
+    * refuses it. Re-snapshotting over an interrupted attempt heals it;
+    * overwriting a COMPLETE snapshot requires `overwrite = true` (a
+    * backup silently replaced after the index it guards was mutated is
+    * the exact loss the primitive exists to prevent).
+    *
+    * Scale shape: O(index bytes) driver-orchestrated copy — the same
+    * order as one compaction, amortized the same way (snapshot before
+    * risky maintenance, not per batch). On HDFS/S3 production stores
+    * the FS-native path (`hdfs dfs -cp`/DistCp, S3 server-side copy)
+    * does the byte movement with the same directory contract; this is
+    * the semantic reference both share. */
+  def snapshotIndex(spark: SparkSession, dir: String, snapDir: String,
+      overwrite: Boolean = false): Unit = {
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(dir)), s"no index at $dir to snapshot")
+    val snap = new Path(snapDir)
+    if (fs.exists(snap)) {
+      val complete = fs.exists(new Path(s"$snapDir/$ManifestName"))
+      require(overwrite || !complete,
+        s"complete snapshot already at $snapDir — pass overwrite=true " +
+          "to replace it (refusing: the backup may be the only copy of " +
+          "a state the live index no longer has)")
+      require(fs.delete(snap, true), s"delete stale snapshot $snap failed")
+    }
+    val files = walkFiles(fs, new Path(dir))
+    copyTree(spark, fs, dir, snapDir, files)
+    val manifest = fs.create(new Path(s"$snapDir/$ManifestName"), true)
+    try manifest.write(
+      s"${files.size} ${files.map(_._2).sum}\n".getBytes("UTF-8"))
+    finally manifest.close()
+  }
+
+  /** Restore an index directory from a [[snapshotIndex]] backup,
+    * replacing whatever state (tombstones, compactions, retirements,
+    * appends — or corruption) accumulated since. Loud on an incomplete
+    * snapshot: the manifest must exist and its file count + byte total
+    * must match what is actually on disk. Crash-safe by re-run: the
+    * copy lands in a scratch dir first (a leftover scratch from an
+    * earlier crash is discarded), the live dir is replaced only after
+    * the copy is complete, and the commit point is the final rename —
+    * a crash anywhere is repaired by running restore again. Cached
+    * plans over the index are invalidated, so in-session searches see
+    * the restored state immediately. */
+  def restoreIndex(spark: SparkSession, snapDir: String,
+      dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val manifestPath = new Path(s"$snapDir/$ManifestName")
+    require(fs.exists(manifestPath),
+      s"no complete snapshot at $snapDir ($ManifestName missing — " +
+        "interrupted snapshot?); refusing to restore from it")
+    val manifest = {
+      val in = fs.open(manifestPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val Array(expectN, expectBytes) = manifest.split(" ").map(_.toLong)
+    val files = walkFiles(fs, new Path(snapDir))
+    require(files.size == expectN && files.map(_._2).sum == expectBytes,
+      s"snapshot at $snapDir does not match its manifest " +
+        s"(${files.size} files/${files.map(_._2).sum} bytes on disk vs " +
+        s"$expectN/$expectBytes recorded) — refusing to restore")
+    val tmp = new Path(s"$dir$RestoreTmp")
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"discard stale restore $tmp failed")
+    copyTree(spark, fs, snapDir, tmp.toString, files)
+    val live = new Path(dir)
+    if (fs.exists(live))
+      require(fs.delete(live, true), s"delete live index $live failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    IndexFiles.refresh(spark, dir)
   }
 }

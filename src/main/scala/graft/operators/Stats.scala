@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => T}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Sketch-based corpus profiling — the scan a training-data pipeline
   * runs BEFORE configuring dedup/filter thresholds (how big is the
@@ -163,5 +163,78 @@ object Stats {
             greatest(col("__tot_new"), lit(1L)), 6).as("p_new"))
         .withColumn("delta", round(col("p_new") - col("p_old"), 6)),
       Seq(fo, fn))
+  }
+
+  /** Per-dimension mean of an embedding column — the drift monitors'
+    * shared aggregation. The posexplode keys on at most `dim` distinct
+    * values, so the partial aggregate collapses each input partition to
+    * `dim` rows before the exchange: the shuffle is partitions×dim
+    * rows no matter how many vectors feed it. Null vectors are skipped
+    * (they carry no components to average). */
+  private def dimMeans(df: DataFrame, vecCol: String,
+      side: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg("x").as(s"mean_$side"))
+
+  /** Embedding-space drift between two corpus snapshots — the SEMANTIC
+    * twin of [[tokenDrift]] in an incremental pipeline's monitoring
+    * row: the token view catches lexical re-weighting, this catches a
+    * re-crawl (or a swapped encoder checkpoint) shifting where the
+    * corpus LIVES in embedding space before the shift reaches ANN
+    * indexes trained on yesterday's geometry (IVF centroids, PQ
+    * codebooks and SQ8 scales all assume a stationary distribution —
+    * their recall decays silently under drift, which is exactly what
+    * this scan makes visible). One row per dimension: (dim, mean_old,
+    * mean_new, delta), means and shift rounded 6dp, deltas computed on
+    * the unrounded means. Dimensions are full-outer joined, so a
+    * snapshot pair with different widths reports NULL on the absent
+    * side instead of silently dropping the extra dimensions.
+    *
+    * Scale shape: two [[dimMeans]] passes (shuffle = partitions×dim
+    * rows each, see there) and a dim-bounded join — nothing in the
+    * plan scales with corpus size. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+      vecCol: String): DataFrame =
+    dimMeans(oldDf, vecCol, "old")
+      .join(dimMeans(newDf, vecCol, "new"), Seq("dim"), "full_outer")
+      .select(col("dim").cast("long").as("dim"),
+        round(col("mean_old"), 6).as("mean_old"),
+        round(col("mean_new"), 6).as("mean_new"),
+        round(col("mean_new") - col("mean_old"), 6).as("delta"))
+
+  /** The one-row dashboard form of [[embeddingDrift]]: snapshot sizes,
+    * mean vector norms (a norm shift flags an encoder or normalization
+    * change even when the centroid holds still), and the cosine between
+    * the two snapshot centroids (1.0 = no directional drift). All
+    * rounded 6dp. Empty or all-null sides report NULL metrics (count 0)
+    * rather than failing — a monitor must survive the empty first day.
+    *
+    * Scale shape: two single-row aggregates and two dim-bounded
+    * centroid collects, crossed as single-row broadcasts — the
+    * [[tokenDrift]] total-count shape. */
+  def embeddingDriftSummary(oldDf: DataFrame, newDf: DataFrame,
+      vecCol: String): DataFrame = {
+    def stats(df: DataFrame, side: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(V.norm2(col(vecCol).cast("array<double>")).as("nrm"))
+        .agg(count(lit(1)).as(s"n_$side"),
+          avg(col("nrm")).as(s"__norm_$side"))
+    def centroid(df: DataFrame, side: String) =
+      dimMeans(df, vecCol, side)
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col(s"mean_$side")))),
+          e => e(s"mean_$side")).as(s"__c_$side"))
+    stats(oldDf, "old").crossJoin(broadcast(stats(newDf, "new")))
+      .crossJoin(broadcast(centroid(oldDf, "old")))
+      .crossJoin(broadcast(centroid(newDf, "new")))
+      .select(col("n_old"), col("n_new"),
+        round(col("__norm_old"), 6).as("mean_norm_old"),
+        round(col("__norm_new"), 6).as("mean_norm_new"),
+        round(col("__norm_new") - col("__norm_old"), 6).as("norm_delta"),
+        when(size(col("__c_old")) > 0 && size(col("__c_new")) > 0,
+          round(V.cosine(col("__c_old"), col("__c_new")), 6))
+          .as("centroid_cos"))
   }
 }

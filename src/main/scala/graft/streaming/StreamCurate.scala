@@ -270,4 +270,43 @@ object StreamCurate {
           .when(col("__in_hist").isNotNull, lit("skip_duplicate"))
           .otherwise(lit("upsert")).as("action"))
   }
+
+  /** One micro-batch of [[driftStream]]: the batch operator applied to
+    * (reference, batch), one summary row overwritten into its own
+    * `batch=<id>` directory — idempotent in batchId across every crash
+    * window with no marker protocol (the reference is read-only here,
+    * so a replayed batch recomputes the identical row). Empty batches
+    * write nothing (a monitor must not log an all-NULL row for an
+    * empty trigger). */
+  def applyDriftBatch(refDf: DataFrame, batch: DataFrame, vecCol: String,
+      batchId: Long, outDir: String): Unit = {
+    if (batch.isEmpty) return
+    graft.operators.Stats.embeddingDriftSummary(refDf, batch, vecCol)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.Stats.embeddingDriftSummary]] — the monitor a
+    * live embedding-ingest pipeline runs NEXT TO the ingest streams:
+    * each arriving vector micro-batch writes its one-row drift summary
+    * against a STATIC reference snapshot under `outDir/batch=<id>`
+    * (counts, mean norms, centroid cosine, batch_id). A centroid-cos
+    * slide or a norm jump in the batch log is the first signal that an
+    * encoder checkpoint changed or a crawl source shifted — BEFORE the
+    * drifted vectors degrade the IVF/PQ structures they land in.
+    * Stateless: no state store, no index writes; per batch the work is
+    * one scan of the batch + the (cacheable) reference aggregates. */
+  def driftStream(refDf: DataFrame, vecStream: DataFrame, vecCol: String,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDriftBatch(refDf, batch, vecCol, batchId, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

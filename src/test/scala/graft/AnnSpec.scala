@@ -2034,4 +2034,45 @@ class AnnSpec extends SparkSpec {
     assert(got == Set((1L, 3L), (1L, 7L), (2L, 3L)),
       s"rerank escaped the candidate set: $got")
   }
+
+  test("clusterBalancedSample: per-cell cap, deterministic rank, tombstones excluded, map-side prune") {
+    val dir = java.nio.file.Files.createTempDirectory("csample").toString + "/idx"
+    val vecs = (1 to 60).map(i =>
+        (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+      // a zero-norm vector (failed embed) must be excluded at fit and
+      // so never sampled
+      .unionByName(Seq((999L, Seq.fill(8)(0.0))).toDF("id", "v"))
+    Ann.buildIvfIndex(vecs, dir, nlist = 4)
+    def sample(per: Int) = Ann.clusterBalancedSample(spark, dir, per)
+    val rows = sample(5).as[(Long, Int, Long)].collect().toSeq
+    assert(rows.forall(_._1 != 999L), "zero-norm vector surfaced")
+    assert(rows.map(_._1).toSet.subsetOf((1 to 60).map(_.toLong).toSet))
+    // cap + contiguous ranks from 1 within every cell
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.length <= 5, s"cell $c over cap: ${rs.length}")
+      assert(rs.map(_._3).sorted == (1L to rs.length), s"cell $c ranks")
+    }
+    // a small corpus at nlist=4 has more than one populated cell — the
+    // sample is BALANCED, not a global top-k
+    assert(rows.map(_._2).distinct.size > 1, "all rows from one cell")
+    // deterministic under re-run
+    assert(sample(5).as[(Long, Int, Long)].collect().toSeq.sorted
+      == rows.sorted)
+    // tombstoned ids free their slots: survivors refill the ranks
+    Ann.deleteFromIvfIndex(spark, dir,
+      vecs.filter(col("id") <= 30).select("id"))
+    val after = sample(5).as[(Long, Int, Long)].collect().toSeq
+    assert(after.forall(_._1 > 30L), s"tombstoned id surfaced: $after")
+    after.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.length),
+        s"cell $c ranks did not refill after takedown") }
+    // plan pin: the rank filter must keep Catalyst's map-side top-k
+    // prune (the contrastiveTriplets lesson)
+    val phys = sample(5).queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"),
+      s"per-cell cap lost the WindowGroupLimit prune:\n$phys")
+    // misconfiguration is loud
+    intercept[IllegalArgumentException](sample(0))
+  }
 }

@@ -262,4 +262,68 @@ class MaintenanceSpec extends SparkSpec {
     // the second nightly is the steady state: nothing left to age out
     assert(Maintenance.nightly(spark, specs).isEmpty)
   }
+
+  test("snapshotIndex/restoreIndex: backup survives append+delete+compact; guards are loud") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs, s"$root/ivf", nlist = 4)
+    val qs = vecs.filter(col("id") <= 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    def search() = Ann.searchIvfIndex(spark, s"$root/ivf", qs, k = 5,
+        nprobe = 4)
+      .select("qid", "id", "score", "rank")
+      .collect().map(_.toString).toSet
+    val before = search()
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    // a COMPLETE snapshot refuses silent replacement...
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    }
+    assert(err.getMessage.contains("overwrite"), err.getMessage)
+    // ...and replaces under the explicit flag
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak",
+      overwrite = true)
+    // mutate the live index in BOTH directions, then physically rewrite
+    Ann.appendToIvfIndex(spark, s"$root/ivf", vecs.filter(col("id") <= 10)
+      .select((col("id") + 100L).as("id"), col("v")), "d1")
+    Ann.deleteFromIvfIndex(spark, s"$root/ivf",
+      vecs.filter(col("id") <= 5).select("id"))
+    Ann.compactIvfIndex(spark, s"$root/ivf")
+    assert(search() != before, "mutations must actually change the search")
+    // a stale crash leftover from an earlier restore is discarded
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/ivf__restore_tmp/junk"))
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search() == before,
+      "restored index must answer exactly like the snapshot point")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/ivf__restore_tmp")))
+    // re-runnable: a crash anywhere in restore is repaired by running again
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search() == before)
+    // the restored index is fully live: appends still work
+    Ann.appendToIvfIndex(spark, s"$root/ivf", vecs.filter(col("id") <= 2)
+      .select((col("id") + 200L).as("id"), col("v")), "d2")
+    assert(search().size == before.size)
+    // a manifest that disagrees with the files on disk is refused
+    val mf = new org.apache.hadoop.fs.Path(s"$root/bak/_snapshot_manifest")
+    val out = fs.create(mf, true)
+    out.write("1 1\n".getBytes("UTF-8")); out.close()
+    val err2 = intercept[IllegalArgumentException] {
+      Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    }
+    assert(err2.getMessage.contains("manifest"), err2.getMessage)
+    // an INCOMPLETE snapshot (interrupted copy: no manifest) is refused...
+    fs.delete(mf, false)
+    val err3 = intercept[IllegalArgumentException] {
+      Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    }
+    assert(err3.getMessage.contains("manifest"), err3.getMessage)
+    // ...and re-snapshotting over it heals WITHOUT the overwrite flag
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search().size == before.size)
+  }
 }

@@ -103,4 +103,49 @@ class StatsSpec extends SparkSpec {
     assert(!phys.contains("Sort ["), // no global sort anywhere else
       s"unexpected full sort in the drift plan:\n$phys")
   }
+
+  test("embeddingDrift: hand-computed per-dim means; width mismatch and null vecs degrade, not fail") {
+    val old = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val neu = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("id", "v")
+    val out = Stats.embeddingDrift(old, neu, "v").orderBy("dim")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // dim0: 0.5 -> 2/3 (+1/6); dim1: 0.5 -> 1/3 (-1/6); 6dp HALF_UP
+    assert(out == Seq((0L, 0.5, 0.666667, 0.166667),
+      (1L, 0.5, 0.333333, -0.166667)), s"got $out")
+    // a null vector carries no components — skipped, not a crash
+    val withNull = Seq((1L, Some(Seq(1.0, 0.0))), (2L, None))
+      .toDF("id", "v")
+    val nn = Stats.embeddingDrift(withNull, withNull, "v").orderBy("dim")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(nn == Seq((0L, 1.0, 1.0, 0.0), (1L, 0.0, 0.0, 0.0)), s"got $nn")
+    // width mismatch (a swapped encoder): the extra dimension reports
+    // NULL on the absent side instead of vanishing
+    val wide = Seq((1L, Seq(1.0, 0.0, 2.0))).toDF("id", "v")
+    val rows = Stats.embeddingDrift(old, wide, "v").orderBy("dim").collect()
+    assert(rows.length == 3)
+    assert(rows(2).getAs[Long]("dim") == 2L && rows(2).isNullAt(1) &&
+      rows(2).getAs[Double]("mean_new") == 2.0 && rows(2).isNullAt(3),
+      s"got ${rows.mkString("; ")}")
+  }
+
+  test("embeddingDriftSummary: counts, norms, centroid cosine; empty side reports NULL, not a crash") {
+    val old = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val neu = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("id", "v")
+    val r = Stats.embeddingDriftSummary(old, neu, "v").collect().head
+    assert(r.getAs[Long]("n_old") == 2 && r.getAs[Long]("n_new") == 3)
+    assert(r.getAs[Double]("mean_norm_old") == 1.0 &&
+      r.getAs[Double]("mean_norm_new") == 1.0 &&
+      r.getAs[Double]("norm_delta") == 0.0)
+    // cos((0.5,0.5), (2/3,1/3)) = 0.5 / (sqrt(.5)*sqrt(5/9)) = 0.948683
+    assert(r.getAs[Double]("centroid_cos") == 0.948683, r.toString)
+    // the empty first day: NULL metrics with a zero count, loud nowhere
+    val e = Stats.embeddingDriftSummary(old,
+      Seq.empty[(Long, Seq[Double])].toDF("id", "v"), "v").collect().head
+    assert(e.getAs[Long]("n_new") == 0)
+    assert(e.isNullAt(e.fieldIndex("mean_norm_new")) &&
+      e.isNullAt(e.fieldIndex("norm_delta")) &&
+      e.isNullAt(e.fieldIndex("centroid_cos")), e.toString)
+  }
 }

@@ -1468,4 +1468,49 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("cnt")).as[Long].head() == before,
       "replayed micro-batch re-spent budgets")
   }
+
+  test("driftStream: per-batch summaries equal the batch operator; replay idempotent; empty trigger writes nothing") {
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val ref = (1L to 50L).map(i => (i, vec(i))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("driftstream").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamCurate.driftStream(ref,
+      mem.toDF().toDF("id", "v"), "v", s"$dir/out", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val b0 = (51L to 60L).map(i => (i, vec(i)))
+    val b1 = (61L to 65L).map(i => (i, vec(i * 7))) // a shifted batch
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def row(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_old", "n_new", "mean_norm_old", "mean_norm_new",
+        "norm_delta", "centroid_cos")
+      .collect().map(_.toString).toSeq
+    val batches = spark.read.parquet(s"$dir/out")
+    // each micro-batch row IS the batch operator over (ref, slice)
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      assert(row(batches.filter(col("batch_id") === id)) ==
+        row(Stats.embeddingDriftSummary(ref, slice.toDF("id", "v"), "v")),
+        s"batch $id diverged from the batch operator")
+    }
+    // the shifted batch actually registers as drift (the monitor works)
+    val cos = batches.orderBy("batch_id")
+      .select("centroid_cos").as[Double].collect()
+    assert(cos.length == 2 && cos(0) != cos(1),
+      s"shifted batch did not move the centroid cosine: ${cos.toSeq}")
+    // replay: re-applying a batch overwrites to the identical row
+    graft.streaming.StreamCurate.applyDriftBatch(ref, b0.toDF("id", "v"),
+      "v", 0L, s"$dir/out")
+    assert(row(spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id") === 0L)) ==
+      row(Stats.embeddingDriftSummary(ref, b0.toDF("id", "v"), "v")))
+    // an empty trigger logs nothing (no all-NULL monitor rows)
+    graft.streaming.StreamCurate.applyDriftBatch(ref,
+      Seq.empty[(Long, Seq[Double])].toDF("id", "v"), "v", 9L, s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out")
+      .filter(col("batch_id") === 9L).isEmpty)
+  }
 }
