@@ -237,6 +237,32 @@ object Maintenance {
     finally manifest.close()
   }
 
+  /** The whole-store form of [[snapshotIndex]] — the call a scheduled
+    * driver makes at the HEAD of its nightly, before [[nightly]]'s
+    * retirements and [[nightlyCompact]]'s rewrites touch anything:
+    * `specs` = (indexDir, snapDir) rows, each snapshotted with
+    * overwrite (a pre-maintenance backup REPLACES yesterday's by
+    * design — it guards tonight's run, not history; keep dated
+    * snapDirs for retention). Every live dir is validated BEFORE the
+    * first copy (a typo'd spec must not half-back-up the store — the
+    * [[nightly]] convention), and the returned audit row per spec
+    * carries what the manifest recorded: (dir, snap_dir, files,
+    * bytes). */
+  def snapshotStore(spark: SparkSession,
+      specs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val missing = specs.map(_._1).filterNot(d =>
+      fsOf(spark, d).exists(new Path(d)))
+    require(missing.isEmpty,
+      s"no index at ${missing.mkString(", ")} — refusing to run a " +
+        "store backup with missing members (fix the spec list first)")
+    specs.map { case (dir, snapDir) =>
+      snapshotIndex(spark, dir, snapDir, overwrite = true)
+      val files = walkFiles(fsOf(spark, dir), new Path(snapDir))
+      (dir, snapDir, files.size.toLong, files.map(_._2).sum)
+    }.toDF("dir", "snap_dir", "files", "bytes")
+  }
+
   /** Restore an index directory from a [[snapshotIndex]] backup,
     * replacing whatever state (tombstones, compactions, retirements,
     * appends — or corruption) accumulated since. Loud on an incomplete

@@ -326,4 +326,53 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
     assert(search().size == before.size)
   }
+
+  test("snapshotStore: whole-store backup, loud on missing members; the exact index (bloom sidecar included) restores bit-identically") {
+    val root = java.nio.file.Files.createTempDirectory("snapstore").toString
+    val docs = (1 to 40).map(i => (i.toLong, s"alpha $i beta gamma delta"))
+      .toDF("doc_id", "text")
+    Dedup.buildExactIndex(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", s"$root/exact")
+    Dedup.appendToExactIndex(spark, s"$root/exact",
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 30),
+      "doc_id", "text", "d1")
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs, s"$root/ivf", nlist = 4)
+    // the probe drives the WHOLE read path: fps + segments + the bloom
+    // sidecar's prune
+    def probe() = Dedup.dedupExactAgainstIndex(spark, s"$root/exact",
+      docs, "doc_id", "text").collect().map(_.toString).toSet
+    val before = probe()
+    val report = Maintenance.snapshotStore(spark, Seq(
+        (s"$root/exact", s"$root/bak/exact"),
+        (s"$root/ivf", s"$root/bak/ivf")))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(report.map(_._1) == Seq(s"$root/exact", s"$root/ivf"))
+    assert(report.forall(r => r._3 > 0 && r._4 > 0), s"empty audit: $report")
+    // a missing member is loud BEFORE the first copy — nothing lands
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.snapshotStore(spark, Seq(
+        (s"$root/no-such", s"$root/bak/no-such"),
+        (s"$root/exact", s"$root/bak/exact2")))
+    }
+    assert(err.getMessage.contains("no-such"), err.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bak/exact2")),
+      "a failed store backup must not half-copy")
+    // mutate the exact index through its WHOLE lifecycle surface:
+    // takedown + physical compaction + segment retirement
+    Dedup.deleteFromExactIndex(spark, s"$root/exact",
+      docs.filter(col("doc_id") < 5), "text")
+    Dedup.compactExactIndex(spark, s"$root/exact")
+    Dedup.retireExactSrc(spark, s"$root/exact", "d1")
+    assert(probe() != before, "mutations must change the probe verdicts")
+    // family-agnostic restore: the verbatim copy carries the fp table,
+    // the src segments, AND the bloom sidecar back
+    Maintenance.restoreIndex(spark, s"$root/bak/exact", s"$root/exact")
+    assert(probe() == before,
+      "restored exact index diverged from the snapshot point")
+  }
 }
