@@ -600,6 +600,46 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** The store health dashboard over three live families — exact with
+    * an appended fresh segment and a takedown, IVF with a blind
+    * tombstone set, line-df with two segments (segmented-only, no
+    * delete model). Written inside the memoized build and read back
+    * (the q_maintenance pattern); dir/files/bytes are scratch-path-
+    * and compression-dependent, so the registered projection is the
+    * stable dashboard columns. The appended texts carry a
+    * ' fresh-segment' suffix — guaranteed-novel fps, so the segment
+    * count is a literal and the oracle recomputes live/tombstones/
+    * fraction from the documents and embeddings tables. */
+  private def qStoreReport(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_health_${dirKey(dir)}") { r =>
+      val docs = t(s, dir, "documents")
+      Dedup.buildExactIndex(docs.filter(col("doc_id") < 40),
+        "doc_id", "text", s"$r/exact")
+      Dedup.appendToExactIndex(s, s"$r/exact",
+        docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh-segment")).as("text")),
+        "doc_id", "text", "d1")
+      Dedup.deleteFromExactIndex(s, s"$r/exact",
+        docs.filter(col("doc_id") < 10), "text")
+      val vecs = corpus(s, dir).filter(col("id") < 64)
+      Ann.buildIvfIndex(vecs, s"$r/ivf", nlist = 8)
+      Ann.deleteFromIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") < 16).select("id"))
+      Dedup.buildLineDfIndex(docs.filter(col("doc_id") < 20),
+        "doc_id", "text", s"$r/lines")
+      Dedup.appendToLineDfIndex(s, s"$r/lines",
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 40),
+        "doc_id", "text", "d20")
+      Maintenance.storeReport(s, Seq((s"$r/exact", "exact"),
+          (s"$r/ivf", "ivf"), (s"$r/lines", "linedf")))
+        .select("family", "live", "segments", "oldest", "newest",
+          "tombstones", "fraction")
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
+    }
+    s.read.parquet(s"$root/report")
+  }
+
   // maxDf=100: the documented hot-shingle cap (SURVEY §5). The synthetic
   // corpus has a tiny vocabulary — shingles shared by >100 docs carry no
   // dedup signal but produce >99% of the inverted-index join's pairs.
@@ -2350,6 +2390,7 @@ object SparkEntry {
     "q_maintenance" -> (qMaintenance _),
     "q_compaction" -> (qCompaction _),
     "q_index_snapshot" -> (qIndexSnapshot _),
+    "q_store_report" -> (qStoreReport _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -3120,6 +3161,31 @@ object SparkEntry {
          | UNION ALL SELECT 'due', 'exact', (SELECT f FROM ex), true
          | UNION ALL SELECT 'after', 'ivf', 0.0, false
          | UNION ALL SELECT 'after', 'exact', 0.0, false)""".stripMargin,
+
+    // the health dashboard: live identity counts, segment tags, and
+    // tombstone fractions recomputed from the source tables; the
+    // ' fresh-segment' suffix guarantees the appended fps are novel
+    // (ltrim mirrors the normalize-after-concat of an empty base text)
+    "q_store_report" ->
+      s"""WITH n AS ($normDoc),
+         |a AS (SELECT count(DISTINCT md5(t)) AS a FROM n WHERE doc_id < 40),
+         |b AS (SELECT count(DISTINCT md5(ltrim(t || ' fresh-segment'))) AS b FROM n WHERE doc_id < 10),
+         |d AS (SELECT count(DISTINCT md5(t)) AS d FROM n WHERE doc_id < 10),
+         |iv AS (SELECT count(*) AS ivlive FROM embeddings
+         |  WHERE vec_id < 64
+         |    AND sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0)
+         |SELECT family, live, segments, oldest, newest, tombstones, fraction FROM (
+         | SELECT 'exact' AS family, CAST(a + b AS BIGINT) AS live,
+         |        CAST(2 AS BIGINT) AS segments, 'base' AS oldest, 'd1' AS newest,
+         |        CAST(d AS BIGINT) AS tombstones,
+         |        round(CAST(d AS DOUBLE) / (a + b), 4) AS fraction
+         | FROM a, b, d
+         | UNION ALL
+         | SELECT 'ivf', CAST(ivlive AS BIGINT), CAST(1 AS BIGINT), 'base', 'base',
+         |        CAST(16 AS BIGINT), round(16.0 / ivlive, 4) FROM iv
+         | UNION ALL
+         | SELECT 'linedf', NULL, CAST(2 AS BIGINT), 'base', 'd20',
+         |        CAST(0 AS BIGINT), NULL)""".stripMargin,
 
     // the retire witness: appending the batch as segment d1 then
     // retiring d1 must leave the history answering exactly like one

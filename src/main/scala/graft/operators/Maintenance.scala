@@ -155,6 +155,68 @@ object Maintenance {
     }.toDF("dir", "family", "fraction", "compacted")
   }
 
+  /** family → its src-segmented payload table (what segment listings
+    * and the health report walk). */
+  val segmentTables: Map[String, String] = Map(
+    "exact" -> "fps", "linedf" -> "lines", "containment" -> "shingles",
+    "minhash" -> "shingles", "domain_cap" -> "counts", "phash" -> "bands",
+    "ivf" -> "cells", "ivf_sq8" -> "cells", "ivf_pq" -> "codes",
+    "sparse" -> "postings", "binary" -> "bits", "lsh" -> "buckets")
+
+  /** The store health report — the dashboard row a scheduled driver
+    * logs per index so retention ([[nightly]]), compaction
+    * ([[nightlyCompact]]), and backup ([[snapshotStore]]) decisions
+    * have numbers behind them: per (dir, family) spec one row of
+    * (live identity count, segment count + oldest/newest tag,
+    * distinct tombstones, 4dp tombstone fraction, file count, bytes).
+    * `live` and `fraction` are NULL for the families without a delete
+    * model (line-df, domain-cap — their histories mutate only by
+    * segment retirement); `oldest`/`newest` are NULL for an index with
+    * zero segment partitions. Unknown families and missing dirs are
+    * loud BEFORE anything is read (the [[nightly]] convention).
+    * Driver-sized by construction: one row per spec, and every count
+    * is sidecar/footer work — fps rows, the bare ids sidecar, distinct
+    * tombstones — never a payload scan. */
+  def storeReport(spark: SparkSession,
+      specs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val unknown = specs.map(_._2).filterNot(segmentTables.contains).distinct
+    require(unknown.isEmpty,
+      s"unknown report families ${unknown.mkString(", ")} — " +
+        s"expected one of ${segmentTables.keys.toSeq.sorted.mkString(", ")}")
+    val missing = specs.map(_._1).filterNot(d =>
+      fsOf(spark, d).exists(new Path(d)))
+    require(missing.isEmpty,
+      s"no index at ${missing.mkString(", ")} — fix the spec list first")
+    specs.map { case (dir, family) =>
+      val srcs = IndexFiles.listSrcs(spark, dir, segmentTables(family))
+      val live: Option[Long] = compactors.get(family).map {
+        case (_, _, liveTable) =>
+          if (family == "exact")
+            spark.read.parquet(s"$dir/$liveTable").count()
+          else IndexFiles.storedIds(spark, dir,
+            spark.read.parquet(s"$dir/$liveTable").select("id").distinct())
+            .count()
+      }
+      val tomb: Long = compactors.get(family).map { case (_, deadTable, _) =>
+        if (fsOf(spark, dir).exists(new Path(s"$dir/$deadTable")))
+          spark.read.parquet(s"$dir/$deadTable").distinct().count()
+        else 0L
+      }.getOrElse(0L)
+      val frac: Option[Double] = live.map { l =>
+        if (tomb == 0L) 0.0
+        else if (l == 0L) 1.0
+        else BigDecimal(tomb.toDouble / l)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val files = walkFiles(fsOf(spark, dir), new Path(dir))
+      (dir, family, live, srcs.size.toLong, srcs.headOption.orNull,
+        srcs.lastOption.orNull, tomb, frac, files.size.toLong,
+        files.map(_._2).sum)
+    }.toDF("dir", "family", "live", "segments", "oldest", "newest",
+      "tombstones", "fraction", "files", "bytes")
+  }
+
   // ---- point-in-time snapshot / restore ----------------------------------
 
   private val ManifestName = "_snapshot_manifest"

@@ -375,4 +375,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(probe() == before,
       "restored exact index diverged from the snapshot point")
   }
+
+  test("storeReport: hand-checkable dashboard; loud on unknown/missing; compaction zeroes the fraction") {
+    val root = java.nio.file.Files.createTempDirectory("report").toString
+    val docs = (1 to 20).map(i => (i.toLong, s"unique text $i delta"))
+      .toDF("doc_id", "text")
+    Dedup.buildExactIndex(docs, "doc_id", "text", s"$root/exact")
+    Dedup.deleteFromExactIndex(spark, s"$root/exact",
+      docs.filter(col("doc_id") <= 5), "text")
+    def report() = Maintenance.storeReport(spark,
+        Seq((s"$root/exact", "exact"))).collect().head
+    val r = report()
+    assert(r.getAs[Long]("live") == 20 && r.getAs[Long]("segments") == 1 &&
+      r.getAs[String]("oldest") == "base" &&
+      r.getAs[String]("newest") == "base" &&
+      r.getAs[Long]("tombstones") == 5 &&
+      r.getAs[Double]("fraction") == 0.25, r.toString)
+    assert(r.getAs[Long]("files") > 0 && r.getAs[Long]("bytes") > 0,
+      r.toString)
+    // misconfiguration is loud BEFORE anything is read
+    val e1 = intercept[IllegalArgumentException] {
+      Maintenance.storeReport(spark, Seq((s"$root/exact", "no-such")))
+    }
+    assert(e1.getMessage.contains("no-such"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.storeReport(spark, Seq((s"$root/gone", "exact")))
+    }
+    assert(e2.getMessage.contains("gone"), e2.getMessage)
+    // compaction purges the tombstones the report counted
+    Dedup.compactExactIndex(spark, s"$root/exact")
+    val after = report()
+    assert(after.getAs[Long]("live") == 15 &&
+      after.getAs[Long]("tombstones") == 0 &&
+      after.getAs[Double]("fraction") == 0.0, after.toString)
+  }
 }
