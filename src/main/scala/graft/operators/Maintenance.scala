@@ -94,28 +94,46 @@ object Maintenance {
     * the ids sidecar (falling back to the payload's distinct ids for
     * pre-sidecar indexes). 0.0 when nothing is tombstoned — including
     * when the tombstone table does not exist. */
-  def tombstoneFraction(spark: SparkSession, dir: String,
-      family: String): Double = {
-    val (_, deadTable, liveTable) = compactors.getOrElse(family,
-      throw new IllegalArgumentException(
-        s"family $family has no tombstone model — " +
-          s"expected one of ${compactors.keys.toSeq.sorted.mkString(", ")}"))
+  /** DISTINCT tombstone rows (0 when never deleted): delete entries
+    * append per-batch-distinct rows, so a re-issued takedown list
+    * duplicates tombstones — raw row counts would inflate the fraction
+    * (past 1.0, even) and trigger rewrites that are not due. */
+  private def deadCount(spark: SparkSession, dir: String,
+      family: String): Long = {
+    val deadTable = compactors(family)._2
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$deadTable")))
-      return 0.0
-    // DISTINCT: delete entries append per-batch-distinct rows, so a
-    // re-issued takedown list duplicates tombstones — raw row counts
-    // would inflate the fraction (past 1.0, even) and trigger rewrites
-    // that are not due
-    val dead = spark.read.parquet(s"$dir/$deadTable").distinct().count()
-    if (dead == 0L) return 0.0
-    val live =
-      if (family == "exact") spark.read.parquet(s"$dir/$liveTable").count()
-      else IndexFiles.storedIds(spark, dir,
-        spark.read.parquet(s"$dir/$liveTable").select("id").distinct())
-        .count()
-    if (live == 0L) 1.0 else dead.toDouble / live
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$deadTable"))) 0L
+    else spark.read.parquet(s"$dir/$deadTable").distinct().count()
+  }
+
+  /** The live identity-set size: the fp table for exact, the bare ids
+    * sidecar elsewhere (falling back to the payload's distinct ids for
+    * pre-sidecar indexes). */
+  private def liveCount(spark: SparkSession, dir: String,
+      family: String): Long = {
+    val liveTable = compactors(family)._3
+    if (family == "exact") spark.read.parquet(s"$dir/$liveTable").count()
+    else IndexFiles.storedIds(spark, dir,
+      spark.read.parquet(s"$dir/$liveTable").select("id").distinct())
+      .count()
+  }
+
+  /** dead/live with the degenerate ends pinned: nothing tombstoned →
+    * 0.0 (live never counted), everything gone → 1.0. The ONE fraction
+    * semantics — [[nightlyCompact]] gates on it and [[storeReport]]
+    * displays it, so they can never drift apart. */
+  private def fractionOf(dead: Long, live: => Long): Double =
+    if (dead == 0L) 0.0
+    else { val l = live; if (l == 0L) 1.0 else dead.toDouble / l }
+
+  def tombstoneFraction(spark: SparkSession, dir: String,
+      family: String): Double = {
+    require(compactors.contains(family),
+      s"family $family has no tombstone model — " +
+        s"expected one of ${compactors.keys.toSeq.sorted.mkString(", ")}")
+    fractionOf(deadCount(spark, dir, family),
+      liveCount(spark, dir, family))
   }
 
   /** The compaction half of the scheduled nightly: `specs` = (indexDir,
@@ -189,26 +207,19 @@ object Maintenance {
     require(missing.isEmpty,
       s"no index at ${missing.mkString(", ")} — fix the spec list first")
     specs.map { case (dir, family) =>
+      // the report's numbers drive compaction/retention/backup
+      // decisions — a torn mid-append index must refuse loudly (the
+      // search contract), not report half-landed segments as live
+      IndexFiles.requireNoPendingAppend(spark, dir)
       val srcs = IndexFiles.listSrcs(spark, dir, segmentTables(family))
-      val live: Option[Long] = compactors.get(family).map {
-        case (_, _, liveTable) =>
-          if (family == "exact")
-            spark.read.parquet(s"$dir/$liveTable").count()
-          else IndexFiles.storedIds(spark, dir,
-            spark.read.parquet(s"$dir/$liveTable").select("id").distinct())
-            .count()
-      }
-      val tomb: Long = compactors.get(family).map { case (_, deadTable, _) =>
-        if (fsOf(spark, dir).exists(new Path(s"$dir/$deadTable")))
-          spark.read.parquet(s"$dir/$deadTable").distinct().count()
-        else 0L
-      }.getOrElse(0L)
-      val frac: Option[Double] = live.map { l =>
-        if (tomb == 0L) 0.0
-        else if (l == 0L) 1.0
-        else BigDecimal(tomb.toDouble / l)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
+      val isCompactable = compactors.contains(family)
+      val live: Option[Long] =
+        if (isCompactable) Some(liveCount(spark, dir, family)) else None
+      val tomb: Long =
+        if (isCompactable) deadCount(spark, dir, family) else 0L
+      val frac: Option[Double] = live.map(l =>
+        BigDecimal(fractionOf(tomb, l))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       val files = walkFiles(fsOf(spark, dir), new Path(dir))
       (dir, family, live, srcs.size.toLong, srcs.headOption.orNull,
         srcs.lastOption.orNull, tomb, frac, files.size.toLong,
@@ -227,14 +238,15 @@ object Maintenance {
 
   /** Every data file under `root`, recursively, as (relative path,
     * length) — the manifest's integrity unit. The manifest itself and
-    * restore scratch are never data. */
+    * restore scratch (a directory NAMED `<basename>__restore_tmp`)
+    * are never data. */
   private def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[(String, Long)] = {
     val prefix = fs.makeQualified(root).toString + "/"
     val out = Seq.newBuilder[(String, Long)]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory) { if (name != RestoreTmp) walk(st.getPath) }
+      if (st.isDirectory) { if (!name.endsWith(RestoreTmp)) walk(st.getPath) }
       else if (name != ManifestName) {
         val full = fs.makeQualified(st.getPath).toString
         require(full.startsWith(prefix), s"file $full outside $prefix")
@@ -245,13 +257,19 @@ object Maintenance {
     out.result()
   }
 
+  /** Copy `files` from srcRoot to dstRoot, each side through ITS OWN
+    * filesystem — the DR topology (HDFS index, object-store backup) is
+    * the point of the primitive, and a single-FS copy would throw
+    * Hadoop's "Wrong FS" on the first cross-scheme spec. */
   private def copyTree(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, srcRoot: String, dstRoot: String,
+      srcFs: org.apache.hadoop.fs.FileSystem,
+      dstFs: org.apache.hadoop.fs.FileSystem,
+      srcRoot: String, dstRoot: String,
       files: Seq[(String, Long)]): Unit =
     files.foreach { case (rel, _) =>
       val dst = new Path(s"$dstRoot/$rel")
-      fs.mkdirs(dst.getParent)
-      require(FileUtil.copy(fs, new Path(s"$srcRoot/$rel"), fs, dst,
+      dstFs.mkdirs(dst.getParent)
+      require(FileUtil.copy(srcFs, new Path(s"$srcRoot/$rel"), dstFs, dst,
         false, spark.sparkContext.hadoopConfiguration),
         s"copy $srcRoot/$rel -> $dst failed")
     }
@@ -280,20 +298,23 @@ object Maintenance {
     * the semantic reference both share. */
   def snapshotIndex(spark: SparkSession, dir: String, snapDir: String,
       overwrite: Boolean = false): Unit = {
+    // each side through its own FS: index on HDFS, backup on an object
+    // store is the DR topology this exists for
     val fs = fsOf(spark, dir)
+    val snapFs = fsOf(spark, snapDir)
     require(fs.exists(new Path(dir)), s"no index at $dir to snapshot")
     val snap = new Path(snapDir)
-    if (fs.exists(snap)) {
-      val complete = fs.exists(new Path(s"$snapDir/$ManifestName"))
+    if (snapFs.exists(snap)) {
+      val complete = snapFs.exists(new Path(s"$snapDir/$ManifestName"))
       require(overwrite || !complete,
         s"complete snapshot already at $snapDir — pass overwrite=true " +
           "to replace it (refusing: the backup may be the only copy of " +
           "a state the live index no longer has)")
-      require(fs.delete(snap, true), s"delete stale snapshot $snap failed")
+      require(snapFs.delete(snap, true), s"delete stale snapshot $snap failed")
     }
     val files = walkFiles(fs, new Path(dir))
-    copyTree(spark, fs, dir, snapDir, files)
-    val manifest = fs.create(new Path(s"$snapDir/$ManifestName"), true)
+    copyTree(spark, fs, snapFs, dir, snapDir, files)
+    val manifest = snapFs.create(new Path(s"$snapDir/$ManifestName"), true)
     try manifest.write(
       s"${files.size} ${files.map(_._2).sum}\n".getBytes("UTF-8"))
     finally manifest.close()
@@ -320,7 +341,7 @@ object Maintenance {
         "store backup with missing members (fix the spec list first)")
     specs.map { case (dir, snapDir) =>
       snapshotIndex(spark, dir, snapDir, overwrite = true)
-      val files = walkFiles(fsOf(spark, dir), new Path(snapDir))
+      val files = walkFiles(fsOf(spark, snapDir), new Path(snapDir))
       (dir, snapDir, files.size.toLong, files.map(_._2).sum)
     }.toDF("dir", "snap_dir", "files", "bytes")
   }
@@ -339,26 +360,30 @@ object Maintenance {
   def restoreIndex(spark: SparkSession, snapDir: String,
       dir: String): Unit = {
     val fs = fsOf(spark, dir)
+    val snapFs = fsOf(spark, snapDir)
     val manifestPath = new Path(s"$snapDir/$ManifestName")
-    require(fs.exists(manifestPath),
+    require(snapFs.exists(manifestPath),
       s"no complete snapshot at $snapDir ($ManifestName missing — " +
         "interrupted snapshot?); refusing to restore from it")
     val manifest = {
-      val in = fs.open(manifestPath)
+      val in = snapFs.open(manifestPath)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
     val Array(expectN, expectBytes) = manifest.split(" ").map(_.toLong)
-    val files = walkFiles(fs, new Path(snapDir))
+    val files = walkFiles(snapFs, new Path(snapDir))
     require(files.size == expectN && files.map(_._2).sum == expectBytes,
       s"snapshot at $snapDir does not match its manifest " +
         s"(${files.size} files/${files.map(_._2).sum} bytes on disk vs " +
         s"$expectN/$expectBytes recorded) — refusing to restore")
-    val tmp = new Path(s"$dir$RestoreTmp")
+    // scratch path from the NORMALIZED live path — raw `s"$dir$suffix"`
+    // on a trailing-slash dir would nest the scratch INSIDE the live
+    // tree, and the delete below would take the fresh copy with it
+    val live = new Path(dir)
+    val tmp = new Path(live.getParent, live.getName + RestoreTmp)
     if (fs.exists(tmp))
       require(fs.delete(tmp, true), s"discard stale restore $tmp failed")
-    copyTree(spark, fs, snapDir, tmp.toString, files)
-    val live = new Path(dir)
+    copyTree(spark, snapFs, fs, snapDir, tmp.toString, files)
     if (fs.exists(live))
       require(fs.delete(live, true), s"delete live index $live failed")
     require(fs.rename(tmp, live), s"rename $tmp -> $live failed")

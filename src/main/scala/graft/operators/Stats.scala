@@ -210,6 +210,11 @@ object Stats {
     * the two snapshot centroids (1.0 = no directional drift). All
     * rounded 6dp. Empty or all-null sides report NULL metrics (count 0)
     * rather than failing — a monitor must survive the empty first day.
+    * Mismatched snapshot WIDTHS (a swapped encoder changed the
+    * dimension — the loudest drift there is) report centroid_cos NULL
+    * instead of a truncated-dot cosine that would read as mild drift;
+    * [[embeddingDrift]] is the per-dimension view that shows WHICH
+    * dimensions appeared.
     *
     * Scale shape: two single-row aggregates and two dim-bounded
     * centroid collects, crossed as single-row broadcasts — the
@@ -233,7 +238,8 @@ object Stats {
         round(col("__norm_old"), 6).as("mean_norm_old"),
         round(col("__norm_new"), 6).as("mean_norm_new"),
         round(col("__norm_new") - col("__norm_old"), 6).as("norm_delta"),
-        when(size(col("__c_old")) > 0 && size(col("__c_new")) > 0,
+        when(size(col("__c_old")) > 0 &&
+            size(col("__c_old")) === size(col("__c_new")),
           round(V.cosine(col("__c_old"), col("__c_new")), 6))
           .as("centroid_cos"))
   }

@@ -277,13 +277,26 @@ object StreamCurate {
     * window with no marker protocol (the reference is read-only here,
     * so a replayed batch recomputes the identical row). Empty batches
     * write nothing (a monitor must not log an all-NULL row for an
-    * empty trigger). */
+    * empty trigger) — decided from the computed row's own n_new, not a
+    * separate isEmpty pre-scan. The batch is pinned for the summary's
+    * two aggregate passes (counts+norms, centroid) so a non-replayable
+    * source is read once per trigger; the one-row result is collected
+    * and written back, so the summary plan runs exactly once. */
   def applyDriftBatch(refDf: DataFrame, batch: DataFrame, vecCol: String,
       batchId: Long, outDir: String): Unit = {
-    if (batch.isEmpty) return
-    graft.operators.Stats.embeddingDriftSummary(refDf, batch, vecCol)
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val spark = batch.sparkSession
+    val pinned = batch.persist()
+    try {
+      val summary = graft.operators.Stats
+        .embeddingDriftSummary(refDf, pinned, vecCol)
+        .withColumn("batch_id", lit(batchId))
+      val rows = summary.collect() // one row by construction
+      if (rows.head.getAs[Long]("n_new") > 0L)
+        spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), summary.schema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+    } finally { pinned.unpersist(); () }
   }
 
   /** Streaming twin of
@@ -295,8 +308,9 @@ object StreamCurate {
     * slide or a norm jump in the batch log is the first signal that an
     * encoder checkpoint changed or a crawl source shifted — BEFORE the
     * drifted vectors degrade the IVF/PQ structures they land in.
-    * Stateless: no state store, no index writes; per batch the work is
-    * one scan of the batch + the (cacheable) reference aggregates. */
+    * Stateless: no state store, no index writes; per batch the source
+    * is read once (pinned for the summary's two aggregate passes) plus
+    * the reference aggregates. */
   def driftStream(refDf: DataFrame, vecStream: DataFrame, vecCol: String,
       outDir: String, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

@@ -303,6 +303,10 @@ class MaintenanceSpec extends SparkSpec {
     // re-runnable: a crash anywhere in restore is repaired by running again
     Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
     assert(search() == before)
+    // a trailing-slash live path must not nest the scratch inside the
+    // tree it is about to replace
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf/")
+    assert(search() == before)
     // the restored index is fully live: appends still work
     Ann.appendToIvfIndex(spark, s"$root/ivf", vecs.filter(col("id") <= 2)
       .select((col("id") + 200L).as("id"), col("v")), "d2")

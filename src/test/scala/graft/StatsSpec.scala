@@ -147,5 +147,14 @@ class StatsSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("mean_norm_new")) &&
       e.isNullAt(e.fieldIndex("norm_delta")) &&
       e.isNullAt(e.fieldIndex("centroid_cos")), e.toString)
+    // a swapped encoder changed the DIMENSION: centroid_cos must be
+    // NULL, not a truncated-dot cosine that reads as mild drift
+    val wide = Seq((1L, Seq(1.0, 0.0, 2.0))).toDF("id", "v")
+    val m = Stats.embeddingDriftSummary(old, wide, "v").collect().head
+    assert(m.isNullAt(m.fieldIndex("centroid_cos")),
+      s"mismatched widths produced a cosine: $m")
+    assert(m.getAs[Long]("n_new") == 1 &&
+      !m.isNullAt(m.fieldIndex("mean_norm_new")),
+      s"width-independent metrics must survive: $m")
   }
 }
