@@ -600,6 +600,57 @@ object SparkEntry {
       .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
   }
 
+  /** The maintenance-family FLAGSHIP: one composed nightly over two
+    * live indexes — health report, whole-store backup, retention
+    * window, ratio-triggered compaction, health report again, then a
+    * full restore and a third report that must EQUAL the first row for
+    * row (the backup provably undoes the nightly). Phases:
+    * pre (3 segments each, 16 blind IVF tombstones) → snapshotStore →
+    * nightly keep=1 (d1/d20 age out) → nightlyCompact threshold 0
+    * (tombstones purge) → mid → restoreIndex both → post == pre.
+    * The oracle recomputes every dashboard number from the embeddings
+    * table (segment sets are construction literals) and asserts the
+    * post/pre equality by emitting the same rows under both labels. */
+  private def qMaintenancePipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_mpipe_${dirKey(dir)}") { r =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      Dedup.buildLineDfIndex(docs.filter(col("doc_id") < 20),
+        "doc_id", "text", s"$r/lines")
+      Seq(20, 40).foreach(lo => Dedup.appendToLineDfIndex(s, s"$r/lines",
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20),
+        "doc_id", "text", s"d$lo"))
+      val vecs = corpus(s, dir)
+      Ann.buildIvfIndex(vecs.filter(col("id") % 8 === 0), s"$r/ivf",
+        nlist = 16)
+      Seq(1L, 3L).foreach(m => Ann.appendToIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") % 16 === m), s"d$m"))
+      Ann.deleteFromIvfIndex(s, s"$r/ivf",
+        vecs.filter(col("id") % 8 === 0 && col("id") < 128).select("id"))
+      val specs = Seq((s"$r/ivf", "ivf"), (s"$r/lines", "linedf"))
+      // each phase dashboard COLLECTED at its phase — a lazy union
+      // would evaluate all three against the final (restored) state
+      def report(phase: String) = Maintenance.storeReport(s, specs)
+        .select(lit(phase).as("phase"), col("family"), col("live"),
+          col("segments"), col("oldest"), col("newest"),
+          col("tombstones"), col("fraction"))
+      val schema = report("pre").schema
+      val pre = report("pre").collect()
+      Maintenance.snapshotStore(s, Seq((s"$r/ivf", s"$r/bak/ivf"),
+        (s"$r/lines", s"$r/bak/lines")))
+      Maintenance.nightly(s, Seq((s"$r/ivf", "ivf", 1),
+        (s"$r/lines", "linedf", 1)))
+      Maintenance.nightlyCompact(s, Seq((s"$r/ivf", "ivf", 0.0)))
+      val mid = report("mid").collect()
+      Maintenance.restoreIndex(s, s"$r/bak/ivf", s"$r/ivf")
+      Maintenance.restoreIndex(s, s"$r/bak/lines", s"$r/lines")
+      val post = report("post").collect()
+      s.createDataFrame(
+          java.util.Arrays.asList(pre ++ mid ++ post: _*), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
+    }
+    s.read.parquet(s"$root/report")
+  }
+
   /** The store health dashboard over three live families — exact with
     * an appended fresh segment and a takedown, IVF with a blind
     * tombstone set, line-df with two segments (segmented-only, no
@@ -2391,6 +2442,7 @@ object SparkEntry {
     "q_compaction" -> (qCompaction _),
     "q_index_snapshot" -> (qIndexSnapshot _),
     "q_store_report" -> (qStoreReport _),
+    "q_maintenance_pipeline" -> (qMaintenancePipeline _),
     "q_exact_takedown" -> (qExactTakedown _),
     "q_dedup_segments" -> (qDedupSegments _),
     "q_dedup_lines" -> (qDedupLines _),
@@ -3161,6 +3213,38 @@ object SparkEntry {
          | UNION ALL SELECT 'due', 'exact', (SELECT f FROM ex), true
          | UNION ALL SELECT 'after', 'ivf', 0.0, false
          | UNION ALL SELECT 'after', 'exact', 0.0, false)""".stripMargin,
+
+    // the composed nightly's dashboards: segment sets are construction
+    // literals, live counts recomputed from the embeddings table
+    // (%8==0 base, %16 in (1,3) appends; zero-norm excluded on build
+    // AND append), and post == pre row for row — the backup provably
+    // undoes retention + compaction
+    "q_maintenance_pipeline" ->
+      """WITH nz AS (SELECT vec_id FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0),
+        |pre AS (SELECT count(*) AS l FROM nz WHERE vec_id % 8 = 0 OR vec_id % 16 IN (1, 3)),
+        |-- mid: d1 retired AND the 16 tombstoned base ids (%8==0, <128)
+        |-- physically purged by the compaction
+        |mid AS (SELECT count(*) AS l FROM nz
+        |  WHERE (vec_id % 8 = 0 AND vec_id >= 128) OR vec_id % 16 = 3),
+        |iv AS (
+        | SELECT 'pre' AS phase, CAST(l AS BIGINT) AS live, CAST(3 AS BIGINT) AS segments,
+        |        'd3' AS newest, CAST(16 AS BIGINT) AS tombstones,
+        |        round(16.0 / l, 4) AS fraction FROM pre
+        | UNION ALL
+        | SELECT 'mid', CAST(l AS BIGINT), CAST(2 AS BIGINT), 'd3', CAST(0 AS BIGINT), 0.0 FROM mid
+        | UNION ALL
+        | SELECT 'post', CAST(l AS BIGINT), CAST(3 AS BIGINT), 'd3', CAST(16 AS BIGINT),
+        |        round(16.0 / l, 4) FROM pre),
+        |ln AS (
+        | SELECT 'pre' AS phase, CAST(3 AS BIGINT) AS segments
+        | UNION ALL SELECT 'mid', CAST(2 AS BIGINT)
+        | UNION ALL SELECT 'post', CAST(3 AS BIGINT))
+        |SELECT phase, family, live, segments, oldest, newest, tombstones, fraction FROM (
+        | SELECT phase, 'ivf' AS family, live, segments, 'base' AS oldest, newest,
+        |        tombstones, fraction FROM iv
+        | UNION ALL
+        | SELECT phase, 'linedf', NULL, segments, 'base', 'd40', CAST(0 AS BIGINT), NULL FROM ln)""".stripMargin,
 
     // the health dashboard: live identity counts, segment tags, and
     // tombstone fractions recomputed from the source tables; the
