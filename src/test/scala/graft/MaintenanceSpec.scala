@@ -380,6 +380,53 @@ class MaintenanceSpec extends SparkSpec {
       "restored exact index diverged from the snapshot point")
   }
 
+  test("a snapshot taken inside the append crash window restores to a healable state (journal rolls forward)") {
+    // the 16j docstring's claim, end to end: the verbatim copy carries
+    // a pending journal + complete staging, and the restored index
+    // heals exactly like the crashed original would have
+    import graft.operators.IndexFiles
+    val root = java.nio.file.Files.createTempDirectory("snapjournal").toString
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    val batch = vecs.filter(col("id") <= 6)
+      .select((col("id") + 100L).as("id"), col("v"))
+    // A = the victim frozen mid-append; B = the same build fully
+    // appended (deterministic fit: same corpus, same seed)
+    Ann.buildIvfIndex(vecs, s"$root/a", nlist = 4)
+    Ann.buildIvfIndex(vecs, s"$root/b", nlist = 4)
+    Ann.appendToIvfIndex(spark, s"$root/b", batch, "d1")
+    // reconstruct the roll-FORWARD window on A: complete staging
+    // (B's committed d1 partitions, which are the post-move form of
+    // the staged files) + the committed id journal
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/b/cells/src=d1"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/a/cells/_append_tmp/src=d1"),
+      false, spark.sparkContext.hadoopConfiguration)
+    batch.select("id").write.parquet(s"$root/a/_pending_append")
+    // the window is real: searches refuse the torn index
+    val qs = vecs.filter(col("id") <= 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    def search(d: String) = Ann.searchIvfIndex(spark, d, qs, k = 5,
+      nprobe = 4).collect().map(_.toString).toSet
+    intercept[IllegalArgumentException](search(s"$root/a"))
+    // snapshot INSIDE the window, restore, heal: the journal rolls
+    // forward and the restored index answers exactly like the fully
+    // appended twin
+    Maintenance.snapshotIndex(spark, s"$root/a", s"$root/bak")
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/a")
+    intercept[IllegalArgumentException](search(s"$root/a")) // still torn
+    assert(IndexFiles.healAppend(spark, s"$root/a", Seq("cells")),
+      "restored journal did not roll forward")
+    assert(search(s"$root/a") == search(s"$root/b"),
+      "healed restore diverged from the fully appended twin")
+    assert(spark.read.parquet(s"$root/a/ids").count() ==
+      spark.read.parquet(s"$root/b/ids").count(),
+      "ids sidecar not extended by the rolled-forward journal")
+  }
+
   test("storeReport: hand-checkable dashboard; loud on unknown/missing; compaction zeroes the fraction") {
     val root = java.nio.file.Files.createTempDirectory("report").toString
     val docs = (1 to 20).map(i => (i.toLong, s"unique text $i delta"))
