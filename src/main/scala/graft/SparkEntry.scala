@@ -1521,7 +1521,7 @@ object SparkEntry {
   private def mutatedVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 7 =!= 0)
       .unionByName(e.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .withColumn("vec_id", col("vec_id") + 1000000L))
 
   // Embedding-space drift across the vector-side mutation — the
   // semantic monitor next to q_token_drift's lexical one.
@@ -1533,6 +1533,13 @@ object SparkEntry {
   private def qEmbedDriftSummary(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     Stats.embeddingDriftSummary(e, mutatedVecs(e), "embedding")
+  }
+
+  // The drill-down: the same mutation localized per label stratum —
+  // "THIS source drifted", not just "the corpus drifted".
+  private def qEmbedDriftBy(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+    Stats.embeddingDriftBy(e, mutatedVecs(e), "embedding", "label")
   }
 
   // The diff's consumer: same old/new mutation as q_corpus_diff PLUS
@@ -2512,6 +2519,7 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_embed_drift_summary" -> (qEmbedDriftSummary _),
+    "q_embed_drift_by" -> (qEmbedDriftBy _),
     "q_epoch_plan" -> (qEpochPlan _),
     "q_epoch_apply" -> (qEpochApply _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -4145,6 +4153,23 @@ object SparkEntry {
         |SELECT CAST(dim AS BIGINT) AS dim, round(om.m, 6) + 0 AS mean_old,
         |  round(nm.m, 6) + 0 AS mean_new, round(nm.m - om.m, 6) + 0 AS delta
         |FROM om JOIN nm USING (dim)""".stripMargin,
+
+    // the per-stratum drill-down of the same mutation: label survives
+    // both mutation arms, so the join mirrors the full-outer exactly
+    "q_embed_drift_by" ->
+      """WITH o AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 <> 0
+        |      UNION ALL
+        |      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 50),
+        |om AS (SELECT stratum, dim, avg(x) AS m FROM (
+        |        SELECT label AS stratum, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM o)
+        |       GROUP BY stratum, dim),
+        |nm AS (SELECT stratum, dim, avg(x) AS m FROM (
+        |        SELECT label AS stratum, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM n)
+        |       GROUP BY stratum, dim)
+        |SELECT stratum, CAST(dim AS BIGINT) AS dim, round(om.m, 6) + 0 AS mean_old,
+        |  round(nm.m, 6) + 0 AS mean_new, round(nm.m - om.m, 6) + 0 AS delta
+        |FROM om FULL JOIN nm USING (stratum, dim)""".stripMargin,
 
     // the one-row dashboard: counts, mean norms, centroid cosine
     "q_embed_drift_summary" ->

@@ -204,6 +204,33 @@ object Stats {
         round(col("mean_new"), 6).as("mean_new"),
         round(col("mean_new") - col("mean_old"), 6).as("delta"))
 
+  /** [[embeddingDrift]] localized to a stratum column (source, lang,
+    * label): one row per (stratum, dimension) — the drill-down that
+    * turns "the corpus drifted" into "THIS source drifted" before
+    * anyone re-trains a codebook over the wrong suspect. Same
+    * mechanics as the global form: means 6dp, deltas on unrounded
+    * means, full-outer on (stratum, dim) so a stratum present on one
+    * side (a new crawl source) reports NULL on the absent side.
+    *
+    * Scale shape: the aggregation keys on strata×dim values — partial
+    * aggregation still collapses every input partition to that many
+    * rows, so the shuffle is bounded by the key-space, not the
+    * corpus. */
+  def embeddingDriftBy(oldDf: DataFrame, newDf: DataFrame,
+      vecCol: String, groupCol: String): DataFrame = {
+    def means(df: DataFrame, side: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("stratum"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("stratum", "dim").agg(avg("x").as(s"mean_$side"))
+    means(oldDf, "old")
+      .join(means(newDf, "new"), Seq("stratum", "dim"), "full_outer")
+      .select(col("stratum"), col("dim").cast("long").as("dim"),
+        round(col("mean_old"), 6).as("mean_old"),
+        round(col("mean_new"), 6).as("mean_new"),
+        round(col("mean_new") - col("mean_old"), 6).as("delta"))
+  }
+
   /** The one-row dashboard form of [[embeddingDrift]]: snapshot sizes,
     * mean vector norms (a norm shift flags an encoder or normalization
     * change even when the centroid holds still), and the cosine between

@@ -129,6 +129,28 @@ class StatsSpec extends SparkSpec {
       s"got ${rows.mkString("; ")}")
   }
 
+  test("embeddingDriftBy: per-stratum means; a one-sided stratum reports NULL on the absent side") {
+    val old = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
+      ("b", Seq(2.0, 2.0))).toDF("src", "v")
+    val neu = Seq(("a", Seq(1.0, 0.0)), ("c", Seq(4.0, 0.0)))
+      .toDF("src", "v")
+    val out = Stats.embeddingDriftBy(old, neu, "v", "src")
+      .orderBy("stratum", "dim").collect()
+    // stratum a: (0.5,0.5) -> (1.0,0.0); b only old; c only new
+    val a = out.filter(_.getAs[String]("stratum") == "a")
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("mean_old"),
+        r.getAs[Double]("mean_new"), r.getAs[Double]("delta"))).toSeq
+    assert(a == Seq((0L, 0.5, 1.0, 0.5), (1L, 0.5, 0.0, -0.5)), s"got $a")
+    val b = out.filter(_.getAs[String]("stratum") == "b")
+    assert(b.length == 2 && b.forall(r =>
+      !r.isNullAt(r.fieldIndex("mean_old")) &&
+        r.isNullAt(r.fieldIndex("mean_new"))), b.mkString("; "))
+    val c = out.filter(_.getAs[String]("stratum") == "c")
+    assert(c.length == 2 && c.forall(r =>
+      r.isNullAt(r.fieldIndex("mean_old")) &&
+        !r.isNullAt(r.fieldIndex("mean_new"))), c.mkString("; "))
+  }
+
   test("embeddingDriftSummary: counts, norms, centroid cosine; empty side reports NULL, not a crash") {
     val old = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
     val neu = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
