@@ -803,6 +803,21 @@ object SparkEntry {
     Dedup.embeddingCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.4, dim = 64, planes = 4)
 
+  /** Embedding near-dup admission against the PERSISTED LSH index
+    * (q_ann_lsh's parameters): evens stored, odds probe at the
+    * q_dedup_cosine tau. */
+  private def qDedupCosineIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = buildOnce(s"/tmp/graft_lshdedup_${dirKey(dir)}") { d =>
+      Ann.buildLshIndex(e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v")), d,
+        dim = 64, planes = 6, tables = 4)
+    }
+    Dedup.cosineDedupAgainstIndex(s, idx,
+      e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      "vec_id", "embedding", tau = 0.4)
+  }
+
   // Exact repeated-substring spans: every >=30-char run (in normalized
   // text) that appears verbatim at least twice in the corpus.
   private def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
@@ -2467,6 +2482,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
+    "q_dedup_cosine_index" -> (qDedupCosineIndex _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_sem_dedup_k1" -> (qSemDedupK1 _),
     "q_repeated_spans" -> (qRepeatedSpans _),
@@ -3434,6 +3450,37 @@ object SparkEntry {
         |JOIN e ea ON ea.vec_id = a.vec_id
         |JOIN e eb ON eb.vec_id = b.vec_id
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
+
+    // embedding near-dup admission via the stored LSH net: evens are
+    // the history (the annLshOracleSql plane/sig CTEs verbatim), each
+    // odd probe keeps its best same-bucket stored neighbor at >= tau
+    "q_dedup_cosine_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
+        |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
+        |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' ||
+        |      CASE WHEN tt.t = 0 THEN 'plane-' ELSE 'plane-t' || CAST(tt.t AS VARCHAR) || '-' END
+        |      || CAST(pp.p AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS comp
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+        |       (SELECT unnest(generate_series(0, 5)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) jj)
+        | GROUP BY t, p),
+        |sig AS (SELECT vec_id, t,
+        |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM e, pl GROUP BY vec_id, t),
+        |cand AS (SELECT s.vec_id AS qid, c.vec_id AS cid,
+        |  max(round(list_cosine_similarity(qe.v, ce.v), 4)) AS score
+        | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig
+        | JOIN e ce ON ce.vec_id = c.vec_id
+        | JOIN e qe ON qe.vec_id = s.vec_id
+        | WHERE s.vec_id % 2 = 1 AND c.vec_id % 2 = 0 GROUP BY 1, 2),
+        |best AS (SELECT qid, cid, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn FROM cand)
+        | WHERE rn = 1 AND score >= 0.4)
+        |SELECT b.vec_id AS id, best.cid AS dup_of, best.score AS cos,
+        |  best.cid IS NOT NULL AS is_dup
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
+        |LEFT JOIN best ON best.qid = b.vec_id""".stripMargin,
 
     // k=1 SemDeDup: centroid = direction of sum(v/|v|) over the non-zero
     // corpus (cosine is scale-invariant, so the raw sum works unnormalized);

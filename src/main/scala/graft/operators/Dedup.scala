@@ -2157,6 +2157,38 @@ object Dedup {
     * against itself — run [[minhashLsh]] on it separately. Batch ids
     * must be disjoint from stored ids (checked — a replayed id would
     * silently double-count its shingles in the verify). */
+  /** Embedding near-dup ADMISSION against the persisted LSH index —
+    * the vector family's [[dedupExactAgainstIndex]], closing the
+    * against-history form the cosine family alone lacked (exact,
+    * minhash, line-df, containment, and phash all have one): one row
+    * per batch vector, (id, dup_of, cos, is_dup) — dup_of the best
+    * stored neighbor at cosine >= tau among the LSH-bucket candidates
+    * (ties: cos desc, id asc; scores 4dp like the whole family), NULL
+    * when nothing qualifies. Composes [[graft.operators.Ann]]'s full
+    * index lifecycle: appended segments join the net, tombstoned ids
+    * stop matching, retired segments leave.
+    *
+    * Scale: the probe collects tables·|batch| (tbl, sig) literals and
+    * statically prunes the bucket scan to them (the searchLshIndex
+    * mechanics) — O(batch) probe work, history never rehashed or
+    * shuffled. Recall is the LSH recall (1 − (1 − p^planes)^tables,
+    * the [[embeddingCosineLsh]] tradeoff, here against stored
+    * history): a near-dup colliding in NO table is missed — raise
+    * `tables` at build time for a tighter admission net. */
+  def cosineDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val queries = batch.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val hits = graft.operators.Ann.searchLshIndex(spark, dir, queries, k = 1)
+      .filter(col("score") >= tau)
+      .select(col("qid").as("id"), col("id").as("dup_of"),
+        col("score").as("cos"))
+    batch.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"), col("dup_of"), col("cos"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDf: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.5): DataFrame = {

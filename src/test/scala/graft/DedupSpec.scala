@@ -1310,4 +1310,30 @@ class DedupSpec extends SparkSpec {
       strict = false)
     assert(admitted(), "strict=false no-op changed ledger state")
   }
+
+  test("cosineDedupAgainstIndex: best stored neighbor at tau through the LSH index lifecycle") {
+    import graft.operators.Ann
+    val dir = java.nio.file.Files.createTempDirectory("cosidx").toString + "/idx"
+    def e(i: Int) = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    Ann.buildLshIndex(Seq((1L, e(0)), (2L, e(1))).toDF("id", "v"), dir,
+      dim = 4, planes = 1, tables = 2)
+    def probe(rows: Seq[(Long, Seq[Double])], tau: Double = 0.9) =
+      Dedup.cosineDedupAgainstIndex(spark, dir,
+          rows.toDF("id", "v"), "id", "v", tau)
+        .as[(Long, Option[Long], Option[Double], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+    // an identical vector shares every table's bucket — guaranteed hit
+    val out = probe(Seq((10L, e(0)), (12L, e(2))))
+    assert(out(10L) == ((10L, Some(1L), Some(1.0), true)), s"got ${out(10L)}")
+    // a vector with no stored neighbor at tau stays admitted (NULLs)
+    assert(out(12L) == ((12L, None, None, false)), s"got ${out(12L)}")
+    // an appended segment joins the admission net...
+    Ann.appendToLshIndex(spark, dir, Seq((3L, e(2))).toDF("id", "v"), "d1")
+    val after = probe(Seq((13L, e(2))))
+    assert(after(13L) == ((13L, Some(3L), Some(1.0), true)), s"got $after")
+    // ...and a tombstoned id leaves it
+    Ann.deleteFromLshIndex(spark, dir, Seq(1L).toDF("id"))
+    val gone = probe(Seq((10L, e(0))))
+    assert(gone(10L)._4 == false && gone(10L)._2.isEmpty, s"got $gone")
+  }
 }
