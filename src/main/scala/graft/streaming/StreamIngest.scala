@@ -860,6 +860,68 @@ object StreamIngest {
     fs.create(marker, true).close()
   }
 
+  /** One micro-batch of [[cosineIngestStream]]: admission verdicts
+    * against the accumulated LSH history
+    * ([[graft.operators.Dedup.cosineDedupAgainstIndex]]) land under
+    * `outDir/batch=<id>`, then ONLY the admitted (non-dup) vectors
+    * append as segment `b<batchId>` — the embedding-side
+    * admit-then-ingest loop ([[lineDfIngestStream]]'s shape on
+    * vectors). Crash-safe without an excludeSrc probe: verdicts are
+    * fully written BEFORE the (journaled) append starts, so the one
+    * replay window where recomputing would self-match — the append's
+    * journal rolled FORWARD — is detected by the batch's own src
+    * segment being present, and the replay is a no-op; every other
+    * window recomputes against unchanged history to identical output.
+    * The batch is NOT deduped against itself (run
+    * [[graft.operators.Dedup.embeddingCosineLsh]] on it separately) —
+    * within one trigger, near-identical arrivals all admit; they
+    * become each other's history from the NEXT batch on. */
+  def applyCosineDedupBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, idCol: String, vecCol: String, tau: Double,
+      outDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    graft.operators.Ann.healLshIndex(spark, indexDir)
+    val src = s"b$batchId"
+    if (graft.operators.IndexFiles.listSrcs(spark, indexDir, "buckets")
+        .contains(src)) return
+    import org.apache.spark.sql.functions.col
+    val verdicts = graft.operators.Dedup
+      .cosineDedupAgainstIndex(spark, indexDir, batch, idCol, vecCol, tau)
+      .persist()
+    try {
+      verdicts.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      val admitted = batch
+        .select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(verdicts.filter(!col("is_dup")).select("id"),
+          Seq("id"), "left_semi")
+      if (!admitted.isEmpty)
+        graft.operators.Ann.appendToLshIndex(spark, indexDir, admitted, src)
+    } finally { verdicts.unpersist(); () }
+  }
+
+  /** Streaming embedding-dedup ADMISSION — arriving vectors are
+    * admitted or flagged against everything admitted before them, and
+    * the survivors join the history: the daily-crawl loop that keeps a
+    * vector corpus near-dup-free incrementally (the [[lineDfIngestStream]]
+    * lifecycle on the LSH index instead of line frequencies). Verdict
+    * rows (id, dup_of, cos, is_dup) per batch under `outDir`; state
+    * lives in the index directory, not the state store; per batch the
+    * work is the bucket-pruned probe + an O(admitted) append. */
+  def cosineIngestStream(vecStream: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, idCol: String = "id",
+      vecCol: String = "v", tau: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCosineDedupBatch(batch, batchId, indexDir, idCol, vecCol,
+          tau, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Continuous LSH ingest — the streaming half of the persisted LSH
     * index ([[graft.operators.Ann.buildLshIndex]]): each micro-batch of
     * (id, v) vectors is hashed through the plane families recorded in

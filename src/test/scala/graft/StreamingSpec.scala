@@ -1469,6 +1469,49 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch re-spent budgets")
   }
 
+  test("cosineIngestStream: admitted vectors become the next batch's history; replay after roll-forward is a no-op") {
+    import graft.operators.{Ann, Dedup, IndexFiles}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cosstream").toString
+    def e(i: Int) = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    Ann.buildLshIndex(Seq((1L, e(0))).toDF("id", "v"), s"$dir/idx",
+      dim = 4, planes = 1, tables = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamIngest.cosineIngestStream(
+      mem.toDF().toDF("id", "v"), s"$dir/idx", s"$dir/out", s"$dir/ckpt",
+      tau = 0.9,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // b0: a copy of stored 1 (dup) + a novel direction (admitted)
+    mem.addData((10L, e(0)), (11L, e(1))); q.processAllAvailable()
+    // b1: a copy of b0's ADMITTED vector — dup against the accumulated
+    // net, not just the base build — + another novel direction
+    mem.addData((20L, e(1)), (21L, e(2))); q.processAllAvailable()
+    q.stop()
+    def verdicts() = spark.read.parquet(s"$dir/out")
+      .select("id", "dup_of", "is_dup")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = verdicts()
+    assert(got == Map(
+      10L -> ((Some(1L), true)), 11L -> ((None, false)),
+      20L -> ((Some(11L), true)), 21L -> ((None, false))), s"got $got")
+    // only admitted vectors joined the history, one segment per batch
+    assert(IndexFiles.listSrcs(spark, s"$dir/idx", "buckets")
+      == Seq("b0", "b1", "base"), "segment layout")
+    assert(spark.read.parquet(s"$dir/idx/buckets")
+      .select("id").distinct().as[Long].collect().toSet
+      == Set(1L, 11L, 21L), "dups leaked into the index")
+    // replay after roll-forward (src committed): verdicts untouched,
+    // nothing re-appends
+    graft.streaming.StreamIngest.applyCosineDedupBatch(
+      Seq((20L, e(1)), (21L, e(2))).toDF("id", "v"), 1L, s"$dir/idx",
+      "id", "v", 0.9, s"$dir/out")
+    assert(verdicts() == got, "replay changed a verdict")
+    assert(Dedup.cosineDedupAgainstIndex(spark, s"$dir/idx",
+        Seq((30L, e(2))).toDF("id", "v"), "id", "v", 0.9)
+      .filter(col("is_dup")).count() == 1, "post-replay probe broken")
+  }
+
   test("driftStream: per-batch summaries equal the batch operator; replay idempotent; empty trigger writes nothing") {
     import graft.operators.Stats
     implicit val sqlCtx = spark.sqlContext
