@@ -733,6 +733,46 @@ object Scale {
     point(s"x$factor", scaledVectors(emb, factor))
   }
 
+  /** Cosine-admission probe cost against a factor× stored LSH history.
+    * The stored side is verbatim replicas with offset ids, so every
+    * probe's best neighbor keeps the SAME cosine and the tie-break
+    * (cos desc, id asc) lands on the ORIGINAL id — verdicts must be
+    * bit-identical at both scales, asserted before any wall is
+    * reported. The claim under test: the probe is bounded by the
+    * bucket-pruned candidate set, never the history size. */
+  def cosineDedupBench(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int): Unit = {
+    import graft.operators.{Ann, Dedup}
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val emb = Tables.load(spark, baseDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val evens = emb.filter(col("id") % 2 === 0)
+    val batch = emb.filter(col("id") % 2 === 1)
+      .select(col("id").as("vec_id"), col("v").as("embedding"))
+    def point(label: String, stored: DataFrame): Seq[String] = {
+      val root = java.nio.file.Files.createTempDirectory("cosbench").toString
+      Ann.buildLshIndex(stored, s"$root/idx", dim = 64, planes = 6,
+        tables = 4)
+      val n = spark.read.parquet(s"$root/idx/buckets")
+        .select("id").distinct().count()
+      val (sec, rows) = timed(
+        Dedup.cosineDedupAgainstIndex(spark, s"$root/idx", batch,
+            "vec_id", "embedding", tau = 0.4)
+          .collect().map(_.toString).sorted.toSeq)
+      println(f"SCALE_COSDEDUP $label stored=$n probe=$sec%.2f " +
+        f"verdicts=${rows.size}")
+      rows
+    }
+    val v1 = point("x1", evens)
+    val vN = point(s"x$factor", scaledVectors(evens, factor))
+    require(v1 == vN,
+      s"verdicts diverged between scales (${v1.size} vs ${vN.size})")
+    println(s"SCALE_COSDEDUP verdicts=identical n=${v1.size}")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -761,10 +801,14 @@ object Scale {
         snapshotBench(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("cosdedup") =>
+        cosineDedupBench(spark, baseDir, factor)
+        spark.stop()
+        return
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
           s"unknown SPARK_GRAFT_SCALE_MODE=$other " +
-            "(expected heavy|append|stream|bpe|bulkretire|snapshot)")
+            "(expected heavy|append|stream|bpe|bulkretire|snapshot|cosdedup)")
       case _ => ()
     }
 
