@@ -752,7 +752,7 @@ object Scale {
     val evens = emb.filter(col("id") % 2 === 0)
     val batch = emb.filter(col("id") % 2 === 1)
       .select(col("id").as("vec_id"), col("v").as("embedding"))
-    def point(label: String, stored: DataFrame): Seq[String] = {
+    def point(label: String, stored: DataFrame): (String, Seq[String]) = {
       val root = java.nio.file.Files.createTempDirectory("cosbench").toString
       Ann.buildLshIndex(stored, s"$root/idx", dim = 64, planes = 6,
         tables = 4)
@@ -762,14 +762,16 @@ object Scale {
         Dedup.cosineDedupAgainstIndex(spark, s"$root/idx", batch,
             "vec_id", "embedding", tau = 0.4)
           .collect().map(_.toString).sorted.toSeq)
-      println(f"SCALE_COSDEDUP $label stored=$n probe=$sec%.2f " +
-        f"verdicts=${rows.size}")
-      rows
+      (f"SCALE_COSDEDUP $label stored=$n probe=$sec%.2f " +
+        f"verdicts=${rows.size}", rows)
     }
-    val v1 = point("x1", evens)
-    val vN = point(s"x$factor", scaledVectors(evens, factor))
+    val (line1, v1) = point("x1", evens)
+    val (lineN, vN) = point(s"x$factor", scaledVectors(evens, factor))
+    // the invariant gates the report: walls only print for a run whose
+    // verdicts actually matched across scales
     require(v1 == vN,
       s"verdicts diverged between scales (${v1.size} vs ${vN.size})")
+    println(line1); println(lineN)
     println(s"SCALE_COSDEDUP verdicts=identical n=${v1.size}")
   }
 

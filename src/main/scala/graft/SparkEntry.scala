@@ -633,8 +633,12 @@ object SparkEntry {
         .select(lit(phase).as("phase"), col("family"), col("live"),
           col("segments"), col("oldest"), col("newest"),
           col("tombstones"), col("fraction"))
-      val schema = report("pre").schema
-      val pre = report("pre").collect()
+      // one eager dashboard run serves both the schema and the rows —
+      // storeReport computes everything inside the call, so a separate
+      // schema-only invocation would re-pay its count jobs and walks
+      val preDf = report("pre")
+      val schema = preDf.schema
+      val pre = preDf.collect()
       Maintenance.snapshotStore(s, Seq((s"$r/ivf", s"$r/bak/ivf"),
         (s"$r/lines", s"$r/bak/lines")))
       Maintenance.nightly(s, Seq((s"$r/ivf", "ivf", 1),
@@ -3452,22 +3456,11 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
 
     // embedding near-dup admission via the stored LSH net: evens are
-    // the history (the annLshOracleSql plane/sig CTEs verbatim), each
-    // odd probe keeps its best same-bucket stored neighbor at >= tau
+    // the history (lshSigCtes — the ONE plane/sig recipe, shared with
+    // annLshOracleSql), each odd probe keeps its best same-bucket
+    // stored neighbor at >= tau
     "q_dedup_cosine_index" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
-        |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
-        |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' ||
-        |      CASE WHEN tt.t = 0 THEN 'plane-' ELSE 'plane-t' || CAST(tt.t AS VARCHAR) || '-' END
-        |      || CAST(pp.p AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS comp
-        |  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
-        |       (SELECT unnest(generate_series(0, 5)) AS p) pp,
-        |       (SELECT unnest(generate_series(0, 63)) AS j) jj)
-        | GROUP BY t, p),
-        |sig AS (SELECT vec_id, t,
-        |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-        | FROM e, pl GROUP BY vec_id, t),
+      s"""WITH $lshSigCtes,
         |cand AS (SELECT s.vec_id AS qid, c.vec_id AS cid,
         |  max(round(list_cosine_similarity(qe.v, ce.v), 4)) AS score
         | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig
@@ -5133,8 +5126,18 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin
 
-  private val annLshOracleSql =
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The LSH plane/sig CTE prefix (e, pl, sig) at the graded net
+    * parameters (dim 64, planes 6, tables 4) — ONE source of truth for
+    * the md5 plane recipe, shared verbatim by annLshOracleSql and the
+    * q_dedup_cosine_index admission oracle (and, nested, by
+    * q_ann_recall/q_ann_mrr): a recipe change edited in one place
+    * cannot silently diverge the admission net from the search net. */
+  // margins intentionally NOT stripped here: this fragment interpolates
+  // into s-templates whose own .stripMargin does the one stripping pass
+  // (a pre-stripped fragment would be stripped twice, and the second
+  // pass eats the first '|' of every leading '||' concat operator)
+  private val lshSigCtes =
+      """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
         |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
         |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' ||
@@ -5146,7 +5149,10 @@ object SparkEntry {
         | GROUP BY t, p),
         |sig AS (SELECT vec_id, t,
         |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-        | FROM e, pl GROUP BY vec_id, t),
+        | FROM e, pl GROUP BY vec_id, t)"""
+
+  private val annLshOracleSql =
+      s"""WITH $lshSigCtes,
         |cand AS (SELECT s.vec_id AS qid, c.vec_id AS id,
         |  max(round(list_cosine_similarity(qe.v, ce.v), 4)) AS score
         | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig

@@ -2140,23 +2140,6 @@ object Dedup {
     IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles")); ()
   }
 
-  /** Near-dup pairs between a NEW batch and a persisted index:
-    * [[minhashLsh]]'s candidates-then-verify with the join flipped to
-    * new-batch signatures against STORED signatures. The batch side
-    * BROADCASTS (it is small by the feature's premise), so the stored
-    * signature table is scanned in place — never shuffled: per daily
-    * batch the work is O(batch + corpus scan), with no O(corpus)
-    * shuffle. Returns (id_new, id_old, jaccard).
-    *
-    * Semantics vs a from-scratch [[minhashLsh]] over old ∪ new: exact
-    * when the index was built with maxDf = None. With a cap, each
-    * side's sets were capped against its OWN document frequencies (the
-    * index's at build time, the batch's within the batch), so shingles
-    * near the cap can differ from what a union-wide cap would drop —
-    * the price of not revisiting history. The batch is NOT deduped
-    * against itself — run [[minhashLsh]] on it separately. Batch ids
-    * must be disjoint from stored ids (checked — a replayed id would
-    * silently double-count its shingles in the verify). */
   /** Embedding near-dup ADMISSION against the persisted LSH index —
     * the vector family's [[dedupExactAgainstIndex]], closing the
     * against-history form the cosine family alone lacked (exact,
@@ -2189,6 +2172,23 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Near-dup pairs between a NEW batch and a persisted index:
+    * [[minhashLsh]]'s candidates-then-verify with the join flipped to
+    * new-batch signatures against STORED signatures. The batch side
+    * BROADCASTS (it is small by the feature's premise), so the stored
+    * signature table is scanned in place — never shuffled: per daily
+    * batch the work is O(batch + corpus scan), with no O(corpus)
+    * shuffle. Returns (id_new, id_old, jaccard).
+    *
+    * Semantics vs a from-scratch [[minhashLsh]] over old ∪ new: exact
+    * when the index was built with maxDf = None. With a cap, each
+    * side's sets were capped against its OWN document frequencies (the
+    * index's at build time, the batch's within the batch), so shingles
+    * near the cap can differ from what a union-wide cap would drop —
+    * the price of not revisiting history. The batch is NOT deduped
+    * against itself — run [[minhashLsh]] on it separately. Batch ids
+    * must be disjoint from stored ids (checked — a replayed id would
+    * silently double-count its shingles in the verify). */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDf: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.5): DataFrame = {

@@ -166,17 +166,19 @@ object Stats {
   }
 
   /** Per-dimension mean of an embedding column — the drift monitors'
-    * shared aggregation. The posexplode keys on at most `dim` distinct
-    * values, so the partial aggregate collapses each input partition to
-    * `dim` rows before the exchange: the shuffle is partitions×dim
-    * rows no matter how many vectors feed it. Null vectors are skipped
-    * (they carry no components to average). */
-  private def dimMeans(df: DataFrame, vecCol: String,
-      side: String): DataFrame =
+    * shared aggregation, optionally keyed by extra group columns (the
+    * [[embeddingDriftBy]] strata). The posexplode keys on at most
+    * groups×dim distinct values, so the partial aggregate collapses
+    * each input partition to that many rows before the exchange: the
+    * shuffle is key-space-bounded no matter how many vectors feed it.
+    * Null vectors are skipped (they carry no components to average). */
+  private def dimMeans(df: DataFrame, vecCol: String, side: String,
+      keyCols: Seq[String] = Nil): DataFrame =
     df.filter(col(vecCol).isNotNull)
-      .select(posexplode(col(vecCol).cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .groupBy("dim").agg(avg("x").as(s"mean_$side"))
+      .select(keyCols.map(col) :+
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")): _*)
+      .groupBy((keyCols :+ "dim").map(col): _*)
+      .agg(avg("x").as(s"mean_$side"))
 
   /** Embedding-space drift between two corpus snapshots — the SEMANTIC
     * twin of [[tokenDrift]] in an incremental pipeline's monitoring
@@ -218,11 +220,9 @@ object Stats {
     * corpus. */
   def embeddingDriftBy(oldDf: DataFrame, newDf: DataFrame,
       vecCol: String, groupCol: String): DataFrame = {
-    def means(df: DataFrame, side: String) = df
-      .filter(col(vecCol).isNotNull)
-      .select(col(groupCol).as("stratum"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy("stratum", "dim").agg(avg("x").as(s"mean_$side"))
+    def means(df: DataFrame, side: String) = dimMeans(
+      df.select(col(groupCol).as("stratum"), col(vecCol)),
+      vecCol, side, keyCols = Seq("stratum"))
     means(oldDf, "old")
       .join(means(newDf, "new"), Seq("stratum", "dim"), "full_outer")
       .select(col("stratum"), col("dim").cast("long").as("dim"),
