@@ -129,6 +129,22 @@ class StatsSpec extends SparkSpec {
       s"got ${rows.mkString("; ")}")
   }
 
+  test("embeddingDrift plan pin: dim-keyed partial aggregate — every partition collapses to dim rows before the exchange") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 7 + j))))
+      .toDF("id", "v").repartition(4)
+    val phys = Stats.embeddingDrift(df, df, "v")
+      .queryExecution.executedPlan.toString
+    // the scale claim made operational: a partial avg keyed on dim runs
+    // BEFORE the exchange, so the shuffle moves partitions×dim rows —
+    // losing the partial (e.g. by aggregating on a non-key expression)
+    // would ship every exploded component into the shuffle
+    assert(phys.contains("partial_avg"),
+      s"no map-side partial aggregate in the drift plan:\n$phys")
+    assert("hashpartitioning\\(dim".r.findFirstIn(phys).isDefined,
+      s"drift exchange is not keyed on dim:\n$phys")
+  }
+
   test("embeddingDriftBy: per-stratum means; a one-sided stratum reports NULL on the absent side") {
     val old = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
       ("b", Seq(2.0, 2.0))).toDF("src", "v")
