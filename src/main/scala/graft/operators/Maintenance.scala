@@ -212,6 +212,17 @@ object Maintenance {
       // search contract), not report half-landed segments as live
       IndexFiles.requireNoPendingAppend(spark, dir)
       val srcs = IndexFiles.listSrcs(spark, dir, segmentTables(family))
+      // `oldest`/`newest` are SEGMENT-TAG order, not file age: 'base'
+      // (the build segment) precedes every append by construction but
+      // sorts AFTER the streaming drivers' b<batchId> tags, so it is
+      // pinned oldest explicitly; appended tags keep listSrcs's natural
+      // (digit-aware) order — the same order retention retires in, so
+      // the dashboard's "newest" is the segment [[nightly]] keeps last
+      val appended = srcs.filterNot(_ == "base")
+      val oldest =
+        if (srcs.contains("base")) "base" else appended.headOption.orNull
+      val newest = appended.lastOption
+        .getOrElse(if (srcs.contains("base")) "base" else null)
       val isCompactable = compactors.contains(family)
       val live: Option[Long] =
         if (isCompactable) Some(liveCount(spark, dir, family)) else None
@@ -221,8 +232,8 @@ object Maintenance {
         BigDecimal(fractionOf(tomb, l))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       val files = walkFiles(fsOf(spark, dir), new Path(dir))
-      (dir, family, live, srcs.size.toLong, srcs.headOption.orNull,
-        srcs.lastOption.orNull, tomb, frac, files.size.toLong,
+      (dir, family, live, srcs.size.toLong, oldest,
+        newest, tomb, frac, files.size.toLong,
         files.map(_._2).sum)
     }.toDF("dir", "family", "live", "segments", "oldest", "newest",
       "tombstones", "fraction", "files", "bytes")
@@ -232,22 +243,26 @@ object Maintenance {
 
   private val ManifestName = "_snapshot_manifest"
   private val RestoreTmp = "__restore_tmp"
+  private val SnapTmp = "__snap_tmp"
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Every data file under `root`, recursively, as (relative path,
-    * length) — the manifest's integrity unit. The manifest itself and
-    * restore scratch (a directory NAMED `<basename>__restore_tmp`)
-    * are never data. */
+    * length) — the manifest's integrity unit. The manifest itself (and
+    * its staging twin) and snapshot/restore scratch (directories NAMED
+    * `<basename>__restore_tmp` / `<basename>__snap_tmp`) are never
+    * data. */
   private def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[(String, Long)] = {
     val prefix = fs.makeQualified(root).toString + "/"
     val out = Seq.newBuilder[(String, Long)]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory) { if (!name.endsWith(RestoreTmp)) walk(st.getPath) }
-      else if (name != ManifestName) {
+      if (st.isDirectory) {
+        if (!name.endsWith(RestoreTmp) && !name.endsWith(SnapTmp))
+          walk(st.getPath)
+      } else if (name != ManifestName && name != s"${ManifestName}_tmp") {
         val full = fs.makeQualified(st.getPath).toString
         require(full.startsWith(prefix), s"file $full outside $prefix")
         out += ((full.stripPrefix(prefix), st.getLen))
@@ -257,22 +272,85 @@ object Maintenance {
     out.result()
   }
 
-  /** Copy `files` from srcRoot to dstRoot, each side through ITS OWN
+  /** Copy `files` from srcRoot to dstRoot as ONE Spark job over the
+    * file list — at production scale an index tree is millions of
+    * segment files, and a driver-sequential loop is a days-long wall
+    * on exactly the machine that must stay responsive. Each task opens
+    * its own FileSystem pair from the rebuilt Hadoop conf (the conf is
+    * shipped as entries: Configuration is not serializable and Spark's
+    * wrapper is private), so each side resolves through ITS OWN
     * filesystem — the DR topology (HDFS index, object-store backup) is
     * the point of the primitive, and a single-FS copy would throw
-    * Hadoop's "Wrong FS" on the first cross-scheme spec. */
+    * Hadoop's "Wrong FS" on the first cross-scheme spec. Task retries
+    * are safe: FileUtil.copy overwrites a half-copied destination. */
   private def copyTree(spark: SparkSession,
-      srcFs: org.apache.hadoop.fs.FileSystem,
-      dstFs: org.apache.hadoop.fs.FileSystem,
       srcRoot: String, dstRoot: String,
-      files: Seq[(String, Long)]): Unit =
-    files.foreach { case (rel, _) =>
-      val dst = new Path(s"$dstRoot/$rel")
-      dstFs.mkdirs(dst.getParent)
-      require(FileUtil.copy(srcFs, new Path(s"$srcRoot/$rel"), dstFs, dst,
-        false, spark.sparkContext.hadoopConfiguration),
-        s"copy $srcRoot/$rel -> $dst failed")
+      files: Seq[(String, Long)]): Unit = {
+    if (files.isEmpty) return
+    val confKV: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
     }
+    val slices =
+      math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files.map(_._1), slices)
+      .foreachPartition { rels =>
+        if (rels.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          confKV.foreach { case (k, v) => conf.set(k, v) }
+          val srcFs = new Path(srcRoot).getFileSystem(conf)
+          val dstFs = new Path(dstRoot).getFileSystem(conf)
+          rels.foreach { rel =>
+            val dst = new Path(s"$dstRoot/$rel")
+            dstFs.mkdirs(dst.getParent)
+            if (!FileUtil.copy(srcFs, new Path(s"$srcRoot/$rel"), dstFs, dst,
+                false, conf))
+              throw new IllegalStateException(
+                s"copy $srcRoot/$rel -> $dst failed")
+          }
+        }
+      }
+  }
+
+  /** The snapshot commit record, parsed defensively: a manifest that is
+    * missing, empty, or torn mid-write reads as NO manifest — an
+    * incomplete snapshot — never as a crash deeper in restore. */
+  private def parseManifest(snapFs: org.apache.hadoop.fs.FileSystem,
+      snapDir: String): Option[(Long, Long)] = {
+    val p = new Path(s"$snapDir/$ManifestName")
+    if (!snapFs.exists(p)) None
+    else {
+      val in = snapFs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.split(" ") match {
+        case Array(n, b) if n.matches("\\d+") && b.matches("\\d+") =>
+          Some((n.toLong, b.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** Write the manifest ATOMICALLY: content lands in a `_tmp` sibling
+    * and renames into place, so no reader can ever observe a manifest
+    * file that exists but lacks its content (fs.create materializes
+    * the path before the write — the torn-commit window this rename
+    * closes). */
+  private def writeManifest(snapFs: org.apache.hadoop.fs.FileSystem,
+      snapDir: String, files: Seq[(String, Long)]): Unit = {
+    val tmp = new Path(s"$snapDir/${ManifestName}_tmp")
+    val out = snapFs.create(tmp, true)
+    try out.write(
+      s"${files.size} ${files.map(_._2).sum}\n".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(s"$snapDir/$ManifestName")
+    if (snapFs.exists(dst)) snapFs.delete(dst, false)
+    require(snapFs.rename(tmp, dst),
+      s"manifest commit rename $tmp -> $dst failed")
+  }
 
   /** Point-in-time backup of a persisted index directory — the call a
     * scheduled driver makes BEFORE the risky mutations ([[nightly]]
@@ -290,12 +368,22 @@ object Maintenance {
     * backup silently replaced after the index it guards was mutated is
     * the exact loss the primitive exists to prevent).
     *
-    * Scale shape: O(index bytes) driver-orchestrated copy — the same
-    * order as one compaction, amortized the same way (snapshot before
-    * risky maintenance, not per batch). On HDFS/S3 production stores
-    * the FS-native path (`hdfs dfs -cp`/DistCp, S3 server-side copy)
-    * does the byte movement with the same directory contract; this is
-    * the semantic reference both share. */
+    * Scale shape: O(index bytes) moved by ONE Spark job over the file
+    * list (see [[copyTree]] — tasks copy independent files, the driver
+    * only lists and commits), amortized like one compaction (snapshot
+    * before risky maintenance, not per batch). On HDFS/S3 production
+    * stores the FS-native bulk path (`hdfs dfs -cp`/DistCp, S3
+    * server-side copy) can substitute for the byte movement under the
+    * same directory contract; this distributed copy is the engine's
+    * own path.
+    *
+    * Crash-safe by staging: bytes AND manifest land in a
+    * `<snapDir>__snap_tmp` scratch sibling first, then the old backup
+    * (if any) is deleted and the scratch renames into place — so an
+    * existing COMPLETE backup survives every crash window of the copy
+    * itself, and in the one window between delete and rename the
+    * complete replacement (manifest included) exists in the scratch;
+    * re-running the snapshot finishes the job. */
   def snapshotIndex(spark: SparkSession, dir: String, snapDir: String,
       overwrite: Boolean = false): Unit = {
     // each side through its own FS: index on HDFS, backup on an object
@@ -305,19 +393,25 @@ object Maintenance {
     require(fs.exists(new Path(dir)), s"no index at $dir to snapshot")
     val snap = new Path(snapDir)
     if (snapFs.exists(snap)) {
-      val complete = snapFs.exists(new Path(s"$snapDir/$ManifestName"))
+      val complete = parseManifest(snapFs, snapDir).isDefined
       require(overwrite || !complete,
         s"complete snapshot already at $snapDir — pass overwrite=true " +
           "to replace it (refusing: the backup may be the only copy of " +
           "a state the live index no longer has)")
-      require(snapFs.delete(snap, true), s"delete stale snapshot $snap failed")
     }
+    val snapNorm = snapFs.makeQualified(snap)
+    val tmp = new Path(snapNorm.getParent, snapNorm.getName + SnapTmp)
+    if (snapFs.exists(tmp))
+      require(snapFs.delete(tmp, true), s"discard stale staging $tmp failed")
     val files = walkFiles(fs, new Path(dir))
-    copyTree(spark, fs, snapFs, dir, snapDir, files)
-    val manifest = snapFs.create(new Path(s"$snapDir/$ManifestName"), true)
-    try manifest.write(
-      s"${files.size} ${files.map(_._2).sum}\n".getBytes("UTF-8"))
-    finally manifest.close()
+    snapFs.mkdirs(tmp)
+    copyTree(spark, dir, tmp.toString, files)
+    writeManifest(snapFs, tmp.toString, files)
+    // the staged snapshot is complete (manifest written LAST, above) —
+    // only now does the previous backup leave
+    if (snapFs.exists(snap))
+      require(snapFs.delete(snap, true), s"delete old snapshot $snap failed")
+    require(snapFs.rename(tmp, snap), s"rename $tmp -> $snap failed")
   }
 
   /** The whole-store form of [[snapshotIndex]] — the call a scheduled
@@ -361,16 +455,13 @@ object Maintenance {
       dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val snapFs = fsOf(spark, snapDir)
-    val manifestPath = new Path(s"$snapDir/$ManifestName")
-    require(snapFs.exists(manifestPath),
-      s"no complete snapshot at $snapDir ($ManifestName missing — " +
-        "interrupted snapshot?); refusing to restore from it")
-    val manifest = {
-      val in = snapFs.open(manifestPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
-    val Array(expectN, expectBytes) = manifest.split(" ").map(_.toLong)
+    // a missing, empty, or torn manifest all read as "no manifest" —
+    // the interrupted-snapshot refusal, never a parse crash
+    val manifest = parseManifest(snapFs, snapDir)
+    require(manifest.isDefined,
+      s"no complete snapshot at $snapDir ($ManifestName missing or " +
+        "unreadable — interrupted snapshot?); refusing to restore from it")
+    val (expectN, expectBytes) = manifest.get
     val files = walkFiles(snapFs, new Path(snapDir))
     require(files.size == expectN && files.map(_._2).sum == expectBytes,
       s"snapshot at $snapDir does not match its manifest " +
@@ -383,10 +474,41 @@ object Maintenance {
     val tmp = new Path(live.getParent, live.getName + RestoreTmp)
     if (fs.exists(tmp))
       require(fs.delete(tmp, true), s"discard stale restore $tmp failed")
-    copyTree(spark, snapFs, fs, snapDir, tmp.toString, files)
+    fs.mkdirs(tmp)
+    copyTree(spark, snapDir, tmp.toString, files)
     if (fs.exists(live))
       require(fs.delete(live, true), s"delete live index $live failed")
     require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
     IndexFiles.refresh(spark, dir)
+  }
+
+  /** The whole-store twin of [[restoreIndex]] — the call that recovers
+    * from a bad nightly in ONE line instead of N hand-paired restores:
+    * `specs` = the SAME (indexDir, snapDir) rows [[snapshotStore]] took
+    * (a driver keeps one spec list for both directions). Every member's
+    * snapshot is validated complete BEFORE the first byte moves (a
+    * missing backup must not leave the store half-restored — the
+    * [[nightly]] convention), then each restores through
+    * [[restoreIndex]]'s scratch-and-swap. Returns one audit row per
+    * member: (dir, snap_dir, files, bytes) as restored.
+    *
+    * Include the alias REGISTRY directory (Aliases.scala) in the spec
+    * list: snapshot/restore are family-agnostic verbatim tree copies,
+    * and a restored store is only servable when the blue/green pointers
+    * that route searches to its members travel with it. */
+  def restoreStore(spark: SparkSession,
+      specs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val incomplete = specs.map(_._2).filter(sd =>
+      parseManifest(fsOf(spark, sd), sd).isEmpty)
+    require(incomplete.isEmpty,
+      s"no complete snapshot at ${incomplete.mkString(", ")} — refusing " +
+        "to restore a store from incomplete backups (fix the spec list " +
+        "first)")
+    specs.map { case (dir, snapDir) =>
+      restoreIndex(spark, snapDir, dir)
+      val files = walkFiles(fsOf(spark, dir), new Path(dir))
+      (dir, snapDir, files.size.toLong, files.map(_._2).sum)
+    }.toDF("dir", "snap_dir", "files", "bytes")
   }
 }

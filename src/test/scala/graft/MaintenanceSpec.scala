@@ -427,6 +427,111 @@ class MaintenanceSpec extends SparkSpec {
       "ids sidecar not extended by the rolled-forward journal")
   }
 
+  test("a torn manifest (created but never written) reads as an incomplete snapshot: restore refuses loudly, re-snapshot heals without overwrite") {
+    val root = java.nio.file.Files.createTempDirectory("tornmf").toString
+    val vecs = (1 to 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs, s"$root/ivf", nlist = 4)
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    // reconstruct the pre-fix crash window: fs.create materializes the
+    // manifest path, the process dies before the content lands
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$root/bak/_snapshot_manifest")
+    fs.create(mf, true).close() // zero bytes — torn
+    // restore refuses with the DESIGNED incomplete-snapshot message,
+    // not a MatchError/NumberFormatException from parsing garbage
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    }
+    assert(err.getMessage.contains("unreadable"), err.getMessage)
+    // ...and the torn snapshot heals WITHOUT overwrite=true (it is not
+    // a complete backup the guard should protect)
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    // garbage content (not two integers) is equally incomplete
+    val out = fs.create(mf, true)
+    out.write("not a manifest\n".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] {
+      Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    }
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+  }
+
+  test("restoreStore: one call recovers the store INCLUDING the alias registry; incomplete members refuse before anything moves") {
+    import graft.operators.Aliases
+    val root = java.nio.file.Files.createTempDirectory("restorestore").toString
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    val docs = (1 to 20).map(i => (i.toLong, s"body text $i"))
+      .toDF("doc_id", "text")
+    Ann.buildIvfIndex(vecs.filter(col("id") <= 20), s"$root/blue", nlist = 4)
+    Ann.buildIvfIndex(vecs, s"$root/green", nlist = 4)
+    Dedup.buildExactIndex(docs, "doc_id", "text", s"$root/exact")
+    Aliases.createAlias(spark, s"$root/registry", "prod", s"$root/blue")
+    val qs = vecs.filter(col("id") <= 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    def searchProd() = Ann.searchIvfIndex(spark,
+        Aliases.resolveAlias(spark, s"$root/registry", "prod"), qs,
+        k = 5, nprobe = 4)
+      .collect().map(_.toString).toSet
+    def probe() = Dedup.dedupExactAgainstIndex(spark, s"$root/exact",
+      docs, "doc_id", "text").collect().map(_.toString).toSet
+    val (searchBefore, probeBefore) = (searchProd(), probe())
+    // ONE spec list drives both directions
+    val specs = Seq(
+      (s"$root/blue", s"$root/bak/blue"),
+      (s"$root/exact", s"$root/bak/exact"),
+      (s"$root/registry", s"$root/bak/registry"))
+    Maintenance.snapshotStore(spark, specs)
+    // mutate everything the restore must undo: index contents AND the
+    // pointer that makes the store servable
+    Ann.deleteFromIvfIndex(spark, s"$root/blue",
+      vecs.filter(col("id") <= 8).select("id"))
+    Ann.compactIvfIndex(spark, s"$root/blue")
+    Dedup.deleteFromExactIndex(spark, s"$root/exact",
+      docs.filter(col("doc_id") <= 5), "text")
+    Aliases.alterAlias(spark, s"$root/registry", "prod", s"$root/green")
+    assert(searchProd() != searchBefore && probe() != probeBefore,
+      "mutations must change what the store answers")
+    // an incomplete member refuses BEFORE the first restore — the
+    // complete members stay mutated, nothing half-restores
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.restoreStore(spark,
+        specs :+ (s"$root/gone", s"$root/bak/gone"))
+    }
+    assert(err.getMessage.contains("incomplete"), err.getMessage)
+    assert(searchProd() != searchBefore,
+      "a refused store restore must not have restored any member")
+    val report = Maintenance.restoreStore(spark, specs)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(report.map(_._1) == specs.map(_._1))
+    assert(report.forall(r => r._3 > 0 && r._4 > 0), s"empty audit: $report")
+    assert(searchProd() == searchBefore,
+      "restored store (registry included) must answer like the snapshot " +
+        "point — prod must again resolve to blue with its full contents")
+    assert(probe() == probeBefore)
+    assert(Aliases.resolveAlias(spark, s"$root/registry", "prod")
+      == s"$root/blue")
+  }
+
+  test("storeReport pins 'base' oldest under streaming b<batchId> tags (which sort after it naturally)") {
+    val root = java.nio.file.Files.createTempDirectory("reportord").toString
+    val vecs = (1 to 60).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs.filter(col("id") <= 30), s"$root/ivf", nlist = 4)
+    Seq(2, 10).foreach(b => Ann.appendToIvfIndex(spark, s"$root/ivf",
+      vecs.filter(col("id") === (30 + b).toLong), s"b$b"))
+    val r = Maintenance.storeReport(spark, Seq((s"$root/ivf", "ivf")))
+      .collect().head
+    assert(r.getAs[String]("oldest") == "base" &&
+      r.getAs[String]("newest") == "b10", r.toString)
+  }
+
   test("storeReport: hand-checkable dashboard; loud on unknown/missing; compaction zeroes the fraction") {
     val root = java.nio.file.Files.createTempDirectory("report").toString
     val docs = (1 to 20).map(i => (i.toLong, s"unique text $i delta"))
