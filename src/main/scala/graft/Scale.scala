@@ -733,6 +733,64 @@ object Scale {
     point(s"x$factor", scaledVectors(emb, factor))
   }
 
+  /** Snapshot wall vs FILE COUNT — the r17 claim under test: the
+    * distributed copy (one Spark job over the file list,
+    * Maintenance.snapshotIndex) flattens where the retired r16
+    * driver-sequential loop (reproduced here verbatim as the baseline)
+    * grows linearly in files. Total BYTES are held constant across
+    * points — the same data sliced into factor× more part files — so
+    * the ratio isolates pure per-file overhead, the term that
+    * dominates a millions-of-segment-files production tree. */
+  def snapshotFilesBench(spark: org.apache.spark.sql.SparkSession,
+      factor: Int): Unit = {
+    import graft.operators.Maintenance
+    val conf = spark.sparkContext.hadoopConfiguration
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def walk(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      def go(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) go(st.getPath) else out += st.getPath
+        }
+      go(root); out.result()
+    }
+    // the retired r16 path, kept ONLY as the bench baseline
+    def seqCopy(src: String, dst: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      val prefix = fs.makeQualified(new org.apache.hadoop.fs.Path(src))
+        .toString + "/"
+      walk(fs, new org.apache.hadoop.fs.Path(src)).foreach { p =>
+        val rel = fs.makeQualified(p).toString.stripPrefix(prefix)
+        val d = new org.apache.hadoop.fs.Path(s"$dst/$rel")
+        fs.mkdirs(d.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, d,
+          false, conf))
+      }
+    }
+    val totalRows = 40000L // constant bytes at every point
+    def point(label: String, files: Int): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("snapfiles").toString
+      spark.range(0, totalRows).toDF("x").repartition(files)
+        .write.mode("overwrite").parquet(s"$root/t")
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val n = walk(fs, new org.apache.hadoop.fs.Path(s"$root/t")).size
+      val tDist = timed(Maintenance.snapshotIndex(spark, s"$root/t",
+        s"$root/bakD"))
+      val tSeq = timed(seqCopy(s"$root/t", s"$root/bakS"))
+      val nd = walk(fs, new org.apache.hadoop.fs.Path(s"$root/bakD")).size
+      val ns = walk(fs, new org.apache.hadoop.fs.Path(s"$root/bakS")).size
+      require(nd == n + 1 && ns == n, // +1: the snapshot manifest
+        s"copies incomplete: src=$n dist=$nd seq=$ns")
+      println(f"SCALE_SNAPFILES $label files=$n dist=$tDist%.2f " +
+        f"seq=$tSeq%.2f")
+    }
+    point("x1", 200)
+    point(s"x$factor", 200 * factor)
+  }
+
   /** Cosine-admission probe cost against a factor× stored LSH history.
     * The stored side is verbatim replicas with offset ids, so every
     * probe's best neighbor keeps the SAME cosine and the tie-break
@@ -803,6 +861,10 @@ object Scale {
         snapshotBench(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("snapfiles") =>
+        snapshotFilesBench(spark, factor)
+        spark.stop()
+        return
       case Some("cosdedup") =>
         cosineDedupBench(spark, baseDir, factor)
         spark.stop()
@@ -810,7 +872,7 @@ object Scale {
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
           s"unknown SPARK_GRAFT_SCALE_MODE=$other " +
-            "(expected heavy|append|stream|bpe|bulkretire|snapshot|cosdedup)")
+            "(expected heavy|append|stream|bpe|bulkretire|snapshot|snapfiles|cosdedup)")
       case _ => ()
     }
 

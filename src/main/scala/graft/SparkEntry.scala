@@ -511,6 +511,35 @@ object SparkEntry {
     Dedup.dedupExactAgainstIndex(s, idx, batch, "doc_id", "text")
   }
 
+  // The sighting-window retire, oracle-checked end to end: build the
+  // sighted history on the first quarter (day d0), append the second
+  // quarter PLUS verbatim re-sightings of every %8==0 build doc as day
+  // d1, append the third quarter as d2, retire sightings older than the
+  // newest two days — d0 ages out, but the re-seen %8==0 texts survive
+  // under their ORIGINAL first ids (the touch-on-reject contract the
+  // admission ledger q_exact_retire structurally cannot express).
+  private def qExactSeenRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_exact_seen_${dirKey(dir)}") { d =>
+      Dedup.buildExactIndexSighted(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", d, day = "d0")
+      Dedup.appendToExactIndexSighted(s, d,
+        docs.filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "doc_id", "text", "d1")
+      Dedup.appendToExactIndexSighted(s, d,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", "d2")
+      Dedup.retireExactSeenWindow(s, d, keep = 2)
+      ()
+    }
+    Dedup.dedupExactAgainstIndex(s, idx,
+      docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+      "doc_id", "text")
+  }
+
   // The composed nightly-maintenance driver over two live families:
   // build + append two segments each, run ONE Maintenance.nightly with
   // keep=1, and return the audit report — deterministic (tags and
@@ -601,16 +630,23 @@ object SparkEntry {
   }
 
   /** The maintenance-family FLAGSHIP: one composed nightly over two
-    * live indexes — health report, whole-store backup, retention
-    * window, ratio-triggered compaction, health report again, then a
-    * full restore and a third report that must EQUAL the first row for
-    * row (the backup provably undoes the nightly). Phases:
-    * pre (3 segments each, 16 blind IVF tombstones) → snapshotStore →
-    * nightly keep=1 (d1/d20 age out) → nightlyCompact threshold 0
-    * (tombstones purge) → mid → restoreIndex both → post == pre.
-    * The oracle recomputes every dashboard number from the embeddings
-    * table (segment sets are construction literals) and asserts the
-    * post/pre equality by emitting the same rows under both labels. */
+    * live indexes AND the alias registry that routes to them — health
+    * report, whole-store backup, retention window, ratio-triggered
+    * compaction, a mid-flight alias repoint, health report again, then
+    * ONE restoreStore call and a third report that must EQUAL the
+    * first row for row (the backup provably undoes the nightly).
+    * Phases: pre (3 segments each, 8 blind IVF tombstones, prod →
+    * ivf) → snapshotStore (registry included) → nightly keep=1 (d1/d20
+    * age out) → nightlyCompact threshold 0 (tombstones purge) →
+    * alterAlias (prod repointed) → mid → restoreStore → post == pre,
+    * and prod must again resolve to the ivf dir (asserted in-query —
+    * the registry half of the recovery has no dashboard row).
+    * Sixteenth/32nd vector slices (the q_exact_retire quartering
+    * precedent): the query witnesses the DRIVER's composition, not
+    * index scale — SCALE.md carries the per-op ratios. The oracle
+    * recomputes every dashboard number from the embeddings table
+    * (segment sets are construction literals) and asserts the post/pre
+    * equality by emitting the same rows under both labels. */
   private def qMaintenancePipeline(s: SparkSession, dir: String): DataFrame = {
     val root = buildOnce(s"/tmp/graft_mpipe_${dirKey(dir)}") { r =>
       val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
@@ -620,12 +656,18 @@ object SparkEntry {
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20),
         "doc_id", "text", s"d$lo"))
       val vecs = corpus(s, dir)
-      Ann.buildIvfIndex(vecs.filter(col("id") % 8 === 0), s"$r/ivf",
+      Ann.buildIvfIndex(vecs.filter(col("id") % 16 === 0), s"$r/ivf",
         nlist = 16)
       Seq(1L, 3L).foreach(m => Ann.appendToIvfIndex(s, s"$r/ivf",
-        vecs.filter(col("id") % 16 === m), s"d$m"))
+        vecs.filter(col("id") % 32 === m), s"d$m"))
       Ann.deleteFromIvfIndex(s, s"$r/ivf",
-        vecs.filter(col("id") % 8 === 0 && col("id") < 128).select("id"))
+        vecs.filter(col("id") % 16 === 0 && col("id") < 128).select("id"))
+      // the registry travels with the store: a restored index no alias
+      // points at is not servable (the qAlias drop-stale-registry move)
+      val reg = new org.apache.hadoop.fs.Path(s"$r/registry")
+      val fs = reg.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(reg)) fs.delete(reg, true)
+      Aliases.createAlias(s, s"$r/registry", "prod", s"$r/ivf")
       val specs = Seq((s"$r/ivf", "ivf"), (s"$r/lines", "linedf"))
       // each phase dashboard COLLECTED at its phase — a lazy union
       // would evaluate all three against the final (restored) state
@@ -639,14 +681,20 @@ object SparkEntry {
       val preDf = report("pre")
       val schema = preDf.schema
       val pre = preDf.collect()
-      Maintenance.snapshotStore(s, Seq((s"$r/ivf", s"$r/bak/ivf"),
-        (s"$r/lines", s"$r/bak/lines")))
+      val storeSpecs = Seq((s"$r/ivf", s"$r/bak/ivf"),
+        (s"$r/lines", s"$r/bak/lines"),
+        (s"$r/registry", s"$r/bak/registry"))
+      Maintenance.snapshotStore(s, storeSpecs)
       Maintenance.nightly(s, Seq((s"$r/ivf", "ivf", 1),
         (s"$r/lines", "linedf", 1)))
       Maintenance.nightlyCompact(s, Seq((s"$r/ivf", "ivf", 0.0)))
+      Aliases.alterAlias(s, s"$r/registry", "prod", s"$r/lines")
       val mid = report("mid").collect()
-      Maintenance.restoreIndex(s, s"$r/bak/ivf", s"$r/ivf")
-      Maintenance.restoreIndex(s, s"$r/bak/lines", s"$r/lines")
+      Maintenance.restoreStore(s, storeSpecs)
+      // the registry's restore has no dashboard row — witness it loudly
+      require(Aliases.resolveAlias(s, s"$r/registry", "prod") == s"$r/ivf",
+        "restoreStore did not bring the alias registry back to the " +
+          "snapshot point")
       val post = report("post").collect()
       s.createDataFrame(
           java.util.Arrays.asList(pre ++ mid ++ post: _*), schema)
@@ -756,6 +804,20 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         w = 8, numHashes = 12, bands = 4, tau = 0.5, maxDf = Some(100)))
 
+  /** The banding tuning sweep over the even half-corpus (slice-capped
+    * shingles — the build-time cap a deployment would sweep under):
+    * bands 2 → 4 → 6 of 12 hashes vs pair recall against the exact
+    * same-space Jaccard ground truth, stopping at the first step over
+    * 0.95. Hash-exact: each step's found set is the q_dedup_minhash
+    * pipeline at that banding, the ground truth the q_dedup_recall
+    * exact side, and the oracle replays the stop rule generically. */
+  private def qDedupTuneBands(s: SparkSession, dir: String): DataFrame =
+    Dedup.tuneBands(t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", w = 8, numHashes = 12, ladder = Seq(2, 4, 6),
+        tau = 0.5, targetRecall = 0.95, maxDf = Some(100))
+      .select(col("bands").cast("long").as("bands"), col("recall"),
+        col("meets_target"))
+
   // The persisted minhash history lifecycle: doc_id ≡ 1 (mod 4) docs
   // are the stored crawl history, ≡ 2 (mod 4) the arriving batch —
   // quarter slices, because the exactness condition (maxDf = None, the
@@ -808,17 +870,20 @@ object SparkEntry {
       tau = 0.4, dim = 64, planes = 4)
 
   /** Embedding near-dup admission against the PERSISTED LSH index
-    * (q_ann_lsh's parameters): evens stored, odds probe at the
-    * q_dedup_cosine tau. */
+    * (q_ann_lsh's parameters): one quarter stored, the next quarter
+    * probes at the q_dedup_cosine tau. Quarter slices (the
+    * q_exact_retire precedent): the memoized LSH build bills to this
+    * one bench query, and the bucket-probe mechanism is identical at
+    * any slice size. */
   private def qDedupCosineIndex(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val idx = buildOnce(s"/tmp/graft_lshdedup_${dirKey(dir)}") { d =>
-      Ann.buildLshIndex(e.filter(col("vec_id") % 2 === 0)
+      Ann.buildLshIndex(e.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id").as("id"), col("embedding").as("v")), d,
         dim = 64, planes = 6, tables = 4)
     }
     Dedup.cosineDedupAgainstIndex(s, idx,
-      e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+      e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
       "vec_id", "embedding", tau = 0.4)
   }
 
@@ -1647,6 +1712,53 @@ object SparkEntry {
       Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10),
       k = 10)
 
+  /** The OR-construction tuning sweep at the graded plane count:
+    * tables 1 → 2 → 4 vs mean recall@10 against brute force, stopping
+    * at the first step over 0.15 (chosen to stop MID-ladder on the
+    * graded corpus, so the early-stop rule itself is oracle-checked).
+    * Hash-exact: every step's both sides are the q_ann_recall
+    * mechanisms (lshSigCtes planes, brute-force scan), and the oracle
+    * replays the stop rule with a window filter — generic in sf. */
+  private def qAnnTuneLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.tuneLshTables(corpus(s, dir), queriesSet(s, dir), k = 10,
+        dim = 64, planes = 6, targetRecall = 0.15, maxTables = 4)
+      .select(col("tables").cast("long").as("tables"), col("mean_recall"),
+        col("meets_target"))
+
+  /** The retrain-decision ARITHMETIC over hash-exact ingredients: the
+    * q_ann_recall frame (LSH vs brute) feeds the recall arm, the
+    * q_embed_drift_summary slices (full table vs the %7-masked+head
+    * union) feed the drift arm — so the floors, the 4dp mean, and the
+    * OR decision rule are all cross-engine checked. The IVF-backed
+    * q_retrain_advisor is this mechanism pointed at a live index. */
+  private def qRetrainReport(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.advisorReport(
+      Ann.recallAtK(
+        Ann.lshTopK(corpus(s, dir), queriesSet(s, dir), k = 10, dim = 64,
+          planes = 6, tables = 4),
+        Ann.bruteForceTopK(corpus(s, dir), queriesSet(s, dir), k = 10),
+        k = 10),
+      Stats.embeddingDriftSummary(e,
+        e.filter(col("vec_id") % 7 =!= 0)
+          .unionByName(e.filter(col("vec_id") < 50)),
+        "embedding"),
+      recallFloor = 0.9, driftFloor = 0.999)
+  }
+
+  /** The packaged retrain decision over the shared persisted IVF index
+    * (rows-only: the partial-probe recall is k-means-dependent; the
+    * decision arithmetic is the hash-exact q_retrain_report, and the
+    * drifted-append/retrain lifecycle is pinned in AnnSpec): fresh =
+    * the odd embedding half against the index's own train_stats
+    * record, recall at the production nprobe vs full probe. */
+  private def qRetrainAdvisor(s: SparkSession, dir: String): DataFrame =
+    Ann.retrainAdvisor(s, hybIvfIdx(s, dir),
+      t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+        .select(col("embedding").as("v")),
+      queriesSet(s, dir), k = 10, recallFloor = 0.9, driftFloor = 0.999,
+      nprobe = 4)
+
   /** DPR-style hard negatives: the 10 nearest corpus vectors per
     * anchor that stay BELOW the near-dup bar (0.35 on this corpus —
     * just under the q_dedup_cosine tau, so "hard" here means the
@@ -2260,17 +2372,20 @@ object SparkEntry {
 
   /** Rolling-window retirement over the persisted IVF index, oracle-
     * checked against the never-appended brute force VERBATIM: build on
-    * the even half, append the odd half as segment d1, retire d1 — the
-    * full-probe search must then answer exactly like an index that
+    * one quarter, append the next quarter as segment d1, retire d1 —
+    * the full-probe search must then answer exactly like an index that
     * never saw the segment (the q_dedup_minhash_retire pattern on the
     * vector store: a crawl day ages out of the embedding index in
-    * O(segment), with the ids sidecar and tombstones following). */
+    * O(segment), with the ids sidecar and tombstones following).
+    * Quarter slices, the q_exact_retire precedent: the whole
+    * build+append+retire lifecycle bills to this one bench query and
+    * half-corpus slices double the bill for no extra evidence. */
   private def qAnnIvfRetire(s: SparkSession, dir: String): DataFrame = {
     val idx = buildOnce(s"/tmp/graft_ivf_ret_${dirKey(dir)}") { d =>
-      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 2 === 0), d,
+      Ann.buildIvfIndex(corpus(s, dir).filter(col("id") % 4 === 0), d,
         nlist = 16)
       Ann.appendToIvfIndex(s, d,
-        corpus(s, dir).filter(col("id") % 2 === 1), "d1")
+        corpus(s, dir).filter(col("id") % 4 === 1), "d1")
       Ann.retireIvfSrc(s, d, "d1")
     }
     Ann.searchIvfIndex(s, idx, queriesSet(s, dir), k = 10, nprobe = 16)
@@ -2464,6 +2579,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_exact_retire" -> (qExactRetire _),
+    "q_exact_seen_retire" -> (qExactSeenRetire _),
     "q_maintenance" -> (qMaintenance _),
     "q_compaction" -> (qCompaction _),
     "q_index_snapshot" -> (qIndexSnapshot _),
@@ -2481,6 +2597,7 @@ object SparkEntry {
     "q_dedup_contained_index" -> (qDedupContainedIndex _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_recall" -> (qDedupRecall _),
+    "q_dedup_tune_bands" -> (qDedupTuneBands _),
     "q_dedup_minhash_index" -> (qDedupMinhashIndex _),
     "q_dedup_minhash_retire" -> (qDedupMinhashRetire _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -2550,6 +2667,9 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_mrr" -> (qAnnMrr _),
+    "q_ann_tune_lsh" -> (qAnnTuneLsh _),
+    "q_retrain_report" -> (qRetrainReport _),
+    "q_retrain_advisor" -> (qRetrainAdvisor _),
     "q_ann_tune" -> (qAnnTune _),
     "q_mine_negatives" -> (qMineNegatives _),
     "q_contrastive_pipeline" -> (qContrastivePipeline _),
@@ -3250,20 +3370,20 @@ object SparkEntry {
     "q_maintenance_pipeline" ->
       """WITH nz AS (SELECT vec_id FROM embeddings
         |  WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0),
-        |pre AS (SELECT count(*) AS l FROM nz WHERE vec_id % 8 = 0 OR vec_id % 16 IN (1, 3)),
-        |-- mid: d1 retired AND the 16 tombstoned base ids (%8==0, <128)
+        |pre AS (SELECT count(*) AS l FROM nz WHERE vec_id % 16 = 0 OR vec_id % 32 IN (1, 3)),
+        |-- mid: d1 retired AND the 8 tombstoned base ids (%16==0, <128)
         |-- physically purged by the compaction
         |mid AS (SELECT count(*) AS l FROM nz
-        |  WHERE (vec_id % 8 = 0 AND vec_id >= 128) OR vec_id % 16 = 3),
+        |  WHERE (vec_id % 16 = 0 AND vec_id >= 128) OR vec_id % 32 = 3),
         |iv AS (
         | SELECT 'pre' AS phase, CAST(l AS BIGINT) AS live, CAST(3 AS BIGINT) AS segments,
-        |        'd3' AS newest, CAST(16 AS BIGINT) AS tombstones,
-        |        round(16.0 / l, 4) AS fraction FROM pre
+        |        'd3' AS newest, CAST(8 AS BIGINT) AS tombstones,
+        |        round(8.0 / l, 4) AS fraction FROM pre
         | UNION ALL
         | SELECT 'mid', CAST(l AS BIGINT), CAST(2 AS BIGINT), 'd3', CAST(0 AS BIGINT), 0.0 FROM mid
         | UNION ALL
-        | SELECT 'post', CAST(l AS BIGINT), CAST(3 AS BIGINT), 'd3', CAST(16 AS BIGINT),
-        |        round(16.0 / l, 4) FROM pre),
+        | SELECT 'post', CAST(l AS BIGINT), CAST(3 AS BIGINT), 'd3', CAST(8 AS BIGINT),
+        |        round(8.0 / l, 4) FROM pre),
         |ln AS (
         | SELECT 'pre' AS phase, CAST(3 AS BIGINT) AS segments
         | UNION ALL SELECT 'mid', CAST(2 AS BIGINT)
@@ -3298,6 +3418,27 @@ object SparkEntry {
          | UNION ALL
          | SELECT 'linedf', NULL, CAST(2 AS BIGINT), 'base', 'd20',
          |        CAST(0 AS BIGINT), NULL)""".stripMargin,
+
+    // the sighting-window retire: live fps = texts SEEN in the kept
+    // days (d1, d2) — d0-first texts survive iff re-seen (the %8
+    // replays), under their ORIGINAL d0 first ids; d0-only texts are
+    // forgotten. The d1/d2 branches rely on the corpus's no-cross-slice
+    // exact-dup property (the q_exact_retire assumption).
+    "q_exact_seen_retire" ->
+      s"""WITH n AS ($normDoc),
+         |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
+         |      WHERE doc_id % 4 = 0 GROUP BY 1),
+         |seen1 AS (SELECT DISTINCT md5(t) AS fp FROM n WHERE doc_id % 8 = 0),
+         |live AS (
+         |  SELECT fp, first_id FROM h WHERE fp IN (SELECT fp FROM seen1)
+         |  UNION ALL
+         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 4 = 1 GROUP BY 1
+         |  UNION ALL
+         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 4 = 2 GROUP BY 1),
+         |b AS (SELECT doc_id + 2000000 AS id, t FROM n
+         |      WHERE doc_id % 4 IN (0, 1))
+         |SELECT b.id, live.first_id, live.first_id IS NOT NULL AS is_dup
+         |FROM b LEFT JOIN live ON md5(b.t) = live.fp""".stripMargin,
 
     // the retire witness: appending the batch as segment d1 then
     // retiring d1 must leave the history answering exactly like one
@@ -3417,6 +3558,50 @@ object SparkEntry {
          | round(CAST(sum(CASE WHEN e.id_a IS NOT NULL AND f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(e.id_a), 4) AS recall
          |FROM exact e FULL JOIN found f ON e.id_a = f.id_a AND e.id_b = f.id_b""".stripMargin,
 
+    // the banding sweep: per-step found sets from ONE generalized band
+    // CTE (band id = seed // (12/bands), the minhashSigCtes rule), pair
+    // recall vs the exact same-space ground truth, early stop replayed
+    // with a window filter — generic in sf. Slices and cap mirror the
+    // Spark side (even half, slice-local maxDf=100).
+    "q_dedup_tune_bands" ->
+      s"""WITH sh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, substr(t, i, 8) AS sh
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i
+         |              FROM ($normDoc WHERE doc_id % 2 = 0)))),
+         |sh AS (SELECT s.doc_id, s.h FROM sh0 s
+         |  JOIN (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 100) k ON s.h = k.h),
+         |mh AS (SELECT doc_id, seed, min((h * (seed*2 + 3) + (seed*7 + 1)) % 4294967291) AS mh
+         |       FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) GROUP BY doc_id, seed),
+         |steps AS (SELECT unnest([2, 4, 6]) AS bands),
+         |sigb AS (SELECT st.bands AS bands, doc_id, CAST(seed // (12 // st.bands) AS INT) AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |         FROM mh CROSS JOIN steps st GROUP BY st.bands, doc_id, band),
+         |cand AS (SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM sigb a JOIN sigb b ON a.bands = b.bands AND a.band = b.band
+         |           AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.bands, c.id_a, c.id_b, count(*) AS i
+         |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |            JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h
+         |          GROUP BY 1, 2, 3),
+         |found AS (SELECT c.bands, c.id_a, c.id_b
+         |  FROM cand c LEFT JOIN inter i ON i.bands = c.bands AND i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+         |  WHERE round(CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0)), 4) >= 0.5),
+         |interall AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT ia.id_a, ia.id_b FROM interall ia
+         |  JOIN sz sa ON sa.doc_id = ia.id_a JOIN sz sb ON sb.doc_id = ia.id_b
+         |  WHERE round(CAST(ia.i AS DOUBLE) / (sa.sz + sb.sz - ia.i), 4) >= 0.5),
+         |ne AS (SELECT count(*) AS n FROM exact),
+         |hits AS (SELECT f.bands, count(*) AS hit FROM found f
+         |  JOIN exact e2 ON f.id_a = e2.id_a AND f.id_b = e2.id_b GROUP BY f.bands),
+         |rec AS (SELECT st.bands, round(CAST(coalesce(hits.hit, 0) AS DOUBLE) / ne.n, 4) AS recall
+         |        FROM steps st CROSS JOIN ne LEFT JOIN hits ON hits.bands = st.bands)
+         |SELECT CAST(bands AS BIGINT) AS bands, recall, recall >= 0.95 AS meets_target
+         |FROM rec WHERE bands <= coalesce(
+         |  (SELECT min(bands) FROM rec WHERE recall >= 0.95), 6)""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf
          |  FROM ($tokDoc)
@@ -3455,10 +3640,10 @@ object SparkEntry {
         |JOIN e eb ON eb.vec_id = b.vec_id
         |WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4""".stripMargin,
 
-    // embedding near-dup admission via the stored LSH net: evens are
-    // the history (lshSigCtes — the ONE plane/sig recipe, shared with
-    // annLshOracleSql), each odd probe keeps its best same-bucket
-    // stored neighbor at >= tau
+    // embedding near-dup admission via the stored LSH net: the first
+    // quarter is the history (lshSigCtes — the ONE plane/sig recipe,
+    // shared with annLshOracleSql), each second-quarter probe keeps its
+    // best same-bucket stored neighbor at >= tau
     "q_dedup_cosine_index" ->
       s"""WITH $lshSigCtes,
         |cand AS (SELECT s.vec_id AS qid, c.vec_id AS cid,
@@ -3466,13 +3651,13 @@ object SparkEntry {
         | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig
         | JOIN e ce ON ce.vec_id = c.vec_id
         | JOIN e qe ON qe.vec_id = s.vec_id
-        | WHERE s.vec_id % 2 = 1 AND c.vec_id % 2 = 0 GROUP BY 1, 2),
+        | WHERE s.vec_id % 4 = 1 AND c.vec_id % 4 = 0 GROUP BY 1, 2),
         |best AS (SELECT qid, cid, score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn FROM cand)
         | WHERE rn = 1 AND score >= 0.4)
         |SELECT b.vec_id AS id, best.cid AS dup_of, best.score AS cos,
         |  best.cid IS NOT NULL AS is_dup
-        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1) b
         |LEFT JOIN best ON best.qid = b.vec_id""".stripMargin,
 
     // k=1 SemDeDup: centroid = direction of sum(v/|v|) over the non-zero
@@ -4864,13 +5049,13 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
 
-    // segment retirement on the vector store: the odd half appended as
-    // its own segment then retired — full probe must equal brute force
-    // over the never-appended (even) corpus
+    // segment retirement on the vector store: the second quarter
+    // appended as its own segment then retired — full probe must equal
+    // brute force over the never-appended (first-quarter) corpus
     "q_ann_ivf_retire" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
         |s AS (SELECT qid, vec_id AS id, round(list_cosine_similarity(qv, v), 4) AS score FROM q, c)
         |SELECT qid, id, score, rank FROM (
         | SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS BIGINT) AS rank FROM s)
@@ -4997,6 +5182,8 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_recall" -> annRecallOracleSql,
     "q_ann_mrr" -> annMrrOracleSql,
+    "q_ann_tune_lsh" -> annTuneLshOracleSql,
+    "q_retrain_report" -> retrainReportOracleSql,
 
     "q_mine_negatives" -> mineNegativesOracleSql,
 
@@ -5207,6 +5394,69 @@ object SparkEntry {
       ! round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
       !FROM brute b LEFT JOIN lsh l ON l.qid = b.qid AND l.id = b.id
       !GROUP BY b.qid""".stripMargin('!')
+
+  /** The tables-sweep oracle: ONE sig CTE (the 4-table lshSigCtes
+    * recipe), each step t restricted to tables < t, per-step top-10 and
+    * recall vs brute force (the annRecallOracleSql arithmetic), and the
+    * early stop replayed as a window filter over the step table —
+    * correct at any sf, however many steps the sweep actually emits. */
+  private val annTuneLshOracleSql =
+    s"""WITH $lshSigCtes,
+      |steps AS (SELECT unnest([1, 2, 4]) AS tbls),
+      |cand AS (SELECT st.tbls AS tbls, s.vec_id AS qid, c.vec_id AS id,
+      |  max(round(list_cosine_similarity(qe.v, ce.v), 4)) AS score
+      | FROM sig c JOIN sig s ON c.t = s.t AND c.sig = s.sig
+      | JOIN e ce ON ce.vec_id = c.vec_id
+      | JOIN e qe ON qe.vec_id = s.vec_id
+      | CROSS JOIN steps st
+      | WHERE s.vec_id < 5 AND c.t < st.tbls GROUP BY 1, 2, 3),
+      |lshk AS (SELECT tbls, qid, id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY tbls, qid ORDER BY score DESC, id ASC) AS rank FROM cand)
+      | WHERE rank <= 10),
+      |brute AS (SELECT qid, id FROM (
+      |  SELECT q.vec_id AS qid, c.vec_id AS id,
+      |   row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id ASC) AS rank
+      |  FROM e q, e c WHERE q.vec_id < 5) WHERE rank <= 10),
+      |perq AS (SELECT st.tbls AS tbls, b.qid,
+      |   round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS r
+      | FROM steps st CROSS JOIN brute b
+      | LEFT JOIN lshk l ON l.tbls = st.tbls AND l.qid = b.qid AND l.id = b.id
+      | GROUP BY 1, 2),
+      |rec AS (SELECT tbls, round(avg(r), 4) AS mean_recall FROM perq GROUP BY tbls)
+      |SELECT CAST(tbls AS BIGINT) AS tables, mean_recall,
+      | mean_recall >= 0.15 AS meets_target
+      |FROM rec WHERE tbls <= coalesce(
+      | (SELECT min(tbls) FROM rec WHERE mean_recall >= 0.15), 4)""".stripMargin
+
+  /** The advisor-arithmetic oracle: the annRecallOracleSql per-query
+    * frame averaged to recall_now, the q_embed_drift_summary slices for
+    * the drift arm, floors echoed, OR decision — the q_retrain_report
+    * contract. */
+  private val retrainReportOracleSql =
+    s"""WITH rec AS ($annRecallOracleSql),
+      !o AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      !n AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 7 <> 0
+      !      UNION ALL
+      !      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 50),
+      !os AS (SELECT CAST(count(*) AS BIGINT) AS n_stored,
+      !         avg(sqrt(list_sum(list_transform(v, x -> x*x)))) AS nrm FROM o),
+      !ns AS (SELECT CAST(count(*) AS BIGINT) AS n_fresh,
+      !         avg(sqrt(list_sum(list_transform(v, x -> x*x)))) AS nrm FROM n),
+      !oc AS (SELECT list(m ORDER BY dim) AS c FROM (
+      !        SELECT dim, avg(x) AS m FROM (
+      !          SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM o) GROUP BY dim)),
+      !nc AS (SELECT list(m ORDER BY dim) AS c FROM (
+      !        SELECT dim, avg(x) AS m FROM (
+      !          SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM n) GROUP BY dim)),
+      !rn AS (SELECT round(avg(recall), 4) AS recall_now FROM rec)
+      !SELECT rn.recall_now, 0.9 AS recall_floor,
+      ! round(list_cosine_similarity(oc.c, nc.c), 6) + 0 AS centroid_cos,
+      ! 0.999 AS drift_floor,
+      ! round(ns.nrm - os.nrm, 6) + 0 AS norm_delta,
+      ! os.n_stored, ns.n_fresh,
+      ! (rn.recall_now < 0.9 OR
+      !  coalesce(round(list_cosine_similarity(oc.c, nc.c), 6) < 0.999, true)) AS should_retrain
+      !FROM rn, os, ns, oc, nc""".stripMargin('!')
 
   /** MRR oracle — same nested-LSH + brute construction as
     * [[annRecallOracleSql]], graded on WHERE the first true neighbor

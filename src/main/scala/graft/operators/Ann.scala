@@ -1340,7 +1340,22 @@ object Ann {
     // ids back off the just-written cells (column-pruned, no re-assignment)
     val spark = corpus.sparkSession
     IndexFiles.writeIds(spark.read.parquet(s"$dir/cells").select("id"), dir)
+    writeTrainStats(spark, dir)
   }
+
+  /** Record the distribution the codebook was just fitted on — one row
+    * of (n, mean_norm, centroid) over the freshly (re)written cells —
+    * so [[retrainAdvisor]] can later measure drift against TRAINING
+    * time. Meta-sized (the centroid is dim doubles); appends and
+    * retirements deliberately leave it alone: the codebook they serve
+    * is still the one this row describes. */
+  private def writeTrainStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    graft.operators.Stats
+      .vectorStats(IndexFiles.dropTombstones(spark, dir,
+          spark.read.parquet(s"$dir/cells").select(col("id"), col("v")))
+        .select("v"), "v")
+      .write.mode("overwrite").parquet(s"$dir/train_stats")
 
   /** Append a new batch to a persisted IVF index WITHOUT re-training:
     * the batch is assigned through the STORED codebook — the same
@@ -1572,6 +1587,7 @@ object Ann {
     IndexFiles.replaceTable(spark, dir, "centroids",
       cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "cv"), Nil)
+    writeTrainStats(spark, dir)
   }
 
   /** Persist an IVF_SQ8 index — the named Milvus index family between
@@ -2566,6 +2582,150 @@ object Ann {
       np *= 2
     }
     rows.toSeq.toDF("nprobe", "mean_recall", "meets_target")
+  }
+
+  /** [[tuneNprobe]]'s sibling for the LSH family — the OR-construction
+    * knob: sweep `tables` doubling from 1 at fixed `planes`, score each
+    * step's MEAN recall@k against exact brute force over the same
+    * corpus ([[recallAtK]] — the hash-exact q_ann_recall mechanism),
+    * and stop at the first step clearing `targetRecall` (that step's
+    * row is included; the sweep also stops at `maxTables`). Returns the
+    * audit table (tables, mean_recall, meets_target) — the evidence
+    * behind a deployment's chosen table count, not just the number.
+    *
+    * Recall is MONOTONE in tables (spec-pinned): each added table only
+    * ADDS bucket collisions, so the step-t candidate set is a superset
+    * of the step-t/2 one, and a top-k selection by the same exact
+    * (score desc, id asc) order over a superset can only gain members
+    * of the true top-k — the standard OR-construction recall compound
+    * 1−(1−pᵖ)ᵗ, made checkable. Driver loop bounded by log2(maxTables)
+    * steps; the exact reference is computed once and PINNED (each
+    * step's recall join would otherwise re-pay the brute-force scan). */
+  def tuneLshTables(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, planes: Int, targetRecall: Double, maxTables: Int = 8,
+      metric: String = "cosine"): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]: $targetRecall")
+    require(maxTables >= 1, s"maxTables must be >= 1, got $maxTables")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(!queries.isEmpty,
+      "cannot tune LSH tables on zero queries — recall is undefined")
+    val exact = bruteForceTopK(corpus, queries, k, metric).persist()
+    try {
+      val rows =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+      var t = 1
+      var done = false
+      while (!done) {
+        val tt = math.min(t, maxTables)
+        val approx = lshTopK(corpus, queries, k, dim, planes, metric,
+          tables = tt)
+        val mean = recallAtK(approx, exact, k)
+          .agg(avg(col("recall"))).head().getDouble(0)
+        val mean4 = BigDecimal(mean)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val meets = mean4 >= targetRecall
+        rows += ((tt, mean4, meets))
+        done = meets || tt == maxTables
+        t *= 2
+      }
+      rows.toSeq.toDF("tables", "mean_recall", "meets_target")
+    } finally { exact.unpersist(); () }
+  }
+
+  /** The report-assembly half of [[retrainAdvisor]], pure arithmetic
+    * over already-computed frames — split out so the decision rule has
+    * a hash-exact oracle of its own (the full advisor is k-means-bound):
+    * `recall` is a [[recallAtK]] result (per-query rows), `drift` a
+    * [[graft.operators.Stats.embeddingDriftSummary]] one-row frame.
+    * One row out: recall_now (4dp mean), the floors echoed back, the
+    * drift summary's centroid_cos / norm_delta / counts, and
+    * SHOULD_RETRAIN = recall_now < recallFloor OR centroid_cos <
+    * driftFloor — with a NULL centroid_cos (an encoder changed the
+    * embedding WIDTH, the loudest drift there is) always retraining. */
+  def advisorReport(recall: DataFrame, drift: DataFrame,
+      recallFloor: Double, driftFloor: Double): DataFrame = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1]: $recallFloor")
+    require(driftFloor >= -1.0 && driftFloor <= 1.0,
+      s"driftFloor is a cosine floor in [-1, 1]: $driftFloor")
+    recall.agg(round(avg(col("recall")), 4).as("recall_now"))
+      .crossJoin(broadcast(drift.select(col("n_old").as("n_stored"),
+        col("n_new").as("n_fresh"), col("norm_delta"),
+        col("centroid_cos"))))
+      .select(col("recall_now"), lit(recallFloor).as("recall_floor"),
+        col("centroid_cos"), lit(driftFloor).as("drift_floor"),
+        col("norm_delta"), col("n_stored"), col("n_fresh"),
+        (col("recall_now") < recallFloor ||
+          coalesce(col("centroid_cos") < driftFloor, lit(true)))
+          .as("should_retrain"))
+  }
+
+  /** The retrain-decision op — what connects the drift/recall MONITORS
+    * to the [[retrainIvfIndex]] REPAIR (every deployment writes exactly
+    * this cron job; [[tuneNprobe]] is the same packaging move for the
+    * nprobe loop): given a live IVF index, the production (nprobe, k)
+    * operating point, and the FRESH vectors arriving now, report in one
+    * row whether the stored codebook still fits.
+    *   - recall_now: mean recall@k of the production nprobe against the
+    *     index's own full probe over `queries` (exact over the indexed
+    *     corpus by the q_ann_ivf_full property) — codebook-vs-data
+    *     mismatch shows up here first, because drifted appends crowd
+    *     into few cells and partial probes miss them;
+    *   - centroid_cos / norm_delta: `fresh` against the index's OWN
+    *     `train_stats` record — the distribution the codebook was
+    *     FITTED on, written at build/retrain time (comparing against
+    *     the current cells would self-cancel: the drifted appends are
+    *     already in them) — the leading indicator that fires BEFORE
+    *     enough drifted vectors land to hurt recall;
+    *   - should_retrain: either signal under its floor (see
+    *     [[advisorReport]]).
+    * Cost: one partial + one full probe of q×k rows each, plus one
+    * dim-bounded aggregate over `fresh` — nothing corpus-sized beyond
+    * the scans the searches already pay (the training side is the
+    * one-row stats record, never re-scanned). */
+  def retrainAdvisor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
+      recallFloor: Double, driftFloor: Double, nprobe: Int = 4,
+      metric: String = "cosine", vecCol: String = "v"): DataFrame = {
+    import spark.implicits._
+    require(!queries.isEmpty,
+      "cannot advise on zero queries — recall is undefined")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/train_stats")
+    require(statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(statsPath),
+      s"$dir has no train_stats record (built before training-stats " +
+        "recording) — run retrainIvfIndex once to record the fitted " +
+        "distribution")
+    val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+    val exact = searchIvfIndex(spark, dir, queries, k, nprobe = nlist,
+      metric)
+    val approx =
+      if (nprobe >= nlist) exact
+      else searchIvfIndex(spark, dir, queries, k, nprobe, metric)
+    // assemble the drift one-row frame in embeddingDriftSummary's shape
+    // from the recorded training stats (old side, literals) and ONE
+    // stats pass over the fresh batch (new side)
+    val st = spark.read.parquet(s"$dir/train_stats").head()
+    val (nOld, cOld) = (st.getAs[Long]("n"),
+      st.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val normOld =
+      if (st.isNullAt(st.fieldIndex("mean_norm"))) None
+      else Some(st.getAs[Double]("mean_norm"))
+    val drift = graft.operators.Stats.vectorStats(fresh, vecCol)
+      .select(lit(nOld).as("n_old"), col("n").as("n_new"),
+        round(normOld.map(lit).getOrElse(lit(null)).cast("double"), 6)
+          .as("mean_norm_old"),
+        round(col("mean_norm"), 6).as("mean_norm_new"),
+        round(col("mean_norm") -
+          normOld.map(lit).getOrElse(lit(null)).cast("double"), 6)
+          .as("norm_delta"),
+        when(lit(cOld.length) > 0 && size(col("centroid")) === cOld.length,
+          round(V.cosine(lit(cOld), col("centroid")), 6))
+          .as("centroid_cos"))
+    advisorReport(recallAtK(approx, exact, k), drift,
+      recallFloor, driftFloor)
   }
 
   /** [[mineHardNegatives]] against the persisted IVF index — how a

@@ -1152,6 +1152,80 @@ object Dedup {
     CacheLifecycle.handOff(report, Seq(exact, found))
   }
 
+  /** [[graft.operators.Ann.tuneNprobe]]'s shape on the minhash banding
+    * knob — the sweep every banded dedup runs before committing
+    * numHashes/bands at corpus scale, packaged: walk `ladder` (band
+    * counts, ascending), score each step's pair recall against the
+    * exact n-gram-Jaccard ground truth (the [[pairRecall]] semantics:
+    * distinct-pair hit fraction; precision is 1.0 by construction here
+    * because [[minhashLsh]] exact-verifies its candidates), and stop at
+    * the first step clearing `targetRecall` (row included; the sweep
+    * also stops at the ladder's end). Returns the audit table
+    * (bands, recall, meets_target).
+    *
+    * Recall is MONOTONE along the ladder, and the ladder is validated
+    * for it: with r = numHashes/bands, a step's candidates are a
+    * superset of the previous step's iff every length-r band contains a
+    * complete aligned length-r' band of the next step — guaranteed
+    * when r >= 2·r' − 1 (any r-window covers an aligned r'-block).
+    * The default (2, 4, 6) chain over 12 hashes satisfies it (r 6→3:
+    * 6 >= 5; 3→2: 3 >= 3); an invalid ladder — e.g. bands 2→3, where a
+    * pair matching only hashes 4..7 is a bands=3 candidate but NOT a
+    * bands=2 one — is refused up front rather than sweeping a
+    * non-monotone curve whose stop point means nothing.
+    *
+    * Cost: the exact pair set once (persisted as bare pairs), one
+    * [[minhashLsh]] per emitted step — each step's internal caches are
+    * released before the next. */
+  def tuneBands(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, numHashes: Int = 12, ladder: Seq[Int] = Seq(2, 4, 6),
+      tau: Double = 0.5, targetRecall: Double = 0.95,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]: $targetRecall")
+    require(ladder.nonEmpty && ladder == ladder.sorted &&
+      ladder.distinct == ladder,
+      s"ladder must be strictly ascending band counts: $ladder")
+    ladder.foreach(b => require(b >= 1 && numHashes % b == 0,
+      s"every ladder step must divide numHashes=$numHashes: $b"))
+    ladder.sliding(2).foreach {
+      case Seq(a, b) =>
+        val (r, r2) = (numHashes / a, numHashes / b)
+        require(r >= 2 * r2 - 1,
+          s"ladder step $a -> $b is not recall-monotone " +
+            s"(r=$r < 2*${r2}-1) — candidates are not nested")
+      case _ => ()
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)
+    val e = exactPairs.select(col("id_a"), col("id_b")).distinct().persist()
+    val nExact = e.count()
+    CacheLifecycle.release(exactPairs)
+    require(nExact > 0,
+      "cannot tune banding against an empty ground truth — no pair of " +
+        s"docs reaches jaccard >= $tau")
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+    var done = false
+    ladder.foreach { b =>
+      if (!done) {
+        val found = minhashLsh(df, idCol, textCol, w, numHashes, bands = b,
+          tau, maxDf)
+        val hit = found.select(col("id_a"), col("id_b")).distinct()
+          .join(e, Seq("id_a", "id_b"), "left_semi").count()
+        CacheLifecycle.release(found)
+        val rec = BigDecimal(hit.toDouble / nExact)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val meets = rec >= targetRecall
+        rows += ((b, rec, meets))
+        done = meets
+      }
+    }
+    e.unpersist()
+    rows.toSeq.toDF("bands", "recall", "meets_target")
+  }
+
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·
     * (bit b of hash60(token) ? +1 : −1). Pure expressions + one groupBy. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -2284,13 +2358,14 @@ object Dedup {
     * past the sizing capacity the filter saturates and merely prunes
     * less. One shuffle on the 128-bit fp at any scale.
     *
-    * Rolling-window note: this family deliberately has NO
-    * retire-by-src (unlike [[retireLineDfSrc]] and siblings) —
-    * first-occurrence collapse stores a re-seen fingerprint only under
-    * its first batch, so dropping that batch would forget texts later
-    * batches still contain. Bounded-history exact dedup is a REBUILD
-    * from the windowed corpus: one shuffle over 16-byte fps, cheap at
-    * any scale, and the semantics stay exact. */
+    * Rolling-window note: [[retireExactSrc]] windows this store under
+    * ADMISSION-LEDGER semantics — each fp lives in the segment of its
+    * first sighting, so retiring a day re-admits exactly the texts
+    * whose one admitted copy aged out. For the OTHER contract real
+    * crawls want — "seen in the last N days", where a re-seen text's
+    * clock resets — build with [[buildExactIndexSighted]] and window
+    * with [[retireExactSeenWindow]]: the sightings ledger replaces the
+    * rebuild-from-windowed-corpus this note used to prescribe. */
   def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
       dir: String, fpp: Double = 0.01): Unit = {
     val s = df.sparkSession
@@ -2337,12 +2412,30 @@ object Dedup {
     * The batch sketch is aggregated with the STORED (n_items, num_bits)
     * — the sketch derives its hash count from that pair and refuses to
     * merge mismatches. */
+  /** The exact family's heal list: `fps` always, plus the sighted
+    * variant's `seen` table when this index records sightings — a
+    * crashed SIGHTED append must roll its seen segment forward no
+    * matter which entry point heals next. */
+  private def exactHealTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq("fps", "seen")
+    else Seq("fps")
+  }
+
   def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDf: DataFrame, idCol: String, textCol: String,
-      src: String = "ingest"): Unit = {
+      src: String = "ingest"): Unit =
+    appendExactCore(spark, dir, newDf, idCol, textCol, src,
+      sighted = false)
+
+  private def appendExactCore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, textCol: String,
+      src: String, sighted: Boolean): Unit = {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
-    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     val meta = spark.read.parquet(s"$dir/bloom").head()
     val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
       meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
@@ -2385,11 +2478,151 @@ object Dedup {
         Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
           .toDF("bloom", "n_items", "fpp", "num_bits"),
         Seq.empty)
-      IndexFiles.appendStaged(spark, dir,
-        Seq(("fps", newFps.repartition(col("pfx"))
-          .withColumn("src", lit(src)), Seq("src", "pfx"))), None)
     }
+    // the sighted variant records EVERY batch fp — novel and replayed
+    // alike (touch-on-reject is the whole point: a re-seen text's clock
+    // resets even though its stored row is untouched) — as this day's
+    // `seen` segment, journaled in the SAME appendStaged commit as the
+    // novel fps so a crash can never land one without the other
+    val fpsSlice =
+      if (added > 0)
+        Seq(("fps", newFps.repartition(col("pfx"))
+          .withColumn("src", lit(src)), Seq("src", "pfx")))
+      else Seq.empty
+    val seenSlice =
+      if (sighted)
+        Seq(("seen", batchFps.select(col("fp"))
+          .withColumn("src", lit(src)), Seq("src")))
+      else Seq.empty
+    if ((fpsSlice ++ seenSlice).nonEmpty)
+      IndexFiles.appendStaged(spark, dir, fpsSlice ++ seenSlice, None)
     batchFps.unpersist(); newFps.unpersist(); ()
+  }
+
+  // ---- sighting-window exact dedup ---------------------------------------
+
+  /** [[buildExactIndex]] plus a SIGHTINGS ledger — the second
+    * bounded-history contract real crawls want. The admission-ledger
+    * window ([[retireExactSrc]]: each fp lives in the segment of its
+    * FIRST sighting, retiring a day re-admits the texts whose one
+    * admitted copy aged out) answers "was this text ADMITTED in the
+    * window"; this family answers "was this text SEEN in the last N
+    * days" — a day-1 text re-seen on day 5 must survive day 1's
+    * retirement, which first-occurrence segments structurally cannot
+    * express. `dir/seen` holds one (fp) row per (day, distinct batch
+    * fp), partitioned by src=day: O(batch) rows per append, 16-byte
+    * fps — the line-df increment design on fingerprints. `day` tags
+    * the BUILD's own sightings (unlike the fps table's 'base', the
+    * build day ages out of a sighting window like any other — texts
+    * seen only at build time are not immortal). */
+  def buildExactIndexSighted(df: DataFrame, idCol: String, textCol: String,
+      dir: String, day: String, fpp: Double = 0.01): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    buildExactIndex(df, idCol, textCol, dir, fpp)
+    df.select(T.fingerprintMd5(col(textCol)).as("fp")).distinct()
+      .withColumn("src", lit(day))
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/seen")
+  }
+
+  /** [[appendToExactIndex]] with the sighting touch: novel fps extend
+    * the store exactly as there, and EVERY batch fp — including
+    * rejected replays — lands one row in this day's `seen` segment
+    * (same journaled commit). Dedup verdicts are unchanged; only what
+    * [[retireExactSeenWindow]] later keeps differs. */
+  def appendToExactIndexSighted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, textCol: String,
+      day: String): Unit = {
+    requireSighted(spark, dir)
+    appendExactCore(spark, dir, newDf, idCol, textCol, day, sighted = true)
+  }
+
+  private def requireSighted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$dir has no sightings ledger — build it with buildExactIndexSighted" +
+        " (the admission-ledger index at this dir has no last-seen data to" +
+        " window on)")
+  }
+
+  /** Retire sighting days older than the newest `keep` — the "seen in
+    * the last N days" rolling window: doomed `seen` day-partitions drop
+    * in O(segment), then the fp store REWRITES to the fps with at least
+    * one surviving sighting (one shuffle over 16-byte fps — the cost
+    * the scaladoc previously priced as rebuild-from-windowed-CORPUS,
+    * paid here without re-reading or re-fingerprinting a byte of
+    * text), tombstones of departed pairs prune, and the bloom rebuilds
+    * unsaturated from the survivors. A text seen in BOTH a doomed and a
+    * kept day survives under its ORIGINAL keep_id (its stored row is
+    * untouched — "remembered because re-seen"). Unlike the
+    * append-segment windows, the build day itself ages out (`keep`
+    * counts sighting DAYS, so keep >= 1 always leaves a survivor set
+    * from the newest day). NOT registered in
+    * [[graft.operators.Maintenance.families]]: that driver's contract
+    * retires appended segments only and never the build's, which is
+    * exactly the semantics this family exists to replace — a nightly
+    * calls this directly. Crash-safe by re-run: fps rewrite and bloom
+    * rebuild commit BEFORE the doomed seen partitions drop, so a crash
+    * anywhere re-runs to the same end state (the doomed set is
+    * re-derived from the still-present partitions). Returns the retired
+    * day tags, oldest first. */
+  def retireExactSeenWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int, fpp: Double = 0.01): Seq[String] = {
+    require(keep >= 1,
+      s"keep must be >= 1: retiring every sighting day would empty the " +
+        s"history (got $keep)")
+    requireSighted(spark, dir)
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomed = days.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val kept = days.takeRight(keep)
+      val keptFps = spark.read.parquet(s"$dir/seen")
+        .filter(col("src").isin(kept: _*)).select("fp").distinct()
+      val survivors = spark.read.parquet(s"$dir/fps")
+        .join(keptFps, Seq("fp"), "left_semi")
+      // atomic refusal BEFORE anything mutates — an empty survivor set
+      // means no kept day re-saw anything, and an empty fps table
+      // bricks every later reader (the compactExactIndex guard)
+      require(!survivors.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would empty $dir/fps (no " +
+          "fingerprint was re-seen in the kept window) — drop and " +
+          "rebuild the index instead")
+      // fps first, seen last: a crash between them leaves a smaller fp
+      // store with extra sighting days — harmless, and the re-run
+      // re-derives the same doomed set and finishes the drop
+      IndexFiles.replaceTable(spark, dir, "fps", survivors,
+        Seq("src", "pfx"))
+      exactTombstones(spark, dir).foreach { dead =>
+        IndexFiles.replaceTable(spark, dir, "deleted_fps",
+          dead.join(spark.read.parquet(s"$dir/fps")
+              .select("fp", "keep_id"),
+            Seq("fp", "keep_id"), "left_semi"),
+          Seq.empty)
+      }
+      rebuildExactSidecar(spark, dir, fpp)
+      IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
+        strict = true)
+      ()
+    }
+    doomed
+  }
+
+  /** [[retireExactSeenWindow]] keyed by an explicit horizon instead of
+    * a count: every sighting day strictly OLDER than `day` (natural
+    * order — dates, zero-padded or b<batchId> tags all compare
+    * correctly) retires. The form a date-driven nightly calls:
+    * `retireExactSeenBefore(spark, dir, "2026-08-09")` keeps exactly
+    * the last week regardless of how many zero-yield days wrote no
+    * segment. */
+  def retireExactSeenBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, day: String, fpp: Double = 0.01): Seq[String] = {
+    requireSighted(spark, dir)
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
+    retireExactSeenWindow(spark, dir, keep = days.size - doomedN, fpp)
   }
 
   /** Retire one appended segment from the exact-dedup history — the
@@ -2415,7 +2648,7 @@ object Dedup {
   def retireExactSrcs(spark: org.apache.spark.sql.SparkSession,
       dir: String, srcs: Seq[String], fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("fps"), srcs,
         strict = strict)) {
       exactTombstones(spark, dir).foreach { dead =>
@@ -2463,7 +2696,7 @@ object Dedup {
     * stored design fpp. */
   def rebuildExactSidecar(spark: org.apache.spark.sql.SparkSession,
       dir: String, fpp: Double = 0.01): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     val fps = liveExactFps(spark, dir)
     val n = fps.count()
     require(n > 0, "rebuildExactSidecar: stored fps table is empty")
@@ -2517,7 +2750,7 @@ object Dedup {
     * confirm join removes — until [[rebuildExactSidecar]]. */
   def deleteFromExactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, texts: DataFrame, textCol: String): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     val target = texts
       .select(T.fingerprintMd5(col(textCol)).as("fp")).distinct()
       .withColumn("pfx", substring(col("fp"), 1, 2))
@@ -2541,7 +2774,7 @@ object Dedup {
     * [[rebuildExactSidecar]] on schedule. */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("fps"))
+    IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     exactTombstones(spark, dir).foreach { _ =>
       // a takedown covering EVERY stored fingerprint would swap in an
       // empty table no reader can schema-infer — the requireSurvivor

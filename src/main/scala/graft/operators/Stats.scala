@@ -180,6 +180,27 @@ object Stats {
       .groupBy((keyCols :+ "dim").map(col): _*)
       .agg(avg("x").as(s"mean_$side"))
 
+  /** One-row distribution summary of an embedding column — (n,
+    * mean_norm, centroid) — the meta-sized record a trained structure
+    * (IVF codebook, PQ/SQ8 scales) keeps of the distribution it was
+    * FITTED on, so later drift checks compare against training time
+    * instead of against a store the drift already contaminated
+    * ([[graft.operators.Ann.retrainAdvisor]] reads it back). Unrounded:
+    * consumers round at presentation, like [[embeddingDriftSummary]].
+    * Null vectors are skipped; an empty input records (0, NULL, []). */
+  private[operators] def vectorStats(df: DataFrame,
+      vecCol: String): DataFrame = {
+    val clean = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val base = clean.select(V.norm2(col("__v")).as("nrm"))
+      .agg(count(lit(1)).as("n"), avg(col("nrm")).as("mean_norm"))
+    val cent = dimMeans(clean, "__v", "c")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_c")))),
+        e => e("mean_c")).as("centroid"))
+    base.crossJoin(broadcast(cent))
+  }
+
   /** Embedding-space drift between two corpus snapshots — the SEMANTIC
     * twin of [[tokenDrift]] in an incremental pipeline's monitoring
     * row: the token view catches lexical re-weighting, this catches a

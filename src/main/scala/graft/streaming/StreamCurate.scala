@@ -323,4 +323,48 @@ object StreamCurate {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** One micro-batch of [[driftByStream]]: the per-stratum drill-down
+    * ([[graft.operators.Stats.embeddingDriftBy]]) applied to
+    * (reference, batch), its (stratum, dim) rows overwritten into the
+    * batch's own directory — the [[applyDriftBatch]] idempotency-by-
+    * overwrite protocol (the reference is read-only, so a replayed
+    * batch recomputes identical rows). Empty batches write nothing; the
+    * result is strata×dim-bounded by construction, so it lands in one
+    * file without a collect-and-rebuild pass. */
+  def applyDriftByBatch(refDf: DataFrame, batch: DataFrame, vecCol: String,
+      groupCol: String, batchId: Long, outDir: String): Unit = {
+    val pinned = batch.persist()
+    try {
+      if (!pinned.isEmpty)
+        graft.operators.Stats
+          .embeddingDriftBy(refDf, pinned, vecCol, groupCol)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** The drill-down twin of [[driftStream]] — per-STRATUM drift, live:
+    * each arriving micro-batch writes its (stratum, dim, mean_old,
+    * mean_new, delta) rows against the static reference, so a crawl
+    * operator watching the batch log sees WHICH source drifted without
+    * waiting for a batch job ([[driftStream]]'s one-row summary says
+    * only THAT the corpus moved). A stratum absent from the reference
+    * (a brand-new crawl source — drift incarnate) reports NULL
+    * mean_old rather than vanishing, the embeddingDriftBy full-outer
+    * contract. Stateless like the summary stream; per batch the work
+    * is two strata×dim-bounded aggregations. */
+  def driftByStream(refDf: DataFrame, vecStream: DataFrame, vecCol: String,
+      groupCol: String, outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDriftByBatch(refDf, batch, vecCol, groupCol, batchId, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

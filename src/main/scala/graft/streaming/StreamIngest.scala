@@ -879,26 +879,34 @@ object StreamIngest {
   def applyCosineDedupBatch(batch: DataFrame, batchId: Long,
       indexDir: String, idCol: String, vecCol: String, tau: Double,
       outDir: String): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    graft.operators.Ann.healLshIndex(spark, indexDir)
-    val src = s"b$batchId"
-    if (graft.operators.IndexFiles.listSrcs(spark, indexDir, "buckets")
-        .contains(src)) return
-    import org.apache.spark.sql.functions.col
-    val verdicts = graft.operators.Dedup
-      .cosineDedupAgainstIndex(spark, indexDir, batch, idCol, vecCol, tau)
-      .persist()
+    // pinned at entry (the applyDriftBatch discipline): the batch feeds
+    // the emptiness probe, the admission probe's signature collect, and
+    // the admitted-side join — a non-replayable source must be read
+    // once per trigger, or torn re-reads could make the written
+    // verdicts and the appended segment disagree
+    val pinned = batch.persist()
     try {
-      verdicts.coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/batch=$batchId")
-      val admitted = batch
-        .select(col(idCol).as("id"), col(vecCol).as("v"))
-        .join(verdicts.filter(!col("is_dup")).select("id"),
-          Seq("id"), "left_semi")
-      if (!admitted.isEmpty)
-        graft.operators.Ann.appendToLshIndex(spark, indexDir, admitted, src)
-    } finally { verdicts.unpersist(); () }
+      if (pinned.isEmpty) return
+      val spark = pinned.sparkSession
+      graft.operators.Ann.healLshIndex(spark, indexDir)
+      val src = s"b$batchId"
+      if (graft.operators.IndexFiles.listSrcs(spark, indexDir, "buckets")
+          .contains(src)) return
+      import org.apache.spark.sql.functions.col
+      val verdicts = graft.operators.Dedup
+        .cosineDedupAgainstIndex(spark, indexDir, pinned, idCol, vecCol, tau)
+        .persist()
+      try {
+        verdicts.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        val admitted = pinned
+          .select(col(idCol).as("id"), col(vecCol).as("v"))
+          .join(verdicts.filter(!col("is_dup")).select("id"),
+            Seq("id"), "left_semi")
+        if (!admitted.isEmpty)
+          graft.operators.Ann.appendToLshIndex(spark, indexDir, admitted, src)
+      } finally { verdicts.unpersist(); () }
+    } finally { pinned.unpersist(); () }
   }
 
   /** Streaming embedding-dedup ADMISSION — arriving vectors are

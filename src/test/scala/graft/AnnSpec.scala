@@ -144,6 +144,113 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("tuneLshTables: tables double, recall monotone, stop at first clear; superset property holds per step") {
+    val sweep = Ann.tuneLshTables(corpus, qs, k = 10, dim = dim,
+        planes = 4, targetRecall = 1.0, maxTables = 8)
+      .as[(Int, Double, Boolean)].collect().toSeq
+    assert(sweep.nonEmpty)
+    assert(sweep.map(_._1) == Seq(1, 2, 4, 8).take(sweep.length), s"$sweep")
+    // OR-construction: more tables only ADD candidates — recall monotone
+    assert(sweep.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)), s"recall not monotone: $sweep")
+    // stop-at-first-clear: only the last row may meet the target
+    assert(sweep.init.forall(!_._3), s"$sweep")
+    // the multi-table recall floor the docstring promises on this corpus
+    // (the lshTopK multi-table test's own bar)
+    assert(sweep.last._2 >= 0.8, s"final recall too low: $sweep")
+    // a trivially-met target yields the one-row sweep
+    assert(Ann.tuneLshTables(corpus, qs, k = 10, dim = dim, planes = 4,
+      targetRecall = 0.01, maxTables = 8).count() == 1)
+    // the monotonicity MECHANISM: each step's hit set contains the
+    // previous step's (candidate supersets, same ranking order)
+    val hits = Seq(1, 2, 4).map(t =>
+      Ann.lshTopK(corpus, qs, k = 10, dim = dim, planes = 4, tables = t)
+        .select("qid", "id").as[(Long, Long)].collect().toSet)
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    hits.sliding(2).foreach {
+      case Seq(a, b) => assert((a intersect exact).subsetOf(b intersect exact),
+        "a table step LOST a true neighbor the smaller net had")
+      case _ => ()
+    }
+    intercept[IllegalArgumentException] {
+      Ann.tuneLshTables(corpus, qs, k = 10, dim = dim, planes = 4,
+        targetRecall = 1.5)
+    }
+  }
+
+  test("advisorReport: decision arithmetic — recall floor, drift floor, NULL centroid_cos always retrains") {
+    def recallDf(r: Double) = Seq((1L, 10L, 10L, r)).toDF(
+      "qid", "exact_n", "n_hits", "recall")
+    def driftDf(cos: java.lang.Double) = Seq(
+        (5L, 7L, 0.01, cos)).toDF(
+      "n_old", "n_new", "norm_delta", "centroid_cos")
+    def decide(r: Double, cos: java.lang.Double, rf: Double, df: Double) =
+      Ann.advisorReport(recallDf(r), driftDf(cos), rf, df)
+        .select("should_retrain").as[Boolean].head()
+    assert(!decide(0.95, 0.999, rf = 0.9, df = 0.99)) // both healthy
+    assert(decide(0.85, 0.999, rf = 0.9, df = 0.99)) // recall under floor
+    assert(decide(0.95, 0.95, rf = 0.9, df = 0.99)) // drift under floor
+    assert(decide(0.95, null, rf = 0.9, df = 0.99),
+      "a NULL centroid_cos (embedding width changed) must retrain")
+    // the echoed floors and counts land in the report row
+    val row = Ann.advisorReport(recallDf(0.5), driftDf(0.9), 0.9, 0.99)
+      .select("recall_now", "recall_floor", "drift_floor", "n_stored",
+        "n_fresh")
+      .as[(Double, Double, Double, Long, Long)].head()
+    assert(row == ((0.5, 0.9, 0.99, 5L, 7L)), s"got $row")
+    intercept[IllegalArgumentException] {
+      Ann.advisorReport(recallDf(0.5), driftDf(0.9), 0.0, 0.5)
+    }
+  }
+
+  test("retrainAdvisor: quiet on a healthy index, fires on a drifted append, quiet again after retrainIvfIndex") {
+    def vec(i: Long, shift: Double) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val first = (1L to 150L).map(i => (i, vec(i, 0.0))).toDF("id", "v")
+    val drifted = (151L to 300L).map(i => (i, vec(i, 2.5))).toDF("id", "v")
+    val qsDrift = (151L to 155L).map(i => (i, vec(i, 2.5))).toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("advisor")
+      .toString + "/idx"
+    Ann.buildIvfIndex(first, dir, nlist = 8)
+    def advise(fresh: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame, nprobe: Int) =
+      Ann.retrainAdvisor(spark, dir, fresh, queries, k = 10,
+          recallFloor = 0.8, driftFloor = 0.95, nprobe = nprobe)
+        .select("recall_now", "centroid_cos", "should_retrain")
+        .as[(Double, Double, Boolean)].head()
+    // healthy: fresh vectors ARE the indexed distribution (centroid_cos
+    // exactly 1.0), full probe (recall exactly 1.0) — advisor quiet
+    val healthy = advise(first,
+      (1L to 5L).map(i => (i, vec(i, 0.0))).toDF("qid", "qv"), nprobe = 8)
+    assert(healthy == ((1.0, 1.0, false)),
+      s"advisor fired on a healthy index: $healthy")
+    // the drifted batch lands; fresh vectors now come from the SHIFTED
+    // distribution — the advisor must fire (centroid drift at least;
+    // recall at the production nprobe typically degrades too)
+    Ann.appendToIvfIndex(spark, dir, drifted)
+    val driftedReport = advise(drifted, qsDrift, nprobe = 2)
+    assert(driftedReport._3,
+      s"advisor silent on a drifted index: $driftedReport")
+    assert(driftedReport._2 < 0.95,
+      s"centroid_cos did not register the shift: $driftedReport")
+    // retrain repairs the codebook; the advisor is judged against the
+    // RETRAINED stored distribution (which now includes the drifted
+    // half), so fresh draws from it read as stationary again
+    Ann.retrainIvfIndex(spark, dir)
+    val after = advise(first.union(drifted), qsDrift, nprobe = 8)
+    assert(after == ((1.0, 1.0, false)),
+      s"advisor still firing after retrain: $after")
+    // the recall half alone can fire it: a drift floor of 0 silences
+    // the drift arm, so the decision is exactly recall_now < floor
+    val recallNow = Ann.retrainAdvisor(spark, dir,
+        first.union(drifted), qsDrift, k = 10, recallFloor = 1.0,
+        driftFloor = 0.0, nprobe = 1)
+      .select("recall_now", "should_retrain").as[(Double, Boolean)].head()
+    assert(recallNow._2 == (recallNow._1 < 1.0),
+      s"recall floor not applied: $recallNow")
+  }
+
   test("mineHardNegativesIndex: full probe + covering window equals brute-force mining") {
     val dir = java.nio.file.Files.createTempDirectory("mineivf").toString + "/idx"
     Ann.buildIvfIndex(corpus, dir, nlist = 4)

@@ -52,6 +52,137 @@ class DedupSpec extends SparkSpec {
     assert(rep._5 <= 1.0 && rep._5 > 0.0)
   }
 
+  test("tuneBands: ladder sweep monotone in recall, stops at first clear, refuses non-monotone ladders") {
+    val phrase = "the quick brown fox jumps over the lazy dog near the bank "
+    val docs = (1 to 12).map { i =>
+      val tail = if (i % 3 == 0) s"suffix $i distinct tail content here"
+                 else s"shared ending block"
+      (i.toLong, phrase * 3 + tail)
+    }.toDF("doc_id", "text")
+    val sweep = Dedup.tuneBands(docs, "doc_id", "text", w = 8,
+        numHashes = 12, ladder = Seq(2, 4, 6), tau = 0.5,
+        targetRecall = 1.0)
+      .as[(Int, Double, Boolean)].collect().toSeq
+    assert(sweep.nonEmpty)
+    assert(sweep.map(_._1) == Seq(2, 4, 6).take(sweep.length), s"$sweep")
+    // nested candidates (r >= 2r'−1 chain): recall monotone up the ladder
+    assert(sweep.map(_._2).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)), s"recall not monotone: $sweep")
+    // stop-at-first-clear: only the last row may meet the target
+    assert(sweep.init.forall(!_._3), s"$sweep")
+    // a trivially-met target yields the one-row sweep
+    assert(Dedup.tuneBands(docs, "doc_id", "text", w = 8, numHashes = 12,
+      ladder = Seq(2, 4, 6), tau = 0.5, targetRecall = 0.0001).count() == 1)
+    // the 2 -> 3 step is NOT candidate-nested (r=6 -> r'=4 fails
+    // r >= 2r'−1: a pair matching only hashes 4..7 has no bands=2 band)
+    // — refused up front instead of sweeping a meaningless curve
+    val err = intercept[IllegalArgumentException] {
+      Dedup.tuneBands(docs, "doc_id", "text", w = 8, numHashes = 12,
+        ladder = Seq(2, 3), tau = 0.5, targetRecall = 1.0)
+    }
+    assert(err.getMessage.contains("monotone"), err.getMessage)
+    // a step that does not divide numHashes is loud
+    intercept[IllegalArgumentException] {
+      Dedup.tuneBands(docs, "doc_id", "text", w = 8, numHashes = 12,
+        ladder = Seq(5), tau = 0.5, targetRecall = 1.0)
+    }
+    // zero ground truth is loud, not recall-NULL rows
+    val unique = (1 to 6).map(i =>
+      (i.toLong, s"completely unrelated content block number $i with " +
+        s"its own distinct words ${"xyz" * i}")).toDF("doc_id", "text")
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.tuneBands(unique, "doc_id", "text", w = 8, numHashes = 12,
+        ladder = Seq(2, 4, 6), tau = 0.9, targetRecall = 1.0)
+    }
+    assert(err2.getMessage.contains("ground truth"), err2.getMessage)
+  }
+
+  test("sighting-window exact dedup: a day-1 text re-seen later survives day 1's retirement — the contract retireExactSrc cannot express") {
+    val A = "alpha text seen on day one and again on day five"
+    val B = "beta text seen on day one only"
+    val C = "gamma text first seen on day five"
+    val D = "delta text only ever in the build corpus"
+    val d0 = Seq((1L, D)).toDF("doc_id", "text")
+    val d1 = Seq((11L, A), (12L, B)).toDF("doc_id", "text")
+    val d5 = Seq((51L, A), (52L, C)).toDF("doc_id", "text") // A re-seen
+    val probe = Seq((101L, A), (102L, B), (103L, C), (104L, D))
+      .toDF("doc_id", "text")
+    def verdicts(dir: String) =
+      Dedup.dedupExactAgainstIndex(spark, dir, probe, "doc_id", "text")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // ---- the admission-ledger contract: first-occurrence segments ----
+    val rootA = java.nio.file.Files.createTempDirectory("ledger").toString
+    Dedup.buildExactIndex(d0, "doc_id", "text", s"$rootA/idx")
+    Dedup.appendToExactIndex(spark, s"$rootA/idx", d1, "doc_id", "text", "d1")
+    Dedup.appendToExactIndex(spark, s"$rootA/idx", d5, "doc_id", "text", "d5")
+    Dedup.retireExactSrc(spark, s"$rootA/idx", "d1")
+    val ledger = verdicts(s"$rootA/idx")
+    // A's ONE admitted copy lived in d1 — retiring d1 forgets A even
+    // though day 5 re-saw it (the d5 append stored nothing for a replay)
+    assert(ledger(101L) == ((None, false)),
+      s"admission ledger must forget A with its segment: $ledger")
+    assert(ledger(103L) == ((Some(52L), true)))
+
+    // ---- the sighting-window contract: last-seen, touch-on-reject ----
+    val rootS = java.nio.file.Files.createTempDirectory("sighted").toString
+    val idx = s"$rootS/idx"
+    Dedup.buildExactIndexSighted(d0, "doc_id", "text", idx, day = "d0")
+    Dedup.appendToExactIndexSighted(spark, idx, d1, "doc_id", "text", "d1")
+    Dedup.appendToExactIndexSighted(spark, idx, d5, "doc_id", "text", "d5")
+    // the ledger records every sighting day, one row per distinct fp
+    assert(graft.operators.IndexFiles.listSrcs(spark, idx, "seen")
+      == Seq("d0", "d1", "d5"))
+    assert(spark.read.parquet(s"$idx/seen")
+      .filter(col("src") === "d5").count() == 2) // A (replay touch) + C
+    // keep only day 5's sightings
+    assert(Dedup.retireExactSeenWindow(spark, idx, keep = 1)
+      == Seq("d0", "d1"))
+    val sighted = verdicts(idx)
+    // A was RE-SEEN in the kept window: it survives under its ORIGINAL
+    // first id (11, the d1 admission), exactly what the ledger lost
+    assert(sighted(101L) == ((Some(11L), true)),
+      s"sighted window must remember the re-seen text: $sighted")
+    assert(sighted(103L) == ((Some(52L), true)))
+    // B and D were last seen in retired days: forgotten
+    assert(sighted(102L) == ((None, false)))
+    assert(sighted(104L) == ((None, false)))
+    // the seen ledger itself is windowed
+    assert(graft.operators.IndexFiles.listSrcs(spark, idx, "seen")
+      == Seq("d5"))
+    // idempotent steady state; keep >= 1 enforced; unsighted dirs loud
+    assert(Dedup.retireExactSeenWindow(spark, idx, keep = 1).isEmpty)
+    assert(verdicts(idx) == sighted)
+    intercept[IllegalArgumentException] {
+      Dedup.retireExactSeenWindow(spark, idx, keep = 0)
+    }
+    val err = intercept[IllegalArgumentException] {
+      Dedup.retireExactSeenWindow(spark, s"$rootA/idx", keep = 1)
+    }
+    assert(err.getMessage.contains("sightings ledger"), err.getMessage)
+    // an all-replay day still writes its sighting segment (the touch is
+    // the point), and that touch alone carries a text across a window
+    Dedup.appendToExactIndexSighted(spark, idx,
+      Seq((61L, A)).toDF("doc_id", "text"), "doc_id", "text", "d6")
+    Dedup.appendToExactIndexSighted(spark, idx,
+      Seq((71L, "epsilon fresh day seven text")).toDF("doc_id", "text"),
+      "doc_id", "text", "d7")
+    assert(Dedup.retireExactSeenWindow(spark, idx, keep = 2)
+      == Seq("d5"))
+    val touched = verdicts(idx)
+    assert(touched(101L) == ((Some(11L), true)),
+      s"a replay-only sighting day must keep the text alive: $touched")
+    assert(touched(103L) == ((None, false)), // C: last seen d5, aged out
+      s"got $touched")
+    // the horizon form: retiring before d7 leaves only d7's sightings
+    assert(Dedup.retireExactSeenBefore(spark, idx, "d7") == Seq("d6"))
+    assert(verdicts(idx)(101L) == ((None, false)))
+    assert(verdicts(idx) == Map(
+      101L -> ((None, false)), 102L -> ((None, false)),
+      103L -> ((None, false)), 104L -> ((None, false))))
+  }
+
   test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {
     // docs 1 and 2 share one exact 45-char phrase with DIFFERING boundary
     // chars (x|y vs q|z), so the islands cover exactly the phrase; doc 3

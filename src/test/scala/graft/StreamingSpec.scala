@@ -1556,4 +1556,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out")
       .filter(col("batch_id") === 9L).isEmpty)
   }
+
+  test("driftByStream: per-batch per-stratum rows equal embeddingDriftBy; a new source surfaces with NULL mean_old") {
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 4
+    def vec(i: Long) = Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17))
+    val ref = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", vec(i)))
+      .toDF("id", "src_tag", "v")
+    val dir = java.nio.file.Files.createTempDirectory("driftby").toString
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val q = graft.streaming.StreamCurate.driftByStream(ref,
+      mem.toDF().toDF("id", "src_tag", "v"), "v", "src_tag",
+      s"$dir/out", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: both known strata; batch 1 carries a BRAND-NEW source —
+    // drift incarnate, and exactly what the drill-down exists to name
+    val b0 = (41L to 50L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", vec(i)))
+    val b1 = (51L to 55L).map(i => (i, "newcrawl", vec(i * 7)))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("stratum", "dim", "mean_old", "mean_new", "delta")
+      .collect().map(_.toString).sorted.toSeq
+    val out = spark.read.parquet(s"$dir/out")
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      assert(rows(out.filter(col("batch_id") === id)) ==
+        rows(Stats.embeddingDriftBy(ref,
+          slice.toDF("id", "src_tag", "v"), "v", "src_tag")),
+        s"batch $id diverged from the batch operator")
+    }
+    // batch 0 drills down per known stratum...
+    assert(out.filter(col("batch_id") === 0L)
+      .select("stratum").distinct().as[String].collect().toSet
+      == Set("web", "books"))
+    // ...and the unseen source reports against a NULL old side instead
+    // of vanishing (plus the reference strata with NULL new side)
+    val newSrc = out.filter(col("batch_id") === 1L &&
+      col("stratum") === "newcrawl")
+    assert(newSrc.count() == dim &&
+      newSrc.filter(col("mean_old").isNotNull).isEmpty,
+      "a brand-new stratum must report with NULL mean_old")
+    // replay overwrites to identical rows; empty trigger writes nothing
+    graft.streaming.StreamCurate.applyDriftByBatch(ref,
+      b0.toDF("id", "src_tag", "v"), "v", "src_tag", 0L, s"$dir/out")
+    assert(rows(spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id") === 0L)) ==
+      rows(Stats.embeddingDriftBy(ref, b0.toDF("id", "src_tag", "v"),
+        "v", "src_tag")))
+    graft.streaming.StreamCurate.applyDriftByBatch(ref,
+      Seq.empty[(Long, String, Seq[Double])].toDF("id", "src_tag", "v"),
+      "v", "src_tag", 9L, s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out")
+      .filter(col("batch_id") === 9L).isEmpty)
+  }
 }
