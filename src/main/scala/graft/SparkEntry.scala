@@ -512,30 +512,30 @@ object SparkEntry {
   }
 
   // The sighting-window retire, oracle-checked end to end: build the
-  // sighted history on the first quarter (day d0), append the second
-  // quarter PLUS verbatim re-sightings of every %8==0 build doc as day
-  // d1, append the third quarter as d2, retire sightings older than the
+  // sighted history on the first eighth (day d0), append the second
+  // eighth PLUS verbatim re-sightings of every %16==0 build doc as day
+  // d1, append the third eighth as d2, retire sightings older than the
   // newest two days — d0 ages out, but the re-seen %8==0 texts survive
   // under their ORIGINAL first ids (the touch-on-reject contract the
   // admission ledger q_exact_retire structurally cannot express).
   private def qExactSeenRetire(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = buildOnce(s"/tmp/graft_exact_seen_${dirKey(dir)}") { d =>
-      Dedup.buildExactIndexSighted(docs.filter(col("doc_id") % 4 === 0),
+      Dedup.buildExactIndexSighted(docs.filter(col("doc_id") % 8 === 0),
         "doc_id", "text", d, day = "d0")
       Dedup.appendToExactIndexSighted(s, d,
-        docs.filter(col("doc_id") % 4 === 1)
+        docs.filter(col("doc_id") % 8 === 1)
           .select(col("doc_id"), col("text"))
-          .unionByName(docs.filter(col("doc_id") % 8 === 0)
+          .unionByName(docs.filter(col("doc_id") % 16 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
         "doc_id", "text", "d1")
       Dedup.appendToExactIndexSighted(s, d,
-        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", "d2")
+        docs.filter(col("doc_id") % 8 === 2), "doc_id", "text", "d2")
       Dedup.retireExactSeenWindow(s, d, keep = 2)
       ()
     }
     Dedup.dedupExactAgainstIndex(s, idx,
-      docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)
+      docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 1)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
       "doc_id", "text")
   }
@@ -817,6 +817,22 @@ object SparkEntry {
         tau = 0.5, targetRecall = 0.95, maxDf = Some(100))
       .select(col("bands").cast("long").as("bands"), col("recall"),
         col("meets_target"))
+
+  /** The simhash-threshold tuning sweep over the same even half-corpus:
+    * maxHam 1 → 2 → 3 vs (precision, recall) against the exact
+    * same-space Jaccard ground truth, stopping at the first step whose
+    * recall clears 0.55 (stops at maxHam=2 at sf0.1, runs the full
+    * ladder at sf0.01 — both stop behaviors oracle-checked). Hash-exact:
+    * the simhash arithmetic is the q_dedup_simhash CTE, the ground
+    * truth the q_dedup_tune_bands exact side, the stop a window
+    * filter. Precision falls as recall rises — the unverified-finder
+    * trade the report exists to show. */
+  private def qDedupTuneHam(s: SparkSession, dir: String): DataFrame =
+    Dedup.tuneMaxHam(t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", w = 8, ladder = Seq(1, 2, 3), tau = 0.5,
+        targetRecall = 0.55, maxDf = Some(100))
+      .select(col("max_ham").cast("long").as("max_ham"), col("precision"),
+        col("recall"), col("meets_target"))
 
   // The persisted minhash history lifecycle: doc_id ≡ 1 (mod 4) docs
   // are the stored crawl history, ≡ 2 (mod 4) the arriving batch —
@@ -2598,6 +2614,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_tune_bands" -> (qDedupTuneBands _),
+    "q_dedup_tune_ham" -> (qDedupTuneHam _),
     "q_dedup_minhash_index" -> (qDedupMinhashIndex _),
     "q_dedup_minhash_retire" -> (qDedupMinhashRetire _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -3420,23 +3437,23 @@ object SparkEntry {
          |        CAST(0 AS BIGINT), NULL)""".stripMargin,
 
     // the sighting-window retire: live fps = texts SEEN in the kept
-    // days (d1, d2) — d0-first texts survive iff re-seen (the %8
+    // days (d1, d2) — d0-first texts survive iff re-seen (the %16
     // replays), under their ORIGINAL d0 first ids; d0-only texts are
     // forgotten. The d1/d2 branches rely on the corpus's no-cross-slice
     // exact-dup property (the q_exact_retire assumption).
     "q_exact_seen_retire" ->
       s"""WITH n AS ($normDoc),
          |h AS (SELECT md5(t) AS fp, min(doc_id) AS first_id FROM n
-         |      WHERE doc_id % 4 = 0 GROUP BY 1),
-         |seen1 AS (SELECT DISTINCT md5(t) AS fp FROM n WHERE doc_id % 8 = 0),
+         |      WHERE doc_id % 8 = 0 GROUP BY 1),
+         |seen1 AS (SELECT DISTINCT md5(t) AS fp FROM n WHERE doc_id % 16 = 0),
          |live AS (
          |  SELECT fp, first_id FROM h WHERE fp IN (SELECT fp FROM seen1)
          |  UNION ALL
-         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 4 = 1 GROUP BY 1
+         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 8 = 1 GROUP BY 1
          |  UNION ALL
-         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 4 = 2 GROUP BY 1),
+         |  SELECT md5(t), min(doc_id) FROM n WHERE doc_id % 8 = 2 GROUP BY 1),
          |b AS (SELECT doc_id + 2000000 AS id, t FROM n
-         |      WHERE doc_id % 4 IN (0, 1))
+         |      WHERE doc_id % 8 IN (0, 1))
          |SELECT b.id, live.first_id, live.first_id IS NOT NULL AS is_dup
          |FROM b LEFT JOIN live ON md5(b.t) = live.fp""".stripMargin,
 
@@ -3601,6 +3618,50 @@ object SparkEntry {
          |SELECT CAST(bands AS BIGINT) AS bands, recall, recall >= 0.95 AS meets_target
          |FROM rec WHERE bands <= coalesce(
          |  (SELECT min(bands) FROM rec WHERE recall >= 0.95), 6)""".stripMargin,
+
+    // the simhash-threshold sweep: one all-pairs hamming CTE over the
+    // even half (the q_dedup_simhash arithmetic, sliced), per-step
+    // found sets by threshold filter, precision+recall vs the
+    // q_dedup_tune_bands exact side, early stop as a window filter
+    "q_dedup_tune_ham" ->
+      s"""WITH shc0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, substr(t, i, 8) AS sh
+         |        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i
+         |              FROM ($normDoc WHERE doc_id % 2 = 0)))),
+         |shc AS (SELECT s.doc_id, s.h FROM shc0 s
+         |  JOIN (SELECT h FROM shc0 GROUP BY h HAVING count(*) <= 100) k ON s.h = k.h),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+         |interall AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT ia.id_a, ia.id_b FROM interall ia
+         |  JOIN sz sa ON sa.doc_id = ia.id_a JOIN sz sb ON sb.doc_id = ia.id_b
+         |  WHERE round(CAST(ia.i AS DOUBLE) / (sa.sz + sb.sz - ia.i), 4) >= 0.5),
+         |ne AS (SELECT count(*) AS n FROM exact),
+         |tok AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '[A-Za-z0-9]+')) AS tok
+         |  FROM ($normDoc WHERE doc_id % 2 = 0)) GROUP BY doc_id, tok),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5('7#' || tok), 1, 15))::BIGINT AS h, tf FROM tok),
+         |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS sgn
+         |  FROM hh, (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |allp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS ham
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id),
+         |steps AS (SELECT unnest([1, 2, 3]) AS mh),
+         |f AS (SELECT st.mh, id_a, id_b FROM allp, steps st WHERE allp.ham <= st.mh),
+         |stats AS (SELECT st.mh,
+         |  (SELECT count(*) FROM f WHERE f.mh = st.mh) AS found,
+         |  (SELECT count(*) FROM f JOIN exact e ON f.id_a = e.id_a AND f.id_b = e.id_b WHERE f.mh = st.mh) AS hit
+         |  FROM steps st),
+         |rec AS (SELECT mh,
+         |  CASE WHEN found > 0 THEN round(CAST(hit AS DOUBLE) / found, 4) END AS precision,
+         |  round(CAST(hit AS DOUBLE) / ne.n, 4) AS recall
+         |  FROM stats, ne)
+         |SELECT CAST(mh AS BIGINT) AS max_ham, precision, recall,
+         |  recall >= 0.55 AS meets_target
+         |FROM rec WHERE mh <= coalesce(
+         |  (SELECT min(mh) FROM rec WHERE recall >= 0.55), 3)""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf

@@ -2688,7 +2688,8 @@ object Ann {
   def retrainAdvisor(spark: org.apache.spark.sql.SparkSession,
       dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
       recallFloor: Double, driftFloor: Double, nprobe: Int = 4,
-      metric: String = "cosine", vecCol: String = "v"): DataFrame = {
+      metric: String = "cosine", vecCol: String = "v",
+      reference: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(!queries.isEmpty,
       "cannot advise on zero queries — recall is undefined")
@@ -2699,10 +2700,14 @@ object Ann {
         "recording) — run retrainIvfIndex once to record the fitted " +
         "distribution")
     val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
-    val exact = searchIvfIndex(spark, dir, queries, k, nprobe = nlist,
-      metric)
+    // `reference` lets a scheduled driver advising the same index
+    // against a stable query set pay the full probe once per retrain
+    // generation, not once per cron tick — any (qid, id, rank) frame
+    // the caller trusts as exact over the indexed corpus qualifies
+    val exact = reference.getOrElse(
+      searchIvfIndex(spark, dir, queries, k, nprobe = nlist, metric))
     val approx =
-      if (nprobe >= nlist) exact
+      if (nprobe >= nlist && reference.isEmpty) exact
       else searchIvfIndex(spark, dir, queries, k, nprobe, metric)
     // assemble the drift one-row frame in embeddingDriftSummary's shape
     // from the recorded training stats (old side, literals) and ONE

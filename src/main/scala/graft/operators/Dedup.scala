@@ -1174,9 +1174,13 @@ object Dedup {
     * bands=2 one — is refused up front rather than sweeping a
     * non-monotone curve whose stop point means nothing.
     *
-    * Cost: the exact pair set once (persisted as bare pairs), one
-    * [[minhashLsh]] per emitted step — each step's internal caches are
-    * released before the next. */
+    * Cost: the exact pair set once (persisted as bare pairs), the
+    * shingle sets and the numHashes minhash table ONCE (pinned across
+    * the sweep — every step bands the SAME signatures; re-running the
+    * whole minhashLsh per step would re-shingle and re-min the corpus
+    * per ladder rung), then per emitted step only the banding, the
+    * candidate self-join, and the exact verify — each step's verify
+    * caches released before the next. */
   def tuneBands(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, numHashes: Int = 12, ladder: Seq[Int] = Seq(2, 4, 6),
       tau: Double = 0.5, targetRecall: Double = 0.95,
@@ -1205,16 +1209,24 @@ object Dedup {
     require(nExact > 0,
       "cannot tune banding against an empty ground truth — no pair of " +
         s"docs reaches jaccard >= $tau")
+    val sh = shingleHashSet(df, idCol, textCol, w, maxDf).persist()
+    val mh = minhashes(sh, numHashes).persist()
+    mh.count()
     val rows =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
     var done = false
     ladder.foreach { b =>
       if (!done) {
-        val found = minhashLsh(df, idCol, textCol, w, numHashes, bands = b,
-          tau, maxDf)
+        val sig = bandSignatures(mh, b, numHashes / b)
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val (found, pins) = verifyJaccard(cand, sh, "h", tau)
         val hit = found.select(col("id_a"), col("id_b")).distinct()
           .join(e, Seq("id_a", "id_b"), "left_semi").count()
-        CacheLifecycle.release(found)
+        pins.foreach(_.unpersist())
         val rec = BigDecimal(hit.toDouble / nExact)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         val meets = rec >= targetRecall
@@ -1222,8 +1234,72 @@ object Dedup {
         done = meets
       }
     }
-    e.unpersist()
+    sh.unpersist(); mh.unpersist(); e.unpersist()
     rows.toSeq.toDF("bands", "recall", "meets_target")
+  }
+
+  /** The third tuning sweep of the dedup family ([[tuneBands]] and
+    * [[graft.operators.Ann.tuneLshTables]]'s sibling on the simhash
+    * knob): walk a `maxHam` ladder and score each step's pair set
+    * against the exact n-gram-Jaccard ground truth, reporting BOTH
+    * precision and recall per step — unlike minhashLsh, simhash pairs
+    * are unverified, so the precision column is the other half of the
+    * decision (recall rises with maxHam while precision falls; the
+    * sweep shows the trade, the target picks the recall bar). Stops at
+    * the first step whose RECALL clears the target (row included).
+    * Monotone trivially: hamming <= h sets nest. ONE simhash pass at
+    * ladder.max (the pigeonhole band join is exact at every smaller
+    * threshold), filtered per step — the sweep never re-hashes.
+    * Precision is NULL at a step that found nothing (undefined, the
+    * [[pairRecall]] convention). Returns (max_ham, precision, recall,
+    * meets_target). */
+  def tuneMaxHam(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, ladder: Seq[Int] = Seq(1, 2, 3), tau: Double = 0.5,
+      targetRecall: Double = 0.95, maxDf: Option[Int] = None): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]: $targetRecall")
+    require(ladder.nonEmpty && ladder == ladder.sorted &&
+      ladder.distinct == ladder && ladder.head >= 0,
+      s"ladder must be strictly ascending non-negative hamming bounds: " +
+        s"$ladder")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)
+    val e = exactPairs.select(col("id_a"), col("id_b")).distinct().persist()
+    val nExact = e.count()
+    CacheLifecycle.release(exactPairs)
+    require(nExact > 0,
+      "cannot tune maxHam against an empty ground truth — no pair of " +
+        s"docs reaches jaccard >= $tau")
+    // release keyed on the OPERATOR's returned frame (handOff registers
+    // pins there, not on derived selects), after the projection is
+    // materialized
+    val rawPairs = simhashPairs(df, idCol, textCol, maxHam = ladder.max)
+    val pairs = rawPairs
+      .select(col("id_a"), col("id_b"), col("hamming")).persist()
+    pairs.count()
+    CacheLifecycle.release(rawPairs)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Option[Double], Double, Boolean)]
+    var done = false
+    ladder.foreach { h =>
+      if (!done) {
+        val f = pairs.filter(col("hamming") <= h)
+          .select(col("id_a"), col("id_b")).distinct().persist()
+        val found = f.count()
+        val hit = f.join(e, Seq("id_a", "id_b"), "left_semi").count()
+        f.unpersist()
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rec = r4(hit.toDouble / nExact)
+        val prec = if (found == 0L) None else Some(r4(hit.toDouble / found))
+        val meets = rec >= targetRecall
+        rows += ((h, prec, rec, meets))
+        done = meets
+      }
+    }
+    pairs.unpersist(); e.unpersist()
+    rows.toSeq.toDF("max_ham", "precision", "recall", "meets_target")
   }
 
   /** 60-bit SimHash per document: bit b is the sign of Σ_tokens tf ·
@@ -2547,28 +2623,36 @@ object Dedup {
   }
 
   /** Retire sighting days older than the newest `keep` — the "seen in
-    * the last N days" rolling window: doomed `seen` day-partitions drop
-    * in O(segment), then the fp store REWRITES to the fps with at least
-    * one surviving sighting (one shuffle over 16-byte fps — the cost
-    * the scaladoc previously priced as rebuild-from-windowed-CORPUS,
-    * paid here without re-reading or re-fingerprinting a byte of
-    * text), tombstones of departed pairs prune, and the bloom rebuilds
-    * unsaturated from the survivors. A text seen in BOTH a doomed and a
-    * kept day survives under its ORIGINAL keep_id (its stored row is
-    * untouched — "remembered because re-seen"). Unlike the
-    * append-segment windows, the build day itself ages out (`keep`
-    * counts sighting DAYS, so keep >= 1 always leaves a survivor set
-    * from the newest day). NOT registered in
-    * [[graft.operators.Maintenance.families]]: that driver's contract
-    * retires appended segments only and never the build's, which is
-    * exactly the semantics this family exists to replace — a nightly
-    * calls this directly. Crash-safe by re-run: fps rewrite and bloom
-    * rebuild commit BEFORE the doomed seen partitions drop, so a crash
-    * anywhere re-runs to the same end state (the doomed set is
-    * re-derived from the still-present partitions). Returns the retired
-    * day tags, oldest first. */
+    * the last N days" rolling window, in DELTA form: the fps whose
+    * LAST sighting aged out (= distinct fps of the doomed days minus
+    * the kept days') are resolved to their live (fp, keep_id) pairs
+    * and TOMBSTONED — takedown-sized on a steady crawl, never an
+    * O(index) rewrite — then the doomed `seen` day-partitions drop in
+    * O(segment). The family's one delete model does the rest: probes
+    * and appends treat the pairs as absent immediately, the
+    * ratio-triggered [[compactExactIndex]] (via Maintenance's "exact"
+    * compactor) purges the rows physically when enough have
+    * accumulated, and [[rebuildExactSidecar]] unsaturates the bloom on
+    * the same schedule — exactly the cost amortization every sibling
+    * family uses. A text seen in BOTH a doomed and a kept day survives
+    * untouched under its ORIGINAL keep_id ("remembered because
+    * re-seen"); a forgotten text re-seen later re-admits under a fresh
+    * id (the tombstone is pair-keyed). Unlike the append-segment
+    * windows, the build day itself ages out (`keep` counts sighting
+    * DAYS, so keep >= 1 always leaves the newest day's survivors). NOT
+    * registered in [[graft.operators.Maintenance.families]]: that
+    * driver's contract retires appended segments only and never the
+    * build's, which is exactly the semantics this family exists to
+    * replace — a nightly calls this directly. Crash-safe by re-run:
+    * tombstones commit BEFORE the seen drop, and a re-run re-resolves
+    * the delta against LIVE rows (already-tombstoned pairs resolve to
+    * nothing — no duplicates, no double-kill). Sizing note: this path
+    * makes the tombstone table DAY-sized rather than takedown-sized —
+    * the probe and append paths broadcast it for their anti-joins, so
+    * schedule the "exact" compactor's ratio accordingly. Returns the
+    * retired day tags, oldest first. */
   def retireExactSeenWindow(spark: org.apache.spark.sql.SparkSession,
-      dir: String, keep: Int, fpp: Double = 0.01): Seq[String] = {
+      dir: String, keep: Int): Seq[String] = {
     require(keep >= 1,
       s"keep must be >= 1: retiring every sighting day would empty the " +
         s"history (got $keep)")
@@ -2578,32 +2662,33 @@ object Dedup {
     val doomed = days.dropRight(keep)
     if (doomed.nonEmpty) {
       val kept = days.takeRight(keep)
-      val keptFps = spark.read.parquet(s"$dir/seen")
-        .filter(col("src").isin(kept: _*)).select("fp").distinct()
-      val survivors = spark.read.parquet(s"$dir/fps")
-        .join(keptFps, Seq("fp"), "left_semi")
-      // atomic refusal BEFORE anything mutates — an empty survivor set
-      // means no kept day re-saw anything, and an empty fps table
-      // bricks every later reader (the compactExactIndex guard)
-      require(!survivors.isEmpty,
-        s"retiring ${doomed.mkString(", ")} would empty $dir/fps (no " +
-          "fingerprint was re-seen in the kept window) — drop and " +
+      val seen = spark.read.parquet(s"$dir/seen")
+      val doomedFps = seen.filter(col("src").isin(doomed: _*))
+        .select("fp").distinct()
+        .join(seen.filter(col("src").isin(kept: _*)).select("fp").distinct(),
+          Seq("fp"), "left_anti")
+      // resolved against LIVE rows (the deleteFromExactIndex shape):
+      // pair-keyed, so an already-tombstoned fp contributes nothing
+      val dead = liveExactFps(spark, dir)
+        .join(doomedFps, Seq("fp"), "left_semi")
+        .select("fp", "keep_id").persist()
+      // atomic refusal BEFORE anything mutates — a window no kept day
+      // re-saw anything of would tombstone every live fp, and the
+      // compaction that follows would brick on the empty rewrite
+      val wouldSurvive = liveExactFps(spark, dir)
+        .join(dead, Seq("fp", "keep_id"), "left_anti")
+      require(!wouldSurvive.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would forget every live " +
+          s"fingerprint (no kept day re-saw anything) — drop and " +
           "rebuild the index instead")
-      // fps first, seen last: a crash between them leaves a smaller fp
-      // store with extra sighting days — harmless, and the re-run
-      // re-derives the same doomed set and finishes the drop
-      IndexFiles.replaceTable(spark, dir, "fps", survivors,
-        Seq("src", "pfx"))
-      exactTombstones(spark, dir).foreach { dead =>
-        IndexFiles.replaceTable(spark, dir, "deleted_fps",
-          dead.join(spark.read.parquet(s"$dir/fps")
-              .select("fp", "keep_id"),
-            Seq("fp", "keep_id"), "left_semi"),
-          Seq.empty)
-      }
-      rebuildExactSidecar(spark, dir, fpp)
+      if (!dead.isEmpty)
+        dead.write.mode("append").parquet(s"$dir/deleted_fps")
+      dead.unpersist()
+      // tombstones first, ledger drop last: a crash between them
+      // re-runs to the same end state (the delta re-resolves empty)
       IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
         strict = true)
+      IndexFiles.refresh(spark, dir)
       ()
     }
     doomed
@@ -2617,12 +2702,12 @@ object Dedup {
     * the last week regardless of how many zero-yield days wrote no
     * segment. */
   def retireExactSeenBefore(spark: org.apache.spark.sql.SparkSession,
-      dir: String, day: String, fpp: Double = 0.01): Seq[String] = {
+      dir: String, day: String): Seq[String] = {
     requireSighted(spark, dir)
     IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
     val days = IndexFiles.listSrcs(spark, dir, "seen")
     val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
-    retireExactSeenWindow(spark, dir, keep = days.size - doomedN, fpp)
+    retireExactSeenWindow(spark, dir, keep = days.size - doomedN)
   }
 
   /** Retire one appended segment from the exact-dedup history — the

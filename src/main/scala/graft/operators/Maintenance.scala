@@ -231,10 +231,13 @@ object Maintenance {
       val frac: Option[Double] = live.map(l =>
         BigDecimal(fractionOf(tomb, l))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      val files = walkFiles(fsOf(spark, dir), new Path(dir))
+      // files/bytes through the FS's own summary — ONE namenode call on
+      // HDFS (getContentSummary is server-side there), not a recursive
+      // client walk per dashboard tick over millions of segment files
+      val summary = fsOf(spark, dir).getContentSummary(new Path(dir))
       (dir, family, live, srcs.size.toLong, oldest,
-        newest, tomb, frac, files.size.toLong,
-        files.map(_._2).sum)
+        newest, tomb, frac, summary.getFileCount,
+        summary.getLength)
     }.toDF("dir", "family", "live", "segments", "oldest", "newest",
       "tombstones", "fraction", "files", "bytes")
   }
@@ -244,6 +247,7 @@ object Maintenance {
   private val ManifestName = "_snapshot_manifest"
   private val RestoreTmp = "__restore_tmp"
   private val SnapTmp = "__snap_tmp"
+  private val SnapOld = "__snap_old"
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -260,7 +264,8 @@ object Maintenance {
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
-        if (!name.endsWith(RestoreTmp) && !name.endsWith(SnapTmp))
+        if (!name.endsWith(RestoreTmp) && !name.endsWith(SnapTmp) &&
+            !name.endsWith(SnapOld))
           walk(st.getPath)
       } else if (name != ManifestName && name != s"${ManifestName}_tmp") {
         val full = fs.makeQualified(st.getPath).toString
@@ -378,12 +383,12 @@ object Maintenance {
     * own path.
     *
     * Crash-safe by staging: bytes AND manifest land in a
-    * `<snapDir>__snap_tmp` scratch sibling first, then the old backup
-    * (if any) is deleted and the scratch renames into place — so an
-    * existing COMPLETE backup survives every crash window of the copy
-    * itself, and in the one window between delete and rename the
-    * complete replacement (manifest included) exists in the scratch;
-    * re-running the snapshot finishes the job. */
+    * `<snapDir>__snap_tmp` scratch sibling first; the swap then moves
+    * the old backup ASIDE (`__snap_old`), renames the staging in, and
+    * deletes the aside LAST — at every instant a complete snapshot
+    * (manifest included) exists at the final path or the aside path,
+    * and a crash anywhere heals by re-running (stale scratch and aside
+    * are discarded at entry). */
   def snapshotIndex(spark: SparkSession, dir: String, snapDir: String,
       overwrite: Boolean = false): Unit = {
     // each side through its own FS: index on HDFS, backup on an object
@@ -401,17 +406,27 @@ object Maintenance {
     }
     val snapNorm = snapFs.makeQualified(snap)
     val tmp = new Path(snapNorm.getParent, snapNorm.getName + SnapTmp)
+    val old = new Path(snapNorm.getParent, snapNorm.getName + SnapOld)
     if (snapFs.exists(tmp))
       require(snapFs.delete(tmp, true), s"discard stale staging $tmp failed")
+    if (snapFs.exists(old))
+      require(snapFs.delete(old, true), s"discard stale aside $old failed")
     val files = walkFiles(fs, new Path(dir))
     snapFs.mkdirs(tmp)
     copyTree(spark, dir, tmp.toString, files)
     writeManifest(snapFs, tmp.toString, files)
     // the staged snapshot is complete (manifest written LAST, above) —
-    // only now does the previous backup leave
-    if (snapFs.exists(snap))
-      require(snapFs.delete(snap, true), s"delete old snapshot $snap failed")
-    require(snapFs.rename(tmp, snap), s"rename $tmp -> $snap failed")
+    // swap with the old backup deleted LAST: the previous backup moves
+    // ASIDE first, so at every instant of the swap a complete snapshot
+    // exists either at the final path or at the aside path, and a
+    // crash anywhere heals by re-running (stale aside/staging
+    // discarded above)
+    if (snapFs.exists(snap)) {
+      require(snapFs.rename(snap, old), s"rename $snap -> $old failed")
+      require(snapFs.rename(tmp, snap), s"rename $tmp -> $snap failed")
+      require(snapFs.delete(old, true), s"delete old snapshot $old failed")
+    } else
+      require(snapFs.rename(tmp, snap), s"rename $tmp -> $snap failed")
   }
 
   /** The whole-store form of [[snapshotIndex]] — the call a scheduled
@@ -499,8 +514,20 @@ object Maintenance {
   def restoreStore(spark: SparkSession,
       specs: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val incomplete = specs.map(_._2).filter(sd =>
-      parseManifest(fsOf(spark, sd), sd).isEmpty)
+    // validation is the FULL per-member check restoreIndex would make
+    // (manifest parseable AND matching the files on disk), not just
+    // manifest presence — a member that would fail DEEP in the loop
+    // would leave the store half-restored, the exact outcome the
+    // up-front pass exists to prevent
+    val incomplete = specs.map(_._2).filter { sd =>
+      val snapFs = fsOf(spark, sd)
+      parseManifest(snapFs, sd) match {
+        case None => true
+        case Some((n, bytes)) =>
+          val files = walkFiles(snapFs, new Path(sd))
+          files.size != n || files.map(_._2).sum != bytes
+      }
+    }
     require(incomplete.isEmpty,
       s"no complete snapshot at ${incomplete.mkString(", ")} — refusing " +
         "to restore a store from incomplete backups (fix the spec list " +

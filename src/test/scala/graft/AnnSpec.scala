@@ -249,6 +249,15 @@ class AnnSpec extends SparkSpec {
       .select("recall_now", "should_retrain").as[(Double, Boolean)].head()
     assert(recallNow._2 == (recallNow._1 < 1.0),
       s"recall floor not applied: $recallNow")
+    // a precomputed exact reference (the cron-amortization path) gives
+    // the identical report
+    val ref = Ann.searchIvfIndex(spark, dir, qsDrift, k = 10, nprobe = 8)
+    val viaRef = Ann.retrainAdvisor(spark, dir, first.union(drifted),
+        qsDrift, k = 10, recallFloor = 1.0, driftFloor = 0.0, nprobe = 1,
+        reference = Some(ref))
+      .select("recall_now", "should_retrain").as[(Double, Boolean)].head()
+    assert(viaRef == recallNow,
+      s"reference-frame advisor diverged: $viaRef vs $recallNow")
   }
 
   test("mineHardNegativesIndex: full probe + covering window equals brute-force mining") {

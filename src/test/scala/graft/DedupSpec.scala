@@ -97,6 +97,46 @@ class DedupSpec extends SparkSpec {
     assert(err2.getMessage.contains("ground truth"), err2.getMessage)
   }
 
+  test("tuneMaxHam: nested thresholds sweep — recall monotone, precision reported per step, stop at first clear; guards loud") {
+    val phrase = "the quick brown fox jumps over the lazy dog near the bank "
+    val docs = (1 to 12).map { i =>
+      val tail = if (i % 3 == 0) s"suffix $i distinct tail content here"
+                 else s"shared ending block"
+      (i.toLong, phrase * 3 + tail)
+    }.toDF("doc_id", "text")
+    val sweep = Dedup.tuneMaxHam(docs, "doc_id", "text", w = 8,
+        ladder = Seq(0, 1, 2, 3), tau = 0.5, targetRecall = 1.0)
+      .as[(Int, Option[Double], Double, Boolean)].collect().toSeq
+    assert(sweep.nonEmpty)
+    assert(sweep.map(_._1) == Seq(0, 1, 2, 3).take(sweep.length), s"$sweep")
+    // hamming <= h sets nest: recall monotone up the ladder
+    assert(sweep.map(_._3).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)), s"recall not monotone: $sweep")
+    // stop-at-first-clear: only the last row may meet the target
+    assert(sweep.init.forall(!_._4), s"$sweep")
+    // the threshold-filter mechanism: each emitted step's recall equals
+    // pairRecall of the thresholded pair set against the same truth
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", w = 8, tau = 0.5)
+    val all = Dedup.simhashPairs(docs, "doc_id", "text", maxHam = 3)
+    sweep.foreach { case (h, prec, rec, _) =>
+      val rep = Dedup.pairRecall(truth, all.filter(col("hamming") <= h))
+        .as[(Long, Long, Long, Option[Double], Double)].collect().head
+      assert(rep._5 == rec && rep._4 == prec,
+        s"step $h diverged from pairRecall: got ($prec, $rec) vs $rep")
+    }
+    // guards: descending ladders and empty ground truth are loud
+    intercept[IllegalArgumentException] {
+      Dedup.tuneMaxHam(docs, "doc_id", "text", ladder = Seq(3, 1))
+    }
+    val unique = (1 to 6).map(i =>
+      (i.toLong, s"completely unrelated content block number $i with " +
+        s"its own distinct words ${"xyz" * i}")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.tuneMaxHam(unique, "doc_id", "text", tau = 0.9)
+    }
+    assert(err.getMessage.contains("ground truth"), err.getMessage)
+  }
+
   test("sighting-window exact dedup: a day-1 text re-seen later survives day 1's retirement — the contract retireExactSrc cannot express") {
     val A = "alpha text seen on day one and again on day five"
     val B = "beta text seen on day one only"
@@ -178,9 +218,18 @@ class DedupSpec extends SparkSpec {
     // the horizon form: retiring before d7 leaves only d7's sightings
     assert(Dedup.retireExactSeenBefore(spark, idx, "d7") == Seq("d6"))
     assert(verdicts(idx)(101L) == ((None, false)))
-    assert(verdicts(idx) == Map(
+    val allNovel = Map[Long, (Option[Long], Boolean)](
       101L -> ((None, false)), 102L -> ((None, false)),
-      103L -> ((None, false)), 104L -> ((None, false))))
+      103L -> ((None, false)), 104L -> ((None, false)))
+    assert(verdicts(idx) == allNovel)
+    // the retire is takedown-shaped: forgotten fps are TOMBSTONED
+    // (day-sized delta, no O(index) rewrite), and the family's one
+    // compaction path purges them physically — verdicts bit-equal
+    assert(Dedup.exactTombstones(spark, idx).isDefined,
+      "delta retire must leave tombstones, not rewrite fps in place")
+    Dedup.compactExactIndex(spark, idx)
+    assert(Dedup.exactTombstones(spark, idx).isEmpty)
+    assert(verdicts(idx) == allNovel)
   }
 
   test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {

@@ -516,6 +516,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(probe() == probeBefore)
     assert(Aliases.resolveAlias(spark, s"$root/registry", "prod")
       == s"$root/blue")
+    // the up-front validation is the DEEP check: a member whose files
+    // disagree with its manifest (tampering, partial deletion) refuses
+    // BEFORE any other member restores — not a mid-loop crash that
+    // leaves the store half-restored
+    Aliases.alterAlias(spark, s"$root/registry", "prod", s"$root/green")
+    val fs2 = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(
+      s"$root/bak/exact/_snapshot_manifest")
+    val out = fs2.create(mf, true)
+    out.write("1 1\n".getBytes("UTF-8")); out.close()
+    val err2 = intercept[IllegalArgumentException] {
+      Maintenance.restoreStore(spark, specs)
+    }
+    assert(err2.getMessage.contains("incomplete"), err2.getMessage)
+    assert(Aliases.resolveAlias(spark, s"$root/registry", "prod")
+      == s"$root/green",
+      "a mismatched member must refuse before ANY member restores")
   }
 
   test("storeReport pins 'base' oldest under streaming b<batchId> tags (which sort after it naturally)") {
