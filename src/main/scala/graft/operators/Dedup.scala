@@ -2512,6 +2512,19 @@ object Dedup {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
     IndexFiles.healAppend(spark, dir, exactHealTables(spark, dir))
+    // the mirror of requireSighted: an unsighted append into a SIGHTED
+    // index would store fps with a src tag but no `seen` row — no
+    // sighting day ever contains them, so retireExactSeenWindow could
+    // never retire them (immortal entries that silently break the
+    // "seen in the last N days" contract). Refuse loudly instead.
+    if (!sighted) {
+      val seenP = new org.apache.hadoop.fs.Path(s"$dir/seen")
+      require(!seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(seenP),
+        s"$dir records sightings — append with appendToExactIndexSighted " +
+          "(an unsighted append writes fps no sighting window could ever " +
+          "retire)")
+    }
     val meta = spark.read.parquet(s"$dir/bloom").head()
     val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
       meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
@@ -2534,8 +2547,8 @@ object Dedup {
     // and compaction would purge the row, not resurrect it. Loud, like
     // the sibling families' "blocked until compaction" contract.
     exactTombstones(spark, dir).foreach { dead =>
-      val doa = newFps.join(broadcast(dead), Seq("fp", "keep_id"))
-        .limit(1).collect()
+      val doa = newFps.join(hintTombstones(spark, dir, dead),
+        Seq("fp", "keep_id")).limit(1).collect()
       require(doa.isEmpty,
         s"batch re-ingests a taken-down (text, keep_id) pair (keep_id " +
           s"${doa.headOption.map(_.getAs[Long]("keep_id")).orNull}) — the " +
@@ -2648,9 +2661,12 @@ object Dedup {
     * the delta against LIVE rows (already-tombstoned pairs resolve to
     * nothing — no duplicates, no double-kill). Sizing note: this path
     * makes the tombstone table DAY-sized rather than takedown-sized —
-    * the probe and append paths broadcast it for their anti-joins, so
-    * schedule the "exact" compactor's ratio accordingly. Returns the
-    * retired day tags, oldest first. */
+    * the probe and append anti-joins dispatch on its on-disk size
+    * ([[hintTombstones]]: broadcast under the cap, shuffled above), so
+    * a day-sized table degrades to one extra shuffle, never a forced
+    * GB broadcast; the "exact" compactor's ratio schedule bounds how
+    * long even that lasts. Returns the retired day tags, oldest
+    * first. */
   def retireExactSeenWindow(spark: org.apache.spark.sql.SparkSession,
       dir: String, keep: Int): Seq[String] = {
     require(keep >= 1,
@@ -2738,7 +2754,7 @@ object Dedup {
         strict = strict)) {
       exactTombstones(spark, dir).foreach { dead =>
         IndexFiles.replaceTable(spark, dir, "deleted_fps",
-          dead.join(spark.read.parquet(s"$dir/fps")
+          dead.join(readFps(spark, dir)
               .select("fp", "keep_id"),
             Seq("fp", "keep_id"), "left_semi"),
           Seq.empty)
@@ -2793,6 +2809,19 @@ object Dedup {
       Seq.empty)
   }
 
+  /** The stored fps table under an EXPLICIT schema: partition-type
+    * inference on the hive `pfx` level would type a small index whose
+    * hex prefixes happen to be all digits as INT (a 1-in-hundreds
+    * event per tiny index, an impossibility only past ~all-256-
+    * prefixes scale), and the probe's string-typed substring join
+    * would then coerce through BIGINT and crash on the first alpha
+    * prefix. The schema pins what the layout means. */
+  private def readFps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read
+      .schema("fp STRING, keep_id BIGINT, src STRING, pfx STRING")
+      .parquet(s"$dir/fps")
+
   /** The exact index's (fp, keep_id) tombstone set — None when no
     * delete has ever run. Keyed by the PAIR, not the fingerprint
     * alone: a text re-admitted after its takedown gets a fresh live
@@ -2807,15 +2836,54 @@ object Dedup {
     else None
   }
 
+  /** Session conf key capping how many ON-DISK bytes of `deleted_fps`
+    * the exact family will force-broadcast for its anti-joins; above
+    * the cap the hint is dropped and Spark plans a plain shuffled
+    * anti-join on the 16-byte fp key. Default 32 MB at rest (parquet
+    * of (fp, keep_id) rows — roughly a few hundred MB as an in-memory
+    * hash relation, comfortably under executor headroom). */
+  private[graft] val TombstoneBroadcastCapKey =
+    "graft.exact.tombstoneBroadcastCapBytes"
+  private val TombstoneBroadcastCapDefault: Long = 32L << 20
+
+  /** On-disk bytes of the exact index's tombstone table (0 when it
+    * does not exist) — one FS content summary, file lengths only,
+    * never a row scan. */
+  private def tombstoneBytes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Size-dispatched broadcast of a tombstone frame: under the
+    * admission-ledger takedown model `deleted_fps` is takedown-sized
+    * and broadcasting is right; under [[retireExactSeenWindow]] it is
+    * DAY-sized by design between compactions — at a 100 TB crawl's
+    * daily churn that is GBs, and a forced broadcast hint would ship
+    * it to every executor on every probe (and override Spark's own
+    * broadcast ceiling heuristics). Broadcast below the footer-derived
+    * cap, plain anti-join above it — the Bpe.encode two-tier dispatch,
+    * applied to the delete model. */
+  private def hintTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dead: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption(TombstoneBroadcastCapKey)
+      .map(_.toLong).getOrElse(TombstoneBroadcastCapDefault)
+    if (tombstoneBytes(spark, dir) <= cap) broadcast(dead) else dead
+  }
+
   /** Stored fps minus tombstoned rows — what every reader treats as
-    * "the history". The tombstone set is takedown-sized, so the
-    * anti-join broadcasts. */
+    * "the history". The anti-join is size-dispatched
+    * ([[hintTombstones]]): broadcast while the tombstone table is
+    * takedown-sized, shuffled once a sighting-window retire has grown
+    * it day-sized. */
   private[graft] def liveExactFps(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val fps = spark.read.parquet(s"$dir/fps")
+    val fps = readFps(spark, dir)
     exactTombstones(spark, dir) match {
       case Some(dead) =>
-        fps.join(broadcast(dead), Seq("fp", "keep_id"), "left_anti")
+        fps.join(hintTombstones(spark, dir, dead), Seq("fp", "keep_id"),
+          "left_anti")
       case None => fps
     }
   }
@@ -2841,7 +2909,7 @@ object Dedup {
       .withColumn("pfx", substring(col("fp"), 1, 2))
     // persisted: the emptiness probe and the write must not each pay
     // the fps-scan semi-join
-    val dead = spark.read.parquet(s"$dir/fps")
+    val dead = readFps(spark, dir)
       .join(broadcast(target.select("pfx", "fp")), Seq("pfx", "fp"),
         "left_semi")
       .select("fp", "keep_id").persist()
@@ -2905,11 +2973,11 @@ object Dedup {
     // partition pruning keeps narrowing it to the probe's fp prefixes
     val confirmed = exactTombstones(spark, dir).foldLeft(
         positives.join(
-          spark.read.parquet(s"$dir/fps")
+          readFps(spark, dir)
             .select(col("pfx"), col("fp"), col("keep_id").as("first_id")),
           Seq("pfx", "fp"))) { (c, dead) =>
-        c.join(broadcast(dead
-            .select(col("fp"), col("keep_id").as("first_id"))),
+        c.join(hintTombstones(spark, dir,
+            dead.select(col("fp"), col("keep_id").as("first_id"))),
           Seq("fp", "first_id"), "left_anti")
       }
       .select(col("id"), col("first_id"))

@@ -232,6 +232,27 @@ class DedupSpec extends SparkSpec {
     assert(verdicts(idx) == allNovel)
   }
 
+  test("sighted index refuses an unsighted append — fps outside every sighting day would be irretirable") {
+    val root = java.nio.file.Files.createTempDirectory("sguard").toString
+    val idx = s"$root/idx"
+    Dedup.buildExactIndexSighted(
+      Seq((1L, "guarded build text")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, day = "d0")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToExactIndex(spark, idx,
+        Seq((2L, "unsighted batch text")).toDF("doc_id", "text"),
+        "doc_id", "text", "d1")
+    }
+    assert(err.getMessage.contains("appendToExactIndexSighted"),
+      err.getMessage)
+    // the refusal mutated nothing: the sighted append still lands
+    Dedup.appendToExactIndexSighted(spark, idx,
+      Seq((2L, "unsighted batch text")).toDF("doc_id", "text"),
+      "doc_id", "text", "d1")
+    assert(graft.operators.IndexFiles.listSrcs(spark, idx, "seen")
+      == Seq("d0", "d1"))
+  }
+
   test("repeatedSpans: finds shared and within-doc repeated substrings exactly") {
     // docs 1 and 2 share one exact 45-char phrase with DIFFERING boundary
     // chars (x|y vs q|z), so the islands cover exactly the phrase; doc 3

@@ -415,4 +415,59 @@ class PlanAuditSpec extends SparkSpec {
       "triage verdicts changed under repartitioning")
     rep.unpersist()
   }
+
+  test("exact tombstone anti-join dispatches on size: broadcast under the cap, shuffled above it, verdicts identical") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("tombdisp")
+      .toString + "/idx"
+    val docs = (1 to 40).map(i => (i.toLong, s"tombstone dispatch doc $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildExactIndex(docs, "doc_id", "text", dir)
+    Dedup.deleteFromExactIndex(spark, dir,
+      docs.filter($"doc_id" % 4 === 0).select("text"), "text")
+    val probe = docs.select($"doc_id" + 100L as "doc_id", $"text")
+    // walk the physical plan through AQE wrappers, collecting how each
+    // LEFT ANTI (the tombstone filter) was planned
+    def leftAntis(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      def walk(p: SparkPlan): Seq[String] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT ANTI" =>
+          "broadcast" +: b.children.flatMap(walk)
+        case s: SortMergeJoinExec if s.joinType.sql == "LEFT ANTI" =>
+          "shuffle" +: s.children.flatMap(walk)
+        case h: ShuffledHashJoinExec if h.joinType.sql == "LEFT ANTI" =>
+          "shuffle" +: h.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    // autoBroadcast off for the WHOLE test (planning AND execution — AQE
+    // re-plans at runtime): the only broadcast left is the one the
+    // dispatch's own hint forces, so the regimes are unambiguous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set(Dedup.TombstoneBroadcastCapKey, (64L << 20).toString)
+      val small = Dedup.dedupExactAgainstIndex(spark, dir, probe,
+        "doc_id", "text") // takedown-sized regime: hint kept
+      val a = small.as[(Long, Option[Long], Boolean)].collect().toSet
+      assert(leftAntis(small) == Seq("broadcast"),
+        s"under-cap tombstones must broadcast: ${leftAntis(small)}")
+      spark.conf.set(Dedup.TombstoneBroadcastCapKey, "0")
+      val big = Dedup.dedupExactAgainstIndex(spark, dir, probe,
+        "doc_id", "text") // day-sized regime: hint dropped
+      val b = big.as[(Long, Option[Long], Boolean)].collect().toSet
+      assert(leftAntis(big) == Seq("shuffle"),
+        s"over-cap tombstones must not be force-broadcast: ${leftAntis(big)}")
+      // dispatch is a plan choice, never a semantics one
+      assert(a == b && a.count(_._3) == 30,
+        s"verdicts diverged across regimes: ${a.size}/${b.size}")
+    } finally {
+      spark.conf.unset(Dedup.TombstoneBroadcastCapKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
