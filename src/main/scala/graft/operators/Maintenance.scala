@@ -233,11 +233,27 @@ object Maintenance {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       // files/bytes through the FS's own summary — ONE namenode call on
       // HDFS (getContentSummary is server-side there), not a recursive
-      // client walk per dashboard tick over millions of segment files
-      val summary = fsOf(spark, dir).getContentSummary(new Path(dir))
+      // client walk per dashboard tick over millions of segment files.
+      // Snapshot/restore scratch (…__restore_tmp/__snap_tmp/__snap_old
+      // children left by a crashed run) and manifests are NOT data —
+      // subtract them (one listStatus; scratch children are rare) so a
+      // crash can't inflate the dashboard until someone hand-cleans
+      val dfs = fsOf(spark, dir)
+      val summary = dfs.getContentSummary(new Path(dir))
+      var (nFiles, nBytes) = (summary.getFileCount, summary.getLength)
+      dfs.listStatus(new Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && (n.endsWith(RestoreTmp) || n.endsWith(SnapTmp)
+            || n.endsWith(SnapOld))) {
+          val sub = dfs.getContentSummary(st.getPath)
+          nFiles -= sub.getFileCount; nBytes -= sub.getLength
+        } else if (!st.isDirectory &&
+            (n == ManifestName || n == s"${ManifestName}_tmp")) {
+          nFiles -= 1; nBytes -= st.getLen
+        }
+      }
       (dir, family, live, srcs.size.toLong, oldest,
-        newest, tomb, frac, summary.getFileCount,
-        summary.getLength)
+        newest, tomb, frac, nFiles, nBytes)
     }.toDF("dir", "family", "live", "segments", "oldest", "newest",
       "tombstones", "fraction", "files", "bytes")
   }
@@ -288,10 +304,34 @@ object Maintenance {
     * the point of the primitive, and a single-FS copy would throw
     * Hadoop's "Wrong FS" on the first cross-scheme spec. Task retries
     * are safe: FileUtil.copy overwrites a half-copied destination. */
+  /** Below this many files copyTree runs a driver-local loop: one
+    * Spark job launch + 32 task schedulings cost more wall than
+    * copying a few dozen small files (the sf0.1 maintenance flagship
+    * pays SIX copyTree calls over trees of tens of files — measured
+    * A/B in SCALE.md "snapshot copy"); the distributed path's win is
+    * real from thousands of files up, which is where production
+    * trees live. The Bpe.encode two-tier dispatch, applied to byte
+    * movement. */
+  private val CopyTreeDriverCutoff = 64
+
   private def copyTree(spark: SparkSession,
       srcRoot: String, dstRoot: String,
       files: Seq[(String, Long)]): Unit = {
     if (files.isEmpty) return
+    if (files.size < CopyTreeDriverCutoff) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val srcFs = new Path(srcRoot).getFileSystem(conf)
+      val dstFs = new Path(dstRoot).getFileSystem(conf)
+      files.foreach { case (rel, _) =>
+        val dst = new Path(s"$dstRoot/$rel")
+        dstFs.mkdirs(dst.getParent)
+        if (!FileUtil.copy(srcFs, new Path(s"$srcRoot/$rel"), dstFs, dst,
+            false, conf))
+          throw new IllegalStateException(
+            s"copy $srcRoot/$rel -> $dst failed")
+      }
+      return
+    }
     val confKV: Seq[(String, String)] = {
       val it = spark.sparkContext.hadoopConfiguration.iterator()
       val b = Seq.newBuilder[(String, String)]
@@ -317,6 +357,31 @@ object Maintenance {
           }
         }
       }
+  }
+
+  /** Finish an interrupted snapshot SWAP before anything else looks at
+    * `snapDir`: after a crash between rename(snap → aside) and
+    * rename(staging → snap), the aside holds the ONLY complete backup
+    * — an entry path that deleted it as "stale" and started a fresh
+    * copy would open a second-crash window with no complete snapshot
+    * anywhere, violating the swap's at-every-instant invariant. If the
+    * final path is missing or incomplete and the aside parses as a
+    * complete snapshot, the aside renames back into place (any
+    * incomplete final-path leftovers are discarded first). A complete
+    * final path leaves the aside to the caller's stale-discard — there
+    * it really is a finished swap's undeleted leftover. */
+  private def healSnapshotSwap(snapFs: org.apache.hadoop.fs.FileSystem,
+      snapDir: String): Unit = {
+    val snap = snapFs.makeQualified(new Path(snapDir))
+    val old = new Path(snap.getParent, snap.getName + SnapOld)
+    if (snapFs.exists(old) && parseManifest(snapFs, old.toString).isDefined
+        && parseManifest(snapFs, snapDir).isEmpty) {
+      if (snapFs.exists(snap))
+        require(snapFs.delete(snap, true),
+          s"discard incomplete snapshot $snap failed")
+      require(snapFs.rename(old, snap),
+        s"heal rename $old -> $snap failed")
+    }
   }
 
   /** The snapshot commit record, parsed defensively: a manifest that is
@@ -396,6 +461,10 @@ object Maintenance {
     val fs = fsOf(spark, dir)
     val snapFs = fsOf(spark, snapDir)
     require(fs.exists(new Path(dir)), s"no index at $dir to snapshot")
+    // an interrupted swap's aside may be the only complete backup —
+    // put it back FIRST; the stale-discards below then only ever
+    // remove genuinely redundant state
+    healSnapshotSwap(snapFs, snapDir)
     val snap = new Path(snapDir)
     if (snapFs.exists(snap)) {
       val complete = parseManifest(snapFs, snapDir).isDefined
@@ -470,6 +539,10 @@ object Maintenance {
       dir: String): Unit = {
     val fs = fsOf(spark, dir)
     val snapFs = fsOf(spark, snapDir)
+    // a crash mid-swap may have left the only complete backup at the
+    // ASIDE path — recover it rather than refusing a restore the
+    // bytes on disk can honor
+    healSnapshotSwap(snapFs, snapDir)
     // a missing, empty, or torn manifest all read as "no manifest" —
     // the interrupted-snapshot refusal, never a parse crash
     val manifest = parseManifest(snapFs, snapDir)
@@ -521,6 +594,7 @@ object Maintenance {
     // up-front pass exists to prevent
     val incomplete = specs.map(_._2).filter { sd =>
       val snapFs = fsOf(spark, sd)
+      healSnapshotSwap(snapFs, sd)
       parseManifest(snapFs, sd) match {
         case None => true
         case Some((n, bytes)) =>

@@ -460,6 +460,56 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
   }
 
+  test("crash between the swap renames: the aside is the ONLY complete backup and every entry point heals it back, never deletes it") {
+    val root = java.nio.file.Files.createTempDirectory("swapheal").toString
+    val vecs = (1 to 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 131 + j * 17))))
+      .toDF("id", "v")
+    Ann.buildIvfIndex(vecs, s"$root/ivf", nlist = 4)
+    val qs = vecs.filter(col("id") <= 3)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    def search() = Ann.searchIvfIndex(spark, s"$root/ivf", qs, k = 5,
+      nprobe = 4).collect().map(_.toString).toSet
+    val before = search()
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    // reconstruct the crash window between rename(snap -> aside) and
+    // rename(staging -> snap): the aside holds the only complete copy
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/bak"),
+      new org.apache.hadoop.fs.Path(s"$root/bak__snap_old")))
+    // restore heals the swap and restores from the recovered backup
+    Ann.deleteFromIvfIndex(spark, s"$root/ivf",
+      vecs.filter(col("id") <= 5).select("id"))
+    Ann.compactIvfIndex(spark, s"$root/ivf")
+    assert(search() != before)
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search() == before,
+      "restore did not recover the aside backup")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bak__snap_old")))
+    // the same crash state at SNAPSHOT entry: the healed backup is a
+    // complete snapshot again, so overwrite=false refuses — proof the
+    // entry path renamed the aside back instead of deleting it
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/bak"),
+      new org.apache.hadoop.fs.Path(s"$root/bak__snap_old")))
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak")
+    }
+    assert(err.getMessage.contains("overwrite"), err.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bak__snap_old")))
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search() == before)
+    // the OTHER crash phase (staging already swapped in, aside not yet
+    // deleted): final is complete, so the aside really is stale — the
+    // overwrite re-snapshot discards it and lands a fresh backup
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/bak__snap_old/junk"))
+    Maintenance.snapshotIndex(spark, s"$root/ivf", s"$root/bak",
+      overwrite = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bak__snap_old")))
+    Maintenance.restoreIndex(spark, s"$root/bak", s"$root/ivf")
+    assert(search() == before)
+  }
+
   test("restoreStore: one call recovers the store INCLUDING the alias registry; incomplete members refuse before anything moves") {
     import graft.operators.Aliases
     val root = java.nio.file.Files.createTempDirectory("restorestore").toString
@@ -534,6 +584,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(Aliases.resolveAlias(spark, s"$root/registry", "prod")
       == s"$root/green",
       "a mismatched member must refuse before ANY member restores")
+  }
+
+  test("storeReport: crashed-run scratch trees and manifests do not inflate files/bytes") {
+    val root = java.nio.file.Files.createTempDirectory("reportscratch")
+      .toString
+    val docs = (1 to 20).map(i => (i.toLong, s"scratch doc $i body"))
+      .toDF("doc_id", "text")
+    Dedup.buildExactIndex(docs, "doc_id", "text", s"$root/exact")
+    def row() = Maintenance.storeReport(spark, Seq((s"$root/exact", "exact")))
+      .select("files", "bytes").as[(Long, Long)].head()
+    val clean = row()
+    // plant what a crashed snapshot/restore leaves behind: scratch
+    // trees under the index dir plus a stray manifest
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$root/exact/bak__snap_tmp/part-0", s"$root/exact/x__restore_tmp/f",
+        s"$root/exact/y__snap_old/g").foreach { p =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      out.write(Array.fill(128)(7.toByte)); out.close()
+    }
+    val mf = fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/exact/_snapshot_manifest"), true)
+    mf.write("9 9\n".getBytes("UTF-8")); mf.close()
+    assert(row() == clean,
+      s"scratch inflated the dashboard: ${row()} vs $clean")
   }
 
   test("storeReport pins 'base' oldest under streaming b<batchId> tags (which sort after it naturally)") {
