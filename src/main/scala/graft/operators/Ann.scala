@@ -1351,10 +1351,17 @@ object Ann {
     * is still the one this row describes. */
   private def writeTrainStats(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
-    graft.operators.Stats
-      .vectorStats(IndexFiles.dropTombstones(spark, dir,
-          spark.read.parquet(s"$dir/cells").select(col("id"), col("v")))
-        .select("v"), "v")
+    writeTrainStatsOf(spark, dir,
+      IndexFiles.dropTombstones(spark, dir,
+        spark.read.parquet(s"$dir/cells").select(col("id"), col("v"))))
+
+  /** [[writeTrainStats]] from an explicit (…, v) frame — the form the
+    * CODE indexes use: IVF_SQ8 and IVF_PQ store cz/codes, not raw
+    * vectors, so their builds/retrains record the fitted distribution
+    * from the corpus frame in hand rather than reading cells back. */
+  private def writeTrainStatsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecs: DataFrame): Unit =
+    graft.operators.Stats.vectorStats(vecs.select("v"), "v")
       .write.mode("overwrite").parquet(s"$dir/train_stats")
 
   /** Append a new batch to a persisted IVF index WITHOUT re-training:
@@ -1621,6 +1628,10 @@ object Ann {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val spark = corpus.sparkSession
     IndexFiles.writeIds(spark.read.parquet(s"$dir/cells").select("id"), dir)
+    // the cells store codes — record the fitted distribution from the
+    // raw fit frame (rebuild IS this family's retrain, so build-time
+    // stats are always the serving codebook's)
+    writeTrainStatsOf(spark, dir, cells)
   }
 
   /** Append to a persisted IVF_SQ8 index through the STORED codebook —
@@ -1854,6 +1865,10 @@ object Ann {
       cbs.zipWithIndex.flatMap { case (cbk, j) =>
         cbk.zipWithIndex.map { case (cv, ci) => (j, ci, cv.toSeq) }
       }.toSeq.toDF("sub", "code", "vec"), Nil)
+    // PQ codebook drift is the silent kind (codes decode through the
+    // trained codebooks) — record the freshly fitted distribution so
+    // [[retrainAdvisorIvfPq]] measures against THIS generation
+    writeTrainStatsOf(spark, dir, liveC)
     require(fs.delete(marker, false), s"clear retrain marker $marker failed")
   }
 
@@ -2351,6 +2366,7 @@ object Ann {
     }.toSeq.toDF("sub", "code", "vec")
       .write.mode("overwrite").parquet(s"$dir/pq")
     IndexFiles.writeIds(s.read.parquet(s"$dir/codes").select("id"), dir)
+    writeTrainStatsOf(s, dir, cells)
   }
 
   /** The m×ksub subspace codebooks back off `dir/pq` — m·ksub rows,
@@ -2689,26 +2705,70 @@ object Ann {
       dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
       recallFloor: Double, driftFloor: Double, nprobe: Int = 4,
       metric: String = "cosine", vecCol: String = "v",
-      reference: Option[DataFrame] = None): DataFrame = {
-    import spark.implicits._
+      reference: Option[DataFrame] = None): DataFrame =
+    advisorVia(spark, dir, fresh, queries, k, recallFloor, driftFloor,
+      vecCol, reference, nprobe,
+      (q, np) => searchIvfIndex(spark, dir, q, k, np, metric),
+      "run retrainIvfIndex once to record the fitted distribution")
+
+  /** [[retrainAdvisor]] for the IVF-PQ index — the family where
+    * codebook drift is the DAMAGING kind: codes decode through the
+    * trained subspace codebooks, so a drifted append degrades ADC
+    * scores silently (wrong-ish distances, not just low recall).
+    * recall_now compares the production nprobe against the index's
+    * own full ADC probe (exact over the index's OWN scoring — the
+    * quantization error is the codebook's to fix, which is the
+    * point); the drift arm reads the train_stats record
+    * [[buildIvfPqIndex]]/[[retrainIvfPqIndex]] write. */
+  def retrainAdvisorIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
+      recallFloor: Double, driftFloor: Double, nprobe: Int = 4,
+      vecCol: String = "v",
+      reference: Option[DataFrame] = None): DataFrame =
+    advisorVia(spark, dir, fresh, queries, k, recallFloor, driftFloor,
+      vecCol, reference, nprobe,
+      (q, np) => searchIvfPqIndex(spark, dir, q, k, np),
+      "run retrainIvfPqIndex once to record the fitted distribution")
+
+  /** [[retrainAdvisor]] for the IVF_SQ8 index. Rebuild IS this
+    * family's retrain ([[buildIvfSq8Index]] docstring), so a fired
+    * advisor prescribes a rebuild over the current corpus — which
+    * re-records train_stats and quiets the advisor, the same
+    * closed loop as the other two families. */
+  def retrainAdvisorIvfSq8(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
+      recallFloor: Double, driftFloor: Double, nprobe: Int = 4,
+      vecCol: String = "v",
+      reference: Option[DataFrame] = None): DataFrame =
+    advisorVia(spark, dir, fresh, queries, k, recallFloor, driftFloor,
+      vecCol, reference, nprobe,
+      (q, np) => searchIvfSq8Index(spark, dir, q, k, np),
+      "rebuild with buildIvfSq8Index to record the fitted distribution")
+
+  /** The family-generic advisor body: `search(queries, nprobe)` is the
+    * family's probe (full probe at nprobe = nlist is each family's own
+    * exact reference frame). */
+  private def advisorVia(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fresh: DataFrame, queries: DataFrame, k: Int,
+      recallFloor: Double, driftFloor: Double, vecCol: String,
+      reference: Option[DataFrame], nprobe: Int,
+      search: (DataFrame, Int) => DataFrame, statsHint: String): DataFrame = {
     require(!queries.isEmpty,
       "cannot advise on zero queries — recall is undefined")
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/train_stats")
     require(statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(statsPath),
       s"$dir has no train_stats record (built before training-stats " +
-        "recording) — run retrainIvfIndex once to record the fitted " +
-        "distribution")
+        s"recording) — $statsHint")
     val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
     // `reference` lets a scheduled driver advising the same index
     // against a stable query set pay the full probe once per retrain
     // generation, not once per cron tick — any (qid, id, rank) frame
     // the caller trusts as exact over the indexed corpus qualifies
-    val exact = reference.getOrElse(
-      searchIvfIndex(spark, dir, queries, k, nprobe = nlist, metric))
+    val exact = reference.getOrElse(search(queries, nlist))
     val approx =
       if (nprobe >= nlist && reference.isEmpty) exact
-      else searchIvfIndex(spark, dir, queries, k, nprobe, metric)
+      else search(queries, nprobe)
     // assemble the drift one-row frame in embeddingDriftSummary's shape
     // from the recorded training stats (old side, literals) and ONE
     // stats pass over the fresh batch (new side)
@@ -2726,8 +2786,14 @@ object Ann {
         round(col("mean_norm") -
           normOld.map(lit).getOrElse(lit(null)).cast("double"), 6)
           .as("norm_delta"),
-        when(lit(cOld.length) > 0 && size(col("centroid")) === cOld.length,
-          round(V.cosine(lit(cOld), col("centroid")), 6))
+        // an EMPTY fresh batch (a quiet crawl day) is no drift, not
+        // "the embedding width changed" — without the n = 0 arm its
+        // empty centroid would read as NULL centroid_cos, which
+        // advisorReport deliberately treats as always-retrain
+        when(col("n") === 0L, lit(1.0))
+          .otherwise(
+            when(lit(cOld.length) > 0 && size(col("centroid")) === cOld.length,
+              round(V.cosine(lit(cOld), col("centroid")), 6)))
           .as("centroid_cos"))
     advisorReport(recallAtK(approx, exact, k), drift,
       recallFloor, driftFloor)

@@ -258,6 +258,78 @@ class AnnSpec extends SparkSpec {
       .select("recall_now", "should_retrain").as[(Double, Boolean)].head()
     assert(viaRef == recallNow,
       s"reference-frame advisor diverged: $viaRef vs $recallNow")
+    // an EMPTY fresh batch (a quiet crawl day) is no drift — without
+    // the n = 0 arm the empty centroid would read as NULL centroid_cos
+    // and the width-change rule would fire the advisor spuriously
+    val quietDay = Ann.retrainAdvisor(spark, dir,
+        Seq.empty[(Long, Seq[Double])].toDF("id", "v"), qsDrift, k = 10,
+        recallFloor = 0.1, driftFloor = 0.95, nprobe = 8)
+      .select("centroid_cos", "n_fresh", "should_retrain")
+      .as[(Double, Long, Boolean)].head()
+    assert(quietDay == ((1.0, 0L, false)),
+      s"advisor fired on an empty fresh batch: $quietDay")
+  }
+
+  test("retrainAdvisorIvfPq: quiet on healthy, fires on a drifted append, quiet after retrainIvfPqIndex") {
+    def vec(i: Long, shift: Double) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val first = (1L to 150L).map(i => (i, vec(i, 0.0))).toDF("id", "v")
+    val drifted = (151L to 300L).map(i => (i, vec(i, 2.5))).toDF("id", "v")
+    val qsDrift = (151L to 155L).map(i => (i, vec(i, 2.5))).toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("advisorpq")
+      .toString + "/idx"
+    Ann.buildIvfPqIndex(first, dir, nlist = 8, m = 4, ksub = 8)
+    def advise(fresh: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame, nprobe: Int) =
+      Ann.retrainAdvisorIvfPq(spark, dir, fresh, queries, k = 10,
+          recallFloor = 0.8, driftFloor = 0.95, nprobe = nprobe)
+        .select("recall_now", "centroid_cos", "should_retrain")
+        .as[(Double, Double, Boolean)].head()
+    val healthy = advise(first,
+      (1L to 5L).map(i => (i, vec(i, 0.0))).toDF("qid", "qv"), nprobe = 8)
+    assert(healthy == ((1.0, 1.0, false)),
+      s"PQ advisor fired on a healthy index: $healthy")
+    Ann.appendToIvfPqIndex(spark, dir, drifted)
+    val fired = advise(drifted, qsDrift, nprobe = 2)
+    assert(fired._3 && fired._2 < 0.95,
+      s"PQ advisor silent on a drifted index: $fired")
+    // the PQ retrain re-fits BOTH codebooks and re-records train_stats
+    // — the advisor is judged against the retrained distribution
+    Ann.retrainIvfPqIndex(spark, dir, first.union(drifted))
+    val after = advise(first.union(drifted), qsDrift, nprobe = 8)
+    assert(after == ((1.0, 1.0, false)),
+      s"PQ advisor still firing after retrain: $after")
+  }
+
+  test("retrainAdvisorIvfSq8: quiet on healthy, fires on a drifted append, quiet after rebuild (this family's retrain)") {
+    def vec(i: Long, shift: Double) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val first = (1L to 150L).map(i => (i, vec(i, 0.0))).toDF("id", "v")
+    val drifted = (151L to 300L).map(i => (i, vec(i, 2.5))).toDF("id", "v")
+    val qsDrift = (151L to 155L).map(i => (i, vec(i, 2.5))).toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("advisorsq8")
+      .toString + "/idx"
+    Ann.buildIvfSq8Index(first, dir, nlist = 8)
+    def advise(fresh: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame, nprobe: Int) =
+      Ann.retrainAdvisorIvfSq8(spark, dir, fresh, queries, k = 10,
+          recallFloor = 0.8, driftFloor = 0.95, nprobe = nprobe)
+        .select("recall_now", "centroid_cos", "should_retrain")
+        .as[(Double, Double, Boolean)].head()
+    val healthy = advise(first,
+      (1L to 5L).map(i => (i, vec(i, 0.0))).toDF("qid", "qv"), nprobe = 8)
+    assert(healthy == ((1.0, 1.0, false)),
+      s"SQ8 advisor fired on a healthy index: $healthy")
+    Ann.appendToIvfSq8Index(spark, dir, drifted)
+    val fired = advise(drifted, qsDrift, nprobe = 2)
+    assert(fired._3 && fired._2 < 0.95,
+      s"SQ8 advisor silent on a drifted index: $fired")
+    // rebuild-as-retrain: buildIvfSq8Index over the current corpus
+    // re-fits the codebook and re-records train_stats
+    Ann.buildIvfSq8Index(first.union(drifted), dir, nlist = 8)
+    val after = advise(first.union(drifted), qsDrift, nprobe = 8)
+    assert(after == ((1.0, 1.0, false)),
+      s"SQ8 advisor still firing after rebuild: $after")
   }
 
   test("mineHardNegativesIndex: full probe + covering window equals brute-force mining") {
