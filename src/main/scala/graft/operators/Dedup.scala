@@ -1184,7 +1184,8 @@ object Dedup {
   def tuneBands(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, numHashes: Int = 12, ladder: Seq[Int] = Seq(2, 4, 6),
       tau: Double = 0.5, targetRecall: Double = 0.95,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      groundTruth: Option[DataFrame] = None): DataFrame = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1]: $targetRecall")
     require(ladder.nonEmpty && ladder == ladder.sorted &&
@@ -1202,10 +1203,8 @@ object Dedup {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)
-    val e = exactPairs.select(col("id_a"), col("id_b")).distinct().persist()
-    val nExact = e.count()
-    CacheLifecycle.release(exactPairs)
+    val (e, nExact) = tuneGroundTruth(df, idCol, textCol, w, tau, maxDf,
+      groundTruth)
     require(nExact > 0,
       "cannot tune banding against an empty ground truth — no pair of " +
         s"docs reaches jaccard >= $tau")
@@ -1238,6 +1237,28 @@ object Dedup {
     rows.toSeq.toDF("bands", "recall", "meets_target")
   }
 
+  /** The tuning sweeps' exact ground truth, persisted: caller-supplied
+    * bare (id_a, id_b) pairs when given (BOTH sweeps grade against the
+    * same [[ngramJaccard]] pair set at identical (df, w, tau, maxDf) —
+    * a driver tuning banding AND simhash pays the exact pass once and
+    * hands it to each), else computed here. Returns the persisted
+    * distinct-pair frame and its count; the caller unpersists. */
+  private def tuneGroundTruth(df: DataFrame, idCol: String,
+      textCol: String, w: Int, tau: Double, maxDf: Option[Int],
+      groundTruth: Option[DataFrame]): (DataFrame, Long) =
+    groundTruth match {
+      case Some(g) =>
+        val e = g.select(col("id_a"), col("id_b")).distinct().persist()
+        (e, e.count())
+      case None =>
+        val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)
+        val e = exactPairs.select(col("id_a"), col("id_b")).distinct()
+          .persist()
+        val n = e.count()
+        CacheLifecycle.release(exactPairs)
+        (e, n)
+    }
+
   /** The third tuning sweep of the dedup family ([[tuneBands]] and
     * [[graft.operators.Ann.tuneLshTables]]'s sibling on the simhash
     * knob): walk a `maxHam` ladder and score each step's pair set
@@ -1255,7 +1276,8 @@ object Dedup {
     * meets_target). */
   def tuneMaxHam(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, ladder: Seq[Int] = Seq(1, 2, 3), tau: Double = 0.5,
-      targetRecall: Double = 0.95, maxDf: Option[Int] = None): DataFrame = {
+      targetRecall: Double = 0.95, maxDf: Option[Int] = None,
+      groundTruth: Option[DataFrame] = None): DataFrame = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1]: $targetRecall")
     require(ladder.nonEmpty && ladder == ladder.sorted &&
@@ -1264,10 +1286,8 @@ object Dedup {
         s"$ladder")
     val spark = df.sparkSession
     import spark.implicits._
-    val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)
-    val e = exactPairs.select(col("id_a"), col("id_b")).distinct().persist()
-    val nExact = e.count()
-    CacheLifecycle.release(exactPairs)
+    val (e, nExact) = tuneGroundTruth(df, idCol, textCol, w, tau, maxDf,
+      groundTruth)
     require(nExact > 0,
       "cannot tune maxHam against an empty ground truth — no pair of " +
         s"docs reaches jaccard >= $tau")
@@ -2186,12 +2206,34 @@ object Dedup {
     * [[IndexFiles.appendStaged]] transaction, so the crash-between-
     * table-writes window the streaming witnesses used to flag is now
     * repaired by the next append instead of needing manual repair. */
+  /** The minhash family's heal list: sigs + shingles always, plus the
+    * sighted variant's `seen` table when this index records sightings
+    * (the [[exactHealTables]] rule — a crashed SIGHTED append must
+    * roll its seen segment forward no matter which entry point heals
+    * next). */
+  private def minhashHealTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq("sigs", "shingles", "seen")
+    else Seq("sigs", "shingles")
+  }
+
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDf: DataFrame, idCol: String, textCol: String,
       src: String): Unit = {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
-    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles"))
+    IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir))
+    // the exact family's mirror guard: an unsighted append into a
+    // SIGHTED index stores docs no sighting day contains — entries
+    // retireMinhashSeenWindow could never retire
+    val seenP = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(!seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(seenP),
+      s"$dir records sightings — append with appendToMinhashIndexSighted " +
+        "(an unsighted append stores docs no sighting window could ever " +
+        "retire)")
     val m = spark.read.parquet(s"$dir/meta").head()
     val (w, numHashes, bands) =
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
@@ -2287,7 +2329,153 @@ object Dedup {
     * the repair). Idempotent no-op on a healthy index. */
   def healMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("sigs", "shingles")); ()
+    IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir)); ()
+  }
+
+  // ---- sighting-window minhash dedup -------------------------------------
+
+  /** [[buildMinhashIndex]] plus a SIGHTINGS ledger — the near-dup
+    * admission form of the exact family's [[buildExactIndexSighted]]
+    * contract ("seen in the last N days", where a re-seen document's
+    * clock resets). `dir/seen` holds one (id) row per (day, sighted
+    * INDEX doc), partitioned by src=day. A stored doc is "sighted"
+    * when it is admitted, and again every time an arriving batch doc
+    * is rejected as its near-duplicate (touch-on-reject: the content
+    * is demonstrably still alive in the crawl even though the arriving
+    * copy is dropped). The build day tags its own sightings and ages
+    * out of the window like any other day. */
+  def buildMinhashIndexSighted(df: DataFrame, idCol: String,
+      textCol: String, dir: String, day: String, w: Int = 8,
+      numHashes: Int = 12, bands: Int = 4,
+      maxDf: Option[Int] = None): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    buildMinhashIndex(df, idCol, textCol, dir, w, numHashes, bands, maxDf)
+    df.select(col(idCol).as("id")).distinct()
+      .withColumn("src", lit(day))
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/seen")
+  }
+
+  /** Admission append with the sighting touch: the batch dedups
+    * against the live history ([[dedupAgainstIndex]] at `tau` — the
+    * verify-exact semantics and its maxDf caveat), REJECTED docs are
+    * dropped, ADMITTED docs extend the index under this day's segment,
+    * and the day's `seen` slice records both the admitted ids and the
+    * stored ids the rejected docs matched (their clocks reset) — all
+    * in ONE journaled [[graft.operators.IndexFiles.appendStaged]]
+    * commit, so a crash can never land the docs without their
+    * sightings. Unlike [[appendToMinhashIndex]] this IS an admission
+    * op: near-dup batches shrink to their novel remainder. The batch
+    * is not deduped against itself (the [[dedupAgainstIndex]]
+    * caveat). O(batch) probe + O(admitted) append. */
+  def appendToMinhashIndexSighted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, textCol: String,
+      day: String, tau: Double = 0.5): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    requireSightedMinhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir))
+    val verdicts = dedupAgainstIndex(spark, dir, newDf, idCol, textCol, tau)
+    // one materialization: dup ids, touched ids, and the seen slice
+    // all read this small (pairs-at-tau) frame
+    val pairs = verdicts.select(col("id_new"), col("id_old")).persist()
+    pairs.count()
+    CacheLifecycle.release(verdicts)
+    val admitted = newDf.join(pairs.select(col("id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+    val seenRows = admitted.select(col(idCol).as("id"))
+      .unionByName(pairs.select(col("id_old").as("id")))
+      .distinct().withColumn("src", lit(day))
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (w, numHashes, bands) =
+      (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
+    val newSh = shingleHashSet(admitted, idCol, textCol, w, maxDf).cache()
+    val batchIds = newSh.select("id").distinct()
+    val payloadSlices =
+      if (admitted.isEmpty) Seq.empty
+      else Seq(
+        ("sigs", tagMinhashSigs(
+            bandSignatures(minhashes(newSh, numHashes), bands,
+              numHashes / bands), day).repartition(col("hb")),
+          Seq("src", "hb")),
+        ("shingles", tagMinhashShingles(newSh, day).repartition(col("hb")),
+          Seq("src", "hb")))
+    val seenSlice =
+      if (seenRows.isEmpty) Seq.empty
+      else Seq(("seen", seenRows, Seq("src")))
+    if ((payloadSlices ++ seenSlice).nonEmpty)
+      IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
+        if (payloadSlices.isEmpty) None else Some(batchIds))
+    newSh.unpersist(); pairs.unpersist(); ()
+  }
+
+  private def requireSightedMinhash(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$dir has no sightings ledger — build it with " +
+        "buildMinhashIndexSighted (the admission index at this dir has " +
+        "no last-seen data to window on)")
+  }
+
+  /** Retire sighting days older than the newest `keep` — the near-dup
+    * family's [[retireExactSeenWindow]]: index docs whose LAST sighting
+    * aged out (distinct ids of the doomed days minus the kept days')
+    * are TOMBSTONED through the family's one delete model
+    * ([[deleteFromMinhashIndex]] semantics — probes stop matching them
+    * immediately, the ratio-scheduled [[compactMinhashIndex]] purges
+    * them physically), then the doomed `seen` day-partitions drop in
+    * O(segment). A doc re-seen in a kept day — because a later crawl
+    * batch was rejected as its near-dup — survives untouched under its
+    * original id. Crash-safe by re-run: tombstones commit BEFORE the
+    * seen drop, and a re-run re-resolves the delta against live ids.
+    * Takedown-sized joins on bare ids; never an O(index) rewrite.
+    * Returns the retired day tags, oldest first. */
+  def retireMinhashSeenWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1,
+      s"keep must be >= 1: retiring every sighting day would empty the " +
+        s"history (got $keep)")
+    requireSightedMinhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomed = days.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val kept = days.takeRight(keep)
+      val seen = spark.read.parquet(s"$dir/seen")
+      val doomedIds = seen.filter(col("src").isin(doomed: _*))
+        .select("id").distinct()
+        .join(seen.filter(col("src").isin(kept: _*)).select("id").distinct(),
+          Seq("id"), "left_anti")
+      val live = IndexFiles.dropTombstones(spark, dir,
+        indexedIds(spark, dir))
+      val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
+      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
+      require(!wouldSurvive.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would forget every live " +
+          "doc (no kept day re-saw anything) — drop and rebuild the " +
+          "index instead")
+      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      dead.unpersist()
+      IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
+        strict = true)
+      IndexFiles.refresh(spark, dir)
+      ()
+    }
+    doomed
+  }
+
+  /** [[retireMinhashSeenWindow]] keyed by an explicit horizon — every
+    * sighting day strictly older than `day` (natural order) retires;
+    * the date-driven nightly's form. */
+  def retireMinhashSeenBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, day: String): Seq[String] = {
+    requireSightedMinhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
+    retireMinhashSeenWindow(spark, dir, keep = days.size - doomedN)
   }
 
   /** Embedding near-dup ADMISSION against the persisted LSH index —
@@ -2843,18 +3031,7 @@ object Dedup {
     * of (fp, keep_id) rows — roughly a few hundred MB as an in-memory
     * hash relation, comfortably under executor headroom). */
   private[graft] val TombstoneBroadcastCapKey =
-    "graft.exact.tombstoneBroadcastCapBytes"
-  private val TombstoneBroadcastCapDefault: Long = 32L << 20
-
-  /** On-disk bytes of the exact index's tombstone table (0 when it
-    * does not exist) — one FS content summary, file lengths only,
-    * never a row scan. */
-  private def tombstoneBytes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_fps")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-  }
+    IndexFiles.TombstoneBroadcastCapKey
 
   /** Size-dispatched broadcast of a tombstone frame: under the
     * admission-ledger takedown model `deleted_fps` is takedown-sized
@@ -2864,13 +3041,12 @@ object Dedup {
     * it to every executor on every probe (and override Spark's own
     * broadcast ceiling heuristics). Broadcast below the footer-derived
     * cap, plain anti-join above it — the Bpe.encode two-tier dispatch,
-    * applied to the delete model. */
+    * applied to the delete model
+    * ([[graft.operators.IndexFiles.sizeCappedBroadcast]], shared with
+    * every id family's dropTombstones). */
   private def hintTombstones(spark: org.apache.spark.sql.SparkSession,
-      dir: String, dead: DataFrame): DataFrame = {
-    val cap = spark.conf.getOption(TombstoneBroadcastCapKey)
-      .map(_.toLong).getOrElse(TombstoneBroadcastCapDefault)
-    if (tombstoneBytes(spark, dir) <= cap) broadcast(dead) else dead
-  }
+      dir: String, dead: DataFrame): DataFrame =
+    IndexFiles.sizeCappedBroadcast(spark, s"$dir/deleted_fps", dead)
 
   /** Stored fps minus tombstoned rows — what every reader treats as
     * "the history". The anti-join is size-dispatched

@@ -475,11 +475,35 @@ private[graft] object IndexFiles {
     else None
   }
 
-  /** Drop tombstoned rows from a search-side payload scan. */
+  /** Session conf key capping how many ON-DISK bytes of a tombstone
+    * table any family will force-broadcast for its anti-joins; above
+    * the cap the hint drops and Spark plans a plain shuffled anti-join
+    * on the key. Takedown-sized tombstones (the usual case) broadcast;
+    * the sighting-window retires grow the table DAY-sized between
+    * compactions — GBs at daily-crawl churn, which a forced hint would
+    * ship to every executor past Spark's own broadcast ceiling. */
+  private[graft] val TombstoneBroadcastCapKey =
+    "graft.tombstoneBroadcastCapBytes"
+  private[graft] val TombstoneBroadcastCapDefault: Long = 32L << 20
+
+  /** `df` with a broadcast hint iff the files under `path` total at
+    * most the cap — one FS content summary, file lengths only. */
+  private[graft] def sizeCappedBroadcast(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption(TombstoneBroadcastCapKey)
+      .map(_.toLong).getOrElse(TombstoneBroadcastCapDefault)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    if (bytes <= cap) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
+  /** Drop tombstoned rows from a search-side payload scan. The
+    * anti-join side is size-dispatched ([[sizeCappedBroadcast]]). */
   def dropTombstones(spark: SparkSession, dir: String,
       payload: DataFrame): DataFrame =
     tombstones(spark, dir).map(d =>
-      payload.join(org.apache.spark.sql.functions.broadcast(d),
+      payload.join(sizeCappedBroadcast(spark, s"$dir/deleted", d),
         Seq("id"), "left_anti")).getOrElse(payload)
 
   /** Swap a freshly staged table into place without a data-loss

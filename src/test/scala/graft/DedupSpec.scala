@@ -232,6 +232,79 @@ class DedupSpec extends SparkSpec {
     assert(verdicts(idx) == allNovel)
   }
 
+  test("minhash sighting window: a near-dup rejection re-sights the stored doc; last-seen aging tombstones what no kept day re-saw") {
+    val A = "the quick brown fox jumps over the lazy dog again and again in the morning sunlight"
+    val B = "beta document about something entirely different from every other text in this corpus"
+    val C = "gamma content that arrives on day one and matches nothing stored before it at all"
+    val D = "delta content that arrives on day two and equally matches nothing already stored"
+    val idx = java.nio.file.Files.createTempDirectory("mhsighted")
+      .toString + "/idx"
+    // d0: A and B stored; d1: a near-dup of A arrives (rejected —
+    // touches A) alongside novel C; d2: novel D
+    Dedup.buildMinhashIndexSighted(
+      Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, day = "d0")
+    Dedup.appendToMinhashIndexSighted(spark, idx,
+      Seq((11L, A + " tonight"), (12L, C)).toDF("doc_id", "text"),
+      "doc_id", "text", day = "d1", tau = 0.5)
+    Dedup.appendToMinhashIndexSighted(spark, idx,
+      Seq((21L, D)).toDF("doc_id", "text"),
+      "doc_id", "text", day = "d2", tau = 0.5)
+    def seenIds(day: String) = spark.read.parquet(s"$idx/seen")
+      .filter(col("src") === day).select("id").as[Long].collect().toSet
+    assert(seenIds("d0") == Set(1L, 2L))
+    assert(seenIds("d1") == Set(1L, 12L), // A touched, C admitted, 11 dropped
+      s"got ${seenIds("d1")}")
+    assert(seenIds("d2") == Set(21L))
+    // the rejected near-dup was NOT stored
+    assert(!Dedup.indexedIds(spark, idx).as[Long].collect().contains(11L))
+    // keep the last two days: d0 ages out; A survives (re-seen via the
+    // d1 rejection), B is forgotten
+    assert(Dedup.retireMinhashSeenWindow(spark, idx, keep = 2) == Seq("d0"))
+    def verdicts() = Dedup.dedupAgainstIndex(spark, idx,
+        Seq((31L, A + " twice"), (32L, B + " too"), (33L, D + " now"))
+          .toDF("doc_id", "text"), "doc_id", "text", tau = 0.5)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val after = verdicts()
+    assert(after.contains((31L, 1L)),
+      s"the re-seen doc must survive the window: $after")
+    assert(after.contains((33L, 21L)), s"got $after")
+    assert(!after.exists(_._2 == 2L),
+      s"a doc no kept day re-saw must be forgotten: $after")
+    // the retire is takedown-shaped (tombstones, not a rewrite); the
+    // family's one compaction purges physically, verdicts bit-equal
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isDefined)
+    Dedup.compactMinhashIndex(spark, idx)
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isEmpty)
+    assert(verdicts() == after)
+    // guards: unsighted append refused on a sighted index; the window
+    // refused on an unsighted one; keep >= 1 enforced
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(spark, idx,
+        Seq((41L, "zeta text")).toDF("doc_id", "text"),
+        "doc_id", "text", "d3")
+    }
+    assert(err.getMessage.contains("appendToMinhashIndexSighted"),
+      err.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.retireMinhashSeenWindow(spark, idx, keep = 0)
+    }
+    val plain = java.nio.file.Files.createTempDirectory("mhplain")
+      .toString + "/idx"
+    Dedup.buildMinhashIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", plain)
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.retireMinhashSeenWindow(spark, plain, keep = 1)
+    }
+    assert(err2.getMessage.contains("sightings ledger"), err2.getMessage)
+    // the horizon form: retiring before d2 leaves only d2's sightings —
+    // A ages out this time (nothing re-saw it after d1)
+    assert(Dedup.retireMinhashSeenBefore(spark, idx, "d2") == Seq("d1"))
+    val end = verdicts()
+    assert(!end.exists(_._2 == 1L) && end.contains((33L, 21L)),
+      s"horizon retire must forget the d1-last-seen docs: $end")
+  }
+
   test("sighted index refuses an unsighted append — fps outside every sighting day would be irretirable") {
     val root = java.nio.file.Files.createTempDirectory("sguard").toString
     val idx = s"$root/idx"
