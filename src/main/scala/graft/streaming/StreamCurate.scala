@@ -367,4 +367,64 @@ object StreamCurate {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** One micro-batch of [[recallStream]]: search the persisted IVF
+    * index at the production nprobe AND at full probe (the batch's
+    * PINNED exact reference — one full probe per batch, persisted so
+    * the recall join doesn't pay it twice), write the per-query
+    * [[graft.operators.Ann.recallAtK]] rows under the batch's own
+    * directory — the [[applyDriftBatch]] idempotency-by-overwrite
+    * protocol (the index is read-only here, so a replayed batch
+    * recomputes identical rows). Empty batches write nothing; output
+    * is q×1 rows, bounded by the batch. */
+  def applyRecallBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, k: Int, nprobe: Int, metric: String,
+      batchId: Long, outDir: String): Unit = {
+    import graft.operators.Ann
+    val pinned = batch.persist()
+    try {
+      if (!pinned.isEmpty) {
+        val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+        val exact = Ann.searchIvfIndex(spark, dir, pinned, k,
+          nprobe = nlist, metric = metric).persist()
+        try {
+          val approx =
+            if (nprobe >= nlist) exact
+            else Ann.searchIvfIndex(spark, dir, pinned, k, nprobe, metric)
+          Ann.recallAtK(approx, exact, k)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+        } finally { exact.unpersist(); () }
+      }
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** The retrieval twin of [[driftStream]] — the STREAMING recall
+    * monitor a live search deployment runs next to its ingest: each
+    * arriving (qid, qv) query micro-batch writes its per-query
+    * recall@k of the production nprobe against the index's own full
+    * probe under `outDir/batch=<id>`. A recall slide in the batch log
+    * is the operational half of the retrain loop — the
+    * [[graft.operators.Ann.retrainAdvisor]] signal, live per batch
+    * instead of per cron tick (drifted queries crowd into cells the
+    * partial probe misses, so the slide shows here before a scheduled
+    * advisor run sees it). Stateless: no state store, no index
+    * writes; per batch the cost is one partial + one full probe of
+    * that batch's queries — the full-probe reference is pinned per
+    * batch, never recomputed inside the recall join. */
+  def recallStream(dir: String, queryStream: DataFrame, k: Int,
+      nprobe: Int, outDir: String, checkpointDir: String,
+      metric: String = "cosine",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRecallBatch(batch.sparkSession, dir, batch, k, nprobe,
+          metric, batchId, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

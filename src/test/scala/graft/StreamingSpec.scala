@@ -1512,6 +1512,64 @@ class StreamingSpec extends SparkSpec {
       .filter(col("is_dup")).count() == 1, "post-replay probe broken")
   }
 
+  test("recallStream: per-batch rows equal recallAtK; an out-of-distribution batch lowers recall; replay idempotent") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long, shift: Double = 0.0) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val corpus = (1L to 150L).map(i => (i, vec(i))).toDF("id", "v")
+    val root = java.nio.file.Files.createTempDirectory("recallstream")
+      .toString
+    Ann.buildIvfIndex(corpus, s"$root/idx", nlist = 8)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamCurate.recallStream(s"$root/idx",
+      mem.toDF().toDF("qid", "qv"), k = 10, nprobe = 1,
+      s"$root/out", s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: in-distribution queries (corpus points — neighbors
+    // cluster locally, partial probes find them); batch 1: queries the
+    // codebook never saw, whose true neighbors scatter across cells —
+    // exactly the degradation the monitor exists to surface
+    val b0 = (1L to 5L).map(i => (i, vec(i)))
+    val b1 = (201L to 205L).map(i => (i, vec(i, 2.5)))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "exact_n", "n_hits", "recall")
+      .collect().map(_.toString).sorted.toSeq
+    val out = spark.read.parquet(s"$root/out")
+    // drained rows ARE the batch composition per micro-batch
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      val qs = slice.toDF("qid", "qv")
+      val exact = Ann.searchIvfIndex(spark, s"$root/idx", qs, k = 10,
+        nprobe = 8)
+      val approx = Ann.searchIvfIndex(spark, s"$root/idx", qs, k = 10,
+        nprobe = 1)
+      assert(rows(out.filter(col("batch_id") === id)) ==
+        rows(Ann.recallAtK(approx, exact, 10)),
+        s"batch $id diverged from the batch operator")
+    }
+    // the degraded batch actually reads lower — the monitor monitors
+    val means = out.groupBy("batch_id").agg(avg(col("recall")).as("m"))
+      .orderBy("batch_id").select("m").as[Double].collect()
+    assert(means.length == 2 && means(1) < means(0),
+      s"out-of-distribution batch did not lower recall: ${means.toSeq}")
+    // replay: re-applying batch 0 overwrites to the identical rows
+    val before = rows(out.filter(col("batch_id") === 0L))
+    graft.streaming.StreamCurate.applyRecallBatch(spark, s"$root/idx",
+      b0.toDF("qid", "qv"), 10, 1, "cosine", 0L, s"$root/out")
+    assert(rows(spark.read.parquet(s"$root/out")
+      .filter(col("batch_id") === 0L)) == before)
+    // an empty trigger writes nothing
+    graft.streaming.StreamCurate.applyRecallBatch(spark, s"$root/idx",
+      Seq.empty[(Long, Seq[Double])].toDF("qid", "qv"), 10, 1, "cosine",
+      9L, s"$root/out")
+    assert(spark.read.parquet(s"$root/out")
+      .filter(col("batch_id") === 9L).isEmpty)
+  }
+
   test("driftStream: per-batch summaries equal the batch operator; replay idempotent; empty trigger writes nothing") {
     import graft.operators.Stats
     implicit val sqlCtx = spark.sqlContext
