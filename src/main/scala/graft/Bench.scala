@@ -55,11 +55,16 @@ object Bench {
       // instead of a partial elapsed time masquerading as a result
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3dp: full-precision doubles bloat the one-line JSON ~35 bytes per
+    // query — at 180+ queries the driver's truncated stdout tail loses
+    // the head of the line (total + the first ~2/3 of the map). Millis
+    // are far below host noise; the compact line survives more tails.
+    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_rN.json keeps only a truncated tail of stdout,
     // which loses the first ~30 queries' times (and the total) from
@@ -83,9 +88,18 @@ object Bench {
       try {
         val host = java.net.InetAddress.getLocalHost.getHostName
         val stamp = java.time.Instant.now.toString
+        val record =
+          s"""{"note":"per-query seconds at sf0.1 on local[32]; refreshed by graft.Bench each full run","host":"$host","written_at":"$stamp","nqueries":${results.size},"total_sec":${r3(total)},"queries":$qs}\n"""
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_BASELINE.json"),
-          s"""{"note":"per-query seconds at sf0.1 on local[32]; refreshed by graft.Bench each full run","host":"$host","written_at":"$stamp","nqueries":${results.size},"total_sec":$total,"queries":$qs}\n""")
+          java.nio.file.Paths.get("BENCH_BASELINE.json"), record)
+        // BENCH_BASELINE self-refreshes, so "vs last round" needs git
+        // archaeology; the history file is APPEND-only — every full
+        // run's complete per-query map stays diffable in one place,
+        // immune to the round artifact's stdout-tail truncation.
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), record,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write BENCH_BASELINE.json: ${e.getMessage}")
       }

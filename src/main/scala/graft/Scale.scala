@@ -455,6 +455,22 @@ object Scale {
       s"takedown verdicts diverged across scales: $tdup1 != $tdupN")
     require(tdup1 < dup1,
       s"takedown removed nothing from the probe hit-set ($tdup1 vs $dup1)")
+    // day-sized tombstone regime (r18): a sighting-window retire makes
+    // deleted_fps DAY-sized between compactions, where the probe's
+    // anti-join must plan a shuffle instead of a forced broadcast
+    // (Dedup.hintTombstones size dispatch). Same tombstone table, both
+    // regimes driven at the FACTOR× index (cap=0 forces the over-cap
+    // path); verdicts must be bit-identical and the shuffle regime
+    // must land in the same cost class, not a cliff.
+    val (tbB, vB) = timed(Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    spark.conf.set(Dedup.TombstoneBroadcastCapKey, "0")
+    val (tbS, vS) = timed(Dedup.dedupExactAgainstIndex(spark, eN, probe,
+      "doc_id", "text").filter(col("is_dup")).count())
+    spark.conf.unset(Dedup.TombstoneBroadcastCapKey)
+    report("exact", "probe_tombstones_shuffle_vs_broadcast", tbB, tbS)
+    require(vB == vS,
+      s"tombstone dispatch changed probe verdicts: $vB != $vS")
     val (tcN, _) = timed(Dedup.compactExactIndex(spark, eN))
     val (tc1, _) = timed(Dedup.compactExactIndex(spark, e1))
     report("exact", "compact_after_takedown", tc1, tcN)
