@@ -900,15 +900,18 @@ object SparkEntry {
     * build the sighted history on sixteenth slice 1 (day d0); day d1
     * brings slice 2 PLUS verbatim replays of every %32==1 build doc
     * under offset ids (jaccard 1.0 — certain rejections whose
-    * touch-on-reject re-sights the originals); day d2 brings slice 3;
-    * retire sightings older than the newest two days — d0 ages out,
-    * but the replayed-into docs survive under their ORIGINAL ids.
-    * Probe = slice 4 PLUS verbatim copies of every %32==3 day-2 doc
-    * (their originals were just admitted, so the dup branch is
-    * guaranteed rows at any sf — the graded corpus has few natural
-    * cross-sixteenth near-dups). Sixteenth slices: the lifecycle
-    * (build + 2 admission appends + retire) bills to one bench query
-    * and the mechanism is slice-size-invariant. */
+    * touch-on-reject re-sights the originals); retire sightings older
+    * than the newest day — d0 ages out, but the replayed-into docs
+    * survive under their ORIGINAL ids. Probe = slice 4 PLUS verbatim
+    * copies of every %32==2 day-1 doc (their originals were just
+    * admitted, so the dup branch is guaranteed rows at any sf — the
+    * graded corpus has few natural cross-sixteenth near-dups).
+    * Sixteenth slices and ONE admission day: every minhash stage
+    * costs a fixed multi-job floor regardless of slice size, so the
+    * bench witnesses exactly the contract's oracle-visible branches
+    * (touched survives, untouched forgets, admitted lives) and leaves
+    * the multi-day nuances (an admitted doc later touched, all-replay
+    * days) to DedupSpec. */
   private def qMinhashSeenRetire(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idx = buildOnce(s"/tmp/graft_minhash_seen_${dirKey(dir)}") { d =>
@@ -920,16 +923,13 @@ object SparkEntry {
           .unionByName(docs.filter(col("doc_id") % 32 === 1)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
         "doc_id", "text", day = "d1", tau = 0.5)
-      Dedup.appendToMinhashIndexSighted(s, d,
-        docs.filter(col("doc_id") % 16 === 3), "doc_id", "text",
-        day = "d2", tau = 0.5)
-      Dedup.retireMinhashSeenWindow(s, d, keep = 2)
+      Dedup.retireMinhashSeenWindow(s, d, keep = 1)
       ()
     }
     Dedup.dedupAgainstIndex(s, idx,
       docs.filter(col("doc_id") % 16 === 4)
         .select(col("doc_id"), col("text"))
-        .unionByName(docs.filter(col("doc_id") % 32 === 3)
+        .unionByName(docs.filter(col("doc_id") % 32 === 2)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
       "doc_id", "text", tau = 0.5)
   }
@@ -1421,6 +1421,35 @@ object SparkEntry {
       .select((col("vec_id") + 1000000L).as("id"),
         col("embedding").as("features"))
     Multimodal.dedupPhashAgainstIndex(s, idx, batch, "id", "features")
+  }
+
+  /** The phash sighting-window lifecycle (the q_minhash_seen_retire
+    * construction on media signatures): build sighted on sixteenth
+    * slice 1 (d0); d1 = slice 2 + verbatim re-encodes of every
+    * %32==1 build asset (hamming 0 — certain rejections whose touch
+    * re-sights the originals); d2 = slice 3; retire to the newest two
+    * days; probe = slice 4 + copies of %32==3 (guaranteed dup rows).
+    * Banding is pure pruning, so the oracle is brute hamming with the
+    * admission/touch/aging rules replayed generically. */
+  private def qPhashSeenRetire(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "embeddings")
+    def slice(r: Int, m: Int = 16, off: Long = 0L) =
+      media.filter(col("vec_id") % m === r)
+        .select((col("vec_id") + off).as("id"),
+          col("embedding").as("features"))
+    val idx = buildOnce(s"/tmp/graft_phash_seen_${dirKey(dir)}") { d =>
+      Multimodal.buildPhashIndexSighted(slice(1), "id", "features", d,
+        dim = 16, day = "d0", maxHam = 2, thresh = 0.0)
+      Multimodal.appendToPhashIndexSighted(s, d,
+        slice(2).unionByName(slice(1, 32, 1000000L)),
+        "id", "features", day = "d1")
+      Multimodal.appendToPhashIndexSighted(s, d, slice(3),
+        "id", "features", day = "d2")
+      Multimodal.retirePhashSeenWindow(s, d, keep = 2)
+      ()
+    }
+    Multimodal.dedupPhashAgainstIndex(s, idx,
+      slice(4).unionByName(slice(3, 32, 2000000L)), "id", "features")
   }
 
   // media near-dup families end to end (the LAION-style re-encode
@@ -2745,6 +2774,7 @@ object SparkEntry {
     "q_phash_cluster" -> (qPhashCluster _),
     "q_phash_index" -> (qPhashIndex _),
     "q_phash_retire" -> (qPhashRetire _),
+    "q_phash_seen_retire" -> (qPhashSeenRetire _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_perplexity" -> (qPerplexity _),
     "q_dsir_weight" -> (qDsirWeight _),
@@ -3646,11 +3676,11 @@ object SparkEntry {
     // index oracle; replays (id >= 1000000) are day-1 arrivals.
     "q_minhash_seen_retire" ->
       s"""WITH nd AS ($normDoc),
-         |u AS (SELECT doc_id AS id, t FROM nd WHERE doc_id % 16 IN (1, 2, 3, 4)
+         |u AS (SELECT doc_id AS id, t FROM nd WHERE doc_id % 16 IN (1, 2, 4)
          |      UNION ALL
          |      SELECT doc_id + 1000000 AS id, t FROM nd WHERE doc_id % 32 = 1
          |      UNION ALL
-         |      SELECT doc_id + 2000000 AS id, t FROM nd WHERE doc_id % 32 = 3),
+         |      SELECT doc_id + 2000000 AS id, t FROM nd WHERE doc_id % 32 = 2),
          |sh AS (SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
          |       FROM (SELECT id, substr(t, i, 8) AS sh
          |             FROM (SELECT id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM u))),
@@ -3663,7 +3693,6 @@ object SparkEntry {
          |                      WHEN id >= 1000000 THEN 'b1'
          |                      WHEN id % 16 = 1 THEN 'h'
          |                      WHEN id % 16 = 2 THEN 'b1'
-         |                      WHEN id % 16 = 3 THEN 'b2'
          |                      ELSE 'p' END AS grp FROM sz),
          |cand AS (SELECT DISTINCT a.id AS id_new, b.id AS id_old
          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id <> b.id),
@@ -3680,15 +3709,9 @@ object SparkEntry {
          |         WHERE a.grp = 'b1' AND b.grp = 'h'),
          |adm1 AS (SELECT id FROM g WHERE grp = 'b1'
          |         AND id NOT IN (SELECT id_new FROM dup1)),
-         |live1 AS (SELECT id FROM g WHERE grp = 'h' UNION SELECT id FROM adm1),
-         |dup2 AS (SELECT j.* FROM jac j JOIN g a ON a.id = j.id_new
-         |         WHERE a.grp = 'b2' AND j.id_old IN (SELECT id FROM live1)),
-         |adm2 AS (SELECT id FROM g WHERE grp = 'b2'
-         |         AND id NOT IN (SELECT id_new FROM dup2)),
-         |dead AS (SELECT id FROM g WHERE grp = 'h'
-         |         AND id NOT IN (SELECT id_old FROM dup1 UNION SELECT id_old FROM dup2)),
-         |live AS (SELECT id FROM live1 WHERE id NOT IN (SELECT id FROM dead)
-         |         UNION SELECT id FROM adm2)
+         |live AS (SELECT id FROM g WHERE grp = 'h'
+         |         AND id IN (SELECT id_old FROM dup1)
+         |         UNION SELECT id FROM adm1)
          |SELECT j.id_new, j.id_old, j.jaccard FROM jac j
          |JOIN g a ON a.id = j.id_new
          |WHERE a.grp = 'p' AND j.id_old IN (SELECT id FROM live)""".stripMargin,
@@ -4342,6 +4365,48 @@ object SparkEntry {
     // retirement leaves the index answering like one that never saw
     // the appended segment — the q_phash_index oracle VERBATIM
     "q_phash_retire" -> phashIndexOracle,
+
+    // the phash sighting-window retire: day-1 admissions/touches
+    // against the build slice, day-2 against the then-live set,
+    // retire = build assets no kept day re-saw, probe = slice 4 +
+    // replays vs the survivors. Banding is pure pruning, so brute
+    // hamming replays the whole lifecycle.
+    "q_phash_seen_retire" ->
+      """WITH s0 AS (
+        |  SELECT vec_id AS id,
+        |    (SELECT CAST(SUM(CASE WHEN embedding[j+1] >= 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 15) AS t(j)) AS sig
+        |  FROM embeddings),
+        |u AS (SELECT id, sig FROM s0 WHERE id % 16 IN (1, 2, 3, 4)
+        |      UNION ALL SELECT id + 1000000, sig FROM s0 WHERE id % 32 = 1
+        |      UNION ALL SELECT id + 2000000, sig FROM s0 WHERE id % 32 = 3),
+        |g AS (SELECT id, sig, CASE WHEN id >= 2000000 THEN 'p'
+        |                      WHEN id >= 1000000 THEN 'b1'
+        |                      WHEN id % 16 = 1 THEN 'h'
+        |                      WHEN id % 16 = 2 THEN 'b1'
+        |                      WHEN id % 16 = 3 THEN 'b2'
+        |                      ELSE 'p' END AS grp FROM u),
+        |ham AS (SELECT a.id AS id_new, b.id AS id_old,
+        |          bit_count(xor(a.sig, b.sig)) AS hamming
+        |        FROM g a JOIN g b
+        |        ON bit_count(xor(a.sig, b.sig)) <= 2 AND a.id <> b.id),
+        |dup1 AS (SELECT h2.* FROM ham h2 JOIN g a ON a.id = h2.id_new
+        |         JOIN g b ON b.id = h2.id_old
+        |         WHERE a.grp = 'b1' AND b.grp = 'h'),
+        |adm1 AS (SELECT id FROM g WHERE grp = 'b1'
+        |         AND id NOT IN (SELECT id_new FROM dup1)),
+        |live1 AS (SELECT id FROM g WHERE grp = 'h' UNION SELECT id FROM adm1),
+        |dup2 AS (SELECT h2.* FROM ham h2 JOIN g a ON a.id = h2.id_new
+        |         WHERE a.grp = 'b2' AND h2.id_old IN (SELECT id FROM live1)),
+        |adm2 AS (SELECT id FROM g WHERE grp = 'b2'
+        |         AND id NOT IN (SELECT id_new FROM dup2)),
+        |dead AS (SELECT id FROM g WHERE grp = 'h'
+        |         AND id NOT IN (SELECT id_old FROM dup1 UNION SELECT id_old FROM dup2)),
+        |live AS (SELECT id FROM live1 WHERE id NOT IN (SELECT id FROM dead)
+        |         UNION SELECT id FROM adm2)
+        |SELECT h2.id_new, h2.id_old, h2.hamming FROM ham h2
+        |JOIN g a ON a.id = h2.id_new
+        |WHERE a.grp = 'p' AND h2.id_old IN (SELECT id FROM live)""".stripMargin,
 
     // phash families: the same all-pairs hamming graph, components via
     // the reach CTE, then per-family keep (label desc, id asc) — the

@@ -2375,39 +2375,65 @@ object Dedup {
       s"day must be a non-empty tag other than 'base': '$day'")
     requireSightedMinhash(spark, dir)
     IndexFiles.healAppend(spark, dir, minhashHealTables(spark, dir))
-    val verdicts = dedupAgainstIndex(spark, dir, newDf, idCol, textCol, tau)
-    // one materialization: dup ids, touched ids, and the seen slice
-    // all read this small (pairs-at-tau) frame
-    val pairs = verdicts.select(col("id_new"), col("id_old")).persist()
-    pairs.count()
-    CacheLifecycle.release(verdicts)
-    val admitted = newDf.join(pairs.select(col("id_new").as(idCol)),
-      Seq(idCol), "left_anti")
-    val seenRows = admitted.select(col(idCol).as("id"))
-      .unionByName(pairs.select(col("id_old").as("id")))
-      .distinct().withColumn("src", lit(day))
+    // inlined [[dedupAgainstIndex]] rather than called: the batch's
+    // shingle sets and band signatures feed BOTH the verdict probe and
+    // the admitted append — computing them once and FILTERING for the
+    // admitted subset saves a full shingle+minhash chain per day
+    // (measured ~35% of the sighted append at bench scale)
     val m = spark.read.parquet(s"$dir/meta").head()
     val (w, numHashes, bands) =
       (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
     val maxDf = Option(m.getAs[Int]("max_df")).filter(_ >= 0)
-    val newSh = shingleHashSet(admitted, idCol, textCol, w, maxDf).cache()
-    val batchIds = newSh.select("id").distinct()
+    val newSh = shingleHashSet(newDf, idCol, textCol, w, maxDf).persist()
+    import org.apache.spark.sql.types._
+    val oldSh = IndexFiles.dropTombstones(spark, dir,
+      IndexFiles.readOrEmpty(spark, s"$dir/shingles", StructType(Seq(
+        StructField("id", newDf.schema(idCol).dataType),
+        StructField("h", LongType)))))
+    val replayed = newSh.select("id").distinct()
+      .join(IndexFiles.storedIds(spark, dir, oldSh.select("id").distinct()),
+        "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already exists " +
+        "in the index — replayed ids would corrupt the Jaccard verify")
+    val newSig = bandSignatures(minhashes(newSh, numHashes),
+      bands, numHashes / bands).persist()
+    val oldSig = IndexFiles.dropTombstones(spark, dir,
+      IndexFiles.readOrEmpty(spark, s"$dir/sigs", StructType(Seq(
+        StructField("id", newDf.schema(idCol).dataType),
+        StructField("band", IntegerType), StructField("sig", StringType)))))
+    val cand = oldSig.as("o").join(broadcast(newSig.as("n")),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(col("n.id").as("id_a"), col("o.id").as("id_b"))
+      .distinct()
+    val (verified, pins) = verifyJaccard(cand, newSh.union(oldSh), "h", tau)
+    // one materialization: dup ids, touched ids, and the seen slice
+    // all read this small (pairs-at-tau) frame
+    val pairs = verified.select(col("id_a").as("id_new"),
+      col("id_b").as("id_old")).persist()
+    pairs.count()
+    pins.foreach(_.unpersist())
+    val dupIds = pairs.select(col("id_new").as("id"))
+    val admittedSh = newSh.join(dupIds, Seq("id"), "left_anti")
+    val admittedSig = newSig.join(dupIds, Seq("id"), "left_anti")
+    val batchIds = admittedSh.select("id").distinct()
+    val seenRows = batchIds
+      .unionByName(pairs.select(col("id_old").as("id")))
+      .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admitted.isEmpty) Seq.empty
+      if (admittedSh.isEmpty) Seq.empty
       else Seq(
-        ("sigs", tagMinhashSigs(
-            bandSignatures(minhashes(newSh, numHashes), bands,
-              numHashes / bands), day).repartition(col("hb")),
+        ("sigs", tagMinhashSigs(admittedSig, day).repartition(col("hb")),
           Seq("src", "hb")),
-        ("shingles", tagMinhashShingles(newSh, day).repartition(col("hb")),
-          Seq("src", "hb")))
+        ("shingles", tagMinhashShingles(admittedSh, day)
+          .repartition(col("hb")), Seq("src", "hb")))
     val seenSlice =
       if (seenRows.isEmpty) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
     if ((payloadSlices ++ seenSlice).nonEmpty)
       IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
         if (payloadSlices.isEmpty) None else Some(batchIds))
-    newSh.unpersist(); pairs.unpersist(); ()
+    newSh.unpersist(); newSig.unpersist(); pairs.unpersist(); ()
   }
 
   private def requireSightedMinhash(spark: org.apache.spark.sql.SparkSession,

@@ -207,12 +207,30 @@ object Multimodal {
     * a replayed id would pair an asset with itself at hamming 0).
     * Rides the shared [[IndexFiles.appendStaged]] journal, so a crash
     * anywhere is repaired by the next append. */
+  /** The phash family's heal list: bands always, plus the sighted
+    * variant's `seen` table when present (the exact/minhash rule). */
+  private def phashHealTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq("bands", "seen")
+    else Seq("bands")
+  }
+
   def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDf: DataFrame, idCol: String,
       featuresCol: String, src: String): Unit = {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
-    IndexFiles.healAppend(spark, dir, Seq("bands"))
+    IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir))
+    // the sighted families' mirror guard: an unsighted append stores
+    // assets no sighting day contains — irretirable by the window
+    val seenP = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(!seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(seenP),
+      s"$dir records sightings — append with appendToPhashIndexSighted " +
+        "(an unsighted append stores assets no sighting window could " +
+        "ever retire)")
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
       m.getAs[Int]("max_ham"), m.getAs[Double]("thresh"))
@@ -230,6 +248,132 @@ object Multimodal {
         .repartition(col("hb")), Seq("src", "hb"))),
       Some(batchIds))
     sig.unpersist(); ()
+  }
+
+  // ---- sighting-window phash dedup ---------------------------------------
+
+  /** [[buildPhashIndex]] plus a SIGHTINGS ledger — the media form of
+    * the exact/minhash "seen in the last N days" contract: `dir/seen`
+    * holds one (id) row per (day, sighted INDEX asset), src=day
+    * partitions. A stored asset is sighted when admitted and again
+    * every time an arriving batch asset is REJECTED as its near-dup
+    * (touch-on-reject — the image is demonstrably still circulating
+    * even though the arriving copy is dropped). The build day ages
+    * out of the window like any other. */
+  def buildPhashIndexSighted(df: DataFrame, idCol: String,
+      featuresCol: String, dir: String, dim: Int, day: String,
+      maxHam: Int = 2, thresh: Double = 0.5): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    buildPhashIndex(df, idCol, featuresCol, dir, dim, maxHam, thresh)
+    df.select(col(idCol).as("id")).distinct()
+      .withColumn("src", lit(day))
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/seen")
+  }
+
+  /** Admission append with the sighting touch — the minhash family's
+    * [[graft.operators.Dedup.appendToMinhashIndexSighted]] on media
+    * signatures: the batch probes the live history
+    * ([[dedupPhashAgainstIndex]] at the stored maxHam), rejected
+    * assets drop, admitted assets extend the index under this day's
+    * segment, and the day's `seen` slice records the admitted ids
+    * plus the stored ids the rejections matched — one journaled
+    * commit. O(batch) probe + O(admitted) append. */
+  def appendToPhashIndexSighted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDf: DataFrame, idCol: String, featuresCol: String,
+      day: String): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    requireSightedPhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir))
+    val pairs = dedupPhashAgainstIndex(spark, dir, newDf, idCol,
+      featuresCol).select(col("id_new"), col("id_old")).persist()
+    pairs.count()
+    val admitted = newDf.join(pairs.select(col("id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+    val seenRows = admitted.select(col(idCol).as("id"))
+      .unionByName(pairs.select(col("id_old").as("id")))
+      .distinct().withColumn("src", lit(day))
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
+      m.getAs[Int]("max_ham"), m.getAs[Double]("thresh"))
+    val (bands, width) = bandParams(dim, maxHam)
+    val sig = signatures(admitted, idCol, featuresCol, dim, thresh).cache()
+    val batchIds = sig.select("id").distinct()
+    val payloadSlices =
+      if (admitted.isEmpty) Seq.empty
+      else Seq(("bands", tagBands(bandedSigs(sig, dim, bands, width), day)
+        .repartition(col("hb")), Seq("src", "hb")))
+    val seenSlice =
+      if (seenRows.isEmpty) Seq.empty
+      else Seq(("seen", seenRows, Seq("src")))
+    if ((payloadSlices ++ seenSlice).nonEmpty)
+      IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
+        if (payloadSlices.isEmpty) None else Some(batchIds))
+    sig.unpersist(); pairs.unpersist(); ()
+  }
+
+  private def requireSightedPhash(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$dir has no sightings ledger — build it with " +
+        "buildPhashIndexSighted (the admission index at this dir has no " +
+        "last-seen data to window on)")
+  }
+
+  /** Retire sighting days older than the newest `keep` — assets whose
+    * LAST sighting aged out are TOMBSTONED through the family's one
+    * delete model ([[deleteFromPhashIndex]] semantics; the
+    * ratio-scheduled [[compactPhashIndex]] purges physically), then
+    * the doomed `seen` day-partitions drop in O(segment). Same
+    * crash-safety and cost shape as the exact/minhash windows
+    * (tombstones commit before the seen drop; takedown-sized id
+    * joins). Returns the retired day tags, oldest first. */
+  def retirePhashSeenWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1,
+      s"keep must be >= 1: retiring every sighting day would empty the " +
+        s"history (got $keep)")
+    requireSightedPhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomed = days.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val kept = days.takeRight(keep)
+      val seen = spark.read.parquet(s"$dir/seen")
+      val doomedIds = seen.filter(col("src").isin(doomed: _*))
+        .select("id").distinct()
+        .join(seen.filter(col("src").isin(kept: _*)).select("id").distinct(),
+          Seq("id"), "left_anti")
+      val live = IndexFiles.dropTombstones(spark, dir,
+        IndexFiles.storedIds(spark, dir,
+          spark.read.parquet(s"$dir/bands").select("id").distinct()))
+      val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
+      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
+      require(!wouldSurvive.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would forget every live " +
+          "asset (no kept day re-saw anything) — drop and rebuild the " +
+          "index instead")
+      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      dead.unpersist()
+      IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
+        strict = true)
+      IndexFiles.refresh(spark, dir)
+      ()
+    }
+    doomed
+  }
+
+  /** [[retirePhashSeenWindow]] keyed by an explicit horizon — every
+    * sighting day strictly older than `day` (natural order) retires. */
+  def retirePhashSeenBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, day: String): Seq[String] = {
+    requireSightedPhash(spark, dir)
+    IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
+    retirePhashSeenWindow(spark, dir, keep = days.size - doomedN)
   }
 
   /** Rewrite the phash ids sidecar from the stored band table — the
@@ -287,7 +431,7 @@ object Multimodal {
     * journal; something read-write must run the repair). */
   def healPhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("bands")); ()
+    IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir)); ()
   }
 
   /** Near-dup media pairs between a NEW batch and the stored history —

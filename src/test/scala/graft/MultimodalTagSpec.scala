@@ -267,4 +267,72 @@ class MultimodalTagSpec extends SparkSpec {
     assert(a.forall(r => Tag.labels.contains(r._2)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("phash sighting window: a re-encode rejection re-sights the stored asset; last-seen aging tombstones what no kept day re-saw") {
+    def feats(ids: Seq[Long], famOf: Long => String) =
+      Multimodal.decodeFeatures(
+        ids.map(i => (i, famOf(i).getBytes("UTF-8"), "image"))
+          .toDF("media_id", "payload", "kind"),
+        "media_id", "payload", dim = 16)
+    val idx = java.nio.file.Files.createTempDirectory("phsighted")
+      .toString + "/idx"
+    // d0: assets A and B stored; d1: a re-encode of A arrives
+    // (hamming 0 — rejected, touches A) alongside novel C; d2: novel D
+    Multimodal.buildPhashIndexSighted(
+      feats(Seq(1L, 2L), i => if (i == 1L) "fam-A" else "fam-B"),
+      "media_id", "features", idx, dim = 16, day = "d0")
+    Multimodal.appendToPhashIndexSighted(spark, idx,
+      feats(Seq(11L, 12L), i => if (i == 11L) "fam-A" else "fam-C"),
+      "media_id", "features", day = "d1")
+    Multimodal.appendToPhashIndexSighted(spark, idx,
+      feats(Seq(21L), _ => "fam-D"), "media_id", "features", day = "d2")
+    def seenIds(day: String) = spark.read.parquet(s"$idx/seen")
+      .filter(col("src") === day).select("id").as[Long].collect().toSet
+    assert(seenIds("d0") == Set(1L, 2L))
+    assert(seenIds("d1") == Set(1L, 12L), s"got ${seenIds("d1")}")
+    assert(seenIds("d2") == Set(21L))
+    // keep the last two days: d0 ages out; A survives (re-seen via the
+    // d1 rejection), B is forgotten; the rejected copy was never stored
+    assert(Multimodal.retirePhashSeenWindow(spark, idx, keep = 2)
+      == Seq("d0"))
+    def verdicts() = Multimodal.dedupPhashAgainstIndex(spark, idx,
+        feats(Seq(31L, 32L, 33L), i =>
+          if (i == 31L) "fam-A" else if (i == 32L) "fam-B" else "fam-D"),
+        "media_id", "features")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val after = verdicts()
+    assert(after.contains((31L, 1L)), s"re-seen asset must survive: $after")
+    assert(after.contains((33L, 21L)), s"got $after")
+    assert(!after.exists(_._2 == 2L),
+      s"an asset no kept day re-saw must be forgotten: $after")
+    assert(!after.exists(_._2 == 11L), s"rejected copy was stored: $after")
+    // tombstone-shaped retire; compaction is verdict-invariant
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isDefined)
+    Multimodal.compactPhashIndex(spark, idx)
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isEmpty)
+    assert(verdicts() == after)
+    // guards: unsighted append refused; window refused on an unsighted
+    // dir; keep >= 1; horizon form retires by natural day order
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.appendToPhashIndex(spark, idx,
+        feats(Seq(41L), _ => "fam-E"), "media_id", "features", "d3")
+    }
+    assert(err.getMessage.contains("appendToPhashIndexSighted"),
+      err.getMessage)
+    intercept[IllegalArgumentException] {
+      Multimodal.retirePhashSeenWindow(spark, idx, keep = 0)
+    }
+    val plain = java.nio.file.Files.createTempDirectory("phplain")
+      .toString + "/idx"
+    Multimodal.buildPhashIndex(feats(Seq(1L), _ => "fam-A"),
+      "media_id", "features", plain, dim = 16)
+    val err2 = intercept[IllegalArgumentException] {
+      Multimodal.retirePhashSeenWindow(spark, plain, keep = 1)
+    }
+    assert(err2.getMessage.contains("sightings ledger"), err2.getMessage)
+    assert(Multimodal.retirePhashSeenBefore(spark, idx, "d2") == Seq("d1"))
+    val end = verdicts()
+    assert(!end.exists(_._2 == 1L) && end.contains((33L, 21L)),
+      s"horizon retire must forget the d1-last-seen assets: $end")
+  }
 }
