@@ -59,7 +59,11 @@ object Bench {
     // query — at 180+ queries the driver's truncated stdout tail loses
     // the head of the line (total + the first ~2/3 of the map). Millis
     // are far below host noise; the compact line survives more tails.
-    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f interpolator honors the JVM default locale,
+    // and a comma-decimal locale would render invalid JSON
+    def r3(v: Double) =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

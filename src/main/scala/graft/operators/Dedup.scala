@@ -1248,7 +1248,12 @@ object Dedup {
       groundTruth: Option[DataFrame]): (DataFrame, Long) =
     groundTruth match {
       case Some(g) =>
-        val e = g.select(col("id_a"), col("id_b")).distinct().persist()
+        // normalize orientation: the sweeps' candidates are emitted
+        // id_a < id_b, and a supplier whose join order produced the
+        // reverse would otherwise silently score recall 0 on every rung
+        val e = g.select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct().persist()
         (e, e.count())
       case None =>
         val exactPairs = ngramJaccard(df, idCol, textCol, w, tau, maxDf)

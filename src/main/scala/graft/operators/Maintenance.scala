@@ -234,26 +234,16 @@ object Maintenance {
       // files/bytes through the FS's own summary — ONE namenode call on
       // HDFS (getContentSummary is server-side there), not a recursive
       // client walk per dashboard tick over millions of segment files.
-      // Snapshot/restore scratch (…__restore_tmp/__snap_tmp/__snap_old
-      // children left by a crashed run) and manifests are NOT data —
-      // subtract them (one listStatus; scratch children are rare) so a
-      // crash can't inflate the dashboard until someone hand-cleans
-      val dfs = fsOf(spark, dir)
-      val summary = dfs.getContentSummary(new Path(dir))
-      var (nFiles, nBytes) = (summary.getFileCount, summary.getLength)
-      dfs.listStatus(new Path(dir)).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && (n.endsWith(RestoreTmp) || n.endsWith(SnapTmp)
-            || n.endsWith(SnapOld))) {
-          val sub = dfs.getContentSummary(st.getPath)
-          nFiles -= sub.getFileCount; nBytes -= sub.getLength
-        } else if (!st.isDirectory &&
-            (n == ManifestName || n == s"${ManifestName}_tmp")) {
-          nFiles -= 1; nBytes -= st.getLen
-        }
-      }
+      // Crash scratch can never inflate this: snapshot staging/aside
+      // and restore scratch are created as SIBLINGS of their targets
+      // (<name>__snap_tmp / __snap_old / __restore_tmp next to the
+      // dir, never inside it), so a crashed run's leftovers sit
+      // outside every index dir this summary reads. Do NOT nest a
+      // snapDir inside its index dir — the backup would count as data.
+      val summary = fsOf(spark, dir).getContentSummary(new Path(dir))
       (dir, family, live, srcs.size.toLong, oldest,
-        newest, tomb, frac, nFiles, nBytes)
+        newest, tomb, frac, summary.getFileCount,
+        summary.getLength)
     }.toDF("dir", "family", "live", "segments", "oldest", "newest",
       "tombstones", "fraction", "files", "bytes")
   }

@@ -286,23 +286,54 @@ object Multimodal {
       s"day must be a non-empty tag other than 'base': '$day'")
     requireSightedPhash(spark, dir)
     IndexFiles.healAppend(spark, dir, phashHealTables(spark, dir))
-    val pairs = dedupPhashAgainstIndex(spark, dir, newDf, idCol,
-      featuresCol).select(col("id_new"), col("id_old")).persist()
-    pairs.count()
-    val admitted = newDf.join(pairs.select(col("id_new").as(idCol)),
-      Seq(idCol), "left_anti")
-    val seenRows = admitted.select(col(idCol).as("id"))
-      .unionByName(pairs.select(col("id_old").as("id")))
-      .distinct().withColumn("src", lit(day))
+    // inlined probe (the appendToMinhashIndexSighted rule): the batch's
+    // signatures feed BOTH the verdict join and the admitted append —
+    // one signature pass, filtered for the admitted subset
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, maxHam, thresh) = (m.getAs[Int]("dim"),
       m.getAs[Int]("max_ham"), m.getAs[Double]("thresh"))
     val (bands, width) = bandParams(dim, maxHam)
-    val sig = signatures(admitted, idCol, featuresCol, dim, thresh).cache()
-    val batchIds = sig.select("id").distinct()
+    val sig = signatures(newDf, idCol, featuresCol, dim, thresh).cache()
+    val batchAll = sig.select("id").distinct()
+    // replayed-id guard (the unsighted append's contract): an asset
+    // whose features drifted past maxHam would otherwise be "admitted"
+    // AGAIN under its stored id — duplicate bands + ids rows, double
+    // kills on takedown
+    val replayed = IndexFiles.ensureIds(spark, dir,
+        spark.read.parquet(s"$dir/bands").select("id").distinct())
+      .join(broadcast(batchAll), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already " +
+        "exists in the index — a replayed id would duplicate its rows " +
+        "(re-encodes of a KNOWN asset arrive under fresh ids and reject " +
+        "as near-dups)")
+    val nb = bandedSigs(sig, dim, bands, width)
+    val stored = {
+      import org.apache.spark.sql.types._
+      IndexFiles.readOrEmpty(spark, s"$dir/bands", StructType(Seq(
+        StructField("id", newDf.schema(idCol).dataType),
+        StructField("sig", LongType),
+        StructField("band", IntegerType),
+        StructField("key", LongType))))
+    }
+    val pairs = broadcast(nb).as("n")
+      .join(IndexFiles.dropTombstones(spark, dir, stored).as("o"),
+        col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+      .select(col("n.id").as("id_new"), col("o.id").as("id_old"),
+        bit_count(col("n.sig").bitwiseXOR(col("o.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+      .select(col("id_new"), col("id_old")).persist()
+    pairs.count()
+    val dupIds = pairs.select(col("id_new").as("id"))
+    val admittedBands = nb.join(dupIds, Seq("id"), "left_anti")
+    val batchIds = batchAll.join(dupIds, Seq("id"), "left_anti")
+    val seenRows = batchIds
+      .unionByName(pairs.select(col("id_old").as("id")))
+      .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admitted.isEmpty) Seq.empty
-      else Seq(("bands", tagBands(bandedSigs(sig, dim, bands, width), day)
+      if (admittedBands.isEmpty) Seq.empty
+      else Seq(("bands", tagBands(admittedBands, day)
         .repartition(col("hb")), Seq("src", "hb")))
     val seenSlice =
       if (seenRows.isEmpty) Seq.empty

@@ -586,7 +586,7 @@ class MaintenanceSpec extends SparkSpec {
       "a mismatched member must refuse before ANY member restores")
   }
 
-  test("storeReport: crashed-run scratch trees and manifests do not inflate files/bytes") {
+  test("storeReport: crashed snapshot/restore scratch lives as SIBLINGS of the index, so files/bytes never inflate") {
     val root = java.nio.file.Files.createTempDirectory("reportscratch")
       .toString
     val docs = (1 to 20).map(i => (i.toLong, s"scratch doc $i body"))
@@ -595,20 +595,19 @@ class MaintenanceSpec extends SparkSpec {
     def row() = Maintenance.storeReport(spark, Seq((s"$root/exact", "exact")))
       .select("files", "bytes").as[(Long, Long)].head()
     val clean = row()
-    // plant what a crashed snapshot/restore leaves behind: scratch
-    // trees under the index dir plus a stray manifest
+    // the REAL crash layouts: a complete backup beside the index, plus
+    // the sibling scratch dirs snapshot/restore create (staging, aside,
+    // restore scratch are all <name>-suffixed SIBLINGS, never children)
+    Maintenance.snapshotIndex(spark, s"$root/exact", s"$root/bak")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"$root/exact/bak__snap_tmp/part-0", s"$root/exact/x__restore_tmp/f",
-        s"$root/exact/y__snap_old/g").foreach { p =>
+    Seq(s"$root/bak__snap_tmp/part-0", s"$root/exact__restore_tmp/f",
+        s"$root/bak__snap_old/g").foreach { p =>
       val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
       out.write(Array.fill(128)(7.toByte)); out.close()
     }
-    val mf = fs.create(new org.apache.hadoop.fs.Path(
-      s"$root/exact/_snapshot_manifest"), true)
-    mf.write("9 9\n".getBytes("UTF-8")); mf.close()
     assert(row() == clean,
-      s"scratch inflated the dashboard: ${row()} vs $clean")
+      s"sibling scratch inflated the dashboard: ${row()} vs $clean")
   }
 
   test("storeReport pins 'base' oldest under streaming b<batchId> tags (which sort after it naturally)") {
