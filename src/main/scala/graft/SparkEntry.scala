@@ -573,6 +573,36 @@ object SparkEntry {
     s.read.parquet(s"$root/report")
   }
 
+  // The sighted twin of q_maintenance: two live SIGHTED families
+  // (exact_seen + minhash_seen) each built on one 20-doc day and
+  // appended two more, then ONE Maintenance.nightlySighted with keep=2
+  // — d0 (the BUILD day, which [[Maintenance.nightly]] structurally
+  // never touches) ages out of both. Deterministic: day tags and
+  // windows are static, so the oracle is a literal table; the per-index
+  // survivor semantics behind the retires are the hash-exact
+  // q_exact_seen_retire / q_minhash_seen_retire queries.
+  private def qMaintenanceSighted(s: SparkSession, dir: String): DataFrame = {
+    val root = buildOnce(s"/tmp/graft_msight_${dirKey(dir)}") { r =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      def slice(lo: Int) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 20)
+          .select(col("doc_id"), col("text"))
+      Dedup.buildExactIndexSighted(slice(0), "doc_id", "text",
+        s"$r/exact", day = "d0")
+      Seq(20, 40).foreach(lo => Dedup.appendToExactIndexSighted(s,
+        s"$r/exact", slice(lo), "doc_id", "text", s"d$lo"))
+      Dedup.buildMinhashIndexSighted(slice(0), "doc_id", "text",
+        s"$r/mh", day = "d0")
+      Seq(20, 40).foreach(lo => Dedup.appendToMinhashIndexSighted(s,
+        s"$r/mh", slice(lo), "doc_id", "text", s"d$lo"))
+      Maintenance.nightlySighted(s, Seq(
+          (s"$r/exact", "exact_seen", 2), (s"$r/mh", "minhash_seen", 2)))
+        .select(col("family"), col("keep"), col("tag"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
+    }
+    s.read.parquet(s"$root/report")
+  }
+
   /** Ratio-triggered compaction, end to end: tombstone a known
     * fraction of an IVF index (16 of 64 ids) and the exact history
     * (10 of 40 fps), then drive [[Maintenance.nightlyCompact]] through
@@ -2721,6 +2751,7 @@ object SparkEntry {
     "q_exact_retire" -> (qExactRetire _),
     "q_exact_seen_retire" -> (qExactSeenRetire _),
     "q_maintenance" -> (qMaintenance _),
+    "q_maintenance_sighted" -> (qMaintenanceSighted _),
     "q_compaction" -> (qCompaction _),
     "q_index_snapshot" -> (qIndexSnapshot _),
     "q_store_report" -> (qStoreReport _),
@@ -3490,6 +3521,15 @@ object SparkEntry {
     "q_maintenance" ->
       """SELECT * FROM (VALUES ('linedf', 1, 'd20'), ('ivf', 1, 'd1'))
         |AS t(family, keep, tag)""".stripMargin,
+
+    // the sighted nightly's audit report: day tags and windows are
+    // static (keep=2 over three sighting days always retires exactly
+    // d0, the build day), so a literal table is the oracle — the
+    // survivor semantics behind each retire are the hash-exact
+    // q_exact_seen_retire / q_minhash_seen_retire queries
+    "q_maintenance_sighted" ->
+      """SELECT * FROM (VALUES ('exact_seen', 2, 'd0'),
+        |  ('minhash_seen', 2, 'd0')) AS t(family, keep, tag)""".stripMargin,
 
     // compaction audit: IVF fraction is the 16/64 literal; the exact
     // side's is recomputed from the documents table (distinct

@@ -58,6 +58,61 @@ object Maintenance {
     }.toDF("dir", "family", "keep", "tag")
   }
 
+  /** The OTHER retention contract, by family name: "seen in the last
+    * N days" sighting windows ([[Dedup.retireExactSeenWindow]] and
+    * siblings — a re-seen document's clock resets), deliberately NOT
+    * in [[families]]: those windows retire appended segments only and
+    * never the build's, which is exactly the semantics the sighted
+    * ledgers exist to replace (the build day ages out like any
+    * other). `keep` counts sighting DAYS here, not appended
+    * segments. */
+  val sightedFamilies: Map[String, (SparkSession, String, Int) => Seq[String]] =
+    Map(
+      "exact_seen" -> ((s, d, k) => Dedup.retireExactSeenWindow(s, d, k)),
+      "minhash_seen" -> ((s, d, k) => Dedup.retireMinhashSeenWindow(s, d, k)),
+      "phash_seen" -> ((s, d, k) => Multimodal.retirePhashSeenWindow(s, d, k)))
+
+  /** Run the sighting windows — the scheduled nightly for the
+    * sighted-admission indexes, which [[nightly]] cannot drive (its
+    * contract never retires the build segment). `specs` = (indexDir,
+    * family ∈ [[sightedFamilies]], keep sighting-days). EVERY spec
+    * validates BEFORE any retirement runs (the [[nightly]]
+    * convention, plus this driver's own pre-flights): unknown family
+    * names, keep < 1 (retiring every sighting day empties a history),
+    * and dirs with NO sightings ledger are all loud up front — a
+    * typo'd or mis-pointed nightly must not half-age the store.
+    * Returns the same audit shape as [[nightly]]: one row per retired
+    * sighting day, (dir, family, keep, tag), oldest first per spec.
+    * Composes with [[nightlyCompact]]: the sighted retires express
+    * forgetting through each family's ONE tombstone model, so the
+    * ratio triggers below see (and eventually purge) exactly what
+    * these windows wrote. */
+  def nightlySighted(spark: SparkSession,
+      specs: Seq[(String, String, Int)]): DataFrame = {
+    import spark.implicits._
+    val unknown = specs.map(_._2).filterNot(sightedFamilies.contains).distinct
+    require(unknown.isEmpty,
+      s"unknown sighted maintenance families ${unknown.mkString(", ")} — " +
+        s"expected one of ${sightedFamilies.keys.toSeq.sorted.mkString(", ")}")
+    specs.foreach { case (dir, _, keep) =>
+      require(keep >= 1,
+        s"keep must be >= 1 for $dir: retiring every sighting day would " +
+          s"empty the history (got $keep)")
+    }
+    val unsighted = specs.map(_._1).distinct.filterNot { d =>
+      val p = new Path(s"$d/seen")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    require(unsighted.isEmpty,
+      s"no sightings ledger at ${unsighted.mkString(", ")} — these are " +
+        "admission-ledger indexes (or typos); window them with nightly(), " +
+        "or rebuild with the family's buildSighted entry point")
+    specs.flatMap { case (dir, family, keep) =>
+      sightedFamilies(family)(spark, dir, keep)
+        .map(tag => (dir, family, keep, tag))
+    }.toDF("dir", "family", "keep", "tag")
+  }
+
   /** Every family with a tombstone model: its physical-compaction
     * entry plus (tombstoneTable, liveTable, livePayload) — what
     * [[tombstoneFraction]] reads. line-df and domain-cap are absent by

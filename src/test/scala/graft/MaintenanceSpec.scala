@@ -43,6 +43,76 @@ class MaintenanceSpec extends SparkSpec {
       "ivf_pq", "sparse", "binary", "lsh"))
   }
 
+  test("nightlySighted: pre-flights abort whole, audit rows, steady state, compaction hand-off") {
+    val root = java.nio.file.Files.createTempDirectory("msight").toString
+    val ex = s"$root/ex"
+    Dedup.buildExactIndexSighted(
+      Seq((1L, "alpha one"), (2L, "beta two")).toDF("doc_id", "text"),
+      "doc_id", "text", ex, day = "d0")
+    // d1 re-sights doc 1's text under a fresh id (touch-on-reject)
+    Dedup.appendToExactIndexSighted(spark, ex,
+      Seq((11L, "gamma three"), (1000001L, "alpha one"))
+        .toDF("doc_id", "text"), "doc_id", "text", "d1")
+    Dedup.appendToExactIndexSighted(spark, ex,
+      Seq((21L, "delta four")).toDF("doc_id", "text"),
+      "doc_id", "text", "d2")
+    // pre-flight 1: an unknown family ANYWHERE aborts before the good
+    // spec retires (the nightly() half-aged-store rule)
+    val e1 = intercept[IllegalArgumentException] {
+      Maintenance.nightlySighted(spark,
+        Seq((ex, "exact_seen", 2), (ex, "no-such_seen", 1)))
+    }
+    assert(e1.getMessage.contains("no-such_seen"), e1.getMessage)
+    // pre-flight 2: keep < 1 would empty a history — loud up front
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.nightlySighted(spark,
+        Seq((ex, "exact_seen", 2), (ex, "exact_seen", 0)))
+    }
+    assert(e2.getMessage.contains("keep must be >= 1"), e2.getMessage)
+    // pre-flight 3: a dir with no sightings ledger (an admission-ledger
+    // index, or a typo'd path) refuses before anything ages
+    val plain = s"$root/plain"
+    Dedup.buildExactIndex(
+      Seq((5L, "unrelated text")).toDF("doc_id", "text"),
+      "doc_id", "text", plain)
+    val e3 = intercept[IllegalArgumentException] {
+      Maintenance.nightlySighted(spark,
+        Seq((ex, "exact_seen", 2), (plain, "exact_seen", 1)))
+    }
+    assert(e3.getMessage.contains(plain), e3.getMessage)
+    assert(graft.operators.IndexFiles.listSrcs(spark, ex, "seen")
+      == Seq("d0", "d1", "d2"),
+      "a rejected pre-flight must leave every sighting day in place")
+    // the real run: keep=2 retires exactly d0; the re-seen text
+    // survives under its ORIGINAL id, the forgotten one tombstones
+    val got = Maintenance.nightlySighted(spark, Seq((ex, "exact_seen", 2)))
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(got == Seq((ex, "exact_seen", 2, "d0")), s"got $got")
+    val verdicts = Dedup.dedupExactAgainstIndex(spark, ex,
+        Seq((31L, "alpha one"), (32L, "beta two")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map { case (id, fid, dup) => id -> ((fid, dup)) }.toMap
+    assert(verdicts(31L) == ((Some(1L), true)),
+      "re-seen text must survive d0's retirement under its original id")
+    assert(verdicts(32L) == ((None, false)),
+      "a text seen only in the retired day must be forgotten")
+    // steady state: the daily re-run retires nothing
+    assert(Maintenance.nightlySighted(spark,
+      Seq((ex, "exact_seen", 2))).isEmpty)
+    // compaction hand-off: the sighted retire wrote through the exact
+    // family's ONE tombstone model, so the ratio trigger sees it and
+    // the scheduled compactor purges it
+    assert(Maintenance.tombstoneFraction(spark, ex, "exact") > 0.0)
+    val comp = Maintenance.nightlyCompact(spark, Seq((ex, "exact", 0.0)))
+      .select("compacted").as[Boolean].collect().toSeq
+    assert(comp == Seq(true))
+    assert(Maintenance.tombstoneFraction(spark, ex, "exact") == 0.0)
+    // the sighted registry stays total (the families assert's twin)
+    assert(Maintenance.sightedFamilies.keySet
+      == Set("exact_seen", "minhash_seen", "phash_seen"))
+  }
+
   test("rolling windows order segments NATURALLY: unpadded b10 is newer than b2, never retired first") {
     // the streaming drivers tag per-batch segments b0, b1, ..., b10 —
     // a plain lexical sort would place b10 before b2 and the window
