@@ -40,7 +40,24 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
-    val results = selected.map { case (name, fn) =>
+    // bill the multi-consumer memoized builds to ONE explicit entry
+    // (full runs only): without this, sorted execution hands the
+    // full-corpus IVF build to q_alias, the sparse postings to
+    // q_bm25, etc. — a lookup query reading as a 20 s one. Filtered
+    // local runs skip it: their queries build lazily as before.
+    val shared: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.warmSharedBuilds(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] _shared_builds failed: ${e.getMessage}")
+            false
+          }
+        Seq("_shared_builds" ->
+          (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      }
+    val timed = selected.map { case (name, fn) =>
       // isolate queries: operators may cache() internally; leaked cache
       // blocks from earlier queries would otherwise squeeze execution
       // memory for later ones and skew their timings — clear, then let
@@ -55,6 +72,7 @@ object Bench {
       // instead of a partial elapsed time masquerading as a result
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = shared ++ timed
     // 3dp: full-precision doubles bloat the one-line JSON ~35 bytes per
     // query — at 180+ queries the driver's truncated stdout tail loses
     // the head of the line (total + the first ~2/3 of the map). Millis
@@ -93,7 +111,7 @@ object Bench {
         val host = java.net.InetAddress.getLocalHost.getHostName
         val stamp = java.time.Instant.now.toString
         val record =
-          s"""{"note":"per-query seconds at sf0.1 on local[32]; refreshed by graft.Bench each full run","host":"$host","written_at":"$stamp","nqueries":${results.size},"total_sec":${r3(total)},"queries":$qs}\n"""
+          s"""{"note":"per-query seconds at sf0.1 on local[32]; refreshed by graft.Bench each full run","host":"$host","written_at":"$stamp","nqueries":${timed.size},"total_sec":${r3(total)},"queries":$qs}\n"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_BASELINE.json"), record)
         // BENCH_BASELINE self-refreshes, so "vs last round" needs git

@@ -849,6 +849,146 @@ object Scale {
     println(s"SCALE_COSDEDUP verdicts=identical n=${v1.size}")
   }
 
+  /** SCALE rows for the sighting-window retires (r19): per family
+    * (exact_seen / minhash_seen / phash_seen), build the sighted
+    * history at 1× and FACTOR×, append ONE day that re-sights
+    * everything except a FIXED base-sized doomed set (replica-0 docs
+    * with id %20 == 0 are not replayed — their last sighting stays
+    * d0), time the retire (keep=1: the build day ages out), and
+    * assert the fixed base-corpus probe's verdicts are IDENTICAL at
+    * both scales — survivor identity: the doomed set is forgotten and
+    * the touched set survives under its ORIGINAL ids no matter how
+    * much surrounding history grew. The d1 day is history-sized by
+    * construction (touch-on-reject re-sights ~everything), so the
+    * appended-day wall bounds the worst steady-state day while the
+    * dead set stays takedown-sized — exactly the claim on the retire
+    * docstrings. Phash replicas flip the signs of a ≥8-bit 16-bit
+    * mask per replica (pairwise hamming ≥ 8 > maxHam=2), so
+    * cross-replica matches cannot blur survivor identity; zero-norm
+    * features are excluded up front (all-zero vectors replicate to
+    * hamming-0 copies of themselves). */
+  def sightedRetireBench(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int): Unit = {
+    import graft.operators.{Dedup, Multimodal}
+    def timed[A](f: => A): (Double, A) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def report(family: String, op: String, x1: Double, xN: Double): Unit =
+      println(f"SCALE_SIGHTED $family,$op,$x1%.2f,$xN%.2f,${xN / x1}%.2f")
+    val docs = Tables.load(spark, baseDir, "documents")
+    val doff = maxIdOffset(docs, "doc_id", "sightedRetire: documents")
+    require(factor < 50, s"replay id offsets assume factor < 50: $factor")
+
+    // one family point: build sighted d0 on `stored`, append the
+    // everything-but-doomed replay day, time the retire, probe with
+    // the fixed base set; returns (appendW, retireW, dead, verdicts)
+    def point(stored: DataFrame, off: Long,
+        build: (DataFrame, String) => Unit,
+        append: (DataFrame, String) => Unit,
+        retire: String => Seq[String],
+        probe: String => Seq[String],
+        deadTable: String): (Double, Double, Long, Seq[String]) = {
+      val idx = java.nio.file.Files.createTempDirectory("sightedret")
+        .toString + "/idx"
+      build(stored, idx)
+      val replay = stored
+        .filter(!(col("id") < off && col("id") % 20 === 0))
+        .withColumn("id", col("id") + lit(100L * off))
+      val (aw, _) = timed(append(replay, idx))
+      val (rw, tags) = timed(retire(idx))
+      require(tags == Seq("d0"), s"expected to retire d0, got $tags")
+      val dead = spark.read.parquet(s"$idx/$deadTable").distinct().count()
+      (aw, rw, dead, probe(idx))
+    }
+
+    def run(family: String,
+        stored1: DataFrame, storedN: DataFrame, off: Long,
+        build: (DataFrame, String) => Unit,
+        append: (DataFrame, String) => Unit,
+        retire: String => Seq[String],
+        probe: String => Seq[String],
+        deadTable: String): Unit = {
+      // FACTOR× first: warmth flows x1-ward (the appendLifecycle
+      // conservative ordering)
+      val (awN, rwN, deadN, vN) =
+        point(storedN, off, build, append, retire, probe, deadTable)
+      val (aw1, rw1, dead1, v1) =
+        point(stored1, off, build, append, retire, probe, deadTable)
+      require(v1 == vN,
+        s"$family survivor verdicts diverged between scales " +
+          s"(${v1.size} vs ${vN.size})")
+      report(family, "append_replay_day", aw1, awN)
+      report(family, "retire_seen_keep1", rw1, rwN)
+      println(s"SCALE_SIGHTED_ROWS $family dead_x1=$dead1 " +
+        s"dead_x$factor=$deadN verdicts=identical n=${v1.size}")
+    }
+
+    // ---- exact_seen ----
+    val exDocs = docs.select(col("doc_id").as("id"), col("text"))
+    val exProbe = exDocs.withColumn("id", col("id") + lit(200L * doff))
+    run("exact_seen",
+      exDocs,
+      scaledDocuments(docs, factor).select(col("doc_id").as("id"), col("text")),
+      doff,
+      (df, idx) => Dedup.buildExactIndexSighted(df, "id", "text", idx, "d0"),
+      (df, idx) => Dedup.appendToExactIndexSighted(spark, idx, df,
+        "id", "text", "d1"),
+      idx => Dedup.retireExactSeenWindow(spark, idx, keep = 1),
+      idx => Dedup.dedupExactAgainstIndex(spark, idx, exProbe, "id", "text")
+        .collect().map(_.toString).sorted.toSeq,
+      "deleted_fps")
+
+    // ---- minhash_seen ----
+    run("minhash_seen",
+      exDocs,
+      scaledDocuments(docs, factor).select(col("doc_id").as("id"), col("text")),
+      doff,
+      (df, idx) => Dedup.buildMinhashIndexSighted(df, "id", "text", idx, "d0"),
+      (df, idx) => Dedup.appendToMinhashIndexSighted(spark, idx, df,
+        "id", "text", "d1", tau = 0.5),
+      idx => Dedup.retireMinhashSeenWindow(spark, idx, keep = 1),
+      idx => Dedup.dedupAgainstIndex(spark, idx, exProbe, "id", "text",
+          tau = 0.5)
+        .collect().map(_.toString).sorted.toSeq,
+      "deleted")
+
+    // ---- phash_seen ----
+    // ≥8-apart 16-bit sign-flip masks keep replicas out of each
+    // other's hamming-2 balls; replica 0 is the identity mask
+    val masks = Seq(0x0000, 0x00FF, 0x0F0F, 0x3333, 0x5555, 0xFF00,
+      0xF0F0, 0xCCCC, 0xAAAA, 0x6666, 0x9999, 0x0FF0)
+    require(factor <= masks.size, s"need a mask per replica: $factor")
+    val emb = Tables.load(spark, baseDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(exists(col("v"), x => abs(x) > 1e-12))
+    val eoff = maxIdOffset(emb, "id", "sightedRetire: embeddings")
+    def flipped(i: Int): DataFrame = {
+      val maskLit = array(Seq.tabulate(64)(j =>
+        lit(if (j < 16 && ((masks(i) >> j) & 1) == 1) -1.0 else 1.0)): _*)
+      emb.withColumn("id", col("id") + lit(i * eoff))
+        .withColumn("v", zip_with(col("v"), maskLit, (x, m) => x * m))
+    }
+    val phStoredN = (0 until factor).map(flipped).reduce(_ unionByName _)
+    val phProbe = emb.withColumn("id", col("id") + lit(200L * eoff))
+    run("phash_seen",
+      flipped(0),
+      phStoredN,
+      eoff,
+      (df, idx) => Multimodal.buildPhashIndexSighted(df, "id", "v", idx,
+        dim = 16, day = "d0", maxHam = 2, thresh = 0.0),
+      (df, idx) => Multimodal.appendToPhashIndexSighted(spark, idx, df,
+        "id", "v", "d1"),
+      idx => Multimodal.retirePhashSeenWindow(spark, idx, keep = 1),
+      idx => Multimodal.dedupPhashAgainstIndex(spark, idx, phProbe,
+          "id", "v")
+        .collect().map(_.toString).sorted.toSeq,
+      "deleted")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -885,10 +1025,14 @@ object Scale {
         cosineDedupBench(spark, baseDir, factor)
         spark.stop()
         return
+      case Some("sightedretire") =>
+        sightedRetireBench(spark, baseDir, factor)
+        spark.stop()
+        return
       case Some(other) if other != "heavy" =>
         throw new IllegalArgumentException(
           s"unknown SPARK_GRAFT_SCALE_MODE=$other " +
-            "(expected heavy|append|stream|bpe|bulkretire|snapshot|snapfiles|cosdedup)")
+            "(expected heavy|append|stream|bpe|bulkretire|snapshot|snapfiles|cosdedup|sightedretire)")
       case _ => ()
     }
 

@@ -769,10 +769,19 @@ object SparkEntry {
       Dedup.appendToLineDfIndex(s, s"$r/lines",
         docs.filter(col("doc_id") >= 20 && col("doc_id") < 40),
         "doc_id", "text", "d20")
+      // a SIGHTED member (r19): the dashboard must surface the seen/
+      // ledger's day coverage — retireSeenBefore decisions read it
+      Dedup.buildExactIndexSighted(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", s"$r/exsee", day = "d0")
+      Dedup.appendToExactIndexSighted(s, s"$r/exsee",
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20),
+        "doc_id", "text", "d1")
       Maintenance.storeReport(s, Seq((s"$r/exact", "exact"),
-          (s"$r/ivf", "ivf"), (s"$r/lines", "linedf")))
+          (s"$r/ivf", "ivf"), (s"$r/lines", "linedf"),
+          (s"$r/exsee", "exact")))
         .select("family", "live", "segments", "oldest", "newest",
-          "tombstones", "fraction")
+          "tombstones", "fraction", "seen_days", "oldest_seen",
+          "newest_seen")
         .coalesce(1).write.mode("overwrite").parquet(s"$r/report")
     }
     s.read.parquet(s"$root/report")
@@ -819,6 +828,44 @@ object SparkEntry {
     }
     Dedup.dropContainedAgainstIndex(s, idx,
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tau = 0.8)
+  }
+
+  /** The containment sighting-window lifecycle, oracle-checked end to
+    * end (the q_minhash_seen_retire construction on this family):
+    * build the sighted history on sixteenth slice 5 (day d0); day d1
+    * brings slice 6 PLUS verbatim replays of every %32==5 build doc
+    * under offset ids (containment 1.0 at equal size — certain
+    * rejections whose touch-on-reject re-sights the stored
+    * containers); retire sightings older than the newest day — d0
+    * ages out, but the replayed-into containers survive under their
+    * ORIGINAL ids. Probe = slice 12 PLUS verbatim copies of every
+    * %32==6 day-1 doc (their originals were just admitted — the
+    * contained branch is guaranteed rows at any sf). maxDf = None:
+    * the rarest-first prefix filter bounds the candidate join without
+    * a cap here, and uncapped sets make the three per-side cap frames
+    * the q_dedup_contained_index oracle needs collapse to one shared
+    * shingle CTE. */
+  private def qContainmentSeenRetire(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = buildOnce(s"/tmp/graft_contain_seen_${dirKey(dir)}") { d =>
+      Dedup.buildContainmentIndexSighted(
+        docs.filter(col("doc_id") % 16 === 5), "doc_id", "text", d,
+        day = "d0")
+      Dedup.appendToContainmentIndexSighted(s, d,
+        docs.filter(col("doc_id") % 16 === 6)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 32 === 5)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        "doc_id", "text", day = "d1", tau = 0.8)
+      Dedup.retireContainmentSeenWindow(s, d, keep = 1)
+      ()
+    }
+    Dedup.dropContainedAgainstIndex(s, idx,
+      docs.filter(col("doc_id") % 16 === 12)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 32 === 6)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
+      "doc_id", "text", tau = 0.8)
   }
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -992,6 +1039,44 @@ object SparkEntry {
     }
     Dedup.cosineDedupAgainstIndex(s, idx,
       e.filter(col("vec_id") % 4 === 1).select("vec_id", "embedding"),
+      "vec_id", "embedding", tau = 0.4)
+  }
+
+  /** The cosine sighting-window lifecycle, oracle-checked end to end
+    * (the q_minhash_seen_retire construction on the embedding
+    * family, over the q_dedup_cosine_index LSH parameters): build the
+    * sighted net on sixteenth slice 9 (day d0); day d1 brings slice
+    * 10 PLUS verbatim replays of every %32==9 build vector under
+    * offset ids (cosine 1.0 in the same buckets — certain rejections
+    * whose touch-on-reject re-sights the stored originals); retire
+    * sightings older than the newest day — d0 ages out, but the
+    * replayed-into vectors survive under their ORIGINAL ids. Probe =
+    * slice 11 PLUS verbatim copies of every %32==10 day-1 vector
+    * (their originals were just admitted — the dup branch is
+    * guaranteed rows at any sf). */
+  private def qCosineSeenRetire(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = buildOnce(s"/tmp/graft_lsh_seen_${dirKey(dir)}") { d =>
+      Ann.buildLshIndexSighted(
+        e.filter(col("vec_id") % 16 === 9)
+          .select(col("vec_id").as("id"), col("embedding").as("v")), d,
+        dim = 64, day = "d0", planes = 6, tables = 4)
+      Ann.appendToLshIndexSighted(s, d,
+        e.filter(col("vec_id") % 16 === 10)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+          .unionByName(e.filter(col("vec_id") % 32 === 9)
+            .select((col("vec_id") + 1000000L).as("id"),
+              col("embedding").as("v"))),
+        day = "d1", tau = 0.4)
+      Ann.retireLshSeenWindow(s, d, keep = 1)
+      ()
+    }
+    Dedup.cosineDedupAgainstIndex(s, idx,
+      e.filter(col("vec_id") % 16 === 11)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 32 === 10)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            col("embedding"))),
       "vec_id", "embedding", tau = 0.4)
   }
 
@@ -1904,22 +1989,27 @@ object SparkEntry {
     * the trained codebooks, so ADC scores degrade silently). Fresh =
     * the odd embedding half against each index's train_stats record. */
   private def qRetrainAdvisorSq8(s: SparkSession, dir: String): DataFrame =
-    Ann.retrainAdvisorIvfSq8(s,
-      buildOnce(s"/tmp/graft_ivfsq8_idx_${dirKey(dir)}") {
-        d => Ann.buildIvfSq8Index(corpus(s, dir), d, nlist = 16)
-      },
+    Ann.retrainAdvisorIvfSq8(s, ivfSq8Idx(s, dir),
       t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
         .select(col("embedding").as("v")),
       queriesSet(s, dir), k = 10, recallFloor = 0.9, driftFloor = 0.999,
       nprobe = 4)
 
+  /** Eighth-corpus slices (r19, the q_retrain_advisor_pq bench-billing
+    * item): unlike the SQ8 advisor (which rides the SHARED persisted
+    * SQ8 index), the PQ advisor owns a private build, and a
+    * full-corpus IVF-PQ fit billed 10-43 s to this one rows-only
+    * query. The advisor arithmetic (train_stats drift vs the fresh
+    * frame, recall at the production nprobe) is slice-size-invariant,
+    * so the build takes id %8==0 and the fresh frame the matching
+    * vec_id %8==1 eighth. */
   private def qRetrainAdvisorPq(s: SparkSession, dir: String): DataFrame =
     Ann.retrainAdvisorIvfPq(s,
-      buildOnce(s"/tmp/graft_ivfpq_idx_${dirKey(dir)}") {
-        d => Ann.buildIvfPqIndex(corpus(s, dir), d, nlist = 16, m = 8,
-          ksub = 16)
+      buildOnce(s"/tmp/graft_ivfpq8_idx_${dirKey(dir)}") {
+        d => Ann.buildIvfPqIndex(corpus(s, dir).filter(col("id") % 8 === 0),
+          d, nlist = 16, m = 8, ksub = 16)
       },
-      t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+      t(s, dir, "embeddings").filter(col("vec_id") % 8 === 1)
         .select(col("embedding").as("v")),
       queriesSet(s, dir), k = 10, recallFloor = 0.9, driftFloor = 0.999,
       nprobe = 4)
@@ -2055,13 +2145,17 @@ object SparkEntry {
     * Full probe loses nothing, so the result is hash-exact against the
     * q_ann_sq8 oracle — the cross-engine proof that quantize-at-build
     * + cell partitioning + dequantized scoring ports exactly. */
-  private def qAnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
-    val idx = buildOnce(s"/tmp/graft_ivfsq8_idx_${dirKey(dir)}") {
+  private def qAnnIvfSq8(s: SparkSession, dir: String): DataFrame =
+    Ann.searchIvfSq8Index(s, ivfSq8Idx(s, dir), queriesSet(s, dir), k = 10,
+        nprobe = 16)
+      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
+
+  /** The shared persisted IVF_SQ8 index — one build behind q_ann_ivf_sq8
+    * and the SQ8 retrain advisor. */
+  private def ivfSq8Idx(s: SparkSession, dir: String): String =
+    buildOnce(s"/tmp/graft_ivfsq8_idx_${dirKey(dir)}") {
       d => Ann.buildIvfSq8Index(corpus(s, dir), d, nlist = 16)
     }
-    Ann.searchIvfSq8Index(s, idx, queriesSet(s, dir), k = 10, nprobe = 16)
-      .select(col("qid"), col("id"), col("score"), col("rank").cast("long"))
-  }
 
   /** Product-quantization ADC search (rows-only: quantization error has
     * no SQL oracle; recall and determinism are pinned in AnnSpec). */
@@ -2317,6 +2411,24 @@ object SparkEntry {
         if (!builtIndexes.contains(idx)) { build(idx); builtIndexes.add(idx) }
       }
     idx
+  }
+
+  /** Force every memoized build that MULTIPLE registered queries share
+    * (the full-corpus IVF net, the bucketed sparse postings, the SQ8
+    * index, the tune-sweep ground truth, the near-dup cluster map) —
+    * so a full bench can bill them to one explicit `_shared_builds`
+    * entry instead of whichever consumer alphabetically runs first
+    * (q_alias was absorbing the IVF build: an alias lookup reading as
+    * a 20 s query). Single-consumer builds stay inside their own
+    * query's bill. Idempotent ([[buildOnce]]); Verify runs don't call
+    * this, so correctness outputs are untouched. */
+  def warmSharedBuilds(s: SparkSession, dir: String): Unit = {
+    hybIvfIdx(s, dir)
+    sparseIdx(s, dir)
+    ivfSq8Idx(s, dir)
+    tuneGroundTruth(s, dir).count()
+    clusterMapDir(s, dir)
+    ()
   }
 
   /** The shared bucketed sparse index over the documents' hashed-token
@@ -2750,6 +2862,7 @@ object SparkEntry {
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_exact_retire" -> (qExactRetire _),
     "q_exact_seen_retire" -> (qExactSeenRetire _),
+    "q_containment_seen_retire" -> (qContainmentSeenRetire _),
     "q_maintenance" -> (qMaintenance _),
     "q_maintenance_sighted" -> (qMaintenanceSighted _),
     "q_compaction" -> (qCompaction _),
@@ -2777,6 +2890,7 @@ object SparkEntry {
     "q_dedup_cosine" -> (qDedupCosine _),
     "q_dedup_cosine_lsh" -> (qDedupCosineLsh _),
     "q_dedup_cosine_index" -> (qDedupCosineIndex _),
+    "q_cosine_seen_retire" -> (qCosineSeenRetire _),
     "q_sem_dedup" -> (qSemDedup _),
     "q_sem_dedup_k1" -> (qSemDedupK1 _),
     "q_repeated_spans" -> (qRepeatedSpans _),
@@ -3588,21 +3702,31 @@ object SparkEntry {
          |a AS (SELECT count(DISTINCT md5(t)) AS a FROM n WHERE doc_id < 40),
          |b AS (SELECT count(DISTINCT md5(ltrim(t || ' fresh-segment'))) AS b FROM n WHERE doc_id < 10),
          |d AS (SELECT count(DISTINCT md5(t)) AS d FROM n WHERE doc_id < 10),
+         |e20 AS (SELECT count(DISTINCT md5(t)) AS e FROM n WHERE doc_id < 20),
          |iv AS (SELECT count(*) AS ivlive FROM embeddings
          |  WHERE vec_id < 64
          |    AND sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) > 0)
-         |SELECT family, live, segments, oldest, newest, tombstones, fraction FROM (
+         |SELECT family, live, segments, oldest, newest, tombstones, fraction,
+         |       seen_days, oldest_seen, newest_seen FROM (
          | SELECT 'exact' AS family, CAST(a + b AS BIGINT) AS live,
          |        CAST(2 AS BIGINT) AS segments, 'base' AS oldest, 'd1' AS newest,
          |        CAST(d AS BIGINT) AS tombstones,
-         |        round(CAST(d AS DOUBLE) / (a + b), 4) AS fraction
+         |        round(CAST(d AS DOUBLE) / (a + b), 4) AS fraction,
+         |        CAST(NULL AS BIGINT) AS seen_days,
+         |        CAST(NULL AS VARCHAR) AS oldest_seen,
+         |        CAST(NULL AS VARCHAR) AS newest_seen
          | FROM a, b, d
          | UNION ALL
          | SELECT 'ivf', CAST(ivlive AS BIGINT), CAST(1 AS BIGINT), 'base', 'base',
-         |        CAST(16 AS BIGINT), round(16.0 / ivlive, 4) FROM iv
+         |        CAST(16 AS BIGINT), round(16.0 / ivlive, 4),
+         |        CAST(NULL AS BIGINT), NULL, NULL FROM iv
          | UNION ALL
          | SELECT 'linedf', NULL, CAST(2 AS BIGINT), 'base', 'd20',
-         |        CAST(0 AS BIGINT), NULL)""".stripMargin,
+         |        CAST(0 AS BIGINT), NULL, CAST(NULL AS BIGINT), NULL, NULL
+         | UNION ALL
+         | SELECT 'exact', CAST(e AS BIGINT), CAST(2 AS BIGINT), 'base', 'd1',
+         |        CAST(0 AS BIGINT), 0.0, CAST(2 AS BIGINT), 'd0', 'd1'
+         | FROM e20)""".stripMargin,
 
     // the sighting-window retire: live fps = texts SEEN in the kept
     // days (d1, d2) — d0-first texts survive iff re-seen (the %32
@@ -3710,6 +3834,60 @@ object SparkEntry {
          |SELECT b.doc_id AS id, (best.id_b IS NOT NULL) AS is_contained,
          |  best.id_b AS container_id
          |FROM bat b LEFT JOIN best ON best.id_a = b.doc_id""".stripMargin,
+
+    // the containment sighting-window retire, replayed generically:
+    // day-1 admission takes the FULL dropContainedAgainstIndex verdict
+    // (history drops at sz_b >= sz_a, within-batch drops under the
+    // strict-or-min-id rule), touched = every history container a
+    // rejected doc tau-matched, live after retiring d0 = touched ∪
+    // admitted; the probe then re-runs the same verdict against the
+    // survivors. Uncapped shingle sets — one shared CTE for all three
+    // sides (the maxDf=None design of the Spark query).
+    "q_containment_seen_retire" ->
+      s"""WITH nd AS ($normDoc),
+         |u AS (
+         |  SELECT doc_id AS id, t, 'h' AS grp FROM nd WHERE doc_id % 16 = 5
+         |  UNION ALL SELECT doc_id, t, 'b1' FROM nd WHERE doc_id % 16 = 6
+         |  UNION ALL SELECT doc_id + 1000000, t, 'b1' FROM nd WHERE doc_id % 32 = 5
+         |  UNION ALL SELECT doc_id, t, 'p' FROM nd WHERE doc_id % 16 = 12
+         |  UNION ALL SELECT doc_id + 2000000, t, 'p' FROM nd WHERE doc_id % 32 = 6),
+         |g AS (SELECT id, grp FROM u),
+         |sh AS (SELECT DISTINCT id, substr(t, i, 8) AS sh
+         |       FROM (SELECT id, t, unnest(generate_series(1, greatest(length(t)-7, 1))) AS i FROM u)),
+         |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id GROUP BY 1, 2),
+         |c AS (SELECT i.id_a, i.id_b, sa.sz AS sz_a, sb.sz AS sz_b
+         |  FROM inter i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+         |  WHERE round(CAST(i.i AS DOUBLE) / sa.sz, 4) >= 0.8),
+         |h1 AS (SELECT c.* FROM c JOIN g a ON a.id = c.id_a JOIN g b ON b.id = c.id_b
+         |  WHERE a.grp = 'b1' AND b.grp = 'h' AND c.sz_b >= c.sz_a),
+         |bb1 AS (SELECT c.* FROM c JOIN g a ON a.id = c.id_a JOIN g b ON b.id = c.id_b
+         |  WHERE a.grp = 'b1' AND b.grp = 'b1'
+         |    AND (c.sz_b > c.sz_a OR (c.sz_b = c.sz_a AND c.id_b < c.id_a))),
+         |rej1 AS (SELECT id_a AS id FROM h1 UNION SELECT id_a FROM bb1),
+         |adm1 AS (SELECT id FROM g WHERE grp = 'b1'
+         |  AND id NOT IN (SELECT id FROM rej1)),
+         |live AS (SELECT id FROM g WHERE grp = 'h'
+         |  AND id IN (SELECT DISTINCT id_b FROM h1)
+         |  UNION SELECT id FROM adm1),
+         |drops AS (
+         |  SELECT c.id_a, c.id_b, c.sz_b FROM c JOIN g a ON a.id = c.id_a
+         |    WHERE a.grp = 'p' AND c.id_b IN (SELECT id FROM live)
+         |      AND c.sz_b >= c.sz_a
+         |  UNION ALL
+         |  SELECT c.id_a, c.id_b, c.sz_b FROM c JOIN g a ON a.id = c.id_a
+         |    JOIN g b ON b.id = c.id_b
+         |    WHERE a.grp = 'p' AND b.grp = 'p'
+         |      AND (c.sz_b > c.sz_a OR (c.sz_b = c.sz_a AND c.id_b < c.id_a))),
+         |best AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (
+         |    PARTITION BY id_a ORDER BY sz_b DESC, id_b ASC) AS rn
+         |  FROM drops) WHERE rn = 1)
+         |SELECT p.id, best.id_b IS NOT NULL AS is_contained,
+         |  best.id_b AS container_id
+         |FROM (SELECT id FROM g WHERE grp = 'p') p
+         |LEFT JOIN best ON best.id_a = p.id""".stripMargin,
 
     "q_dedup_minhash_index" -> minhashIndexOracle,
     "q_dedup_minhash_retire" -> minhashIndexOracle,
@@ -3935,6 +4113,64 @@ object SparkEntry {
         |  best.cid IS NOT NULL AS is_dup
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 1) b
         |LEFT JOIN best ON best.qid = b.vec_id""".stripMargin,
+
+    // the cosine sighting-window retire, replayed generically over the
+    // lshSigCtes plane recipe with OFFSET ids: day-1 arrivals reject
+    // against the build slice when their best same-bucket stored
+    // neighbor rounds to >= tau (k=1, ties id asc — the
+    // cosineDedupAgainstIndex verdict), touched = those best-neighbor
+    // ids, live after retiring d0 = touched ∪ admitted, and the probe
+    // re-runs the same verdict against the survivors.
+    "q_cosine_seen_retire" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, 'h' AS grp
+        |    FROM embeddings WHERE vec_id % 16 = 9
+        |  UNION ALL SELECT vec_id, CAST(embedding AS DOUBLE[]), 'b1'
+        |    FROM embeddings WHERE vec_id % 16 = 10
+        |  UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), 'b1'
+        |    FROM embeddings WHERE vec_id % 32 = 9
+        |  UNION ALL SELECT vec_id, CAST(embedding AS DOUBLE[]), 'p'
+        |    FROM embeddings WHERE vec_id % 16 = 11
+        |  UNION ALL SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]), 'p'
+        |    FROM embeddings WHERE vec_id % 32 = 10),
+        |pl AS (SELECT t, p, list(comp ORDER BY j) AS pv FROM (
+        |  SELECT tt.t AS t, pp.p AS p, jj.j AS j,
+        |   (('0x' || substr(md5(CAST(jj.j AS VARCHAR) || '#' ||
+        |      CASE WHEN tt.t = 0 THEN 'plane-' ELSE 'plane-t' || CAST(tt.t AS VARCHAR) || '-' END
+        |      || CAST(pp.p AS VARCHAR)), 1, 8))::BIGINT % 2000001 - 1000000) / 1000000.0 AS comp
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+        |       (SELECT unnest(generate_series(0, 5)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS j) jj)
+        | GROUP BY t, p),
+        |sig AS (SELECT id, grp, t,
+        |  CAST(sum(CASE WHEN list_inner_product(v, pv) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        | FROM u, pl GROUP BY id, grp, t),
+        |cand1 AS (SELECT a.id AS id_new, b.id AS id_old,
+        |  max(round(list_cosine_similarity(ae.v, be.v), 4)) AS score
+        | FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
+        | JOIN u ae ON ae.id = a.id JOIN u be ON be.id = b.id
+        | WHERE a.grp = 'b1' AND b.grp = 'h' GROUP BY 1, 2),
+        |best1 AS (SELECT id_new, id_old FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_new ORDER BY score DESC, id_old ASC) AS rn
+        |  FROM cand1) WHERE rn = 1 AND score >= 0.4),
+        |adm1 AS (SELECT id FROM u WHERE grp = 'b1'
+        |  AND id NOT IN (SELECT id_new FROM best1)),
+        |live AS (SELECT id FROM u WHERE grp = 'h'
+        |  AND id IN (SELECT id_old FROM best1)
+        |  UNION SELECT id FROM adm1),
+        |cand2 AS (SELECT a.id AS id_new, b.id AS id_old,
+        |  max(round(list_cosine_similarity(ae.v, be.v), 4)) AS score
+        | FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig
+        | JOIN u ae ON ae.id = a.id JOIN u be ON be.id = b.id
+        | WHERE a.grp = 'p' AND b.id IN (SELECT id FROM live)
+        | GROUP BY 1, 2),
+        |best2 AS (SELECT id_new, id_old, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id_new ORDER BY score DESC, id_old ASC) AS rn
+        |  FROM cand2) WHERE rn = 1 AND score >= 0.4)
+        |SELECT p.id, best2.id_old AS dup_of, best2.score AS cos,
+        |  best2.id_old IS NOT NULL AS is_dup
+        |FROM (SELECT id FROM u WHERE grp = 'p') p
+        |LEFT JOIN best2 ON best2.id_new = p.id""".stripMargin,
 
     // k=1 SemDeDup: centroid = direction of sum(v/|v|) over the non-zero
     // corpus (cosine is scale-invariant, so the raw sum works unnormalized);

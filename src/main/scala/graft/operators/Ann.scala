@@ -1019,13 +1019,32 @@ object Ann {
     * ranking), so no index scan is spent guarding ids here. The append
     * is not atomic under job failure — at production scale write
     * through a staging dir (or a table format) and move on success. */
+  /** The LSH family's heal list: buckets always, plus the sighted
+    * variant's `seen` table when this index records sightings (the
+    * exact/minhash/phash rule). */
+  private def lshHealTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq("buckets", "seen")
+    else Seq("buckets")
+  }
+
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, src: String = "ingest"): Unit = {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
     // crash-safe with a marker-only journal (no ids sidecar to extend):
     // a job failure anywhere leaves a state the next append repairs
-    IndexFiles.healAppend(spark, dir, Seq("buckets"))
+    IndexFiles.healAppend(spark, dir, lshHealTables(spark, dir))
+    // the sighted families' mirror guard: an unsighted append stores
+    // vectors no sighting day contains — irretirable by the window
+    val seenP = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(!seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(seenP),
+      s"$dir records sightings — append with appendToLshIndexSighted " +
+        "(an unsighted append stores vectors no sighting window could " +
+        "ever retire)")
     val m = spark.read.parquet(s"$dir/meta").head()
     val (dim, planes, tables) =
       (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
@@ -1050,7 +1069,7 @@ object Ann {
     * prune over the surviving buckets. */
   def retireLshSrcs(spark: org.apache.spark.sql.SparkSession,
       dir: String, srcs: Seq[String], strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("buckets"))
+    IndexFiles.healAppend(spark, dir, lshHealTables(spark, dir))
     if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("buckets"), srcs,
         strict = strict)) {
       IndexFiles.tombstones(spark, dir).foreach { dead =>
@@ -1119,6 +1138,142 @@ object Ann {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit =
     IndexFiles.compact(spark, dir, Map("buckets" -> Seq("src", "tbl", "sig")))
+
+  // ---- sighting-window cosine admission (LSH) ----------------------------
+
+  /** [[buildLshIndex]] plus a SIGHTINGS ledger — the embedding form of
+    * the exact/minhash/phash/containment "seen in the last N days"
+    * contract, on the cosine admission net
+    * ([[graft.operators.Dedup.cosineDedupAgainstIndex]]): `dir/seen`
+    * holds one (id) row per (day, sighted stored vector), src=day
+    * partitions. A stored vector is sighted when admitted and again
+    * every time an arriving batch vector is REJECTED as its cosine
+    * near-dup (touch-on-reject — the embedding's content is
+    * demonstrably still arriving even though the new copy is
+    * dropped). The build day tags its own sightings and ages out of
+    * the window like any other. */
+  def buildLshIndexSighted(corpus: DataFrame, dir: String, dim: Int,
+      day: String, planes: Int = 8, tables: Int = 1): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    buildLshIndex(corpus, dir, dim, planes, tables)
+    corpus.select(col("id")).distinct()
+      .withColumn("src", lit(day))
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/seen")
+  }
+
+  /** Admission append with the sighting touch — the cosine form of
+    * [[graft.operators.Dedup.appendToMinhashIndexSighted]]: each batch
+    * vector probes the live history at k=1 through the statically
+    * pruned bucket scan ([[searchLshIndex]] — the
+    * cosineDedupAgainstIndex verdict verbatim), vectors whose best
+    * stored neighbor scores >= tau are REJECTED (their `dup_of`
+    * clocks reset), the rest extend `buckets` under this day's
+    * segment, and the day's `seen` slice records admitted ids plus
+    * the touched dup_of ids — one journaled
+    * [[graft.operators.IndexFiles.appendStaged]] commit. The family's
+    * unguarded-replay semantics carry over (LSH keeps no ids sidecar):
+    * a replayed id self-matches at cosine 1.0 and resolves to a touch
+    * of its own stored row — exactly the "content re-seen" reading.
+    * O(batch) probe (history statically partition-pruned to the
+    * batch's buckets, never shuffled) + O(admitted) append. */
+  def appendToLshIndexSighted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, day: String, tau: Double): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    requireSightedLsh(spark, dir)
+    IndexFiles.healAppend(spark, dir, lshHealTables(spark, dir))
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (dim, planes, tables) =
+      (m.getAs[Int]("dim"), m.getAs[Int]("planes"), m.getAs[Int]("tables"))
+    requireBatchDim(batch, "v", dim)
+    val hits = searchLshIndex(spark, dir,
+        batch.select(col("id").as("qid"), col("v").as("qv")), k = 1)
+      .filter(col("score") >= tau)
+      .select(col("qid").as("id"), col("id").as("dup_of"))
+      .persist()
+    hits.count()
+    val admitted = batch.join(hits.select("id"), Seq("id"), "left_anti")
+      .persist()
+    val seenRows = admitted.select("id").distinct()
+      .unionByName(hits.select(col("dup_of").as("id")))
+      .distinct().withColumn("src", lit(day))
+    val payloadSlices =
+      if (admitted.isEmpty) Seq.empty
+      else Seq(("buckets", lshBuckets(admitted, dim, planes, tables)
+        .withColumn("src", lit(day)), Seq("src", "tbl", "sig")))
+    val seenSlice =
+      if (seenRows.isEmpty) Seq.empty
+      else Seq(("seen", seenRows, Seq("src")))
+    if ((payloadSlices ++ seenSlice).nonEmpty)
+      IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice, None)
+    hits.unpersist(); admitted.unpersist(); ()
+  }
+
+  private def requireSightedLsh(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$dir has no sightings ledger — build it with " +
+        "buildLshIndexSighted (the admission index at this dir has no " +
+        "last-seen data to window on)")
+  }
+
+  /** Retire sighting days older than the newest `keep` — stored
+    * vectors whose LAST sighting aged out are TOMBSTONED through the
+    * family's one delete model ([[deleteFromLshIndex]] semantics;
+    * probes stop matching immediately, the ratio-scheduled
+    * [[compactLshIndex]] purges physically), then the doomed `seen`
+    * day-partitions drop in O(segment). The live-id resolve scans one
+    * column of the buckets table (LSH keeps no ids sidecar — retire
+    * is rare maintenance, the [[retireLshSrcs]] precedent). Crash-safe
+    * by re-run: tombstones commit BEFORE the seen drop. Returns the
+    * retired day tags, oldest first. */
+  def retireLshSeenWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1,
+      s"keep must be >= 1: retiring every sighting day would empty the " +
+        s"history (got $keep)")
+    requireSightedLsh(spark, dir)
+    IndexFiles.healAppend(spark, dir, lshHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomed = days.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val kept = days.takeRight(keep)
+      val seen = spark.read.parquet(s"$dir/seen")
+      val doomedIds = seen.filter(col("src").isin(doomed: _*))
+        .select("id").distinct()
+        .join(seen.filter(col("src").isin(kept: _*)).select("id").distinct(),
+          Seq("id"), "left_anti")
+      val live = IndexFiles.dropTombstones(spark, dir,
+        spark.read.parquet(s"$dir/buckets").select("id").distinct())
+      val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
+      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
+      require(!wouldSurvive.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would forget every live " +
+          "vector (no kept day re-saw anything) — drop and rebuild the " +
+          "index instead")
+      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      dead.unpersist()
+      IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
+        strict = true)
+      IndexFiles.refresh(spark, dir)
+      ()
+    }
+    doomed
+  }
+
+  /** [[retireLshSeenWindow]] keyed by an explicit horizon — every
+    * sighting day strictly older than `day` (natural order) retires;
+    * the date-driven nightly's form. */
+  def retireLshSeenBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, day: String): Seq[String] = {
+    requireSightedLsh(spark, dir)
+    IndexFiles.healAppend(spark, dir, lshHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
+    retireLshSeenWindow(spark, dir, keep = days.size - doomedN)
+  }
 
   /** Fail fast when an appended batch's vectors don't match the stored
     * index's dimension — a mismatch would SILENTLY corrupt the index

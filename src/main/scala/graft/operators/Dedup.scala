@@ -742,12 +742,34 @@ object Dedup {
     * shingles the bloom misses — prefixes wrongly pruned, duplicates
     * admitted); the payload itself rides [[IndexFiles.appendStaged]]'s
     * journal, which also extends the ids sidecar. */
+  /** The containment family's heal list: shingles + sizes always,
+    * plus the sighted variant's `seen` table when this index records
+    * sightings (the exact/minhash rule — a crashed SIGHTED append
+    * must roll its seen segment forward no matter which entry point
+    * heals next). */
+  private def containmentHealTables(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Seq("shingles", "sizes", "seen")
+    else Seq("shingles", "sizes")
+  }
+
   def appendToContainmentIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       src: String): Unit = {
     require(src.nonEmpty && src != "base",
       s"append src must be a non-empty tag other than 'base': '$src'")
-    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
+    // the sighted families' mirror guard: an unsighted append into a
+    // SIGHTED index stores docs no sighting day contains — entries
+    // retireContainmentSeenWindow could never retire
+    val seenP = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(!seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(seenP),
+      s"$dir records sightings — append with " +
+        "appendToContainmentIndexSighted (an unsighted append stores " +
+        "docs no sighting window could ever retire)")
     val (w, maxDf) = containmentMeta(spark, dir)
     val stored = IndexFiles.ensureIds(spark, dir,
       spark.read.parquet(s"$dir/shingles").select("id").distinct())
@@ -757,20 +779,7 @@ object Dedup {
     val (sh, sizes) = containmentRows(fresh, "id", "text", w, maxDf, src)
     val shc = sh.persist()
     val batchSh = shc.select("sh").distinct().persist()
-    if (batchSh.count() > 0) {
-      val meta = spark.read.parquet(s"$dir/bloom").head()
-      val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
-        meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
-      val delta = batchSh.agg(SK.bloomAgg(col("sh"), items, bits).as("bloom"))
-        .head().getAs[Array[Byte]]("bloom")
-      val merged = bloomOf(bytes)
-      merged.mergeInPlace(bloomOf(delta))
-      import spark.implicits._
-      IndexFiles.replaceTable(spark, dir, "bloom",
-        Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
-          .toDF("bloom", "n_items", "fpp", "num_bits"),
-        Seq.empty)
-    }
+    mergeContainmentBloom(spark, dir, batchSh)
     IndexFiles.appendStaged(spark, dir,
       Seq(("shingles", shc.repartition(col("hb")), Seq("src", "hb")),
         ("sizes", sizes, Seq("src"))),
@@ -786,7 +795,7 @@ object Dedup {
     * One distinct-hash scan of `shingles/`; payload never rewritten. */
   def rebuildContainmentSidecar(spark: org.apache.spark.sql.SparkSession,
       dir: String, fpp: Double = 0.01): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
     val hs = spark.read.parquet(s"$dir/shingles").select("sh").distinct()
     val n = hs.count()
     require(n > 0, "rebuildContainmentSidecar: stored shingle table is empty")
@@ -838,7 +847,7 @@ object Dedup {
   def retireContainmentSrcs(spark: org.apache.spark.sql.SparkSession,
       dir: String, srcs: Seq[String], fpp: Double = 0.01,
       strict: Boolean = true): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes"))
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
     if (IndexFiles.retireSrcsPartitions(spark, dir, Seq("shingles", "sizes"),
         srcs, strict = strict)) {
       rebuildContainmentIds(spark, dir)
@@ -888,6 +897,26 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, idCol: String, textCol: String,
       tau: Double, excludeSrc: Option[String]): (DataFrame, Seq[DataFrame]) = {
+    val (d, _, best, _, pins) =
+      containmentVerdictCore(spark, dir, batch, idCol, textCol, tau,
+        excludeSrc)
+    (d.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id"), col("container_id").isNotNull.as("is_contained"),
+        col("container_id")),
+      pins)
+  }
+
+  /** The shared verdict plan behind [[dropContainedAgainstIndex]] and
+    * the sighted admission append: (batch frame, its cached shingle
+    * set, best-container decision rows (id, container_id), the RAW
+    * batch-vs-HISTORY drop pairs (id_a, id_b, sz_b) — every stored
+    * container a rejected doc tau-matched, what the sighting touch
+    * records — and the cache pins). */
+  private def containmentVerdictCore(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      tau: Double, excludeSrc: Option[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"containment tau must be in (0,1]: $tau")
     IndexFiles.requireNoPendingAppend(spark, dir)
@@ -948,10 +977,7 @@ object Dedup {
         Window.partitionBy("id_a").orderBy(col("sz_b").desc, col("id_b").asc)))
       .filter(col("rn") === 1)
       .select(col("id_a").as("id"), col("id_b").as("container_id"))
-    (d.select(col(idCol).as("id")).join(best, Seq("id"), "left")
-      .select(col("id"), col("container_id").isNotNull.as("is_contained"),
-        col("container_id")),
-      Seq(shB, cand) ++ pinsB)
+    (d, shB, best, histDrops, Seq(shB, cand) ++ pinsB)
   }
 
   /** Tombstone docs out of the containment index — the shared delete
@@ -976,7 +1002,193 @@ object Dedup {
     * a pending journal; something read-write must run the repair). */
   def healContainmentIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    IndexFiles.healAppend(spark, dir, Seq("shingles", "sizes")); ()
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir)); ()
+  }
+
+  // ---- sighting-window containment dedup ---------------------------------
+
+  /** Merge a batch's distinct shingle hashes into the containment
+    * Bloom sidecar at the stored sizing — the append-time delta merge,
+    * shared by the plain and sighted appends (crash ordering: callers
+    * run this BEFORE the payload lands; extra bits are harmless, the
+    * reverse order could wrongly prune a stored shingle). */
+  private def mergeContainmentBloom(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchSh: DataFrame): Unit = {
+    if (batchSh.count() > 0) {
+      val meta = spark.read.parquet(s"$dir/bloom").head()
+      val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
+        meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
+      val delta = batchSh.agg(SK.bloomAgg(col("sh"), items, bits).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+      val merged = bloomOf(bytes)
+      merged.mergeInPlace(bloomOf(delta))
+      import spark.implicits._
+      IndexFiles.replaceTable(spark, dir, "bloom",
+        Seq((bloomBytes(merged), items, meta.getAs[Double]("fpp"), bits))
+          .toDF("bloom", "n_items", "fpp", "num_bits"),
+        Seq.empty)
+    }
+  }
+
+  /** [[buildContainmentIndex]] plus a SIGHTINGS ledger — the
+    * containment form of the exact/minhash "seen in the last N days"
+    * contract: `dir/seen` holds one (id) row per (day, sighted INDEX
+    * doc), src=day partitions. A stored doc is sighted when admitted
+    * and again every time an arriving batch doc is REJECTED as
+    * tau-contained in it (touch-on-reject — the container's content is
+    * demonstrably still circulating even though the arriving sub-doc
+    * is dropped). The build day tags its own sightings and ages out of
+    * the window like any other. */
+  def buildContainmentIndexSighted(df: DataFrame, idCol: String,
+      textCol: String, dir: String, day: String, w: Int = 8,
+      maxDf: Option[Int] = None, fpp: Double = 0.01): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    buildContainmentIndex(df, idCol, textCol, dir, w, maxDf, fpp)
+    df.select(col(idCol).as("id")).distinct()
+      .withColumn("src", lit(day))
+      .write.partitionBy("src").mode("overwrite").parquet(s"$dir/seen")
+  }
+
+  /** Admission append with the sighting touch — the containment form
+    * of [[appendToMinhashIndexSighted]]: the batch takes the FULL
+    * [[dropContainedAgainstIndex]] verdict (tau-contained in an
+    * equal-or-larger live history doc, or in a batch doc under
+    * [[dropContained]]'s own rule — the within-batch half admits the
+    * container and drops its sub-docs in the same day), REJECTED docs
+    * drop, ADMITTED docs extend the index under this day's segment,
+    * and the day's `seen` slice records the admitted ids plus EVERY
+    * stored container a rejected doc tau-matched (their clocks reset —
+    * not just the winning container: each matched container's content
+    * demonstrably re-arrived). One journaled
+    * [[graft.operators.IndexFiles.appendStaged]] commit lands payload
+    * and sightings together. O(batch) probe + O(admitted) append;
+    * history is scanned in place, never shuffled (the
+    * [[dropContainedAgainstIndexPlan]] shape). */
+  def appendToContainmentIndexSighted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, textCol: String,
+      day: String, tau: Double = 0.8): Unit = {
+    require(day.nonEmpty && day != "base",
+      s"day must be a non-empty tag other than 'base': '$day'")
+    requireSightedContainment(spark, dir)
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
+    // replayed-id guard (the minhash-sighted convention): re-crawls of
+    // a KNOWN doc arrive under fresh ids and reject as contained; a
+    // replayed id would double its shingle rows and corrupt every
+    // future intersection count
+    val stored = IndexFiles.ensureIds(spark, dir,
+      spark.read.parquet(s"$dir/shingles").select("id").distinct())
+    val batchAll = spread(batch).select(col(idCol).as("id")).distinct()
+    val replayed = stored.join(broadcast(batchAll), "id").limit(1).collect()
+    require(replayed.isEmpty,
+      s"batch id ${replayed.headOption.map(_.get(0)).orNull} already " +
+        "exists in the index — replayed ids would corrupt the " +
+        "intersection counts")
+    val (d, shB, best, histDrops, pins) =
+      containmentVerdictCore(spark, dir, batch, idCol, textCol, tau, None)
+    val dupIds = best.select("id").persist()
+    dupIds.count()
+    val admittedIds = d.select(col(idCol).as("id")).distinct()
+      .join(dupIds, Seq("id"), "left_anti").persist()
+    val admittedSh = shB.join(dupIds, Seq("id"), "left_anti")
+      .withColumn("src", lit(day))
+      .withColumn("hb",
+        pmod(col("sh"), lit(ContainmentBuckets.toLong)).cast("int"))
+      .persist()
+    val sizes = admittedSh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .withColumn("src", lit(day))
+    // bloom delta BEFORE the payload commit (the appendToContainment-
+    // Index crash ordering)
+    mergeContainmentBloom(spark, dir, admittedSh.select("sh").distinct())
+    val seenRows = admittedIds
+      .unionByName(histDrops.select(col("id_b").as("id")))
+      .distinct().withColumn("src", lit(day))
+    val payloadSlices =
+      if (admittedSh.isEmpty) Seq.empty
+      else Seq(
+        ("shingles", admittedSh.repartition(col("hb")), Seq("src", "hb")),
+        ("sizes", sizes, Seq("src")))
+    val seenSlice =
+      if (seenRows.isEmpty) Seq.empty
+      else Seq(("seen", seenRows, Seq("src")))
+    if ((payloadSlices ++ seenSlice).nonEmpty)
+      IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
+        // zero-SHINGLE admitted docs still enter the ids sidecar (the
+        // buildContainmentIndex rule), so the guard is admittedIds,
+        // not the payload's ids
+        if (admittedIds.isEmpty) None else Some(admittedIds))
+    pins.foreach(_.unpersist())
+    dupIds.unpersist(); admittedIds.unpersist(); admittedSh.unpersist(); ()
+  }
+
+  private def requireSightedContainment(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/seen")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"$dir has no sightings ledger — build it with " +
+        "buildContainmentIndexSighted (the admission index at this dir " +
+        "has no last-seen data to window on)")
+  }
+
+  /** Retire sighting days older than the newest `keep` — the
+    * containment family's [[retireMinhashSeenWindow]]: stored docs
+    * whose LAST sighting aged out are TOMBSTONED through the family's
+    * one delete model ([[deleteFromContainmentIndex]] semantics —
+    * probes stop matching them as containers immediately, the
+    * ratio-scheduled [[compactContainmentIndex]] purges them
+    * physically), then the doomed `seen` day-partitions drop in
+    * O(segment). A container re-seen in a kept day — because a later
+    * crawl batch was rejected as its sub-doc — survives untouched
+    * under its original id. Crash-safe by re-run: tombstones commit
+    * BEFORE the seen drop, and a re-run re-resolves the delta against
+    * live ids. Takedown-sized id joins; never an O(index) rewrite.
+    * Returns the retired day tags, oldest first. */
+  def retireContainmentSeenWindow(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1,
+      s"keep must be >= 1: retiring every sighting day would empty the " +
+        s"history (got $keep)")
+    requireSightedContainment(spark, dir)
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomed = days.dropRight(keep)
+    if (doomed.nonEmpty) {
+      val kept = days.takeRight(keep)
+      val seen = spark.read.parquet(s"$dir/seen")
+      val doomedIds = seen.filter(col("src").isin(doomed: _*))
+        .select("id").distinct()
+        .join(seen.filter(col("src").isin(kept: _*)).select("id").distinct(),
+          Seq("id"), "left_anti")
+      val live = IndexFiles.dropTombstones(spark, dir,
+        IndexFiles.ensureIds(spark, dir,
+          spark.read.parquet(s"$dir/shingles").select("id").distinct()))
+      val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
+      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
+      require(!wouldSurvive.isEmpty,
+        s"retiring ${doomed.mkString(", ")} would forget every live " +
+          "doc (no kept day re-saw anything) — drop and rebuild the " +
+          "index instead")
+      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      dead.unpersist()
+      IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
+        strict = true)
+      IndexFiles.refresh(spark, dir)
+      ()
+    }
+    doomed
+  }
+
+  /** [[retireContainmentSeenWindow]] keyed by an explicit horizon —
+    * every sighting day strictly older than `day` (natural order)
+    * retires; the date-driven nightly's form. */
+  def retireContainmentSeenBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, day: String): Seq[String] = {
+    requireSightedContainment(spark, dir)
+    IndexFiles.healAppend(spark, dir, containmentHealTables(spark, dir))
+    val days = IndexFiles.listSrcs(spark, dir, "seen")
+    val doomedN = days.count(d => IndexFiles.naturalOrdering.lt(d, day))
+    retireContainmentSeenWindow(spark, dir, keep = days.size - doomedN)
   }
 
   /** PPJoin prefix-filtered candidate pairs over (id, sh) shingle

@@ -70,7 +70,10 @@ object Maintenance {
     Map(
       "exact_seen" -> ((s, d, k) => Dedup.retireExactSeenWindow(s, d, k)),
       "minhash_seen" -> ((s, d, k) => Dedup.retireMinhashSeenWindow(s, d, k)),
-      "phash_seen" -> ((s, d, k) => Multimodal.retirePhashSeenWindow(s, d, k)))
+      "phash_seen" -> ((s, d, k) => Multimodal.retirePhashSeenWindow(s, d, k)),
+      "containment_seen" ->
+        ((s, d, k) => Dedup.retireContainmentSeenWindow(s, d, k)),
+      "lsh_seen" -> ((s, d, k) => Ann.retireLshSeenWindow(s, d, k)))
 
   /** Run the sighting windows — the scheduled nightly for the
     * sighted-admission indexes, which [[nightly]] cannot drive (its
@@ -296,11 +299,23 @@ object Maintenance {
       // outside every index dir this summary reads. Do NOT nest a
       // snapDir inside its index dir — the backup would count as data.
       val summary = fsOf(spark, dir).getContentSummary(new Path(dir))
+      // sighting-ledger coverage (r19): a SIGHTED index's retention
+      // state must be observable from the one call operators run —
+      // retireSeenBefore decisions key on how many sighting days are
+      // on disk and how old the oldest is. NULL for admission-ledger
+      // dirs (no seen/ table); day tags in listSrcs's natural order,
+      // the same order the sighted windows retire in.
+      val hasSeen = fsOf(spark, dir).exists(new Path(s"$dir/seen"))
+      val seenSrcs =
+        if (hasSeen) IndexFiles.listSrcs(spark, dir, "seen") else Seq.empty
       (dir, family, live, srcs.size.toLong, oldest,
-        newest, tomb, frac, summary.getFileCount,
-        summary.getLength)
+        newest, tomb, frac,
+        if (hasSeen) Some(seenSrcs.size.toLong) else None,
+        seenSrcs.headOption.orNull, seenSrcs.lastOption.orNull,
+        summary.getFileCount, summary.getLength)
     }.toDF("dir", "family", "live", "segments", "oldest", "newest",
-      "tombstones", "fraction", "files", "bytes")
+      "tombstones", "fraction", "seen_days", "oldest_seen", "newest_seen",
+      "files", "bytes")
   }
 
   // ---- point-in-time snapshot / restore ----------------------------------

@@ -368,29 +368,59 @@ object StreamCurate {
       .trigger(trigger)
       .start()
 
-  /** One micro-batch of [[recallStream]]: search the persisted IVF
-    * index at the production nprobe AND at full probe (the batch's
-    * PINNED exact reference — one full probe per batch, persisted so
-    * the recall join doesn't pay it twice), write the per-query
+  /** One micro-batch of [[recallStream]]: search the persisted index
+    * at its PRODUCTION operating point AND at the batch's PINNED
+    * exact reference (one reference probe per batch, persisted so the
+    * recall join doesn't pay it twice), write the per-query
     * [[graft.operators.Ann.recallAtK]] rows under the batch's own
     * directory — the [[applyDriftBatch]] idempotency-by-overwrite
     * protocol (the index is read-only here, so a replayed batch
     * recomputes identical rows). Empty batches write nothing; output
-    * is q×1 rows, bounded by the batch. */
+    * is q×1 rows, bounded by the batch.
+    *
+    * FAMILY dispatch (r19) — the index dir is self-describing, so one
+    * monitor covers every RecallFloorSpec-pinned production point:
+    *  - `codes/`   → IVF_PQ: ADC at the production nprobe vs the
+    *    index's own ADC full probe (the retrainAdvisorIvfPq recall
+    *    arm, live per batch);
+    *  - `buckets/` → LSH: the statically pruned bucket probe vs brute
+    *    force over the LIVE stored vectors (the tuneLshTables recall
+    *    definition — LSH has no nprobe knob, so the reference is the
+    *    stored corpus itself; `nprobe` is ignored);
+    *  - `cells/`   → IVF: partial probe vs full probe (as before). */
   def applyRecallBatch(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, k: Int, nprobe: Int, metric: String,
       batchId: Long, outDir: String): Unit = {
-    import graft.operators.Ann
+    import graft.operators.{Ann, IndexFiles}
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(t: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t"))
     val pinned = batch.persist()
     try {
       if (!pinned.isEmpty) {
-        val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
-        val exact = Ann.searchIvfIndex(spark, dir, pinned, k,
-          nprobe = nlist, metric = metric).persist()
+        val (approx, exact) =
+          if (has("codes")) {
+            val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+            val ex = Ann.searchIvfPqIndex(spark, dir, pinned, k,
+              nprobe = nlist).persist()
+            (if (nprobe >= nlist) ex
+             else Ann.searchIvfPqIndex(spark, dir, pinned, k, nprobe), ex)
+          } else if (has("buckets")) {
+            val stored = IndexFiles.dropTombstones(spark, dir,
+              spark.read.parquet(s"$dir/buckets")
+                .select("id", "v").dropDuplicates("id"))
+            val ex = Ann.bruteForceTopK(stored, pinned, k, metric).persist()
+            (Ann.searchLshIndex(spark, dir, pinned, k, metric), ex)
+          } else {
+            val nlist = spark.read.parquet(s"$dir/centroids").count().toInt
+            val ex = Ann.searchIvfIndex(spark, dir, pinned, k,
+              nprobe = nlist, metric = metric).persist()
+            (if (nprobe >= nlist) ex
+             else Ann.searchIvfIndex(spark, dir, pinned, k, nprobe, metric),
+              ex)
+          }
         try {
-          val approx =
-            if (nprobe >= nlist) exact
-            else Ann.searchIvfIndex(spark, dir, pinned, k, nprobe, metric)
           Ann.recallAtK(approx, exact, k)
             .withColumn("batch_id", lit(batchId))
             .coalesce(1).write.mode("overwrite")
@@ -403,8 +433,11 @@ object StreamCurate {
   /** The retrieval twin of [[driftStream]] — the STREAMING recall
     * monitor a live search deployment runs next to its ingest: each
     * arriving (qid, qv) query micro-batch writes its per-query
-    * recall@k of the production nprobe against the index's own full
-    * probe under `outDir/batch=<id>`. A recall slide in the batch log
+    * recall@k of the production operating point against the family's
+    * exact reference under `outDir/batch=<id>` (IVF and IVF_PQ: the
+    * production nprobe vs the index's own full probe; LSH: the bucket
+    * probe vs brute force over the live stored vectors — the
+    * [[applyRecallBatch]] dispatch on the self-describing dir). A recall slide in the batch log
     * is the operational half of the retrain loop — the
     * [[graft.operators.Ann.retrainAdvisor]] signal, live per batch
     * instead of per cron tick (drifted queries crowd into cells the

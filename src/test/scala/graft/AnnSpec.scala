@@ -533,6 +533,73 @@ class AnnSpec extends SparkSpec {
     assert(res(dirApp) == appended)
   }
 
+  test("LSH sighting window: a cosine rejection re-sights the stored vector; last-seen aging tombstones what no kept day re-saw") {
+    import graft.operators.Dedup
+    val d8 = 8
+    def vec(axis: Int) = Seq.tabulate(d8)(j => if (j == axis) 1.0 else 0.0)
+    val idx = java.nio.file.Files.createTempDirectory("lshsighted")
+      .toString + "/idx"
+    // d0: A(1) and B(2); d1: a verbatim re-arrival of A (rejected —
+    // touches 1) plus novel C(12); d2: novel D(21)
+    Ann.buildLshIndexSighted(
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("id", "v"), idx,
+      dim = d8, day = "d0", planes = 4, tables = 2)
+    Ann.appendToLshIndexSighted(spark, idx,
+      Seq((11L, vec(0)), (12L, vec(2))).toDF("id", "v"),
+      day = "d1", tau = 0.9)
+    Ann.appendToLshIndexSighted(spark, idx,
+      Seq((21L, vec(3))).toDF("id", "v"), day = "d2", tau = 0.9)
+    def seenIds(day: String) = spark.read.parquet(s"$idx/seen")
+      .filter(col("src") === day).select("id").as[Long].collect().toSet
+    assert(seenIds("d0") == Set(1L, 2L))
+    assert(seenIds("d1") == Set(1L, 12L), s"got ${seenIds("d1")}")
+    assert(seenIds("d2") == Set(21L))
+    // the rejected re-arrival was NOT stored
+    assert(!spark.read.parquet(s"$idx/buckets").select("id").distinct()
+      .as[Long].collect().contains(11L))
+    // keep the last two days: d0 out; A survives (touched), B forgotten
+    assert(Ann.retireLshSeenWindow(spark, idx, keep = 2) == Seq("d0"))
+    def verdicts() = Dedup.cosineDedupAgainstIndex(spark, idx,
+        Seq((31L, vec(0)), (32L, vec(1)), (33L, vec(3)))
+          .toDF("vid", "v"), "vid", "v", tau = 0.9)
+      .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    val after = verdicts()
+    assert(after(31L) == Some(1L),
+      s"the re-seen vector must survive the window under its original id: $after")
+    assert(after(32L) == None,
+      s"a vector no kept day re-saw must be forgotten: $after")
+    assert(after(33L) == Some(21L), s"got $after")
+    // takedown-shaped retire; compaction purges with bit-equal verdicts
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isDefined)
+    Ann.compactLshIndex(spark, idx)
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isEmpty)
+    assert(verdicts() == after)
+    // guards: unsighted append refused on a sighted index; the window
+    // refused on an unsighted one; keep >= 1 enforced
+    val err = intercept[IllegalArgumentException] {
+      Ann.appendToLshIndex(spark, idx,
+        Seq((41L, vec(4))).toDF("id", "v"), "d3")
+    }
+    assert(err.getMessage.contains("appendToLshIndexSighted"),
+      err.getMessage)
+    intercept[IllegalArgumentException] {
+      Ann.retireLshSeenWindow(spark, idx, keep = 0)
+    }
+    val plain = java.nio.file.Files.createTempDirectory("lshplain")
+      .toString + "/idx"
+    Ann.buildLshIndex(Seq((1L, vec(0))).toDF("id", "v"), plain,
+      dim = d8, planes = 4, tables = 2)
+    val err2 = intercept[IllegalArgumentException] {
+      Ann.retireLshSeenWindow(spark, plain, keep = 1)
+    }
+    assert(err2.getMessage.contains("sightings ledger"), err2.getMessage)
+    // horizon form: retiring before d2 forgets the d1-last-seen
+    // vectors (A and C), keeps d2's
+    assert(Ann.retireLshSeenBefore(spark, idx, "d2") == Seq("d1"))
+    val end = verdicts()
+    assert(end(31L) == None && end(33L) == Some(21L), s"got $end")
+  }
+
   test("appendToIvfIndex: batch assigned through the STORED codebook; full-probe search exact") {
     val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
     Ann.buildIvfIndex(corpus.filter(col("id") <= 100), dir, nlist = 8)

@@ -305,6 +305,95 @@ class DedupSpec extends SparkSpec {
       s"horizon retire must forget the d1-last-seen docs: $end")
   }
 
+  test("containment sighting window: a rejected sub-doc re-sights its stored containers; last-seen aging tombstones unmatched history") {
+    val A = "alpha container document with a long and distinctive body " +
+      "of text that keeps flowing across many eight gram shingles here"
+    val B = "beta container about something entirely different from " +
+      "every other stored text in this corpus with its own words"
+    val subA = A.substring(10, 70) // tau-contained in A, nothing else
+    val C = "gamma novel content arriving on day one and matching " +
+      "nothing stored before it at all in any shingle"
+    val D = "delta novel content arriving on day two and equally " +
+      "matching nothing already stored anywhere in the index"
+    val subD = D.substring(6, 60) // within-batch containment, same day
+    val idx = java.nio.file.Files.createTempDirectory("ctsighted")
+      .toString + "/idx"
+    Dedup.buildContainmentIndexSighted(
+      Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, day = "d0")
+    // d1: subA rejected (touches container 1), C admitted
+    Dedup.appendToContainmentIndexSighted(spark, idx,
+      Seq((11L, subA), (12L, C)).toDF("doc_id", "text"),
+      "doc_id", "text", day = "d1")
+    // d2: D admitted; subD dropped by the WITHIN-batch half (its
+    // container is a batch doc — no stored id to touch); a zero-
+    // shingle doc admits with no payload rows
+    Dedup.appendToContainmentIndexSighted(spark, idx,
+      Seq((21L, D), (22L, subD), (23L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text", day = "d2")
+    def seenIds(day: String) = spark.read.parquet(s"$idx/seen")
+      .filter(col("src") === day).select("id").as[Long].collect().toSet
+    assert(seenIds("d0") == Set(1L, 2L))
+    assert(seenIds("d1") == Set(1L, 12L), s"got ${seenIds("d1")}")
+    assert(seenIds("d2") == Set(21L, 23L), s"got ${seenIds("d2")}")
+    val storedIds = spark.read.parquet(s"$idx/ids")
+      .select("id").as[Long].collect().toSet
+    assert(storedIds == Set(1L, 2L, 12L, 21L, 23L),
+      s"rejected docs must not be stored: $storedIds")
+    // keep the last two days: d0 ages out; A survives (re-sighted by
+    // the d1 rejection), B is forgotten
+    assert(Dedup.retireContainmentSeenWindow(spark, idx, keep = 2)
+      == Seq("d0"))
+    def verdicts() = Dedup.dropContainedAgainstIndex(spark, idx,
+        Seq((31L, subA), (32L, B.substring(8, 64)), (33L, subD))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "container_id").as[(Long, Option[Long])]
+      .collect().toMap
+    val after = verdicts()
+    assert(after(31L) == Some(1L),
+      s"the re-sighted container must survive the window: $after")
+    assert(after(32L) == None,
+      s"a container no kept day re-saw must be forgotten: $after")
+    assert(after(33L) == Some(21L), s"got $after")
+    // takedown-shaped retire (tombstones, no rewrite); compaction
+    // purges physically with bit-equal verdicts
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isDefined)
+    Dedup.compactContainmentIndex(spark, idx)
+    assert(graft.operators.IndexFiles.tombstones(spark, idx).isEmpty)
+    assert(verdicts() == after)
+    // guards: unsighted append refused on a sighted index; replayed id
+    // refused; window refused on an unsighted index; keep >= 1
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToContainmentIndex(spark, idx,
+        Seq((41L, "zeta text for the guard")).toDF("doc_id", "text"),
+        "doc_id", "text", "d3")
+    }
+    assert(err.getMessage.contains("appendToContainmentIndexSighted"),
+      err.getMessage)
+    val errReplay = intercept[IllegalArgumentException] {
+      Dedup.appendToContainmentIndexSighted(spark, idx,
+        Seq((21L, D)).toDF("doc_id", "text"), "doc_id", "text", "d3")
+    }
+    assert(errReplay.getMessage.contains("already"), errReplay.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.retireContainmentSeenWindow(spark, idx, keep = 0)
+    }
+    val plain = java.nio.file.Files.createTempDirectory("ctplain")
+      .toString + "/idx"
+    Dedup.buildContainmentIndex(Seq((1L, A)).toDF("doc_id", "text"),
+      "doc_id", "text", plain)
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.retireContainmentSeenWindow(spark, plain, keep = 1)
+    }
+    assert(err2.getMessage.contains("sightings ledger"), err2.getMessage)
+    // horizon form: retiring before d2 forgets the d1-last-seen docs
+    // (A and C), keeps d2's
+    assert(Dedup.retireContainmentSeenBefore(spark, idx, "d2")
+      == Seq("d1"))
+    val end = verdicts()
+    assert(end(31L) == None && end(33L) == Some(21L), s"got $end")
+  }
+
   test("sighted index refuses an unsighted append — fps outside every sighting day would be irretirable") {
     val root = java.nio.file.Files.createTempDirectory("sguard").toString
     val idx = s"$root/idx"

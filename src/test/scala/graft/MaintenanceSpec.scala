@@ -110,7 +110,8 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.tombstoneFraction(spark, ex, "exact") == 0.0)
     // the sighted registry stays total (the families assert's twin)
     assert(Maintenance.sightedFamilies.keySet
-      == Set("exact_seen", "minhash_seen", "phash_seen"))
+      == Set("exact_seen", "minhash_seen", "phash_seen",
+        "containment_seen", "lsh_seen"))
   }
 
   test("rolling windows order segments NATURALLY: unpadded b10 is newer than b2, never retired first") {
@@ -726,5 +727,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.getAs[Long]("live") == 15 &&
       after.getAs[Long]("tombstones") == 0 &&
       after.getAs[Double]("fraction") == 0.0, after.toString)
+    // an admission-ledger dir reports NULL sighting coverage — the
+    // seen columns exist for every row but only sighted dirs fill them
+    assert(after.isNullAt(after.fieldIndex("seen_days")) &&
+      after.isNullAt(after.fieldIndex("oldest_seen")) &&
+      after.isNullAt(after.fieldIndex("newest_seen")), after.toString)
+  }
+
+  test("storeReport surfaces the sighting ledger: day count and oldest/newest day, hand-counted") {
+    val root = java.nio.file.Files.createTempDirectory("sreport").toString
+    val idx = s"$root/exsee"
+    Dedup.buildExactIndexSighted(
+      Seq((1L, "alpha one"), (2L, "beta two")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, day = "d0")
+    Dedup.appendToExactIndexSighted(spark, idx,
+      Seq((11L, "gamma three")).toDF("doc_id", "text"),
+      "doc_id", "text", "d1")
+    Dedup.appendToExactIndexSighted(spark, idx,
+      Seq((21L, "delta four")).toDF("doc_id", "text"),
+      "doc_id", "text", "d2")
+    def row() = Maintenance.storeReport(spark, Seq((idx, "exact")))
+      .collect().head
+    val r = row()
+    assert(r.getAs[Long]("seen_days") == 3 &&
+      r.getAs[String]("oldest_seen") == "d0" &&
+      r.getAs[String]("newest_seen") == "d2", r.toString)
+    assert(r.getAs[Long]("live") == 4 && r.getAs[Long]("segments") == 3,
+      r.toString)
+    // the sighted retire is visible on the dashboard: one day drops
+    // from the coverage, its forgotten fps surface as tombstones
+    assert(Dedup.retireExactSeenWindow(spark, idx, keep = 2) == Seq("d0"))
+    val r2 = row()
+    assert(r2.getAs[Long]("seen_days") == 2 &&
+      r2.getAs[String]("oldest_seen") == "d1" &&
+      r2.getAs[String]("newest_seen") == "d2", r2.toString)
+    assert(r2.getAs[Long]("tombstones") == 2, r2.toString)
   }
 }

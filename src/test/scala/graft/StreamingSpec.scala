@@ -1570,6 +1570,72 @@ class StreamingSpec extends SparkSpec {
       .filter(col("batch_id") === 9L).isEmpty)
   }
 
+  test("recallStream family dispatch: LSH (bucket probe vs brute over stored) and IVF_PQ (ADC partial vs full) — drained equals batch, degraded batch reads lower") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long, shift: Double = 0.0) =
+      Seq.tabulate(dim)(j => math.sin(i * 131 + j * 17) + shift)
+    val corpus = (1L to 150L).map(i => (i, vec(i))).toDF("id", "v")
+    val b0 = (1L to 5L).map(i => (i, vec(i)))
+    val b1 = (201L to 205L).map(i => (i, vec(i, 2.5)))
+    def drain(idxDir: String, root: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamCurate.recallStream(idxDir,
+        mem.toDF().toDF("qid", "qv"), k = 10, nprobe = nprobe,
+        s"$root/out", s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(s"$root/out")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "exact_n", "n_hits", "recall")
+      .collect().map(_.toString).sorted.toSeq
+    def meansOf(out: org.apache.spark.sql.DataFrame) = out
+      .groupBy("batch_id").agg(avg(col("recall")).as("m"))
+      .orderBy("batch_id").select("m").as[Double].collect()
+
+    // ---- LSH: production = the bucket probe, reference = brute ----
+    val rootL = java.nio.file.Files.createTempDirectory("recallLsh")
+      .toString
+    Ann.buildLshIndex(corpus, s"$rootL/idx", dim = dim, planes = 4,
+      tables = 2)
+    val outL = drain(s"$rootL/idx", rootL, nprobe = 1)
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      val qs = slice.toDF("qid", "qv")
+      val exact = Ann.bruteForceTopK(corpus, qs, k = 10)
+      val approx = Ann.searchLshIndex(spark, s"$rootL/idx", qs, k = 10)
+      assert(rows(outL.filter(col("batch_id") === id)) ==
+        rows(Ann.recallAtK(approx, exact, 10)),
+        s"LSH batch $id diverged from the batch operator")
+    }
+    val mL = meansOf(outL)
+    assert(mL.length == 2 && mL(1) < mL(0),
+      s"out-of-distribution batch did not lower LSH recall: ${mL.toSeq}")
+
+    // ---- IVF_PQ: production = ADC at nprobe=1, reference = ADC full ----
+    val rootP = java.nio.file.Files.createTempDirectory("recallPq")
+      .toString
+    Ann.buildIvfPqIndex(corpus, s"$rootP/idx", nlist = 8, m = 4,
+      ksub = 16)
+    val outP = drain(s"$rootP/idx", rootP, nprobe = 1)
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      val qs = slice.toDF("qid", "qv")
+      val exact = Ann.searchIvfPqIndex(spark, s"$rootP/idx", qs, k = 10,
+        nprobe = 8)
+      val approx = Ann.searchIvfPqIndex(spark, s"$rootP/idx", qs, k = 10,
+        nprobe = 1)
+      assert(rows(outP.filter(col("batch_id") === id)) ==
+        rows(Ann.recallAtK(approx, exact, 10)),
+        s"IVF_PQ batch $id diverged from the batch operator")
+    }
+    val mP = meansOf(outP)
+    assert(mP.length == 2 && mP(1) < mP(0),
+      s"out-of-distribution batch did not lower ADC recall: ${mP.toSeq}")
+  }
+
   test("driftStream: per-batch summaries equal the batch operator; replay idempotent; empty trigger writes nothing") {
     import graft.operators.Stats
     implicit val sqlCtx = spark.sqlContext
