@@ -900,9 +900,19 @@ object Scale {
       val (aw, _) = timed(append(replay, idx))
       val (rw, tags) = timed(retire(idx))
       require(tags == Seq("d0"), s"expected to retire d0, got $tags")
-      val dead = spark.read.parquet(s"$idx/$deadTable").distinct().count()
+      // a doomed set fully re-sighted through natural near-dup
+      // partners writes no tombstone table at all — report 0, not a
+      // missing-path crash
+      val deadP = new org.apache.hadoop.fs.Path(s"$idx/$deadTable")
+      val dead =
+        if (deadP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(deadP))
+          spark.read.parquet(s"$idx/$deadTable").distinct().count()
+        else 0L
       (aw, rw, dead, probe(idx))
     }
+    val wanted = sys.env.get("SPARK_GRAFT_SIGHTED_FAMILY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     def run(family: String,
         stored1: DataFrame, storedN: DataFrame, off: Long,
@@ -911,6 +921,7 @@ object Scale {
         retire: String => Seq[String],
         probe: String => Seq[String],
         deadTable: String): Unit = {
+      if (!wanted.forall(_.contains(family))) return
       // FACTOR× first: warmth flows x1-ward (the appendLifecycle
       // conservative ordering)
       val (awN, rwN, deadN, vN) =
@@ -956,11 +967,21 @@ object Scale {
       "deleted")
 
     // ---- phash_seen ----
-    // ≥8-apart 16-bit sign-flip masks keep replicas out of each
-    // other's hamming-2 balls; replica 0 is the identity mask
-    val masks = Seq(0x0000, 0x00FF, 0x0F0F, 0x3333, 0x5555, 0xFF00,
-      0xF0F0, 0xCCCC, 0xAAAA, 0x6666, 0x9999, 0x0FF0)
-    require(factor <= masks.size, s"need a mask per replica: $factor")
+    // 60-bit signature space (dim = 60, the family's Long-packed
+    // ceiling): a 16-bit space is too dense for 20k assets —
+    // cross-replica sig collisions between DIFFERENT base assets
+    // (S_a ⊕ S_b = m_i ⊕ m_j) land ~30 extra matches per replica
+    // pair and break the survivor-identity assert. Replica i flips
+    // the sign of whole 12-component BLOCKS (identity, the 5 single
+    // blocks, then block pairs): pairwise mask distance ≥ 12 >>
+    // maxHam=2, so no replica can enter another's hamming ball;
+    // natural near-dup families inside the base corpus remain,
+    // identically at both scales.
+    val blockSets: Seq[Set[Int]] =
+      Set.empty[Int] +: (0 until 5).map(Set(_)) ++:
+        (for (a <- 0 until 5; b <- a + 1 until 5) yield Set(a, b))
+    require(factor <= blockSets.size,
+      s"need a block mask per replica: $factor > ${blockSets.size}")
     val emb = Tables.load(spark, baseDir, "embeddings")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("v"))
@@ -968,7 +989,7 @@ object Scale {
     val eoff = maxIdOffset(emb, "id", "sightedRetire: embeddings")
     def flipped(i: Int): DataFrame = {
       val maskLit = array(Seq.tabulate(64)(j =>
-        lit(if (j < 16 && ((masks(i) >> j) & 1) == 1) -1.0 else 1.0)): _*)
+        lit(if (j < 60 && blockSets(i).contains(j / 12)) -1.0 else 1.0)): _*)
       emb.withColumn("id", col("id") + lit(i * eoff))
         .withColumn("v", zip_with(col("v"), maskLit, (x, m) => x * m))
     }
@@ -979,7 +1000,7 @@ object Scale {
       phStoredN,
       eoff,
       (df, idx) => Multimodal.buildPhashIndexSighted(df, "id", "v", idx,
-        dim = 16, day = "d0", maxHam = 2, thresh = 0.0),
+        dim = 60, day = "d0", maxHam = 2, thresh = 0.0),
       (df, idx) => Multimodal.appendToPhashIndexSighted(spark, idx, df,
         "id", "v", "d1"),
       idx => Multimodal.retirePhashSeenWindow(spark, idx, keep = 1),
