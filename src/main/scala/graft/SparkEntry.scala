@@ -230,9 +230,14 @@ object SparkEntry {
       .select(col("source"), col("n_docs"), col("mean_tokens"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      T.fingerprintMd5(col("text")).as("fp"),
-      H.minShingleHash(T.normText(col("text")), 8).as("min_sh"))
+    // normText lands in its own projection first: minShingleHash's
+    // transform() would otherwise re-run the whole-doc regex per
+    // shingle position (the Dedup.shingleSet interpreted-HOF lesson)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), T.normText(col("text")).as("__nt"))
+      .select(col("doc_id"),
+        T.fingerprintMd5(col("text")).as("fp"),
+        H.minShingleHash(col("__nt"), 8).as("min_sh"))
 
   private def qEmbedDense(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

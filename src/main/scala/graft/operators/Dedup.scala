@@ -371,8 +371,18 @@ object Dedup {
     * pair fan-out per shingle is ≤ maxDf², not corpus²). */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, w: Int,
       maxDf: Option[Int] = None): DataFrame = {
-    val s = spread(df).select(col(idCol).as("id"),
-        explode(H.shingles(T.normText(col(textCol)), w)).as("sh"))
+    // normText is materialized in its OWN projection before the shingle
+    // transform consumes it: higher-order functions run interpreted (no
+    // whole-stage codegen, no subexpression elimination), so an
+    // expression argument is re-evaluated PER ARRAY ELEMENT — the
+    // whole-document regex normalization at every shingle position,
+    // O(n²) per doc (measured: the shingle pass was ~50 s of CPU per
+    // corpus scan at sf0.1; the shinglePositions shape, applied here).
+    // Referenced twice inside shingles() and not cheap, the alias is
+    // immune to CollapseProject re-inlining.
+    val s = spread(df)
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("__nt"))
+      .select(col("id"), explode(H.shingles(col("__nt"), w)).as("sh"))
       .distinct()
     maxDf match {
       case None => s
@@ -393,9 +403,11 @@ object Dedup {
     * instead of strings. Same maxDf hot-key cap as [[shingleSet]]. */
   def shingleSetHashed(df: DataFrame, idCol: String, textCol: String, w: Int,
       maxDf: Option[Int]): DataFrame = {
+    // normText materialized before the per-element transform reads it —
+    // see [[shingleSet]] (the O(n²)-per-doc interpreted-HOF trap)
     val s = spread(df)
-      .select(col(idCol).as("id"),
-        explode(H.shingles(T.normText(col(textCol)), w)).as("shs"))
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("__nt"))
+      .select(col("id"), explode(H.shingles(col("__nt"), w)).as("shs"))
       .select(col("id"), xxhash64(col("shs")).as("sh"))
       .distinct()
     maxDf match {
@@ -555,9 +567,23 @@ object Dedup {
     // unaliased prefix("sh") === index("sh") resolves to the SAME
     // attribute — a trivially-true predicate that silently degrades
     // the candidate join to the size-filtered cross product
+    //
+    // b.pos bound — PPJoin's positional filter, asymmetric form: both
+    // sides rank in the SAME (df asc, sh asc) total order, so for a
+    // true pair's FIRST common shingle s*, inter ≤ sz_b − pos_b(s*) + 1
+    // and inter ≥ ceil(tau·sz_a) — hence pos_b(s*) ≤ sz_b −
+    // ceil(tau·sz_a) + 1 and the pair still generates through s*.
+    // Exact (the verify stage was already exact); what it buys is the
+    // hot-shingle fan-out: frequent shingles rank LAST (df asc), so
+    // their b-side rows sit at high pos and drop out of the join
+    // instead of emitting df² candidate rows per shingle — the
+    // uncapped (maxDf = None) probes were burning ~50 s CPU per
+    // materialization in exactly that fan-out at sf0.1.
     val cand = prefix.as("a").join(ranked.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
-          col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)))
+          col("b.sz") >= ceil(lit(tau) * col("a.sz") - lit(1e-9)) &&
+          col("b.pos") <=
+            col("b.sz") - ceil(lit(tau) * col("a.sz") - lit(1e-9)) + 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val (verified, pins) = verifyContainment(cand, sh, tau)
     (verified, ranked +: pins)
@@ -637,7 +663,12 @@ object Dedup {
     * Not shared with [[containmentPairsFrom]]: that path caches the
     * full ranked set because its candidate join reads BOTH the prefix
     * and the complete index side from one plan; here the index side is
-    * the stored table, and only the prefix is ever computed. */
+    * the stored table, and only the prefix is ever computed.
+    * (r19 A/B note: re-ranking BOTH sides in frame-independent sh-asc
+    * order to enable a stored positional filter on the history side
+    * measured WORSE — the prefix loses its rarest-first selectivity,
+    * and the positional bound is weak for size-mismatched pairs —
+    * reverted; see OPTIMIZATION_r19.md.) */
   private def containedPrefixRows(sh: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -1085,8 +1116,14 @@ object Dedup {
       s"batch id ${replayed.headOption.map(_.get(0)).orNull} already " +
         "exists in the index — replayed ids would corrupt the " +
         "intersection counts")
-    val (d, shB, best, histDrops, pins) =
+    val (d, shB, best, histDropsRaw, pins) =
       containmentVerdictCore(spark, dir, batch, idCol, textCol, tau, None)
+    // histDrops is the expensive frame here (history-candidate join +
+    // exact intersection verify) and has THREE readers in this append —
+    // `best` (via its union), the seen slice, and the journaled write.
+    // Un-pinned, each reader re-ran the whole intersection (measured
+    // ~50 s CPU per re-materialization at sf0.1).
+    val histDrops = histDropsRaw.persist()
     val dupIds = best.select("id").persist()
     dupIds.count()
     val admittedIds = d.select(col(idCol).as("id")).distinct()
@@ -1119,6 +1156,7 @@ object Dedup {
         // not the payload's ids
         if (admittedIds.isEmpty) None else Some(admittedIds))
     pins.foreach(_.unpersist())
+    histDrops.unpersist()
     dupIds.unpersist(); admittedIds.unpersist(); admittedSh.unpersist(); ()
   }
 
@@ -1250,9 +1288,11 @@ object Dedup {
     * agree bit-for-bit on both engines even under hash collisions. */
   def shingleHashSet(df: DataFrame, idCol: String, textCol: String, w: Int,
       maxDf: Option[Int]): DataFrame = {
+    // normText materialized before the per-element transform reads it —
+    // see [[shingleSet]] (the O(n²)-per-doc interpreted-HOF trap)
     val s = spread(df)
-      .select(col(idCol).as("id"),
-        explode(H.shingles(T.normText(col(textCol)), w)).as("shs"))
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("__nt"))
+      .select(col("id"), explode(H.shingles(col("__nt"), w)).as("shs"))
       .select(col("id"),
         conv(substring(md5(col("shs")), 1, 8), 16, 10).cast("long").as("h"))
       .distinct()
