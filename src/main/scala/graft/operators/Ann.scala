@@ -349,6 +349,12 @@ object Ann {
     Dedup.spread(postings)
       .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
       .withColumn("src", lit("base"))
+      // route each bucket to one task before the partitioned write
+      // (guide §6: hash-distribute on the partition key) — without it
+      // every task writes a sliver into every bucket dir: tasks×buckets
+      // tiny files per build, and the same count of file-open waits on
+      // every later scan
+      .repartition(col("tbucket"))
       .write.mode("overwrite").partitionBy("src", "tbucket")
       .parquet(s"$dir/postings")
     Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$dir/meta")
@@ -441,7 +447,8 @@ object Ann {
     IndexFiles.appendStaged(spark, dir, Seq(
       ("postings", Dedup.spread(batch)
         .withColumn("tbucket", pmod(col("term"), lit(buckets)).cast("int"))
-        .withColumn("src", lit(src)),
+        .withColumn("src", lit(src))
+        .repartition(col("tbucket")),
         Seq("src", "tbucket")),
       ("doclens", batch.groupBy("id").agg(sum(col("w")).as("dl"))
         .withColumn("src", lit(src)), Seq("src"))),
@@ -999,6 +1006,11 @@ object Ann {
     import s.implicits._
     lshBuckets(corpus, dim, planes, tables)
       .withColumn("src", lit("base"))
+      // hash-distribute on the partition keys before the fan-out write
+      // (tables·2^planes dirs — unrouted, every task writes a sliver
+      // into every bucket dir it touches; measured 47 s of task wall on
+      // 7 s of CPU at sf0.1, pure file-create wait)
+      .repartition(col("tbl"), col("sig"))
       .write.mode("overwrite").partitionBy("src", "tbl", "sig")
       .parquet(s"$dir/buckets")
     Seq((dim, planes, tables)).toDF("dim", "planes", "tables")
@@ -1051,7 +1063,8 @@ object Ann {
     requireBatchDim(batch, "v", dim)
     IndexFiles.appendStaged(spark, dir, Seq(
       ("buckets", lshBuckets(batch, dim, planes, tables)
-        .withColumn("src", lit(src)), Seq("src", "tbl", "sig"))),
+        .withColumn("src", lit(src))
+        .repartition(col("tbl"), col("sig")), Seq("src", "tbl", "sig"))),
       None)
   }
 
@@ -1201,7 +1214,8 @@ object Ann {
     val payloadSlices =
       if (admitted.isEmpty) Seq.empty
       else Seq(("buckets", lshBuckets(admitted, dim, planes, tables)
-        .withColumn("src", lit(day)), Seq("src", "tbl", "sig")))
+        .withColumn("src", lit(day))
+        .repartition(col("tbl"), col("sig")), Seq("src", "tbl", "sig")))
     val seenSlice =
       if (seenRows.isEmpty) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
@@ -1488,6 +1502,9 @@ object Ann {
       .getOrElse(throw new IllegalArgumentException(
         s"corpus must exceed nlist=$nlist vectors to index"))
     cells.withColumn("src", lit("base"))
+      // one task per cell before the partitioned write (guide §6) —
+      // unrouted, every task writes a sliver into every cell dir
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("src", "cell")
       .parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1568,7 +1585,8 @@ object Ann {
         "in the index — replayed ids would duplicate search hits")
     IndexFiles.appendStaged(spark, dir, Seq(
       ("cells", b.select(col("id"), col("v"), cellOf(col("v"), cb).as("cell"))
-        .withColumn("src", lit(src)),
+        .withColumn("src", lit(src))
+        .repartition(col("cell")),
         Seq("src", "cell"))),
       Some(batchIds))
   }
@@ -1778,6 +1796,7 @@ object Ann {
         s"corpus must exceed nlist=$nlist vectors to index"))
     cells.select(col("id"), V.quantizeSq8(col("v")).as("cz"), col("cell"))
       .withColumn("src", lit("base"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("src", "cell")
       .parquet(s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1816,7 +1835,8 @@ object Ann {
         "in the index — replayed ids would duplicate search hits")
     IndexFiles.appendStaged(spark, dir, Seq(
       ("cells", b.select(col("id"), V.quantizeSq8(col("v")).as("cz"),
-        cellOf(col("v"), cb).as("cell")).withColumn("src", lit(src)),
+        cellOf(col("v"), cb).as("cell")).withColumn("src", lit(src))
+        .repartition(col("cell")),
         Seq("src", "cell"))),
       Some(batchIds))
   }
@@ -2511,6 +2531,7 @@ object Ann {
         s"corpus must exceed ksub=$ksub vectors to index"))
     res.select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
       .withColumn("src", lit("base"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("src", "cell")
       .parquet(s"$dir/codes")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -2608,7 +2629,8 @@ object Ann {
     IndexFiles.appendStaged(spark, dir, Seq(
       ("codes", pqResiduals(cells, centroids)
         .select(col("id"), col("cell"), pqCodes(col("res"), cbs).as("codes"))
-        .withColumn("src", lit(src)),
+        .withColumn("src", lit(src))
+        .repartition(col("cell")),
         Seq("src", "cell"))),
       Some(batchIds))
   }
