@@ -1205,19 +1205,22 @@ object Ann {
       .filter(col("score") >= tau)
       .select(col("qid").as("id"), col("id").as("dup_of"))
       .persist()
-    hits.count()
+    val hitsN = hits.count()
     val admitted = batch.join(hits.select("id"), Seq("id"), "left_anti")
       .persist()
+    // counts on the persisted frames gate the slices — isEmpty probes
+    // would each pay a driver planning round over the composed plan (r19)
+    val admittedN = admitted.count()
     val seenRows = admitted.select("id").distinct()
       .unionByName(hits.select(col("dup_of").as("id")))
       .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admitted.isEmpty) Seq.empty
+      if (admittedN == 0) Seq.empty
       else Seq(("buckets", lshBuckets(admitted, dim, planes, tables)
         .withColumn("src", lit(day))
         .repartition(col("tbl"), col("sig")), Seq("src", "tbl", "sig")))
     val seenSlice =
-      if (seenRows.isEmpty) Seq.empty
+      if (admittedN == 0 && hitsN == 0) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
     if ((payloadSlices ++ seenSlice).nonEmpty)
       IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice, None)
@@ -1262,12 +1265,17 @@ object Ann {
       val live = IndexFiles.dropTombstones(spark, dir,
         spark.read.parquet(s"$dir/buckets").select("id").distinct())
       val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
-      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
-      require(!wouldSurvive.isEmpty,
+      // survivor guard by COUNT: dead ⊆ live by construction (a
+      // semi-join of live) and both row sets are unique, so "something
+      // survives" ⟺ live > dead — two cheap counts instead of
+      // materializing a live⟕dead anti-join just to probe emptiness,
+      // and the dead count doubles as the write-skip check (r19)
+      val deadN = dead.count()
+      require(live.count() > deadN,
         s"retiring ${doomed.mkString(", ")} would forget every live " +
           "vector (no kept day re-saw anything) — drop and rebuild the " +
           "index instead")
-      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      if (deadN > 0) IndexFiles.writeTombstones(dead, dir)
       dead.unpersist()
       IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
         strict = true)

@@ -1045,12 +1045,17 @@ object Dedup {
     * reverse order could wrongly prune a stored shingle). */
   private def mergeContainmentBloom(spark: org.apache.spark.sql.SparkSession,
       dir: String, batchSh: DataFrame): Unit = {
-    if (batchSh.count() > 0) {
-      val meta = spark.read.parquet(s"$dir/bloom").head()
-      val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
-        meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
-      val delta = batchSh.agg(SK.bloomAgg(col("sh"), items, bits).as("bloom"))
-        .head().getAs[Array[Byte]]("bloom")
+    val meta = spark.read.parquet(s"$dir/bloom").head()
+    val (bytes, items, bits) = (meta.getAs[Array[Byte]]("bloom"),
+      meta.getAs[Long]("n_items"), meta.getAs[Long]("num_bits"))
+    // ONE action computes the emptiness check and the delta sketch —
+    // the separate count() was a second full pass over the batch's
+    // distinct shingles (r19: every lifecycle action bills a full
+    // driver plan round at bench scale)
+    val row = batchSh.agg(count(lit(1)).as("n"),
+      SK.bloomAgg(col("sh"), items, bits).as("bloom")).head()
+    if (row.getAs[Long]("n") > 0) {
+      val delta = row.getAs[Array[Byte]]("bloom")
       val merged = bloomOf(bytes)
       merged.mergeInPlace(bloomOf(delta))
       import spark.implicits._
@@ -1135,26 +1140,36 @@ object Dedup {
       .persist()
     val sizes = admittedSh.groupBy("id").agg(count(lit(1)).as("sz"))
       .withColumn("src", lit(day))
+    // the emptiness probes below run on counts of the PERSISTED frames
+    // (one materialization each), not isEmpty anti-join probes — every
+    // extra action pays a full driver planning round over this append's
+    // composed plan (r19); histDrops is already cache-materialized by
+    // dupIds.count() above, so its count is a cache read
+    val admIdsN = admittedIds.count()
+    val histDropsN = histDrops.count()
     // bloom delta BEFORE the payload commit (the appendToContainment-
-    // Index crash ordering)
+    // Index crash ordering); its aggregate doubles as admittedSh's
+    // one-pass emptiness check
+    val admShN = admittedSh.count()
     mergeContainmentBloom(spark, dir, admittedSh.select("sh").distinct())
     val seenRows = admittedIds
       .unionByName(histDrops.select(col("id_b").as("id")))
       .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admittedSh.isEmpty) Seq.empty
+      if (admShN == 0) Seq.empty
       else Seq(
         ("shingles", admittedSh.repartition(col("hb")), Seq("src", "hb")),
         ("sizes", sizes, Seq("src")))
     val seenSlice =
-      if (seenRows.isEmpty) Seq.empty
+      // seenRows = admitted ids ∪ touched stored ids — empty iff both are
+      if (admIdsN == 0 && histDropsN == 0) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
     if ((payloadSlices ++ seenSlice).nonEmpty)
       IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
         // zero-SHINGLE admitted docs still enter the ids sidecar (the
         // buildContainmentIndex rule), so the guard is admittedIds,
         // not the payload's ids
-        if (admittedIds.isEmpty) None else Some(admittedIds))
+        if (admIdsN == 0) None else Some(admittedIds))
     pins.foreach(_.unpersist())
     histDrops.unpersist()
     dupIds.unpersist(); admittedIds.unpersist(); admittedSh.unpersist(); ()
@@ -1202,12 +1217,17 @@ object Dedup {
         IndexFiles.ensureIds(spark, dir,
           spark.read.parquet(s"$dir/shingles").select("id").distinct()))
       val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
-      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
-      require(!wouldSurvive.isEmpty,
+      // survivor guard by COUNT: dead ⊆ live by construction (a
+      // semi-join of live) and both row sets are unique, so "something
+      // survives" ⟺ live > dead — two cheap counts instead of
+      // materializing a live⟕dead anti-join just to probe emptiness,
+      // and the dead count doubles as the write-skip check (r19)
+      val deadN = dead.count()
+      require(live.count() > deadN,
         s"retiring ${doomed.mkString(", ")} would forget every live " +
           "doc (no kept day re-saw anything) — drop and rebuild the " +
           "index instead")
-      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      if (deadN > 0) IndexFiles.writeTombstones(dead, dir)
       dead.unpersist()
       IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
         strict = true)
@@ -2668,29 +2688,37 @@ object Dedup {
     // all read this small (pairs-at-tau) frame
     val pairs = verified.select(col("id_a").as("id_new"),
       col("id_b").as("id_old")).persist()
-    pairs.count()
+    val pairsN = pairs.count()
     pins.foreach(_.unpersist())
     val dupIds = pairs.select(col("id_new").as("id"))
     val admittedSh = newSh.join(dupIds, Seq("id"), "left_anti")
     val admittedSig = newSig.join(dupIds, Seq("id"), "left_anti")
-    val batchIds = admittedSh.select("id").distinct()
+    // persisted + counted ONCE: batchIds gates the payload slices, the
+    // seen union, and the journal guard — isEmpty probes would each
+    // pay a driver planning round over the composed plan (r19)
+    val batchIds = admittedSh.select("id").distinct().persist()
+    val batchIdsN = batchIds.count()
     val seenRows = batchIds
       .unionByName(pairs.select(col("id_old").as("id")))
       .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admittedSh.isEmpty) Seq.empty
+      // admittedSh nonempty ⟺ some admitted id survives (batchIds is
+      // its own id projection)
+      if (batchIdsN == 0) Seq.empty
       else Seq(
         ("sigs", tagMinhashSigs(admittedSig, day).repartition(col("hb")),
           Seq("src", "hb")),
         ("shingles", tagMinhashShingles(admittedSh, day)
           .repartition(col("hb")), Seq("src", "hb")))
     val seenSlice =
-      if (seenRows.isEmpty) Seq.empty
+      // seenRows = admitted ids ∪ matched stored ids — empty iff both are
+      if (batchIdsN == 0 && pairsN == 0) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
     if ((payloadSlices ++ seenSlice).nonEmpty)
       IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
         if (payloadSlices.isEmpty) None else Some(batchIds))
-    newSh.unpersist(); newSig.unpersist(); pairs.unpersist(); ()
+    newSh.unpersist(); newSig.unpersist(); pairs.unpersist()
+    batchIds.unpersist(); ()
   }
 
   private def requireSightedMinhash(spark: org.apache.spark.sql.SparkSession,
@@ -2734,12 +2762,17 @@ object Dedup {
       val live = IndexFiles.dropTombstones(spark, dir,
         indexedIds(spark, dir))
       val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
-      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
-      require(!wouldSurvive.isEmpty,
+      // survivor guard by COUNT: dead ⊆ live by construction (a
+      // semi-join of live) and both row sets are unique, so "something
+      // survives" ⟺ live > dead — two cheap counts instead of
+      // materializing a live⟕dead anti-join just to probe emptiness,
+      // and the dead count doubles as the write-skip check (r19)
+      val deadN = dead.count()
+      require(live.count() > deadN,
         s"retiring ${doomed.mkString(", ")} would forget every live " +
           "doc (no kept day re-saw anything) — drop and rebuild the " +
           "index instead")
-      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      if (deadN > 0) IndexFiles.writeTombstones(dead, dir)
       dead.unpersist()
       IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
         strict = true)
@@ -3026,11 +3059,13 @@ object Dedup {
           "tombstone would kill the new row on arrival; run " +
           "compactExactIndex first, or re-ingest under a new id")
     }
-    val added = newFps.count()
+    // one action: row count + delta sketch in a single aggregate pass
+    // (the separate count() re-ran the novel-fps plan — r19)
+    val addedRow = newFps.agg(count(lit(1)).as("n"),
+      SK.bloomAgg(xxhash64(col("fp")), items, bits).as("bloom")).head()
+    val added = addedRow.getAs[Long]("n")
     if (added > 0) {
-      val delta = newFps
-        .agg(SK.bloomAgg(xxhash64(col("fp")), items, bits).as("bloom"))
-        .head().getAs[Array[Byte]]("bloom")
+      val delta = addedRow.getAs[Array[Byte]]("bloom")
       val merged = bloomOf(bytes)
       merged.mergeInPlace(bloomOf(delta))
       import spark.implicits._
@@ -3162,13 +3197,17 @@ object Dedup {
       // atomic refusal BEFORE anything mutates — a window no kept day
       // re-saw anything of would tombstone every live fp, and the
       // compaction that follows would brick on the empty rewrite
-      val wouldSurvive = liveExactFps(spark, dir)
-        .join(dead, Seq("fp", "keep_id"), "left_anti")
-      require(!wouldSurvive.isEmpty,
+      // survivor guard by COUNT: dead ⊆ live by construction (a
+      // semi-join of live) and both row sets are unique, so "something
+      // survives" ⟺ live > dead — two cheap counts instead of
+      // materializing a live⟕dead anti-join just to probe emptiness,
+      // and the dead count doubles as the write-skip check (r19)
+      val deadN = dead.count()
+      require(liveExactFps(spark, dir).count() > deadN,
         s"retiring ${doomed.mkString(", ")} would forget every live " +
           s"fingerprint (no kept day re-saw anything) — drop and " +
           "rebuild the index instead")
-      if (!dead.isEmpty)
+      if (deadN > 0)
         dead.write.mode("append").parquet(s"$dir/deleted_fps")
       dead.unpersist()
       // tombstones first, ledger drop last: a crash between them

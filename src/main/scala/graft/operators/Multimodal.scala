@@ -324,24 +324,29 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHam)
       .select(col("id_new"), col("id_old")).persist()
-    pairs.count()
+    val pairsN = pairs.count()
     val dupIds = pairs.select(col("id_new").as("id"))
     val admittedBands = nb.join(dupIds, Seq("id"), "left_anti")
-    val batchIds = batchAll.join(dupIds, Seq("id"), "left_anti")
+    // persisted + counted once — gates the slices and the journal guard
+    // without per-check isEmpty planning rounds (r19)
+    val batchIds = batchAll.join(dupIds, Seq("id"), "left_anti").persist()
+    val batchIdsN = batchIds.count()
     val seenRows = batchIds
       .unionByName(pairs.select(col("id_old").as("id")))
       .distinct().withColumn("src", lit(day))
     val payloadSlices =
-      if (admittedBands.isEmpty) Seq.empty
+      // every batch id has band rows (bandedSigs emits `bands` rows per
+      // sig), so admittedBands nonempty ⟺ some batch id survived
+      if (batchIdsN == 0) Seq.empty
       else Seq(("bands", tagBands(admittedBands, day)
         .repartition(col("hb")), Seq("src", "hb")))
     val seenSlice =
-      if (seenRows.isEmpty) Seq.empty
+      if (batchIdsN == 0 && pairsN == 0) Seq.empty
       else Seq(("seen", seenRows, Seq("src")))
     if ((payloadSlices ++ seenSlice).nonEmpty)
       IndexFiles.appendStaged(spark, dir, payloadSlices ++ seenSlice,
         if (payloadSlices.isEmpty) None else Some(batchIds))
-    sig.unpersist(); pairs.unpersist(); ()
+    sig.unpersist(); pairs.unpersist(); batchIds.unpersist(); ()
   }
 
   private def requireSightedPhash(spark: org.apache.spark.sql.SparkSession,
@@ -381,12 +386,17 @@ object Multimodal {
         IndexFiles.storedIds(spark, dir,
           spark.read.parquet(s"$dir/bands").select("id").distinct()))
       val dead = live.join(doomedIds, Seq("id"), "left_semi").persist()
-      val wouldSurvive = live.join(dead, Seq("id"), "left_anti")
-      require(!wouldSurvive.isEmpty,
+      // survivor guard by COUNT: dead ⊆ live by construction (a
+      // semi-join of live) and both row sets are unique, so "something
+      // survives" ⟺ live > dead — two cheap counts instead of
+      // materializing a live⟕dead anti-join just to probe emptiness,
+      // and the dead count doubles as the write-skip check (r19)
+      val deadN = dead.count()
+      require(live.count() > deadN,
         s"retiring ${doomed.mkString(", ")} would forget every live " +
           "asset (no kept day re-saw anything) — drop and rebuild the " +
           "index instead")
-      if (!dead.isEmpty) IndexFiles.writeTombstones(dead, dir)
+      if (deadN > 0) IndexFiles.writeTombstones(dead, dir)
       dead.unpersist()
       IndexFiles.retireSrcsPartitions(spark, dir, Seq("seen"), doomed,
         strict = true)
