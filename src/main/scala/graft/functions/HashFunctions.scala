@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
-  /** 32-bit (always-positive) seeded hash of a string column. */
+  import org.apache.spark.sql.graft.HashExpressions
+
+  /** 32-bit (always-positive) seeded hash of a string column.
+    * Bit-identical to `conv(substring(md5(x),1,8),16,10)` — the first
+    * 8 hex chars ARE the digest's top 32 bits — without the hex
+    * encode/substring/parse string round trip per value
+    * ([[org.apache.spark.sql.graft.HashExpressions]], r19). */
   def hash32(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit("#"), c)), 1, 8), 16, 10)
-      .cast("long")
+    shiftrightunsigned(
+      HashExpressions.md5Prefix64(concat(lit(seed.toString), lit("#"), c)), 32)
 
   /** 60-bit seeded hash (15 hex chars — stays inside signed int64 for
     * both engines). Used for simhash bit sampling. */
   def hash60(seed: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(seed.toString), lit("#"), c)), 1, 15), 16, 10)
-      .cast("long")
+    shiftrightunsigned(
+      HashExpressions.md5Prefix64(concat(lit(seed.toString), lit("#"), c)), 4)
 
   /** Character shingles of width `w` over a string column: substrings at
     * every offset 1..max(len-w+1, 1). Pure Catalyst (sequence+transform),

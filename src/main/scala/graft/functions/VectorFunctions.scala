@@ -39,8 +39,11 @@ object VectorFunctions {
     * reproducible in SQL, dimension-configurable, uniform-ish. */
   def fakeDenseEmbed(c: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)), j => {
-      val h = conv(substring(md5(concat(j.cast("string"), lit("#"), c)), 1, 8), 16, 10)
-        .cast("long")
+      // top 32 md5 bits — bit-identical to conv(substring(md5,1,8),16,10)
+      // without the hex round trip (HashExpressions, r19)
+      val h = shiftrightunsigned(
+        org.apache.spark.sql.graft.HashExpressions.md5Prefix64(
+          concat(j.cast("string"), lit("#"), c)), 32)
       (h % 2000001L - lit(1000000L)).cast("double") / lit(1000000.0)
     })
 

@@ -1313,8 +1313,12 @@ object Dedup {
     val s = spread(df)
       .select(col(idCol).as("id"), T.normText(col(textCol)).as("__nt"))
       .select(col("id"), explode(H.shingles(col("__nt"), w)).as("shs"))
-      .select(col("id"),
-        conv(substring(md5(col("shs")), 1, 8), 16, 10).cast("long").as("h"))
+      // top 32 bits of the md5 digest — bit-identical to
+      // conv(substring(md5,1,8),16,10) without the per-shingle hex
+      // encode + substring + parse (HashExpressions, r19)
+      .select(col("id"), shiftrightunsigned(
+        org.apache.spark.sql.graft.HashExpressions.md5Prefix64(col("shs")),
+        32).as("h"))
       .distinct()
     maxDf match {
       case None => s
@@ -1734,8 +1738,10 @@ object Dedup {
         explode(sequence(lit(1), length(col("t")) - (w - 1))).as("i"),
         col("t"))
       .select(col("id"), col("i"),
-        conv(substring(md5(col("t").substr(col("i"), lit(w))), 1, 8), 16, 10)
-          .cast("long").as("h"))
+        // top 32 md5 bits — the HashExpressions fast path (r19)
+        shiftrightunsigned(
+          org.apache.spark.sql.graft.HashExpressions.md5Prefix64(
+            col("t").substr(col("i"), lit(w))), 32).as("h"))
 
   /** Gap-and-island grouping of flagged shingle positions into char
     * spans: consecutive start positions collapse (i − row_number is

@@ -32,4 +32,25 @@ class ExtensionsSpec extends SparkSpec {
     val d = spark.sql("SELECT dot_product(array(2d), array(3d)) AS d").head().getDouble(0)
     assert(d === 6.0)
   }
+
+  test("md5Prefix64 bit-shifts equal the conv(substring(md5)) hex slices") {
+    // the r19 fast path must stay bit-identical to the SQL/DuckDB
+    // formulation the oracles use — 8 hex chars = top 32 bits,
+    // 15 hex chars = top 60 bits of the digest
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.HashExpressions
+    import spark.implicits._
+    val df = Seq("", "a", "abc#1", "日本語テキスト", "x" * 1000,
+        "multi\nline\ttext", "0").toDF("s")
+    val checked = df.select(
+      shiftrightunsigned(HashExpressions.md5Prefix64(col("s")), 32).as("h32"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("o32"),
+      shiftrightunsigned(HashExpressions.md5Prefix64(col("s")), 4).as("h60"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("o60"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
 }
